@@ -2,8 +2,9 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Test-table readers for the driver-generated parquet at
-  * /root/testdata/sf*/ (see TESTDATA.md). Column pruning + predicate
+/** Test-table readers for the driver-generated parquet under the
+  * sf0.001 / sf0.01 / sf0.1 testdata dirs (see TESTDATA.md). Column
+  * pruning + predicate
   * pushdown reach the parquet scan automatically because every query is
   * declared against these DataFrames (Catalyst ColumnPruning /
   * PushDownPredicate). */
