@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator from SURVEY §2
+  * (plus the LLM-pipeline operators); `oracleSql` carries the DuckDB
+  * equivalent for every SQL-expressible query (same column names/types,
+  * same total-order ORDER BY). UDF-backed and hash-function-specific
+  * queries (titlecase, nfkd, uuid, simhash, LSH-bucketed ANN) are
+  * rows-only checked here and covered by ScalaTest specs instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
+    Map[String, String])] = Seq(
+    (AggQueries.defs, AggQueries.sql),
+    (JoinQueries.defs, JoinQueries.sql),
+    (WindowQueries.defs, WindowQueries.sql),
+    (StringQueries.defs, StringQueries.sql),
+    (CdcQueries.defs, CdcQueries.sql),
+    (LlmQueries.defs, LlmQueries.sql),
+    (StreamQueries.defs, StreamQueries.sql),
+  )
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    AggQueries.defs("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.flatMap(_._1).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → rows-only check. */
+  def oracleSql: Map[String, String] =
+    modules.iterator.flatMap(_._2).toMap
 }

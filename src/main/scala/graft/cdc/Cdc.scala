@@ -1,0 +1,94 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Diff-and-log CDC engine — the reference system's signature pattern.
+  *
+  * Every pipeline step in the reference funnels through one generic
+  * helper set: compare the original frame against the transformed frame
+  * field by field (null-safe), emit one audit entry per changed field,
+  * bump a per-row modification counter by the number of changed fields,
+  * and write back only the changed rows
+  * (ref `src/tagminder/core/tm_changes.py:41-177`, update-SQL builder
+  * `src/tagminder/core/tm_db.py:580-596`, null-safe change expression
+  * `scripts/pipeline/20-normalize-dates.py:230-237`).
+  *
+  * Spark-first re-expression: a single equi-join on the key plus pure
+  * Column expressions (null-safe `<=>`, `explode` of per-field structs) —
+  * whole-stage codegen end to end, no UDFs, no driver-side row loops.
+  * At scale the join is a co-partitioned self-style join (orig and next
+  * usually share lineage, so Catalyst reuses the exchange), and the
+  * changelog is an append-only sink.
+  */
+object Cdc {
+
+  /** Values are compared and logged as strings — the reference's core
+    * table is stringly typed (`tags2db.py:645-650`), and its changelog
+    * stores old/new as TEXT (`tm_db.py:142-151`).
+    *
+    * @return (changedRows, changelog)
+    *   changedRows: key, new values for `cols`, and `__sqlmodded` =
+    *     number of changed fields (ref `NULLIF(?,0)` convention).
+    *   changelog: key, column, old_value, new_value, script.
+    */
+  def diffAndLog(
+      orig: DataFrame,
+      next: DataFrame,
+      keyCol: String,
+      cols: Seq[String],
+      script: String): (DataFrame, DataFrame) = {
+    val oSel = orig.select(
+      col(keyCol) +: cols.map(c => col(c).cast("string").as(s"__o_$c")): _*)
+    val nSel = next.select(
+      col(keyCol) +: cols.map(c => col(c).cast("string").as(s"__n_$c")): _*)
+    val j = oSel.join(nSel, Seq(keyCol))
+
+    val nChanged = cols
+      .map(c => when(!(col(s"__o_$c") <=> col(s"__n_$c")), 1).otherwise(0))
+      .reduce(_ + _)
+    val changedRows = j
+      .withColumn("__sqlmodded", nChanged)
+      .filter(col("__sqlmodded") > 0)
+      .select(col(keyCol) +: cols.map(c => col(s"__n_$c").as(c))
+        :+ col("__sqlmodded"): _*)
+
+    val entries = array(cols.map(c => struct(
+      lit(c).as("column"),
+      col(s"__o_$c").as("old_value"),
+      col(s"__n_$c").as("new_value"),
+      (!(col(s"__o_$c") <=> col(s"__n_$c"))).as("changed"))): _*)
+    val changelog = j
+      .select(col(keyCol).as("key"), explode(entries).as("e"))
+      .filter(col("e.changed"))
+      .select(
+        col("key"),
+        col("e.column").as("column"),
+        col("e.old_value").as("old_value"),
+        col("e.new_value").as("new_value"),
+        lit(script).as("script"))
+    (changedRows, changelog)
+  }
+
+  /** Change-detection mask: true when any of `cols` differs between the
+    * two sides of an already-joined frame (ref `any_horizontal` masks,
+    * `scripts/pipeline/06-...py:591-608`). Columns must be disambiguated
+    * by the caller (e.g. `__o_x` / `__n_x`). */
+  def anyChanged(pairs: Seq[(String, String)]): org.apache.spark.sql.Column =
+    pairs.map { case (o, n) => !(col(o) <=> col(n)) }.reduce(_ || _)
+
+  /** Changelog summary — counts per (script, column) plus add/delete/
+    * modify classification (ref `tm_changelog.py:101-258`). */
+  def summarize(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy("script", "column")
+      .agg(
+        count(lit(1)).as("n_changes"),
+        countDistinct(col("key")).as("n_rows"),
+        sum(when(col("old_value").isNull && col("new_value").isNotNull, 1)
+          .otherwise(0)).as("n_add"),
+        sum(when(col("old_value").isNotNull && col("new_value").isNull, 1)
+          .otherwise(0)).as("n_delete"),
+        sum(when(col("old_value").isNotNull && col("new_value").isNotNull, 1)
+          .otherwise(0)).as("n_modify"))
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact (hash group-by),
+  * n-gram Jaccard (lossless inverted-index blocking), MinHash-LSH
+  * (banded candidate generation + exact re-score), SimHash.
+  *
+  * Scale design: nothing here is all-pairs. Exact dedup is one
+  * hash-partitioned aggregation on the fingerprint. Near-dup candidate
+  * generation is an inverted-index self-join on shingles (lossless: any
+  * pair with Jaccard > 0 shares a shingle) or on LSH band buckets
+  * (probabilistic, tunable miss rate); only candidates are re-scored.
+  */
+object Dedup {
+
+  /** Word k-shingles of a text column, distinct, as an array column. */
+  def shingles(text: Column, k: Int): Column = {
+    val ws = filter(split(text, "\\s+"), t => t =!= "")
+    array_distinct(
+      when(size(ws) < k, array(array_join(ws, " ")))
+        .otherwise(transform(sequence(lit(1), size(ws) - (k - 1)),
+          i => array_join(slice(ws, i, lit(k)), " "))))
+  }
+
+  /** Exact dedup: group on the content fingerprint, keep the smallest id
+    * as the canonical survivor (deterministic keeper policy — ref keeps
+    * min mtime/rowid, `scripts/reports/97-...py:9-22`). One shuffle on
+    * the hash — the canonical 100 TB dedup shape. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Candidate pairs sharing ≥1 k-shingle (lossless blocking), with
+    * exact Jaccard ≥ `theta`. Output: (id_a, id_b, jac) with id_a<id_b.
+    *
+    * The join key is the shingle, so co-occurrence lists shuffle by
+    * shingle hash; `dfCap` drops shingles appearing in more than that
+    * many docs (stop-shingles) — at a high threshold this stays
+    * lossless in practice while bounding the quadratic per-key blowup.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, theta: Double, dfCap: Int = 0): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+    val posting =
+      if (dfCap > 0)
+        exploded.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+          .filter(col("df") <= dfCap).drop("df")
+      else exploded
+    val cand = posting.as("a")
+      .join(posting.as("b"), col("a.s") === col("b.s")
+        && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    cand
+      .join(sizes.as("na"), col("id_a") === col("na.id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
+      .withColumn("jac",
+        round(col("shared").cast("double")
+          / (col("na.n") + col("nb.n") - col("shared")), 6))
+      .filter(col("jac") >= theta)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** MinHash signature: array of `numPerm` 64-bit min-hashes. Permutation
+    * i is xxhash64(shingle, i) — codegen'd, no UDF. */
+  def minHashSig(sh: Column, numPerm: Int): Column =
+    transform(sequence(lit(0), lit(numPerm - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+
+  /** MinHash-LSH near-dup: banded bucketing → candidate pairs → exact
+    * Jaccard re-score ≥ theta. With numPerm=256, bands=64 (rows=4) the
+    * false-negative rate at J≥0.7 is ≈2e-8 — the banding threshold
+    * (1/64)^(1/4)≈0.35 over-generates and the exact re-score filters.
+    * Candidates shuffle by band hash; no cartesian product anywhere. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, theta: Double,
+                      numPerm: Int = 256, bands: Int = 64): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rows = numPerm / bands
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("mh", minHashSig(col("sh"), numPerm))
+    val banded = sig.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("mh"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bh")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", round(col("shared").cast("double")
+        / (size(col("sh_a")) + size(col("sh_b")) - col("shared")), 6))
+      .filter(col("jac") >= theta)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** 64-bit SimHash of word tokens: per-token xxhash64, bitwise majority
+    * vote. Expressed with integer aggregates over exploded (id, token)
+    * pairs — one shuffle, no UDF: for each bit position, sum(±1) and
+    * take the sign. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(filter(split(col(textCol), "\\s+"), t => t =!= "")))
+        .as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1))
+        .as(s"b$b")
+    }
+    val votes = toks.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
+    val simhash = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col("id"), simhash.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

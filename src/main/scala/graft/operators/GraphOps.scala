@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators: similarity-graph build + connected components
+  * (ref graph build `src/tagminder/core/tm_graph.py:106-451`; union-find
+  * components `scripts/pipeline/15-...py:334`).
+  *
+  * Connected components is iterative min-label propagation (the
+  * two-table join form of label propagation / "small-star" contraction):
+  * each round every vertex takes the min component id among itself and
+  * its neighbors; converges in O(diameter) rounds. Each round is one
+  * shuffle on the vertex id; no driver-side graph state — scales to
+  * billions of edges. `localCheckpoint` every few rounds truncates the
+  * growing lineage.
+  */
+object GraphOps {
+
+  /** Co-occurrence edge build: distinct (group, member) pairs self-joined
+    * within the group → weighted undirected edges (src < dst)
+    * (ref album-scope co-occurrence `tm_graph.py:294-316, 524-533`). */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, memberCol: String,
+                        minWeight: Long = 1L): DataFrame = {
+    val m = df.select(col(groupCol).as("g"), col(memberCol).as("m")).distinct()
+    m.as("a").join(m.as("b"), col("a.g") === col("b.g")
+        && col("a.m") < col("b.m"))
+      .groupBy(col("a.m").as("src"), col("b.m").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+  }
+
+  /** Connected components over an undirected edge list. Returns
+    * (node, component) where component = min node id in the component. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("comp", col("node"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst").as("node")).agg(min("comp").as("nbr_comp"))
+      val next = labels.join(msgs, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp"))
+        .localCheckpoint(true) // truncate lineage; also acts as a barrier
+      val changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Per-component rollup stats (ref cluster stats `15-...py:347-375`):
+    * size, member list sorted and joined. */
+  def componentStats(labels: DataFrame): DataFrame =
+    labels.groupBy("comp").agg(
+      count(lit(1)).as("n_members"),
+      array_join(transform(array_sort(collect_list(col("node"))),
+        _.cast("string")), " | ").as("members"))
+}

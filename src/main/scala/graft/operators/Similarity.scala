@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exactness baseline (O(Q·N·d), fine
+  * when the query side is small or broadcastable); the bucketed variants
+  * (sign-LSH, IVF) are the 100 TB path: candidates shuffle by bucket id
+  * so no worker ever sees the full cross product.
+  *
+  * All arithmetic is in double with left-to-right `aggregate` folds, so
+  * scores are bit-deterministic across partitionings and engines.
+  */
+object Similarity {
+
+  /** Deterministic left-to-right dot product of two float-array columns
+    * in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors by cosine for the query rows (`queryFilter`
+    * selects the probe side). Scores rounded to 6 dp before ranking with
+    * an id tie-break → deterministic selection. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int, queryFilter: Column): DataFrame = {
+    val q = emb.filter(queryFilter)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cos")
+  }
+
+  /** Sign-LSH bucket id: concatenated sign bits of `nbits` leading
+    * dimensions (a fixed axis-aligned random projection — deterministic,
+    * data-independent, shuffle key for bucketed ANN). */
+  def signBucket(vec: Column, nbits: Int): Column =
+    (0 until nbits)
+      .map(i => when(element_at(vec, i + 1) >= 0f, lit(1L << i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** Bucketed ANN: exact cosine top-k *within* each sign-LSH bucket.
+    * Trades recall for a per-bucket join — the scale path. Recall is
+    * measured against [[bruteForceTopK]] in tests. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              k: Int, nbits: Int, queryFilter: Column): DataFrame = {
+    val withB = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), nbits).as("bucket"))
+    val q = withB.filter(queryFilter)
+      .select(col("id").as("qid"), col("v").as("qv"), col("bucket"))
+    val c = withB.select(col("id").as("nid"), col("v").as("nv"), col("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cos")
+  }
+
+  /** IVF-style ANN: centroids from a coarse partitioner (here: an
+    * existing label / `id % nlist` cell), probe the `nprobe` nearest
+    * cells. Centroid table is tiny → broadcast; only cell-local pairs
+    * are scored. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+              k: Int, nprobe: Int, queryFilter: Column): DataFrame = {
+    val d = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(labelCol).as("cell"))
+    // centroid per cell: dimension-wise mean via posexplode + pivot-free agg
+    val cent = d.select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(avg("x").as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
+      .select(col("cell"), transform(col("pairs"), p => p.getField("m"))
+        .as("centroid"))
+    // nearest `nprobe` cells per query vector (centroids broadcast)
+    val q = d.filter(queryFilter).select(col("id").as("qid"), col("v").as("qv"))
+    val probed = q.join(broadcast(cent))
+      .withColumn("cdist", round(cosine(col("qv"), col("centroid")), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cdist").desc, col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select("qid", "qv", "cell")
+    val scored = probed.join(d.select(col("id").as("nid"), col("v").as("nv"),
+        col("cell")), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "cos")
+  }
+}

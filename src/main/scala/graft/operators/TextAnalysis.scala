@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, language-ID heuristic, quality scoring, fingerprinting.
+  * All pure Column expressions — whole-stage codegen, no UDFs, so every
+  * one of these runs inside the scan stage at 100 TB without a shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace word tokens, empties dropped. */
+  def wordTokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(wordTokens(c))
+
+  def distinctTokenCount(c: Column): Column = size(array_distinct(wordTokens(c)))
+
+  /** BPE-ish subword count approximation: words + digit runs +
+    * punctuation marks each count as a token. */
+  def subwordCount(c: Column): Column =
+    size(filter(split(c, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
+      t => t =!= "" && t =!= " "))
+
+  /** Count of tokens that appear in `stop` (a small broadcast-safe set). */
+  def stopwordHits(c: Column, stop: Seq[String]): Column = {
+    val arr = array(stop.map(lit): _*)
+    size(filter(wordTokens(lower(c)), t => array_contains(arr, t)))
+  }
+
+  private val EnStop = Seq("the", "a", "an", "and", "of", "is", "to", "in")
+  private val DeStop = Seq("der", "die", "das", "und", "ist", "nicht")
+  private val FrStop = Seq("le", "la", "les", "et", "est", "ne", "pas")
+  private val EsStop = Seq("el", "los", "las", "y", "es", "no", "que")
+
+  /** n-gram-free language-ID heuristic: stopword votes per language,
+    * highest count wins, 'und' (undetermined) when no evidence. */
+  def langIdHeuristic(c: Column): Column = {
+    val scores = Seq(
+      "en" -> stopwordHits(c, EnStop), "de" -> stopwordHits(c, DeStop),
+      "fr" -> stopwordHits(c, FrStop), "es" -> stopwordHits(c, EsStop))
+    val best = scores.map { case (l, s) => struct(s.as("s"), lit(l).as("l")) }
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    when(best.getField("s") <= 0, lit("und")).otherwise(best.getField("l"))
+  }
+
+  /** Quality scoring features (length / punctuation / stopword ratios —
+    * the standard pretraining-corpus heuristics). Ratios are exact
+    * int/int divisions so results are engine-deterministic. */
+  def meanWordLen(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(null)).otherwise(
+      length(regexp_replace(c, "\\s+", "")).cast("double") / n)
+  }
+
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(null)).otherwise(
+      (length(c) - length(regexp_replace(c, "\\p{Punct}", ""))).cast("double")
+        / length(c))
+
+  def stopwordRatio(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(null))
+      .otherwise(stopwordHits(c, EnStop).cast("double") / n)
+  }
+
+  /** Document fingerprint: hash of the whitespace-normalized text —
+    * the exact-dedup key. md5 keeps it oracle-comparable; at scale
+    * xxhash64 halves the width (same plan shape). */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(c, "\\s+", " ")))
+}

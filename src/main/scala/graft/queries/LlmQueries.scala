@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+import graft.operators.{Dedup, GraphOps, Multimodal, Similarity, TextAnalysis}
+
+/** LLM training-data pipeline operators: dedup (exact / n-gram Jaccard /
+  * MinHash-LSH / SimHash), ANN similarity search, text analysis,
+  * multimodal plumbing, similarity graph + connected components.
+  *
+  * Near-dup candidate generation never materializes a cross product:
+  * Jaccard pairs block on shared shingles (lossless), MinHash-LSH blocks
+  * on band buckets (miss rate ≈2e-8 at the 0.7 threshold with 256
+  * perms / 64 bands), ANN probes 10% of ids against the corpus and the
+  * bucketed variants shuffle by bucket id.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // Exact dedup: one hash-partitioned aggregation on the fingerprint.
+    "d1_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(T.documents(s, d), "doc_id", "text")
+        .orderBy("fp")),
+
+    // Text quality stats (length / token / stopword features).
+    "d2_text_stats" -> ((s, d) => T.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks"),
+        TextAnalysis.distinctTokenCount(col("text")).as("n_uniq"),
+        TextAnalysis.meanWordLen(col("text")).as("mean_wlen"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
+      .orderBy("doc_id")),
+
+    // Language-ID heuristic by stopword votes.
+    "d3_langid" -> ((s, d) => T.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdHeuristic(col("text")).as("pred"))
+      .orderBy("doc_id")),
+
+    // n-gram Jaccard near-dup, lossless shared-shingle blocking.
+    "d4_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
+        k = 5, theta = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // MinHash-LSH near-dup with exact re-score at θ=0.7.
+    "d5_minhash_lsh" -> ((s, d) =>
+      Dedup.minHashLshPairs(T.documents(s, d), "doc_id", "text",
+        k = 5, theta = 0.7)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash fingerprints (hash-function-specific → rows-only check;
+    // bit-vote behavior is unit-tested).
+    "d6_simhash" -> ((s, d) =>
+      Dedup.simHash(T.documents(s, d), "doc_id", "text")
+        .orderBy("id")),
+
+    // Brute-force cosine top-3 for a 10% probe set — the exactness
+    // baseline for ANN.
+    "d7_ann_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(T.embeddings(s, d), "vec_id", "embedding",
+        k = 3, queryFilter = col("vec_id") % 10 === 0)
+        .orderBy("qid", "rank")),
+
+    // Sign-LSH bucketed ANN (scale path; recall unit-tested vs brute
+    // force → rows-only check).
+    "d8_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(T.embeddings(s, d), "vec_id", "embedding",
+        k = 3, nbits = 8, queryFilter = col("id") % 10 === 0)
+        .orderBy("qid", "rank")),
+
+    // IVF-style ANN probing the 2 nearest label-cells (rows-only).
+    "d9_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(T.embeddings(s, d), "vec_id", "embedding", "label",
+        k = 3, nprobe = 2, queryFilter = col("id") % 10 === 0)
+        .orderBy("qid", "rank")),
+
+    // Multimodal plumbing: binary payload + batched per-partition
+    // decode (STUB decode, real schema/partitioning).
+    "mm_decode" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.extractMeta(Multimodal.asMedia(T.documents(s, d)))
+        .orderBy("doc_id")
+    }),
+
+    // G1: similarity-graph edge build (ref tm_graph.py:294-316).
+    "g1_similarity_edges" -> ((s, d) =>
+      GraphOps.coOccurrenceEdges(T.lineitem(s, d), "l_orderkey", "l_suppkey",
+        minWeight = 2L)
+        .orderBy("src", "dst")),
+
+    // G2: connected components over the weight≥3 similarity graph
+    // (ref union-find 15-...py:334).
+    "g2_connected_components" -> ((s, d) => {
+      val edges = GraphOps.coOccurrenceEdges(T.lineitem(s, d),
+        "l_orderkey", "l_suppkey", minWeight = 3L)
+      GraphOps.connectedComponents(edges)
+        .orderBy("node")
+    }),
+
+    // G3/A17: per-component rollup (nodes/edges result tables).
+    "g3_component_stats" -> ((s, d) => {
+      val edges = GraphOps.coOccurrenceEdges(T.lineitem(s, d),
+        "l_orderkey", "l_suppkey", minWeight = 3L)
+      GraphOps.componentStats(GraphOps.connectedComponents(edges))
+        .orderBy("comp")
+    }),
+  )
+
+  private val ShingleSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+      |  ELSE [array_to_string(ws[x:x+4], ' ')
+      |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM w),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |ROUND(shared*1.0/(ca.n + cb.n - shared), 6) AS jac
+      |FROM pairs JOIN cnt ca ON id_a = ca.doc_id
+      |JOIN cnt cb ON id_b = cb.doc_id
+      |WHERE shared*1.0/(ca.n + cb.n - shared) >= THETA
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+    "d2_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_m,
+        |CAST(len(ws) AS INT) AS n_toks,
+        |CAST(len(list_distinct(ws)) AS INT) AS n_uniq,
+        |CASE WHEN len(ws) = 0 THEN NULL ELSE
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws) END
+        |  AS mean_wlen,
+        |CASE WHEN len(ws) = 0 THEN NULL ELSE
+        |  CAST(len(list_filter(ws, t -> t IN
+        |  ('the','a','an','and','of','is','to','in'))) AS DOUBLE) / len(ws)
+        |  END AS stop_ratio
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |FROM documents) ORDER BY doc_id""".stripMargin,
+    "d3_langid" ->
+      """SELECT doc_id, lang,
+        |CASE WHEN greatest(ens, des, frs, ess) <= 0 THEN 'und'
+        |WHEN ens >= des AND ens >= frs AND ens >= ess THEN 'en'
+        |WHEN des >= frs AND des >= ess THEN 'de'
+        |WHEN frs >= ess THEN 'fr' ELSE 'es' END AS pred
+        |FROM (SELECT doc_id, lang,
+        |len(list_filter(ws, t -> t IN ('the','a','an','and','of','is','to','in'))) AS ens,
+        |len(list_filter(ws, t -> t IN ('der','die','das','und','ist','nicht'))) AS des,
+        |len(list_filter(ws, t -> t IN ('le','la','les','et','est','ne','pas'))) AS frs,
+        |len(list_filter(ws, t -> t IN ('el','los','las','y','es','no','que'))) AS ess
+        |FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+        |FROM documents)) ORDER BY doc_id""".stripMargin,
+    "d4_jaccard_pairs" -> ShingleSql.replace("THETA", "0.3"),
+    "d5_minhash_lsh" -> ShingleSql.replace("THETA", "0.7"),
+    "d7_ann_topk" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+        |  FOR i IN range(1, len(embedding)+1)])) AS nrm FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |ROUND(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE)
+        |  FOR i IN range(1, len(q.embedding)+1)]) / (q.nrm * n.nrm), 6) AS cos
+        |FROM v q JOIN v n ON q.vec_id % 10 = 0 AND q.vec_id <> n.vec_id),
+        |r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid
+        |  ORDER BY cos DESC, nid) AS rank FROM p)
+        |SELECT qid, CAST(rank AS INT) AS rank, nid, cos FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "mm_decode" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS byte_len,
+        |CAST(length(text) % 640 AS INT) AS width,
+        |CAST((length(text)*7) % 480 AS INT) AS height,
+        |md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "g1_similarity_edges" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS mm
+        |FROM lineitem)
+        |SELECT a.mm AS src, b.mm AS dst, COUNT(*) AS weight
+        |FROM m a JOIN m b ON a.g = b.g AND a.mm < b.mm
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY src, dst""".stripMargin,
+    "g2_connected_components" ->
+      """WITH RECURSIVE
+        |m AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS mm FROM lineitem),
+        |e AS (SELECT a.mm AS src, b.mm AS dst
+        |  FROM m a JOIN m b ON a.g = b.g AND a.mm < b.mm
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |reach(a, b) AS (SELECT src, src FROM sym
+        |  UNION SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b)
+        |SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a
+        |ORDER BY node""".stripMargin,
+    "g3_component_stats" ->
+      """WITH RECURSIVE
+        |m AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS mm FROM lineitem),
+        |e AS (SELECT a.mm AS src, b.mm AS dst
+        |  FROM m a JOIN m b ON a.g = b.g AND a.mm < b.mm
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |reach(a, b) AS (SELECT src, src FROM sym
+        |  UNION SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b),
+        |labels AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a)
+        |SELECT comp, COUNT(*) AS n_members,
+        |array_to_string(list_transform(list_sort(list(node)),
+        |  x -> CAST(x AS VARCHAR)), ' | ') AS members
+        |FROM labels GROUP BY comp ORDER BY comp""".stripMargin,
+  )
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exprs, Tables => T}
+
+/** Event-time windowed aggregation (§2.11). The reference is batch-only;
+  * these are the batch equivalents of the Structured Streaming jobs in
+  * [[graft.streaming.EventStream]] (same `window()` expressions — the
+  * streaming path is exercised in tests with Trigger.AvailableNow).
+  * Window starts are emitted as epoch seconds so the oracle compare is
+  * precision-independent (events.parquet is nanosecond-stamped; Spark
+  * reads microseconds).
+  */
+object StreamQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // `ts` arrives as long nanos (nanosAsLong read); the hour bucket is
+    // exact integer arithmetic — equivalent to window(ts, "1 hour") on a
+    // timestamp column, with no sub-second precision hazards.
+    "st_hourly_window" -> ((s, d) => T.events(s, d)
+      .groupBy((expr("ts div 3600000000000") * 3600).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(Exprs.cents(col("value"))).as("v_cents"))
+      .orderBy("hour_start", "event_type")),
+
+    "st_user_daily" -> ((s, d) => T.events(s, d)
+      .groupBy(col("user_id"),
+        date_add(to_date(lit("1970-01-01")),
+          expr("ts div 86400000000000").cast("int")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(Exprs.cents(col("value"))).as("v_cents"))
+      .orderBy("user_id", "day")),
+  )
+
+  val sql: Map[String, String] = Map(
+    "st_hourly_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS v_cents
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "st_user_daily" ->
+      """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS v_cents
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+  )
+}
