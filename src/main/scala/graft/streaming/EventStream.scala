@@ -44,10 +44,11 @@ object EventStream {
   /** One-shot catch-up run (processes all available input, then stops) —
     * the Trigger.AvailableNow analogue of the reference's incremental
     * import. Caller supplies the sink via `foreachBatch`. */
-  def runAvailableNow(agg: DataFrame, checkpoint: String)(
+  def runAvailableNow(agg: DataFrame, checkpoint: String,
+      mode: String = "update")(
       sink: (DataFrame, Long) => Unit): Unit = {
     val q: DataStreamWriter[Row] = agg.writeStream
-      .outputMode("update")
+      .outputMode(mode)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) => sink(batch, id) }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+    (3L, "completely different words appear in this other document here"),
+    (4L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+    (5L, "short text"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup groups identical fingerprints, keeper = min id") {
+    val r = Dedup.exactDedup(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(r(1L) == 2L) // keeper 1 has 2 copies (1 and 4)
+    assert(r.values.sum == 5L)
+  }
+
+  test("fingerprint is whitespace-insensitive") {
+    val a = Seq("a  b", "a b", " a b ").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"))).collect()
+      .map(_.getString(0)).distinct
+    assert(a.length == 1)
+  }
+
+  test("jaccardPairs finds the near-dup with the correct exact score") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, theta = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 1/2 and 1/4 and 2/4 share shingles; 3 and 5 match nothing
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 4L)) && pairs.find(p => p._1 == 1 && p._2 == 4)
+      .get._3 == 1.0) // exact duplicates → jaccard 1
+    assert(keys.contains((1L, 2L)))
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // manual check 1 vs 2: 8 word-3-shingles each, 7 shared → 7/9
+    val j12 = pairs.find(p => p._1 == 1 && p._2 == 2).get._3
+    assert(math.abs(j12 - 7.0 / 9.0) < 1e-6)
+  }
+
+  test("minHashLshPairs agrees with exact jaccard at high threshold") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("dfCap drops stop-shingle postings") {
+    // shingle shared by all docs gets dropped at cap 2 → no pairs via it
+    val stop = Seq((1L, "x y z"), (2L, "x y z"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(stop, "doc_id", "text", 3, 0.1, dfCap = 2)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.jaccardPairs(stop, "doc_id", "text", 3, 0.1)
+    assert(uncapped.count() == 3)
+  }
+
+  test("simHash: identical texts equal; near-dups closer than strangers") {
+    val h = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels two chains and respects min-id") {
+    // components: {1,2,3,4} (chain) and {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val cc = GraphOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("componentStats sizes and sorted member lists") {
+    val edges = Seq((5L, 3L), (3L, 9L)).toDF("src", "dst")
+    val s = GraphOps.componentStats(GraphOps.connectedComponents(edges))
+      .collect().head
+    assert(s.getLong(0) == 3L && s.getLong(1) == 3L)
+    assert(s.getString(2) == "3 | 5 | 9")
+  }
+
+  test("coOccurrenceEdges counts undirected weights with src<dst") {
+    val df = Seq(("g1", 2L), ("g1", 1L), ("g2", 1L), ("g2", 2L), ("g2", 2L))
+      .toDF("g", "m")
+    val e = GraphOps.coOccurrenceEdges(df, "g", "m").collect()
+    assert(e.length == 1)
+    assert((e.head.getLong(0), e.head.getLong(1), e.head.getLong(2))
+      == (1L, 2L, 2L))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langIdHeuristic votes by stopwords, und on no evidence") {
+    val r = Seq(
+      "the cat is on the mat and it is fine",
+      "der hund ist nicht die katze und das haus",
+      "le chat est sur la table et il ne dort pas",
+      "xyzzy plugh 42").toDF("t")
+      .select(TextAnalysis.langIdHeuristic(col("t"))).collect()
+      .map(_.getString(0))
+    assert(r.toSeq == Seq("en", "de", "fr", "und"))
+  }
+
+  test("token metrics") {
+    val r = Seq("ab cd  ef ab").toDF("t").select(
+      TextAnalysis.tokenCount(col("t")),
+      TextAnalysis.distinctTokenCount(col("t")),
+      TextAnalysis.meanWordLen(col("t"))).collect().head
+    assert(r.getInt(0) == 4 && r.getInt(1) == 3)
+    assert(r.getDouble(2) == 2.0)
+  }
+
+  test("punctRatio and stopwordRatio") {
+    val r = Seq("a, b! the c").toDF("t").select(
+      TextAnalysis.punctRatio(col("t")),
+      TextAnalysis.stopwordRatio(col("t"))).collect().head
+    assert(math.abs(r.getDouble(0) - 2.0 / 11) < 1e-12)
+    // tokens: "a,","b!","the","c" — only bare "the" hits the stop set
+    assert(math.abs(r.getDouble(1) - 1.0 / 4) < 1e-12)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("extractMeta: deterministic stub decode over binary payloads") {
+    implicit val s = spark
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(10)
+    val meta = Multimodal.extractMeta(Multimodal.asMedia(docs))
+    val rows = meta.collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val n = r.getInt(1)
+      assert(r.getInt(2) == n % 640 && r.getInt(3) == (n * 7) % 480)
+      assert(r.getString(4).matches("[0-9a-f]{32}"))
+    }
+    // deterministic across runs
+    val again = Multimodal.extractMeta(Multimodal.asMedia(docs)).collect()
+    assert(rows.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f)), // closest to 0
+    (2L, Array(0f, 1f, 0f)),
+    (3L, Array(0f, 0.9f, 0.1f)), // closest to 2
+    (4L, Array(-1f, 0f, 0f)))    // opposite of 0
+    .toDF("vec_id", "embedding")
+
+  test("cosine is exact on hand-checked vectors") {
+    val c = vecs.as("a").join(vecs.as("b"),
+        col("a.vec_id") === 0 && col("b.vec_id") === 4)
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .collect().head.getDouble(0)
+    assert(math.abs(c - (-1.0)) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tie-break") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      k = 2, queryFilter = col("vec_id") === 0).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.head == (1, 1L)) // rank 1 → vec 1
+    assert(top.length == 2)
+  }
+
+  test("lshTopK achieves full recall on same-bucket neighbors") {
+    // nbits=1 → bucket by sign of dim 1: {0,1} vs {4} vs {2,3} buckets
+    val r = Similarity.lshTopK(vecs, "vec_id", "embedding", k = 1,
+      nbits = 1, queryFilter = col("id") === 0).collect()
+    assert(r.length == 1 && r.head.getLong(2) == 1L)
+  }
+
+  test("lshTopK recall vs brute force on real embeddings (sf0.001)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 3,
+      col("vec_id") % 20 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", 3, 4,
+      col("id") % 20 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // bucketing trades recall for scale: expect a sane overlap
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall > 0.2, s"recall $recall suspiciously low")
+  }
+
+  test("ivfTopK returns k ranked neighbors per query") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val r = Similarity.ivfTopK(emb, "vec_id", "embedding", "label", 3, 2,
+      col("id") % 50 === 0).collect()
+    val qs = r.map(_.getLong(0)).distinct
+    assert(qs.nonEmpty)
+    qs.foreach { q =>
+      val ranks = r.filter(_.getLong(0) == q).map(_.getInt(1)).sorted
+      assert(ranks.toSeq == Seq(1, 2, 3))
+    }
+  }
+}

@@ -1,0 +1,31 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class EventStreamSpec extends SparkSpec {
+
+  test("AvailableNow file-stream hourly agg matches the batch query") {
+    // file source needs a directory; stage the events parquet into one
+    val dir = Files.createTempDirectory("evstream").toString
+    val ckpt = Files.createTempDirectory("evckpt").toString
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+
+    val agg = EventStream.hourlyAgg(EventStream.readEvents(spark, dir))
+    var last: Array[org.apache.spark.sql.Row] = Array.empty
+    EventStream.runAvailableNow(agg, ckpt, mode = "complete") { (b, _) =>
+      val rows = b.collect()
+      if (rows.nonEmpty) last = rows
+    }
+
+    val batch = graft.queries.StreamQueries.defs("st_hourly_window")(
+      spark, sf0001).collect()
+    val got = last.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSet
+    val want = batch.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSet
+    assert(got == want)
+  }
+}
