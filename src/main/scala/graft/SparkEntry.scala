@@ -24,6 +24,7 @@ object SparkEntry {
     (CdcQueries.defs, CdcQueries.sql),
     (LlmQueries.defs, LlmQueries.sql),
     (StreamQueries.defs, StreamQueries.sql),
+    (MiscQueries.defs, MiscQueries.sql),
   )
 
   /** Flagship query on sf0.001; driver smoke-checks rows>0. */

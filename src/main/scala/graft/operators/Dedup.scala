@@ -68,11 +68,16 @@ object Dedup {
       .select("id_a", "id_b", "jac")
   }
 
-  /** MinHash signature: array of `numPerm` 64-bit min-hashes. Permutation
-    * i is xxhash64(shingle, i) — codegen'd, no UDF. */
-  def minHashSig(sh: Column, numPerm: Int): Column =
+  /** MinHash signature: array of `numPerm` 64-bit min-hashes. Each
+    * shingle is string-hashed ONCE (xxhash64); permutation i re-hashes
+    * the 8-byte long with the perm index — far cheaper than hashing the
+    * string numPerm times, ANSI-safe (no wrapping arithmetic), and all
+    * codegen'd. */
+  def minHashSig(sh: Column, numPerm: Int): Column = {
+    val hs = transform(sh, s => xxhash64(s))
     transform(sequence(lit(0), lit(numPerm - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+      i => array_min(transform(hs, h => xxhash64(h, i))))
+  }
 
   /** MinHash-LSH near-dup: banded bucketing → candidate pairs → exact
     * Jaccard re-score ≥ theta. With numPerm=256, bands=64 (rows=4) the
@@ -87,17 +92,20 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
     val sig = sh.withColumn("mh", minHashSig(col("sh"), numPerm))
-    val banded = sig.select(col("id"), col("sh"),
+    // bands shuffle (id, band, hash) only — the shingle arrays would
+    // multiply shuffle volume by `bands` if carried through the join.
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("mh"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bh")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jac", round(col("shared").cast("double")
         / (size(col("sh_a")) + size(col("sh_b")) - col("shared")), 6))

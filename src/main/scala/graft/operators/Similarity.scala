@@ -32,11 +32,17 @@ object Similarity {
     * an id tie-break → deterministic selection. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      k: Int, queryFilter: Column): DataFrame = {
-    val q = emb.filter(queryFilter)
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    // precompute norms once per vector — computing them inside the pair
+    // join would triple the flops on the |Q|×|N| hot path
+    val withN = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val q = withN.filter(queryFilter)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = withN.select(col("id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nn"))
     val scored = q.join(c, col("qid") =!= col("nid"))
-      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("cos",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -60,17 +66,20 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               k: Int, nbits: Int, queryFilter: Column): DataFrame = {
     val withB = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"),
       signBucket(col(vecCol), nbits).as("bucket"))
     val probes = array(
       col("bucket") +: (0 until nbits)
         .map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
     val q = withB.filter(queryFilter)
-      .select(col("id").as("qid"), col("v").as("qv"),
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         explode(probes).as("bucket"))
-    val c = withB.select(col("id").as("nid"), col("v").as("nv"), col("bucket"))
+    val c = withB.select(col("id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nn"), col("bucket"))
     val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("nid"))
       .dropDuplicates("qid", "nid")
-      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("cos",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -84,7 +93,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
               k: Int, nprobe: Int, queryFilter: Column): DataFrame = {
     val d = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      col(labelCol).as("cell"))
+      norm(col(vecCol)).as("nrm"), col(labelCol).as("cell"))
     // centroid per cell: dimension-wise mean via posexplode + pivot-free agg
     val cent = d.select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("cell", "i").agg(avg("x").as("m"))
@@ -93,17 +102,19 @@ object Similarity {
       .select(col("cell"), transform(col("pairs"), p => p.getField("m"))
         .as("centroid"))
     // nearest `nprobe` cells per query vector (centroids broadcast)
-    val q = d.filter(queryFilter).select(col("id").as("qid"), col("v").as("qv"))
+    val q = d.filter(queryFilter).select(col("id").as("qid"),
+      col("v").as("qv"), col("nrm").as("qn"))
     val probed = q.join(broadcast(cent))
       .withColumn("cdist", round(cosine(col("qv"), col("centroid")), 6))
       .withColumn("crank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cdist").desc, col("cell"))))
       .filter(col("crank") <= nprobe)
-      .select("qid", "qv", "cell")
+      .select("qid", "qv", "qn", "cell")
     val scored = probed.join(d.select(col("id").as("nid"), col("v").as("nv"),
-        col("cell")), Seq("cell"))
+        col("nrm").as("nn"), col("cell")), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("cos",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
       .filter(col("rank") <= k)

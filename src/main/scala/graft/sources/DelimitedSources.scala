@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Text-delimited sources and report sinks (SURVEY §2.1 S12-S15).
+  *
+  * - MusicBrainz-style TSV dumps: tab-separated, `\N` nulls, no header
+  *   (ref `scripts/mdm/harvest/harvest_mb_artists.py:39-62`; null
+  *   policy `harvest_mb_works.py:34-38`).
+  * - Pipe-delimited score files `<key>|DR<n>` with row-level validation
+  *   (ref `scripts/pipeline/19-...py:61-99`).
+  * - CSV/TSV report sinks (ref `15-...py:378-380`, `amg_todo_list.py`).
+  *
+  * All of these are plain DataFrame reader/writer configurations — the
+  * reference's hand-rolled streaming/batching (tar members, commit
+  * intervals) is exactly what Spark's partitioned file scan replaces.
+  */
+object DelimitedSources {
+
+  /** TSV dump source: headerless, tab-separated, `\N` → NULL, no
+    * quoting (MB dumps are raw). Caller supplies the column schema. */
+  def readMbTsv(spark: SparkSession, path: String,
+                schema: StructType): DataFrame =
+    spark.read
+      .option("sep", "\t")
+      .option("nullValue", "\\N")
+      .option("header", "false")
+      .option("quote", "")
+      .schema(schema)
+      .csv(path)
+
+  /** Pipe-delimited `<key>|DR<n>` source with validation: malformed
+    * rows surface in a `valid` flag instead of being dropped silently
+    * (ref 19-...py parses and counts rejects). */
+  def readDrScores(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.text(path)
+    raw
+      .withColumn("key", regexp_extract(col("value"), "^([^|]+)\\|", 1))
+      .withColumn("dr",
+        regexp_extract(col("value"), "\\|DR(\\d{1,2})$", 1))
+      .withColumn("valid", col("key") =!= "" && col("dr") =!= "")
+      .select(
+        when(col("valid"), col("key")).as("key"),
+        when(col("valid"), col("dr").cast("int")).as("dr"),
+        col("valid"), col("value").as("raw"))
+  }
+
+  /** CSV report sink (header, overwrite) — exception-report shape. */
+  def writeCsvReport(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** TSV sink matching the reference's TODO-list outputs. */
+  def writeTsvReport(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true")
+      .option("sep", "\t").csv(path)
+}
