@@ -77,6 +77,24 @@ object Cdc {
   def anyChanged(pairs: Seq[(String, String)]): org.apache.spark.sql.Column =
     pairs.map { case (o, n) => !(col(o) <=> col(n)) }.reduce(_ || _)
 
+  /** M3: audit CDC for out-of-band (manual) edits. The reference uses a
+    * SQLite AFTER UPDATE trigger (`tags2db.py:673-737`); Spark has no
+    * triggers — the replacement is a snapshot diff against the last
+    * known state, logged under the trigger's script tag. */
+  def auditSnapshotDiff(lastKnown: DataFrame, current: DataFrame,
+                        keyCol: String, cols: Seq[String]): DataFrame =
+    diffAndLog(lastKnown, current, keyCol, cols, "TRIGGER_AUDIT")._2
+
+  /** M7: changelog schema migration — backfill key-less (rowid-keyed)
+    * changelog rows to the stable key via a lookup join (ref
+    * `tm_db.py:154-250`: rename → create → copy with rowid→path
+    * backfill → drop). */
+  def migrateChangelog(oldLog: DataFrame, rowidToKey: DataFrame): DataFrame =
+    oldLog.join(rowidToKey, Seq("rowid"), "left")
+      .select(
+        coalesce(col("key"), concat(lit("rowid:"), col("rowid"))).as("key"),
+        col("column"), col("old_value"), col("new_value"), col("script"))
+
   /** Changelog summary — counts per (script, column) plus add/delete/
     * modify classification (ref `tm_changelog.py:101-258`). */
   def summarize(changelog: DataFrame): DataFrame =

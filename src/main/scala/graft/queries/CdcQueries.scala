@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cdc.Cdc
-import graft.core.{Tables => T}
+import graft.core.{Snapshots, Tables => T}
+import graft.ops.{Pipeline, Transform}
 
 /** CDC operators M1/M2/A15: the diff-and-log engine driven by a
   * deterministic normalization transform (collapse the repeated-word
@@ -36,6 +37,24 @@ object CdcQueries {
     // A15: changelog summary (ref tm_changelog.py:101-258).
     "cdc_summary" -> ((s, d) => Cdc.summarize(diff(s, d)._2)
       .orderBy("script", "column")),
+
+    // §3.2 pipeline: two audited steps through the Transform framework,
+    // reporting the per-step changelog summary.
+    "pl_two_step" -> ((s, d) => {
+      val steps = Seq(
+        Transform("01_norm_text", Seq("text"),
+          df => df.withColumn("text",
+            regexp_replace(col("text"), "batch batch", "batch"))),
+        Transform("02_upper_source", Seq("source"),
+          df => df.withColumn("source", upper(col("source")))))
+      val (_, log) = Pipeline.run(T.documents(s, d), "doc_id", steps)
+      Cdc.summarize(log).orderBy("script", "column")
+    }),
+
+    // Snapshot coverage fan-out over the full documents schema
+    // (ref tm_snapshots.py:157-218) — one aggregation pass.
+    "sn_coverage_wide" -> ((s, d) =>
+      Snapshots.coverage(T.documents(s, d), "r1")),
   )
 
   val sql: Map[String, String] = Map(
@@ -60,5 +79,25 @@ object CdcQueries {
         |COUNT(*) AS n_modify
         |FROM documents
         |WHERE text <> regexp_replace(text, 'batch batch', 'batch', 'g')""".stripMargin,
+    "pl_two_step" ->
+      """SELECT * FROM (
+        |SELECT '01_norm_text' AS script, 'text' AS "column",
+        |COUNT(*) AS n_changes, COUNT(DISTINCT doc_id) AS n_rows,
+        |CAST(0 AS BIGINT) AS n_add, CAST(0 AS BIGINT) AS n_delete,
+        |COUNT(*) AS n_modify FROM documents
+        |WHERE text <> regexp_replace(text, 'batch batch', 'batch', 'g')
+        |UNION ALL
+        |SELECT '02_upper_source', 'source', COUNT(*),
+        |COUNT(DISTINCT doc_id), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |COUNT(*) FROM documents WHERE source <> upper(source))
+        |ORDER BY script, "column"""".stripMargin,
+    "sn_coverage_wide" ->
+      """SELECT COUNT(*) AS n_rows,
+        |CAST(SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_id,
+        |CAST(SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+        |CAST(SUM(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+        |CAST(SUM(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_source,
+        |CAST(SUM(CASE WHEN n_chars IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_n_chars,
+        |'r1' AS run_id FROM documents""".stripMargin,
   )
 }

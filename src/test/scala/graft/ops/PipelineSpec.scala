@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Snapshots
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val table = Seq(
+    (1L, "a  a", "x"), (2L, "b", "y"), (3L, "c c", "z"))
+    .toDF("id", "t", "u")
+
+  private val steps = Seq(
+    Transform("01_ws", Seq("t"),
+      df => df.withColumn("t", regexp_replace(col("t"), " +", " "))),
+    Transform("02_up", Seq("u"),
+      df => df.withColumn("u", upper(col("u")))))
+
+  test("pipeline threads state and tags changelog per step") {
+    val (fin, log) = Pipeline.run(table, "id", steps)
+    assert(fin.filter($"t" === "a a").count() == 1)
+    assert(fin.filter($"u" === "X").count() == 1)
+    val byScript = log.groupBy("script").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byScript == Map("01_ws" -> 1L, "02_up" -> 3L))
+  }
+
+  test("pipeline is idempotent: second run emits zero changelog rows") {
+    val (fin, _) = Pipeline.run(table, "id", steps)
+    val (_, log2) = Pipeline.run(fin, "id", steps)
+    assert(log2.count() == 0)
+  }
+}
+
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(("a", Some(1)), ("b", None), (null, Some(3)))
+    .toDF("s", "n")
+
+  test("coverage counts populated cells per column in one pass") {
+    val r = Snapshots.coverage(df, "run1").collect().head
+    assert(r.getAs[Long]("n_rows") == 3)
+    assert(r.getAs[Long]("n_s") == 2)
+    assert(r.getAs[Long]("n_n") == 2)
+    assert(r.getAs[String]("run_id") == "run1")
+  }
+
+  test("coverageLong + compare produce per-column deltas") {
+    val before = Snapshots.coverageLong(df, "r0")
+    val after = Snapshots.coverageLong(
+      df.withColumn("s", coalesce(col("s"), lit("filled"))), "r1")
+    val deltas = Snapshots.compare(before, after).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(deltas == Map("s" -> 1L, "n" -> 0L))
+  }
+}
