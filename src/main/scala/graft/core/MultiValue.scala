@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * tagminder.toml:447-451. The canonical tokenization (split → strip →
   * drop empties → order-preserving unique) is tm_polars.py:53-70.
   *
-  * All operations are pure Column expressions (codegen'd by Catalyst,
-  * no UDFs) so they survive whole-stage codegen at 100 TB scale.
+  * All operations are pure Column expressions — no UDFs, so they run
+  * inside the scan-stage projection with full pushdown/pruning. (HOF
+  * lambdas are CodegenFallback in Spark, but remain a single Project
+  * with no extra shuffle — PlanSpec asserts this.)
   */
 object MultiValue {
 

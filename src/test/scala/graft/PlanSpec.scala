@@ -1,0 +1,71 @@
+package graft
+
+/** Physical-plan audits: the properties that decide whether these
+  * queries survive a 100× scale-up — broadcast joins where a side is
+  * small, predicate pushdown reaching the parquet scan, column pruning
+  * in ReadSchema, and no cartesian products in the near-dup pipelines.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("j1 dimension lookup is a broadcast hash join") {
+    assert(plan("j1_broadcast_lookup").contains("BroadcastHashJoin"))
+  }
+
+  test("j2 enrichment chain broadcasts both dims") {
+    val p = plan("j2_left_enrich")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2)
+  }
+
+  test("p8 prefix filter is pushed to the parquet scan") {
+    val p = plan("p8_prefix_filter")
+    assert(p.contains("PushedFilters") && p.contains("StartsWith"))
+  }
+
+  test("q1 scan prunes to the referenced columns only") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_partkey"),
+      "scan reads columns the query never touches")
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("q1 quantity filter is pushed down") {
+    assert(plan("q1_pricing_summary").contains("PushedFilters: [IsNotNull(l_quantity)"))
+  }
+
+  test("near-dup pipelines contain no cartesian product") {
+    Seq("d4_jaccard_pairs", "d5_minhash_lsh", "fz_tf_cosine").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested-loop join")
+    }
+  }
+
+  test("aggregations use partial+final hash aggregation (map-side combine)") {
+    val p = plan("a1_group_countdistinct")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("topk plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("multi-value codec is a single scan-stage projection, no UDFs") {
+    // HOF lambdas (transform/filter) are CodegenFallback in Spark, so
+    // no WholeStageCodegen marker — but the codec must stay one Project
+    // directly over the pruned scan: no UDF, no shuffle before the
+    // output sort.
+    val p = plan("mv_normalize")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+    assert(p.linesIterator.find(_.contains("ReadSchema")).get
+      .matches(".*struct<doc_id:bigint,text:string>.*"))
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      "codec should add no shuffle beyond the output sort")
+  }
+}
