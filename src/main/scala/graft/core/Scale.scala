@@ -1,0 +1,28 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities (SURVEY §7.4 risk 7): salting for hot keys
+  * in aggregations. The two-phase pattern — aggregate on (key, salt)
+  * first, then merge per key — keeps any single reducer from owning a
+  * hot key's entire traffic. AQE's skew-join handling covers the join
+  * side; this covers the aggregation side, which AQE does not split.
+  */
+object Scale {
+
+  /** Deterministic salt in [0, n): hash of the whole row's key plus a
+    * spread column. Use a high-cardinality column (an id) as `spread` —
+    * rows with the same hot key scatter across `n` partial groups. */
+  def salt(spread: Column, n: Int): Column = pmod(xxhash64(spread), lit(n))
+
+  /** Two-phase salted count: groupBy(key) counts where one key may be
+    * arbitrarily hot. Phase 1 shuffles on (key, salt) — bounded bucket
+    * size; phase 2 merges the n partials per key. */
+  def saltedCount(df: DataFrame, keyCol: String, spreadCol: String,
+                  n: Int = 32): DataFrame =
+    df.groupBy(col(keyCol), salt(col(spreadCol), n).as("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keyCol)
+      .agg(sum(col("__partial")).as("n"))
+}

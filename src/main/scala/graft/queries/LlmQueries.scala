@@ -79,6 +79,16 @@ object LlmQueries {
         k = 3, nprobe = 2, queryFilter = col("id") % 10 === 0)
         .orderBy("qid", "rank")),
 
+    // Embedding-cosine near-dup: pairs above a high cosine threshold
+    // for a 20% probe slice (lossless within the slice; the full-corpus
+    // scale path is the LSH/IVF bucketing above).
+    "d10_emb_neardup" -> ((s, d) =>
+      Similarity.bruteForceTopK(T.embeddings(s, d), "vec_id", "embedding",
+        k = 1, queryFilter = col("vec_id") % 5 === 0)
+        .filter(col("cos") >= 0.95)
+        .select(col("qid"), col("nid"), col("cos"))
+        .orderBy("qid", "nid")),
+
     // Multimodal plumbing: binary payload + batched per-partition
     // decode (STUB decode, real schema/partitioning).
     "mm_decode" -> ((s, d) => {
@@ -173,6 +183,18 @@ object LlmQueries {
         |  ORDER BY cos DESC, nid) AS rank FROM p)
         |SELECT qid, CAST(rank AS INT) AS rank, nid, cos FROM r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "d10_emb_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+        |  FOR i IN range(1, len(embedding)+1)])) AS nrm FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |ROUND(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE)
+        |  FOR i IN range(1, len(q.embedding)+1)]) / (q.nrm * n.nrm), 6) AS cos
+        |FROM v q JOIN v n ON q.vec_id % 5 = 0 AND q.vec_id <> n.vec_id),
+        |r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid
+        |  ORDER BY cos DESC, nid) AS rank FROM p)
+        |SELECT qid, nid, cos FROM r WHERE rank = 1 AND cos >= 0.95
+        |ORDER BY qid, nid""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS byte_len,
         |CAST(length(text) % 640 AS INT) AS width,

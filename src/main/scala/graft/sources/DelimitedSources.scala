@@ -55,4 +55,21 @@ object DelimitedSources {
   def writeTsvReport(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true")
       .option("sep", "\t").csv(path)
+
+  /** S13: Wikidata-dump-style JSON source — the reference streams the
+    * full dump and keeps only entities carrying MusicBrainz/AllMusic
+    * identifier claims, denormalized to one wide row (ref
+    * `harvest_wikimedia.py:1-26`). Spark reads JSON (gzip transparently)
+    * partitioned; the filter + select prune before any shuffle. `ids`
+    * is the claim-property allowlist (e.g. P434 MusicBrainz artist id).
+    */
+  def readWikidataEntities(spark: SparkSession, path: String,
+                           ids: Seq[String]): DataFrame = {
+    val raw = spark.read.json(path)
+    val idCols = ids.map(p =>
+      col(s"claims.$p").as(p.toLowerCase))
+    raw.select((col("id").as("entity_id") +:
+      col("labels.en").as("label_en") +: idCols): _*)
+      .filter(ids.map(p => col(p.toLowerCase).isNotNull).reduce(_ || _))
+  }
 }
