@@ -68,16 +68,21 @@ object Dedup {
       .select("id_a", "id_b", "jac")
   }
 
-  /** MinHash signature: array of `numPerm` 64-bit min-hashes. Each
-    * shingle is string-hashed ONCE (xxhash64); permutation i re-hashes
-    * the 8-byte long with the perm index — far cheaper than hashing the
-    * string numPerm times, ANSI-safe (no wrapping arithmetic), and all
-    * codegen'd. */
-  def minHashSig(sh: Column, numPerm: Int): Column = {
-    val hs = transform(sh, s => xxhash64(s))
+  /** MinHash signature: array of `numPerm` 64-bit min-hashes over a
+    * pre-hashed shingle array (`hs`: array<long>). Permutation i
+    * re-hashes the 8-byte long with the perm index — cheaper than
+    * hashing the string numPerm times and ANSI-safe.
+    *
+    * IMPORTANT plan-shape note: callers must materialize `hs` (cache /
+    * localCheckpoint) and consume each perm's minimum exactly once.
+    * Expressed as one array-of-perms expression referenced by several
+    * downstream band expressions, Catalyst's CollapseProject inlines
+    * the whole numPerm-way computation into every consumer — measured
+    * 40× blowup at 64 bands. [[minHashLshPairs]] builds one column per
+    * perm instead. */
+  def minHashSig(hs: Column, numPerm: Int): Column =
     transform(sequence(lit(0), lit(numPerm - 1)),
       i => array_min(transform(hs, h => xxhash64(h, i))))
-  }
 
   /** MinHash-LSH near-dup: banded bucketing → candidate pairs → exact
     * Jaccard re-score ≥ theta. With numPerm=256, bands=64 (rows=4) the
@@ -89,14 +94,24 @@ object Dedup {
                       numPerm: Int = 256, bands: Int = 64): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rows = numPerm / bands
+    // materialize shingles + their 64-bit hashes once: every perm reads
+    // `hs`, and without a barrier CollapseProject would re-inline the
+    // shingle hashing into all numPerm expressions
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("mh", minHashSig(col("sh"), numPerm))
+      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .localCheckpoint(true)
+    // one column per perm minimum → each is consumed by exactly one band
+    // hash, so no expression duplication when projections collapse
+    val permCols = (0 until numPerm).map(i =>
+      array_min(transform(col("hs"), h => xxhash64(h, lit(i)))).as(s"m$i"))
+    val sig = sh.select(col("id") +: permCols: _*)
+    val bandCols = (0 until bands).map(b =>
+      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*))
     // bands shuffle (id, band, hash) only — the shingle arrays would
     // multiply shuffle volume by `bands` if carried through the join.
     val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("mh"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bh")))
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
