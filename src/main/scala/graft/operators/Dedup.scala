@@ -44,8 +44,11 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, theta: Double, dfCap: Int = 0): DataFrame = {
+    // materialize shingle sets once — three downstream joins (postings,
+    // two size lookups) would each re-run the tokenize+shingle lineage
     val sh = df
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .localCheckpoint(true)
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
     val posting =
       if (dfCap > 0)
