@@ -25,6 +25,7 @@ object SparkEntry {
     (LlmQueries.defs, LlmQueries.sql),
     (StreamQueries.defs, StreamQueries.sql),
     (MiscQueries.defs, MiscQueries.sql),
+    (ReportQueries.defs, ReportQueries.sql),
   )
 
   /** Flagship query on sf0.001; driver smoke-checks rows>0. */

@@ -32,6 +32,22 @@ object StreamQueries {
           expr("ts div 86400000000000").cast("int")).as("day"))
       .agg(count(lit(1)).as("n"), sum(Exprs.cents(col("value"))).as("v_cents"))
       .orderBy("user_id", "day")),
+
+    // Gap-delimited sessionization (30 min), batch form: lag + flag
+    // cumsum. The stateful-streaming twin is EventStream.sessionize
+    // (flatMapGroupsWithState), asserted equal in EventStreamSpec.
+    "st_sessions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      T.events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull
+            || col("ts") - col("prev") > 1800000000000L, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("new_s")).as("n_sessions"))
+        .orderBy("user_id")
+    }),
   )
 
   val sql: Map[String, String] = Map(
@@ -45,5 +61,14 @@ object StreamQueries {
         |COUNT(*) AS n,
         |CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS v_cents
         |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    "st_sessions" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM (
+        |SELECT user_id, CASE WHEN prev IS NULL
+        |  OR epoch_ns(ts) - epoch_ns(prev) > 1800000000000 THEN 1 ELSE 0
+        |  END AS new_s FROM (
+        |SELECT user_id, ts, LAG(ts, 1) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id) AS prev FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

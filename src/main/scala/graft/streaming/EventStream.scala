@@ -1,9 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming path for incremental ingest (§2.11): the
   * reference's `--new-files` / `--modified-files` modes are micro-batch
@@ -40,6 +39,38 @@ object EventStream {
         sum(round(col("value") * 100).cast("long")).as("v_cents"))
       .select(col("w.start").cast("long").as("hour_start"),
         col("event_type"), col("n"), col("v_cents"))
+
+  case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: counts
+    * gap-delimited sessions per user, carrying (events, sessions, last
+    * timestamp) across micro-batches. `ts` is long nanos. Events inside
+    * one micro-batch are sorted in memory per group (bounded by batch
+    * size); across batches the state's last-timestamp stitches
+    * sessions. Batch equivalent: the `st_sessions` query (lag + flag
+    * cumsum) — the streaming path must agree with it on a single
+    * AvailableNow pass, which EventStreamSpec asserts. */
+  def sessionize(events: DataFrame, gapNanos: Long)(
+      implicit spark: SparkSession): Dataset[UserSessions] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("ts").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val ts = it.map(_._2).toArray.sorted
+          var (nEv, nSes, last) =
+            state.getOption.getOrElse((0L, 0L, Long.MinValue))
+          ts.foreach { t =>
+            nEv += 1
+            if (last == Long.MinValue || t - last > gapNanos) nSes += 1
+            last = t
+          }
+          state.update((nEv, nSes, last))
+          Iterator(UserSessions(user, nEv, nSes))
+      }
+  }
 
   /** One-shot catch-up run (processes all available input, then stops) —
     * the Trigger.AvailableNow analogue of the reference's incremental

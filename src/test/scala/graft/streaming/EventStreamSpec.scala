@@ -28,4 +28,26 @@ class EventStreamSpec extends SparkSpec {
       r.getLong(3))).toSet
     assert(got == want)
   }
+
+  test("stateful sessionize (flatMapGroupsWithState) matches the batch query") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("evsess").toString
+    val ckpt = Files.createTempDirectory("evsessck").toString
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+
+    val sess = EventStream.sessionize(
+      EventStream.readEvents(spark, dir), gapNanos = 1800000000000L).toDF()
+    var got = Map.empty[Long, (Long, Long)]
+    EventStream.runAvailableNow(sess, ckpt, mode = "append") { (b, _) =>
+      b.collect().foreach { r =>
+        got += r.getLong(0) -> ((r.getLong(1), r.getLong(2)))
+      }
+    }
+
+    val want = graft.queries.StreamQueries.defs("st_sessions")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == want)
+  }
 }
