@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Exprs, MultiValue, Tables => T}
-import graft.functions.{SmartTitle, TextNorm, TitleCase, Uuids}
+import graft.functions.{NativeExpressions, SmartTitle, TextNorm, Uuids}
 import graft.operators.TextAnalysis
 
 /** Projection / filter predicates P3-P8 (§2.2) and the scalar-function
@@ -112,10 +112,12 @@ object StringQueries {
         "stack(2, 'brand', p_brand, 'type', p_type) AS (attr, val)")
       .orderBy("p_partkey", "attr")),
 
-    // §2.8 title-case engine (UDF; unit-tested — no SQL oracle).
+    // §2.8 title-case engine (native Catalyst expression with codegen —
+    // unit-tested, no SQL oracle).
     "f_titlecase" -> ((s, d) => T.documents(s, d)
       .select(col("doc_id"),
-        TitleCase.titleCaseUdf(substring(col("text"), 1, 60)).as("titled"))
+        NativeExpressions.titleCase(substring(col("text"), 1, 60))
+          .as("titled"))
       .orderBy("doc_id")),
 
     // §2.8 smart contributor casing (UDF; unit-tested).
@@ -132,10 +134,11 @@ object StringQueries {
           .as("folded"))
       .orderBy("doc_id")),
 
-    // §2.12 deterministic UUIDv5 (UDF; RFC vectors unit-tested).
+    // §2.12 deterministic UUIDv5 (native Catalyst expression; RFC
+    // vectors unit-tested).
     "f_uuid5" -> ((s, d) => T.customer(s, d)
       .select(col("c_custkey"),
-        Uuids.uuid5Udf(lit(Uuids.NsDns), col("c_name")).as("uuid"))
+        NativeExpressions.uuid5(lit(Uuids.NsDns), col("c_name")).as("uuid"))
       .orderBy("c_custkey")),
 
     // §2.12 UUIDv7 generation + validity check (ref 16-...py:40-84):
