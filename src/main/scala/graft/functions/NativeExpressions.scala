@@ -81,5 +81,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("title_case"),
       new ExpressionInfo(classOf[TitleCaseExpr].getName, "title_case"),
       (exprs: Seq[Expression]) => TitleCaseExpr(exprs.head)))
+    e.injectOptimizerRule(_ => graft.plans.CollapseRedundantArrayOps)
   }
 }

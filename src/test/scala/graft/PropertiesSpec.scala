@@ -1,0 +1,53 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{SmartTitle, TextNorm, TitleCase, Uuids}
+import graft.operators.Fanout
+
+/** ScalaCheck properties for the pure scalar functions (no Spark
+  * session needed — these are the UDF bodies).
+  */
+object GraftProperties extends Properties("graft") {
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
+  private val sentence = Gen.listOf(word).map(_.mkString(" "))
+
+  property("titleCase is idempotent") = forAll(sentence) { s =>
+    val once = TitleCase.titleCase(s)
+    TitleCase.titleCase(once) == once
+  }
+
+  property("titleCase preserves word count") = forAll(sentence) { s =>
+    TitleCase.titleCase(s).split(" ", -1).length == s.split(" ", -1).length
+  }
+
+  property("smartTitle is idempotent") = forAll(sentence) { s =>
+    val once = SmartTitle.smartTitle(s)
+    SmartTitle.smartTitle(once) == once
+  }
+
+  property("nfkdFold is idempotent") = forAll(sentence) { s =>
+    val once = TextNorm.nfkdFold(s)
+    TextNorm.nfkdFold(once) == once
+  }
+
+  property("uuid5 is deterministic and well-formed") = forAll(word) { n =>
+    val a = Uuids.uuid5(Uuids.NsDns, n)
+    a == Uuids.uuid5(Uuids.NsDns, n) &&
+      a.matches("[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}")
+  }
+
+  property("uuid5 namespace separates") = forAll(word) { n =>
+    Uuids.uuid5(Uuids.NsDns, n) != Uuids.uuid5(Uuids.NsUrl, n)
+  }
+
+  property("guardedSplit yields trimmed, non-empty, distinct parts") =
+    forAll(Gen.listOf(Gen.oneOf(word, Gen.const("a, Jr"),
+      Gen.const(" x & y "))).map(_.mkString("; "))) { s =>
+      val parts = Fanout.guardedSplit(s)
+      parts.forall(p => p.nonEmpty && p == p.trim) &&
+        parts.distinct == parts
+    }
+}
