@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.cdc.Cdc
+import graft.operators.{Dedup, Fuzzy, GraphOps, Similarity}
+import graft.ops.{Pipeline, Steps, Transform}
+
+/** User-facing facade — the library surface a reference user programs
+  * against. Everything is a thin delegation to the operator modules;
+  * see COVERAGE.md for the full operator → module map.
+  *
+  * {{{
+  * import graft.Graft
+  *
+  * // audited cleanup pipeline over an alib-style table
+  * val (clean, changelog) = Graft.runPipeline(alib, "__path",
+  *   Steps.defaultPipeline(Seq("title"), Seq("genre"), Seq("year")))
+  *
+  * // near-duplicate detection + canonical survivors
+  * val survivors = Graft.dedupNearExact(docs, "doc_id", "text",
+  *   k = 5, theta = 0.7)
+  *
+  * // ANN over an embedding column
+  * val nn = Graft.annTopK(emb, "vec_id", "embedding", k = 10,
+  *   queryFilter = col("vec_id") % 100 === 0)
+  * }}}
+  */
+object Graft {
+
+  /** Run an audited transform pipeline (each step diff-and-logged). */
+  def runPipeline(table: DataFrame, keyCol: String,
+                  steps: Seq[Transform]): (DataFrame, DataFrame) =
+    Pipeline.run(table, keyCol, steps)
+
+  /** Field-level CDC between two keyed table states. */
+  def diff(orig: DataFrame, next: DataFrame, keyCol: String,
+           cols: Seq[String], script: String): (DataFrame, DataFrame) =
+    Cdc.diffAndLog(orig, next, keyCol, cols, script)
+
+  /** Exact dedup groups (fingerprint, keeper, copies). */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.exactDedup(df, idCol, textCol)
+
+  /** Near-dup survivors: cluster Jaccard pairs ≥ theta, keep the
+    * min-id member of each cluster plus everything unclustered. */
+  def dedupNearExact(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, theta: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pairs = Dedup.jaccardPairs(df, idCol, textCol, k, theta)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val drop = GraphOps.connectedComponents(pairs)
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** MinHash-LSH near-dup pairs (probabilistic candidate generation,
+    * exact re-score) — the very-large-corpus path. */
+  def dedupLshPairs(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, theta: Double): DataFrame =
+    Dedup.minHashLshPairs(df, idCol, textCol, k, theta)
+
+  /** Exact cosine top-k for a probe subset. */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+              queryFilter: Column): DataFrame =
+    Similarity.bruteForceTopK(emb, idCol, vecCol, k, queryFilter)
+
+  /** Bucketed ANN (multi-probe sign-LSH) — the scale path. */
+  def annTopKLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                 nbits: Int, queryFilter: Column): DataFrame =
+    Similarity.lshTopK(emb, idCol, vecCol, k, nbits, queryFilter)
+
+  /** Fuzzy name-match pairs by char-ngram cosine. */
+  def fuzzyPairs(df: DataFrame, nameCol: String, n: Int,
+                 theta: Double): DataFrame =
+    Fuzzy.tfCosinePairs(df, nameCol, n, theta)
+
+  /** Register graft's SQL functions (`uuid5`, `title_case`) and the
+    * codec-collapse optimizer rule on a session. */
+  def install(spark: SparkSession): Unit = {
+    graft.functions.NativeExpressions.register(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+
+        graft.plans.CollapseRedundantArrayOps
+  }
+}

@@ -89,6 +89,31 @@ object LlmQueries {
         .select(col("qid"), col("nid"), col("cos"))
         .orderBy("qid", "nid")),
 
+    // Near-dup endgame: connect Jaccard pairs into clusters (CC), one
+    // row per clustered doc with its component id.
+    "d11_neardup_clusters" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
+        k = 5, theta = 0.7)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      GraphOps.connectedComponents(pairs)
+        .orderBy("node")
+    }),
+
+    // Dedup survivors: drop every clustered doc except the min-id
+    // keeper; unclustered docs all survive. This is the table a
+    // training pipeline actually feeds downstream.
+    "d12_dedup_survivors" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
+        k = 5, theta = 0.7)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val clustered = GraphOps.connectedComponents(pairs)
+      val drop = clustered.filter(col("node") =!= col("comp"))
+        .select(col("node").as("doc_id"))
+      T.documents(s, d).join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing: binary payload + batched per-partition
     // decode (STUB decode, real schema/partitioning).
     "mm_decode" -> ((s, d) => {
@@ -138,7 +163,37 @@ object LlmQueries {
       |WHERE shared*1.0/(ca.n + cb.n - shared) >= THETA
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Shared CTE block: near-dup pairs at θ=0.7 → undirected closure →
+    * min-id component labels (composes the proven d4/d5 pair SQL with
+    * the g2 recursive-closure SQL). */
+  private val ClusterCte =
+    """WITH RECURSIVE
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+      |  ELSE [array_to_string(ws[x:x+4], ' ')
+      |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM w),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      |  WHERE shared*1.0/(ca.n + cb.n - shared) >= 0.7),
+      |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      |reach(a, b) AS (SELECT src, src FROM sym
+      |  UNION SELECT r.a, s2.dst FROM reach r JOIN sym s2 ON s2.src = r.b),
+      |labels AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a)
+      |""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "d11_neardup_clusters" ->
+      (ClusterCte + "SELECT node, comp FROM labels ORDER BY node"),
+    "d12_dedup_survivors" ->
+      (ClusterCte +
+        """SELECT doc_id, lang, source FROM documents
+          |WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> comp)
+          |ORDER BY doc_id""".stripMargin),
     "d1_exact_dedup" ->
       """SELECT md5(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
         |MIN(doc_id) AS keeper, COUNT(*) AS n_copies
