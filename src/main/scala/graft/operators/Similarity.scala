@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Deterministic left-to-right dot product of two float-array columns
-    * in double precision. */
+    * in double precision — a codegen'd native expression; the HOF
+    * formulation (`aggregate(zip_with(...))`) computes the identical
+    * value but interprets per element (see
+    * [[graft.functions.DotProductExpr]]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.NativeExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -44,6 +44,34 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(df.collect().length == 2)
   }
 
+  test("native dot product equals the HOF formulation bit-for-bit") {
+    val df = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+    val hof = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(
+      NativeExpressions.dotProduct(col("embedding"), col("embedding"))
+        .as("native"), hof.as("viaHof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0))
+        == java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native dot product is null-safe and handles empty arrays") {
+    val df = Seq(
+      (Some(Array(1f, 2f)), Some(Array(3f, 4f))),
+      (None, Some(Array(1f))),
+      (Some(Array.empty[Float]), Some(Array.empty[Float])))
+      .toDF("a", "b")
+    val rows = df.select(
+      NativeExpressions.dotProduct(col("a"), col("b"))).collect()
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getDouble(0) == 0.0)
+  }
+
   test("constant folding: literal inputs fold at optimization time") {
     val df = Seq(1).toDF("x")
       .select(NativeExpressions.uuid5(lit(Uuids.NsDns), lit("python.org"))
