@@ -27,10 +27,17 @@ object TitleCase {
   private val RomanRe = "^(?i)(?=[mdclxvi])m{0,4}(cm|cd|d?c{0,3})(xc|xl|l?x{0,3})(ix|iv|v?i{0,3})$".r
 
   /** Tokens always emitted uppercase (acronym/state-code/musical-key
-    * classes per the reference's lists — representative subset). */
+    * classes per the reference's lists — representative subset).
+    * Ambiguous tokens that are also ordinary words or name particles
+    * ("la" in "La Bamba", "mc" in "Mc Hammer" vs the MC acronym) are
+    * deliberately excluded, mirroring the reference's guarded lists. */
   private val ForceUpper = Set(
-    "ep", "lp", "dj", "mc", "uk", "usa", "bbc", "tv", "ii", "ok",
-    "nyc", "la")
+    "ep", "lp", "dj", "uk", "usa", "bbc", "tv", "ii", "ok", "nyc")
+
+  /** Ordinary words that also parse as Roman numerals ("mix" = MIX,
+    * "di" = DI, "mi" = MI…). The Roman-uppercase rule must not fire on
+    * these — the reference gates its numeral rule the same way. */
+  private val RomanExclusions = Set("mix", "mi", "di", "li")
 
   private def hasInternalCap(w: String): Boolean =
     w.drop(1).exists(_.isUpper)
@@ -47,7 +54,8 @@ object TitleCase {
     val bare = w.filter(_.isLetterOrDigit)
     if (bare.isEmpty) w
     else if (ForceUpper.contains(bare.toLowerCase)) w.toUpperCase
-    else if (RomanRe.findFirstIn(bare).isDefined && bare.length > 1) w.toUpperCase
+    else if (RomanRe.findFirstIn(bare).isDefined && bare.length > 1
+      && !RomanExclusions.contains(bare.toLowerCase)) w.toUpperCase
     else if (hasInternalCap(w)) w // already deliberately cased
     else if (!isEdge && SmallWords.contains(bare.toLowerCase)) w.toLowerCase
     else capFirst(w)

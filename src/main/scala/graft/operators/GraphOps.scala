@@ -31,14 +31,28 @@ object GraphOps {
   }
 
   /** Connected components over an undirected edge list. Returns
-    * (node, component) where component = min node id in the component. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    * (node, component) where component = min node id in the component.
+    *
+    * Converges in O(diameter) rounds. If the cap is hit before
+    * convergence the labels are WRONG (one component reported as
+    * several), so by default this throws rather than silently
+    * returning them; pass `failOnMaxIter = false` to get the partial
+    * labels plus a stderr warning instead.
+    *
+    * Per-round cost: one shuffle (the min-label groupBy). The
+    * symmetric edge list is repartitioned on `src` and checkpointed
+    * once, so the per-round join reuses its partitioning; the
+    * changed-row convergence check is a scan of the freshly
+    * checkpointed result, not a join against the previous labels. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+                          failOnMaxIter: Boolean = true): DataFrame = {
     // materialize the edge list once — without this every iteration
     // re-runs the upstream edge-build lineage (measured 10×+ slowdown
     // when edges come from a join+aggregate pipeline)
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint(true)
     val nodes = sym.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("comp", col("node"))
@@ -48,15 +62,20 @@ object GraphOps {
       val msgs = sym.join(labels, sym("src") === labels("node"))
         .groupBy(col("dst").as("node")).agg(min("comp").as("nbr_comp"))
       val next = labels.join(msgs, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp"))
         .localCheckpoint(true) // truncate lineage; also acts as a barrier
-      val changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      converged =
+        next.filter(col("comp") =!= col("__old")).limit(1).count() == 0
+      labels = next.select("node", "comp")
       i += 1
+    }
+    if (!converged) {
+      val msg = s"connectedComponents did not converge in $maxIter rounds; " +
+        "labels would split components. Raise maxIter."
+      if (failOnMaxIter) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] WARNING: $msg")
     }
     labels
   }

@@ -19,12 +19,23 @@ object AlibStore {
   /** S5: INSERT OR REPLACE-style upsert: incoming rows win on key
     * collision; rows absent from `incoming` survive unchanged.
     * Equivalent to Delta `MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED
-    * INSERT` (ref tags2db.py:345-415). */
-  def upsert(current: DataFrame, incoming: DataFrame, key: String): DataFrame = {
+    * INSERT` (ref tags2db.py:345-415).
+    *
+    * When `incoming` itself holds several rows for one key, the
+    * reference's INSERT OR REPLACE keeps the last-written one — an
+    * ordering Spark DataFrames do not have. `tieBreak` columns (e.g. a
+    * load timestamp, descending-first) reproduce last-write-wins; with
+    * no tieBreak the keeper falls back to the lowest full-row hash, so
+    * the result is stable across shuffles and reruns either way. */
+  def upsert(current: DataFrame, incoming: DataFrame, key: String,
+             tieBreak: Seq[String] = Nil): DataFrame = {
     val cols = current.columns
     val tagged = incoming.select(cols.map(col): _*).withColumn("__pri", lit(0))
       .unionByName(current.withColumn("__pri", lit(1)))
-    val w = Window.partitionBy(key).orderBy(col("__pri"))
+    val order = col("__pri") +:
+      (if (tieBreak.nonEmpty) tieBreak.map(col(_).desc_nulls_last)
+       else Seq(xxhash64(cols.map(col): _*).asc))
+    val w = Window.partitionBy(key).orderBy(order: _*)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__pri", "__rn")
   }
