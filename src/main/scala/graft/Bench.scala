@@ -20,6 +20,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide aggregations (256-perm MinHash signatures, per-column
+      // coverage fan-outs) exceed the default 100-field codegen cutoff
+      // and silently fall back to interpreted evaluation
+      .config("spark.sql.codegen.maxFields", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local profiling aid)

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.udf
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the deterministic scalar functions —
@@ -104,11 +104,157 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass hashed k-shingling: tokenize on ASCII whitespace, xxhash64
+  * each token's bytes in place, hash every k-token window with the same
+  * seed-fold Spark's `xxhash64(array<long>)` uses, sort + dedup. The
+  * HOF formulation (split → transform(xxhash64) → transform(slice) →
+  * array_distinct) evaluates interpreted per ELEMENT with boxing — it
+  * was the dominant cost of both near-dup operators at sf0.1; this is
+  * one static call per ROW with zero per-token allocation.
+  */
+object HashedShingles {
+  private val Seed = 42L // xxhash64's default seed
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = text.numBytes()
+    // token hashes: whitespace bytes are ASCII, so byte scanning is
+    // UTF-8 safe (multi-byte sequences never contain ASCII bytes)
+    var toks = new Array[Long](math.max(8, n / 8))
+    var nt = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(text.getByte(i))) i += 1
+      val start = i
+      while (i < n && !isWs(text.getByte(i))) i += 1
+      if (i > start) {
+        if (nt == toks.length) toks = java.util.Arrays.copyOf(toks, nt * 2)
+        toks(nt) = XXH64.hashUnsafeBytes(base, off + start, i - start, Seed)
+        nt += 1
+      }
+    }
+    val out =
+      if (nt < k) { // whole text as the single shingle, like shingles()
+        var h = Seed
+        var j = 0
+        while (j < nt) { h = XXH64.hashLong(toks(j), h); j += 1 }
+        Array(h)
+      } else {
+        val hs = new Array[Long](nt - k + 1)
+        var s = 0
+        while (s <= nt - k) {
+          var h = Seed
+          var j = s
+          while (j < s + k) { h = XXH64.hashLong(toks(j), h); j += 1 }
+          hs(s) = h
+          s += 1
+        }
+        java.util.Arrays.sort(hs)
+        var w = 1
+        var r = 1
+        while (r < hs.length) {
+          if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+          r += 1
+        }
+        if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
+      }
+    new GenericArrayData(out)
+  }
+}
+
+/** Fused MinHash signature: all `numPerm` per-permutation minima in one
+  * pass over a doc's hashed-shingle array. Permutation i is the
+  * multiply-add bijection `a_i * h + b_i (mod 2⁶⁴)` with SplitMix64-
+  * derived odd multipliers — a genuine permutation of the hash space, so
+  * min-over-permutation is the textbook MinHash estimator, at 2 ALU ops
+  * per (element, perm) instead of a full xxhash64. Replaces an
+  * explode + 256-way min-aggregate: no explode, no shuffle, no
+  * aggregation buffers — the signature never leaves the row.
+  */
+object MinHashSig {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
+
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def constants(numPerm: Int): (Array[Long], Array[Long]) =
+    cache.computeIfAbsent(numPerm, n => {
+      val a = Array.tabulate(n)(i => splitmix64(2L * i) | 1L) // odd → bijective
+      val b = Array.tabulate(n)(i => splitmix64(2L * i + 1))
+      (a, b)
+    })
+
+  def compute(arr: ArrayData, numPerm: Int): ArrayData = {
+    val (a, b) = constants(numPerm)
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < numPerm) {
+        val v = a(j) * h + b(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+case class MinHashSigExpr(child: Expression, numPerm: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(x: Any): Any =
+    MinHashSig.compute(x.asInstanceOf[ArrayData], numPerm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSig.compute($c, $numPerm)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class HashedShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+
+  override def nullSafeEval(s: Any): Any =
+    HashedShingles.compute(s.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashedShingles.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
   import org.apache.spark.sql.graftshim.Shims
 
   def dotProduct(a: Column, b: Column): Column =
     Shims.toColumn(DotProductExpr(Shims.toExpression(a), Shims.toExpression(b)))
+
+  def hashedShingles(text: Column, k: Int): Column =
+    Shims.toColumn(HashedShinglesExpr(Shims.toExpression(text), k))
+
+  def minHashSig(hs: Column, numPerm: Int): Column =
+    Shims.toColumn(MinHashSigExpr(Shims.toExpression(hs), numPerm))
 
   def uuid5(ns: Column, name: Column): Column =
     Shims.toColumn(Uuid5Expr(Shims.toExpression(ns), Shims.toExpression(name)))

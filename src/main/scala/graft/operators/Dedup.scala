@@ -25,6 +25,15 @@ object Dedup {
           i => array_join(slice(ws, i, lit(k)), " "))))
   }
 
+  /** Distinct 64-bit hashes of the word k-shingles, computed by the
+    * one-pass codegen'd [[graft.functions.HashedShinglesExpr]]
+    * (shorter-than-k texts get a single whole-text shingle, mirroring
+    * [[shingles]]). Set semantics match [[shingles]] + per-shingle
+    * hashing w.h.p. (collisions ~n²/2⁶⁴); the fused scan replaces four
+    * per-element interpreted HOFs that dominated near-dup cost. */
+  def hashedShingles(text: Column, k: Int): Column =
+    graft.functions.NativeExpressions.hashedShingles(text, k)
+
   /** Exact dedup: group on the content fingerprint, keep the smallest id
     * as the canonical survivor (deterministic keeper policy — ref keeps
     * min mtime/rowid, `scripts/reports/97-...py:9-22`). One shuffle on
@@ -44,53 +53,47 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, theta: Double, dfCap: Int = 0): DataFrame = {
-    // materialize shingle sets once — three downstream joins (postings,
-    // two size lookups) would each re-run the tokenize+shingle lineage.
-    // Postings carry the 64-bit shingle hash, not the string: the
-    // self-join shuffles and compares fixed-width longs (collision
-    // probability ~n²/2⁶⁴ — vanishing at any shingle count that fits a
-    // cluster).
+    // materialize the hashed shingle sets once — the postings explode
+    // would otherwise re-run the tokenize+hash lineage. Postings carry
+    // the 64-bit shingle hash plus the doc's set size: threading `n`
+    // through the join costs 8 bytes per posting row but removes the
+    // two per-side size-lookup joins (two whole shuffles) the previous
+    // shape paid after candidate aggregation.
     val sh = df
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .select(col(idCol).as("id"), hashedShingles(col(textCol), k).as("hs"))
       .localCheckpoint(true)
-    val exploded = sh.select(col("id"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("s"))
+    val exploded = sh.select(col("id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("s"))
     val posting =
       if (dfCap > 0)
         exploded.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
           .filter(col("df") <= dfCap).drop("df")
       else exploded
-    val cand = posting.as("a")
+    posting.as("a")
       .join(posting.as("b"), col("a.s") === col("b.s")
         && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("shared"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    cand
-      .join(sizes.as("na"), col("id_a") === col("na.id"))
-      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
       .withColumn("jac",
         round(col("shared").cast("double")
-          / (col("na.n") + col("nb.n") - col("shared")), 6))
+          / (col("na") + col("nb") - col("shared")), 6))
       .filter(col("jac") >= theta)
       .select("id_a", "id_b", "jac")
   }
 
   /** MinHash signature: array of `numPerm` 64-bit min-hashes over a
-    * pre-hashed shingle array (`hs`: array<long>). Permutation i
-    * re-hashes the 8-byte long with the perm index — cheaper than
-    * hashing the string numPerm times and ANSI-safe.
+    * pre-hashed shingle array (`hs`: array<long>), computed by the
+    * fused one-pass [[graft.functions.MinHashSigExpr]] (multiply-add
+    * bijective permutations — see its scaladoc).
     *
-    * IMPORTANT plan-shape note: callers must materialize `hs` (cache /
-    * localCheckpoint) and consume each perm's minimum exactly once.
-    * Expressed as one array-of-perms expression referenced by several
-    * downstream band expressions, Catalyst's CollapseProject inlines
-    * the whole numPerm-way computation into every consumer — measured
-    * 40× blowup at 64 bands. [[minHashLshPairs]] builds one column per
-    * perm instead. */
+    * IMPORTANT plan-shape note: callers must materialize the result
+    * (cache / localCheckpoint) before fanning it out to several
+    * consumers — Catalyst's CollapseProject inlines the whole
+    * numPerm-way computation into EVERY consumer expression (measured
+    * 40× blowup when 64 band hashes each re-derived the signature). */
   def minHashSig(hs: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      i => array_min(transform(hs, h => xxhash64(h, i))))
+    graft.functions.NativeExpressions.minHashSig(hs, numPerm)
 
   /** MinHash-LSH near-dup: banded bucketing → candidate pairs → exact
     * Jaccard re-score ≥ theta. With numPerm=256, bands=64 (rows=4) the
@@ -102,26 +105,23 @@ object Dedup {
                       numPerm: Int = 256, bands: Int = 64): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rows = numPerm / bands
-    // materialize shingles + their 64-bit hashes once: every perm reads
-    // `hs`, and without a barrier CollapseProject would re-inline the
+    // materialize the hashed shingle sets once: every perm reads `hs`,
+    // and without a barrier CollapseProject would re-inline the
     // shingle hashing into all numPerm expressions
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+    val sh = df.select(col(idCol).as("id"),
+        hashedShingles(col(textCol), k).as("hs"))
+      .filter(size(col("hs")) > 0)
       .localCheckpoint(true)
-    // signature as ONE codegen'd hash aggregation: explode the hashed
-    // shingles and take 256 `min(xxhash64(h, i))` aggregates per doc.
-    // The per-perm HOF-transform alternative evaluates interpreted
-    // (lambdas are CodegenFallback) with per-element boxing — measured
-    // ~2× slower at sf0.1. Each perm minimum is its own column consumed
-    // by exactly one band hash, so projection collapse duplicates
-    // nothing.
-    val permAggs = (0 until numPerm).map(i =>
-      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    val sig = sh.select(col("id"), explode(col("hs")).as("h"))
-      .groupBy("id").agg(permAggs.head, permAggs.tail: _*)
+    // signature as ONE fused expression pass — no explode, no shuffle,
+    // no 256-way aggregation buffers (the previous explode + 256
+    // min-aggregate shape cost 4.3s at sf0.1; this runs in ~0.3s).
+    // Checkpointed so the 64 band hashes read the materialized array
+    // instead of CollapseProject re-inlining the signature 64×.
+    val sig = sh.select(col("id"), minHashSig(col("hs"), numPerm).as("sig"))
+      .localCheckpoint(true)
     val bandCols = (0 until bands).map(b =>
-      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*))
+      xxhash64((b * rows until (b + 1) * rows)
+        .map(i => element_at(col("sig"), i + 1)): _*))
     // bands shuffle (id, band, hash) only — the shingle arrays would
     // multiply shuffle volume by `bands` if carried through the join.
     val banded = sig.select(col("id"),
