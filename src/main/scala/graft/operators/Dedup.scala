@@ -166,4 +166,33 @@ object Dedup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Engine-portable SimHash: identical bit votes from any engine with
+    * md5 — the 64-bit token hash is the first 16 hex chars of
+    * `md5(token)`, parsed a hex digit at a time, and the majority-vote
+    * signature is re-assembled as a 16-char hex string. Same majority-
+    * vote semantics as [[simHash]] (sum of ±1 per bit, ties → 0), but
+    * cross-checkable against a SQL oracle, where xxhash64 is not.
+    * All expressions (conv / shifts / substr) are codegen'd. */
+  def simHashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hexTab = "0123456789abcdef"
+    val toks = df.select(col(idCol).as("id"),
+        explode(array_distinct(
+          filter(split(col(textCol), "\\s+"), t => t =!= ""))).as("tok"))
+      .withColumn("h", substring(md5(col("tok")), 1, 16))
+    val digs = (1 to 16).map(p =>
+      conv(substring(col("h"), p, 1), 16, 10).cast("int").as(s"d$p"))
+    val withDigs = toks.select(col("id") +: digs: _*)
+    val votes = (1 to 16).flatMap(p => (0 until 4).map(b =>
+      sum(when(shiftright(col(s"d$p"), b).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"v${p}_$b")))
+    val agg = withDigs.groupBy("id").agg(votes.head, votes.tail: _*)
+    val hexChars = (1 to 16).map { p =>
+      val digit = (0 until 4)
+        .map(b => when(col(s"v${p}_$b") > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _)
+      lit(hexTab).substr(digit + 1, lit(1))
+    }
+    agg.select(col("id"), concat(hexChars: _*).as("simhash"))
+  }
 }

@@ -57,8 +57,9 @@ object Fuzzy {
 
   /** TF-IDF-weighted variant (sklearn-style smooth idf:
     * ln((1+N)/(1+df)) + 1, l2-normalized) — closer to string_grouper's
-    * scoring; float-accumulation order makes it test-verified rather
-    * than oracle-compared. */
+    * scoring. The cosine is rounded to 6 dp before the threshold
+    * filter: double accumulation order differs across engines at the
+    * ~1e-15 level, and rounding makes the output oracle-exact. */
   def tfidfCosinePairs(df: DataFrame, nameCol: String, n: Int,
                        theta: Double): DataFrame = {
     val names = df.select(lower(trim(col(nameCol))).as("name"))
@@ -84,7 +85,7 @@ object Fuzzy {
         Seq("name_a"))
       .join(norms.select(col("name").as("name_b"), col("nrm").as("nb")),
         Seq("name_b"))
-      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 6))
       .filter(col("cos") >= theta)
       .select("name_a", "name_b", "cos")
   }

@@ -53,10 +53,11 @@ object LlmQueries {
         k = 5, theta = 0.7)
         .orderBy("id_a", "id_b")),
 
-    // SimHash fingerprints (hash-function-specific → rows-only check;
-    // bit-vote behavior is unit-tested).
+    // SimHash fingerprints — the engine-portable md5-digit variant, so
+    // the bit-vote signature is oracle-checkable; the xxhash64 fast
+    // path (Dedup.simHash) stays unit-tested.
     "d6_simhash" -> ((s, d) =>
-      Dedup.simHash(T.documents(s, d), "doc_id", "text")
+      Dedup.simHashPortable(T.documents(s, d), "doc_id", "text")
         .orderBy("id")),
 
     // Brute-force cosine top-3 for a 10% probe set — the exactness
@@ -186,7 +187,30 @@ object LlmQueries {
       |labels AS (SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a)
       |""".stripMargin
 
+  /** d6 oracle: the same md5-hex-digit SimHash, one ±1 vote sum per
+    * (hex position, bit), signature re-assembled as a hex string —
+    * generated programmatically (64 SUM columns). */
+  private val SimHashSql: String = {
+    val votes = (1 to 16).flatMap(p => (0 until 4).map(b =>
+      s"SUM(CASE WHEN (('0x'||substr(h,$p,1))::INT >> $b) & 1 = 1 " +
+        s"THEN 1 ELSE -1 END) AS v${p}_$b")).mkString(", ")
+    val chars = (1 to 16).map(p =>
+      s"substr('0123456789abcdef', 1 + " +
+        s"(CASE WHEN v${p}_3 > 0 THEN 8 ELSE 0 END) + " +
+        s"(CASE WHEN v${p}_2 > 0 THEN 4 ELSE 0 END) + " +
+        s"(CASE WHEN v${p}_1 > 0 THEN 2 ELSE 0 END) + " +
+        s"(CASE WHEN v${p}_0 > 0 THEN 1 ELSE 0 END), 1)").mkString(" || ")
+    s"""WITH toks AS (SELECT doc_id, substr(md5(t), 1, 16) AS h FROM (
+       |  SELECT doc_id, unnest(list_distinct(list_filter(
+       |    string_split_regex(text, '\\s+'), t -> t <> ''))) AS t
+       |  FROM documents)),
+       |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
+       |SELECT doc_id AS id, $chars AS simhash FROM votes
+       |ORDER BY id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "d6_simhash" -> SimHashSql,
     "d11_neardup_clusters" ->
       (ClusterCte + "SELECT node, comp FROM labels ORDER BY node"),
     "d12_dedup_survivors" ->

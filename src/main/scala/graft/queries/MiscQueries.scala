@@ -7,8 +7,9 @@ import graft.core.{Tables => T}
 import graft.operators.{Fanout, Fuzzy}
 
 /** Fuzzy matching and generator fan-out queries (SURVEY §2.8 / §2.12).
-  * The raw-TF cosine variant is oracle-exact (integer dot products);
-  * the TF-IDF variant and the guarded split are covered by specs.
+  * Both cosine variants are oracle-exact (integer dot products for
+  * raw TF; 6-dp-rounded double folds for TF-IDF), as is the guarded
+  * split's expected output on this corpus.
   */
 object MiscQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -20,7 +21,7 @@ object MiscQueries {
       Fuzzy.tfCosinePairs(T.part(s, d), "p_name", n = 3, theta = 0.5)
         .orderBy("name_a", "name_b")),
 
-    // TF-IDF-weighted fuzzy pairs (string_grouper scoring; rows-only).
+    // TF-IDF-weighted fuzzy pairs (string_grouper scoring).
     "fz_tfidf_cosine" -> ((s, d) =>
       Fuzzy.tfidfCosinePairs(T.part(s, d), "p_name", n = 3, theta = 0.6)
         .orderBy("name_a", "name_b")),
@@ -34,8 +35,8 @@ object MiscQueries {
         .orderBy("s_suppkey", "role")
     }),
 
-    // Guarded comma split (ref 06-...py:457-527; UDF → rows-only,
-    // rule coverage in FanoutSpec).
+    // Guarded comma split (ref 06-...py:457-527; UDF — oracle states
+    // the expected output on this input, rules covered in FanoutSpec).
     "gs_guarded_split" -> ((s, d) => T.customer(s, d)
       .select(col("c_custkey"),
         array_join(Fanout.guardedSplitUdf(
@@ -64,6 +65,40 @@ object MiscQueries {
         |  FROM dots JOIN norms na ON name_a = na.name
         |  JOIN norms nb ON name_b = nb.name)
         |WHERE cos >= 0.5 ORDER BY name_a, name_b""".stripMargin,
+    // Same inverted-index shape with sklearn-style smooth idf; the
+    // 6-dp rounding on both engines absorbs double-accumulation-order
+    // differences (~1e-15), making the tf-idf variant oracle-exact too.
+    "fz_tfidf_cosine" ->
+      """WITH names AS (SELECT DISTINCT lower(trim(p_name)) AS name
+        |  FROM part WHERE lower(trim(p_name)) <> ''),
+        |tf AS (SELECT name, g, COUNT(*) AS tf FROM (
+        |  SELECT name, unnest(CASE WHEN length(name) < 3 THEN [name]
+        |    ELSE [substr(name, x, 3) FOR x IN range(1, length(name) - 1)]
+        |    END) AS g FROM names) GROUP BY name, g),
+        |idf AS (SELECT g,
+        |  ln((1.0 + (SELECT COUNT(*) FROM names)) / (1.0 + COUNT(*))) + 1.0
+        |  AS idf FROM tf GROUP BY g),
+        |w AS (SELECT name, tf.g, tf.tf * idf.idf AS w
+        |  FROM tf JOIN idf ON tf.g = idf.g),
+        |norms AS (SELECT name, sqrt(SUM(w*w)) AS nrm FROM w GROUP BY name),
+        |dots AS (SELECT a.name AS name_a, b.name AS name_b,
+        |  SUM(a.w*b.w) AS dot
+        |  FROM w a JOIN w b ON a.g = b.g AND a.name < b.name
+        |  GROUP BY 1, 2)
+        |SELECT name_a, name_b, cos FROM (
+        |  SELECT name_a, name_b,
+        |  ROUND(dot/(na.nrm*nb.nrm), 6) AS cos
+        |  FROM dots JOIN norms na ON name_a = na.name
+        |  JOIN norms nb ON name_b = nb.name)
+        |WHERE cos >= 0.6 ORDER BY name_a, name_b""".stripMargin,
+    // The guarded split's output on this packed input is exactly
+    // "<name>, Jr|<segment>": ' and ' splits the two halves, and the
+    // comma before the guarded suffix 'Jr' re-attaches. The oracle
+    // states that expected output directly; the rule engine itself is
+    // property-tested in FanoutSpec.
+    "gs_guarded_split" ->
+      """SELECT c_custkey, c_name || ', Jr|' || c_mktsegment AS parts
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "fan_out" ->
       """SELECT s_suppkey,
         |CASE WHEN instr(seg, ':') > 0

@@ -112,22 +112,25 @@ object StringQueries {
         "stack(2, 'brand', p_brand, 'type', p_type) AS (attr, val)")
       .orderBy("p_partkey", "attr")),
 
-    // §2.8 title-case engine (native Catalyst expression with codegen —
-    // unit-tested, no SQL oracle).
+    // §2.8 title-case engine (native Catalyst expression with codegen;
+    // oracle over this corpus's constrained vocabulary, the general
+    // rules unit-tested).
     "f_titlecase" -> ((s, d) => T.documents(s, d)
       .select(col("doc_id"),
         NativeExpressions.titleCase(substring(col("text"), 1, 60))
           .as("titled"))
       .orderBy("doc_id")),
 
-    // §2.8 smart contributor casing (UDF; unit-tested).
+    // §2.8 smart contributor casing (UDF; oracle over this corpus's
+    // constrained name domain, prefix rules unit-tested).
     "f_smart_title" -> ((s, d) => T.customer(s, d)
       .select(col("c_custkey"),
         SmartTitle.smartTitleUdf(
           lower(regexp_replace(col("c_name"), "#", " "))).as("cased"))
       .orderBy("c_custkey")),
 
-    // §2.8 NFKD normalization (UDF; unit-tested).
+    // §2.8 NFKD normalization (UDF; oracle-exact on this ASCII corpus
+    // with the injected accent, Unicode engine unit-tested).
     "f_nfkd" -> ((s, d) => T.documents(s, d)
       .select(col("doc_id"),
         TextNorm.nfkdUdf(concat(lit("é "), substring(col("text"), 1, 20)))
@@ -227,5 +230,43 @@ object StringQueries {
         |string_split(text, ' '),
         |t -> t IN ('spark', 'vector', 'stream'))) > 0
         |ORDER BY doc_id""".stripMargin,
+    // documents.text is plain ASCII ([a-z0-9 ]), so NFKD of the input
+    // is folding the injected 'é' to 'e' plus whitespace collapse+trim
+    // — both exactly expressible here. The Unicode-general engine is
+    // unit-tested (TextNormSpec: ligatures, combining marks).
+    "f_nfkd" ->
+      """SELECT doc_id,
+        |TRIM(regexp_replace('e ' || substr(text, 1, 20), '\s+', ' ', 'g'))
+        |AS folded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The title-case engine restricted to this corpus: 31 lowercase
+    // ASCII words, none Roman-numeral-parseable or force-upper, no
+    // hyphens/apostrophes — so the active rules are exactly edge-word
+    // capitalization and interior small-word lowering. The general
+    // engine (numerals, McCartney guard, contractions) is unit-tested
+    // in TitleCaseSpec.
+    "f_titlecase" ->
+      """SELECT doc_id, array_to_string(list_transform(ws, (w, i) ->
+        |  CASE WHEN w = '' THEN ''
+        |  WHEN i = 1 OR i = li THEN upper(w[1]) || w[2:]
+        |  WHEN w IN ('a','an','and','as','at','but','by','for','from',
+        |    'in','into','nor','of','off','on','onto','or','out','over',
+        |    'per','the','to','up','upon','via','with') THEN w
+        |  ELSE upper(w[1]) || w[2:] END), ' ') AS titled
+        |FROM (SELECT doc_id, ws,
+        |  CASE WHEN ws[len(ws)] = '' THEN len(ws) - 1 ELSE len(ws) END AS li
+        |  FROM (SELECT doc_id, string_split(substr(text, 1, 60), ' ') AS ws
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    // smartTitle on 'customer NNNNNNNNN': no Mc/Mac/Fitz/O' prefixes,
+    // no non-leading particles — every word just capitalizes its first
+    // character (digits are unchanged by toUpper). Prefix/particle
+    // rules are unit-tested in SmartTitleSpec.
+    "f_smart_title" ->
+      """SELECT c_custkey, array_to_string(list_transform(
+        |  string_split(lower(replace(c_name, '#', ' ')), ' '),
+        |  w -> CASE WHEN w = '' THEN '' ELSE upper(w[1]) || w[2:] END),
+        |  ' ') AS cased
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }
