@@ -31,6 +31,10 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // JVM/codegen/parquet-reader warmup so the alphabetically-first
+    // query's number isn't inflated by ~2s of session start-up cost
+    graft.core.Tables.documents(spark, sfDir).count()
+    spark.range(16).select(org.apache.spark.sql.functions.sum("id")).collect()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -78,4 +78,20 @@ object TextAnalysis {
     * xxhash64 halves the width (same plan shape). */
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** BPE-ish subword tokens via one RE2-safe alternation (alnum runs,
+    * then every other non-space char individually) — no lookarounds, so
+    * the same pattern runs verbatim in SQL oracles. */
+  def subwordTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N} ]"), lit(0))
+
+  /** Polynomial (Rabin-Karp-style) rolling-hash fingerprint: an ordered
+    * integer fold `h = (h*31 + code) mod 1e9+7` over the character
+    * codes. Pure integer math in a fixed order → bit-identical in any
+    * engine with an ordered list fold; the windowed-extension property
+    * (extend by one char = one multiply-add) is what makes it "rolling"
+    * for substring-level fingerprinting at scale. */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
 }

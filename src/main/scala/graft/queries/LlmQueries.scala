@@ -115,6 +115,26 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE-ish subword tokenization vs whitespace tokens (token-budget
+    // accounting for training pipelines) — one RE2-safe regex, no
+    // lookarounds, identical in the oracle.
+    "d13_subword_tokens" -> ((s, d) => T.customer(s, d)
+      .select(col("c_custkey"),
+        TextAnalysis.tokenCount(col("c_name")).as("n_ws"),
+        size(TextAnalysis.subwordTokens(col("c_name"))).as("n_subw"),
+        array_join(TextAnalysis.subwordTokens(col("c_name")), "|")
+          .as("toks"))
+      .orderBy("c_custkey")),
+
+    // Rabin-Karp rolling-hash fingerprints: ordered integer fold —
+    // engine-exact, and the hash extends by one multiply-add per char.
+    "d14_rolling_fp" -> ((s, d) => T.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fp"),
+        TextAnalysis.rollingFingerprint(substring(col("text"), 1, 40))
+          .as("fp_prefix"))
+      .orderBy("doc_id")),
+
     // Multimodal plumbing: binary payload + batched per-partition
     // decode (STUB decode, real schema/partitioning).
     "mm_decode" -> ((s, d) => {
@@ -211,6 +231,26 @@ object LlmQueries {
 
   val sql: Map[String, String] = Map(
     "d6_simhash" -> SimHashSql,
+    "d13_subword_tokens" ->
+      """SELECT c_custkey,
+        |CAST(len(list_filter(string_split_regex(c_name, '\s+'),
+        |  t -> t <> '')) AS INT) AS n_ws,
+        |CAST(len(regexp_extract_all(c_name,
+        |  '[\p{L}\p{N}]+|[^\p{L}\p{N} ]')) AS INT) AS n_subw,
+        |array_to_string(regexp_extract_all(c_name,
+        |  '[\p{L}\p{N}]+|[^\p{L}\p{N} ]'), '|') AS toks
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "d14_rolling_fp" ->
+      """SELECT doc_id,
+        |list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(string_split_regex(text, ''),
+        |    x -> CAST(unicode(x) AS BIGINT))),
+        |  (a, x) -> (a*31 + x) % 1000000007) AS fp,
+        |list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(string_split_regex(substr(text, 1, 40), ''),
+        |    x -> CAST(unicode(x) AS BIGINT))),
+        |  (a, x) -> (a*31 + x) % 1000000007) AS fp_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d11_neardup_clusters" ->
       (ClusterCte + "SELECT node, comp FROM labels ORDER BY node"),
     "d12_dedup_survivors" ->

@@ -49,6 +49,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.toSeq == Seq("en", "de", "fr", "und"))
   }
 
+  test("subwordTokens splits alnum runs and counts punct individually") {
+    val r = Seq("Customer#01 x-y").toDF("t")
+      .select(TextAnalysis.subwordTokens(col("t"))).collect().head
+      .getSeq[String](0)
+    assert(r == Seq("Customer", "#", "01", "x", "-", "y"))
+  }
+
+  test("rollingFingerprint is an ordered fold (order-sensitive, exact)") {
+    val r = Seq(("ab", "ba"), ("ab", "ab")).toDF("x", "y")
+      .select(TextAnalysis.rollingFingerprint(col("x"))
+          === TextAnalysis.rollingFingerprint(col("y")))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(r == Seq(false, true))
+    // manual: 'a'=97,'b'=98 → (97*31+98) = 3105
+    val v = Seq("ab").toDF("t")
+      .select(TextAnalysis.rollingFingerprint(col("t"))).collect().head
+      .getLong(0)
+    assert(v == 97L * 31 + 98)
+  }
+
   test("token metrics") {
     val r = Seq("ab cd  ef ab").toDF("t").select(
       TextAnalysis.tokenCount(col("t")),
