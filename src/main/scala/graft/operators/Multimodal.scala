@@ -43,4 +43,50 @@ object Multimodal {
   def asMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("media"),
       lit("application/octet-stream").as("mime"))
+
+  case class FrameOut(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling for video-like payloads: every `stride`-th fixed-
+    * width frame, one output row per sampled frame. The frame SLICING
+    * is real (per-partition streaming flatMap, the generator shape a
+    * video pipeline needs — rows out ≫ rows in without a shuffle);
+    * "frame" here is a fixed `frameBytes` payload window standing in
+    * for a real demuxer. */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int)
+                 (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.as[MediaIn].flatMap { m =>
+      val nFrames = m.media.length / frameBytes
+      (0 until nFrames by stride).iterator.map { i =>
+        FrameOut(m.doc_id, i, java.util.Arrays.copyOfRange(
+          m.media, i * frameBytes, (i + 1) * frameBytes))
+      }
+    }.toDF()
+  }
+
+  /** Fit-in-box resize arithmetic over the stub-decoded dimensions:
+    * IEEE double scale + floor, so any engine reproduces the output
+    * dims bit-exactly; the pixel resample itself is the stubbed step. */
+  def resizePlan(media: DataFrame, targetW: Int, targetH: Int)
+                (implicit spark: SparkSession): DataFrame = {
+    val srcW = length(col("media")) % 640
+    val srcH = (length(col("media")) * 7) % 480
+    val scale = least(lit(targetW).cast("double") / srcW,
+      lit(targetH).cast("double") / srcH)
+    media.select(col("doc_id"), srcW.as("src_w"), srcH.as("src_h"),
+      when(srcW === 0 || srcH === 0, 0)
+        .otherwise(floor(srcW * scale).cast("int")).as("out_w"),
+      when(srcW === 0 || srcH === 0, 0)
+        .otherwise(floor(srcH * scale).cast("int")).as("out_h"))
+  }
+
+  /** Feature-extraction stub: 4 independent 32-bit features from the
+    * payload hash — the embedding-column shape (fixed-width numeric
+    * vector per row) with deterministic, oracle-checkable values. */
+  def featureVector(media: DataFrame): DataFrame = {
+    val h = md5(col("media"))
+    val feats = (0 until 4).map(k =>
+      conv(substring(h, 8 * k + 1, 8), 16, 10).cast("long").as(s"f$k"))
+    media.select(col("doc_id") +: feats: _*)
+  }
 }

@@ -143,6 +143,32 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Multimodal frame sampling: every 2nd 100-byte "frame" as its own
+    // row — the generator shape (rows out >> rows in, no shuffle).
+    "mm_frames" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.frameSample(Multimodal.asMedia(T.documents(s, d)),
+          frameBytes = 100, stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame_bytes")).as("flen"),
+          md5(col("frame_bytes")).as("fhash"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Multimodal resize planning: fit-in-box dims via IEEE double
+    // scale+floor (engine-exact); pixel resampling is the stubbed step.
+    "mm_resize" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      Multimodal.resizePlan(Multimodal.asMedia(T.documents(s, d)), 320, 240)
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal feature extraction: fixed-width numeric vector per
+    // payload (deterministic stub features from the content hash).
+    "mm_features" -> ((s, d) =>
+      Multimodal.featureVector(Multimodal.asMedia(T.documents(s, d)))
+        .orderBy("doc_id")),
+
     // G1: similarity-graph edge build (ref tm_graph.py:294-316).
     "g1_similarity_edges" -> ((s, d) =>
       GraphOps.coOccurrenceEdges(T.lineitem(s, d), "l_orderkey", "l_suppkey",
@@ -314,6 +340,33 @@ object LlmQueries {
         |  ORDER BY cos DESC, nid) AS rank FROM p)
         |SELECT qid, nid, cos FROM r WHERE rank = 1 AND cos >= 0.95
         |ORDER BY qid, nid""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |CAST(length(substr(text, i*100 + 1, 100)) AS INT) AS flen,
+        |md5(substr(text, i*100 + 1, 100)) AS fhash
+        |FROM (SELECT doc_id, text,
+        |  unnest(range(0, length(text) // 100, 2)) AS i FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        |CAST(length(text) % 640 AS INT) AS src_w,
+        |CAST((length(text)*7) % 480 AS INT) AS src_h,
+        |CASE WHEN length(text) % 640 = 0 OR (length(text)*7) % 480 = 0
+        |  THEN 0 ELSE CAST(floor((length(text) % 640) *
+        |    least(320.0 / (length(text) % 640),
+        |          240.0 / ((length(text)*7) % 480))) AS INT) END AS out_w,
+        |CASE WHEN length(text) % 640 = 0 OR (length(text)*7) % 480 = 0
+        |  THEN 0 ELSE CAST(floor(((length(text)*7) % 480) *
+        |    least(320.0 / (length(text) % 640),
+        |          240.0 / ((length(text)*7) % 480))) AS INT) END AS out_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id,
+        |('0x' || substr(md5(text), 1, 8))::BIGINT AS f0,
+        |('0x' || substr(md5(text), 9, 8))::BIGINT AS f1,
+        |('0x' || substr(md5(text), 17, 8))::BIGINT AS f2,
+        |('0x' || substr(md5(text), 25, 8))::BIGINT AS f3
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS byte_len,
         |CAST(length(text) % 640 AS INT) AS width,

@@ -106,4 +106,39 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(
       again.map(_.toString).sorted))
   }
+
+  test("frameSample slices every stride-th fixed-width frame") {
+    implicit val s = spark
+    import spark.implicits._
+    val one = Seq((1L, ("x" * 25).getBytes, "m")).toDF("doc_id", "media", "mime")
+    val frames = Multimodal.frameSample(one, frameBytes = 10, stride = 2)
+      .collect()
+    // 25 bytes / 10 = 2 frames, stride 2 keeps frame 0 only
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0))
+    assert(frames.head.getAs[Array[Byte]](2).length == 10)
+  }
+
+  test("resizePlan fits in box, preserves aspect, guards zero dims") {
+    implicit val s = spark
+    import spark.implicits._
+    // media of 1000 bytes: src 360x40 -> scale min(320/360, 240/40)
+    val one = Seq((1L, new Array[Byte](1000), "m")).toDF("doc_id", "media", "mime")
+    val r = Multimodal.resizePlan(one, 320, 240).collect().head
+    assert(r.getInt(1) == 1000 % 640 && r.getInt(2) == 7000 % 480)
+    val scale = math.min(320.0 / (1000 % 640), 240.0 / (7000 % 480))
+    assert(r.getInt(3) == math.floor((1000 % 640) * scale).toInt)
+    // 640-byte payload -> src_w 0 -> 0x0 output
+    val z = Seq((2L, new Array[Byte](640), "m")).toDF("doc_id", "media", "mime")
+    assert(Multimodal.resizePlan(z, 320, 240).collect().head.getInt(3) == 0)
+  }
+
+  test("featureVector: 4 deterministic 32-bit features per payload") {
+    implicit val s = spark
+    import spark.implicits._
+    val one = Seq((1L, "abc".getBytes, "m")).toDF("doc_id", "media", "mime")
+    val r = Multimodal.featureVector(one).collect().head
+    // md5("abc") = 900150983cd24fb0d6963f7d28e17f72
+    assert(r.getLong(1) == java.lang.Long.parseLong("90015098", 16))
+    assert(r.getLong(4) == java.lang.Long.parseLong("28e17f72", 16))
+  }
 }
