@@ -47,6 +47,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("near-dup shingling runs as codegen'd expressions, not UDFs") {
+    // the checkpoint barrier hides the shingle stage from the final
+    // executed plan, so audit the stage's own plan directly
+    import org.apache.spark.sql.functions.col
+    val sh = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(graft.operators.Dedup.hashedShingles(col("text"), 5).as("hs"))
+    val shPlan = sh.queryExecution.executedPlan.toString
+    assert(shPlan.contains("hashed_shingles") && !shPlan.contains("ScalaUDF"))
+    val sig = sh.select(
+      graft.operators.Dedup.minHashSig(col("hs"), 256).as("sig"))
+    assert(sig.queryExecution.executedPlan.toString.contains("minhash_sig"))
+    // and the assembled pipelines must not fall back to UDFs anywhere
+    Seq("d4_jaccard_pairs", "d5_minhash_lsh").foreach { q =>
+      assert(!plan(q).contains("ScalaUDF"), s"$q fell back to a UDF")
+    }
+  }
+
+  test("multimodal scans prune to payload + id only") {
+    val p = plan("mm_features")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      "feature extraction reads columns it never uses")
+  }
+
   test("aggregations use partial+final hash aggregation (map-side combine)") {
     val p = plan("a1_group_countdistinct")
     assert(p.contains("HashAggregate"))
