@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.udf
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the deterministic scalar functions —
@@ -228,6 +229,147 @@ case class MinHashSigExpr(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+/** One-pass text statistics: token count, distinct-token count, mean
+  * word length and stopword ratio from a single tokenize scan —
+  * replacing four per-column HOF pipelines that each re-split the text
+  * interpreted. Being codegen-capable also means whole-stage codegen's
+  * subexpression elimination computes the struct ONCE when a projection
+  * extracts all four fields. Semantics mirror the Column formulations
+  * exactly (ratios on the lowercased token, nulls when no tokens). */
+object TextStats {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  def compute(text: UTF8String, stop: Array[UTF8String]): InternalRow = {
+    val n = text.numBytes()
+    val stopSet = new java.util.HashSet[UTF8String](stop.length * 2)
+    stop.foreach(stopSet.add)
+    val seen = new java.util.HashSet[UTF8String]()
+    var nToks = 0
+    var stopHits = 0
+    var wsChars = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(text.getByte(i))) { wsChars += 1; i += 1 }
+      val start = i
+      while (i < n && !isWs(text.getByte(i))) i += 1
+      if (i > start) {
+        nToks += 1
+        val tok = text.substring(start, i)
+        seen.add(tok)
+        if (stopSet.contains(tok.toLowerCase)) stopHits += 1
+      }
+    }
+    val nonWs = text.numChars() - wsChars
+    val row = new GenericInternalRow(4)
+    row.setInt(0, nToks)
+    row.setInt(1, seen.size)
+    if (nToks == 0) { row.setNullAt(2); row.setNullAt(3) }
+    else {
+      row.setDouble(2, nonWs.toDouble / nToks)
+      row.setDouble(3, stopHits.toDouble / nToks)
+    }
+    row
+  }
+}
+
+case class TextStatsExpr(child: Expression, stop: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_toks", IntegerType, nullable = false),
+    StructField("n_uniq", IntegerType, nullable = false),
+    StructField("mean_wlen", DoubleType, nullable = true),
+    StructField("stop_ratio", DoubleType, nullable = true)))
+  override def prettyName: String = "text_stats"
+
+  @transient private lazy val stopArr: Array[UTF8String] =
+    stop.map(s => UTF8String.fromString(s.toLowerCase)).toArray
+
+  override def nullSafeEval(s: Any): Any =
+    TextStats.compute(s.asInstanceOf[UTF8String], stopArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopArr", stopArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextStats.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass stopword-vote language ID: per-language hit counters over a
+  * single lowercased tokenize scan, argmax with earlier-language tie
+  * wins, "und" when no language scores. Mirrors the array_max-of-structs
+  * Column formulation exactly, at one static call per row. */
+object LangVotes {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  def compute(text: UTF8String, labels: Array[UTF8String],
+              sets: Array[java.util.HashSet[UTF8String]],
+              und: UTF8String): UTF8String = {
+    val lower = text.toLowerCase
+    val n = lower.numBytes()
+    val scores = new Array[Int](sets.length)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(lower.getByte(i))) i += 1
+      val start = i
+      while (i < n && !isWs(lower.getByte(i))) i += 1
+      if (i > start) {
+        val tok = lower.substring(start, i)
+        var j = 0
+        while (j < sets.length) {
+          if (sets(j).contains(tok)) scores(j) += 1
+          j += 1
+        }
+      }
+    }
+    var best = 0
+    var j = 1
+    while (j < scores.length) { // strict > keeps the earlier language on ties
+      if (scores(j) > scores(best)) best = j
+      j += 1
+    }
+    if (scores(best) <= 0) und else labels(best)
+  }
+}
+
+case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  @transient private lazy val labels: Array[UTF8String] =
+    langs.map(l => UTF8String.fromString(l._1)).toArray
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    langs.map { case (_, ws) =>
+      val s = new java.util.HashSet[UTF8String](ws.length * 2)
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+  private val Und = UTF8String.fromString("und")
+
+  override def nullSafeEval(s: Any): Any =
+    LangVotes.compute(s.asInstanceOf[UTF8String], labels, sets, Und)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("labels", labels,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val sRef = ctx.addReferenceObj("sets", sets,
+      "java.util.HashSet[]")
+    val uRef = ctx.addReferenceObj("und", Und,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LangVotes.compute($c, $lRef, $sRef, $uRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class HashedShinglesExpr(child: Expression, k: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -255,6 +397,12 @@ object NativeExpressions {
 
   def minHashSig(hs: Column, numPerm: Int): Column =
     Shims.toColumn(MinHashSigExpr(Shims.toExpression(hs), numPerm))
+
+  def textStats(text: Column, stop: Seq[String]): Column =
+    Shims.toColumn(TextStatsExpr(Shims.toExpression(text), stop))
+
+  def langId(text: Column, langs: Seq[(String, Seq[String])]): Column =
+    Shims.toColumn(LangIdExpr(Shims.toExpression(text), langs))
 
   def uuid5(ns: Column, name: Column): Column =
     Shims.toColumn(Uuid5Expr(Shims.toExpression(ns), Shims.toExpression(name)))

@@ -37,21 +37,19 @@ object TextAnalysis {
 
   /** n-gram-free language-ID heuristic: stopword votes per language,
     * highest count wins, earlier language wins ties, 'und' on no
-    * evidence. Selection is array_max over (score, priority, lang)
-    * structs — each score expression appears exactly ONCE in the plan
-    * (a when-chain reduce duplicates every earlier score into later
-    * branches: measured ~4× slowdown from the re-split alone). */
-  def langIdHeuristic(c: Column): Column = {
-    val scores = Seq(
-      "en" -> stopwordHits(c, EnStop), "de" -> stopwordHits(c, DeStop),
-      "fr" -> stopwordHits(c, FrStop), "es" -> stopwordHits(c, EsStop))
-    val n = scores.length
-    val best = array_max(array(scores.zipWithIndex.map {
-      case ((l, s), i) =>
-        struct(s.as("s"), lit(n - i).as("p"), lit(l).as("l"))
-    }: _*))
-    when(best.getField("s") <= 0, lit("und")).otherwise(best.getField("l"))
-  }
+    * evidence. One fused tokenize pass (native LangIdExpr) — the
+    * Column formulation re-split the lowercased text once per language
+    * set, interpreted. */
+  def langIdHeuristic(c: Column): Column =
+    graft.functions.NativeExpressions.langId(c,
+      Seq("en" -> EnStop, "de" -> DeStop, "fr" -> FrStop, "es" -> EsStop))
+
+  /** All of [[tokenCount]] / [[distinctTokenCount]] / [[meanWordLen]] /
+    * [[stopwordRatio]] as ONE fused tokenize pass returning a struct —
+    * under whole-stage codegen, subexpression elimination evaluates it
+    * once no matter how many fields a projection extracts. */
+  def textStats(c: Column): Column =
+    graft.functions.NativeExpressions.textStats(c, EnStop)
 
   /** Quality scoring features (length / punctuation / stopword ratios —
     * the standard pretraining-corpus heuristics). Ratios are exact

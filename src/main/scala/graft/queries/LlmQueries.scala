@@ -25,15 +25,19 @@ object LlmQueries {
       Dedup.exactDedup(T.documents(s, d), "doc_id", "text")
         .orderBy("fp")),
 
-    // Text quality stats (length / token / stopword features).
-    "d2_text_stats" -> ((s, d) => T.documents(s, d)
-      .select(col("doc_id"),
-        length(col("text")).as("n_chars_m"),
-        TextAnalysis.tokenCount(col("text")).as("n_toks"),
-        TextAnalysis.distinctTokenCount(col("text")).as("n_uniq"),
-        TextAnalysis.meanWordLen(col("text")).as("mean_wlen"),
-        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"))
-      .orderBy("doc_id")),
+    // Text quality stats (length / token / stopword features) — one
+    // fused tokenize pass; CSE under codegen keeps it single-eval.
+    "d2_text_stats" -> ((s, d) => {
+      val st = TextAnalysis.textStats(col("text"))
+      T.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          st.getField("n_toks").as("n_toks"),
+          st.getField("n_uniq").as("n_uniq"),
+          st.getField("mean_wlen").as("mean_wlen"),
+          st.getField("stop_ratio").as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
 
     // Language-ID heuristic by stopword votes.
     "d3_langid" -> ((s, d) => T.documents(s, d)
