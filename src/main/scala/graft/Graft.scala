@@ -76,6 +76,19 @@ object Graft {
                  theta: Double): DataFrame =
     Fuzzy.tfCosinePairs(df, nameCol, n, theta)
 
+  /** One-pass text quality stats struct (tokens / distinct / mean word
+    * length / stopword ratio). */
+  def textStats(c: Column): Column =
+    graft.operators.TextAnalysis.textStats(c)
+
+  /** Stopword-vote language ID ('en'/'de'/'fr'/'es'/'und'). */
+  def langId(c: Column): Column =
+    graft.operators.TextAnalysis.langIdHeuristic(c)
+
+  /** Engine-portable SimHash signatures (hex, md5-based bit votes). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.simHashPortable(df, idCol, textCol)
+
   /** Register graft's SQL functions (`uuid5`, `title_case`) and the
     * codec-collapse optimizer rule on a session. */
   def install(spark: SparkSession): Unit = {
