@@ -50,4 +50,37 @@ object GraftProperties extends Properties("graft") {
       parts.forall(p => p.nonEmpty && p == p.trim) &&
         parts.distinct == parts
     }
+
+  // reference string-shingle set (the semantics HashedShingles fuses)
+  private def stringShingles(s: String, k: Int): Set[String] = {
+    val toks = s.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) Set(toks.mkString(" "))
+    else toks.sliding(k).map(_.mkString(" ")).toSet
+  }
+
+  private def hashed(s: String, k: Int): Seq[Long] = {
+    val arr = graft.functions.HashedShingles.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), k)
+    (0 until arr.numElements()).map(arr.getLong)
+  }
+
+  property("hashedShingles cardinality matches the string-shingle set") =
+    forAll(sentence, Gen.choose(1, 5)) { (s, k) =>
+      hashed(s, k).length == stringShingles(s, k).size
+    }
+
+  property("hashedShingles Jaccard equals string-shingle Jaccard") =
+    forAll(sentence, sentence, Gen.choose(1, 4)) { (a, b, k) =>
+      val (ha, hb) = (hashed(a, k).toSet, hashed(b, k).toSet)
+      val (sa, sb) = (stringShingles(a, k), stringShingles(b, k))
+      val hj = ha.intersect(hb).size.toDouble / ha.union(hb).size
+      val sj = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      hj == sj
+    }
+
+  property("hashedShingles output is sorted strictly increasing") =
+    forAll(sentence, Gen.choose(1, 5)) { (s, k) =>
+      val h = hashed(s, k)
+      h.zip(h.drop(1)).forall { case (x, y) => x < y } || h.length <= 1
+    }
 }
