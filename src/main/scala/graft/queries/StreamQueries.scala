@@ -33,6 +33,18 @@ object StreamQueries {
       .agg(count(lit(1)).as("n"), sum(Exprs.cents(col("value"))).as("v_cents"))
       .orderBy("user_id", "day")),
 
+    // Batch twin of the streaming dedup (dropDuplicatesWithinWatermark):
+    // deterministic per-key first-event summary. The streaming path
+    // keeps one arbitrary survivor per key; the spec compares key sets.
+    "st_dedup" -> ((s, d) => T.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_dups"),
+        // micros, not nanos: DuckDB reads TIMESTAMP(NANOS) at micro
+        // precision, so the oracle can only see epoch_us
+        expr("min(ts) div 1000").as("first_ts"),
+        min(col("event_id")).as("keeper"))
+      .orderBy("user_id", "event_type")),
+
     // Gap-delimited sessionization (30 min), batch form: lag + flag
     // cumsum. The stateful-streaming twin is EventStream.sessionize
     // (flatMapGroupsWithState), asserted equal in EventStreamSpec.
@@ -61,6 +73,11 @@ object StreamQueries {
         |COUNT(*) AS n,
         |CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS v_cents
         |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    "st_dedup" ->
+      """SELECT user_id, event_type, COUNT(*) AS n_dups,
+        |CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_ts,
+        |MIN(event_id) AS keeper
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
     "st_sessions" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM (

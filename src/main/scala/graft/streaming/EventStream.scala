@@ -72,6 +72,21 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the dedup family's streaming arm: one
+    * surviving event per key, with per-key state expiring at the
+    * watermark horizon (bounded state at 100 TB/day rates; an unbounded
+    * `dropDuplicates` would accrete state forever). Batch twin:
+    * `st_dedup` (per-key first-event summary); EventStreamSpec asserts
+    * the streamed survivor key set equals the batch key set. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withColumn("ts_ev",
+        if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else col("ts"))
+      .withWatermark("ts_ev", "2 hours")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** One-shot catch-up run (processes all available input, then stops) —
     * the Trigger.AvailableNow analogue of the reference's incremental
     * import. Caller supplies the sink via `foreachBatch`. */

@@ -50,4 +50,27 @@ class EventStreamSpec extends SparkSpec {
       .toMap
     assert(got == want)
   }
+
+  test("streaming dedup (watermarked) keeps exactly one survivor per key") {
+    val dir = Files.createTempDirectory("evdedup").toString
+    val ckpt = Files.createTempDirectory("evdedupck").toString
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+
+    val keys = Seq("user_id", "event_type")
+    val dd = EventStream.dedupStream(EventStream.readEvents(spark, dir), keys)
+    var got = Set.empty[(Long, String)]
+    var n = 0L
+    EventStream.runAvailableNow(dd, ckpt, mode = "append") { (b, _) =>
+      val rows = b.collect()
+      n += rows.length
+      rows.foreach(r => got += ((r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"))))
+    }
+
+    val want = graft.queries.StreamQueries.defs("st_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    assert(n == want.size, "a key emitted more than one survivor")
+  }
 }
