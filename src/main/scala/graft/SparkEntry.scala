@@ -9,9 +9,10 @@ import graft.queries._
   * `queries` carries one entry per implemented operator from SURVEY §2
   * (plus the LLM-pipeline operators); `oracleSql` carries the DuckDB
   * equivalent for every SQL-expressible query (same column names/types,
-  * same total-order ORDER BY). UDF-backed and hash-function-specific
-  * queries (titlecase, nfkd, uuid, simhash, LSH-bucketed ANN) are
-  * rows-only checked here and covered by ScalaTest specs instead.
+  * same total-order ORDER BY). The only rows-only queries are the
+  * genuinely non-SQL-expressible four: approximate ANN (hash-seed-
+  * specific bucketing; recall spec-asserted), sha1-based uuid5 (DuckDB
+  * has no sha1) and time-based uuid7 — everything else hash-matches.
   */
 object SparkEntry {
 
