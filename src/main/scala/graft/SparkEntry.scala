@@ -27,6 +27,7 @@ object SparkEntry {
     (StreamQueries.defs, StreamQueries.sql),
     (MiscQueries.defs, MiscQueries.sql),
     (ReportQueries.defs, ReportQueries.sql),
+    (StoreQueries.defs, StoreQueries.sql),
   )
 
   /** Flagship query on sf0.001; driver smoke-checks rows>0. */
