@@ -33,8 +33,12 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // JVM/codegen/parquet-reader warmup so the alphabetically-first
     // query's number isn't inflated by ~2s of session start-up cost
-    graft.core.Tables.documents(spark, sfDir).count()
-    spark.range(16).select(org.apache.spark.sql.functions.sum("id")).collect()
+    try {
+      graft.core.Tables.documents(spark, sfDir).count()
+      spark.range(16).select(org.apache.spark.sql.functions.sum("id")).collect()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
