@@ -3,16 +3,19 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.cdc.Cdc
 import graft.core.{Tables => T}
-import graft.sources.{AlibStore, DelimitedSources}
+import graft.sources.{AlibStore, DelimitedSources, FileScan}
 
-/** Store-lifecycle and delimited-source operators as driver-checked
-  * queries (SURVEY §2.1 S5/S12/S14, §2.2 P4, §2.9 M6/M8): each builds a
-  * deterministic scenario from the provided tables so the DuckDB oracle
-  * can state the expected outcome directly. The round-trip queries
-  * write a real delimited file under /tmp and read it back through the
-  * source — parsing, null encoding and validation are exercised
-  * end-to-end, not mocked.
+/** Store-lifecycle, source/sink, and CDC-maintenance operators as
+  * driver-checked queries (SURVEY §2.1 S1/S3/S5/S12-S15, §2.2 P4,
+  * §2.9 M3/M5-M8): each builds a deterministic scenario from the
+  * provided tables so the DuckDB oracle can state the expected outcome
+  * directly. The round-trip queries write REAL files under /tmp (fake
+  * audio payloads, MB-style TSV with \N nulls, Wikidata-style JSON,
+  * pipe-delimited scores, CSV reports) and read them back through the
+  * corresponding source — scanning, parsing, null encoding and row
+  * validation are exercised end-to-end, not mocked.
   */
 object StoreQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -77,6 +80,86 @@ object StoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // S1/S3: file scan + tag-parse round-trip — write one fake audio
+    // file per nation, scan via the binaryFile source (glob +
+    // recursive), parse per partition; name and byte length must
+    // round-trip (the decode itself is the documented stub).
+    "s1_scan_parse" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      val root = java.nio.file.Paths.get("/tmp/graft_s1_files")
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      java.nio.file.Files.createDirectories(root)
+      T.nation(s, d)
+        .select(col("n_name"),
+          concat(col("n_name"), lit("-"), col("n_regionkey")).as("payload"))
+        .collect().foreach { r =>
+          java.nio.file.Files.write(root.resolve(r.getString(0) + ".mp3"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      FileScan.parseTags(FileScan.scanAudioFiles(s, root.toString))
+        .select(col("__filename"), col("__size"))
+        .orderBy("__filename")
+    }),
+
+    // S13: Wikidata-style JSON round-trip — entities with optional
+    // claim structs; the source must keep only id-bearing entities.
+    "s13_wikidata_roundtrip" -> ((s, d) => {
+      val src = T.nation(s, d).select(
+        concat(lit("Q"), col("n_nationkey")).as("id"),
+        struct(col("n_name").as("en")).as("labels"),
+        struct(when(col("n_nationkey") % 2 === 0,
+          concat(lit("mbid-"), col("n_nationkey"))).as("P434")).as("claims"))
+      val dir = "/tmp/graft_s13_wd"
+      src.write.mode("overwrite").json(dir)
+      DelimitedSources.readWikidataEntities(s, dir, Seq("P434"))
+        .orderBy("entity_id")
+    }),
+
+    // S15: CSV report sink round-trip (header on, schema supplied on
+    // the way back in).
+    "s15_csv_roundtrip" -> ((s, d) => {
+      val rep = T.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val dir = "/tmp/graft_s15_csv"
+      DelimitedSources.writeCsvReport(rep, dir)
+      s.read.option("header", "true").schema(rep.schema).csv(dir)
+        .orderBy("n_nationkey")
+    }),
+
+    // M3: audit snapshot diff — out-of-band edits surface as changelog
+    // rows under the trigger's script tag.
+    "m3_audit_diff" -> ((s, d) => {
+      val last = T.documents(s, d)
+      val cur = last.withColumn("lang",
+        when(col("doc_id") % 4 === 0, lit("zz")).otherwise(col("lang")))
+      Cdc.auditSnapshotDiff(last, cur, "doc_id", Seq("lang", "source"))
+        .orderBy("key", "column")
+    }),
+
+    // M5: modification-counter reset after export.
+    "m5_reset" -> ((s, d) =>
+      AlibStore.resetSqlmodded(T.documents(s, d)
+          .withColumn("__sqlmodded", (col("doc_id") % 3).cast("int")))
+        .select(col("doc_id"), col("__sqlmodded"))
+        .orderBy("doc_id")),
+
+    // M7: changelog schema migration — rowid-keyed legacy rows backfill
+    // to the stable key, unmapped rowids keep a sentinel key.
+    "m7_migrate" -> ((s, d) => {
+      val oldLog = T.customer(s, d).select(
+        col("c_custkey").as("rowid"),
+        lit("genre").as("column"),
+        col("c_mktsegment").as("old_value"),
+        lit("Rock").as("new_value"),
+        lit("step-10").as("script"))
+      val mapping = T.customer(s, d).filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("rowid"), col("c_name").as("key"))
+      Cdc.migrateChangelog(oldLog, mapping).orderBy("key")
+    }),
+
     // S14: pipe-delimited DR-score round-trip — every 11th row is
     // malformed on purpose; validation must flag, not drop.
     "s14_dr_roundtrip" -> ((s, d) => {
@@ -108,6 +191,33 @@ object StoreQueries {
       """SELECT CASE WHEN source = 'src1' THEN 'source_one'
         |WHEN source = 'src2' THEN 'source_two' ELSE source END AS source,
         |COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+    "s1_scan_parse" ->
+      """SELECT n_name || '.mp3' AS __filename,
+        |CAST(length(n_name || '-' || CAST(n_regionkey AS VARCHAR)) AS BIGINT)
+        |  AS __size
+        |FROM nation ORDER BY __filename""".stripMargin,
+    "s13_wikidata_roundtrip" ->
+      """SELECT 'Q' || CAST(n_nationkey AS VARCHAR) AS entity_id,
+        |n_name AS label_en,
+        |'mbid-' || CAST(n_nationkey AS VARCHAR) AS p434
+        |FROM nation WHERE n_nationkey % 2 = 0 ORDER BY entity_id""".stripMargin,
+    "s15_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "m3_audit_diff" ->
+      """SELECT doc_id AS key, 'lang' AS "column", lang AS old_value,
+        |'zz' AS new_value, 'TRIGGER_AUDIT' AS script
+        |FROM documents WHERE doc_id % 4 = 0 AND lang IS DISTINCT FROM 'zz'
+        |ORDER BY key, "column"""".stripMargin,
+    "m5_reset" ->
+      """SELECT doc_id, CAST(NULL AS INT) AS __sqlmodded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m7_migrate" ->
+      """SELECT CASE WHEN c_custkey % 3 <> 0 THEN c_name
+        |  ELSE 'rowid:' || CAST(c_custkey AS VARCHAR) END AS key,
+        |'genre' AS "column", c_mktsegment AS old_value,
+        |'Rock' AS new_value, 'step-10' AS script
+        |FROM customer ORDER BY key""".stripMargin,
     "s12_tsv_roundtrip" ->
       """SELECT c_custkey, c_name,
         |CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
