@@ -147,6 +147,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // End-to-end corpus filter — the full training-data funnel in one
+    // plan: quality floor (token count), language-ID agreement, and
+    // exact-dedup survivorship. All stages are scan-side expressions
+    // plus one fingerprint aggregation; no shuffle touches the text
+    // column beyond the dedup key.
+    "d15_corpus_filter" -> ((s, d) => {
+      val st = TextAnalysis.textStats(col("text"))
+      val scored = T.documents(s, d).select(col("doc_id"), col("lang"),
+        st.getField("n_toks").as("n_toks"),
+        TextAnalysis.langIdHeuristic(col("text")).as("pred"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val keepers = scored.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      scored.join(keepers, Seq("fp", "doc_id"), "left_semi")
+        .filter(col("n_toks") >= 20 && col("pred") === col("lang"))
+        .select("doc_id", "lang", "n_toks")
+        .orderBy("doc_id")
+    }),
+
     // Multimodal frame sampling: every 2nd 100-byte "frame" as its own
     // row — the generator shape (rows out >> rows in, no shuffle).
     "mm_frames" -> ((s, d) => {
@@ -261,6 +279,28 @@ object LlmQueries {
 
   val sql: Map[String, String] = Map(
     "d6_simhash" -> SimHashSql,
+    "d15_corpus_filter" ->
+      """WITH base AS (SELECT doc_id, lang,
+        |  string_split(lower(text), ' ') AS lws,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |    AS INT) AS n_toks,
+        |  md5(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM base GROUP BY fp),
+        |scored AS (SELECT b.doc_id, b.lang, b.n_toks,
+        |  CASE WHEN greatest(ens, des, frs, ess) <= 0 THEN 'und'
+        |  WHEN ens >= des AND ens >= frs AND ens >= ess THEN 'en'
+        |  WHEN des >= frs AND des >= ess THEN 'de'
+        |  WHEN frs >= ess THEN 'fr' ELSE 'es' END AS pred
+        |  FROM (SELECT b2.*,
+        |    len(list_filter(lws, t -> t IN ('the','a','an','and','of','is','to','in'))) AS ens,
+        |    len(list_filter(lws, t -> t IN ('der','die','das','und','ist','nicht'))) AS des,
+        |    len(list_filter(lws, t -> t IN ('le','la','les','et','est','ne','pas'))) AS frs,
+        |    len(list_filter(lws, t -> t IN ('el','los','las','y','es','no','que'))) AS ess
+        |    FROM base b2) b
+        |  JOIN keep k ON b.fp = k.fp AND b.doc_id = k.doc_id)
+        |SELECT doc_id, lang, n_toks FROM scored
+        |WHERE n_toks >= 20 AND pred = lang ORDER BY doc_id""".stripMargin,
     "d13_subword_tokens" ->
       """SELECT c_custkey,
         |CAST(len(list_filter(string_split_regex(c_name, '\s+'),
