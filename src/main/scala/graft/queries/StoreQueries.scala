@@ -160,6 +160,14 @@ object StoreQueries {
       Cdc.migrateChangelog(oldLog, mapping).orderBy("key")
     }),
 
+    // Skew-safe two-phase salted aggregation — identical result to a
+    // plain groupBy count, but no reducer ever owns a hot key's whole
+    // traffic (the aggregation-side skew handling AQE doesn't do).
+    "sk_salted_count" -> ((s, d) =>
+      graft.core.Scale.saltedCount(T.lineitem(s, d),
+          "l_suppkey", "l_orderkey")
+        .orderBy("l_suppkey")),
+
     // S14: pipe-delimited DR-score round-trip — every 11th row is
     // malformed on purpose; validation must flag, not drop.
     "s14_dr_roundtrip" -> ((s, d) => {
@@ -218,6 +226,9 @@ object StoreQueries {
         |'genre' AS "column", c_mktsegment AS old_value,
         |'Rock' AS new_value, 'step-10' AS script
         |FROM customer ORDER BY key""".stripMargin,
+    "sk_salted_count" ->
+      """SELECT l_suppkey, COUNT(*) AS n FROM lineitem
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "s12_tsv_roundtrip" ->
       """SELECT c_custkey, c_name,
         |CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
