@@ -16,7 +16,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
+  private[graft] val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
     Map[String, String])] = Seq(
     (AggQueries.defs, AggQueries.sql),
     (JoinQueries.defs, JoinQueries.sql),

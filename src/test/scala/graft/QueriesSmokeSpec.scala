@@ -16,6 +16,22 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(extra.isEmpty, s"oracleSql without a query: $extra")
   }
 
+  test("no query-name collisions across modules (toMap would silently drop)") {
+    assert(SparkEntry.modules.map(_._1.size).sum == SparkEntry.queries.size)
+    assert(SparkEntry.modules.map(_._2.size).sum == SparkEntry.oracleSql.size)
+  }
+
+  test("every query lacking an oracle is on the documented allowlist") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val allowed = Set(
+      "d8_ann_lsh", "d9_ann_ivf", // hash-seed-specific bucketing
+      "f_uuid5",                  // sha1-based; DuckDB has no sha1
+      "f_uuid7_validity")         // time-based by design
+    assert(rowsOnly == allowed,
+      s"new rows-only queries need an oracle or a documented reason: " +
+        s"${rowsOnly -- allowed}")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"query $name executes at sf0.001") {
       val df = fn(spark, sf0001)
