@@ -47,17 +47,37 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // sweep cached blocks between queries: operators free their own
+      // big intermediates, but result-sized localCheckpoints (dedup
+      // pairs, CC labels) survive by design for the caller — left
+      // cached they accrete across 100+ queries and polluted round 3's
+      // j*/f_* timings 2-17×. unpersist on a plain .cache() is always
+      // safe (lineage intact); on a consumed checkpoint it's final.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (name, sec, ok)
     }
-    // 3-decimal rounding keeps the whole line under the driver's output-tail
-    // buffer (round 2's full-precision line overflowed it -> parsed: null).
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of stdout; a ~3.5 KB
+    // single line with all 110+ per-query timings gets its head cut off
+    // and fails to parse (rounds 2-3). So: full per-query map → sidecar
+    // file in the repo (plus a first line for humans/wide tails), and
+    // the LAST line printed is a compact summary — always inside the
+    // tail window — carrying the slowest queries and the sidecar path.
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_QUERIES.json"), full + "\n")
+    println(full)
+    val slowest = results.sortBy(-_._2).take(12)
+      .map { case (k, v, _) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"failed":$failed,"queries_file":"BENCH_QUERIES.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -240,22 +240,26 @@ object TextStats {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
-  def compute(text: UTF8String, stop: Array[UTF8String]): InternalRow = {
-    val n = text.numBytes()
-    val stopSet = new java.util.HashSet[UTF8String](stop.length * 2)
-    stop.foreach(stopSet.add)
+  def compute(text: UTF8String, stopSet: java.util.HashSet[UTF8String]): InternalRow = {
+    // Tokens are built straight from BYTE ranges with fromBytes —
+    // UTF8String.substring is CHARACTER-indexed, so feeding it the byte
+    // offsets this scanner produces corrupts any multi-byte UTF-8 text
+    // ("für die" → token "ie"). Whitespace bytes are ASCII, so the byte
+    // scan itself is UTF-8 safe (continuation bytes are all >= 0x80).
+    val bytes = text.getBytes
+    val n = bytes.length
     val seen = new java.util.HashSet[UTF8String]()
     var nToks = 0
     var stopHits = 0
-    var wsChars = 0
+    var wsChars = 0 // ws is ASCII → byte count == char count
     var i = 0
     while (i < n) {
-      while (i < n && isWs(text.getByte(i))) { wsChars += 1; i += 1 }
+      while (i < n && isWs(bytes(i))) { wsChars += 1; i += 1 }
       val start = i
-      while (i < n && !isWs(text.getByte(i))) i += 1
+      while (i < n && !isWs(bytes(i))) i += 1
       if (i > start) {
         nToks += 1
-        val tok = text.substring(start, i)
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
         seen.add(tok)
         if (stopSet.contains(tok.toLowerCase)) stopHits += 1
       }
@@ -282,15 +286,19 @@ case class TextStatsExpr(child: Expression, stop: Seq[String])
     StructField("stop_ratio", DoubleType, nullable = true)))
   override def prettyName: String = "text_stats"
 
-  @transient private lazy val stopArr: Array[UTF8String] =
-    stop.map(s => UTF8String.fromString(s.toLowerCase)).toArray
+  // built once per expression instance (not per row) and shared by the
+  // interpreted and codegen paths via addReferenceObj
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](stop.length * 2)
+    stop.foreach(w => s.add(UTF8String.fromString(w.toLowerCase)))
+    s
+  }
 
   override def nullSafeEval(s: Any): Any =
-    TextStats.compute(s.asInstanceOf[UTF8String], stopArr)
+    TextStats.compute(s.asInstanceOf[UTF8String], stopSet)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("stopArr", stopArr,
-      "org.apache.spark.unsafe.types.UTF8String[]")
+    val ref = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextStats.compute($c, $ref)")
   }
@@ -310,16 +318,19 @@ object LangVotes {
   def compute(text: UTF8String, labels: Array[UTF8String],
               sets: Array[java.util.HashSet[UTF8String]],
               und: UTF8String): UTF8String = {
-    val lower = text.toLowerCase
-    val n = lower.numBytes()
+    // byte-range token build (fromBytes), NOT substring — substring is
+    // character-indexed and byte offsets corrupt multi-byte UTF-8 (the
+    // multilingual input this heuristic exists for; see TextStats)
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
     val scores = new Array[Int](sets.length)
     var i = 0
     while (i < n) {
-      while (i < n && isWs(lower.getByte(i))) i += 1
+      while (i < n && isWs(bytes(i))) i += 1
       val start = i
-      while (i < n && !isWs(lower.getByte(i))) i += 1
+      while (i < n && !isWs(bytes(i))) i += 1
       if (i > start) {
-        val tok = lower.substring(start, i)
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
         var j = 0
         while (j < sets.length) {
           if (sets(j).contains(tok)) scores(j) += 1

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
 
 /** Deduplication for training-data pipelines: exact (hash group-by),
   * n-gram Jaccard (lossless inverted-index blocking), MinHash-LSH
@@ -69,7 +70,7 @@ object Dedup {
         exploded.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
           .filter(col("df") <= dfCap).drop("df")
       else exploded
-    posting.as("a")
+    val out = posting.as("a")
       .join(posting.as("b"), col("a.s") === col("b.s")
         && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -80,6 +81,13 @@ object Dedup {
           / (col("na") + col("nb") - col("shared")), 6))
       .filter(col("jac") >= theta)
       .select("id_a", "id_b", "jac")
+      // materialize the (small) pair output, then free the shingle-set
+      // blocks — without this every call leaks its `sh` cache for the
+      // session's lifetime (measured 2-17× pollution on unrelated
+      // queries running later in the same session)
+      .localCheckpoint(true)
+    Shims.unpersistLocalCheckpoint(sh)
+    out
   }
 
   /** MinHash signature: array of `numPerm` 64-bit min-hashes over a
@@ -134,7 +142,7 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     // exact re-score on the hashed shingle sets (long compares, not
     // string compares; same counts w.h.p. as above)
-    cand
+    val out = cand
       .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .withColumn("shared", size(array_intersect(col("hs_a"), col("hs_b"))))
@@ -142,6 +150,12 @@ object Dedup {
         / (size(col("hs_a")) + size(col("hs_b")) - col("shared")), 6))
       .filter(col("jac") >= theta)
       .select("id_a", "id_b", "jac")
+      // materialize the (small) output, then free the shingle-set and
+      // signature blocks this operator cached (see jaccardPairs)
+      .localCheckpoint(true)
+    Shims.unpersistLocalCheckpoint(sh)
+    Shims.unpersistLocalCheckpoint(sig)
+    out
   }
 
   /** 64-bit SimHash of word tokens: per-token xxhash64, bitwise majority

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fuzzy string matching: char-n-gram cosine similarity pairs — the
@@ -13,10 +14,24 @@ import org.apache.spark.sql.functions._
   * blocking — any pair with cosine > 0 shares a gram, so blocking is
   * lossless), dot products as integer sums over shared grams, then one
   * filter on the exact cosine. No cross product anywhere; the shuffle
-  * key is the n-gram. High-df grams (stop-grams) can be capped the same
-  * way as [[Dedup.jaccardPairs]] for skew control at scale.
+  * key is the n-gram.
+  *
+  * Skew control: `dfCap > 0` drops postings whose gram appears in more
+  * than `dfCap` names from the DOT-PRODUCT side only (norms keep the
+  * full vectors) — the same stop-shingle guard as
+  * [[Dedup.jaccardPairs]]. A stop-gram ("the", " an") in k names
+  * contributes O(k²) candidate rows on ONE shuffle key; uncapped that
+  * is the canonical 100 TB skew/OOM killer. Capped cosines
+  * lower-bound the uncapped ones (dropped grams only remove dot mass),
+  * so the cap trades bounded recall for a bounded per-key fan-out.
   */
 object Fuzzy {
+
+  /** Postings with grams above the df cap removed (no-op at cap 0). */
+  private def capPostings(tf: DataFrame, dfCap: Int): DataFrame =
+    if (dfCap <= 0) tf
+    else tf.withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("__df") <= dfCap).drop("__df")
 
   /** Char n-grams of a string as an array column (short strings yield
     * the whole string as a single gram). */
@@ -31,7 +46,7 @@ object Fuzzy {
     * Integer dot products + deterministic sqrt/division → results are
     * engine-exact (oracle-comparable). Output: (name_a, name_b, cos). */
   def tfCosinePairs(df: DataFrame, nameCol: String, n: Int,
-                    theta: Double): DataFrame = {
+                    theta: Double, dfCap: Int = 0): DataFrame = {
     val names = df.select(lower(trim(col(nameCol))).as("name"))
       .filter(col("name") =!= "").distinct()
     val tf = names
@@ -39,8 +54,9 @@ object Fuzzy {
       .groupBy("name", "g").agg(count(lit(1)).as("tf"))
     val norms = tf.groupBy("name")
       .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
-    val dots = tf.as("a")
-      .join(tf.as("b"), col("a.g") === col("b.g")
+    val posting = capPostings(tf, dfCap)
+    val dots = posting.as("a")
+      .join(posting.as("b"), col("a.g") === col("b.g")
         && col("a.name") < col("b.name"))
       .groupBy(col("a.name").as("name_a"), col("b.name").as("name_b"))
       .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
@@ -61,7 +77,7 @@ object Fuzzy {
     * filter: double accumulation order differs across engines at the
     * ~1e-15 level, and rounding makes the output oracle-exact. */
   def tfidfCosinePairs(df: DataFrame, nameCol: String, n: Int,
-                       theta: Double): DataFrame = {
+                       theta: Double, dfCap: Int = 0): DataFrame = {
     val names = df.select(lower(trim(col(nameCol))).as("name"))
       .filter(col("name") =!= "").distinct()
     val nNames = names.count()
@@ -75,8 +91,9 @@ object Fuzzy {
       .withColumn("w", col("tf") * col("idf"))
     val norms = w.groupBy("name")
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    val dots = w.as("a")
-      .join(w.as("b"), col("a.g") === col("b.g")
+    val posting = capPostings(w, dfCap)
+    val dots = posting.as("a")
+      .join(posting.as("b"), col("a.g") === col("b.g")
         && col("a.name") < col("b.name"))
       .groupBy(col("a.name").as("name_a"), col("b.name").as("name_b"))
       .agg(sum(col("a.w") * col("b.w")).as("dot"))

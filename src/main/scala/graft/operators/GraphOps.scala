@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
 
 /** Graph operators: similarity-graph build + connected components
   * (ref graph build `src/tagminder/core/tm_graph.py:106-451`; union-find
@@ -56,6 +57,7 @@ object GraphOps {
       .localCheckpoint(true)
     val nodes = sym.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("comp", col("node"))
+    var prevCp: DataFrame = null // previous round's checkpoint, freed each round
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -66,18 +68,29 @@ object GraphOps {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp"))
         .localCheckpoint(true) // truncate lineage; also acts as a barrier
+      // `next` is materialized (eager checkpoint) → the previous round's
+      // blocks have been fully consumed and can be freed; without this
+      // every round leaks a labels-sized cache for the session lifetime
+      if (prevCp != null) Shims.unpersistLocalCheckpoint(prevCp)
+      prevCp = next
       converged =
         next.filter(col("comp") =!= col("__old")).limit(1).count() == 0
       labels = next.select("node", "comp")
       i += 1
     }
+    // copy the final (small) labels out of the last round's checkpoint so
+    // the edge cache and the last per-round block can both be freed; only
+    // the labels-sized result stays cached for the caller to consume
+    val out = labels.localCheckpoint(true)
+    if (prevCp != null) Shims.unpersistLocalCheckpoint(prevCp)
+    Shims.unpersistLocalCheckpoint(sym)
     if (!converged) {
       val msg = s"connectedComponents did not converge in $maxIter rounds; " +
         "labels would split components. Raise maxIter."
       if (failOnMaxIter) throw new IllegalStateException(msg)
       else System.err.println(s"[graft] WARNING: $msg")
     }
-    labels
+    out
   }
 
   /** Per-component rollup stats (ref cluster stats `15-...py:347-375`):

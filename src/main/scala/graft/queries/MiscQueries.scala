@@ -17,13 +17,18 @@ object MiscQueries {
   val defs: Map[String, Q] = Map(
     // Fuzzy char-3-gram cosine pairs over part names (ref string_grouper
     // stage, 10-...py:344-391) — shared-gram blocking, no cross join.
+    // dfCap=200 exercises the stop-gram guard (grams in >200 names are
+    // dropped from the dot side); the oracle applies the SAME cap, so
+    // the capped semantics — not a tuned-to-pass no-op — are verified.
     "fz_tf_cosine" -> ((s, d) =>
-      Fuzzy.tfCosinePairs(T.part(s, d), "p_name", n = 3, theta = 0.5)
+      Fuzzy.tfCosinePairs(T.part(s, d), "p_name", n = 3, theta = 0.5,
+          dfCap = 200)
         .orderBy("name_a", "name_b")),
 
     // TF-IDF-weighted fuzzy pairs (string_grouper scoring).
     "fz_tfidf_cosine" -> ((s, d) =>
-      Fuzzy.tfidfCosinePairs(T.part(s, d), "p_name", n = 3, theta = 0.6)
+      Fuzzy.tfidfCosinePairs(T.part(s, d), "p_name", n = 3, theta = 0.6,
+          dfCap = 200)
         .orderBy("name_a", "name_b")),
 
     // involvedpeople-style role:person fan-out (ref 01-...py:136-253).
@@ -55,9 +60,11 @@ object MiscQueries {
         |    END) AS g FROM names) GROUP BY name, g),
         |norms AS (SELECT name, sqrt(CAST(SUM(tf*tf) AS DOUBLE)) AS nrm
         |  FROM tf GROUP BY name),
+        |cap AS (SELECT name, g, tf FROM (SELECT name, g, tf,
+        |  COUNT(*) OVER (PARTITION BY g) AS df FROM tf) WHERE df <= 200),
         |dots AS (SELECT a.name AS name_a, b.name AS name_b,
         |  CAST(SUM(a.tf*b.tf) AS BIGINT) AS dot
-        |  FROM tf a JOIN tf b ON a.g = b.g AND a.name < b.name
+        |  FROM cap a JOIN cap b ON a.g = b.g AND a.name < b.name
         |  GROUP BY 1, 2)
         |SELECT name_a, name_b, cos FROM (
         |  SELECT name_a, name_b,
@@ -81,9 +88,11 @@ object MiscQueries {
         |w AS (SELECT name, tf.g, tf.tf * idf.idf AS w
         |  FROM tf JOIN idf ON tf.g = idf.g),
         |norms AS (SELECT name, sqrt(SUM(w*w)) AS nrm FROM w GROUP BY name),
+        |cap AS (SELECT name, g, w FROM (SELECT name, g, w,
+        |  COUNT(*) OVER (PARTITION BY g) AS df FROM w) WHERE df <= 200),
         |dots AS (SELECT a.name AS name_a, b.name AS name_b,
         |  SUM(a.w*b.w) AS dot
-        |  FROM w a JOIN w b ON a.g = b.g AND a.name < b.name
+        |  FROM cap a JOIN cap b ON a.g = b.g AND a.name < b.name
         |  GROUP BY 1, 2)
         |SELECT name_a, name_b, cos FROM (
         |  SELECT name_a, name_b,

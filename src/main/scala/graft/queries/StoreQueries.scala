@@ -20,6 +20,14 @@ import graft.sources.{AlibStore, DelimitedSources, FileScan}
 object StoreQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-session scratch directory for the round-trip queries. Keyed by
+    * applicationId so two concurrent processes (sbt test vs the driver's
+    * Verify, or two bench runs) never race on the same path — the fixed
+    * /tmp paths used previously let one process delete a directory the
+    * other was mid-read on. */
+  private def scratch(s: SparkSession, name: String): String =
+    s"/tmp/graft_${s.sparkContext.applicationId}/$name"
+
   val defs: Map[String, Q] = Map(
     // S5: INSERT OR REPLACE upsert — incoming (10% of docs, lang
     // rewritten) wins on key collision, everything else survives.
@@ -72,7 +80,7 @@ object StoreQueries {
       val src = T.customer(s, d).select(col("c_custkey"), col("c_name"),
         when(col("c_custkey") % 7 === 0, lit(null))
           .otherwise(col("c_mktsegment")).as("seg"))
-      val dir = "/tmp/graft_s12_tsv"
+      val dir = scratch(s, "s12_tsv")
       src.write.mode("overwrite").option("sep", "\t")
         .option("nullValue", "\\N").option("header", "false")
         .option("quote", "").csv(dir)
@@ -86,7 +94,7 @@ object StoreQueries {
     // round-trip (the decode itself is the documented stub).
     "s1_scan_parse" -> ((s, d) => {
       implicit val sp: SparkSession = s
-      val root = java.nio.file.Paths.get("/tmp/graft_s1_files")
+      val root = java.nio.file.Paths.get(scratch(s, "s1_files"))
       if (java.nio.file.Files.exists(root)) {
         java.nio.file.Files.walk(root)
           .sorted(java.util.Comparator.reverseOrder())
@@ -100,9 +108,12 @@ object StoreQueries {
           java.nio.file.Files.write(root.resolve(r.getString(0) + ".mp3"),
             r.getString(1).getBytes("UTF-8"))
         }
+      // output names must avoid pyarrow's reserved dataset-virtual
+      // fields (__filename/__size) or the driver's oracle read fails
       FileScan.parseTags(FileScan.scanAudioFiles(s, root.toString))
-        .select(col("__filename"), col("__size"))
-        .orderBy("__filename")
+        .select(col("__filename").as("file_name"),
+          col("__size").as("file_size"))
+        .orderBy("file_name")
     }),
 
     // S13: Wikidata-style JSON round-trip — entities with optional
@@ -113,7 +124,7 @@ object StoreQueries {
         struct(col("n_name").as("en")).as("labels"),
         struct(when(col("n_nationkey") % 2 === 0,
           concat(lit("mbid-"), col("n_nationkey"))).as("P434")).as("claims"))
-      val dir = "/tmp/graft_s13_wd"
+      val dir = scratch(s, "s13_wd")
       src.write.mode("overwrite").json(dir)
       DelimitedSources.readWikidataEntities(s, dir, Seq("P434"))
         .orderBy("entity_id")
@@ -123,7 +134,7 @@ object StoreQueries {
     // the way back in).
     "s15_csv_roundtrip" -> ((s, d) => {
       val rep = T.nation(s, d).select(col("n_nationkey"), col("n_name"))
-      val dir = "/tmp/graft_s15_csv"
+      val dir = scratch(s, "s15_csv")
       DelimitedSources.writeCsvReport(rep, dir)
       s.read.option("header", "true").schema(rep.schema).csv(dir)
         .orderBy("n_nationkey")
@@ -176,7 +187,7 @@ object StoreQueries {
           concat(col("c_name"), lit("|missing")))
           .otherwise(concat(col("c_name"), lit("|DR"),
             (col("c_custkey") % 15).cast("int"))).as("value"))
-      val dir = "/tmp/graft_s14_dr"
+      val dir = scratch(s, "s14_dr")
       lines.write.mode("overwrite").text(dir)
       DelimitedSources.readDrScores(s, dir)
         .orderBy("raw")
@@ -200,10 +211,10 @@ object StoreQueries {
         |WHEN source = 'src2' THEN 'source_two' ELSE source END AS source,
         |COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
     "s1_scan_parse" ->
-      """SELECT n_name || '.mp3' AS __filename,
+      """SELECT n_name || '.mp3' AS file_name,
         |CAST(length(n_name || '-' || CAST(n_regionkey AS VARCHAR)) AS BIGINT)
-        |  AS __size
-        |FROM nation ORDER BY __filename""".stripMargin,
+        |  AS file_size
+        |FROM nation ORDER BY file_name""".stripMargin,
     "s13_wikidata_roundtrip" ->
       """SELECT 'Q' || CAST(n_nationkey AS VARCHAR) AS entity_id,
         |n_name AS label_en,

@@ -39,7 +39,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("near-dup pipelines contain no cartesian product") {
-    Seq("d4_jaccard_pairs", "d5_minhash_lsh", "fz_tf_cosine").foreach { q =>
+    // d10/d8 ride the bucketed LSH path — an equi-join on the bucket
+    // id — so no O(N²) nested-loop scan anywhere (round-3 verdict #4)
+    Seq("d4_jaccard_pairs", "d5_minhash_lsh", "fz_tf_cosine",
+        "fz_tfidf_cosine", "d10_emb_neardup", "d8_ann_lsh").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -72,6 +72,29 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(rows(2).getDouble(0) == 0.0)
   }
 
+  test("langId is UTF-8 correct: multi-byte chars don't derail tokens") {
+    // "für" is 4 bytes / 3 chars — a byte-indexed substring would turn
+    // the following "die" into "ie" and lose the German stopword votes
+    val df = Seq(
+      "der die das für",
+      "le café est né là pas",
+      "naïve weiß für öl und nicht").toDF("t")
+    val got = df.select(graft.operators.TextAnalysis
+      .langIdHeuristic(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("de", "fr", "de"))
+  }
+
+  test("textStats is UTF-8 correct on accented text") {
+    val df = Seq("Àé the öç the").toDF("t")
+    val r = df.select(graft.operators.TextAnalysis.textStats(col("t"))
+      .as("st")).select("st.*").collect().head
+    assert(r.getInt(0) == 4)       // n_toks
+    assert(r.getInt(1) == 3)       // n_uniq: Àé, the, öç
+    // mean word len in CHARS: (2+3+2+3)/4
+    assert(math.abs(r.getDouble(2) - 2.5) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12) // 2×"the" of 4
+  }
+
   test("constant folding: literal inputs fold at optimization time") {
     val df = Seq(1).toDF("x")
       .select(NativeExpressions.uuid5(lit(Uuids.NsDns), lit("python.org"))
