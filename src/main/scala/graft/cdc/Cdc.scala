@@ -37,7 +37,8 @@ object Cdc {
       next: DataFrame,
       keyCol: String,
       cols: Seq[String],
-      script: String): (DataFrame, DataFrame) = {
+      script: String,
+      logNoops: Boolean = false): (DataFrame, DataFrame) = {
     val oSel = orig.select(
       col(keyCol) +: cols.map(c => col(c).cast("string").as(s"__o_$c")): _*)
     val nSel = next.select(
@@ -58,9 +59,13 @@ object Cdc {
       col(s"__o_$c").as("old_value"),
       col(s"__n_$c").as("new_value"),
       (!(col(s"__o_$c") <=> col(s"__n_$c"))).as("changed"))): _*)
-    val changelog = j
-      .select(col(keyCol).as("key"), explode(entries).as("e"))
-      .filter(col("e.changed"))
+    // `logNoops` reproduces scripts that write an audit entry even when
+    // the value is unchanged — the reference's summary counts those
+    // old==new writes separately as a per-script regression signal
+    // (tm_changelog.py:125-140 `noop_entries`, 184-191 noop_by_script).
+    val exploded = j.select(col(keyCol).as("key"), explode(entries).as("e"))
+    val changelog = (if (logNoops) exploded
+                     else exploded.filter(col("e.changed")))
       .select(
         col("key"),
         col("e.column").as("column"),
@@ -96,17 +101,25 @@ object Cdc {
         col("column"), col("old_value"), col("new_value"), col("script"))
 
   /** Changelog summary — counts per (script, column) plus add/delete/
-    * modify classification (ref `tm_changelog.py:101-258`). */
-  def summarize(changelog: DataFrame): DataFrame =
+    * modify classification and the no-op class (ref
+    * `tm_changelog.py:101-258`). A no-op entry (old null-safe-equal to
+    * new) is a script writing a value that was already there — the
+    * reference tracks these per script as a regression signal
+    * (`tm_changelog.py:125-140, 184-191`); they are excluded from every
+    * change class and from n_rows. */
+  def summarize(changelog: DataFrame): DataFrame = {
+    val changed = !(col("old_value") <=> col("new_value"))
     changelog
       .groupBy("script", "column")
       .agg(
-        count(lit(1)).as("n_changes"),
-        countDistinct(col("key")).as("n_rows"),
-        sum(when(col("old_value").isNull && col("new_value").isNotNull, 1)
-          .otherwise(0)).as("n_add"),
-        sum(when(col("old_value").isNotNull && col("new_value").isNull, 1)
-          .otherwise(0)).as("n_delete"),
-        sum(when(col("old_value").isNotNull && col("new_value").isNotNull, 1)
-          .otherwise(0)).as("n_modify"))
+        sum(when(changed, 1).otherwise(0)).as("n_changes"),
+        countDistinct(when(changed, col("key"))).as("n_rows"),
+        sum(when(changed && col("old_value").isNull
+          && col("new_value").isNotNull, 1).otherwise(0)).as("n_add"),
+        sum(when(changed && col("old_value").isNotNull
+          && col("new_value").isNull, 1).otherwise(0)).as("n_delete"),
+        sum(when(changed && col("old_value").isNotNull
+          && col("new_value").isNotNull, 1).otherwise(0)).as("n_modify"),
+        sum(when(!changed, 1).otherwise(0)).as("n_noop"))
+  }
 }

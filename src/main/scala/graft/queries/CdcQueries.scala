@@ -38,6 +38,19 @@ object CdcQueries {
     "cdc_summary" -> ((s, d) => Cdc.summarize(diff(s, d)._2)
       .orderBy("script", "column")),
 
+    // A15 no-op accounting: scripts that write old==new entries are a
+    // regression signal; logNoops reproduces them and summarize counts
+    // them per (script, column) without polluting the change classes
+    // (ref tm_changelog.py:125-140, 184-191).
+    "cdc_noop_summary" -> ((s, d) => {
+      val orig = T.documents(s, d)
+      val next = orig.withColumn("text",
+        regexp_replace(col("text"), "batch batch", "batch"))
+      val (_, log) = Cdc.diffAndLog(orig, next, "doc_id",
+        Seq("text", "lang"), Script, logNoops = true)
+      Cdc.summarize(log).orderBy("script", "column")
+    }),
+
     // §3.2 pipeline: two audited steps through the Transform framework,
     // reporting the per-step changelog summary.
     "pl_two_step" -> ((s, d) => {
@@ -76,20 +89,39 @@ object CdcQueries {
       """SELECT 'norm_text' AS script, 'text' AS "column",
         |COUNT(*) AS n_changes, COUNT(DISTINCT doc_id) AS n_rows,
         |CAST(0 AS BIGINT) AS n_add, CAST(0 AS BIGINT) AS n_delete,
-        |COUNT(*) AS n_modify
+        |COUNT(*) AS n_modify, CAST(0 AS BIGINT) AS n_noop
         |FROM documents
         |WHERE text <> regexp_replace(text, 'batch batch', 'batch', 'g')""".stripMargin,
+    "cdc_noop_summary" ->
+      """SELECT * FROM (
+        |SELECT 'norm_text' AS script, 'lang' AS "column",
+        |CAST(0 AS BIGINT) AS n_changes, CAST(0 AS BIGINT) AS n_rows,
+        |CAST(0 AS BIGINT) AS n_add, CAST(0 AS BIGINT) AS n_delete,
+        |CAST(0 AS BIGINT) AS n_modify, COUNT(*) AS n_noop
+        |FROM documents
+        |UNION ALL
+        |SELECT 'norm_text', 'text',
+        |CAST(SUM(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT),
+        |CAST(COUNT(DISTINCT CASE WHEN chg THEN doc_id END) AS BIGINT),
+        |CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |CAST(SUM(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT),
+        |CAST(SUM(CASE WHEN chg THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM (SELECT doc_id,
+        |  text <> regexp_replace(text, 'batch batch', 'batch', 'g') AS chg
+        |  FROM documents))
+        |ORDER BY script, "column"""".stripMargin,
     "pl_two_step" ->
       """SELECT * FROM (
         |SELECT '01_norm_text' AS script, 'text' AS "column",
         |COUNT(*) AS n_changes, COUNT(DISTINCT doc_id) AS n_rows,
         |CAST(0 AS BIGINT) AS n_add, CAST(0 AS BIGINT) AS n_delete,
-        |COUNT(*) AS n_modify FROM documents
+        |COUNT(*) AS n_modify, CAST(0 AS BIGINT) AS n_noop FROM documents
         |WHERE text <> regexp_replace(text, 'batch batch', 'batch', 'g')
         |UNION ALL
         |SELECT '02_upper_source', 'source', COUNT(*),
         |COUNT(DISTINCT doc_id), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-        |COUNT(*) FROM documents WHERE source <> upper(source))
+        |COUNT(*), CAST(0 AS BIGINT)
+        |FROM documents WHERE source <> upper(source))
         |ORDER BY script, "column"""".stripMargin,
     "sn_coverage_wide" ->
       """SELECT COUNT(*) AS n_rows,

@@ -40,6 +40,19 @@ object StoreQueries {
         .orderBy("doc_id")
     }),
 
+    // S5 + schema evolution: incoming batch carries a column the table
+    // has never seen (ref tags2db.py:660-670 discovered-tag ALTER);
+    // existing rows must backfill NULL, incoming rows keep their value.
+    "s5_upsert_evolve" -> ((s, d) => {
+      val cur = T.documents(s, d)
+      val inc = cur.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("xx"))
+        .withColumn("rating", (col("doc_id") % 5).cast("string"))
+      AlibStore.upsertEvolving(cur, inc, "doc_id")
+        .select("doc_id", "lang", "rating")
+        .orderBy("doc_id")
+    }),
+
     // P4: allowlist column nulling — everything outside the keep set
     // (and not system-prefixed) is nulled, schema preserved.
     "p4_keepcols" -> ((s, d) =>
@@ -140,6 +153,39 @@ object StoreQueries {
         .orderBy("n_nationkey")
     }),
 
+    // S10: export-to-files round trip — tag rows under a directory
+    // prefix write per-directory manifests with the reference's write
+    // semantics (NULL => DELETE tag, delimited => one SET per value,
+    // mtime mode recorded per file; tags2db.py:1447-1741), then the
+    // manifests are read back as lines and verified against the
+    // expected action stream.
+    "s10_export_files" -> ((s, d) => {
+      val out = scratch(s, "s10_export")
+      val dir = concat(lit("/lib/"), col("c_mktsegment"))
+      val rows = T.customer(s, d).select(
+        dir.as("__dirpath"),
+        concat(dir, lit("/"), col("c_name")).as("__path"),
+        when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+          .when(col("c_custkey") % 3 === 1, lit("rock"))
+          .otherwise(lit("rock\\\\jazz")).as("genre"))
+      FileScan.exportByDirectory(rows, "/lib/B", out,
+        tagCols = Seq("genre"), mtimeMode = "preserve")
+      s.read.text(out).select(col("value").as("line")).orderBy("line")
+    }),
+
+    // S11: export-DB builder — columns narrowed to system + changelog-
+    // touched columns, rows semi-joined to the changelog's touched keys
+    // (ref 98-create-export-db.py:87-371, 313-335).
+    "s11_build_export" -> ((s, d) => {
+      val orig = T.documents(s, d)
+      val next = orig.withColumn("text",
+        regexp_replace(col("text"), "batch batch", "batch"))
+      val (_, log) = Cdc.diffAndLog(orig, next, "doc_id",
+        Seq("text", "lang"), "norm_text")
+      AlibStore.buildExport(next, log, "doc_id", systemCols = Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // M3: audit snapshot diff — out-of-band edits surface as changelog
     // rows under the trigger's script tag.
     "m3_audit_diff" -> ((s, d) => {
@@ -199,6 +245,12 @@ object StoreQueries {
       """SELECT doc_id,
         |CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "s5_upsert_evolve" ->
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+        |CASE WHEN doc_id % 10 = 0 THEN CAST(doc_id % 5 AS VARCHAR)
+        |  ELSE NULL END AS rating
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "p4_keepcols" ->
       """SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
         |CAST(NULL AS BIGINT) AS n_chars
@@ -223,6 +275,32 @@ object StoreQueries {
     "s15_csv_roundtrip" ->
       """SELECT n_nationkey, n_name FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    // DuckDB single-quoted strings do not process backslash escapes, so
+    // 'rock\\jazz' is the literal two-backslash-delimited cell and
+    // string_split(genre, '\\') splits on the delimiter.
+    "s10_export_files" ->
+      """WITH rows AS (
+        |  SELECT '/lib/' || c_mktsegment || '/' || c_name AS path,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL
+        |         WHEN c_custkey % 3 = 1 THEN 'rock'
+        |         ELSE 'rock\\jazz' END AS genre
+        |  FROM customer WHERE c_mktsegment LIKE 'B%')
+        |SELECT line FROM (
+        |  SELECT path || chr(9) || '__mtime' || chr(9) || 'preserve' AS line
+        |  FROM rows
+        |  UNION ALL
+        |  SELECT path || chr(9) || 'genre' || chr(9) || 'DELETE'
+        |  FROM rows WHERE genre IS NULL
+        |  UNION ALL
+        |  SELECT path || chr(9) || 'genre' || chr(9) || 'SET' || chr(9) || seg
+        |  FROM (SELECT path, unnest(string_split(genre, '\\')) AS seg
+        |        FROM rows WHERE genre IS NOT NULL))
+        |ORDER BY line""".stripMargin,
+    "s11_build_export" ->
+      """SELECT doc_id, regexp_replace(text, 'batch batch', 'batch', 'g') AS text
+        |FROM documents
+        |WHERE text <> regexp_replace(text, 'batch batch', 'batch', 'g')
+        |ORDER BY doc_id""".stripMargin,
     "m3_audit_diff" ->
       """SELECT doc_id AS key, 'lang' AS "column", lang AS old_value,
         |'zz' AS new_value, 'TRIGGER_AUDIT' AS script

@@ -40,6 +40,21 @@ object AlibStore {
       .filter(col("__rn") === 1).drop("__pri", "__rn")
   }
 
+  /** S5 + dynamic schema evolution: upsert where `incoming` may carry
+    * columns the table has never seen (the reference ALTERs discovered
+    * tag columns onto alib before the write, tags2db.py:295-311,
+    * 660-670; Spark-native equivalent of parquet/Delta `mergeSchema`).
+    * Both sides are widened to the union schema — existing rows read
+    * NULL for brand-new columns, incoming rows NULL for columns they
+    * lack — then the keyed upsert applies unchanged. */
+  def upsertEvolving(current: DataFrame, incoming: DataFrame, key: String,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    def widen(df: DataFrame, other: DataFrame): DataFrame =
+      other.columns.filterNot(df.columns.contains).foldLeft(df)((d, c) =>
+        d.withColumn(c, lit(null).cast(other.schema(c).dataType)))
+    upsert(widen(current, incoming), widen(incoming, current), key, tieBreak)
+  }
+
   /** S9: prune rows whose key no longer exists in `live` (ref
     * tags2db.py:1022-1079 set-difference delete) — a left-semi join. */
   def pruneOrphans(current: DataFrame, live: DataFrame, key: String): DataFrame =

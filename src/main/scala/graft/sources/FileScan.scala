@@ -46,9 +46,22 @@ object FileScan {
 
   /** S10: export rows under a path prefix back to per-directory files,
     * one partition per directory so a single task owns each dir (the
-    * reference's grouping rationale, tags2db.py:1570-1610). The write
-    * itself is a stub sink (one manifest file per directory). */
-  def exportByDirectory(rows: DataFrame, prefix: String, outRoot: String): Unit = {
+    * reference's grouping rationale, tags2db.py:1570-1610).
+    *
+    * Tag-write semantics modeled from the reference's writer
+    * (tags2db.py:1447-1741): a NULL/empty cell DELETEs the tag from the
+    * file, a delimited cell splits into one SET per value, and the file
+    * mtime is either preserved or bumped (`mtimeMode` ∈ preserve|bump —
+    * the reference restores the original mtime unless told otherwise).
+    * The physical write is a per-directory manifest of
+    * `path<TAB>tag<TAB>action[<TAB>value]` lines standing in for the
+    * actual tag library call; with `tagCols` empty it degrades to the
+    * path-only manifest. */
+  def exportByDirectory(rows: DataFrame, prefix: String, outRoot: String,
+                        tagCols: Seq[String] = Nil,
+                        mtimeMode: String = "preserve"): Unit = {
+    require(mtimeMode == "preserve" || mtimeMode == "bump",
+      s"unknown mtime mode: $mtimeMode")
     rows
       .filter(col("__dirpath").startsWith(prefix))
       .repartition(col("__dirpath"))
@@ -56,10 +69,24 @@ object FileScan {
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val byDir = it.toSeq.groupBy(_.getAs[String]("__dirpath"))
         byDir.foreach { case (dir, rs) =>
-          val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+          // leading "dir" keeps the name from starting with '_' or '.',
+          // which Hadoop input formats treat as hidden and skip on read
+          val safe = "dir" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
           val target = Paths.get(outRoot, safe + ".manifest")
           Files.createDirectories(target.getParent)
-          val body = rs.map(_.getAs[String]("__path")).sorted.mkString("\n")
+          val sorted = rs.sortBy(_.getAs[String]("__path"))
+          val body =
+            if (tagCols.isEmpty) sorted.map(_.getAs[String]("__path")).mkString("\n")
+            else sorted.flatMap { r =>
+              val p = r.getAs[String]("__path")
+              val tagLines = tagCols.flatMap { tc =>
+                val v = r.getAs[String](tc)
+                if (v == null || v.isEmpty) Seq(s"$p\t$tc\tDELETE")
+                else v.split(graft.core.MultiValue.DelimRe).toSeq
+                  .map(t => s"$p\t$tc\tSET\t$t")
+              }
+              s"$p\t__mtime\t$mtimeMode" +: tagLines
+            }.mkString("\n")
           Files.writeString(target, body)
         }
       }

@@ -61,4 +61,18 @@ class CdcSpec extends SparkSpec {
     // t: 1 delete (id=2); u: 1 modify (id=3, z->new)
     assert(s == Set(("t", 0L, 1L, 0L), ("u", 0L, 0L, 1L)))
   }
+
+  test("logNoops keeps old==new entries; summarize counts them apart") {
+    val next = orig
+      .withColumn("u", when(col("id") === 1, lit("X")).otherwise(col("u")))
+    val (_, log) = Cdc.diffAndLog(orig, next, "id", Seq("t", "u"), "s3",
+      logNoops = true)
+    assert(log.count() == 6) // 3 rows x 2 fields, unchanged included
+    // t: all three entries are no-ops; u: one change (id=1), two no-ops
+    val byCol = Cdc.summarize(log).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(7))))
+      .toMap
+    assert(byCol("t") == ((0L, 0L, 3L)))
+    assert(byCol("u") == ((1L, 1L, 2L)))
+  }
 }

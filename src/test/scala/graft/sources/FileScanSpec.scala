@@ -40,6 +40,28 @@ class FileScanSpec extends SparkSpec {
       == "/lib/a/1.flac\n/lib/a/2.flac")
   }
 
+  test("S10: tag export writes DELETE for empty, SET per value, mtime mode") {
+    import spark.implicits._
+    val rows = Seq(
+      ("/lib/a/1.flac", "/lib/a", "rock\\\\jazz"),
+      ("/lib/a/2.flac", "/lib/a", null: String))
+      .toDF("__path", "__dirpath", "genre")
+    val out = Files.createTempDirectory("expTag").toString
+    FileScan.exportByDirectory(rows, "/lib", out,
+      tagCols = Seq("genre"), mtimeMode = "bump")
+    val a = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .find(_.contains("_lib_a")).get
+    assert(Files.readString(Paths.get(a)) == Seq(
+      "/lib/a/1.flac\t__mtime\tbump",
+      "/lib/a/1.flac\tgenre\tSET\trock",
+      "/lib/a/1.flac\tgenre\tSET\tjazz",
+      "/lib/a/2.flac\t__mtime\tbump",
+      "/lib/a/2.flac\tgenre\tDELETE").mkString("\n"))
+    intercept[IllegalArgumentException] {
+      FileScan.exportByDirectory(rows, "/lib", out, mtimeMode = "nope")
+    }
+  }
+
   test("M7: changelog migration backfills rowid-keyed rows") {
     import spark.implicits._
     val oldLog = Seq((10L, "genre", "a", "b", "s1"), (11L, "year", "x", "y", "s1"))

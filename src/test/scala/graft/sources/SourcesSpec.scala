@@ -64,6 +64,24 @@ class AlibStoreSpec extends SparkSpec {
     assert(a1.getString(1) == "Artist A2")
   }
 
+  test("upsertEvolving: new incoming column evolves schema, backfills null") {
+    val incoming = Seq(("/a/1.flac", "Artist A2", "g9", 3, "hi-res"))
+      .toDF("__path", "artist", "genre", "__sqlmodded", "quality")
+    val merged = AlibStore.upsertEvolving(alib, incoming, "__path")
+    assert(merged.columns.toSeq
+      == Seq("__path", "artist", "genre", "__sqlmodded", "quality"))
+    val byPath = merged.collect().map(r => r.getString(0) -> r).toMap
+    assert(byPath("/a/1.flac").getString(4) == "hi-res")
+    // pre-existing rows read NULL for the never-seen column
+    assert(byPath("/b/3.flac").isNullAt(4))
+    // and an incoming side missing existing columns backfills too
+    val narrow = Seq(("/z/9.flac", "New Artist"))
+      .toDF("__path", "artist")
+    val merged2 = AlibStore.upsertEvolving(alib, narrow, "__path")
+    val z = merged2.filter($"__path" === "/z/9.flac").collect().head
+    assert(z.getString(1) == "New Artist" && z.isNullAt(2))
+  }
+
   test("pruneOrphans keeps only live keys (S9 set difference)") {
     val live = Seq("/a/1.flac", "/b/3.flac").toDF("__path")
     val pruned = AlibStore.pruneOrphans(alib, live, "__path")
