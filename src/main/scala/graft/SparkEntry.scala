@@ -26,6 +26,7 @@ object SparkEntry {
     (LlmQueries.defs, LlmQueries.sql),
     (StreamQueries.defs, StreamQueries.sql),
     (MiscQueries.defs, MiscQueries.sql),
+    (PipelineQueries.defs, PipelineQueries.sql),
     (ReportQueries.defs, ReportQueries.sql),
     (StoreQueries.defs, StoreQueries.sql),
   )

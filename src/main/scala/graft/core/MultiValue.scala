@@ -32,6 +32,15 @@ object MultiValue {
   /** Order-preserving unique tokens (array_distinct keeps first occurrence). */
   def dedupeTokens(c: Column): Column = array_distinct(tokens(c))
 
+  /** Case-insensitive order-preserving dedupe over an already-built
+    * token array (the reference's casefold `seen` set, 01-...py:88-101).
+    * A quadratic fold, but per-cell token counts are tiny; stays a pure
+    * expression so it runs scan-side. */
+  def dedupeCasefold(arr: Column): Column =
+    aggregate(arr, array().cast("array<string>"),
+      (acc, x) => when(exists(acc, y => lower(y) === lower(x)), acc)
+        .otherwise(concat(acc, array(x))))
+
   /** Join an array back to the delimited string form. */
   def joinTokens(arr: Column): Column = array_join(arr, Delim)
 

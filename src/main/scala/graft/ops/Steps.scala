@@ -1,10 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Exprs, MultiValue}
-import graft.functions.{TextNorm, TitleCase}
+import graft.functions.{Contributors, TextNorm, TitleCase, Uuids}
 
 /** Canonical pipeline steps re-expressed from the reference's numbered
   * scripts, as composable [[Transform]] values over a stringly-typed
@@ -58,6 +58,143 @@ object Steps {
         "^(\\d{4})[./](\\d{2})[./](\\d{2})$", "$1-$2-$3")
       when(c.isNull, c).otherwise(dashed)
     }
+
+  /** 01: involvedpeople role fan-out merge (ref
+    * `scripts/pipeline/01-...py:136-253, 312-412`): parse the packed
+    * `person, RoleA - person, RoleB` string, route people into the
+    * target columns their roles map to, and merge into the existing
+    * multi-value cells with casefold first-seen dedupe. When nothing
+    * merges, the original cell (null/empty included) is preserved. */
+  def involvedPeopleMerge(packedCol: String,
+      roleTargets: Map[String, Seq[String]] = Map(
+        "mainartist" -> Seq("albumartist"),
+        "composerlyricist" -> Seq("composer", "lyricist"))): Transform = {
+    val targets = roleTargets.values.flatten.toSeq.distinct
+    Transform("01_involved_merge", targets, df =>
+      targets.foldLeft(df) { (d, t) =>
+        val roles = roleTargets.collect {
+          case (r, ts) if ts.contains(t) => r
+        }.toSeq.sorted
+        val incoming = Contributors.peopleUdf(col(packedCol), typedlit(roles))
+        val merged = MultiValue.dedupeCasefold(
+          concat(MultiValue.tokens(coalesce(col(t), lit(""))), incoming))
+        d.withColumn(t, when(size(merged) === 0, col(t))
+          .otherwise(MultiValue.joinTokens(merged)))
+      })
+  }
+
+  /** 06: dictionary-driven contributor normalization (ref
+    * `06-...py:438-585`): each cell runs the staged waterfall in
+    * [[Contributors.normalizeCell]] against the vetted-name dictionary.
+    * The dictionary is driver-bounded (the reference holds it in memory
+    * too); wrap in a broadcast for executor-count-independent shipping
+    * at scale. */
+  def dictContributors(cols: Seq[String],
+                       dict: Map[String, String]): Transform = {
+    val norm = Contributors.normalizeUdf(dict)
+    onCols("06_dict_contributors", cols)(c =>
+      when(c.isNull, c).otherwise(norm(c)))
+  }
+
+  /** 10: genre/style normalization against a validation table (ref
+    * `10-...py:200-257 intelligent_pre_filter, 260-341, 556-637`):
+    * harmonize `[,;|]` delimiters, map every tag exact/casefold against
+    * the valid set (hard-coded replacements first; unmatched tags are
+    * DROPPED), dedupe first-seen, then merge style into genre while
+    * style keeps its own cleaned value.
+    *
+    * Spark-first shape: posexplode → broadcast join on the lowered tag
+    * → regroup by (key, src) ordered by position — one shuffle on the
+    * row key, no per-row dictionary shipping. The valid table is the
+    * reference's `_REF_genres` (driver-supplied DataFrame). */
+  def genreNormalize(keyCol: String, genreCol: String, styleCol: String,
+                     valid: DataFrame,
+                     hardCoded: Map[String, String] = Map.empty): Transform =
+    Transform("10_genre_norm", Seq(genreCol, styleCol), { df =>
+      // regexp_replace processes backslashes in the replacement string,
+      // so the two-backslash delimiter must be escaped to four
+      val canon = (c: Column) =>
+        MultiValue.tokens(regexp_replace(c, "\\s*[,;|]\\s*",
+          MultiValue.Delim.replace("\\", "\\\\")))
+      val vmap = broadcast(valid.select(
+        lower(trim(col(valid.columns.head))).as("__vkey"),
+        trim(col(valid.columns.head)).as("__vtag")).distinct())
+      val hard = typedlit(hardCoded.map { case (k, v) => k.toLowerCase -> v })
+      val exploded = Seq(genreCol -> "g", styleCol -> "s").map {
+        case (c, src) =>
+          df.select(col(keyCol), lit(src).as("__src"),
+            posexplode(coalesce(canon(col(c)),
+              array().cast("array<string>"))).as(Seq("__pos", "__tag")))
+      }.reduce(_ unionByName _)
+      val joined = exploded
+        .join(vmap, lower(col("__tag")) === col("__vkey"), "left")
+        .withColumn("__canon", coalesce(
+          element_at(hard, lower(col("__tag"))), col("__vtag")))
+        .filter(col("__canon").isNotNull)
+        .groupBy(col(keyCol), col("__src"))
+        .agg(array_distinct(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__canon")))),
+          e => e.getField("__canon"))).as("__tags"))
+      val byKey = joined.groupBy(keyCol)
+        .pivot("__src", Seq("g", "s"))
+        .agg(first(col("__tags")))
+      df.drop(genreCol, styleCol)
+        .join(byKey, Seq(keyCol), "left")
+        .withColumn(genreCol, {
+          val g = coalesce(col("g"), array().cast("array<string>"))
+          val s = coalesce(col("s"), array().cast("array<string>"))
+          val m = array_distinct(concat(g, s))
+          when(size(m) === 0, lit(null)).otherwise(MultiValue.joinTokens(m))
+        })
+        .withColumn(styleCol,
+          when(coalesce(size(col("s")), lit(0)) === 0, lit(null))
+            .otherwise(MultiValue.joinTokens(col("s"))))
+        .drop("g", "s")
+    })
+
+  /** 11: genre enrichment from an artist-keyed reference (ref
+    * `11-...py:367-425, 280-312`): rows whose genre is missing or one
+    * of the generic placeholders pull the reference tags for their
+    * match key and append them (exact first-seen dedupe); a row only
+    * enriches when the reference has genre data. The reference table is
+    * artist-sized → broadcast. */
+  def genreEnrich(matchCol: String, ref: DataFrame,
+                  genreCol: String = "genre", styleCol: String = "style",
+                  generic: Set[String] = Set("Pop", "Pop/Rock", "Jazz",
+                    "Classical")): Transform =
+    Transform("11_genre_enrich", Seq(genreCol, styleCol), { df =>
+      val r = broadcast(ref.select(col(ref.columns.head).as(matchCol),
+        col("ref_genre").as("__ref_g"), col("ref_styles").as("__ref_s")))
+      def merge(cur: Column, inc: Column) = {
+        val m = array_distinct(MultiValue.tokens(
+          concat_ws(MultiValue.Delim, coalesce(cur, lit("")), inc)))
+        when(size(m) === 0, lit(null)).otherwise(MultiValue.joinTokens(m))
+      }
+      // the eligibility test must see the PRE-enrichment genre — stash
+      // it, or the style branch would re-test the already-merged value
+      df.join(r, Seq(matchCol), "left")
+        .withColumn("__needs",
+          (col(genreCol).isNull || trim(col(genreCol)) === "" ||
+            col(genreCol).isInCollection(generic)) && col("__ref_g").isNotNull)
+        .withColumn(genreCol,
+          when(col("__needs"),
+            merge(col(genreCol), col("__ref_g"))).otherwise(col(genreCol)))
+        .withColumn(styleCol,
+          when(col("__needs") && col("__ref_s").isNotNull,
+            merge(col(styleCol), col("__ref_s"))).otherwise(col(styleCol)))
+        .drop("__ref_g", "__ref_s", "__needs")
+    })
+
+  /** 16: track-uuid assignment (ref `16-...py:40-84`): rows whose uuid
+    * is NULL, blank, or not version 7 (the reference's
+    * `substr(track_uuid, 15, 1) != '7'` probe) get a fresh uuid7;
+    * valid ids pass through, so the step converges. */
+  def uuidAssign(uuidCol: String): Transform =
+    Transform("16_uuid_assign", Seq(uuidCol), df =>
+      df.withColumn(uuidCol,
+        when(col(uuidCol).isNull || trim(col(uuidCol)) === "" ||
+          substring(col(uuidCol), 15, 1) =!= "7", Uuids.uuid7Udf())
+          .otherwise(col(uuidCol))))
 
   /** The default cleanup pipeline in reference numbering order. */
   def defaultPipeline(textCols: Seq[String], mvCols: Seq[String],

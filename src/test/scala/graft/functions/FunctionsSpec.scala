@@ -111,3 +111,50 @@ class TextNormSpec extends AnyFunSuite {
     assert(TextNorm.nfkdFold(null) == null)
   }
 }
+
+class ContributorsSpec extends AnyFunSuite {
+
+  test("involved entries split on ' - '; bare hyphen needs commas both sides") {
+    assert(Contributors.splitInvolvedEntries("A, R1 - B, R2")
+      == Seq("A, R1", "B, R2"))
+    assert(Contributors.splitInvolvedEntries("Jean-Luc, Producer")
+      == Seq("Jean-Luc, Producer"))
+    assert(Contributors.splitInvolvedEntries("A, R1-B, R2")
+      == Seq("A, R1", "B, R2")) // comma on both sides of the hyphen
+    assert(Contributors.splitInvolvedEntries(null) == Seq.empty)
+    assert(Contributors.splitInvolvedEntries("  ") == Seq.empty)
+  }
+
+  test("peopleForRoles matches casefolded space-free keys, dedupes") {
+    val s = "Paul, Main Artist - PAUL, MainArtist - Ringo, Producer"
+    assert(Contributors.peopleForRoles(s, Set("mainartist")) == Seq("Paul"))
+    assert(Contributors.peopleForRoles(s, Set("producer")) == Seq("Ringo"))
+    // entries without a role token are skipped
+    assert(Contributors.peopleForRoles("Solo", Set("mainartist")) == Seq.empty)
+  }
+
+  test("comma guard: thousands groups and generational suffixes hold") {
+    val d = Map.empty[String, String]
+    assert(Contributors.normalizeCell(d, "Smith, Jr") == "Smith, Jr")
+    assert(Contributors.normalizeCell(d, "10,000 Maniacs") == "10,000 Maniacs")
+    assert(Contributors.normalizeCell(d, "smith, jones")
+      == "Smith\\\\Jones")
+  }
+
+  test("dictionary stages: whole-cell beats split; & is conservative") {
+    val d = Map("crosby, stills & nash" -> "Crosby, Stills & Nash",
+      "crosby" -> "Crosby", "stills" -> "Stills", "nash" -> "Nash")
+    // whole-part hit wins before any comma/& splitting
+    assert(Contributors.normalizeCell(d, "Crosby, Stills & Nash")
+      == "Crosby, Stills & Nash")
+    // without the whole-cell entry the & splits (all sides resolve)
+    val d2 = d - "crosby, stills & nash"
+    assert(Contributors.normalizeCell(d2, "stills & nash")
+      == "Stills\\\\Nash")
+  }
+
+  test("empty and null cells stay null") {
+    assert(Contributors.normalizeCell(Map.empty, null) == null)
+    assert(Contributors.normalizeCell(Map.empty, "") == null)
+  }
+}

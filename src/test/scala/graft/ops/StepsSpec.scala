@@ -37,6 +37,105 @@ class StepsSpec extends SparkSpec {
     assert(log2.count() == 0)
   }
 
+  test("involvedPeopleMerge routes roles, merges casefold, converges") {
+    val df = Seq(
+      // existing casefold dup: no append; composer fills
+      ("/p1", "Paul, MainArtist - Ringo, ComposerLyricist", "paul", null: String, null: String),
+      // append behind existing; hyphen-guard keeps 'Jean-Luc' whole
+      ("/p2", "Jean-Luc, MainArtist", "Other", null, null),
+      // no ' - ', single entry, two roles fan to two targets
+      ("/p3", "Carly, ComposerLyricist", null, "Old", null))
+      .toDF("__path", "involved", "albumartist", "composer", "lyricist")
+    val s = Seq(Steps.involvedPeopleMerge("involved"))
+    val (fin, _) = Pipeline.run(df, "__path", s)
+    val r = fin.orderBy("__path").collect()
+    assert(r(0).getString(2) == "paul" && r(0).getString(3) == "Ringo"
+      && r(0).getString(4) == "Ringo")
+    assert(r(1).getString(2) == "Other\\\\Jean-Luc")
+    assert(r(2).isNullAt(2) && r(2).getString(3) == "Old\\\\Carly"
+      && r(2).getString(4) == "Carly")
+    val (_, log2) = Pipeline.run(fin, "__path", s)
+    assert(log2.count() == 0)
+  }
+
+  test("dictContributors applies the staged waterfall and converges") {
+    val dict = Map("miles davis" -> "Miles Davis", "bird" -> "Bird",
+      "prez" -> "Prez")
+    val df = Seq(
+      ("/p1", "MILES DAVIS; bird & prez"), // dict hit; & both-resolve split
+      ("/p2", "bird & sons"),              // conservative: no split
+      ("/p3", "ac-dc/john smith"))         // hyphen passthrough; fallback
+      .toDF("__path", "artist")
+    val s = Seq(Steps.dictContributors(Seq("artist"), dict))
+    val (fin, _) = Pipeline.run(df, "__path", s)
+    val r = fin.orderBy("__path").collect()
+    assert(r(0).getString(1) == "Miles Davis\\\\Bird\\\\Prez")
+    assert(r(1).getString(1) == "Bird & Sons")
+    assert(r(2).getString(1) == "ac-dc\\\\John Smith")
+    val (_, log2) = Pipeline.run(fin, "__path", s)
+    assert(log2.count() == 0)
+  }
+
+  test("genreNormalize maps against valid set, merges style, converges") {
+    val valid = Seq("Rock", "Jazz").toDF("tag")
+    val df = Seq(
+      (1L, "rock, bogus; JAZZ", "jazz"),
+      (2L, null: String, "rock"),
+      (3L, "bogus", null: String))
+      .toDF("id", "genre", "style")
+    val s = Seq(Steps.genreNormalize("id", "genre", "style", valid))
+    val (fin, _) = Pipeline.run(df, "id", s)
+    val r = fin.orderBy("id").collect()
+    assert(r(0).getAs[String]("genre") == "Rock\\\\Jazz"
+      && r(0).getAs[String]("style") == "Jazz")
+    assert(r(1).getAs[String]("genre") == "Rock"
+      && r(1).getAs[String]("style") == "Rock")
+    assert(r(2).isNullAt(r(2).fieldIndex("genre"))
+      && r(2).isNullAt(r(2).fieldIndex("style")))
+    val (_, log2) = Pipeline.run(fin, "id", s)
+    assert(log2.count() == 0)
+  }
+
+  test("genreEnrich fills only missing/generic genres and converges") {
+    val ref = Seq((10L, "Folk\\\\Blues", "Roots"), (20L, "Soul", null: String))
+      .toDF("artist_id", "ref_genre", "ref_styles")
+    val df = Seq(
+      (1L, 10L, null: String, null: String), // enrich genre + style
+      (2L, 10L, "Pop", "Live"),              // generic: append both
+      (3L, 10L, "Settled", null: String),    // non-generic: untouched
+      (4L, 20L, "Jazz", null: String),       // ref has no styles
+      (5L, 30L, null: String, null: String)) // no ref row: untouched
+      .toDF("id", "artist_id", "genre", "style")
+    val s = Seq(Steps.genreEnrich("artist_id", ref))
+    val (fin, _) = Pipeline.run(df, "id", s)
+    val r = fin.orderBy("id").collect()
+    assert(r(0).getString(2) == "Folk\\\\Blues" && r(0).getString(3) == "Roots")
+    assert(r(1).getString(2) == "Pop\\\\Folk\\\\Blues"
+      && r(1).getString(3) == "Live\\\\Roots")
+    assert(r(2).getString(2) == "Settled" && r(2).isNullAt(3))
+    assert(r(3).getString(2) == "Jazz\\\\Soul" && r(3).isNullAt(3))
+    assert(r(4).isNullAt(2) && r(4).isNullAt(3))
+    val (_, log2) = Pipeline.run(fin, "id", s)
+    assert(log2.count() == 0)
+  }
+
+  test("uuidAssign fills invalid ids with v7, keeps valid, converges") {
+    val df = Seq(
+      (1L, null: String), (2L, ""), (3L, "not-a-uuid"),
+      (4L, "00000000-0000-7000-8000-000000000004"))
+      .toDF("id", "track_uuid")
+    val s = Seq(Steps.uuidAssign("track_uuid"))
+    val (fin0, _) = Pipeline.run(df, "id", s)
+    val fin = fin0.cache() // pin the non-deterministic generator output
+    val r = fin.orderBy("id").collect()
+    val v7 = "^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
+    assert(r.forall(row => v7.findFirstIn(row.getString(1)).isDefined))
+    assert(r(3).getString(1) == "00000000-0000-7000-8000-000000000004")
+    val (_, log2) = Pipeline.run(fin, "id", s)
+    assert(log2.count() == 0)
+    fin.unpersist()
+  }
+
   test("titlecase and nfkd steps converge too") {
     val df = Seq(("/p1", "the best of THE rest", "Béla  Bartók"))
       .toDF("__path", "title", "composer")
