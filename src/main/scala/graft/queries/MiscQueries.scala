@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
-import graft.operators.{Fanout, Fuzzy}
+import graft.operators.{EntityResolution, Fanout, Fuzzy, MatchStage}
 
 /** Fuzzy matching and generator fan-out queries (SURVEY §2.8 / §2.12).
   * Both cosine variants are oracle-exact (integer dot products for
@@ -38,6 +38,40 @@ object MiscQueries {
       Fanout.fanOut(T.supplier(s, d).withColumn("packed", packed),
         "s_suppkey", "packed")
         .orderBy("s_suppkey", "role")
+    }),
+
+    // Entity-resolution waterfall (ref emit_contributors.py:1066-1478 +
+    // 10-...py:200-257): exact casefold match -> positional (rank-
+    // aligned within the adjective group, only for name-less rows) ->
+    // unique-noun fallback (both residues unique) -> fuzzy best-match
+    // on what remains. Each stage consumes anti-join residue only.
+    "er_waterfall" -> ((s, d) => {
+      val names = T.part(s, d).groupBy("p_name")
+        .agg(min("p_partkey").as("mn"))
+      val left = names.select(col("mn").as("lid"),
+        col("p_name").as("lname"),
+        lower(col("p_name")).as("lkey"),
+        substring_index(col("p_name"), " ", 1).as("ladj"),
+        substring_index(col("p_name"), " ", -1).as("lnoun"))
+      val right = names.select((col("mn") + 100000).as("rid"),
+        when(col("mn") % 4 === 0, col("p_name"))
+          .when(col("mn") % 4 === 1, upper(col("p_name")))
+          .when(col("mn") % 4 === 3, concat(col("p_name"), lit(" deluxe")))
+          .otherwise(lit(null).cast("string")).as("rname"),
+        substring_index(col("p_name"), " ", 1).as("radj0"),
+        when(col("mn") % 4 === 3,
+          substring_index(col("p_name"), " ", -1)).otherwise(lit(null))
+          .as("rnoun"))
+        .withColumn("rkey", lower(col("rname")))
+        .withColumn("radj", when(col("rname").isNull, col("radj0")))
+        .drop("radj0")
+      EntityResolution.waterfall(left, "lid", right, "rid",
+        Seq(
+          MatchStage("exact", "lkey", "rkey"),
+          MatchStage("positional", "ladj", "radj"),
+          MatchStage("unique", "lnoun", "rnoun", uniqueOnly = true)),
+        fuzzyNames = Some(("lname", "rname")), n = 3, theta = 0.5)
+        .orderBy("lid")
     }),
 
     // Guarded comma split (ref 06-...py:457-527; UDF — oracle states
@@ -100,6 +134,74 @@ object MiscQueries {
         |  FROM dots JOIN norms na ON name_a = na.name
         |  JOIN norms nb ON name_b = nb.name)
         |WHERE cos >= 0.6 ORDER BY name_a, name_b""".stripMargin,
+    // Full waterfall restated: staged CTEs with rank-aligned joins,
+    // NOT-IN residues, a both-sides-unique noun stage, and the same
+    // 3-gram cosine best-match (integer dots, 6-dp rounding) on the
+    // final residues only.
+    "er_waterfall" ->
+      """WITH names AS (SELECT p_name, MIN(p_partkey) AS mn FROM part GROUP BY p_name),
+        |l AS (SELECT mn AS lid, p_name AS lname, lower(p_name) AS lkey,
+        |  string_split(p_name, ' ')[1] AS ladj,
+        |  string_split(p_name, ' ')[-1] AS lnoun FROM names),
+        |r AS (SELECT mn + 100000 AS rid,
+        |  CASE WHEN mn % 4 = 0 THEN p_name WHEN mn % 4 = 1 THEN upper(p_name)
+        |       WHEN mn % 4 = 3 THEN p_name || ' deluxe' END AS rname,
+        |  CASE WHEN mn % 4 = 2 THEN string_split(p_name, ' ')[1] END AS radj,
+        |  CASE WHEN mn % 4 = 3 THEN string_split(p_name, ' ')[-1] END AS rnoun
+        |  FROM names),
+        |rr AS (SELECT rid, rname, lower(rname) AS rkey, radj, rnoun FROM r),
+        |s1l AS (SELECT lid, lkey, ROW_NUMBER() OVER (PARTITION BY lkey ORDER BY lid) AS rn
+        |  FROM l WHERE lkey IS NOT NULL),
+        |s1r AS (SELECT rid, rkey, ROW_NUMBER() OVER (PARTITION BY rkey ORDER BY rid) AS rn
+        |  FROM rr WHERE rkey IS NOT NULL),
+        |s1 AS (SELECT lid, rid FROM s1l JOIN s1r ON lkey = rkey AND s1l.rn = s1r.rn),
+        |l1 AS (SELECT * FROM l WHERE lid NOT IN (SELECT lid FROM s1)),
+        |r1 AS (SELECT * FROM rr WHERE rid NOT IN (SELECT rid FROM s1)),
+        |s2l AS (SELECT lid, ladj, ROW_NUMBER() OVER (PARTITION BY ladj ORDER BY lid) AS rn
+        |  FROM l1 WHERE ladj IS NOT NULL),
+        |s2r AS (SELECT rid, radj, ROW_NUMBER() OVER (PARTITION BY radj ORDER BY rid) AS rn
+        |  FROM r1 WHERE radj IS NOT NULL),
+        |s2 AS (SELECT lid, rid FROM s2l JOIN s2r ON ladj = radj AND s2l.rn = s2r.rn),
+        |l2 AS (SELECT * FROM l1 WHERE lid NOT IN (SELECT lid FROM s2)),
+        |r2 AS (SELECT * FROM r1 WHERE rid NOT IN (SELECT rid FROM s2)),
+        |s3l AS (SELECT lid, lnoun FROM (SELECT lid, lnoun,
+        |  COUNT(*) OVER (PARTITION BY lnoun) AS c FROM l2 WHERE lnoun IS NOT NULL)
+        |  WHERE c = 1),
+        |s3r AS (SELECT rid, rnoun FROM (SELECT rid, rnoun,
+        |  COUNT(*) OVER (PARTITION BY rnoun) AS c FROM r2 WHERE rnoun IS NOT NULL)
+        |  WHERE c = 1),
+        |s3 AS (SELECT lid, rid FROM s3l JOIN s3r ON lnoun = rnoun),
+        |l3 AS (SELECT * FROM l2 WHERE lid NOT IN (SELECT lid FROM s3)),
+        |r3 AS (SELECT * FROM r2 WHERE rid NOT IN (SELECT rid FROM s3)),
+        |lt AS (SELECT lid, lower(trim(lname)) AS nm FROM l3
+        |  WHERE lower(trim(lname)) <> ''),
+        |rt AS (SELECT rid, lower(trim(rname)) AS nm FROM r3
+        |  WHERE rname IS NOT NULL AND lower(trim(rname)) <> ''),
+        |ltf AS (SELECT lid, g, COUNT(*) AS tf FROM (
+        |  SELECT lid, unnest(CASE WHEN length(nm) < 3 THEN [nm]
+        |    ELSE [substr(nm, x, 3) FOR x IN range(1, length(nm) - 1)] END) AS g
+        |  FROM lt) GROUP BY lid, g),
+        |rtf AS (SELECT rid, g, COUNT(*) AS tf FROM (
+        |  SELECT rid, unnest(CASE WHEN length(nm) < 3 THEN [nm]
+        |    ELSE [substr(nm, x, 3) FOR x IN range(1, length(nm) - 1)] END) AS g
+        |  FROM rt) GROUP BY rid, g),
+        |lnorm AS (SELECT lid, sqrt(CAST(SUM(tf*tf) AS DOUBLE)) AS na
+        |  FROM ltf GROUP BY lid),
+        |rnorm AS (SELECT rid, sqrt(CAST(SUM(tf*tf) AS DOUBLE)) AS nb
+        |  FROM rtf GROUP BY rid),
+        |dots AS (SELECT lid, rid, SUM(a.tf*b.tf) AS dot
+        |  FROM ltf a JOIN rtf b ON a.g = b.g GROUP BY lid, rid),
+        |fz AS (SELECT lid, rid, score FROM (SELECT lid, rid, score,
+        |  ROW_NUMBER() OVER (PARTITION BY lid ORDER BY score DESC, rid) AS rk
+        |  FROM (SELECT lid, rid, ROUND(CAST(dot AS DOUBLE)/(na*nb), 6) AS score
+        |    FROM dots JOIN lnorm USING (lid) JOIN rnorm USING (rid))
+        |  WHERE score >= 0.5) WHERE rk = 1)
+        |SELECT * FROM (
+        |  SELECT lid, rid, 'exact' AS stage, CAST(1.0 AS DOUBLE) AS score FROM s1
+        |  UNION ALL SELECT lid, rid, 'positional', CAST(1.0 AS DOUBLE) FROM s2
+        |  UNION ALL SELECT lid, rid, 'unique', CAST(1.0 AS DOUBLE) FROM s3
+        |  UNION ALL SELECT lid, rid, 'fuzzy', score FROM fz)
+        |ORDER BY lid""".stripMargin,
     // The guarded split's output on this packed input is exactly
     // "<name>, Jr|<segment>": ' and ' splits the two halves, and the
     // comma before the guarded suffix 'Jr' re-attaches. The oracle

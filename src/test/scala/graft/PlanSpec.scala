@@ -50,6 +50,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("er waterfall: fuzzy stage consumes anti-join residue only") {
+    val p = plan("er_waterfall")
+    // three key stages x two sides = six residue anti-joins ahead of
+    // the fuzzy gram join (round-3 verdict next-step #6)
+    val antis = "LeftAnti".r.findAllIn(p).length
+    assert(antis >= 6, s"expected >=6 left-anti residue joins, got $antis")
+    // and the fuzzy terminal is the gram inverted index, not a cross
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("near-dup shingling runs as codegen'd expressions, not UDFs") {
     // the checkpoint barrier hides the shingle stage from the final
     // executed plan, so audit the stage's own plan directly
