@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
-import graft.operators.{EntityResolution, Fanout, Fuzzy, MatchStage}
+import graft.operators.{Decisions, EntityResolution, Fanout, Fuzzy, MatchStage}
 
 /** Fuzzy matching and generator fan-out queries (SURVEY §2.8 / §2.12).
   * Both cosine variants are oracle-exact (integer dot products for
@@ -74,6 +74,46 @@ object MiscQueries {
         .orderBy("lid")
     }),
 
+    // Step-18 disambiguation flow (ref 18-...py:237-312): unique
+    // candidates auto-assign, ambiguous ones consult the persisted
+    // decisions table, the rest queue as PENDING rows.
+    "dc_decision_flow" -> ((s, d) => {
+      val cands = T.part(s, d).select(col("p_name").as("name"),
+        col("p_brand").as("context"),
+        col("p_size").cast("long").as("cand_id")).distinct()
+      val decisions = T.part(s, d).groupBy("p_name", "p_brand")
+        .agg(countDistinct("p_size").as("n"), min("p_partkey").as("mk"),
+          min("p_size").as("ms"))
+        .filter(col("n") > 1 && col("mk") % 2 === 0)
+        .select(col("p_name").as("name"), col("p_brand").as("context"),
+          col("ms").cast("long").as("assigned_id"))
+      val (assigned, pending) = Decisions.resolveWithDecisions(cands, decisions)
+      assigned.unionByName(pending.select(col("name"), col("context"),
+          lit(null).cast("long").as("assigned_id"), lit("pending").as("source")))
+        .orderBy("name", "context")
+    }),
+
+    // Step-23 retirement flow (ref 23-retire-synthetic-mbids.py):
+    // synthetic assignments retire to the real id only when exactly one
+    // real candidate exists for the normalized name+context.
+    "dc_retire_synthetic" -> ((s, d) => {
+      val base = T.part(s, d).groupBy(col("p_name").as("name"),
+        col("p_brand").as("context")).agg(min("p_partkey").as("mk"))
+      val decisions = base.select(col("name"), col("context"),
+        when(col("mk") % 2 === 0, concat(lit("synth:"), col("name")))
+          .otherwise(concat(lit("mbid-"), col("mk"))).as("assigned_id"),
+        lit("user").as("decision_source"))
+      val real = base.filter(col("mk") % 3 =!= 0)
+        .select(col("name"), col("context"),
+          concat(lit("mb-"), col("mk")).as("real_id"))
+        .unionByName(base.filter(col("mk") % 5 === 0)
+          .select(col("name"), col("context"),
+            concat(lit("mb2-"), col("mk")).as("real_id")))
+      val (updated, _) = Decisions.retireSynthetic(decisions, real,
+        c => c.startsWith("synth:"))
+      updated.orderBy("name", "context")
+    }),
+
     // Guarded comma split (ref 06-...py:457-527; UDF — oracle states
     // the expected output on this input, rules covered in FanoutSpec).
     "gs_guarded_split" -> ((s, d) => T.customer(s, d)
@@ -134,6 +174,37 @@ object MiscQueries {
         |  FROM dots JOIN norms na ON name_a = na.name
         |  JOIN norms nb ON name_b = nb.name)
         |WHERE cos >= 0.6 ORDER BY name_a, name_b""".stripMargin,
+    "dc_decision_flow" ->
+      """WITH s AS (SELECT p_name AS name, p_brand AS context,
+        |  COUNT(DISTINCT p_size) AS n, MIN(p_partkey) AS mk,
+        |  MIN(p_size) AS ms FROM part GROUP BY 1, 2)
+        |SELECT name, context,
+        |CASE WHEN n = 1 THEN CAST(ms AS BIGINT)
+        |     WHEN mk % 2 = 0 THEN CAST(ms AS BIGINT) END AS assigned_id,
+        |CASE WHEN n = 1 THEN 'unique'
+        |     WHEN mk % 2 = 0 THEN 'user_decision'
+        |     ELSE 'pending' END AS source
+        |FROM s ORDER BY name, context""".stripMargin,
+    // real-candidate count per pair: one 'mb-' when mk%3<>0 plus one
+    // 'mb2-' when mk%5=0 → unique only when exactly one of the two
+    // conditions holds; min(real_id) picks 'mb-' over 'mb2-' when both
+    // exist (but then the pair is ambiguous and never retires).
+    "dc_retire_synthetic" ->
+      """WITH s AS (SELECT p_name AS name, p_brand AS context,
+        |  MIN(p_partkey) AS mk FROM part GROUP BY 1, 2),
+        |e AS (SELECT name, context, mk,
+        |  (CASE WHEN mk % 3 <> 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN mk % 5 = 0 THEN 1 ELSE 0 END) AS nr,
+        |  CASE WHEN mk % 3 <> 0 THEN 'mb-' || CAST(mk AS VARCHAR)
+        |       WHEN mk % 5 = 0 THEN 'mb2-' || CAST(mk AS VARCHAR) END AS rid
+        |  FROM s)
+        |SELECT name, context,
+        |CASE WHEN mk % 2 = 0 AND nr = 1 THEN rid
+        |     WHEN mk % 2 = 0 THEN 'synth:' || name
+        |     ELSE 'mbid-' || CAST(mk AS VARCHAR) END AS assigned_id,
+        |CASE WHEN mk % 2 = 0 AND nr = 1 THEN 'retired_to_real'
+        |     ELSE 'user' END AS decision_source
+        |FROM e ORDER BY name, context""".stripMargin,
     // Full waterfall restated: staged CTEs with rank-aligned joins,
     // NOT-IN residues, a both-sides-unique noun stage, and the same
     // 3-gram cosine best-match (integer dots, 6-dp rounding) on the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.Cdc
 import graft.core.{Tables => T}
-import graft.sources.{AlibStore, DelimitedSources, FileScan}
+import graft.sources.{AlibStore, DbBridge, DelimitedSources, FileScan}
 
 /** Store-lifecycle, source/sink, and CDC-maintenance operators as
   * driver-checked queries (SURVEY §2.1 S1/S3/S5/S12-S15, §2.2 P4,
@@ -153,6 +153,25 @@ object StoreQueries {
         .orderBy("n_nationkey")
     }),
 
+    // S6: DB -> DataFrame bridge over a REAL embedded JDBC database
+    // (Derby ships with Spark): typed rows write out through Spark's
+    // JDBC sink, read back through DbBridge, and the string-default
+    // policy (ref tm_polars_db.py:51-150) must hold — every column
+    // string except the system ints, __sqlmodded NULL coalesced to 0.
+    "s6_jdbc_roundtrip" -> ((s, d) => {
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val url = s"jdbc:derby:${scratch(s, "s6_derby")};create=true"
+      val src = T.nation(s, d).select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"),
+        when(col("n_nationkey") % 3 === 0, lit(null))
+          .otherwise((col("n_nationkey") % 3)).cast("int").as("__sqlmodded"))
+      src.write.mode("overwrite").option("driver",
+        "org.apache.derby.jdbc.EmbeddedDriver").jdbc(url, "alib", props)
+      DbBridge.readJdbc(s, url, "alib", props)
+        .orderBy("n_nationkey")
+    }),
+
     // S10: export-to-files round trip — tag rows under a directory
     // prefix write per-directory manifests with the reference's write
     // semantics (NULL => DELETE tag, delimited => one SET per value,
@@ -275,6 +294,14 @@ object StoreQueries {
     "s15_csv_roundtrip" ->
       """SELECT n_nationkey, n_name FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    // ordered on the STRING form of the key (the policy output), so the
+    // oracle orders lexicographically too
+    "s6_jdbc_roundtrip" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+        |CAST(n_regionkey AS VARCHAR) AS n_regionkey,
+        |CASE WHEN n_nationkey % 3 = 0 THEN 0
+        |  ELSE CAST(n_nationkey % 3 AS INT) END AS __sqlmodded
+        |FROM nation ORDER BY CAST(n_nationkey AS VARCHAR)""".stripMargin,
     // DuckDB single-quoted strings do not process backslash escapes, so
     // 'rock\\jazz' is the literal two-backslash-delimited cell and
     // string_split(genre, '\\') splits on the delimiter.

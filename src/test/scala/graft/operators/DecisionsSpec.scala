@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DecisionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unique auto-assigns, decisions cover ambiguity, rest pends") {
+    val cands = Seq(
+      ("miles", "kind of blue", 1L),
+      ("smith", "album a", 10L), ("smith", "album a", 11L),
+      ("jones", "album b", 20L), ("jones", "album b", 21L))
+      .toDF("name", "context", "cand_id")
+    // decision keys match casefolded/trimmed (ref normalize_string)
+    val dec = Seq(("SMITH", " album a ", 11L))
+      .toDF("name", "context", "assigned_id")
+    val (assigned, pending) = Decisions.resolveWithDecisions(cands, dec)
+    val a = assigned.orderBy("name").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+    assert(a.toSeq == Seq(("miles", 1L, "unique"),
+      ("smith", 11L, "user_decision")))
+    val p = pending.collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(p.toSeq == Seq(("jones", 2L)))
+  }
+
+  test("retirement needs a synthetic id AND exactly one real candidate") {
+    val dec = Seq(
+      ("a", "c", "synth:a", "user"),  // one real → retires
+      ("b", "c", "synth:b", "user"),  // two reals → stays
+      ("d", "c", "synth:d", "user"),  // no real → stays
+      ("e", "c", "mb-9", "user"))     // not synthetic → stays
+      .toDF("name", "context", "assigned_id", "decision_source")
+    val real = Seq(("a", "c", "mb-1"), ("b", "c", "mb-2"), ("b", "c", "mb-3"))
+      .toDF("name", "context", "real_id")
+    val (updated, proposals) = Decisions.retireSynthetic(dec, real,
+      c => c.startsWith("synth:"))
+    val u = updated.orderBy("name").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3)))
+    assert(u.toSeq == Seq(
+      ("a", "mb-1", "retired_to_real"), ("b", "synth:b", "user"),
+      ("d", "synth:d", "user"), ("e", "mb-9", "user")))
+    val pr = proposals.collect().map(r =>
+      (r.getString(0), r.getString(2), r.getString(3)))
+    assert(pr.toSeq == Seq(("a", "synth:a", "mb-1")))
+  }
+}
