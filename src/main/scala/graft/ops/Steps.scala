@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Exprs, MultiValue}
-import graft.functions.{Contributors, TextNorm, TitleCase, Uuids}
+import graft.functions.{Contributors, Subtitles, TextNorm, TitleCase, Uuids}
 
 /** Canonical pipeline steps re-expressed from the reference's numbered
   * scripts, as composable [[Transform]] values over a stringly-typed
@@ -195,6 +195,191 @@ object Steps {
         when(col(uuidCol).isNull || trim(col(uuidCol)) === "" ||
           substring(col(uuidCol), 15, 1) =!= "7", Uuids.uuid7Udf())
           .otherwise(col(uuidCol))))
+
+  /** 03a: artist canonical-case correction + feature-prefix split (ref
+    * `scripts/pipeline/03-...py:105-162`): a lowered-artist hit in the
+    * disambiguated-contributor table replaces the cell with the
+    * canonical casing and short-circuits; otherwise the first
+    * `feat./featuring/with/w/` marker splits the cell into
+    * `main\\featured`. The canonical table is contributor-scale →
+    * broadcast; the probe side never shuffles. */
+  def artistFeatureSplit(artistCol: String, canonical: DataFrame): Transform =
+    Transform("03_artist_features", Seq(artistCol), { df =>
+      val cmap = broadcast(canonical.select(
+        lower(trim(col(canonical.columns.head))).as("__ck"),
+        trim(col(canonical.columns.head)).as("__cv")).distinct())
+      val pieces = split(col(artistCol),
+        "(?i)\\s+(?:feat\\.?|featuring|with|w/)\\s+", 2)
+      val main = trim(get(pieces, lit(0)))
+      val featured = trim(get(pieces, lit(1)))
+      df.join(cmap, lower(col(artistCol)) === col("__ck"), "left")
+        .withColumn(artistCol,
+          when(col(artistCol).isNull, col(artistCol))
+            .when(col("__cv").isNotNull, col("__cv"))
+            .when(featured.isNotNull && main =!= "" && featured =!= "",
+              concat_ws(MultiValue.Delim, main, featured))
+            .otherwise(col(artistCol)))
+        .drop("__ck", "__cv")
+    })
+
+  /** 03b: bracketed-suffix extraction from title (ref
+    * `scripts/pipeline/03-...py:165-271`). The trailing `(...)`/`[...]`
+    * content classifies by its (variant-normalized) first word:
+    * feature prefixes move the remainder into artist, a leading `live`
+    * moves the bracket into subtitle (guarded when subtitle already
+    * says "live at") and sets the live flag, and subtitle
+    * prefixes/trailing markers append to subtitle — all with the
+    * reference's delimiter-aware case-insensitive duplicate check.
+    * Unmatched suffixes are left untouched. Pure Column work. */
+  def titleSuffixExtract(titleCol: String = "title",
+                         subtitleCol: String = "subtitle",
+                         artistCol: String = "artist",
+                         liveCol: String = "live"): Transform =
+    Transform("03_title_suffix",
+      Seq(titleCol, subtitleCol, artistCol, liveCol), { df =>
+        val bracketRe = "(?i)\\s*[\\(\\[\\{<]([^\\)\\]\\}>]+)[\\)\\]\\}>]\\s*$"
+        val content = trim(regexp_extract(col(titleCol), bracketRe, 1))
+        val words = filter(split(content, "\\s+"), w => w =!= "")
+        // single-word variant normalization (ref WORD_NORMALIZATION);
+        // note "alt" maps to "alt. take" which is NOT a subtitle prefix
+        // — faithful to the reference's classification
+        val wordNorm = typedlit(Map(
+          "remaster" -> "remastered", "rmx" -> "remix",
+          "alt" -> "alt. take", "alternate" -> "alt. take",
+          "alt." -> "alt. take", "early" -> "early mix"))
+        val firstRaw = lower(get(words, lit(0)))
+        val first = coalesce(try_element_at(wordNorm, firstRaw), firstRaw)
+        val isFeature = first.isin("with", "w/", "feat", "feat.", "featuring")
+        val isLive = first === "live"
+        val isSubPrefix = first.isin("remix", "rmx", "remaster", "remastered",
+          "demo", "outtake", "alt", "alternate", "alt.", "mix", "early mix",
+          "instrumental", "bonus", "radio", "reprise", "unplugged",
+          "acoustic", "electric", "akoesties", "orchestral", "piano", "dj")
+        val lastClean = regexp_replace(
+          lower(get(words, size(words) - 1)),
+          "^[^a-z0-9]+|[^a-z0-9]+$", "")
+        val trailing = lastClean.isin("mix", "session", "demos",
+          "remaster", "remastered", "remix", "version")
+        val rest = when(isFeature,
+          trim(array_join(slice(words, 2, 10000), " "))).otherwise(content)
+        val restClean = trim(regexp_replace(rest,
+          "^[\\[\\]\\(\\)\\{\\}<>]+|[\\[\\]\\(\\)\\{\\}<>]+$", ""))
+        val restWrapped = concat(lit("["), restClean, lit("]"))
+        val stripped = trim(regexp_replace(col(titleCol), bracketRe, ""))
+
+        val hasBracket = content =!= "" && restClean =!= ""
+        val featApply = hasBracket && isFeature
+        val liveApply = hasBracket && !isFeature && isLive
+        val subApply = hasBracket && !isFeature && !isLive &&
+          (isSubPrefix || trailing)
+
+        // delimiter-aware duplicate-checked subtitle append (ref
+        // _append_to_subtitle): tokens split on both '\\' and ';'
+        def appendSub(guardLiveAt: Boolean): Column = {
+          val subNN = coalesce(col(subtitleCol), lit(""))
+          val toks = MultiValue.tokens(regexp_replace(subNN, "\\s*;\\s*",
+            MultiValue.Delim.replace("\\", "\\\\")))
+          val dup = exists(toks, t => lower(t) === lower(restWrapped))
+          val guard =
+            if (guardLiveAt) lower(subNN).contains("live at") else lit(false)
+          when(dup || guard, col(subtitleCol))
+            .otherwise(array_join(concat(toks, array(restWrapped)), "; "))
+        }
+
+        val anyApply = featApply || liveApply || subApply
+        val artNN = coalesce(col(artistCol), lit(""))
+        df.withColumn("__nt",
+            when(anyApply, stripped).otherwise(col(titleCol)))
+          .withColumn("__na", when(featApply,
+              when(artNN.contains(restClean), col(artistCol))
+                .when(artNN === "", restClean)
+                .otherwise(concat(artNN, lit(MultiValue.Delim), restClean)))
+            .otherwise(col(artistCol)))
+          .withColumn("__ns",
+            when(liveApply, appendSub(guardLiveAt = true))
+              .when(subApply, appendSub(guardLiveAt = false))
+              .otherwise(col(subtitleCol)))
+          .withColumn("__nl",
+            when(liveApply, lit("1")).otherwise(col(liveCol)))
+          .withColumn(titleCol, col("__nt"))
+          .withColumn(artistCol, col("__na"))
+          .withColumn(subtitleCol, col("__ns"))
+          .withColumn(liveCol, col("__nl"))
+          .drop("__nt", "__na", "__ns", "__nl")
+      })
+
+  /** 04: merge arranger/lyricist/writer into composer with ordered
+    * casefold first-seen dedupe; only composer changes (ref
+    * `scripts/pipeline/04-...py:31-90`). */
+  def songwriterMerge(composerCol: String = "composer",
+                      sources: Seq[String] =
+                        Seq("arranger", "lyricist", "writer")): Transform =
+    Transform("04_songwriter_merge", Seq(composerCol), { df =>
+      val allTokens = (composerCol +: sources)
+        .map(c => MultiValue.tokens(coalesce(col(c), lit(""))))
+      val merged = MultiValue.dedupeCasefold(concat(allTokens: _*))
+      df.withColumn(composerCol,
+        when(size(merged) === 0, lit(null).cast("string"))
+          .otherwise(MultiValue.joinTokens(merged)))
+    })
+
+  /** 08: per-cell subtitle normalization (ref
+    * `scripts/pipeline/08-...py:61-110`, engine in
+    * [[graft.functions.Subtitles]]); the reference fetch only touches
+    * non-blank cells. */
+  def normalizeSubtitles(subtitleCol: String = "subtitle"): Transform =
+    onCols("08_subtitle_norm", Seq(subtitleCol))(c =>
+      when(c.isNull || trim(c) === "", c)
+        .otherwise(Subtitles.normalizeSubtitleUdf(c)))
+
+  /** 09: live-marker normalization (ref
+    * `scripts/pipeline/09-...py:71-134`): a trailing `(live)`-style
+    * bracket or `- live` strips from title/album; rows where one
+    * stripped get their subtitle's legacy delimiters migrated to
+    * `"; "`, `[Live]` appended unless the subtitle already says live,
+    * and the live flag set.
+    *
+    * Deviation, documented: the reference computes the subtitle/live
+    * updates over EVERY row (`apply_live_normalization` has no gating
+    * mask, 09-...py:71-113), which as written would flag the whole
+    * library live; its stated purpose is "moving them from title into
+    * subtitle". This step applies the subtitle/live writes only to rows
+    * where a marker was actually found. */
+  def liveMarkers(titleCol: String = "title",
+                  subtitleCol: String = "subtitle",
+                  albumCol: String = "album",
+                  liveCol: String = "live"): Transform =
+    Transform("09_live_markers",
+      Seq(titleCol, subtitleCol, albumCol, liveCol), { df =>
+        val liveRe = "(?i)(?:[\\(\\[\\{<]\\s*live\\s*[\\)\\]\\}>]|- live)\\s*$"
+        val nt = trim(regexp_replace(col(titleCol), liveRe, ""))
+        val na = trim(regexp_replace(col(albumCol), liveRe, ""))
+        val gated = (col(titleCol).isNotNull && nt =!= col(titleCol)) ||
+          (col(albumCol).isNotNull && na =!= col(albumCol))
+        val subNorm = trim(regexp_replace(
+          regexp_replace(coalesce(col(subtitleCol), lit("")),
+            MultiValue.DelimRe, "; "),
+          "\\s*;\\s*", "; "))
+        val newSub =
+          when(col(subtitleCol).isNotNull &&
+              subNorm.rlike("(?i)\\blive\\b"), subNorm)
+            .when(col(subtitleCol).isNotNull,
+              concat(subNorm, lit("; "), lit("[Live]")))
+            .otherwise(lit("[Live]"))
+        df.withColumn("__nt",
+            when(col(titleCol).isNotNull, nt).otherwise(col(titleCol)))
+          .withColumn("__na",
+            when(col(albumCol).isNotNull, na).otherwise(col(albumCol)))
+          .withColumn("__ns",
+            when(gated, newSub).otherwise(col(subtitleCol)))
+          .withColumn("__nl",
+            when(gated, lit("1")).otherwise(col(liveCol)))
+          .withColumn(titleCol, col("__nt"))
+          .withColumn(albumCol, col("__na"))
+          .withColumn(subtitleCol, col("__ns"))
+          .withColumn(liveCol, col("__nl"))
+          .drop("__nt", "__na", "__ns", "__nl")
+      })
 
   /** The default cleanup pipeline in reference numbering order. */
   def defaultPipeline(textCols: Seq[String], mvCols: Seq[String],

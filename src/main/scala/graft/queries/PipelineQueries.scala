@@ -128,6 +128,115 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // 03a: artist case-correction against the disambiguated-contributor
+    // table, else feature-prefix split (ref 03-...py:105-162).
+    "pl_artist_features" -> ((s, d) => {
+      val k = col("c_custkey")
+      val canonical = T.nation(s, d)
+        .select(initcap(lower(col("n_name"))).as("contributor"))
+      val table = T.customer(s, d)
+        .join(broadcast(T.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(k,
+          when(k % 4 === 0, upper(col("n_name")))
+            .when(k % 4 === 1, initcap(lower(col("n_name"))))
+            .when(k % 4 === 2, concat(lit("Band"), (k % 9).cast("string"),
+              lit(" feat. Guest"), (k % 7).cast("string")))
+            .otherwise(concat(lit("Duo"), (k % 9).cast("string"),
+              lit(" w/ Pal"), (k % 5).cast("string"))).as("artist"))
+      val (state, _) = Pipeline.run(table, "c_custkey",
+        Seq(Steps.artistFeatureSplit("artist", canonical)))
+      state.select("c_custkey", "artist").orderBy("c_custkey")
+    }),
+
+    // 03b: bracketed title-suffix extraction routing into artist /
+    // subtitle / live (ref 03-...py:165-271); one row per branch class.
+    "pl_title_suffix" -> ((s, d) => {
+      val k = col("c_custkey")
+      val table = T.customer(s, d).select(k,
+        when(k % 6 === 0, concat(lit("Track "), k.cast("string"),
+            lit(" (feat. Gst"), (k % 7).cast("string"), lit(")")))
+          .when(k % 6 === 1,
+            concat(lit("Track "), k.cast("string"), lit(" (Live 1975)")))
+          .when(k % 6 === 2,
+            concat(lit("Track "), k.cast("string"), lit(" (Remaster 2011)")))
+          .when(k % 6 === 3, concat(lit("Track "), k.cast("string"),
+            lit(" [Acoustic Version]")))
+          .when(k % 6 === 4,
+            concat(lit("Track "), k.cast("string"), lit(" (Live At Here)")))
+          .otherwise(concat(lit("Track "), k.cast("string"),
+            lit(" (Oddball)"))).as("title"),
+        when(k % 6 === 2, lit("[Remaster 2011]"))
+          .when(k % 6 === 3, lit("[Demo]"))
+          .when(k % 6 === 4, lit("Club Live At Night"))
+          .otherwise(lit(null).cast("string")).as("subtitle"),
+        concat(lit("Art"), (k % 9).cast("string")).as("artist"),
+        lit("0").as("live"))
+      val (state, _) = Pipeline.run(table, "c_custkey",
+        Seq(Steps.titleSuffixExtract()))
+      state.select("c_custkey", "title", "subtitle", "artist", "live")
+        .orderBy("c_custkey")
+    }),
+
+    // 04: songwriter-field merge into composer (ref 04-...py:31-90):
+    // ordered casefold dedupe across composer/arranger/lyricist/writer.
+    "pl_songwriter_merge" -> ((s, d) => {
+      val k = col("c_custkey")
+      val table = T.customer(s, d).select(k,
+        when(k % 3 === 0, concat(lit("Comp"), (k % 11).cast("string")))
+          .when(k % 3 === 2, concat(lit("comp"), (k % 11).cast("string"),
+            lit(D), lit("X"), (k % 5).cast("string")))
+          .otherwise(lit(null).cast("string")).as("composer"),
+        concat(lit("COMP"), (k % 11).cast("string")).as("arranger"),
+        concat(lit("Lyr"), (k % 7).cast("string")).as("lyricist"),
+        when(k % 2 === 0, concat(lit("X"), (k % 5).cast("string")))
+          .otherwise(lit(null).cast("string")).as("writer"))
+      val (state, _) = Pipeline.run(table, "c_custkey",
+        Seq(Steps.songwriterMerge()))
+      state.select("c_custkey", "composer").orderBy("c_custkey")
+    }),
+
+    // 08: subtitle normalization (ref 08-...py:61-110): bracket
+    // extraction + casefold dedupe + live-drop + word casing, legacy
+    // delimiter migration for bracketless cells.
+    "pl_subtitle_norm" -> ((s, d) => {
+      val k = col("c_custkey")
+      val table = T.customer(s, d).select(k,
+        when(k % 5 === 0, concat(lit("live"), lit(D),
+            lit("remaster "), (k % 10).cast("string")))
+          .when(k % 5 === 1, lit("(Live) (Live At The BBC)"))
+          .when(k % 5 === 2, lit("(remaster) (REMASTER)"))
+          .when(k % 5 === 3, lit("(alt. take a.k.a demo)"))
+          .otherwise(concat(lit("Plain note "), (k % 4).cast("string")))
+          .as("subtitle"))
+      val (state, _) = Pipeline.run(table, "c_custkey",
+        Seq(Steps.normalizeSubtitles()))
+      state.select("c_custkey", "subtitle").orderBy("c_custkey")
+    }),
+
+    // 09: live-marker normalization (ref 09-...py:71-134): strip the
+    // trailing marker from title/album, migrate subtitle delimiters,
+    // append [Live] when missing, set the live flag — gated on a
+    // marker actually found (see Steps.liveMarkers scaladoc).
+    "pl_live_markers" -> ((s, d) => {
+      val k = col("c_custkey")
+      val table = T.customer(s, d).select(k,
+        when(k % 4 === 0, concat(lit("T"), k.cast("string"), lit(" (Live)")))
+          .when(k % 4 === 1, concat(lit("T"), k.cast("string"), lit(" - Live")))
+          .otherwise(concat(lit("T"), k.cast("string"))).as("title"),
+        when(k % 4 === 1, concat(lit("Acoustic"), lit(D), lit("Demo")))
+          .when(k % 4 === 2, lit("Live in Paris"))
+          .when(k % 4 === 3, lit("Quiet"))
+          .otherwise(lit(null).cast("string")).as("subtitle"),
+        when(k % 4 === 2, concat(lit("A"), k.cast("string"), lit(" [live]")))
+          .otherwise(concat(lit("A"), k.cast("string"))).as("album"),
+        lit("0").as("live"))
+      val (state, _) = Pipeline.run(table, "c_custkey",
+        Seq(Steps.liveMarkers()))
+      state.select("c_custkey", "title", "subtitle", "album", "live")
+        .orderBy("c_custkey")
+    }),
+
     // Composed pipeline: 01 then 16 over one table, consuming the
     // per-step changelog summary — the reference's operational loop
     // (run numbered scripts, read the changelog report).
@@ -192,6 +301,85 @@ object PipelineQueries {
     "pl_uuid_assign" ->
       """SELECT doc_id, doc_id % 3 IN (0, 1) AS assigned, true AS is_v7
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // %4=0 upper-cased name case-corrects to the canonical Initcap form;
+    // %4=1 is already canonical; the rest split at the feature marker.
+    "pl_artist_features" ->
+      """WITH cap AS (SELECT c_custkey,
+        |  array_to_string(list_transform(string_split(lower(n_name), ' '),
+        |    w -> upper(w[1]) || w[2:]), ' ') AS nat
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT c_custkey,
+        |CASE WHEN c_custkey % 4 IN (0, 1) THEN nat
+        |     WHEN c_custkey % 4 = 2 THEN 'Band' || CAST(c_custkey % 9 AS VARCHAR)
+        |       || '\\Guest' || CAST(c_custkey % 7 AS VARCHAR)
+        |     ELSE 'Duo' || CAST(c_custkey % 9 AS VARCHAR)
+        |       || '\\Pal' || CAST(c_custkey % 5 AS VARCHAR) END AS artist
+        |FROM cap ORDER BY c_custkey""".stripMargin,
+    // feature bracket → artist append; live bracket → subtitle + flag
+    // (the 'Live At' guard leaves %6=4's subtitle untouched); prefix /
+    // trailing-word brackets → subtitle with duplicate check (%6=2 is
+    // the dup); unmatched (%6=5) stays intact.
+    "pl_title_suffix" ->
+      """SELECT c_custkey,
+        |CASE WHEN c_custkey % 6 = 5
+        |     THEN 'Track ' || CAST(c_custkey AS VARCHAR) || ' (Oddball)'
+        |     ELSE 'Track ' || CAST(c_custkey AS VARCHAR) END AS title,
+        |CASE WHEN c_custkey % 6 = 1 THEN '[Live 1975]'
+        |     WHEN c_custkey % 6 = 2 THEN '[Remaster 2011]'
+        |     WHEN c_custkey % 6 = 3 THEN '[Demo]; [Acoustic Version]'
+        |     WHEN c_custkey % 6 = 4 THEN 'Club Live At Night'
+        |     ELSE NULL END AS subtitle,
+        |CASE WHEN c_custkey % 6 = 0 THEN 'Art' || CAST(c_custkey % 9 AS VARCHAR)
+        |       || '\\Gst' || CAST(c_custkey % 7 AS VARCHAR)
+        |     ELSE 'Art' || CAST(c_custkey % 9 AS VARCHAR) END AS artist,
+        |CASE WHEN c_custkey % 6 IN (1, 4) THEN '1' ELSE '0' END AS live
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // order is composer, arranger, lyricist, writer with casefold
+    // first-seen dedupe: arranger always dups composer's first token
+    // (or seeds it when composer is null, keeping ARRANGER'S casing),
+    // writer dups %3=2's X token.
+    "pl_songwriter_merge" ->
+      """SELECT c_custkey,
+        |CASE WHEN c_custkey % 3 = 0 THEN
+        |       'Comp' || CAST(c_custkey % 11 AS VARCHAR)
+        |       || '\\Lyr' || CAST(c_custkey % 7 AS VARCHAR)
+        |       || CASE WHEN c_custkey % 2 = 0
+        |          THEN '\\X' || CAST(c_custkey % 5 AS VARCHAR) ELSE '' END
+        |     WHEN c_custkey % 3 = 1 THEN
+        |       'COMP' || CAST(c_custkey % 11 AS VARCHAR)
+        |       || '\\Lyr' || CAST(c_custkey % 7 AS VARCHAR)
+        |       || CASE WHEN c_custkey % 2 = 0
+        |          THEN '\\X' || CAST(c_custkey % 5 AS VARCHAR) ELSE '' END
+        |     ELSE 'comp' || CAST(c_custkey % 11 AS VARCHAR)
+        |       || '\\X' || CAST(c_custkey % 5 AS VARCHAR)
+        |       || '\\Lyr' || CAST(c_custkey % 7 AS VARCHAR) END AS composer
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // %5=0 migrates the legacy delimiter; =1 drops the bare Live part;
+    // =2 casefold-dedupes; =3 exercises first-word + after-dot casing;
+    // =4 has no brackets and no delimiter → unchanged.
+    "pl_subtitle_norm" ->
+      """SELECT c_custkey,
+        |CASE WHEN c_custkey % 5 = 0
+        |       THEN 'live; remaster ' || CAST(c_custkey % 10 AS VARCHAR)
+        |     WHEN c_custkey % 5 = 1 THEN '[Live At The BBC]'
+        |     WHEN c_custkey % 5 = 2 THEN '[Remaster]'
+        |     WHEN c_custkey % 5 = 3 THEN '[Alt. take a.K.A demo]'
+        |     ELSE 'Plain note ' || CAST(c_custkey % 4 AS VARCHAR)
+        |END AS subtitle
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // markers strip from title (%4=0,1) and album (%4=2); gated rows
+    // get [Live] appended unless the subtitle already says live, and
+    // the flag set; %4=3 has no marker → untouched.
+    "pl_live_markers" ->
+      """SELECT c_custkey,
+        |'T' || CAST(c_custkey AS VARCHAR) AS title,
+        |CASE WHEN c_custkey % 4 = 0 THEN '[Live]'
+        |     WHEN c_custkey % 4 = 1 THEN 'Acoustic; Demo; [Live]'
+        |     WHEN c_custkey % 4 = 2 THEN 'Live in Paris'
+        |     ELSE 'Quiet' END AS subtitle,
+        |'A' || CAST(c_custkey AS VARCHAR) AS album,
+        |CASE WHEN c_custkey % 4 = 3 THEN '0' ELSE '1' END AS live
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // step 01 logs albumartist appends (%3=1 modify, %3=2 add) and the
     // composer fill (every row an add); lyricist never changes so no
     // row; step 16 adds a uuid to every row.

@@ -147,4 +147,117 @@ class StepsSpec extends SparkSpec {
     assert(r.getString(1) == "The Best of THE Rest")
     assert(r.getString(2) == "Bela Bartok")
   }
+
+  test("artistFeatureSplit case-corrects via dict, else splits features") {
+    val canonical = Seq("Miles Davis", "MxPx").toDF("contributor")
+    val df = Seq(
+      ("/p1", "MILES DAVIS"),          // dict hit, wrong case → canonical
+      ("/p2", "MxPx"),                 // dict hit, exact → unchanged
+      ("/p3", "A feat. B"),            // feature split
+      ("/p4", "A featuring The B"),    // longer prefix wins
+      ("/p5", "C w/ D"),
+      ("/p6", "feat. X"),              // no main part → unchanged
+      ("/p7", null: String))
+      .toDF("__path", "artist")
+    val s = Seq(Steps.artistFeatureSplit("artist", canonical))
+    val (fin, _) = Pipeline.run(df, "__path", s)
+    val r = fin.orderBy("__path").collect().map(x =>
+      Option(x.getString(1)).orNull)
+    assert(r.toSeq == Seq("Miles Davis", "MxPx", "A\\\\B", "A\\\\The B",
+      "C\\\\D", "feat. X", null))
+    val (_, log2) = Pipeline.run(fin, "__path", s)
+    assert(log2.count() == 0)
+  }
+
+  test("titleSuffixExtract routes feature/live/subtitle brackets") {
+    val df = Seq(
+      ("/p1", "Song (feat. Ella)", null: String, "Duke", "0"),
+      ("/p2", "Song (Live 1975)", null: String, "Duke", "0"),
+      // live-at guard: subtitle mentions 'live at' → no append, flag set
+      ("/p3", "Song (Live At Pool)", "Live At The Club", "Duke", "0"),
+      // dup guard: bracket already present in subtitle (case-insensitive)
+      ("/p4", "Song (Remaster 2011)", "[remaster 2011]", "Duke", "0"),
+      // trailing-word match without a known prefix
+      ("/p5", "Song [Super Deluxe Version]", null: String, "Duke", "0"),
+      // unmatched suffix ignored entirely
+      ("/p6", "Song (About Life)", null: String, "Duke", "0"),
+      // variant normalization: alt → 'alt. take' is NOT a prefix, but
+      // trailing 'mix' still routes it
+      ("/p7", "Song (Alt Early Mix)", "[Demo]", "Duke", "0"))
+      .toDF("__path", "title", "subtitle", "artist", "live")
+    val s = Seq(Steps.titleSuffixExtract())
+    val (fin, _) = Pipeline.run(df, "__path", s)
+    val r = fin.orderBy("__path").collect()
+    def row(i: Int) = (r(i).getString(1), Option(r(i).getString(2)).orNull,
+      r(i).getString(3), r(i).getString(4))
+    assert(row(0) == ("Song", null, "Duke\\\\Ella", "0"))
+    assert(row(1) == ("Song", "[Live 1975]", "Duke", "1"))
+    assert(row(2) == ("Song", "Live At The Club", "Duke", "1"))
+    assert(row(3) == ("Song", "[remaster 2011]", "Duke", "0"))
+    assert(row(4) == ("Song", "[Super Deluxe Version]", "Duke", "0"))
+    assert(row(5) == ("Song (About Life)", null, "Duke", "0"))
+    assert(row(6) == ("Song", "[Demo]; [Alt Early Mix]", "Duke", "0"))
+    val (_, log2) = Pipeline.run(fin, "__path", s)
+    assert(log2.count() == 0)
+  }
+
+  test("songwriterMerge folds fields in order with casefold dedupe") {
+    val df = Seq(
+      ("/p1", "Bach\\\\mozart", "MOZART", "Liszt", null: String),
+      ("/p2", null: String, null: String, null: String, null: String),
+      ("/p3", null: String, "Holst", "Holst", "Grieg"))
+      .toDF("__path", "composer", "arranger", "lyricist", "writer")
+    val s = Seq(Steps.songwriterMerge())
+    val (fin, _) = Pipeline.run(df, "__path", s)
+    val r = fin.orderBy("__path").collect().map(x =>
+      Option(x.getString(1)).orNull)
+    assert(r.toSeq == Seq("Bach\\\\mozart\\\\Liszt", null, "Holst\\\\Grieg"))
+    val (_, log2) = Pipeline.run(fin, "__path", s)
+    assert(log2.count() == 0)
+  }
+
+  test("normalizeSubtitles: dedupe, live-drop, casing, legacy migration") {
+    import graft.functions.Subtitles.normalizeSubtitle
+    assert(normalizeSubtitle("(Live) (Live At The BBC)") ==
+      "[Live At The BBC]")
+    assert(normalizeSubtitle("(remaster) (REMASTER)") == "[Remaster]")
+    assert(normalizeSubtitle("(alt. take a.k.a demo)") ==
+      "[Alt. take a.K.A demo]")
+    assert(normalizeSubtitle("(BBC session)") == "[BBC session]") // acronym
+    assert(normalizeSubtitle("live\\\\remaster") == "live; remaster")
+    assert(normalizeSubtitle("plain") == "plain")
+    assert(normalizeSubtitle("(live)") == "[Live]") // lone live kept, cased
+    // step converges through the pipeline
+    val df = Seq(("/p1", "(demo)\\\\ignored"), ("/p2", "  "))
+      .toDF("__path", "subtitle")
+    val s = Seq(Steps.normalizeSubtitles())
+    val (fin, _) = Pipeline.run(df, "__path", s)
+    val r = fin.orderBy("__path").collect()
+    assert(r(0).getString(1) == "[Demo]") // brackets win over legacy delim
+    assert(r(1).getString(1) == "  ")     // blank untouched (ref fetch)
+    val (_, log2) = Pipeline.run(fin, "__path", s)
+    assert(log2.count() == 0)
+  }
+
+  test("liveMarkers strips title/album markers, gates subtitle+flag") {
+    val df = Seq(
+      ("/p1", "T (Live)", null: String, "A", "0"),
+      ("/p2", "T - Live", "Acoustic\\\\Demo", "A", "0"),
+      ("/p3", "T", "Set List", "A [live]", "0"),
+      ("/p4", "T", "Quiet", "A", "0"),         // no marker → untouched
+      ("/p5", "T (Live)", "Live in Paris", "A", "0")) // live word kept
+      .toDF("__path", "title", "subtitle", "album", "live")
+    val s = Seq(Steps.liveMarkers())
+    val (fin, _) = Pipeline.run(df, "__path", s)
+    val r = fin.orderBy("__path").collect()
+    def row(i: Int) = (r(i).getString(1), Option(r(i).getString(2)).orNull,
+      r(i).getString(3), r(i).getString(4))
+    assert(row(0) == ("T", "[Live]", "A", "1"))
+    assert(row(1) == ("T", "Acoustic; Demo; [Live]", "A", "1"))
+    assert(row(2) == ("T", "Set List; [Live]", "A", "1"))
+    assert(row(3) == ("T", "Quiet", "A", "0"))
+    assert(row(4) == ("T", "Live in Paris", "A", "1"))
+    val (_, log2) = Pipeline.run(fin, "__path", s)
+    assert(log2.count() == 0)
+  }
 }
