@@ -381,6 +381,196 @@ object Steps {
           .drop("__nt", "__na", "__ns", "__nl")
       })
 
+  /** 12: compilation detection (ref `scripts/pipeline/12-...py:64-200`).
+    * Artist-based rules take priority — per-directory distinct-artist
+    * counts decide: empty albumartist + many artists ⇒ compilation;
+    * empty + one artist ⇒ not, and albumartist backfills from the
+    * artist; a "various artists" albumartist + many artists ⇒
+    * compilation. Rows no artist rule touched fall back to the
+    * directory-name patterns (`VA - `, `OST - `, …), which overwrite
+    * the flag either way.
+    *
+    * One shuffle: the per-directory count aggregates then joins back on
+    * the directory key (album-sized groups — no skew). Converges except
+    * the reference's own flip case: a VA-patterned directory with a
+    * lone artist alternates between rule 2 and the path rule, exactly
+    * as re-running the reference script does. */
+  def detectCompilations(dirCol: String = "__dirpath",
+                         compCol: String = "compilation",
+                         artistCol: String = "artist",
+                         albumArtistCol: String = "albumartist"): Transform =
+    Transform("12_detect_compilations", Seq(compCol, albumArtistCol), { df =>
+      val artNN = coalesce(col(artistCol), lit(""))
+      val counts = df.groupBy(dirCol).agg(
+        countDistinct(artNN).as("__nart"),
+        min(artNN).as("__first"))
+      def empty(c: Column) = c.isNull || trim(c) === ""
+      def various(c: Column) =
+        lower(trim(c)).isin("various artists", "various")
+      val rule1 = empty(col(albumArtistCol)) && col("__nart") > 1
+      val rule2 = empty(col(albumArtistCol)) && col("__nart") === 1
+      val rule3 = various(col(albumArtistCol)) && col("__nart") > 1
+      val applied = rule1 || rule2 || rule3
+      val lastSeg = element_at(split(col(dirCol), "/"), -1)
+      val pathPat = lastSeg.startsWith("VA - ") ||
+        lastSeg.startsWith("/VA/") ||
+        lastSeg.startsWith("Various Artists - ") ||
+        lastSeg.startsWith("/OST/") || lastSeg.startsWith("OST - ")
+      df.join(counts, Seq(dirCol), "left")
+        .withColumn("__nc",
+          when(rule1 || rule3, lit("1"))
+            .when(rule2, lit("0"))
+            .when(!applied && pathPat, lit("1"))
+            .when(!applied && !pathPat, lit("0"))
+            .otherwise(col(compCol)))
+        .withColumn(albumArtistCol,
+          when(rule2, col("__first")).otherwise(col(albumArtistCol)))
+        .withColumn(compCol, col("__nc"))
+        .drop("__nart", "__first", "__nc")
+    })
+
+  /** 13: disc-number cleanup (ref `scripts/pipeline/13-...py:76-180`):
+    * a directory qualifies when it has at least one non-blank disc
+    * number, its name does not look like a `cd N`/`disc N` leaf, and
+    * every non-blank disc number in it is identical — then the (now
+    * redundant) disc number clears to NULL for the whole directory.
+    * Same single-shuffle shape as [[detectCompilations]]. */
+  def cleanupDiscnumber(dirCol: String = "__dirpath",
+                        discCol: String = "discnumber"): Transform =
+    Transform("13_discnumber", Seq(discCol), { df =>
+      val norm = Exprs.normBlank(col(discCol))
+      val stats = df.groupBy(dirCol).agg(
+        countDistinct(norm).as("__u"), count(norm).as("__nn"))
+      val lastSeg = lower(element_at(split(col(dirCol), "/"), -1))
+      val discDir = lastSeg.rlike("\\b(?:cd|disc)\\s*\\d+\\b")
+      df.join(stats, Seq(dirCol), "left")
+        .withColumn(discCol,
+          when(col("__nn") > 0 && col("__u") === 1 && !discDir,
+            lit(null).cast("string")).otherwise(col(discCol)))
+        .drop("__u", "__nn")
+    })
+
+  /** The release-type canonicalization table (ref
+    * `scripts/pipeline/14-...py:46-109`); keys are lowercase, values
+    * the canonical display forms, multi-value keys matched whole. */
+  private val ReleaseTypeMapping: Map[String, String] = Map(
+    "album\\\\audiobook" -> "Studio Album\\\\Audiobook",
+    "album\\\\audio drama" -> "Studio Album",
+    "album\\\\bootleg" -> "Demos, Soundboards & Bootlegs",
+    "album\\\\bootleg\\\\live" -> "Demos, Soundboards & Bootlegs\\\\Live Album",
+    "album\\\\compilation\\\\dj-mix" -> "Remix",
+    "album\\\\compilation" -> "Greatest Hits & Anthologies",
+    "album\\\\compilation\\\\live" -> "Greatest Hits & Anthologies\\\\Live Album",
+    "album\\\\compilation\\\\soundtrack" -> "Soundtrack",
+    "album\\\\demo" -> "Demos, Soundboards & Bootlegs",
+    "album\\\\dj-mix" -> "Remix\\\\DJ-Mix",
+    "album\\\\interview" -> "Studio Album\\\\Interview",
+    "album\\\\live" -> "Live Album",
+    "album\\\\mixtape/street" -> "Mixtape/Street",
+    "album\\\\remix" -> "Remix",
+    "album\\\\live\\\\soundtrack" -> "Soundtrack\\\\Live Album",
+    "album\\\\soundtrack" -> "Soundtrack\\\\Studio Album",
+    "album" -> "Studio Album",
+    "anthology" -> "Greatest Hits & Anthologies",
+    "audio drama\\\\broadcast" -> "Live Album\\\\Broadcast",
+    "bootleg\\\\soundboard" -> "Demos, Soundboards & Bootlegs",
+    "box set" -> "Box Set",
+    "box set\\\\live album" -> "Box Set\\\\Live Album",
+    "broadcast\\\\live" -> "Live Album\\\\Broadcast",
+    "compilation\\\\album" -> "Greatest Hits & Anthologies",
+    "compilation\\\\demo\\\\ep" -> "Demos, Soundboards & Bootlegs\\\\Extended Play",
+    "compilation\\\\ep" -> "Greatest Hits & Anthologies\\\\Extended Play",
+    "compilation\\\\live" -> "Greatest Hits & Anthologies\\\\Live Album",
+    "compilation\\\\live album" -> "Greatest Hits & Anthologies\\\\Live Album",
+    "compilation" -> "Greatest Hits & Anthologies",
+    "compilation\\\\single" -> "Single\\\\Compilation",
+    "composite reissue" -> "Studio Album",
+    "demo" -> "Demos, Soundboards & Bootlegs",
+    "demo\\\\ep" -> "Demos, Soundboards & Bootlegs\\\\Extended Play",
+    "ep" -> "Extended Play",
+    "ep\\\\live" -> "Extended Play\\\\Live Album",
+    "ep\\\\mixtape/street" -> "Mixtape/Street\\\\Extended Play",
+    "ep\\\\remix" -> "Remix\\\\Extended Play",
+    "ep\\\\soundtrack" -> "Soundtrack\\\\Extended Play",
+    "extended play" -> "Extended Play",
+    "extended play\\\\remix" -> "Remix\\\\Extended Play",
+    "interview\\\\single" -> "Single\\\\Interview",
+    "live album" -> "Live Album",
+    "live\\\\album" -> "Live Album",
+    "live\\\\ep" -> "Extended Play\\\\Live Album",
+    "live" -> "Live Album",
+    "live\\\\single" -> "Single\\\\Live Album",
+    "mixtape/street" -> "Mixtape/Street",
+    "other" -> "Studio Album",
+    "remix" -> "Remix",
+    "remix\\\\single" -> "Remix\\\\Single",
+    "single\\\\live" -> "Single\\\\Live Album",
+    "single" -> "Single",
+    "single\\\\soundtrack" -> "Single\\\\Soundtrack",
+    "soundtrack\\\\album" -> "Soundtrack\\\\Studio Album",
+    "soundtrack" -> "Soundtrack",
+    "studio album\\\\compilation" -> "Greatest Hits & Anthologies",
+    "studio album\\\\compilation\\\\remix" -> "Remix",
+    "studio album\\\\demo" -> "Demos, Soundboards & Bootlegs",
+    "studio album\\\\remix" -> "Remix",
+    "studio album" -> "Studio Album",
+    "various artists" -> "Various Artists Compilation")
+
+  /** 14: release-type normalization (ref
+    * `scripts/pipeline/14-...py:159-482`). Three phases:
+    * canonical-mapping lookup on the whole lowered cell (multi- and
+    * single-value keys are disjoint, so one map models the reference's
+    * two stages; unmatched cells keep their trimmed value), per-directory
+    * track-count assignment for still-null cells (≤3 ⇒ Single, 4-6 ⇒
+    * Extended Play — classical/jazz excluded — then `/OST` paths ⇒
+    * Soundtrack, remainder ⇒ Studio Album), and the
+    * isgreatesthits/issoundtrack flag appends (skipped when the column
+    * is absent, like the reference). */
+  def normalizeReleasetype(dirCol: String = "__dirpath",
+                           rtCol: String = "releasetype",
+                           genreCol: String = "genre",
+                           ghCol: String = "isgreatesthits",
+                           stCol: String = "issoundtrack"): Transform =
+    Transform("14_releasetype", Seq(rtCol), { df =>
+      val mapLit = typedlit(ReleaseTypeMapping)
+      val stripped = trim(col(rtCol))
+      val d1 = df.withColumn(rtCol,
+        when(col(rtCol).isNull, col(rtCol))
+          .otherwise(coalesce(try_element_at(mapLit, lower(stripped)),
+            stripped)))
+      val cj = coalesce(lower(col(genreCol)).contains("classical") ||
+        lower(col(genreCol)).contains("jazz"), lit(false))
+      val eligible = col(rtCol).isNull && !cj
+      val cnt = d1.filter(eligible).groupBy(dirCol)
+        .agg(count(lit(1)).as("__tc"))
+      val d2 = d1.join(cnt, Seq(dirCol), "left")
+        .withColumn(rtCol,
+          when(eligible && col("__tc") <= 3, lit("Single"))
+            .when(eligible && col("__tc") <= 6, lit("Extended Play"))
+            .when(col(rtCol).isNull && col(dirCol).contains("/OST"),
+              lit("Soundtrack"))
+            .when(col(rtCol).isNull, lit("Studio Album"))
+            .otherwise(col(rtCol)))
+        .drop("__tc")
+      def ensure(c: Column, flag: Column, target: String): Column = {
+        val isSet = flag.isNotNull &&
+          lower(trim(flag.cast("string"))).isin("true", "1")
+        val hasIt = exists(split(coalesce(c, lit("")), MultiValue.DelimRe),
+          t => t === target)
+        when(!isSet, c)
+          .when(c.isNull || c === "", lit(target))
+          .when(hasIt, c)
+          .otherwise(concat(c, lit(MultiValue.Delim), lit(target)))
+      }
+      val d3 = if (d2.columns.contains(ghCol))
+        d2.withColumn(rtCol,
+          ensure(col(rtCol), col(ghCol), "Greatest Hits & Anthologies"))
+      else d2
+      if (d3.columns.contains(stCol))
+        d3.withColumn(rtCol, ensure(col(rtCol), col(stCol), "Soundtrack"))
+      else d3
+    })
+
   /** The default cleanup pipeline in reference numbering order. */
   def defaultPipeline(textCols: Seq[String], mvCols: Seq[String],
                       dateCols: Seq[String]): Seq[Transform] = Seq(

@@ -237,6 +237,86 @@ object PipelineQueries {
         .orderBy("c_custkey")
     }),
 
+    // 12: compilation detection (ref 12-...py:64-200): artist-count
+    // rules first (empty/various albumartist), path patterns for the
+    // untouched remainder. Directory classes are derived from
+    // c_custkey%40 so every rule fires somewhere.
+    "pl_compilations" -> ((s, d) => {
+      val k = col("c_custkey")
+      val dd = expr("c_custkey % 40")
+      val ac = expr("((c_custkey % 40) div 2) % 4")
+      val multi = dd % 2 === 0
+      val table = T.customer(s, d).select(k,
+        when(dd % 8 === 4, concat(lit("/m/VA - Set"), dd.cast("string")))
+          .otherwise(concat(lit("/m/Album"), dd.cast("string")))
+          .as("__dirpath"),
+        when(multi, concat(lit("Art"), (k % 3).cast("string")))
+          .otherwise(concat(lit("Solo"), dd.cast("string"))).as("artist"),
+        when(ac === 0, lit(""))
+          .when(ac === 1, lit("Various Artists"))
+          .when(ac === 2, concat(lit("Keeper"), dd.cast("string")))
+          .otherwise(lit(null).cast("string")).as("albumartist"),
+        lit("x").as("compilation"))
+      val (state, _) = Pipeline.run(table, "c_custkey",
+        Seq(Steps.detectCompilations()))
+      state.select("c_custkey", "compilation", "albumartist")
+        .orderBy("c_custkey")
+    }),
+
+    // 13: disc-number cleanup (ref 13-...py:76-180): identical
+    // non-blank disc numbers clear per directory unless the directory
+    // is a cd/disc leaf or the numbers genuinely vary.
+    "pl_discnumber" -> ((s, d) => {
+      val k = col("c_custkey")
+      val dd = expr("c_custkey % 30")
+      val table = T.customer(s, d).select(k,
+        when(dd % 3 === 0, concat(lit("/m/Box"), dd.cast("string"),
+            lit("/CD "), (dd % 2 + 1).cast("string")))
+          .otherwise(concat(lit("/m/Alb"), dd.cast("string")))
+          .as("__dirpath"),
+        when(dd % 5 === 0, lit("1"))
+          // stride-30 dirs keep k%2 constant, so vary on k%4 (two
+          // residues per dir) to make a genuinely mixed directory
+          .when(dd % 5 === 1, (k % 4).cast("string"))
+          .when(dd % 5 === 2,
+            when(k % 2 === 0, lit("")).otherwise(lit(null).cast("string")))
+          .otherwise(lit("3")).as("discnumber"))
+      val (state, _) = Pipeline.run(table, "c_custkey",
+        Seq(Steps.cleanupDiscnumber()))
+      state.select("c_custkey", "discnumber").orderBy("c_custkey")
+    }),
+
+    // 14: release-type normalization (ref 14-...py:159-482): mapping
+    // lookup, per-directory count assignment for nulls (singleton S-dirs
+    // → Single, 5-row E-dirs → Extended Play, /OST → Soundtrack, rest →
+    // Studio Album), then the greatest-hits/soundtrack flag appends.
+    "pl_releasetype" -> ((s, d) => {
+      val k = col("c_custkey")
+      val table = T.customer(s, d).select(k,
+        when(k % 11 === 5, concat(lit("/m/S"), k.cast("string")))
+          .when(k % 11 === 6,
+            concat(lit("/m/E"), expr("c_custkey div 55").cast("string")))
+          .when(k % 7 === 0,
+            concat(lit("/m/OST/A"), (k % 11).cast("string")))
+          .otherwise(concat(lit("/m/A"), (k % 11).cast("string")))
+          .as("__dirpath"),
+        when(k % 11 === 5 || k % 11 === 6, lit(null).cast("string"))
+          .when(k % 5 === 0, lit("Album\\\\Live"))
+          .when(k % 5 === 1, lit(" ep "))
+          .when(k % 5 === 4, lit("Bogus Thing"))
+          .otherwise(lit(null).cast("string")).as("releasetype"),
+        when(k % 11 === 5 || k % 11 === 6, lit("Rock"))
+          .when(k % 10 === 2, lit("Jazz Fusion"))
+          .otherwise(lit("Rock")).as("genre"),
+        when(k % 6 === 0, lit("1"))
+          .otherwise(lit(null).cast("string")).as("isgreatesthits"),
+        when(k % 9 === 0, lit("true"))
+          .otherwise(lit(null).cast("string")).as("issoundtrack"))
+      val (state, _) = Pipeline.run(table, "c_custkey",
+        Seq(Steps.normalizeReleasetype()))
+      state.select("c_custkey", "releasetype").orderBy("c_custkey")
+    }),
+
     // Composed pipeline: 01 then 16 over one table, consuming the
     // per-step changelog summary — the reference's operational loop
     // (run numbered scripts, read the changelog report).
@@ -367,6 +447,88 @@ object PipelineQueries {
         |     ELSE 'Plain note ' || CAST(c_custkey % 4 AS VARCHAR)
         |END AS subtitle
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // multi-artist dirs (even d) with empty/null/various albumartist →
+    // compilation; single-artist dirs with empty albumartist backfill
+    // and clear the flag; 'Keeper' dirs fall to the path rule (VA-set
+    // paths exist only at d%8=4, which are Keeper dirs).
+    "pl_compilations" ->
+      """WITH e AS (SELECT c_custkey, c_custkey % 40 AS d,
+        |  ((c_custkey % 40) // 2) % 4 AS ac,
+        |  c_custkey % 40 % 2 = 0 AS multi FROM customer)
+        |SELECT c_custkey,
+        |CASE WHEN multi AND ac IN (0, 1, 3) THEN '1'
+        |     WHEN NOT multi THEN '0'
+        |     ELSE CASE WHEN d % 8 = 4 THEN '1' ELSE '0' END
+        |END AS compilation,
+        |CASE WHEN ac = 1 THEN 'Various Artists'
+        |     WHEN ac = 2 THEN 'Keeper' || CAST(d AS VARCHAR)
+        |     WHEN NOT multi THEN 'Solo' || CAST(d AS VARCHAR)
+        |     WHEN ac = 0 THEN ''
+        |     ELSE NULL END AS albumartist
+        |FROM e ORDER BY c_custkey""".stripMargin,
+    // identical-per-directory disc numbers clear (d%5 in 0,3,4) unless
+    // the directory is a 'CD n' leaf (d%3=0); varying (d%5=1) and
+    // all-blank (d%5=2) directories keep their values.
+    "pl_discnumber" ->
+      """WITH t AS (SELECT c_custkey, c_custkey % 30 AS d FROM customer)
+        |SELECT c_custkey,
+        |CASE WHEN d % 5 IN (0, 3, 4) AND d % 3 <> 0 THEN NULL
+        |     WHEN d % 5 = 0 THEN '1'
+        |     WHEN d % 5 IN (3, 4) THEN '3'
+        |     WHEN d % 5 = 1 THEN CAST(c_custkey % 4 AS VARCHAR)
+        |     ELSE CASE WHEN c_custkey % 2 = 0 THEN '' ELSE NULL END
+        |END AS discnumber
+        |FROM t ORDER BY c_custkey""".stripMargin,
+    // full algorithm restated: mapping lookup (multi+single keys on the
+    // lowered trimmed cell), eligible-count assignment per directory,
+    // /OST and Studio-Album fallbacks, then the two flag appends with
+    // the exact-segment duplicate check.
+    "pl_releasetype" ->
+      """WITH t AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 11 = 5 THEN '/m/S' || CAST(c_custkey AS VARCHAR)
+        |       WHEN c_custkey % 11 = 6 THEN '/m/E' || CAST(c_custkey // 55 AS VARCHAR)
+        |       WHEN c_custkey % 7 = 0 THEN '/m/OST/A' || CAST(c_custkey % 11 AS VARCHAR)
+        |       ELSE '/m/A' || CAST(c_custkey % 11 AS VARCHAR) END AS dir,
+        |  CASE WHEN c_custkey % 11 IN (5, 6) THEN NULL
+        |       WHEN c_custkey % 5 = 0 THEN 'Album\\Live'
+        |       WHEN c_custkey % 5 = 1 THEN ' ep '
+        |       WHEN c_custkey % 5 = 4 THEN 'Bogus Thing'
+        |       ELSE NULL END AS rt,
+        |  CASE WHEN c_custkey % 11 IN (5, 6) THEN 'Rock'
+        |       WHEN c_custkey % 10 = 2 THEN 'Jazz Fusion'
+        |       ELSE 'Rock' END AS genre,
+        |  c_custkey % 6 = 0 AS gh, c_custkey % 9 = 0 AS st
+        |  FROM customer),
+        |m AS (SELECT *, CASE WHEN rt IS NULL THEN NULL
+        |    WHEN lower(trim(rt)) = 'album\\live' THEN 'Live Album'
+        |    WHEN lower(trim(rt)) = 'ep' THEN 'Extended Play'
+        |    ELSE trim(rt) END AS rt1 FROM t),
+        |c AS (SELECT dir, COUNT(*) AS tc FROM m
+        |  WHERE rt1 IS NULL AND lower(genre) NOT LIKE '%classical%'
+        |    AND lower(genre) NOT LIKE '%jazz%' GROUP BY dir),
+        |a AS (SELECT m.c_custkey, m.gh, m.st, CASE
+        |    WHEN rt1 IS NULL AND lower(genre) NOT LIKE '%classical%'
+        |      AND lower(genre) NOT LIKE '%jazz%' AND tc <= 3 THEN 'Single'
+        |    WHEN rt1 IS NULL AND lower(genre) NOT LIKE '%classical%'
+        |      AND lower(genre) NOT LIKE '%jazz%' AND tc <= 6
+        |      THEN 'Extended Play'
+        |    WHEN rt1 IS NULL AND dir LIKE '%/OST%' THEN 'Soundtrack'
+        |    WHEN rt1 IS NULL THEN 'Studio Album'
+        |    ELSE rt1 END AS rt2 FROM m LEFT JOIN c USING (dir)),
+        |g AS (SELECT c_custkey, st, CASE WHEN gh THEN
+        |    CASE WHEN rt2 IS NULL OR rt2 = ''
+        |           THEN 'Greatest Hits & Anthologies'
+        |         WHEN list_contains(string_split(rt2, '\\'),
+        |           'Greatest Hits & Anthologies') THEN rt2
+        |         ELSE rt2 || '\\Greatest Hits & Anthologies' END
+        |    ELSE rt2 END AS rt3 FROM a)
+        |SELECT c_custkey, CASE WHEN st THEN
+        |    CASE WHEN rt3 IS NULL OR rt3 = '' THEN 'Soundtrack'
+        |         WHEN list_contains(string_split(rt3, '\\'), 'Soundtrack')
+        |           THEN rt3
+        |         ELSE rt3 || '\\Soundtrack' END
+        |  ELSE rt3 END AS releasetype
+        |FROM g ORDER BY c_custkey""".stripMargin,
     // markers strip from title (%4=0,1) and album (%4=2); gated rows
     // get [Live] appended unless the subtitle already says live, and
     // the flag set; %4=3 has no marker → untouched.

@@ -239,6 +239,83 @@ class StepsSpec extends SparkSpec {
     assert(log2.count() == 0)
   }
 
+  test("detectCompilations: artist rules take priority, paths fall back") {
+    val df = Seq(
+      // empty aa + 2 artists → compilation
+      ("/m/X", "A", "", "0", "/p1"), ("/m/X", "B", "", "0", "/p2"),
+      // empty aa + 1 artist → not, aa backfills
+      ("/m/Y", "C", null: String, "1", "/p3"), ("/m/Y", "C", null, "1", "/p4"),
+      // various + 2 artists → compilation
+      ("/m/Z", "D", " Various Artists ", "0", "/p5"),
+      ("/m/Z", "E", "various", "0", "/p6"),
+      // aa set, non-various → path rule decides
+      ("/m/VA - Hits", "F", "Keep", "0", "/p7"),
+      ("/m/Plain", "G", "Keep", "1", "/p8"))
+      .toDF("__dirpath", "artist", "albumartist", "compilation", "__path")
+    val s = Seq(Steps.detectCompilations())
+    val (fin, _) = Pipeline.run(df, "__path", s)
+    val r = fin.orderBy("__path").collect()
+      .map(x => (x.getString(3), Option(x.getString(2)).orNull))
+    assert(r.toSeq == Seq(("1", ""), ("1", ""), ("0", "C"), ("0", "C"),
+      ("1", " Various Artists "), ("1", "various"),
+      ("1", "Keep"), ("0", "Keep")))
+    val (_, log2) = Pipeline.run(fin, "__path", s)
+    assert(log2.count() == 0)
+  }
+
+  test("cleanupDiscnumber clears identical dirs, spares cd-leaf dirs") {
+    val df = Seq(
+      ("/m/A", "1", "/p1"), ("/m/A", "1", "/p2"),   // identical → clear
+      ("/m/B", "1", "/p3"), ("/m/B", "2", "/p4"),   // varies → keep
+      ("/m/C/CD 1", "1", "/p5"), ("/m/C/cd2", "1", "/p6"), // disc leaf → keep
+      ("/m/D", null: String, "/p7"), ("/m/D", " ", "/p8"), // all blank → keep
+      ("/m/E", "3", "/p9"), ("/m/E", null, "/p10")) // one value + null → clear
+      .toDF("__dirpath", "discnumber", "__path")
+    val s = Seq(Steps.cleanupDiscnumber())
+    val (fin, _) = Pipeline.run(df, "__path", s)
+    val m = fin.collect().map(x => x.getString(2) ->
+      Option(x.getString(1)).orNull).toMap
+    assert(m("/p1") == null && m("/p2") == null)
+    assert(m("/p3") == "1" && m("/p4") == "2")
+    assert(m("/p5") == "1" && m("/p6") == "1")
+    assert(m("/p7") == null && m("/p8") == " ")
+    assert(m("/p9") == null && m("/p10") == null)
+    val (_, log2) = Pipeline.run(fin, "__path", s)
+    assert(log2.count() == 0)
+  }
+
+  test("normalizeReleasetype: mapping, count assignment, flag appends") {
+    val df = Seq(
+      ("/m/A", "Album\\\\Live", "Rock", null: String, null: String, "/p1"),
+      ("/m/A", " ep ", "Rock", null, null, "/p2"),
+      ("/m/A", "Bogus Thing  ", "Rock", null, null, "/p3"),
+      // singleton dir, null rt, non-jazz → Single
+      ("/m/B", null: String, "Rock", null, null, "/p4"),
+      // jazz rows are never count-assigned → OST/Studio fallback
+      ("/m/C/OST/X", null, "Smooth Jazz", null, null, "/p5"),
+      ("/m/D", null, "Classical Era", null, null, "/p6"),
+      // flag appends: set / dup / append
+      ("/m/E", null, "Rock", "1", "true", "/p7"),
+      ("/m/F", "Soundtrack", "Rock", null, "true", "/p8"),
+      ("/m/G", "Remix", "Rock", "true", null, "/p9"))
+      .toDF("__dirpath", "releasetype", "genre",
+        "isgreatesthits", "issoundtrack", "__path")
+    val s = Seq(Steps.normalizeReleasetype())
+    val (fin, _) = Pipeline.run(df, "__path", s)
+    val m = fin.collect().map(x => x.getString(5) -> x.getString(1)).toMap
+    assert(m("/p1") == "Live Album")
+    assert(m("/p2") == "Extended Play")
+    assert(m("/p3") == "Bogus Thing")
+    assert(m("/p4") == "Single")
+    assert(m("/p5") == "Soundtrack")     // /OST path beats Studio Album
+    assert(m("/p6") == "Studio Album")
+    assert(m("/p7") == "Single\\\\Greatest Hits & Anthologies\\\\Soundtrack")
+    assert(m("/p8") == "Soundtrack")     // exact-segment dup → unchanged
+    assert(m("/p9") == "Remix\\\\Greatest Hits & Anthologies")
+    val (_, log2) = Pipeline.run(fin, "__path", s)
+    assert(log2.count() == 0)
+  }
+
   test("liveMarkers strips title/album markers, gates subtitle+flag") {
     val df = Seq(
       ("/p1", "T (Live)", null: String, "A", "0"),
