@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Exprs, MultiValue}
@@ -380,6 +381,78 @@ object Steps {
           .withColumn(liveCol, col("__nl"))
           .drop("__nt", "__na", "__ns", "__nl")
       })
+
+  /** 05: composer inference by library majority vote (ref
+    * `scripts/pipeline/05-...py:27-57, 97-213`). Titles normalize
+    * (lowercase, live-annotation strip, punctuation strip), artist and
+    * albumartist cells explode to sorted unique lowercase parts, and
+    * each (normalized title, single artist) group votes for its most
+    * common composer; tracks with an EMPTY composer then adopt their
+    * group's winner. Two shuffles (vote count, per-row regroup) plus
+    * one join on the vote key.
+    *
+    * Tie-breaks are deterministic here (count desc, then composer key
+    * asc) where the reference keeps frame order — frame order has no
+    * distributed equivalent. */
+  def inferComposers(keyCol: String, titleCol: String = "title",
+                     composerCol: String = "composer",
+                     artistCol: String = "artist",
+                     albumArtistCol: String = "albumartist"): Transform =
+    Transform("05_infer_composers", Seq(composerCol), { df =>
+      def normTitle(c: Column) = trim(regexp_replace(regexp_replace(
+        lower(coalesce(c, lit(""))), "\\(live.*|\\[live.*", ""),
+        "[^\\w\\s]", ""))
+      def normList(c: Column) = array_sort(array_distinct(filter(
+        transform(split(lower(coalesce(c, lit(""))),
+          "[;,/&]|\\\\\\\\| and "), t => trim(t)), t => t =!= "")))
+      val withNorm = df.withColumn("__nt", normTitle(col(titleCol)))
+        .withColumn("__cp", normList(col(composerCol)))
+      val exploded = Seq(artistCol, albumArtistCol).map(c =>
+        withNorm.select(col(keyCol).as("__k"), col("__nt"),
+          explode_outer(normList(col(c))).as("__sa"), col("__cp"),
+          col(composerCol).as("__oc")))
+        .reduce(_ unionByName _)
+      val votes = exploded
+        .filter(size(col("__cp")) > 0 && col("__sa").isNotNull)
+        .withColumn("__key", array_join(col("__cp"), "|"))
+        .groupBy("__nt", "__sa", "__key", "__oc")
+        .agg(count(lit(1)).as("__n"))
+      val w = Window.partitionBy("__nt", "__sa")
+        .orderBy(col("__n").desc, col("__key").asc, col("__oc").asc)
+      val top = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__nt"), col("__sa"), col("__oc").as("__inferred"))
+      val keys = exploded.select(col("__k"), col("__nt"), col("__sa"))
+        .filter(col("__sa").isNotNull).distinct()
+      // one inferred value per row: the reference takes the first
+      // non-null match in frame order; min() is the deterministic twin
+      val matches = keys.join(top, Seq("__nt", "__sa"), "left")
+        .groupBy("__k").agg(min(col("__inferred")).as("__inferred"))
+      df.join(matches, col(keyCol) === col("__k"), "left")
+        .withColumn(composerCol,
+          when((col(composerCol).isNull || col(composerCol) === "") &&
+            col("__inferred").isNotNull, col("__inferred"))
+            .otherwise(col(composerCol)))
+        .drop("__k", "__inferred")
+    })
+
+  /** 19: album-DR population (ref `scripts/pipeline/19-...py:61-100,
+    * 139-204`): the validated dirpath → score mapping (parsed by
+    * [[graft.sources.DelimitedSources.readDrScores]]) overwrites
+    * `album_dr` for matching directories; everything else passes
+    * through. The mapping is file-scale → broadcast, no shuffle. */
+  def albumDrPopulate(drScores: DataFrame, dirCol: String = "__dirpath",
+                      drCol: String = "album_dr"): Transform =
+    Transform("19_album_dr", Seq(drCol), { df =>
+      val m = broadcast(drScores.select(
+        col(drScores.columns.head).as("__ddir"),
+        col(drScores.columns(1)).cast("string").as("__dscore")).distinct())
+      df.join(m, col(dirCol) === col("__ddir"), "left")
+        .withColumn(drCol,
+          when(col("__dscore").isNotNull, col("__dscore"))
+            .otherwise(col(drCol)))
+        .drop("__ddir", "__dscore")
+    })
 
   /** 12: compilation detection (ref `scripts/pipeline/12-...py:64-200`).
     * Artist-based rules take priority — per-directory distinct-artist

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.Cdc
 import graft.core.{MultiValue, Tables => T}
+import graft.operators.WorkInference
 import graft.ops.{Pipeline, Steps}
 
 /** The reference's concrete numbered pipeline steps as CDC-audited,
@@ -317,6 +318,90 @@ object PipelineQueries {
       state.select("c_custkey", "releasetype").orderBy("c_custkey")
     }),
 
+    // 05: composer inference by majority vote (ref 05-...py:97-213):
+    // every title-group shares a 'shared<m>' artist part, voters
+    // (k%3=1) all carry 'C<m>', and empty composers adopt it.
+    "pl_infer_composers" -> ((s, d) => {
+      val k = col("c_custkey")
+      val m = (k % 100).cast("string")
+      val table = T.customer(s, d).select(k,
+        concat(lit("Song "), m,
+          when(k % 2 === 0, lit("!")).otherwise(lit("")),
+          when(k % 7 === 0, lit(" (Live at X)")).otherwise(lit("")))
+          .as("title"),
+        when(k % 3 === 1, concat(lit("C"), m))
+          .otherwise(lit(null).cast("string")).as("composer"),
+        concat(lit("art"), (k % 30).cast("string"), lit(D),
+          lit("shared"), m).as("artist"),
+        lit(null).cast("string").as("albumartist"))
+      val (state, _) = Pipeline.run(table, "c_custkey",
+        Seq(Steps.inferComposers("c_custkey")))
+      state.select("c_custkey", "composer").orderBy("c_custkey")
+    }),
+
+    // 19: album-DR population (ref 19-...py:61-100, 139-204): the
+    // nation-built score table overwrites album_dr for even-keyed
+    // directories; other rows pass through.
+    "pl_album_dr" -> ((s, d) => {
+      val k = col("c_custkey")
+      val scores = T.nation(s, d).filter(col("n_nationkey") % 2 === 0)
+        .select(concat(lit("/m/d"), col("n_nationkey").cast("string"))
+          .as("key"),
+          (lit(10) + col("n_nationkey") % 15).cast("string").as("dr"))
+      val table = T.customer(s, d).select(k,
+        concat(lit("/m/d"), (k % 25).cast("string")).as("__dirpath"),
+        when(k % 4 === 0, lit(null).cast("string"))
+          .when(k % 4 === 1, lit("7"))
+          .otherwise(lit("12")).as("album_dr"))
+      val (state, _) = Pipeline.run(table, "c_custkey",
+        Seq(Steps.albumDrPopulate(scores)))
+      state.select("c_custkey", "album_dr").orderBy("c_custkey")
+    }),
+
+    // 22: work-inference scoring (ref 22-...py:846-1440): closed-form
+    // corpus — track k title-matches work m0=k%300 (unless hidden,
+    // m0%3=2), workid-matches it at k%10=0, and alias-matches work
+    // ma=m0-1 when ma%4=0; composer/mbid corroboration and the vetted
+    // bonus follow residue rules the oracle restates exactly.
+    "pl_infer_works" -> ((s, d) => {
+      import s.implicits._
+      val k = col("p_partkey")
+      val tracks = T.part(s, d).select(k.as("track_id"),
+        concat(lit("work "), (k % 300).cast("string")).as("title_norm"),
+        when(k % 10 === 0, concat(lit("mb-"), (k % 300).cast("string")))
+          .otherwise(lit(null).cast("string")).as("workid"),
+        when(k % 4 <= 1, concat(lit("Person"), (k % 50).cast("string")))
+          .otherwise(lit(null).cast("string")).as("composer"),
+        when(k % 6 === 0,
+          concat(lit("Person"), (k % 50 + 1).cast("string")))
+          .otherwise(lit(null).cast("string")).as("lyricist"),
+        when(k % 5 === 0, concat(lit("AMB-"), (k % 20).cast("string")))
+          .otherwise(lit(null).cast("string")).as("artist_mbid"))
+      val m = col("id")
+      val lookup = s.range(0, 300).select(
+        m.as("work_id"),
+        concat(lit("mb-"), m.cast("string")).as("musicbrainz_workid"),
+        when(m % 3 =!= 2, concat(lit("work "), m.cast("string")))
+          .otherwise(concat(lit("hidden "), m.cast("string")))
+          .as("work_title_norm"),
+        when(m % 4 === 0,
+          concat(lit("work "), ((m + 1) % 300).cast("string")))
+          .otherwise(lit(null).cast("string")).as("alias_tokens"),
+        when(m % 2 === 0,
+          concat(lit("composer:person"), (m % 50).cast("string")))
+          .otherwise(lit(null).cast("string")).as("role_names"),
+        concat(lit("composer:amb-"), (m % 20).cast("string"))
+          .as("role_mbids"),
+        (m % 7 === 0).as("is_user_vetted"))
+      WorkInference.inferWorks(tracks, "track_id", "title_norm", "workid",
+        Map("composer" -> "composer", "lyricist" -> "lyricist"),
+        Seq("artist_mbid"), lookup)
+        .select("track_id", "best_work_id", "best_score",
+          "runner_up_score", "candidate_count", "confidence_tier",
+          "should_apply")
+        .orderBy("track_id")
+    }),
+
     // Composed pipeline: 01 then 16 over one table, consuming the
     // per-step changelog summary — the reference's operational loop
     // (run numbered scripts, read the changelog report).
@@ -529,6 +614,87 @@ object PipelineQueries {
         |         ELSE rt3 || '\\Soundtrack' END
         |  ELSE rt3 END AS releasetype
         |FROM g ORDER BY c_custkey""".stripMargin,
+    // voters are the k%3=1 rows of each title group (same composer per
+    // group by construction); every other row shares the group's
+    // 'shared<m>' artist part, so it fills whenever a voter exists.
+    "pl_infer_composers" ->
+      """WITH base AS (SELECT c_custkey AS k, c_custkey % 100 AS m,
+        |  c_custkey % 3 AS r FROM customer),
+        |vote AS (SELECT m, COUNT(*) AS nv FROM base WHERE r = 1 GROUP BY m)
+        |SELECT k AS c_custkey,
+        |CASE WHEN r = 1 THEN 'C' || CAST(m AS VARCHAR)
+        |     WHEN nv IS NOT NULL THEN 'C' || CAST(m AS VARCHAR)
+        |     ELSE NULL END AS composer
+        |FROM base LEFT JOIN vote USING (m) ORDER BY k""".stripMargin,
+    // even directories (d%2=0) are in the score table → overwritten;
+    // odd ones keep their initial value.
+    "pl_album_dr" ->
+      """SELECT c_custkey,
+        |CASE WHEN (c_custkey % 25) % 2 = 0
+        |       THEN CAST(10 + (c_custkey % 25) % 15 AS VARCHAR)
+        |     WHEN c_custkey % 4 = 0 THEN NULL
+        |     WHEN c_custkey % 4 = 1 THEN '7'
+        |     ELSE '12' END AS album_dr
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // closed-form restatement: candidate m0 scores 35(title unless
+    // hidden) + 70(workid) + 40*vetted-sources + 10(composer person) +
+    // 10(artist mbid); alias candidate ma scores 20+40(vetted); best by
+    // total (no ties by construction), tiers and guardrails per the
+    // reference thresholds.
+    "pl_infer_works" ->
+      """WITH s AS (SELECT p_partkey AS k, p_partkey % 300 AS m0,
+        |  (p_partkey % 300 + 299) % 300 AS ma,
+        |  CASE WHEN p_partkey % 300 % 3 <> 2 THEN 35 ELSE 0 END AS a,
+        |  CASE WHEN p_partkey % 10 = 0 THEN 70 ELSE 0 END AS b,
+        |  CASE WHEN p_partkey % 300 % 2 = 0 AND p_partkey % 4 <= 1
+        |    THEN 10 ELSE 0 END AS p,
+        |  CASE WHEN p_partkey % 5 = 0 THEN 10 ELSE 0 END AS i
+        |  FROM part),
+        |u AS (SELECT k, m0, ma,
+        |  CASE WHEN a + b > 0 THEN a + b
+        |    + CASE WHEN m0 % 7 = 0 THEN 40 *
+        |        ((CASE WHEN a > 0 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN b > 0 THEN 1 ELSE 0 END)) ELSE 0 END
+        |    + p + i END AS t0,
+        |  CASE WHEN ma % 4 = 0 THEN
+        |    20 + CASE WHEN ma % 7 = 0 THEN 40 ELSE 0 END END AS ta,
+        |  a > 0 AS et, b > 0 AS ew, (p + i) > 0 AS pm
+        |  FROM s),
+        |v AS (SELECT k,
+        |  CASE WHEN t0 IS NOT NULL AND (ta IS NULL OR t0 > ta) THEN 'm0'
+        |       WHEN ta IS NOT NULL THEN 'ma' END AS side,
+        |  m0, ma, t0, ta, et, ew, pm FROM u),
+        |w AS (SELECT k,
+        |  CASE WHEN side = 'm0' THEN CAST(m0 AS BIGINT)
+        |       WHEN side = 'ma' THEN CAST(ma AS BIGINT) END AS best_work_id,
+        |  CAST(CASE WHEN side = 'm0' THEN t0
+        |       WHEN side = 'ma' THEN ta ELSE 0 END AS BIGINT) AS best_score,
+        |  CAST(CASE WHEN side = 'm0' THEN COALESCE(ta, 0)
+        |       WHEN side = 'ma' THEN COALESCE(t0, 0)
+        |       ELSE 0 END AS BIGINT) AS runner_up_score,
+        |  CAST((CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS candidate_count,
+        |  side = 'm0' AND et AS bet, side = 'm0' AND ew AS bew,
+        |  side = 'm0' AND pm AS bpm, side = 'ma' AS bea
+        |  FROM v),
+        |x AS (SELECT k, best_work_id, best_score, runner_up_score,
+        |  candidate_count, bet, bew, bpm, bea,
+        |  CASE WHEN best_work_id IS NULL THEN 'D'
+        |       WHEN bew AND best_score >= 90
+        |         AND best_score - runner_up_score >= 20 THEN 'A'
+        |       WHEN best_score >= 80 AND best_score - runner_up_score >= 20
+        |         AND bpm THEN 'B'
+        |       WHEN best_score >= 60 THEN 'C'
+        |       ELSE 'D' END AS confidence_tier FROM w)
+        |SELECT k AS track_id, best_work_id, best_score, runner_up_score,
+        |candidate_count, confidence_tier,
+        |CAST(CASE WHEN confidence_tier IN ('A', 'B') AND best_score >= 80
+        |  AND best_score - runner_up_score >= 20
+        |  AND NOT (NOT bew AND NOT bet)
+        |  AND NOT ((bet OR bea) AND NOT bpm)
+        |  THEN 1 ELSE 0 END AS INT) AS should_apply
+        |FROM x ORDER BY track_id""".stripMargin,
     // markers strip from title (%4=0,1) and album (%4=2); gated rows
     // get [Live] appended unless the subtitle already says live, and
     // the flag set; %4=3 has no marker → untouched.

@@ -316,6 +316,44 @@ class StepsSpec extends SparkSpec {
     assert(log2.count() == 0)
   }
 
+  test("inferComposers fills empties from the group majority vote") {
+    val df = Seq(
+      ("/p1", "Song One", "", "Art A\\\\Other", null: String),
+      ("/p2", "Song One (Live at X)", "Comp X", "art a", null),
+      ("/p3", "song one!", "Comp X", "ART A", null),
+      ("/p4", "Song One", "Comp Y", "Art A", null),
+      ("/p5", "Song Two", "", "Nobody", null),
+      // albumartist matches too (ref explodes both)
+      ("/p6", "Song One", null: String, "Zed", "Art A"))
+      .toDF("__path", "title", "composer", "artist", "albumartist")
+    val s = Seq(Steps.inferComposers("__path"))
+    val (fin, _) = Pipeline.run(df, "__path", s)
+    val m = fin.collect().map(x => x.getString(0) ->
+      Option(x.getString(2)).orNull).toMap
+    assert(m("/p1") == "Comp X") // 2 votes X vs 1 Y on (song one, art a)
+    assert(m("/p2") == "Comp X" && m("/p4") == "Comp Y") // set rows keep
+    assert(m("/p5") == "")       // no votes for the group
+    assert(m("/p6") == "Comp X") // via albumartist part
+    val (_, log2) = Pipeline.run(fin, "__path", s)
+    assert(log2.count() == 0)
+  }
+
+  test("albumDrPopulate overwrites only mapped directories") {
+    import spark.implicits._
+    val scores = Seq(("/m/a", "14"), ("/m/b", "9")).toDF("key", "dr")
+    val df = Seq(("/m/a", null: String, "/p1"), ("/m/a", "12", "/p2"),
+      ("/m/b", "9", "/p3"), ("/m/c", "7", "/p4"))
+      .toDF("__dirpath", "album_dr", "__path")
+    val s = Seq(Steps.albumDrPopulate(scores))
+    val (fin, _) = Pipeline.run(df, "__path", s)
+    val m = fin.collect().map(x => x.getString(2) ->
+      Option(x.getString(1)).orNull).toMap
+    assert(m("/p1") == "14" && m("/p2") == "14")
+    assert(m("/p3") == "9" && m("/p4") == "7")
+    val (_, log2) = Pipeline.run(fin, "__path", s)
+    assert(log2.count() == 0)
+  }
+
   test("liveMarkers strips title/album markers, gates subtitle+flag") {
     val df = Seq(
       ("/p1", "T (Live)", null: String, "A", "0"),
