@@ -97,6 +97,30 @@ object Steps {
       when(c.isNull, c).otherwise(norm(c)))
   }
 
+  /** 07: vetted contributor-mapping application (ref
+    * `scripts/pipeline/07-...py:145-213`): whole-field replacement
+    * first (the replacement may itself be multi-value), then — when the
+    * cell carries the delimiter — per-item replacement with exact-case
+    * first-seen dedupe. Unmatched values pass through untouched. Pure
+    * Column work; the mapping ships as a literal (the reference holds
+    * `_REF_vetted_contributors` in memory too). */
+  def vettedMappings(cols: Seq[String],
+                     mapping: Map[String, String]): Transform = {
+    val mapLit = typedlit(mapping.map { case (k, v) => k.toLowerCase -> v })
+    onCols("07_vetted_mappings", cols) { c =>
+      val stripped = trim(c)
+      val whole = coalesce(try_element_at(mapLit, lower(stripped)), stripped)
+      val mapped = transform(MultiValue.tokens(whole),
+        t => coalesce(try_element_at(mapLit, lower(t)), t))
+      val deduped = array_distinct(mapped)
+      when(c.isNull || stripped === "", c)
+        .when(whole.contains(MultiValue.Delim),
+          when(size(deduped) === 0, lit(null).cast("string"))
+            .otherwise(MultiValue.joinTokens(deduped)))
+        .otherwise(whole)
+    }
+  }
+
   /** 10: genre/style normalization against a validation table (ref
     * `10-...py:200-257 intelligent_pre_filter, 260-341, 556-637`):
     * harmonize `[,;|]` delimiters, map every tag exact/casefold against

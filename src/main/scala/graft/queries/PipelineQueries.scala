@@ -197,6 +197,30 @@ object PipelineQueries {
       state.select("c_custkey", "composer").orderBy("c_custkey")
     }),
 
+    // 07: vetted contributor mappings (ref 07-...py:145-213):
+    // whole-field hit, item-level hits with dedupe, pass-through, and
+    // the trim-then-match path.
+    "pl_vetted_mappings" -> ((s, d) => {
+      val k = col("c_custkey")
+      val dict = T.nation(s, d).select(lower(col("n_name")).as("k"),
+          concat(lit("V:"), col("n_name")).as("v"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val table = T.customer(s, d)
+        .join(broadcast(T.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(k,
+          when(k % 4 === 0, col("n_name"))
+            .when(k % 4 === 1,
+              concat(col("n_name"), lit(D), lower(col("n_name")),
+                lit(D), lit("Zed")))
+            .when(k % 4 === 2, concat(lit("x"), k.cast("string")))
+            .otherwise(concat(lower(col("n_name")), lit(" ")))
+          .as("contrib"))
+      val (state, _) = Pipeline.run(table, "c_custkey",
+        Seq(Steps.vettedMappings(Seq("contrib"), dict)))
+      state.select("c_custkey", "contrib").orderBy("c_custkey")
+    }),
+
     // 08: subtitle normalization (ref 08-...py:61-110): bracket
     // extraction + casefold dedupe + live-drop + word casing, legacy
     // delimiter migration for bracketless cells.
@@ -519,6 +543,16 @@ object PipelineQueries {
         |       || '\\X' || CAST(c_custkey % 5 AS VARCHAR)
         |       || '\\Lyr' || CAST(c_custkey % 7 AS VARCHAR) END AS composer
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // %4=0 whole-field replaces; =1 item-maps the first two tokens to
+    // the same value (dedupe) and passes Zed through; =2 is unmatched;
+    // =3 trims then whole-field replaces.
+    "pl_vetted_mappings" ->
+      """SELECT c_custkey,
+        |CASE WHEN c_custkey % 4 IN (0, 3) THEN 'V:' || n_name
+        |     WHEN c_custkey % 4 = 1 THEN 'V:' || n_name || '\\Zed'
+        |     ELSE 'x' || CAST(c_custkey AS VARCHAR) END AS contrib
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
     // %5=0 migrates the legacy delimiter; =1 drops the bare Live part;
     // =2 casefold-dedupes; =3 exercises first-word + after-dot casing;
     // =4 has no brackets and no delimiter → unchanged.

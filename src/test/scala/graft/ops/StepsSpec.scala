@@ -316,6 +316,32 @@ class StepsSpec extends SparkSpec {
     assert(log2.count() == 0)
   }
 
+  test("vettedMappings: whole-field first, then item-level with dedupe") {
+    val dict = Map("the beatles" -> "The Beatles",
+      "beatles" -> "The Beatles", "cream" -> "Cream",
+      "duo" -> "A\\\\B")
+    val df = Seq(
+      ("/p1", "THE BEATLES"),                       // whole-field
+      ("/p2", "beatles\\\\The Beatles\\\\Cale"),    // items map + dedupe
+      ("/p3", "Unknown Artist"),                    // pass-through
+      ("/p4", " cream "),                           // trim then match
+      ("/p5", "duo"),                               // replacement is multi
+      ("/p6", null: String))
+      .toDF("__path", "contrib")
+    val s = Seq(Steps.vettedMappings(Seq("contrib"), dict))
+    val (fin, _) = Pipeline.run(df, "__path", s)
+    val m = fin.collect().map(x => x.getString(0) ->
+      Option(x.getString(1)).orNull).toMap
+    assert(m("/p1") == "The Beatles")
+    assert(m("/p2") == "The Beatles\\\\Cale")
+    assert(m("/p3") == "Unknown Artist")
+    assert(m("/p4") == "Cream")
+    assert(m("/p5") == "A\\\\B") // whole-field hit, items pass as-is
+    assert(m("/p6") == null)
+    val (_, log2) = Pipeline.run(fin, "__path", s)
+    assert(log2.count() == 0)
+  }
+
   test("inferComposers fills empties from the group majority vote") {
     val df = Seq(
       ("/p1", "Song One", "", "Art A\\\\Other", null: String),
