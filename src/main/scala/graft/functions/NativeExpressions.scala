@@ -88,15 +88,22 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (isFloat(left)) s"(double) $a.getFloat(i)"
-                 else s"$a.getDouble(i)"
-      val rGet = if (isFloat(right)) s"(double) $b.getFloat(i)"
-                 else s"$b.getDouble(i)"
+      // fresh names: a fixed `i` shadows UnsafeProjection's InternalRow
+      // parameter (illegal in Java) and a fixed `n`/`acc` collides when
+      // two dot products share one projection — either way Janino fails
+      // and the WHOLE projection silently drops to interpreter mode
+      val n = ctx.freshName("dpN")
+      val idx = ctx.freshName("dpI")
+      val acc = ctx.freshName("dpAcc")
+      val lGet = if (isFloat(left)) s"(double) $a.getFloat($idx)"
+                 else s"$a.getDouble($idx)"
+      val rGet = if (isFloat(right)) s"(double) $b.getFloat($idx)"
+                 else s"$b.getDouble($idx)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) { acc += ($lGet) * ($rGet); }
-         |${ev.value} = acc;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $idx = 0; $idx < $n; $idx++) { $acc += ($lGet) * ($rGet); }
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

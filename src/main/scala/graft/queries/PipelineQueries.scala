@@ -426,6 +426,35 @@ object PipelineQueries {
         .orderBy("track_id")
     }),
 
+    // Composed chain in reference numbering order — 02 clean, 04
+    // songwriter merge, 16 uuid, 20 dates — over disjoint columns, so
+    // the oracle restates each step's effect independently; the uuid
+    // value is nondeterministic, so the output carries the assignment
+    // decision and v7-shape flags instead (like pl_uuid_assign).
+    "pl_full_chain" -> ((s, d) => {
+      val k = col("c_custkey")
+      val table = T.customer(s, d).select(k,
+        concat(lit("T  "), k.cast("string"), lit("\t")).as("title"),
+        when(k % 3 === 0, concat(lit("Comp"), (k % 9).cast("string")))
+          .otherwise(lit(null).cast("string")).as("composer"),
+        concat(lit("COMP"), (k % 9).cast("string")).as("arranger"),
+        lit(null).cast("string").as("lyricist"),
+        lit(null).cast("string").as("writer"),
+        lit(null).cast("string").as("track_uuid"),
+        when(k % 2 === 0, lit("1999/03/12")).otherwise(lit("2001"))
+          .as("year"))
+      val (state, _) = Pipeline.run(table, "c_custkey", Seq(
+        Steps.cleanText(Seq("title")),
+        Steps.songwriterMerge(),
+        Steps.uuidAssign("track_uuid"),
+        Steps.canonDates(Seq("year"))))
+      state.select(col("c_custkey"), col("title"), col("composer"),
+        col("track_uuid").rlike(
+          "^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+          .as("uuid_v7"),
+        col("year")).orderBy("c_custkey")
+    }),
+
     // Composed pipeline: 01 then 16 over one table, consuming the
     // per-step changelog summary — the reference's operational loop
     // (run numbered scripts, read the changelog report).
@@ -741,6 +770,20 @@ object PipelineQueries {
         |     ELSE 'Quiet' END AS subtitle,
         |'A' || CAST(c_custkey AS VARCHAR) AS album,
         |CASE WHEN c_custkey % 4 = 3 THEN '0' ELSE '1' END AS live
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // each step touches its own column: trailing tab + double space
+    // collapse (02), arranger merges behind/into composer with casefold
+    // dedupe (04), every null uuid assigns v7 (16), slashed dates dash
+    // (20).
+    "pl_full_chain" ->
+      """SELECT c_custkey,
+        |'T ' || CAST(c_custkey AS VARCHAR) AS title,
+        |CASE WHEN c_custkey % 3 = 0
+        |       THEN 'Comp' || CAST(c_custkey % 9 AS VARCHAR)
+        |     ELSE 'COMP' || CAST(c_custkey % 9 AS VARCHAR) END AS composer,
+        |true AS uuid_v7,
+        |CASE WHEN c_custkey % 2 = 0 THEN '1999-03-12' ELSE '2001' END
+        |  AS year
         |FROM customer ORDER BY c_custkey""".stripMargin,
     // step 01 logs albumartist appends (%3=1 modify, %3=2 add) and the
     // composer fill (every row an add); lyricist never changes so no
