@@ -100,4 +100,33 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, id: Long) => sink(batch, id) }
     q.start().awaitTermination()
   }
+
+  /** Streaming keyed-MERGE sink: each micro-batch folds into a
+    * versioned parquet store with the same deterministic upsert as the
+    * batch path ([[graft.sources.AlibStore.upsert]]) — the streaming
+    * twin of the reference's incremental `--new-files` import loop
+    * (ref `tags2db.py:955-1019`: scan new files, merge into alib,
+    * commit). Versioned subdirectories (`v0`, `v1`, …) make each fold
+    * atomic — a batch never overwrites the store it is reading —
+    * and micro-batches run sequentially, so the fold order is the
+    * stream order. On a real cluster the store would be a Delta/Iceberg
+    * table and the fold a MERGE; the versioned-parquet form keeps the
+    * same semantics on plain files. */
+  final class UpsertStore(spark: SparkSession, dir: String,
+                          initial: DataFrame, key: String,
+                          tieBreak: Seq[String] = Nil) {
+    @volatile private var v = 0
+    initial.write.mode("overwrite").parquet(s"$dir/v0")
+
+    /** The foreachBatch sink. */
+    def sink(batch: DataFrame, id: Long): Unit = synchronized {
+      val cur = spark.read.parquet(s"$dir/v$v")
+      graft.sources.AlibStore.upsert(cur, batch, key, tieBreak)
+        .write.mode("overwrite").parquet(s"$dir/v${v + 1}")
+      v += 1
+    }
+
+    /** Store state after the last completed fold. */
+    def current: DataFrame = spark.read.parquet(s"$dir/v$v")
+  }
 }

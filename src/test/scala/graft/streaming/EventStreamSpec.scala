@@ -73,4 +73,36 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want)
     assert(n == want.size, "a key emitted more than one survivor")
   }
+
+  test("streaming upsert sink folds to the same state as the batch MERGE") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("evups").toString
+    val ckpt = Files.createTempDirectory("evupsck").toString
+    val store = Files.createTempDirectory("evupsstore").toString
+    // incoming stream = the customer table staged as a file source
+    Files.copy(Paths.get(s"$sf0001/customer.parquet"),
+      Paths.get(s"$dir/customer.parquet"))
+    val customer = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    // initial store: stale names for low keys plus store-only rows
+    val initial = customer.filter(col("c_custkey") <= 40)
+      .select(col("c_custkey"), concat(lit("OLD "), col("c_name")).as("c_name"))
+      .unionByName(customer.filter(col("c_custkey") <= 5)
+        .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name")))
+
+    val ups = new EventStream.UpsertStore(spark, store, initial, "c_custkey")
+    val incoming = spark.readStream.schema(spark.read
+        .parquet(s"$dir/customer.parquet").schema).parquet(dir)
+      .select(col("c_custkey"), col("c_name"))
+    EventStream.runAvailableNow(incoming, ckpt, mode = "append")(ups.sink)
+
+    val want = graft.sources.AlibStore.upsert(initial, customer, "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = ups.current.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    // incoming wins: no stale names survive; store-only rows do
+    assert(!got.exists(_._2.startsWith("OLD ")))
+    assert(got.count(_._1 > 1000000) == 5)
+  }
 }
