@@ -92,4 +92,32 @@ object TextAnalysis {
   def rollingFingerprint(c: Column): Column =
     aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** PII patterns for training-data scrubbing, ordered most- to
+    * least-specific so sequential redaction never double-matches
+    * (a credit card would otherwise match the looser phone shape).
+    * All RE2-safe — no lookarounds — so the identical patterns run in
+    * SQL oracles and other engines verbatim. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "IP" -> "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+    "CC" -> "\\b[0-9]{4}(?:[ -][0-9]{4}){3}\\b",
+    "PHONE" -> "\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,7}\\b")
+
+  /** Redact every PII pattern to its `<TYPE>` marker. Sequential
+    * scan-side regexp_replace chain — one projection, no shuffle, no
+    * UDF; at 100 TB this rides whole-stage codegen like any other
+    * string expression. */
+  def piiRedact(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (tag, re)) =>
+      regexp_replace(acc, re, s"<$tag>")
+    }
+
+  /** Per-type PII hit counts over the ORIGINAL text (counts are not
+    * affected by redaction order). Returns one int column per type in
+    * [[PiiPatterns]] order. */
+  def piiCounts(c: Column): Seq[Column] =
+    PiiPatterns.map { case (tag, re) =>
+      regexp_count(c, lit(re)).as(s"n_${tag.toLowerCase}")
+    }
 }

@@ -169,6 +169,28 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // PII scrub: deterministic PII is injected per doc class (the raw
+    // corpus carries none), then redacted and counted — scan-side
+    // regexp chain, no shuffle, no UDF. The oracle runs the identical
+    // RE2-safe patterns on the identical constructed text.
+    "d16_pii_scrub" -> ((s, d) => {
+      val id = col("doc_id")
+      val dirty = concat(col("text"),
+        when(id % 4 === 0, concat(lit(" contact bob"), id.cast("string"),
+            lit("@mail"), (id % 7).cast("string"), lit(".com now")))
+          .when(id % 4 === 1, concat(lit(" srv 10.0."),
+            (id % 256).cast("string"), lit("."), (id % 100).cast("string"),
+            lit(" up")))
+          .when(id % 4 === 2, concat(lit(" card 4012 3456 7890 "),
+            lpad((id % 10000).cast("string"), 4, "0"), lit(" used")))
+          .otherwise(concat(lit(" call +1 555 01"),
+            lpad((id % 100).cast("string"), 2, "0"))))
+      T.documents(s, d).select(
+        Seq(id, TextAnalysis.piiRedact(dirty).as("redacted")) ++
+          TextAnalysis.piiCounts(dirty): _*)
+        .orderBy("doc_id")
+    }),
+
     // Multimodal frame sampling: every 2nd 100-byte "frame" as its own
     // row — the generator shape (rows out >> rows in, no shuffle).
     "mm_frames" -> ((s, d) => {
@@ -283,6 +305,38 @@ object LlmQueries {
 
   val sql: Map[String, String] = Map(
     "d6_simhash" -> SimHashSql,
+    // identical injected text, identical RE2 patterns, 'g' for Spark's
+    // replace-all default; counts on the pre-redaction text
+    "d16_pii_scrub" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ' contact bob'
+        |      || CAST(doc_id AS VARCHAR) || '@mail'
+        |      || CAST(doc_id % 7 AS VARCHAR) || '.com now'
+        |    WHEN doc_id % 4 = 1 THEN ' srv 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST(doc_id % 100 AS VARCHAR) || ' up'
+        |    WHEN doc_id % 4 = 2 THEN ' card 4012 3456 7890 '
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' used'
+        |    ELSE ' call +1 555 01'
+        |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |  END AS dirty FROM documents)
+        |SELECT doc_id,
+        |regexp_replace(regexp_replace(regexp_replace(regexp_replace(dirty,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |  '\b[0-9]{4}(?:[ -][0-9]{4}){3}\b', '<CC>', 'g'),
+        |  '\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,7}\b', '<PHONE>', 'g')
+        |  AS redacted,
+        |CAST(len(regexp_extract_all(dirty,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |  AS n_email,
+        |CAST(len(regexp_extract_all(dirty,
+        |  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ip,
+        |CAST(len(regexp_extract_all(dirty,
+        |  '\b[0-9]{4}(?:[ -][0-9]{4}){3}\b')) AS INT) AS n_cc,
+        |CAST(len(regexp_extract_all(dirty,
+        |  '\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,7}\b')) AS INT) AS n_phone
+        |FROM t ORDER BY doc_id""".stripMargin,
     "d15_corpus_filter" ->
       """WITH base AS (SELECT doc_id, lang,
         |  string_split(lower(text), ' ') AS lws,

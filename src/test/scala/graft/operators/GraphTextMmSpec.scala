@@ -86,6 +86,29 @@ class TextAnalysisSpec extends SparkSpec {
     // tokens: "a,","b!","the","c" — only bare "the" hits the stop set
     assert(math.abs(r.getDouble(1) - 1.0 / 4) < 1e-12)
   }
+
+  test("piiRedact: ordered patterns, multiple hits, cc beats phone shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      ("a@b.com wrote to c.d@e.org", 1),
+      ("from 10.0.0.1 to 192.168.1.255", 2),
+      // a grouped card number must NOT be eaten by the phone pattern
+      ("pay 4012 3456 7890 1234 or call +44 123 45678", 3),
+      ("clean text, no pii", 4))
+      .toDF("text", "id")
+    val out = docs.select(Seq(col("id"),
+      TextAnalysis.piiRedact(col("text")).as("r")) ++
+      TextAnalysis.piiCounts(col("text")): _*)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getString(1) == "<EMAIL> wrote to <EMAIL>")
+    assert(out(1).getInt(2) == 2) // n_email
+    assert(out(2).getString(1) == "from <IP> to <IP>")
+    assert(out(3).getString(1) == "pay <CC> or call <PHONE>")
+    assert(out(3).getInt(4) == 1 && out(3).getInt(5) == 1)
+    assert(out(4).getString(1) == "clean text, no pii")
+    assert((2 to 5).forall(i => out(4).getInt(i) == 0))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
