@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -92,6 +92,43 @@ object TextAnalysis {
   def rollingFingerprint(c: Column): Column =
     aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Repetition statistics per document — the word-level form of the
+    * published repetition quality filters for training corpora
+    * (duplicate-fraction and most-frequent-n-gram dominance, Gopher
+    * §A1.1-style): duplicate-word fraction `1 - distinct/total` and the
+    * top word-bigram's share of all bigram occurrences, tie-broken
+    * (count desc, bigram asc) for determinism.
+    *
+    * Scale shape: bigrams explode then aggregate on (doc, bigram) —
+    * map-side combine does most of the counting — and one window per
+    * doc picks the winner. Documents with fewer than two words drop
+    * (no bigram exists), mirroring an inner join on the bigram side. */
+  def repetitionStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val ws = wordTokens(col(textCol))
+    val base = docs.select(col(idCol), ws.as("__ws"))
+    val bigrams = base.select(col(idCol), explode(zip_with(
+      slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+      slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+      (a, b) => concat(a, lit(" "), b))).as("__bg"))
+    val counts = bigrams.groupBy(idCol, "__bg").agg(count(lit(1)).as("__n"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+    val ranked = counts
+      .withColumn("__rn", row_number().over(
+        byDoc.orderBy(col("__n").desc, col("__bg").asc)))
+      .withColumn("__tot", sum("__n").over(byDoc))
+      .filter(col("__rn") === 1)
+    base.join(ranked, Seq(idCol))
+      .select(col(idCol),
+        size(col("__ws")).as("n_words"),
+        size(array_distinct(col("__ws"))).as("n_uniq"),
+        round(lit(1.0) - size(array_distinct(col("__ws")))
+          / size(col("__ws")).cast("double"), 6).as("dup_word_frac"),
+        col("__bg").as("top_bigram"), col("__n").as("top_n"),
+        round(col("__n") / col("__tot").cast("double"), 6)
+          .as("top_bigram_frac"))
+  }
 
   /** PII patterns for training-data scrubbing, ordered most- to
     * least-specific so sequential redaction never double-matches

@@ -191,6 +191,13 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Repetition quality stats (Gopher-style): duplicate-word fraction
+    // and top-bigram dominance per document; explode -> combine-heavy
+    // agg -> one window per doc.
+    "d17_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(T.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Multimodal frame sampling: every 2nd 100-byte "frame" as its own
     // row — the generator shape (rows out >> rows in, no shuffle).
     "mm_frames" -> ((s, d) => {
@@ -305,6 +312,29 @@ object LlmQueries {
 
   val sql: Map[String, String] = Map(
     "d6_simhash" -> SimHashSql,
+    // same bigram construction via a 1-based list comprehension; the
+    // window tie-break (count desc, bigram asc) matches; fractions are
+    // exact integer divisions rounded at 6 dp
+    "d17_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |  unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])
+        |    AS bg FROM w),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        |t AS (SELECT doc_id, bg AS top_bigram, n AS top_n,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, bg)
+        |    AS rn,
+        |  SUM(n) OVER (PARTITION BY doc_id) AS tot FROM c)
+        |SELECT w.doc_id, CAST(len(ws) AS INT) AS n_words,
+        |CAST(len(list_distinct(ws)) AS INT) AS n_uniq,
+        |ROUND(1 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6)
+        |  AS dup_word_frac,
+        |top_bigram, CAST(top_n AS BIGINT) AS top_n,
+        |ROUND(top_n / CAST(tot AS DOUBLE), 6) AS top_bigram_frac
+        |FROM w JOIN t ON w.doc_id = t.doc_id AND rn = 1
+        |ORDER BY w.doc_id""".stripMargin,
     // identical injected text, identical RE2 patterns, 'g' for Spark's
     // replace-all default; counts on the pre-redaction text
     "d16_pii_scrub" ->

@@ -87,6 +87,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0 / 4) < 1e-12)
   }
 
+  test("repetitionStats: dup-word fraction and top-bigram dominance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b c"),   // bigram "a b" x3 of 6; words 7, uniq 3
+      (2L, "x y z"),           // all distinct; 2 bigrams, tie -> "x y"
+      (3L, "solo"))            // <2 words -> dropped
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(3L))
+    val d1 = r(1L)
+    assert(d1.getInt(1) == 7 && d1.getInt(2) == 3)
+    assert(d1.getString(4) == "a b" && d1.getLong(5) == 3L)
+    assert(math.abs(d1.getDouble(6) - 0.5) < 1e-9)
+    assert(math.abs(d1.getDouble(3) - 0.571429) < 1e-9) // round(1-3/7, 6)
+    assert(r(2L).getString(4) == "x y") // count-tie broken by bigram asc
+    assert(r(2L).getDouble(3) == 0.0)
+  }
+
   test("piiRedact: ordered patterns, multiple hits, cc beats phone shape") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
