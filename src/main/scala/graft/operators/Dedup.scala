@@ -209,4 +209,35 @@ object Dedup {
     }
     agg.select(col("id"), concat(hexChars: _*).as("simhash"))
   }
+
+  /** Train/test decontamination: flag corpus documents sharing any
+    * word n-gram with a benchmark set — the published exact-overlap
+    * decontamination rule for pretraining corpora (n=8 words is the
+    * conventional window). Both sides hash their n-grams (md5 keeps the
+    * key oracle-comparable; xxhash64 halves it at scale), the benchmark
+    * side dedupes to a distinct hash set, and one equi-join on the hash
+    * counts overlapping windows per corpus doc. The benchmark is
+    * usually tiny next to the corpus → broadcast; the corpus side never
+    * shuffles its text, only (id, hash) pairs.
+    *
+    * @return flagged docs only: (idCol, n_hits) — documents sharing at
+    *         least one n-gram window with the benchmark. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 8): DataFrame = {
+    def grams(c: Column): Column = {
+      val ws = filter(split(c, "\\s+"), t => t =!= "")
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => md5(concat_ws(" ", slice(ws, i, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val corpusGrams = corpus
+      .select(col(idCol), explode(grams(col(textCol))).as("__h"))
+      .distinct()
+    val benchGrams = broadcast(bench
+      .select(explode(grams(col(benchTextCol))).as("__h")).distinct())
+    corpusGrams.join(benchGrams, Seq("__h"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -191,6 +191,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Decontamination: the benchmark is the first 15 words of every
+    // 37th document, so those docs (and any other doc sharing one of
+    // their 8-gram windows) flag with their overlap count.
+    "d18_decontaminate" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+        .select(concat_ws(" ",
+          slice(split(col("text"), "\\s+"), 1, 15)).as("btext"))
+      Dedup.decontaminate(docs, "doc_id", "text", bench, "btext")
+        .orderBy("doc_id")
+    }),
+
     // Repetition quality stats (Gopher-style): duplicate-word fraction
     // and top-bigram dominance per document; explode -> combine-heavy
     // agg -> one window per doc.
@@ -312,6 +324,29 @@ object LlmQueries {
 
   val sql: Map[String, String] = Map(
     "d6_simhash" -> SimHashSql,
+    // same 8-gram md5 windows on both sides (1-based inclusive slices);
+    // distinct (doc, hash) pairs before the join so n_hits counts
+    // windows once
+    "d18_decontaminate" ->
+      """WITH tr AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |bench AS (SELECT array_to_string(
+        |    string_split_regex(text, '\s+')[1:15], ' ') AS btext
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |bw AS (SELECT list_filter(string_split_regex(btext, '\s+'),
+        |    t -> t <> '') AS ws FROM bench),
+        |bg AS (SELECT DISTINCT h FROM (SELECT
+        |    unnest([md5(array_to_string(ws[i:i+7], ' '))
+        |      FOR i IN range(1, len(ws) - 6)]) AS h
+        |    FROM bw WHERE len(ws) >= 8)),
+        |tg AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id,
+        |    unnest([md5(array_to_string(ws[i:i+7], ' '))
+        |      FOR i IN range(1, len(ws) - 6)]) AS h
+        |    FROM tr WHERE len(ws) >= 8))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM tg JOIN bg USING (h) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // same bigram construction via a 1-based list comprehension; the
     // window tie-break (count desc, bigram asc) matches; fractions are
     // exact integer divisions rounded at 6 dp

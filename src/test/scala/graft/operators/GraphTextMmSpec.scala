@@ -87,6 +87,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0 / 4) < 1e-12)
   }
 
+  test("decontaminate flags docs sharing an 8-gram with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h tail tail tail"),  // shares the full window
+      (2L, "x b c d e f g h i"),               // windows differ at edges
+      (3L, "p q r s t u v w"),                 // disjoint
+      (4L, "short doc"))                       // < 8 words
+      .toDF("doc_id", "text")
+    val bench = Seq("a b c d e f g h i").toDF("btext")
+    val hits = Dedup.decontaminate(corpus, "doc_id", "text", bench, "btext")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc1 shares window [a..h]; doc2 shares [b..i]; bench has both
+    assert(hits == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("repetitionStats: dup-word fraction and top-bigram dominance") {
     import spark.implicits._
     val docs = Seq(
