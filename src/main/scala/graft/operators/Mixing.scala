@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-mixing operators for training-corpus assembly: deterministic
+  * hash sampling (per-source mixing weights) and token-budget sequence
+  * packing. Both are published pipeline staples; both are pure
+  * deterministic expressions, so the same row is kept / packed into the
+  * same slot on every run, on any cluster size, with no RNG state.
+  */
+object Mixing {
+
+  /** Deterministic sampling bucket in [0, 10000): the first 8 hex chars
+    * of md5(id) as an integer, mod 10000 — basis points. md5 keeps the
+    * bucket engine-portable (the exact construction restates in SQL);
+    * the hash decouples the kept set from id patterns. */
+  def bucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(10000L))
+
+  /** Keep a deterministic `rateBp`/10000 fraction of rows. */
+  def hashSample(df: DataFrame, idCol: String, rateBp: Int): DataFrame =
+    df.filter(bucket(col(idCol)) < rateBp)
+
+  /** Stratified mixing: per-stratum keep rates in basis points (the
+    * mixing-weights table of a corpus recipe), `defaultBp` for strata
+    * not listed. One scan-side filter — no shuffle, no RNG. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       ratesBp: Map[String, Int],
+                       defaultBp: Int = 10000): DataFrame = {
+    val rate = coalesce(
+      try_element_at(typedlit(ratesBp), col(stratumCol)),
+      lit(defaultBp))
+    df.filter(bucket(col(idCol)) < rate)
+  }
+
+  /** Token-budget sequence packing, sharded: rows hash into `shards`
+    * independent streams (`id % shards`), and within a shard the
+    * running token count before each row assigns it a bin
+    * (`floor(cum / budget)`) and an offset inside that bin. This is the
+    * cumulative-boundary packing used by large-batch loaders — a doc
+    * may straddle a boundary and be split by the consumer.
+    *
+    * Scale shape: ONE window per shard — the global-total-order trap is
+    * avoided by design; shards pack in parallel and adding shards
+    * scales the packing linearly, which is how a 100 TB corpus must be
+    * packed anyway (one stream per output file). */
+  def packByBudget(df: DataFrame, idCol: String, tokensCol: String,
+                   budget: Int, shards: Int): DataFrame = {
+    val shard = pmod(col(idCol), lit(shards))
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), shard.as("shard"), col(tokensCol))
+      .withColumn("__cum", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .select(col(idCol), col("shard"),
+        (col("__cum") / budget).cast("long").as("bin"),
+        pmod(col("__cum"), lit(budget.toLong)).as("bin_offset"),
+        col(tokensCol))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
-import graft.operators.{Dedup, GraphOps, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, GraphOps, Mixing, Multimodal, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators: dedup (exact / n-gram Jaccard /
   * MinHash-LSH / SimHash), ANN similarity search, text analysis,
@@ -191,6 +191,27 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Stratified mixing: per-language keep rates in basis points;
+    // deterministic md5 bucket, so the kept set is stable across runs
+    // and engines.
+    "d19_mix_sample" -> ((s, d) =>
+      Mixing.stratifiedSample(T.documents(s, d), "doc_id", "lang",
+        Map("en" -> 1000, "de" -> 5000, "es" -> 2500, "zh" -> 0),
+        defaultBp = 10000)
+        .select(col("doc_id"), col("lang"),
+          Mixing.bucket(col("doc_id")).as("bucket"))
+        .orderBy("doc_id")),
+
+    // Token-budget packing into 512-token bins across 8 shards: the
+    // running pre-row token count decides bin and offset.
+    "d20_pack_budget" -> ((s, d) => {
+      val withToks = T.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      Mixing.packByBudget(withToks, "doc_id", "n_toks",
+        budget = 512, shards = 8)
+        .orderBy("doc_id")
+    }),
+
     // Decontamination: the benchmark is the first 15 words of every
     // 37th document, so those docs (and any other doc sharing one of
     // their 8-gram windows) flag with their overlap count.
@@ -324,6 +345,28 @@ object LlmQueries {
 
   val sql: Map[String, String] = Map(
     "d6_simhash" -> SimHashSql,
+    // md5-hex bucket parsed the cross-engine way (conv base-16 vs
+    // '0x'-cast); integer basis-point compare, no floats anywhere
+    "d19_mix_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 10000 AS bucket FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000
+        |  WHEN 'es' THEN 2500 WHEN 'zh' THEN 0 ELSE 10000 END
+        |ORDER BY doc_id""".stripMargin,
+    // same sharding and pre-row cumulative window; integer division
+    // for the bin
+    "d20_pack_budget" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_toks FROM documents),
+        |c AS (SELECT doc_id, shard, n_toks,
+        |  COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t)
+        |SELECT doc_id, shard, cum // 512 AS bin, cum % 512 AS bin_offset,
+        |n_toks FROM c ORDER BY doc_id""".stripMargin,
     // same 8-gram md5 windows on both sides (1-based inclusive slices);
     // distinct (doc, hash) pairs before the join so n_hits counts
     // windows once

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucket is deterministic and in [0, 10000)") {
+    val df = spark.range(0, 2000).toDF("id")
+    val b1 = df.select(Mixing.bucket(col("id"))).collect().map(_.getLong(0))
+    val b2 = df.select(Mixing.bucket(col("id"))).collect().map(_.getLong(0))
+    assert(b1.sameElements(b2))
+    assert(b1.forall(v => v >= 0 && v < 10000))
+    // buckets actually spread (md5, not id order)
+    assert(b1.distinct.length > 1500)
+  }
+
+  test("stratifiedSample keeps ~rate per stratum, exactly reproducibly") {
+    val df = spark.range(0, 3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("s"))
+    val out = Mixing.stratifiedSample(df, "id", "s",
+      Map("0" -> 0, "1" -> 5000), defaultBp = 10000)
+    val byS = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byS.contains("0"))           // rate 0 → nothing
+    assert(byS("2") == 1000L)            // default keeps all
+    assert(math.abs(byS("1") - 500L) < 100) // ~half of 1000
+    // reproducible: same kept set both runs
+    val again = Mixing.stratifiedSample(df, "id", "s",
+      Map("0" -> 0, "1" -> 5000), defaultBp = 10000)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted
+      .sameElements(again.select("id").collect().map(_.getLong(0)).sorted))
+  }
+
+  test("packByBudget: pre-row cumulative bins per shard") {
+    val df = Seq((0L, 300L), (8L, 300L), (16L, 300L), (1L, 600L))
+      .toDF("id", "n")
+    val out = Mixing.packByBudget(df, "id", "n", budget = 512, shards = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // shard 0: ids 0,8,16 with cums 0,300,600 → bins 0,0,1
+    assert(out(0L) == ((0L, 0L, 0L)))
+    assert(out(8L) == ((0L, 0L, 300L)))
+    assert(out(16L) == ((0L, 1L, 88L))) // 600 % 512
+    // shard 1: id 1 starts fresh
+    assert(out(1L) == ((1L, 0L, 0L)))
+  }
+}
