@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.cdc.Cdc
-import graft.operators.{Dedup, Fuzzy, GraphOps, Similarity}
+import graft.operators.{Decisions, Dedup, EntityResolution, Fuzzy,
+  GraphOps, MatchStage, Mixing, Similarity, TextAnalysis, WorkInference}
 import graft.ops.{Pipeline, Steps, Transform}
 
 /** User-facing facade — the library surface a reference user programs
@@ -88,6 +89,55 @@ object Graft {
   /** Engine-portable SimHash signatures (hex, md5-based bit votes). */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.simHashPortable(df, idCol, textCol)
+
+  /** Staged entity-resolution waterfall: cheap key stages with
+    * anti-join residues, fuzzy terminal on what remains. */
+  def resolveWaterfall(left: DataFrame, leftId: String,
+                       right: DataFrame, rightId: String,
+                       stages: Seq[MatchStage],
+                       fuzzyNames: Option[(String, String)] = None)
+      : DataFrame =
+    EntityResolution.waterfall(left, leftId, right, rightId, stages,
+      fuzzyNames)
+
+  /** Step-18/23 disambiguation flows: auto-assign unique candidates,
+    * consult persisted decisions, queue the rest as pending. */
+  def resolveWithDecisions(candidates: DataFrame,
+                           decisions: DataFrame): (DataFrame, DataFrame) =
+    Decisions.resolveWithDecisions(candidates, decisions)
+
+  /** Conservative work-inference scoring with confidence tiers and
+    * guardrailed auto-apply. */
+  def inferWorks(tracks: DataFrame, trackId: String, titleNorm: String,
+                 workidCol: String, roleCols: Map[String, String],
+                 mbidCols: Seq[String], lookup: DataFrame): DataFrame =
+    WorkInference.inferWorks(tracks, trackId, titleNorm, workidCol,
+      roleCols, mbidCols, lookup)
+
+  /** Redact emails / IPs / card numbers / phones to typed markers. */
+  def piiRedact(c: Column): Column = TextAnalysis.piiRedact(c)
+
+  /** Gopher-style repetition quality stats per document. */
+  def repetitionStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    TextAnalysis.repetitionStats(docs, idCol, textCol)
+
+  /** Flag corpus docs sharing any word n-gram with a benchmark set. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 8): DataFrame =
+    Dedup.decontaminate(corpus, idCol, textCol, bench, benchTextCol, n)
+
+  /** Deterministic stratified sampling by basis-point mixing weights. */
+  def mixSample(df: DataFrame, idCol: String, stratumCol: String,
+                ratesBp: Map[String, Int],
+                defaultBp: Int = 10000): DataFrame =
+    Mixing.stratifiedSample(df, idCol, stratumCol, ratesBp, defaultBp)
+
+  /** Sharded token-budget sequence packing (bin + offset per doc). */
+  def packByBudget(df: DataFrame, idCol: String, tokensCol: String,
+                   budget: Int, shards: Int): DataFrame =
+    Mixing.packByBudget(df, idCol, tokensCol, budget, shards)
 
   /** Register graft's SQL functions (`uuid5`, `title_case`) and the
     * codec-collapse optimizer rule on a session. */
