@@ -35,12 +35,18 @@ object Decisions {
     *   context, n_candidates). */
   def resolveWithDecisions(candidates: DataFrame,
                            decisions: DataFrame): (DataFrame, DataFrame) = {
-    val uniq = candidates.groupBy("name", "context")
-      .agg(countDistinct("cand_id").as("__n"), min("cand_id").as("__only"))
+    // group on the NORMALIZED key (the reference's keying): case or
+    // whitespace variants of one contributor are one group — otherwise
+    // two singleton variants would each auto-assign as "unique" with
+    // conflicting ids. The minimum raw spelling represents the group.
+    val uniq = candidates.groupBy(norm(col("name")).as("__kn"),
+        norm(col("context")).as("__kc"))
+      .agg(min(col("name")).as("name"), min(col("context")).as("context"),
+        countDistinct("cand_id").as("__n"), min("cand_id").as("__only"))
     val dec = broadcast(decisions.select(norm(col("name")).as("__dn"),
       norm(col("context")).as("__dc"), col("assigned_id").as("__aid")))
-    val j = uniq.join(dec, norm(col("name")) === col("__dn") &&
-      norm(col("context")) === col("__dc"), "left")
+    val j = uniq.join(dec, col("__kn") === col("__dn") &&
+      col("__kc") === col("__dc"), "left")
     val assigned = j.filter(col("__n") === 1 || col("__aid").isNotNull)
       .select(col("name"), col("context"),
         when(col("__n") === 1, col("__only")).otherwise(col("__aid"))

@@ -65,11 +65,7 @@ object Dedup {
       .localCheckpoint(true)
     val exploded = sh.select(col("id"), size(col("hs")).as("n"),
       explode(col("hs")).as("s"))
-    val posting =
-      if (dfCap > 0)
-        exploded.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-          .filter(col("df") <= dfCap).drop("df")
-      else exploded
+    val posting = Fuzzy.capPostings(exploded, "s", dfCap)
     val out = posting.as("a")
       .join(posting.as("b"), col("a.s") === col("b.s")
         && col("a.id") < col("b.id"))

@@ -53,6 +53,8 @@ object EntityResolution {
                 n: Int = 3, theta: Double = 0.5,
                 dfCap: Int = 0, materialize: Boolean = true): DataFrame = {
     require(leftId != rightId, "left and right id columns must differ")
+    require(stages.nonEmpty || fuzzyNames.nonEmpty,
+      "waterfall needs at least one key stage or a fuzzy terminal")
     var toFree = Vector.empty[DataFrame]
     def ckpt(df: DataFrame): DataFrame =
       if (!materialize) df
@@ -112,13 +114,10 @@ object EntityResolution {
     def norm(t: DataFrame, id: String, as: String): DataFrame =
       t.groupBy(id)
         .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as(as))
-    def cap(t: DataFrame): DataFrame =
-      if (dfCap <= 0) t
-      else t.withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
-        .filter(col("__df") <= dfCap).drop("__df")
     val ltf = tf(left, leftId, leftName)
     val rtf = tf(right, rightId, rightName)
-    val dots = cap(ltf).as("a").join(cap(rtf).as("b"),
+    val dots = Fuzzy.capPostings(ltf, "g", dfCap).as("a")
+      .join(Fuzzy.capPostings(rtf, "g", dfCap).as("b"),
         col("a.g") === col("b.g"))
       .groupBy(col(s"a.$leftId").as(leftId), col(s"b.$rightId").as(rightId))
       .agg(sum(col("a.tf") * col("b.tf")).as("__dot"))

@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
-  /** Postings with grams above the df cap removed (no-op at cap 0). */
-  private def capPostings(tf: DataFrame, dfCap: Int): DataFrame =
+  /** Postings with grams above the df cap removed (no-op at cap 0) —
+    * the shared stop-gram skew guard, reused by [[EntityResolution]]'s
+    * fuzzy terminal and [[Dedup.jaccardPairs]]'s shingle postings. */
+  private[operators] def capPostings(tf: DataFrame, gramCol: String,
+                                     dfCap: Int): DataFrame =
     if (dfCap <= 0) tf
-    else tf.withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
+    else tf.withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(gramCol)))
       .filter(col("__df") <= dfCap).drop("__df")
 
   /** Char n-grams of a string as an array column (short strings yield
@@ -54,7 +58,7 @@ object Fuzzy {
       .groupBy("name", "g").agg(count(lit(1)).as("tf"))
     val norms = tf.groupBy("name")
       .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
-    val posting = capPostings(tf, dfCap)
+    val posting = capPostings(tf, "g", dfCap)
     val dots = posting.as("a")
       .join(posting.as("b"), col("a.g") === col("b.g")
         && col("a.name") < col("b.name"))
@@ -91,7 +95,7 @@ object Fuzzy {
       .withColumn("w", col("tf") * col("idf"))
     val norms = w.groupBy("name")
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    val posting = capPostings(w, dfCap)
+    val posting = capPostings(w, "g", dfCap)
     val dots = posting.as("a")
       .join(posting.as("b"), col("a.g") === col("b.g")
         && col("a.name") < col("b.name"))

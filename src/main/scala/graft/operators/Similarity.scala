@@ -59,19 +59,33 @@ object Similarity {
       .reduce((a, b) => a.bitwiseOR(b))
 
   /** Bucketed ANN: exact cosine top-k over sign-LSH buckets with
-    * multi-probe — each query also probes the `nbits` buckets at
-    * Hamming distance 1 (flip one sign bit), the standard recall
-    * recovery for LSH at (1+nbits)× candidate cost. Still no cross
-    * product: candidates shuffle by bucket id. Recall is measured
-    * against [[bruteForceTopK]] in tests. */
+    * multi-probe — each query also probes every bucket within
+    * `maxHamming` sign-bit flips, the standard recall recovery for LSH
+    * (1+nbits candidates-balls at distance 1; +C(nbits,2) at distance
+    * 2). Still no cross product: candidates shuffle by bucket id.
+    * Recall is measured against [[bruteForceTopK]] in tests.
+    *
+    * Probe depth vs miss rate: a pair at cosine θ disagrees on each
+    * sign bit with probability acos(θ)/π, so the expected disagreement
+    * at θ=0.95 over 8 bits is ~0.8 bits — Hamming-1 probing misses
+    * ~19% of θ=0.95 pairs (≥2 flipped bits) while Hamming-2 misses
+    * ~4%; at θ≈0.999 the rates are ~0.5% and ~0.01%. High-threshold
+    * near-dup passes should probe at depth 2. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-              k: Int, nbits: Int, queryFilter: Column): DataFrame = {
+              k: Int, nbits: Int, queryFilter: Column,
+              maxHamming: Int = 1): DataFrame = {
     val withB = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"),
       signBucket(col(vecCol), nbits).as("bucket"))
-    val probes = array(
-      col("bucket") +: (0 until nbits)
-        .map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
+    val flips1 = (0 until nbits)
+      .map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    val flips2 =
+      if (maxHamming < 2) Seq.empty
+      else for {
+        i <- 0 until nbits
+        j <- (i + 1) until nbits
+      } yield col("bucket").bitwiseXOR(lit((1L << i) | (1L << j)))
+    val probes = array(col("bucket") +: (flips1 ++ flips2): _*)
     val q = withB.filter(queryFilter)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         explode(probes).as("bucket"))

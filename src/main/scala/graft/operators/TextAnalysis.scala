@@ -108,10 +108,13 @@ object TextAnalysis {
                       textCol: String): DataFrame = {
     val ws = wordTokens(col(textCol))
     val base = docs.select(col(idCol), ws.as("__ws"))
-    val bigrams = base.select(col(idCol), explode(zip_with(
-      slice(col("__ws"), lit(1), size(col("__ws")) - 1),
-      slice(col("__ws"), lit(2), size(col("__ws")) - 1),
-      (a, b) => concat(a, lit(" "), b))).as("__bg"))
+    // guard zero/one-word docs: slice length would go negative (a
+    // runtime error), and such docs have no bigram to contribute anyway
+    val bigrams = base.filter(size(col("__ws")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+        slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("__bg"))
     val counts = bigrams.groupBy(idCol, "__bg").agg(count(lit(1)).as("__n"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
     val ranked = counts

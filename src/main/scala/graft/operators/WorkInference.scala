@@ -121,57 +121,66 @@ object WorkInference {
     val exactTitleCounts = allPairs.filter(col("exact_title"))
       .groupBy("__tid").agg(count(lit(1)).as("exact_title_cnt"))
 
-    // contributor-name corroboration: join on the normalized person,
-    // role taken from the TRACK column (ref :1066-1075); restrict the
-    // person join to candidate pairs before counting
-    val trackPeople = roleCols.toSeq.map { case (role, c) =>
-      tracks.select(col(trackId).as("__tid"), lit(role).as("__role"),
-        explode(MultiValue.tokens(coalesce(col(c), lit("")))).as("__p"))
-    }.reduce(_ unionByName _)
-      .withColumn("__p", normText(col("__p")))
-      .filter(col("__p") =!= "").distinct()
-    val lookupPeople = lk.select(col("work_id"),
-        explode(MultiValue.tokens(coalesce(col("role_names"), lit(""))))
-          .as("__rp"))
-      .select(col("work_id"),
-        normText(substring_index(col("__rp"), ":", -1)).as("__p"))
-      .filter(col("__p") =!= "").distinct()
-    val peopleAgg = trackPeople.join(lookupPeople, Seq("__p"))
+    // shared shape for both corroboration paths: count distinct
+    // matches per role, cap each role's score, sum per (track, work)
+    def roleScores(matched: DataFrame, scoreCol: String,
+                   nCol: String): DataFrame = matched
       .join(candKeys, Seq("__tid", "work_id"), "left_semi")
-      .groupBy("__tid", "work_id", "__role")
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__s", least(try_element_at(capOf, col("__role")),
-        col("__n") * try_element_at(weightOf, col("__role"))))
-      .groupBy("__tid", "work_id")
-      .agg(sum("__s").as("people_score"), sum("__n").as("people_n"))
-
-    // artist-MBID corroboration: role taken from the LOOKUP pairs
-    val trackIds = mbidCols.map(c =>
-      tracks.select(col(trackId).as("__tid"),
-        explode(MultiValue.tokens(coalesce(col(c), lit("")))).as("__id")))
-      .reduce(_ unionByName _)
-      .withColumn("__id", lower(trim(col("__id"))))
-      .filter(col("__id") =!= "").distinct()
-    val lookupIds = lk.select(col("work_id"),
-        explode(MultiValue.tokens(coalesce(col("role_mbids"), lit(""))))
-          .as("__ri"))
-      .select(col("work_id"),
-        substring_index(col("__ri"), ":", 1).as("__role"),
-        lower(trim(substring_index(col("__ri"), ":", -1))).as("__id"))
-      .filter(col("__id") =!= "").distinct()
-    val idAgg = trackIds.join(lookupIds, Seq("__id"))
-      .join(candKeys, Seq("__tid", "work_id"), "left_semi")
+      // roles outside the rule table are ignored — an unruled role
+      // must not inflate the match count / person_match flag
       .filter(try_element_at(capOf, col("__role")).isNotNull)
       .groupBy("__tid", "work_id", "__role")
       .agg(count(lit(1)).as("__n"))
       .withColumn("__s", least(try_element_at(capOf, col("__role")),
         col("__n") * try_element_at(weightOf, col("__role"))))
       .groupBy("__tid", "work_id")
-      .agg(sum("__s").as("id_score"), sum("__n").as("id_n"))
+      .agg(sum("__s").as(scoreCol), sum("__n").as(nCol))
 
-    val scored = cand
-      .join(peopleAgg, Seq("__tid", "work_id"), "left")
-      .join(idAgg, Seq("__tid", "work_id"), "left")
+    // contributor-name corroboration: join on the normalized person,
+    // role taken from the TRACK column (ref :1066-1075); restrict the
+    // person join to candidate pairs before counting
+    val peopleAgg = roleCols.toSeq.map { case (role, c) =>
+      tracks.select(col(trackId).as("__tid"), lit(role).as("__role"),
+        explode(MultiValue.tokens(coalesce(col(c), lit("")))).as("__p"))
+    }.reduceOption(_ unionByName _).map { trackPeople =>
+      val lookupPeople = lk.select(col("work_id"),
+          explode(MultiValue.tokens(coalesce(col("role_names"), lit(""))))
+            .as("__rp"))
+        .select(col("work_id"),
+          normText(substring_index(col("__rp"), ":", -1)).as("__p"))
+        .filter(col("__p") =!= "").distinct()
+      val tp = trackPeople.withColumn("__p", normText(col("__p")))
+        .filter(col("__p") =!= "").distinct()
+      roleScores(tp.join(lookupPeople, Seq("__p")),
+        "people_score", "people_n")
+    }
+
+    // artist-MBID corroboration: role taken from the LOOKUP pairs
+    val trackIds = mbidCols.map(c =>
+      tracks.select(col(trackId).as("__tid"),
+        explode(MultiValue.tokens(coalesce(col(c), lit("")))).as("__id")))
+      .reduceOption(_ unionByName _)
+      .map(_.withColumn("__id", lower(trim(col("__id"))))
+        .filter(col("__id") =!= "").distinct())
+    val idAgg = trackIds.map { tid =>
+      val lookupIds = lk.select(col("work_id"),
+          explode(MultiValue.tokens(coalesce(col("role_mbids"), lit(""))))
+            .as("__ri"))
+        .select(col("work_id"),
+          substring_index(col("__ri"), ":", 1).as("__role"),
+          lower(trim(substring_index(col("__ri"), ":", -1))).as("__id"))
+        .filter(col("__id") =!= "").distinct()
+      roleScores(tid.join(lookupIds, Seq("__id")), "id_score", "id_n")
+    }
+
+    def withAgg(df: DataFrame, agg: Option[DataFrame],
+                scoreCol: String, nCol: String): DataFrame =
+      agg.fold(df.withColumn(scoreCol, lit(0L)).withColumn(nCol, lit(0L)))(
+        a => df.join(a, Seq("__tid", "work_id"), "left"))
+
+    val scored =
+      withAgg(withAgg(cand, peopleAgg, "people_score", "people_n"),
+        idAgg, "id_score", "id_n")
       .na.fill(0, Seq("people_score", "people_n", "id_score", "id_n"))
       .withColumn("total", (col("s_title") + col("s_alias") +
         col("s_workid") + col("s_vetted") + col("people_score") +

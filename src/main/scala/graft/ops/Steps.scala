@@ -385,10 +385,12 @@ object Steps {
           regexp_replace(coalesce(col(subtitleCol), lit("")),
             MultiValue.DelimRe, "; "),
           "\\s*;\\s*", "; "))
+        // blank behaves like NULL (Exprs.normBlank policy) — otherwise
+        // an empty cell would emit the malformed "; [Live]"
         val newSub =
-          when(col(subtitleCol).isNotNull &&
+          when(col(subtitleCol).isNotNull && trim(col(subtitleCol)) =!= "" &&
               subNorm.rlike("(?i)\\blive\\b"), subNorm)
-            .when(col(subtitleCol).isNotNull,
+            .when(col(subtitleCol).isNotNull && trim(col(subtitleCol)) =!= "",
               concat(subNorm, lit("; "), lit("[Live]")))
             .otherwise(lit("[Live]"))
         df.withColumn("__nt",
@@ -509,10 +511,14 @@ object Steps {
       val rule3 = various(col(albumArtistCol)) && col("__nart") > 1
       val applied = rule1 || rule2 || rule3
       val lastSeg = element_at(split(col(dirCol), "/"), -1)
+      // the reference tests its '/VA/' and '/OST/' patterns against the
+      // LAST SEGMENT, where they can never match (a segment carries no
+      // slash) — dead branches in the reference; the intent is a VA/OST
+      // path component, so those two test the full dirpath here
       val pathPat = lastSeg.startsWith("VA - ") ||
-        lastSeg.startsWith("/VA/") ||
+        col(dirCol).contains("/VA/") ||
         lastSeg.startsWith("Various Artists - ") ||
-        lastSeg.startsWith("/OST/") || lastSeg.startsWith("OST - ")
+        col(dirCol).contains("/OST/") || lastSeg.startsWith("OST - ")
       df.join(counts, Seq(dirCol), "left")
         .withColumn("__nc",
           when(rule1 || rule3, lit("1"))

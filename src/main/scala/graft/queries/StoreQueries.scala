@@ -24,9 +24,26 @@ object StoreQueries {
     * applicationId so two concurrent processes (sbt test vs the driver's
     * Verify, or two bench runs) never race on the same path — the fixed
     * /tmp paths used previously let one process delete a directory the
-    * other was mid-read on. */
-  private def scratch(s: SparkSession, name: String): String =
-    s"/tmp/graft_${s.sparkContext.applicationId}/$name"
+    * other was mid-read on. A JVM shutdown hook removes the session
+    * root, so repeated runs do not accumulate Derby/parquet/CSV scratch
+    * under /tmp. */
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def scratch(s: SparkSession, name: String): String = {
+    val root = s"/tmp/graft_${s.sparkContext.applicationId}"
+    if (hooked.add(root))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        scala.util.Try {
+          import java.nio.file.{Files, Paths}
+          import scala.jdk.CollectionConverters._
+          val p = Paths.get(root)
+          if (Files.exists(p))
+            Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(f => Files.deleteIfExists(f))
+        }))
+    s"$root/$name"
+  }
 
   val defs: Map[String, Q] = Map(
     // S5: INSERT OR REPLACE upsert — incoming (10% of docs, lang

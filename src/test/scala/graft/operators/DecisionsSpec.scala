@@ -25,6 +25,20 @@ class DecisionsSpec extends SparkSpec {
     assert(p.toSeq == Seq(("jones", 2L)))
   }
 
+  test("case/whitespace variants are ONE group under the normalized key") {
+    // raw-keyed grouping would see two singleton groups and auto-assign
+    // both as 'unique' with conflicting ids; normalized keying makes
+    // them one ambiguous group that pends
+    val cands = Seq(("Smith", "Album A", 1L), ("smith", " album a ", 2L))
+      .toDF("name", "context", "cand_id")
+    val dec = Seq.empty[(String, String, Long)]
+      .toDF("name", "context", "assigned_id")
+    val (assigned, pending) = Decisions.resolveWithDecisions(cands, dec)
+    assert(assigned.count() == 0)
+    val p = pending.collect()
+    assert(p.length == 1 && p.head.getLong(2) == 2L)
+  }
+
   test("retirement needs a synthetic id AND exactly one real candidate") {
     val dec = Seq(
       ("a", "c", "synth:a", "user"),  // one real → retires

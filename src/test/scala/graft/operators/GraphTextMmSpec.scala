@@ -107,7 +107,8 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a b a b a b c"),   // bigram "a b" x3 of 6; words 7, uniq 3
       (2L, "x y z"),           // all distinct; 2 bigrams, tie -> "x y"
-      (3L, "solo"))            // <2 words -> dropped
+      (3L, "solo"),            // <2 words -> dropped
+      (4L, ""), (5L, "   "))   // zero words -> dropped, must not crash
       .toDF("doc_id", "text")
     val r = TextAnalysis.repetitionStats(docs, "doc_id", "text")
       .collect().map(x => x.getLong(0) -> x).toMap

@@ -64,4 +64,18 @@ class WorkInferenceSpec extends SparkSpec {
     val t5 = out("t5")
     assert(t5.isNullAt(1) && t5.getLong(3) == 0L && t5.getLong(5) == 0L)
   }
+
+  test("roles outside the rule table do not corroborate") {
+    import org.apache.spark.sql.functions._
+    // same t2 shape but with a matching name routed through an UNRULED
+    // role: person_match must stay false (guardrail keeps blocking)
+    val t = Seq(("tx", "quiet", null: String, "someone"))
+      .toDF("track_id", "title_norm", "workid", "producer")
+    val r = WorkInference.inferWorks(t, "track_id", "title_norm",
+      "workid", Map("producer" -> "producer"), Seq.empty, lookup)
+      .collect().head
+    assert(!r.getBoolean(10))        // person_match
+    assert(r.getLong(3) == 75L)      // 35 title + 40 vetted, no +10
+    assert(r.getInt(12) == 0)        // still blocked from auto-apply
+  }
 }

@@ -250,7 +250,9 @@ class StepsSpec extends SparkSpec {
       ("/m/Z", "E", "various", "0", "/p6"),
       // aa set, non-various → path rule decides
       ("/m/VA - Hits", "F", "Keep", "0", "/p7"),
-      ("/m/Plain", "G", "Keep", "1", "/p8"))
+      ("/m/Plain", "G", "Keep", "1", "/p8"),
+      // '/VA/' as a path COMPONENT (not a leaf prefix) also flags
+      ("/m/VA/Greatest", "H", "Keep", "0", "/p9"))
       .toDF("__dirpath", "artist", "albumartist", "compilation", "__path")
     val s = Seq(Steps.detectCompilations())
     val (fin, _) = Pipeline.run(df, "__path", s)
@@ -258,7 +260,7 @@ class StepsSpec extends SparkSpec {
       .map(x => (x.getString(3), Option(x.getString(2)).orNull))
     assert(r.toSeq == Seq(("1", ""), ("1", ""), ("0", "C"), ("0", "C"),
       ("1", " Various Artists "), ("1", "various"),
-      ("1", "Keep"), ("0", "Keep")))
+      ("1", "Keep"), ("0", "Keep"), ("1", "Keep")))
     val (_, log2) = Pipeline.run(fin, "__path", s)
     assert(log2.count() == 0)
   }
@@ -386,7 +388,8 @@ class StepsSpec extends SparkSpec {
       ("/p2", "T - Live", "Acoustic\\\\Demo", "A", "0"),
       ("/p3", "T", "Set List", "A [live]", "0"),
       ("/p4", "T", "Quiet", "A", "0"),         // no marker → untouched
-      ("/p5", "T (Live)", "Live in Paris", "A", "0")) // live word kept
+      ("/p5", "T (Live)", "Live in Paris", "A", "0"), // live word kept
+      ("/p6", "T (Live)", "", "A", "0"))       // blank ≙ NULL → [Live]
       .toDF("__path", "title", "subtitle", "album", "live")
     val s = Seq(Steps.liveMarkers())
     val (fin, _) = Pipeline.run(df, "__path", s)
@@ -398,6 +401,7 @@ class StepsSpec extends SparkSpec {
     assert(row(2) == ("T", "Set List; [Live]", "A", "1"))
     assert(row(3) == ("T", "Quiet", "A", "0"))
     assert(row(4) == ("T", "Live in Paris", "A", "1"))
+    assert(row(5) == ("T", "[Live]", "A", "1")) // not "; [Live]"
     val (_, log2) = Pipeline.run(fin, "__path", s)
     assert(log2.count() == 0)
   }
