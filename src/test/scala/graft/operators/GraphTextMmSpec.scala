@@ -25,6 +25,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(s.getString(2) == "3 | 5 | 9")
   }
 
+  test("star-contraction CC agrees with propagation on all graph shapes") {
+    import scala.util.Random
+    // long chain (diameter 60 — the propagation-unfriendly case),
+    // a clique, a star, isolated pairs, and a random graph
+    val chain = (0L until 60L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val clique = for (i <- 100L to 107L; j <- (i + 1) to 107L) yield (i, j)
+    val star = (201L to 209L).map(i => (200L, i))
+    val rnd = new Random(42)
+    val random = Seq.fill(120)((300L + rnd.nextInt(60),
+      300L + rnd.nextInt(60))).filter(p => p._1 != p._2)
+    val edges = (chain ++ clique ++ star ++ random).toDF("src", "dst")
+    // propagation needs O(diameter) ≈ 60 rounds here; the star variant
+    // stays within its default cap — the asymmetry this test exists for
+    val prop = GraphOps.connectedComponents(edges, maxIter = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val starCc = GraphOps.connectedComponentsStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starCc == prop)
+    assert(starCc(59L) == 0L) // the chain's far end carries the min label
+  }
+
   test("coOccurrenceEdges counts undirected weights with src<dst") {
     val df = Seq(("g1", 2L), ("g1", 1L), ("g2", 1L), ("g2", 2L), ("g2", 2L))
       .toDF("g", "m")

@@ -49,6 +49,13 @@ class SimilaritySpec extends SparkSpec {
     // bucketing trades recall for scale: expect a sane overlap
     val recall = (bf & lsh).size.toDouble / bf.size
     assert(recall > 0.2, s"recall $recall suspiciously low")
+    // Hamming-2 probing strictly widens the candidate ball → recall is
+    // monotone in probe depth (the d10 near-dup query relies on this)
+    val lsh2 = Similarity.lshTopK(emb, "vec_id", "embedding", 3, 4,
+      col("id") % 20 === 0, maxHamming = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall2 = (bf & lsh2).size.toDouble / bf.size
+    assert(recall2 >= recall, s"depth-2 recall $recall2 below depth-1")
   }
 
   test("ivfTopK returns k ranked neighbors per query") {
