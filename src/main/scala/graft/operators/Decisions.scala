@@ -41,10 +41,19 @@ object Decisions {
     // conflicting ids. The minimum raw spelling represents the group.
     val uniq = candidates.groupBy(norm(col("name")).as("__kn"),
         norm(col("context")).as("__kc"))
-      .agg(min(col("name")).as("name"), min(col("context")).as("context"),
+      // the representative spelling must be a REAL input row (separate
+      // min(name)/min(context) could combine fields from two variants)
+      .agg(min(struct(col("name"), col("context"))).as("__rep"),
         countDistinct("cand_id").as("__n"), min("cand_id").as("__only"))
-    val dec = broadcast(decisions.select(norm(col("name")).as("__dn"),
-      norm(col("context")).as("__dc"), col("assigned_id").as("__aid")))
+      .select(col("__kn"), col("__kc"), col("__n"), col("__only"),
+        col("__rep.name").as("name"), col("__rep.context").as("context"))
+    // one decision per normalized key: colliding decision rows (case /
+    // whitespace variants) would fan the join out into contradictory
+    // assignments — keep the deterministic max
+    val dec = broadcast(decisions
+      .select(norm(col("name")).as("__dn"), norm(col("context")).as("__dc"),
+        col("assigned_id").as("__aid"))
+      .groupBy("__dn", "__dc").agg(max("__aid").as("__aid")))
     val j = uniq.join(dec, col("__kn") === col("__dn") &&
       col("__kc") === col("__dc"), "left")
     val assigned = j.filter(col("__n") === 1 || col("__aid").isNotNull)

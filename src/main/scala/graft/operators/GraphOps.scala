@@ -109,14 +109,18 @@ object GraphOps {
     * one wins asymptotically (GraphOpsSpec checks both agree). */
   def connectedComponentsStar(edges: DataFrame, maxIter: Int = 50,
                               failOnMaxIter: Boolean = true): DataFrame = {
-    val allNodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    // one materialization of the (possibly expensive) edge build; both
+    // the node universe and the canonical edge list derive from it
+    val base = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val allNodes = base.select(col("src").as("node"))
+      .union(base.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
-    var e = edges
+    var e = base
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
+    Shims.unpersistLocalCheckpoint(base)
     var prevCp: DataFrame = e
     var converged = false
     var i = 0
@@ -145,10 +149,14 @@ object GraphOps {
       e = next
       i += 1
     }
+    // one row per node even on the non-converged escape hatch: mid-run
+    // a node can hold several out-edges, and a bare left join would fan
+    // out into conflicting labels — min(comp) keeps the contract
     val out = allNodes
       .join(e.select(col("u").as("node"), col("v").as("comp")),
         Seq("node"), "left")
-      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+      .groupBy("node")
+      .agg(min(coalesce(col("comp"), col("node"))).as("comp"))
       .localCheckpoint(true)
     Shims.unpersistLocalCheckpoint(prevCp)
     Shims.unpersistLocalCheckpoint(allNodes)

@@ -74,6 +74,9 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               k: Int, nbits: Int, queryFilter: Column,
               maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 2,
+      s"maxHamming must be 1 or 2 (got $maxHamming): depth-1 probes are " +
+        "always included, and depth >2 is not generated")
     val withB = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"),
       signBucket(col(vecCol), nbits).as("bucket"))

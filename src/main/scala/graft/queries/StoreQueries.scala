@@ -38,9 +38,15 @@ object StoreQueries {
           import java.nio.file.{Files, Paths}
           import scala.jdk.CollectionConverters._
           val p = Paths.get(root)
-          if (Files.exists(p))
-            Files.walk(p).iterator().asScala.toSeq.reverse
-              .foreach(f => Files.deleteIfExists(f))
+          if (Files.exists(p)) {
+            // snapshot-with-close, then delete deepest-first; per-file
+            // Try because Derby/Spark shutdown hooks may still write
+            // here concurrently (best-effort cleanup)
+            val st = Files.walk(p)
+            val paths = try st.iterator().asScala.toVector finally st.close()
+            paths.reverse.foreach(f =>
+              scala.util.Try(Files.deleteIfExists(f)))
+          }
         }))
     s"$root/$name"
   }

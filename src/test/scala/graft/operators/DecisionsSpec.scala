@@ -39,6 +39,18 @@ class DecisionsSpec extends SparkSpec {
     assert(p.length == 1 && p.head.getLong(2) == 2L)
   }
 
+  test("colliding decision variants collapse to one deterministic row") {
+    val cands = Seq(("ann", "c", 1L), ("ann", "c", 2L))
+      .toDF("name", "context", "cand_id")
+    // two decision spellings of one normalized key must not fan out
+    val dec = Seq(("Ann", " C ", 7L), ("ann", "c", 9L))
+      .toDF("name", "context", "assigned_id")
+    val (assigned, pending) = Decisions.resolveWithDecisions(cands, dec)
+    val a = assigned.collect()
+    assert(a.length == 1 && a.head.getLong(2) == 9L) // deterministic max
+    assert(pending.count() == 0)
+  }
+
   test("retirement needs a synthetic id AND exactly one real candidate") {
     val dec = Seq(
       ("a", "c", "synth:a", "user"),  // one real → retires

@@ -44,6 +44,11 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(starCc == prop)
     assert(starCc(59L) == 0L) // the chain's far end carries the min label
+    // the non-converged escape hatch still returns ONE row per node
+    // (mid-run multi-parent edges must not fan the label join out)
+    val partial = GraphOps.connectedComponentsStar(edges, maxIter = 1,
+      failOnMaxIter = false).collect()
+    assert(partial.map(_.getLong(0)).distinct.length == partial.length)
   }
 
   test("coOccurrenceEdges counts undirected weights with src<dst") {
