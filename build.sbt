@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs default to sbt's LoggedOutput, which prefixes every stdout
+// line with "[info] " — that prefix broke the driver's JSON parse of the
+// Bench summary line every round (BENCH_r*.json `parsed: null`).
+// StdoutOutput inherits the parent's stdout: program output arrives
+// verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +32,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: an 8g heap survives any single query, but across a
+  // 141-query bench session accumulated broadcast/shuffle state pushed
+  // old-gen occupancy into GC thrash — trivial scan queries intermittently
+  // measured 10-25× their solo cost (round-4 bench). The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

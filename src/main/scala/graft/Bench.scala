@@ -56,6 +56,13 @@ object Bench {
       // safe (lineage intact); on a consumed checkpoint it's final.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // Spark's ContextCleaner frees broadcasts/shuffles only when the
+      // driver GC collects their weak refs; across 141 queries that
+      // backlog plus old-gen growth caused intermittent 10-25× timings
+      // on trivial queries (round 4: f_json_extract 23s vs 0.9s solo).
+      // An explicit GC here attributes cleanup cost to the harness gap
+      // between queries, never to the next query's measured window.
+      System.gc()
       (name, sec, ok)
     }
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -62,7 +62,11 @@ object Decisions {
           .as("assigned_id"),
         when(col("__n") === 1, lit("unique")).otherwise(lit("user_decision"))
           .as("source"))
-    val pending = j.filter(col("__n") > 1 && col("__aid").isNull)
+    // NOT-assigned, not `__n > 1`: a group whose cand_id values are all
+    // NULL has __n = 0 (countDistinct skips nulls) — it must surface in
+    // the pending queue (n_candidates = 0) rather than silently vanish
+    // from both outputs (round-4 advice).
+    val pending = j.filter(col("__n") =!= 1 && col("__aid").isNull)
       .select(col("name"), col("context"), col("__n").as("n_candidates"))
     (assigned, pending)
   }

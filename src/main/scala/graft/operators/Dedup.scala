@@ -51,18 +51,26 @@ object Dedup {
     * shingle hash; `dfCap` drops shingles appearing in more than that
     * many docs (stop-shingles) — at a high threshold this stays
     * lossless in practice while bounding the quadratic per-key blowup.
+    *
+    * `materialize = true` (default) eagerly checkpoints the pair output
+    * and frees the shingle-set blocks — merely calling the operator runs
+    * a job, but nothing leaks into the session. Pass `false` to get a
+    * fully lazy plan (cache-barriered against CollapseProject, nothing
+    * eager) for composition with limits/filters — the caller then owns
+    * unpersisting the returned plan's cached inputs (round-4 advice).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   k: Int, theta: Double, dfCap: Int = 0): DataFrame = {
+                   k: Int, theta: Double, dfCap: Int = 0,
+                   materialize: Boolean = true): DataFrame = {
     // materialize the hashed shingle sets once — the postings explode
     // would otherwise re-run the tokenize+hash lineage. Postings carry
     // the 64-bit shingle hash plus the doc's set size: threading `n`
     // through the join costs 8 bytes per posting row but removes the
     // two per-side size-lookup joins (two whole shuffles) the previous
     // shape paid after candidate aggregation.
-    val sh = df
+    val shBase = df
       .select(col(idCol).as("id"), hashedShingles(col(textCol), k).as("hs"))
-      .localCheckpoint(true)
+    val sh = if (materialize) shBase.localCheckpoint(true) else shBase.cache()
     val exploded = sh.select(col("id"), size(col("hs")).as("n"),
       explode(col("hs")).as("s"))
     val posting = Fuzzy.capPostings(exploded, "s", dfCap)
@@ -77,13 +85,16 @@ object Dedup {
           / (col("na") + col("nb") - col("shared")), 6))
       .filter(col("jac") >= theta)
       .select("id_a", "id_b", "jac")
+    if (!materialize) out
+    else {
       // materialize the (small) pair output, then free the shingle-set
       // blocks — without this every call leaks its `sh` cache for the
       // session's lifetime (measured 2-17× pollution on unrelated
       // queries running later in the same session)
-      .localCheckpoint(true)
-    Shims.unpersistLocalCheckpoint(sh)
-    out
+      val ck = out.localCheckpoint(true)
+      Shims.unpersistLocalCheckpoint(sh)
+      ck
+    }
   }
 
   /** MinHash signature: array of `numPerm` 64-bit min-hashes over a

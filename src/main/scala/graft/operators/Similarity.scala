@@ -30,7 +30,12 @@ object Similarity {
 
   /** Exact top-k neighbors by cosine for the query rows (`queryFilter`
     * selects the probe side). Scores rounded to 6 dp before ranking with
-    * an id tie-break → deterministic selection. */
+    * an id tie-break → deterministic selection.
+    *
+    * Scale contract: the probe side must be small — it is broadcast, so
+    * the plan is a single map-side pass over the corpus (O(|Q|·N·d)
+    * flops, no shuffle of the corpus vectors). For corpus×corpus
+    * near-dup use the bucketed [[lshTopK]]/[[ivfTopK]] paths. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      k: Int, queryFilter: Column): DataFrame = {
     // precompute norms once per vector — computing them inside the pair
@@ -41,7 +46,7 @@ object Similarity {
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val c = withN.select(col("id").as("nid"), col("v").as("nv"),
       col("nrm").as("nn"))
-    val scored = q.join(c, col("qid") =!= col("nid"))
+    val scored = broadcast(q).join(c, col("qid") =!= col("nid"))
       .withColumn("cos",
         round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))

@@ -84,21 +84,30 @@ object LlmQueries {
         k = 3, nprobe = 2, queryFilter = col("id") % 10 === 0)
         .orderBy("qid", "rank")),
 
-    // Embedding-cosine near-dup via the BUCKETED sign-LSH path with a
-    // threshold re-score — candidates shuffle by bucket id, so no
-    // BroadcastNestedLoopJoin / O(N²) pair scan anywhere (round-3
-    // verdict: the brute-force formulation is test-baseline only).
-    // Hamming-2 multi-probe: a θ=0.95 pair flips ~0.8 of 8 sign bits
-    // in expectation, so depth-1 probing would miss ~19% of marginal
-    // pairs; depth 2 drops that to ~4% (and ~0.01% for the near-exact
-    // dups this query surfaces) — see Similarity.lshTopK scaladoc.
-    "d10_emb_neardup" -> ((s, d) =>
-      Similarity.lshTopK(T.embeddings(s, d), "vec_id", "embedding",
-        k = 1, nbits = 8, queryFilter = col("id") % 5 === 0,
-        maxHamming = 2)
+    // Embedding-cosine near-dup, EXACT and oracle-checked (round-4
+    // advice: an approximate path under an exact oracle passes only
+    // vacuously and breaks on any marginal pair). The raw corpus has no
+    // cos≥0.95 pairs, so near-dups are planted deterministically: every
+    // 50th vector gets a clone (id+1_000_000) with its first dimension
+    // zeroed — cos(clone, original) = sqrt(1 − a₁²/‖a‖²) ≈ 0.99 on
+    // 64-dim vectors, a true near-(not exact-)duplicate. The probe side
+    // is the clone set (2% of rows) and bruteForceTopK broadcasts it, so
+    // the plan is a map-side scan of the corpus — the exactness anchor.
+    // The corpus-scale approximate path stays lshTopK (d8, recall
+    // spec-asserted in SimilaritySpec).
+    "d10_emb_neardup" -> ((s, d) => {
+      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val clones = base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, lit(0.0f)).otherwise(x))
+            .as("embedding"))
+      Similarity.bruteForceTopK(base.unionByName(clones), "vec_id",
+          "embedding", k = 1, queryFilter = col("id") >= 1000000L)
         .filter(col("cos") >= 0.95)
         .select(col("qid"), col("nid"), col("cos"))
-        .orderBy("qid", "nid")),
+        .orderBy("qid", "nid")
+    }),
 
     // Near-dup endgame: connect Jaccard pairs into clusters (CC), one
     // row per clustered doc with its component id.
@@ -367,7 +376,8 @@ object LlmQueries {
         |  COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
         |  FROM t)
-        |SELECT doc_id, shard, cum // 512 AS bin, cum % 512 AS bin_offset,
+        |SELECT doc_id, shard, CAST(cum // 512 AS BIGINT) AS bin,
+        |CAST(cum % 512 AS BIGINT) AS bin_offset,
         |n_toks FROM c ORDER BY doc_id""".stripMargin,
     // same 8-gram md5 windows on both sides (1-based inclusive slices);
     // distinct (doc, hash) pairs before the join so n_hits counts
@@ -540,14 +550,23 @@ object LlmQueries {
         |  ORDER BY cos DESC, nid) AS rank FROM p)
         |SELECT qid, CAST(rank AS INT) AS rank, nid, cos FROM r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // identical clone construction (zero dim 1 of every 50th vector,
+    // id+1e6), then exact global rank-1 — the Spark side is the same
+    // exact brute force, so the hash match is non-vacuous (the planted
+    // pairs land at cos ≈ 0.99)
     "d10_emb_neardup" ->
-      """WITH v AS (SELECT vec_id, embedding,
+      """WITH aug AS (SELECT vec_id, embedding FROM embeddings
+        |UNION ALL SELECT vec_id + 1000000,
+        |  list_transform(embedding, (x, i) ->
+        |    CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END)
+        |FROM embeddings WHERE vec_id % 50 = 0),
+        |v AS (SELECT vec_id, embedding,
         |sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
-        |  FOR i IN range(1, len(embedding)+1)])) AS nrm FROM embeddings),
+        |  FOR i IN range(1, len(embedding)+1)])) AS nrm FROM aug),
         |p AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
         |ROUND(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE)
         |  FOR i IN range(1, len(q.embedding)+1)]) / (q.nrm * n.nrm), 6) AS cos
-        |FROM v q JOIN v n ON q.vec_id % 5 = 0 AND q.vec_id <> n.vec_id),
+        |FROM v q JOIN v n ON q.vec_id >= 1000000 AND q.vec_id <> n.vec_id),
         |r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid
         |  ORDER BY cos DESC, nid) AS rank FROM p)
         |SELECT qid, nid, cos FROM r WHERE rank = 1 AND cos >= 0.95
