@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
 
 import graft.core.MultiValue
 
@@ -107,8 +108,14 @@ object WorkInference {
       .select(Seq(col("__tid"), col("work_id"), col("__lmbid")) ++
         pair((0, 20, 0), (false, true, false)): _*)
 
+    // materialize the three-way pair build ONCE: it feeds `cand`,
+    // `exactTitleCounts`, and (through `candKeys`) both corroboration
+    // semi-joins — without a barrier the whole union-of-joins lineage
+    // re-runs per consumer (measured 21.4 s → the pair build alone
+    // dominated pl_infer_works at sf0.1)
     val allPairs = titlePairs.unionByName(workidPairs)
       .unionByName(aliasPairs)
+      .localCheckpoint(true)
     val cand = allPairs.groupBy("__tid", "work_id")
       .agg(first("__lmbid").as("work_mbid"),
         sum("s_title").as("s_title"), sum("s_alias").as("s_alias"),
@@ -116,6 +123,7 @@ object WorkInference {
         max("exact_title").as("exact_title"),
         max("exact_alias").as("exact_alias"),
         max("exact_workid").as("exact_workid"))
+      .localCheckpoint(true)
     val candKeys = cand.select("__tid", "work_id")
 
     val exactTitleCounts = allPairs.filter(col("exact_title"))
@@ -226,7 +234,9 @@ object WorkInference {
       !col("person_match")
     val routeBlock = !col("exact_workid") &&
       !(col("exact_title") && col("exact_title_cnt") === 1)
-    summary
+    // materialize the per-track result, then free the pair/candidate
+    // blocks this operator checkpointed (same discipline as Dedup)
+    val out = summary
       .withColumn("confidence_tier", tier)
       .withColumn("should_apply",
         (col("confidence_tier").isin("A", "B") &&
@@ -239,5 +249,9 @@ object WorkInference {
         col("candidate_count"), col("exact_title_cnt"),
         col("exact_workid"), col("exact_title"), col("exact_alias"),
         col("person_match"), col("confidence_tier"), col("should_apply"))
+      .localCheckpoint(true)
+    Shims.unpersistLocalCheckpoint(allPairs)
+    Shims.unpersistLocalCheckpoint(cand)
+    out
   }
 }
