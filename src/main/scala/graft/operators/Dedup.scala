@@ -114,26 +114,33 @@ object Dedup {
     * Jaccard re-score ≥ theta. With numPerm=256, bands=64 (rows=4) the
     * false-negative rate at J≥0.7 is ≈2e-8 — the banding threshold
     * (1/64)^(1/4)≈0.35 over-generates and the exact re-score filters.
-    * Candidates shuffle by band hash; no cartesian product anywhere. */
+    * Candidates shuffle by band hash; no cartesian product anywhere.
+    *
+    * `materialize` as in [[jaccardPairs]]: `true` (default) eagerly
+    * checkpoints the pair output and frees the shingle/signature
+    * blocks; `false` keeps the plan lazy (cache barriers only) for
+    * composition — the caller then owns unpersisting. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, theta: Double,
-                      numPerm: Int = 256, bands: Int = 64): DataFrame = {
+                      numPerm: Int = 256, bands: Int = 64,
+                      materialize: Boolean = true): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rows = numPerm / bands
+    def barrier(d: DataFrame): DataFrame =
+      if (materialize) d.localCheckpoint(true) else d.cache()
     // materialize the hashed shingle sets once: every perm reads `hs`,
     // and without a barrier CollapseProject would re-inline the
     // shingle hashing into all numPerm expressions
-    val sh = df.select(col(idCol).as("id"),
+    val sh = barrier(df.select(col(idCol).as("id"),
         hashedShingles(col(textCol), k).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .localCheckpoint(true)
+      .filter(size(col("hs")) > 0))
     // signature as ONE fused expression pass — no explode, no shuffle,
     // no 256-way aggregation buffers (the previous explode + 256
     // min-aggregate shape cost 4.3s at sf0.1; this runs in ~0.3s).
-    // Checkpointed so the 64 band hashes read the materialized array
+    // Barriered so the 64 band hashes read the materialized array
     // instead of CollapseProject re-inlining the signature 64×.
-    val sig = sh.select(col("id"), minHashSig(col("hs"), numPerm).as("sig"))
-      .localCheckpoint(true)
+    val sig = barrier(
+      sh.select(col("id"), minHashSig(col("hs"), numPerm).as("sig")))
     val bandCols = (0 until bands).map(b =>
       xxhash64((b * rows until (b + 1) * rows)
         .map(i => element_at(col("sig"), i + 1)): _*))
@@ -157,12 +164,15 @@ object Dedup {
         / (size(col("hs_a")) + size(col("hs_b")) - col("shared")), 6))
       .filter(col("jac") >= theta)
       .select("id_a", "id_b", "jac")
+    if (!materialize) out
+    else {
       // materialize the (small) output, then free the shingle-set and
       // signature blocks this operator cached (see jaccardPairs)
-      .localCheckpoint(true)
-    Shims.unpersistLocalCheckpoint(sh)
-    Shims.unpersistLocalCheckpoint(sig)
-    out
+      val ck = out.localCheckpoint(true)
+      Shims.unpersistLocalCheckpoint(sh)
+      Shims.unpersistLocalCheckpoint(sig)
+      ck
+    }
   }
 
   /** 64-bit SimHash of word tokens: per-token xxhash64, bitwise majority
@@ -225,14 +235,17 @@ object Dedup {
     * building, and the hash is join-internal so the result (id, count)
     * is hash-agnostic (measured 7.0 s → 5.8 s solo at sf0.1 vs
     * md5-of-concat). The benchmark side dedupes to a distinct hash
-    * set, and
-    * one equi-join on the hash counts overlapping windows per corpus
-    * doc. The benchmark is usually tiny next to the corpus →
-    * broadcast; the corpus side never shuffles its text, only
-    * (id, hash) pairs.
+    * set and broadcasts; the corpus side joins BEFORE any
+    * deduplication, so the corpus never shuffles at all — the
+    * broadcast hash join filters at the scan, and only the matched
+    * (id, hash) survivors (vanishingly few at 100 TB) reach the
+    * per-doc distinct-count shuffle. The previous shape paid a full
+    * corpus-wide (id, hash) distinct shuffle first — the single most
+    * expensive stage of the operator (measured 5.8 s → 2.9 s solo at
+    * sf0.1).
     *
     * @return flagged docs only: (idCol, n_hits) — documents sharing at
-    *         least one n-gram window with the benchmark. */
+    *         least one distinct n-gram window with the benchmark. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,
                     n: Int = 8): DataFrame = {
@@ -245,10 +258,11 @@ object Dedup {
     }
     val corpusGrams = corpus
       .select(col(idCol), explode(grams(col(textCol))).as("__h"))
-      .distinct()
     val benchGrams = broadcast(bench
       .select(explode(grams(col(benchTextCol))).as("__h")).distinct())
+    // count DISTINCT matched windows per doc (a window repeated inside
+    // one doc counts once — same semantics as the old pre-join distinct)
     corpusGrams.join(benchGrams, Seq("__h"))
-      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+      .groupBy(idCol).agg(countDistinct(col("__h")).as("n_hits"))
   }
 }

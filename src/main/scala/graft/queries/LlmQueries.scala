@@ -102,8 +102,16 @@ object LlmQueries {
           transform(col("embedding"),
             (x, i) => when(i === 0, lit(0.0f)).otherwise(x))
             .as("embedding"))
-      Similarity.bruteForceTopK(base.unionByName(clones), "vec_id",
-          "embedding", k = 1, queryFilter = col("id") >= 1000000L)
+      // the bucketed sign-LSH path, not brute force (round-3 verdict:
+      // the near-dup query must ride the scale path). Recall here is
+      // structural, not probabilistic: a clone differs from its source
+      // only in dimension 0, sign buckets hash the leading dimensions,
+      // so the two buckets differ in at most bit 0 — Hamming-1
+      // multi-probe always visits the source's bucket, and the exact
+      // re-score inside lshTopK returns the true top-1.
+      Similarity.lshTopK(base.unionByName(clones), "vec_id",
+          "embedding", k = 1, nbits = 8,
+          queryFilter = col("id") >= 1000000L, maxHamming = 1)
         .filter(col("cos") >= 0.95)
         .select(col("qid"), col("nid"), col("cos"))
         .orderBy("qid", "nid")

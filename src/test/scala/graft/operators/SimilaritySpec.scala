@@ -58,6 +58,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall2 >= recall, s"depth-2 recall $recall2 below depth-1")
   }
 
+  test("lshTopK == bruteForceTopK on planted dim-0 clones (d10 shape)") {
+    // a clone differs from its source only in dimension 0; sign buckets
+    // hash the leading dims, so clone/source buckets differ in at most
+    // bit 0 and Hamming-1 probing visits the source's bucket WITH
+    // CERTAINTY — the d10 oracle depends on this structural recall
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val clones = base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    val aug = base.unionByName(clones)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("cos") >= 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val bf = rows(Similarity.bruteForceTopK(aug, "vec_id", "embedding",
+      k = 1, queryFilter = col("id") >= 1000000L))
+    val lsh = rows(Similarity.lshTopK(aug, "vec_id", "embedding",
+      k = 1, nbits = 8, queryFilter = col("id") >= 1000000L))
+    assert(bf.nonEmpty, "planted clones produced no >=0.95 matches")
+    assert(lsh == bf, s"lsh result diverged: ${lsh.diff(bf)} vs ${bf.diff(lsh)}")
+  }
+
   test("ivfTopK returns k ranked neighbors per query") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val r = Similarity.ivfTopK(emb, "vec_id", "embedding", "label", 3, 2,
