@@ -265,4 +265,29 @@ object Dedup {
     corpusGrams.join(benchGrams, Seq("__h"))
       .groupBy(idCol).agg(countDistinct(col("__h")).as("n_hits"))
   }
+
+  /** Incremental (cross-corpus) exact dedup: keep the incoming rows
+    * whose normalized-text fingerprint appears nowhere in the existing
+    * corpus, then keep one row per surviving fingerprint (min id — the
+    * same tie-break as [[exactDedup]]). This is the "dedupe the new
+    * crawl against everything already ingested" step of a growing
+    * corpus — the existing side never re-deduplicates itself.
+    *
+    * Scale shape: both sides reduce to (fingerprint[, id]) before
+    * touching each other; the anti-join and the keeper-agg shuffle on
+    * the fingerprint only, so text never crosses the wire. The
+    * existing side aggregates to distinct fingerprints first — the
+    * anti-join probes |distinct fps|, not |rows|.
+    *
+    * @return surviving incoming rows: (idCol, fp). */
+  def crossDedup(incoming: DataFrame, existing: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val in = incoming.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val seen = existing
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    in.join(seen, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("fp"))
+  }
 }

@@ -59,4 +59,31 @@ object Mixing {
         pmod(col("__cum"), lit(budget.toLong)).as("bin_offset"),
         col(tokensCol))
   }
+
+  /** Deterministic global shuffle into training shards: every row gets
+    * a pseudo-random 60-bit sort key from md5(id:seed), its shard is
+    * the key mod `shards`, and its position is the key's rank inside
+    * the shard. Changing `seed` re-deals the whole corpus; re-running
+    * with the same seed reproduces the identical order — the epoch
+    * shuffle of a training loader, with no RNG state and no global
+    * sort.
+    *
+    * Scale shape: one hash shuffle on the shard id, then a per-shard
+    * local sort (the window never crosses shards). A 100 TB corpus
+    * shuffles into N output files exactly this way; a single global
+    * ORDER BY would funnel the sort through one task and is avoided by
+    * construction. md5 keeps the deal engine-portable (the key
+    * restates verbatim in SQL oracles). */
+  def shuffleShards(df: DataFrame, idCol: String, seed: Int,
+                    shards: Int): DataFrame = {
+    // 15 hex chars = 60 bits — inside Long range in both engines
+    val key = conv(substring(
+        md5(concat_ws(":", col(idCol).cast("string"), lit(seed))), 1, 15),
+      16, 10).cast("long")
+    val w = Window.partitionBy("shard").orderBy(col("__key"), col(idCol))
+    df.select(col(idCol), key.as("__key"))
+      .withColumn("shard", pmod(col("__key"), lit(shards.toLong)))
+      .select(col(idCol), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+  }
 }

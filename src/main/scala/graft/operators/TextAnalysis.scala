@@ -160,4 +160,33 @@ object TextAnalysis {
     PiiPatterns.map { case (tag, re) =>
       regexp_count(c, lit(re)).as(s"n_${tag.toLowerCase}")
     }
+
+  /** Entity name → replacement for [[stripMarkup]], applied after tag
+    * removal. Literal `replace`, not regex — order matters only for
+    * `&amp;` (kept last so `&amp;lt;` decodes to the literal `&lt;`,
+    * matching how browsers render double-escaped text). */
+  val MarkupEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** HTML/markup boilerplate strip — the first cleanup pass of a
+    * web-crawl ingest: drop `<script>`/`<style>` blocks with their
+    * contents, replace every remaining tag with a space, decode the
+    * common entities, and collapse whitespace. All RE2-safe regexes
+    * (no lookarounds, `(?s)` for cross-line blocks) so the same
+    * patterns run verbatim in SQL oracles; scan-side projection, no
+    * shuffle, codegen-friendly. */
+  def stripMarkup(c: Column): Column = {
+    // one pass per block tag — RE2 has no backreferences, and a
+    // (script|style) alternation on both ends would cross-match
+    // `<script>…</style>`
+    val noBlocks = Seq("script", "style").foldLeft(c) { (acc, t) =>
+      regexp_replace(acc, s"(?is)<$t[^>]*>.*?</$t>", " ")
+    }
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = MarkupEntities.foldLeft(noTags) { case (acc, (e, r)) =>
+      replace(acc, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

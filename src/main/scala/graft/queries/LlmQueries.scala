@@ -231,6 +231,38 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Markup strip over deterministically HTML-ified docs: a style
+    // block, a script block (with a bare `<` inside), attribute tags,
+    // and escaped entities all round-trip through the cleaner.
+    "d21_markup_strip" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><style>body{margin:0}</style>" +
+          "<script>if (1 < 2) { x = 1; }</script></head><body><p id=\""),
+        col("doc_id").cast("string"), lit("\">"), col("text"),
+        lit(" &amp; tail &lt;ok&gt;</p></body></html>"))
+      T.documents(s, d).select(col("doc_id"),
+          TextAnalysis.stripMarkup(html).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // Epoch shuffle: deterministic md5-keyed deal of the corpus into
+    // 16 training shards with in-shard positions — no RNG state, no
+    // global sort (one hash shuffle + per-shard local sort).
+    "d22_shuffle_shards" -> ((s, d) =>
+      Mixing.shuffleShards(T.documents(s, d), "doc_id",
+        seed = 42, shards = 16)
+        .orderBy("doc_id")),
+
+    // Incremental dedup: every 7th doc is the "new crawl", the rest
+    // the existing corpus; survivors are incoming docs whose
+    // fingerprint is unseen, one keeper per fingerprint.
+    "d23_cross_dedup" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Dedup.crossDedup(docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Decontamination: the benchmark is the first 15 words of every
     // 37th document, so those docs (and any other doc sharing one of
     // their 8-gram windows) flag with their overlap count.
@@ -387,6 +419,43 @@ object LlmQueries {
         |SELECT doc_id, shard, CAST(cum // 512 AS BIGINT) AS bin,
         |CAST(cum % 512 AS BIGINT) AS bin_offset,
         |n_toks FROM c ORDER BY doc_id""".stripMargin,
+    // mirror of stripMarkup's exact pass order: script block, style
+    // block, tags, entity decode (nbsp/lt/gt/quot/#39/amp), collapse
+    "d21_markup_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |'<html><head><style>body{margin:0}</style><script>if (1 < 2) { x = 1; }</script></head><body><p id="'
+        |  || CAST(doc_id AS VARCHAR) || '">' || text
+        |  || ' &amp; tail &lt;ok&gt;</p></body></html>' AS html
+        |FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |replace(replace(replace(replace(replace(replace(
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |  '<[^>]*>', ' ', 'g'),
+        |'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |'&#39;', ''''), '&amp;', '&'),
+        |'\s+', ' ', 'g')) AS clean
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // identical 60-bit md5 key, shard = key % 16, per-shard rank
+    "d22_shuffle_shards" ->
+      """WITH k AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+        |    AS key FROM documents)
+        |SELECT doc_id, key % 16 AS shard,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY key % 16 ORDER BY key, doc_id)
+        |  AS BIGINT) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
+    // same normalized-text md5 fingerprint; NOT IN the existing side,
+    // min-id keeper per surviving fingerprint
+    "d23_cross_dedup" ->
+      """WITH fp AS (SELECT doc_id, doc_id % 7 = 0 AS incoming,
+        |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS doc_id, fp FROM fp
+        |WHERE incoming AND fp NOT IN (SELECT fp FROM fp WHERE NOT incoming)
+        |GROUP BY fp ORDER BY doc_id""".stripMargin,
     // same 8-gram md5 windows on both sides (1-based inclusive slices);
     // distinct (doc, hash) pairs before the join so n_hits counts
     // windows once

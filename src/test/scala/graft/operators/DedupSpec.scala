@@ -68,4 +68,17 @@ class DedupSpec extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
   }
+
+  test("crossDedup: unseen fingerprints survive, min-id keeper within incoming") {
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // seen in existing
+      (11L, "a brand new document"),
+      (12L, "a  brand   new document"), // same fp as 11 after ws norm
+      (13L, "another unseen one"))
+      .toDF("doc_id", "text")
+    val existing = docs // holds the fingerprint of id 10's text
+    val out = Dedup.crossDedup(incoming, existing, "doc_id", "text")
+      .collect().map(r => r.getLong(0)).sorted
+    assert(out.sameElements(Array(11L, 13L))) // 10 seen; 12 loses to 11
+  }
 }

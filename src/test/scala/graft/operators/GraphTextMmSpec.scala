@@ -170,6 +170,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4).getString(1) == "clean text, no pii")
     assert((2 to 5).forall(i => out(4).getInt(i) == 0))
   }
+
+  test("stripMarkup: blocks dropped whole, tags spaced, entities decoded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // script/style contents vanish entirely (incl. a bare `<` inside)
+      ("<style>p { color: red }</style><script>if (1 < 2) { x=1; }</script>hello", 1),
+      // tags become spaces (no word gluing); attributes don't leak
+      ("""before<br/><a href="u">link</a>after""", 2),
+      // entity decode incl. double-escaped &amp;lt; -> literal &lt;
+      ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp;lt;keep&amp;gt; c&nbsp;d", 3),
+      // multiline block with (?s): the . must cross the newline
+      ("x<script>\nvar y = 2\n</script>y", 4),
+      ("plain text stays", 5))
+      .toDF("text", "id")
+    val out = docs.select(col("id"),
+        TextAnalysis.stripMarkup(col("text")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "hello")
+    assert(out(2) == "before link after")
+    assert(out(3) == "a & b <tag> \"q\" 's' &lt;keep&gt; c d")
+    assert(out(4) == "x y")
+    assert(out(5) == "plain text stays")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

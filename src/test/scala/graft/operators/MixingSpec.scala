@@ -47,4 +47,27 @@ class MixingSpec extends SparkSpec {
     // shard 1: id 1 starts fresh
     assert(out(1L) == ((1L, 0L, 0L)))
   }
+
+  test("shuffleShards: reproducible deal, contiguous positions, seed re-deals") {
+    val df = spark.range(0, 2000).toDF("id")
+    val a = Mixing.shuffleShards(df, "id", seed = 7, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every row lands exactly once, shards within range
+    assert(a.length == 2000 && a.map(_._1).distinct.length == 2000)
+    assert(a.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions are contiguous 1..n inside each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    // same seed → identical deal; different seed → a different order
+    val b = Mixing.shuffleShards(df, "id", seed = 7, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)))
+    val c = Mixing.shuffleShards(df, "id", seed = 8, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!a.sortBy(_._1).sameElements(c.sortBy(_._1)))
+    // the md5 deal spreads evenly-ish: no shard holds >2x its share
+    val sizes = a.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.values.forall(n => n > 125 && n < 500), sizes.toMap)
+  }
 }
