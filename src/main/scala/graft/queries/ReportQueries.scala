@@ -15,6 +15,12 @@ object ReportQueries {
     "rp_kpis" -> ((s, d) => Insights.kpis(Insights.base(s, d))),
     "rp_yearly" -> ((s, d) => Insights.yearlyTrends(Insights.base(s, d))),
     "rp_priority_mix" -> ((s, d) => Insights.priorityMix(Insights.base(s, d))),
+    // one-pass column profile of orders (the 96-sanity-report shape)
+    "rp_profile" -> ((s, d) =>
+      graft.operators.Profile.profile(graft.core.Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+        .orderBy("col_name")),
   )
 
   val sql: Map[String, String] = Map(
@@ -37,5 +43,25 @@ object ReportQueries {
         |CAST(n AS DOUBLE) / SUM(n) OVER () AS share FROM (
         |SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1)
         |ORDER BY o_orderpriority""".stripMargin,
+    // per-column UNION ALL restating Profile.canon: doubles as integer
+    // cents, everything else CAST AS VARCHAR (ISO timestamps under UTC)
+    "rp_profile" -> Seq(
+        ("o_orderkey", "CAST(MIN(o_orderkey) AS VARCHAR)",
+          "CAST(MAX(o_orderkey) AS VARCHAR)"),
+        ("o_custkey", "CAST(MIN(o_custkey) AS VARCHAR)",
+          "CAST(MAX(o_custkey) AS VARCHAR)"),
+        ("o_orderstatus", "MIN(o_orderstatus)", "MAX(o_orderstatus)"),
+        ("o_totalprice",
+          "CAST(CAST(ROUND(MIN(o_totalprice)*100) AS BIGINT) AS VARCHAR)",
+          "CAST(CAST(ROUND(MAX(o_totalprice)*100) AS BIGINT) AS VARCHAR)"),
+        ("o_orderdate", "CAST(MIN(o_orderdate) AS VARCHAR)",
+          "CAST(MAX(o_orderdate) AS VARCHAR)"),
+        ("o_orderpriority", "MIN(o_orderpriority)", "MAX(o_orderpriority)"))
+      .map { case (c, mn, mx) =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |COUNT(*) - COUNT($c) AS n_null,
+           |COUNT(DISTINCT $c) AS n_distinct,
+           |$mn AS min_s, $mx AS max_s FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
   )
 }

@@ -267,6 +267,17 @@ object StoreQueries {
           "l_suppkey", "l_orderkey")
         .orderBy("l_suppkey")),
 
+    // Z-order layout: Morton z-values of the (partkey, suppkey) filter
+    // pair — the bit-interleave that bounds every range-partitioned
+    // output file in BOTH dimensions (see operators/Layout.scala; the
+    // file-pruning property itself is asserted in LayoutSpec).
+    "zo_zvalue" -> ((s, d) =>
+      T.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+        .withColumn("zval",
+          graft.operators.Layout.zValue2(col("l_partkey"),
+            col("l_suppkey"), bits = 16))
+        .orderBy("zval", "l_partkey", "l_suppkey")),
+
     // S14: pipe-delimited DR-score round-trip — every 11th row is
     // malformed on purpose; validation must flag, not drop.
     "s14_dr_roundtrip" -> ((s, d) => {
@@ -368,6 +379,13 @@ object StoreQueries {
     "sk_salted_count" ->
       """SELECT l_suppkey, COUNT(*) AS n FROM lineitem
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "zo_zvalue" ->
+      """SELECT l_partkey, l_suppkey, CAST(list_sum(
+        |[((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+        | + ((l_suppkey >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))
+        | FOR i IN range(0, 16)]) AS BIGINT) AS zval
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |ORDER BY zval, l_partkey, l_suppkey""".stripMargin,
     "s12_tsv_roundtrip" ->
       """SELECT c_custkey, c_name,
         |CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg

@@ -45,6 +45,13 @@ object StreamQueries {
         min(col("event_id")).as("keeper"))
       .orderBy("user_id", "event_type")),
 
+    // Batch twin of the stream-stream attribution join (identical
+    // function body; watermarks are no-ops on batch frames). The
+    // streaming path is asserted equal in EventStreamSpec.
+    "st_attrib_join" -> ((s, d) =>
+      graft.streaming.EventStream.attributeJoin(T.events(s, d))
+        .orderBy("purchase_id", "click_id")),
+
     // Gap-delimited sessionization (30 min), batch form: lag + flag
     // cumsum. The stateful-streaming twin is EventStream.sessionize
     // (flatMapGroupsWithState), asserted equal in EventStreamSpec.
@@ -78,6 +85,13 @@ object StreamQueries {
         |CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_ts,
         |MIN(event_id) AS keeper
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+    "st_attrib_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |c.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "st_sessions" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM (

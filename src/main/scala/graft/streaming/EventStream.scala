@@ -87,6 +87,47 @@ object EventStream {
       .withWatermark("ts_ev", "2 hours")
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream click→purchase attribution join: every purchase
+    * pairs with each of the user's clicks in the preceding
+    * `windowSql` interval. Both sides carry a watermark and the join
+    * condition bounds event time on both ends, so Spark can expire
+    * click state past `watermark + window` and purchase state past
+    * the watermark — bounded state at any rate, the canonical
+    * stream-stream join shape. The same function body serves the
+    * batch twin (`st_attrib_join`): on batch frames the watermark is
+    * a no-op and the join is an ordinary interval join.
+    *
+    * `lag_us` is emitted in microseconds (not nanos): the parquet
+    * events are nanosecond-stamped, but micro is the precision every
+    * engine in the gate can see. */
+  def attributeJoin(events: DataFrame, windowSql: String = "1 hour")(
+      implicit dummy: DummyImplicit): DataFrame = attributeJoin(
+    events.filter(col("event_type") === "click"),
+    events.filter(col("event_type") === "purchase"), windowSql)
+
+  /** Two-argument form for genuinely separate click/purchase streams. */
+  def attributeJoin(clicks: DataFrame, purchases: DataFrame,
+                    windowSql: String): DataFrame = {
+    def evTs(df: DataFrame, out: String): DataFrame = df
+      .withColumn(out,
+        if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else col("ts"))
+    val c = evTs(clicks, "c_ts")
+      .select(col("event_id").as("click_id"), col("user_id"), col("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val p = evTs(purchases, "p_ts")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("__puser"), col("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    c.join(p,
+        col("user_id") === col("__puser") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"interval $windowSql"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
   /** One-shot catch-up run (processes all available input, then stops) —
     * the Trigger.AvailableNow analogue of the reference's incremental
     * import. Caller supplies the sink via `foreachBatch`. */

@@ -74,6 +74,30 @@ class EventStreamSpec extends SparkSpec {
     assert(n == want.size, "a key emitted more than one survivor")
   }
 
+  test("stream-stream attribution join matches the batch twin") {
+    val dir = Files.createTempDirectory("evattr").toString
+    val ckpt = Files.createTempDirectory("evattrck").toString
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+
+    // two filtered views over ONE file stream — clicks and purchases
+    // are separate streaming frames joined with event-time bounds
+    val ev = EventStream.readEvents(spark, dir)
+    val join = EventStream.attributeJoin(ev)
+    var got = Set.empty[(Long, Long, Long, Long)]
+    EventStream.runAvailableNow(join, ckpt, mode = "append") { (b, _) =>
+      b.collect().foreach(r =>
+        got += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    }
+
+    val want = graft.queries.StreamQueries.defs("st_attrib_join")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(want.nonEmpty, "attribution join is vacuous at sf0.001")
+    assert(got == want)
+  }
+
   test("streaming upsert sink folds to the same state as the batch MERGE") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("evups").toString
