@@ -139,6 +139,32 @@ object Graft {
                    budget: Int, shards: Int): DataFrame =
     Mixing.packByBudget(df, idCol, tokensCol, budget, shards)
 
+  /** HTML/markup boilerplate strip (tags, script/style blocks,
+    * entities) — the first cleanup pass of a web-crawl ingest. */
+  def stripMarkup(c: Column): Column = TextAnalysis.stripMarkup(c)
+
+  /** Deterministic epoch shuffle into training shards (shard + pos). */
+  def shuffleShards(df: DataFrame, idCol: String, seed: Int,
+                    shards: Int): DataFrame =
+    Mixing.shuffleShards(df, idCol, seed, shards)
+
+  /** Dedupe a new batch against the existing corpus by fingerprint. */
+  def crossDedup(incoming: DataFrame, existing: DataFrame,
+                 idCol: String, textCol: String): DataFrame =
+    Dedup.crossDedup(incoming, existing, idCol, textCol)
+
+  /** One-pass column profile (rows / nulls / distinct / min / max);
+    * `approx = true` switches distinct counts to HyperLogLog++. */
+  def profile(df: DataFrame, cols: Seq[String],
+              approx: Boolean = false): DataFrame =
+    graft.operators.Profile.profile(df, cols, approx)
+
+  /** Z-order a frame across `numFiles` range partitions so min/max
+    * stats prune scans on either of the two dimensions. */
+  def zOrderBy(df: DataFrame, xCol: String, yCol: String,
+               bits: Int, numFiles: Int): DataFrame =
+    graft.operators.Layout.zOrderBy(df, xCol, yCol, bits, numFiles)
+
   /** Register graft's SQL functions (`uuid5`, `title_case`) and the
     * codec-collapse optimizer rule on a session. */
   def install(spark: SparkSession): Unit = {
