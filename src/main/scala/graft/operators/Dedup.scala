@@ -54,10 +54,14 @@ object Dedup {
     *
     * `materialize = true` (default) eagerly checkpoints the pair output
     * and frees the shingle-set blocks — merely calling the operator runs
-    * a job, but nothing leaks into the session. Pass `false` to get a
-    * fully lazy plan (cache-barriered against CollapseProject, nothing
-    * eager) for composition with limits/filters — the caller then owns
-    * unpersisting the returned plan's cached inputs (round-4 advice).
+    * a job, but nothing leaks into the session. `false` keeps the plan
+    * fully lazy (cache-barriered against CollapseProject, nothing
+    * eager) for plan inspection and composition with limits/filters —
+    * but the internal shingle-set cache then has no caller-reachable
+    * handle and stays resident until `spark.catalog.clearCache()`, so
+    * production callers should keep the default (round-4 advice
+    * measured 2-17× pollution on later queries from exactly such
+    * session-lifetime caches).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int, theta: Double, dfCap: Int = 0,
@@ -119,7 +123,9 @@ object Dedup {
     * `materialize` as in [[jaccardPairs]]: `true` (default) eagerly
     * checkpoints the pair output and frees the shingle/signature
     * blocks; `false` keeps the plan lazy (cache barriers only) for
-    * composition — the caller then owns unpersisting. */
+    * plan inspection — the internal caches then outlive the call (no
+    * caller-reachable handle), so production callers should keep the
+    * default. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, theta: Double,
                       numPerm: Int = 256, bands: Int = 64,

@@ -100,8 +100,8 @@ object EventStream {
     * `lag_us` is emitted in microseconds (not nanos): the parquet
     * events are nanosecond-stamped, but micro is the precision every
     * engine in the gate can see. */
-  def attributeJoin(events: DataFrame, windowSql: String = "1 hour")(
-      implicit dummy: DummyImplicit): DataFrame = attributeJoin(
+  def attributeJoin(events: DataFrame,
+                    windowSql: String = "1 hour"): DataFrame = attributeJoin(
     events.filter(col("event_type") === "click"),
     events.filter(col("event_type") === "purchase"), windowSql)
 

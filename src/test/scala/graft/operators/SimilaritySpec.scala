@@ -80,6 +80,12 @@ class SimilaritySpec extends SparkSpec {
       k = 1, nbits = 8, queryFilter = col("id") >= 1000000L))
     assert(bf.nonEmpty, "planted clones produced no >=0.95 matches")
     assert(lsh == bf, s"lsh result diverged: ${lsh.diff(bf)} vs ${bf.diff(lsh)}")
+    // the d10 query probes at depth 2 (slack for natural neighbors) —
+    // must agree with brute force there too
+    val lsh2 = rows(Similarity.lshTopK(aug, "vec_id", "embedding",
+      k = 1, nbits = 8, queryFilter = col("id") >= 1000000L,
+      maxHamming = 2))
+    assert(lsh2 == bf, s"depth-2 lsh diverged: ${lsh2.diff(bf)}")
   }
 
   test("ivfTopK returns k ranked neighbors per query") {
