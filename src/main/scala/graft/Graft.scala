@@ -165,6 +165,14 @@ object Graft {
                bits: Int, numFiles: Int): DataFrame =
     graft.operators.Layout.zOrderBy(df, xCol, yCol, bits, numFiles)
 
+  /** BM25 top-k document search over an inverted index (term-keyed
+    * joins only; `dfCap` guards stop-term skew). */
+  def searchTopK(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, qidCol: String, qTextCol: String,
+                 k: Int, dfCap: Int = 0): DataFrame =
+    graft.operators.Search.bm25TopK(docs, idCol, textCol,
+      queries, qidCol, qTextCol, k, dfCap = dfCap)
+
   /** Register graft's SQL functions (`uuid5`, `title_case`) and the
     * codec-collapse optimizer rule on a session. */
   def install(spark: SparkSession): Unit = {

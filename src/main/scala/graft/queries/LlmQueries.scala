@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
-import graft.operators.{Dedup, GraphOps, Mixing, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, GraphOps, Mixing, Multimodal, Search, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators: dedup (exact / n-gram Jaccard /
   * MinHash-LSH / SimHash), ANN similarity search, text analysis,
@@ -261,6 +261,20 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // BM25 inverted-index search: the query set is the first 6 words
+    // of every 40th doc; per-term scores fold to integer micros before
+    // the group sum so addition order cannot perturb the hash.
+    "d24_bm25_search" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val queries = docs.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 6))
+            .as("qtext"))
+      Search.bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext",
+          k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // Decontamination: the benchmark is the first 15 words of every
     // 37th document, so those docs (and any other doc sharing one of
     // their 8-gram windows) flag with their overlap count.
@@ -454,6 +468,36 @@ object LlmQueries {
         |SELECT MIN(doc_id) AS doc_id, fp FROM fp
         |WHERE incoming AND fp NOT IN (SELECT fp FROM fp WHERE NOT incoming)
         |GROUP BY fp ORDER BY doc_id""".stripMargin,
+    // float steps mirrored op-for-op (every +,*,/ and ln argument in
+    // the same association order as Search.bm25TopK), per-term micros
+    // rounded before the integer sum
+    "d24_bm25_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM
+        |  (SELECT doc_id, unnest(ws) AS t FROM tok) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM tok),
+        |scal AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl),
+        |dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |qt AS (SELECT DISTINCT doc_id AS qid, unnest(ws[1:6]) AS t
+        |  FROM tok WHERE doc_id % 40 = 0),
+        |hits AS (SELECT qt.qid, tf.doc_id, tf.tf, dft.df, dl.dl
+        |  FROM qt JOIN tf ON qt.t = tf.t JOIN dft ON qt.t = dft.t
+        |  JOIN dl ON tf.doc_id = dl.doc_id),
+        |sc AS (SELECT qid, doc_id, CAST(SUM(CAST(ROUND(
+        |  (ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |   * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75
+        |      * (CAST(dl AS DOUBLE)
+        |         / (CAST(n_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))
+        |  * 1e6) AS BIGINT)) AS BIGINT) AS score_micros
+        |  FROM hits, scal GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, score_micros, ROW_NUMBER() OVER (
+        |  PARTITION BY qid ORDER BY score_micros DESC, doc_id) AS rank
+        |  FROM sc)
+        |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score_micros
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // same 8-gram md5 windows on both sides (1-based inclusive slices);
     // distinct (doc, hash) pairs before the join so n_hits counts
     // windows once
