@@ -153,6 +153,18 @@ object Graft {
                  idCol: String, textCol: String): DataFrame =
     Dedup.crossDedup(incoming, existing, idCol, textCol)
 
+  /** Near-dup arm of the incremental import: incoming×existing Jaccard
+    * pairs ≥ theta (the existing corpus never self-joins). */
+  def crossDedupNear(incoming: DataFrame, existing: DataFrame,
+                     idCol: String, textCol: String,
+                     k: Int, theta: Double): DataFrame =
+    Dedup.crossDedupNear(incoming, existing, idCol, textCol, k, theta)
+
+  /** Exactly `nPer` rows per stratum by deterministic md5 rank. */
+  def sampleN(df: DataFrame, idCol: String, stratumCol: String,
+              nPer: Int): DataFrame =
+    Mixing.sampleN(df, idCol, stratumCol, nPer)
+
   /** One-pass column profile (rows / nulls / distinct / min / max);
     * `approx = true` switches distinct counts to HyperLogLog++. */
   def profile(df: DataFrame, cols: Seq[String],

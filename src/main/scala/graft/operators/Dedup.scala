@@ -101,6 +101,44 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus NEAR-dup: incoming docs with Jaccard ≥ `theta`
+    * against any existing doc — the fuzzy arm of [[crossDedup]] (a new
+    * crawl rarely re-serves pages byte-identical; it re-serves them
+    * slightly edited). Same lossless shingle blocking as
+    * [[jaccardPairs]], but the posting join is strictly
+    * incoming × existing, so the existing corpus never self-joins —
+    * at 100 TB that asymmetry is the whole point: candidate volume is
+    * proportional to the (small) incoming side's shingle overlap, and
+    * `dfCap` bounds stop-shingle fan-out per side.
+    *
+    * @return (in_id, ex_id, jac) pairs with jac ≥ theta. */
+  def crossDedupNear(incoming: DataFrame, existing: DataFrame,
+                     idCol: String, textCol: String,
+                     k: Int, theta: Double, dfCap: Int = 0): DataFrame = {
+    def shingled(df: DataFrame) = df.select(col(idCol).as("id"),
+        hashedShingles(col(textCol), k).as("hs"))
+      .localCheckpoint(true)
+    def posting(sh: DataFrame) = Fuzzy.capPostings(
+      sh.select(col("id"), size(col("hs")).as("n"),
+        explode(col("hs")).as("s")),
+      "s", dfCap)
+    val shIn = shingled(incoming)
+    val shEx = shingled(existing)
+    val out = posting(shIn).as("a")
+      .join(posting(shEx).as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.id").as("in_id"), col("b.id").as("ex_id"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jac", round(col("shared").cast("double")
+        / (col("na") + col("nb") - col("shared")), 6))
+      .filter(col("jac") >= theta)
+      .select("in_id", "ex_id", "jac")
+      .localCheckpoint(true)
+    Shims.unpersistLocalCheckpoint(shIn)
+    Shims.unpersistLocalCheckpoint(shEx)
+    out
+  }
+
   /** MinHash signature: array of `numPerm` 64-bit min-hashes over a
     * pre-hashed shingle array (`hs`: array<long>), computed by the
     * fused one-pass [[graft.functions.MinHashSigExpr]] (multiply-add

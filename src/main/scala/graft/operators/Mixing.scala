@@ -60,6 +60,24 @@ object Mixing {
         col(tokensCol))
   }
 
+  /** Per-stratum fixed-COUNT sampling (a corpus recipe that says "50k
+    * docs from source X", not "0.5% of X"): rows rank inside their
+    * stratum by the deterministic md5 key and the first `nPer` win.
+    * One window per stratum — shuffle on the stratum key, no global
+    * sort, no RNG; re-runs reproduce the identical sample.
+    *
+    * The rank key reuses [[bucket]]'s md5 construction (plus the raw
+    * hex as tie-break so equal buckets stay totally ordered). */
+  def sampleN(df: DataFrame, idCol: String, stratumCol: String,
+              nPer: Int): DataFrame = {
+    val key = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(key, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= nPer)
+      .drop("__rk")
+  }
+
   /** Deterministic global shuffle into training shards: every row gets
     * a pseudo-random 60-bit sort key from md5(id:seed), its shard is
     * the key mod `shards`, and its position is the key's rank inside

@@ -243,6 +243,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Near-dup arm of the incremental import: incoming (every 7th doc)
+    // vs the existing corpus at Jaccard >= 0.5 — strictly cross-side
+    // pairs, the existing corpus never self-joins.
+    "d26_cross_neardup" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Dedup.crossDedupNear(docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          k = 5, theta = 0.5)
+        .orderBy("in_id", "ex_id")
+    }),
+
+    // Fixed-count recipe sampling: exactly 25 docs per language by
+    // deterministic md5 rank (strata smaller than 25 keep everything).
+    "d25_sample_n" -> ((s, d) =>
+      Mixing.sampleN(T.documents(s, d), "doc_id", "lang", nPer = 25)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // Epoch shuffle: deterministic md5-keyed deal of the corpus into
     // 16 training shards with in-shard positions — no RNG state, no
     // global sort (one hash shuffle + per-shard local sort).
@@ -450,6 +468,33 @@ object LlmQueries {
         |'&#39;', ''''), '&amp;', '&'),
         |'\s+', ' ', 'g')) AS clean
         |FROM h ORDER BY doc_id""".stripMargin,
+    // d4's proven shingle SQL with cross-side join conditions
+    "d26_cross_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |  ELSE [array_to_string(ws[x:x+4], ' ')
+        |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM w),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS in_id, b.doc_id AS ex_id,
+        |  COUNT(*) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT in_id, ex_id,
+        |ROUND(shared*1.0/(ca.n + cb.n - shared), 6) AS jac
+        |FROM pairs JOIN cnt ca ON in_id = ca.doc_id
+        |JOIN cnt cb ON ex_id = cb.doc_id
+        |WHERE shared*1.0/(ca.n + cb.n - shared) >= 0.5
+        |ORDER BY in_id, ex_id""".stripMargin,
+    // identical md5 rank key with (key, doc_id) total order
+    "d25_sample_n" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 25 ORDER BY doc_id""".stripMargin,
     // identical 60-bit md5 key, shard = key % 16, per-shard rank
     "d22_shuffle_shards" ->
       """WITH k AS (SELECT doc_id,

@@ -69,6 +69,28 @@ class DedupSpec extends SparkSpec {
     assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
   }
 
+  test("crossDedupNear: only cross-side pairs, correct exact scores") {
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of existing 1
+      (11L, "nothing like anything in the existing corpus at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossDedupNear(incoming, docs, "doc_id", "text",
+      k = 5, theta = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 10 == existing 2 exactly (jac 1.0) and near-matches 1 and its
+    // exact dup 4; 11 matches nothing; the existing near-pair (1,2)
+    // itself must NOT appear (no self-join)
+    assert(out.map(t => (t._1, t._2)).toSet ==
+      Set((10L, 1L), (10L, 2L), (10L, 4L)))
+    val byEx = out.map(t => t._2 -> t._3).toMap
+    assert(byEx(2L) == 1.0)
+    // 10-vs-1 is the same one-word edit as the in-corpus pair (1,2)
+    val ref = Dedup.jaccardPairs(docs, "doc_id", "text", 5, 0.3)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .collect().head.getDouble(2)
+    assert(byEx(1L) == ref && byEx(4L) == ref)
+  }
+
   test("crossDedup: unseen fingerprints survive, min-id keeper within incoming") {
     val incoming = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"), // seen in existing

@@ -48,6 +48,23 @@ class MixingSpec extends SparkSpec {
     assert(out(1L) == ((1L, 0L, 0L)))
   }
 
+  test("sampleN keeps exactly nPer rows per stratum, reproducibly") {
+    val df = spark.range(0, 900)
+      .select(col("id"), (col("id") % 3).cast("string").as("s"))
+    val out = Mixing.sampleN(df, "id", "s", nPer = 50)
+    val byS = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.values.forall(_ == 50L), byS)
+    // a stratum smaller than nPer survives whole
+    val tiny = Mixing.sampleN(df.filter(col("id") < 10), "id", "s", 50)
+    assert(tiny.count() == 10L)
+    // deterministic: the same ids win on a re-run
+    val a = out.collect().map(_.getLong(0)).sorted
+    val b = Mixing.sampleN(df, "id", "s", 50).collect()
+      .map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
   test("shuffleShards: reproducible deal, contiguous positions, seed re-deals") {
     val df = spark.range(0, 2000).toDF("id")
     val a = Mixing.shuffleShards(df, "id", seed = 7, shards = 8).collect()
