@@ -50,6 +50,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-6 queries: keyed joins only, and the profiler scans once") {
+    // BM25's probe, the cross-corpus near-dup, and the markup/shuffle/
+    // sample family must all stay equi-join / scan-side — no fallback
+    // to a nested-loop scan anywhere
+    Seq("d26_cross_neardup", "d21_markup_strip",
+        "d22_shuffle_shards", "d25_sample_n", "st_attrib_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested-loop join")
+    }
+    // BM25 attaches its two corpus scalars via crossJoin(broadcast(
+    // one-row agg)) — a BroadcastNestedLoopJoin with a 1-row build side
+    // is O(N·1) and the right scalar-attach shape, so exactly one is
+    // allowed; the term probe itself must stay an equi-join
+    val bm25 = plan("d24_bm25_search")
+    assert(!bm25.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(bm25).length
+    assert(bnlj == 1, s"d24 has $bnlj nested-loop joins (1 scalar attach allowed)")
+    // the column profiler's one-pass claim: a single parquet scan
+    // feeds the whole wide aggregate
+    val scans = "Scan parquet".r.findAllIn(plan("rp_profile")).length
+    assert(scans == 1, s"rp_profile reads the table $scans times")
+  }
+
   test("round-4 step queries are all keyed joins — no nested loops") {
     Seq("pl_infer_works", "pl_infer_composers", "pl_compilations",
         "pl_releasetype").foreach { q =>
