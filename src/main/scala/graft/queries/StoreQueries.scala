@@ -267,6 +267,31 @@ object StoreQueries {
           "l_suppkey", "l_orderkey")
         .orderBy("l_suppkey")),
 
+    // S17 (beyond-parity): bucketed co-located join — both sides
+    // persisted bucketBy the join key, so the join itself runs with NO
+    // key shuffle (asserted in BucketedSpec); only the final customer
+    // rollup exchanges. The oracle sees just the arithmetic.
+    "s17_bucketed_join" -> ((s, d) => {
+      import graft.sources.Bucketed
+      s.sql("DROP TABLE IF EXISTS graft_li_b")
+      s.sql("DROP TABLE IF EXISTS graft_or_b")
+      Bucketed.writeBucketed(T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity")),
+        "graft_li_b", "l_orderkey", buckets = 8,
+        sortCols = Seq("l_orderkey"))
+      Bucketed.writeBucketed(T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey")),
+        "graft_or_b", "o_orderkey", buckets = 8,
+        sortCols = Seq("o_orderkey"))
+      s.table("graft_li_b")
+        .join(s.table("graft_or_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.core.Exprs.cents(col("l_quantity"))).as("qty_cents"))
+        .orderBy("o_custkey")
+    }),
+
     // Z-order layout: Morton z-values of the (partkey, suppkey) filter
     // pair — the bit-interleave that bounds every range-partitioned
     // output file in BOTH dimensions (see operators/Layout.scala; the
@@ -379,6 +404,12 @@ object StoreQueries {
     "sk_salted_count" ->
       """SELECT l_suppkey, COUNT(*) AS n FROM lineitem
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "s17_bucketed_join" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+        |CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |  AS qty_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "zo_zvalue" ->
       """SELECT l_partkey, l_suppkey, CAST(list_sum(
         |[((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
