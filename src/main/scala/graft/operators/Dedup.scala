@@ -67,28 +67,13 @@ object Dedup {
                    k: Int, theta: Double, dfCap: Int = 0,
                    materialize: Boolean = true): DataFrame = {
     // materialize the hashed shingle sets once — the postings explode
-    // would otherwise re-run the tokenize+hash lineage. Postings carry
-    // the 64-bit shingle hash plus the doc's set size: threading `n`
-    // through the join costs 8 bytes per posting row but removes the
-    // two per-side size-lookup joins (two whole shuffles) the previous
-    // shape paid after candidate aggregation.
+    // would otherwise re-run the tokenize+hash lineage.
     val shBase = df
       .select(col(idCol).as("id"), hashedShingles(col(textCol), k).as("hs"))
     val sh = if (materialize) shBase.localCheckpoint(true) else shBase.cache()
-    val exploded = sh.select(col("id"), size(col("hs")).as("n"),
-      explode(col("hs")).as("s"))
-    val posting = Fuzzy.capPostings(exploded, "s", dfCap)
-    val out = posting.as("a")
-      .join(posting.as("b"), col("a.s") === col("b.s")
-        && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jac",
-        round(col("shared").cast("double")
-          / (col("na") + col("nb") - col("shared")), 6))
-      .filter(col("jac") >= theta)
-      .select("id_a", "id_b", "jac")
+    val posting = postings(sh, dfCap)
+    val out = scoredJaccardPairs(posting, posting,
+      col("a.id") < col("b.id"), theta, "id_a", "id_b")
     if (!materialize) out
     else {
       // materialize the (small) pair output, then free the shingle-set
@@ -101,6 +86,33 @@ object Dedup {
     }
   }
 
+  /** (id, n, s) posting rows from a shingled frame — the doc's set
+    * size rides every posting (8 bytes/row) so the pair aggregation
+    * needs no per-side size-lookup joins (two whole shuffles saved). */
+  private def postings(sh: DataFrame, dfCap: Int): DataFrame =
+    Fuzzy.capPostings(
+      sh.select(col("id"), size(col("hs")).as("n"),
+        explode(col("hs")).as("s")),
+      "s", dfCap)
+
+  /** Shared pair-scoring tail of [[jaccardPairs]]/[[crossDedupNear]]:
+    * shingle equi-join under `cond`, shared-count aggregation, exact
+    * round-6 Jaccard, theta filter. The oracle SQL of every consumer
+    * restates exactly this arithmetic — keep them in lock-step. */
+  private def scoredJaccardPairs(postA: DataFrame, postB: DataFrame,
+                                 cond: Column, theta: Double,
+                                 outA: String, outB: String): DataFrame =
+    postA.as("a")
+      .join(postB.as("b"), col("a.s") === col("b.s") && cond)
+      .groupBy(col("a.id").as(outA), col("b.id").as(outB),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jac",
+        round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")), 6))
+      .filter(col("jac") >= theta)
+      .select(outA, outB, "jac")
+
   /** Cross-corpus NEAR-dup: incoming docs with Jaccard ≥ `theta`
     * against any existing doc — the fuzzy arm of [[crossDedup]] (a new
     * crawl rarely re-serves pages byte-identical; it re-serves them
@@ -111,32 +123,29 @@ object Dedup {
     * proportional to the (small) incoming side's shingle overlap, and
     * `dfCap` bounds stop-shingle fan-out per side.
     *
+    * `materialize` as in [[jaccardPairs]].
+    *
     * @return (in_id, ex_id, jac) pairs with jac ≥ theta. */
   def crossDedupNear(incoming: DataFrame, existing: DataFrame,
                      idCol: String, textCol: String,
-                     k: Int, theta: Double, dfCap: Int = 0): DataFrame = {
-    def shingled(df: DataFrame) = df.select(col(idCol).as("id"),
+                     k: Int, theta: Double, dfCap: Int = 0,
+                     materialize: Boolean = true): DataFrame = {
+    def shingled(df: DataFrame) = {
+      val base = df.select(col(idCol).as("id"),
         hashedShingles(col(textCol), k).as("hs"))
-      .localCheckpoint(true)
-    def posting(sh: DataFrame) = Fuzzy.capPostings(
-      sh.select(col("id"), size(col("hs")).as("n"),
-        explode(col("hs")).as("s")),
-      "s", dfCap)
+      if (materialize) base.localCheckpoint(true) else base.cache()
+    }
     val shIn = shingled(incoming)
     val shEx = shingled(existing)
-    val out = posting(shIn).as("a")
-      .join(posting(shEx).as("b"), col("a.s") === col("b.s"))
-      .groupBy(col("a.id").as("in_id"), col("b.id").as("ex_id"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jac", round(col("shared").cast("double")
-        / (col("na") + col("nb") - col("shared")), 6))
-      .filter(col("jac") >= theta)
-      .select("in_id", "ex_id", "jac")
-      .localCheckpoint(true)
-    Shims.unpersistLocalCheckpoint(shIn)
-    Shims.unpersistLocalCheckpoint(shEx)
-    out
+    val out = scoredJaccardPairs(postings(shIn, dfCap),
+      postings(shEx, dfCap), lit(true), theta, "in_id", "ex_id")
+    if (!materialize) out
+    else {
+      val ck = out.localCheckpoint(true)
+      Shims.unpersistLocalCheckpoint(shIn)
+      Shims.unpersistLocalCheckpoint(shEx)
+      ck
+    }
   }
 
   /** MinHash signature: array of `numPerm` 64-bit min-hashes over a

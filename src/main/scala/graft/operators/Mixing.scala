@@ -66,8 +66,9 @@ object Mixing {
     * One window per stratum — shuffle on the stratum key, no global
     * sort, no RNG; re-runs reproduce the identical sample.
     *
-    * The rank key reuses [[bucket]]'s md5 construction (plus the raw
-    * hex as tie-break so equal buckets stay totally ordered). */
+    * The rank key is the FULL md5 hex of the id (not [[bucket]]'s
+    * first-8-hex residue), with the raw id as tie-break — the d25
+    * oracle restates exactly this order. */
   def sampleN(df: DataFrame, idCol: String, stratumCol: String,
               nPer: Int): DataFrame = {
     val key = md5(col(idCol).cast("string"))

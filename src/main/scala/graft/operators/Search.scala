@@ -33,20 +33,27 @@ object Search {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qidCol: String, qTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75,
-               dfCap: Int = 0): DataFrame = {
+               dfCap: Int = 0, materialize: Boolean = true): DataFrame = {
     def toks(c: org.apache.spark.sql.Column) =
       filter(split(c, "\\s+"), t => t =!= "")
 
+    // tokenize the corpus ONCE — tf, dl, the scalars, and df all read
+    // the materialized token arrays instead of re-scanning and
+    // re-splitting the corpus per branch (same discipline as
+    // jaccardPairs' shingle barrier)
+    val tokBase = docs.select(col(idCol).as("doc_id"),
+      toks(col(textCol)).as("ws"))
+    val tok = if (materialize) tokBase.localCheckpoint(true)
+              else tokBase.cache()
     // stop-term cap applies to the postings themselves: a capped term
     // neither scores nor fans out in the probe join
-    val tf = Fuzzy.capPostings(docs
-      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
+    val tf = Fuzzy.capPostings(tok
+      .select(col("doc_id"), explode(col("ws")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf")),
       "t", dfCap)
-    val dl = docs.select(col(idCol).as("doc_id"),
-      size(toks(col(textCol))).cast("long").as("dl"))
-    // corpus scalars: one row, broadcast onto every posting. dl keeps
-    // ALL tokens (capped stop terms still lengthen their documents)
+    // dl keeps ALL tokens (capped stop terms still lengthen their doc)
+    val dl = tok.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    // corpus scalars: one row, broadcast onto every posting
     val scal = broadcast(dl.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("n_toks")))
     val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
@@ -78,8 +85,15 @@ object Search {
       .agg(sum("s_micros").as("score_micros"))
     val w = Window.partitionBy("qid")
       .orderBy(col("score_micros").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "doc_id", "score_micros")
+    if (!materialize) out
+    else {
+      // materialize the (small) top-k, then free the token arrays
+      val ck = out.localCheckpoint(true)
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(tok)
+      ck
+    }
   }
 }

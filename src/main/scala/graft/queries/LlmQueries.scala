@@ -284,10 +284,13 @@ object LlmQueries {
     // the group sum so addition order cannot perturb the hash.
     "d24_bm25_search" -> ((s, d) => {
       val docs = T.documents(s, d)
+      // slice the empty-FILTERED token list — the oracle's ws[1:6] is
+      // over filtered tokens, and a raw slice would admit a leading
+      // empty token on whitespace-prefixed text
       val queries = docs.filter(col("doc_id") % 40 === 0)
         .select(col("doc_id").as("qid"),
-          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 6))
-            .as("qtext"))
+          concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
+            t => t =!= ""), 1, 6)).as("qtext"))
       Search.bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext",
           k = 5)
         .orderBy("qid", "rank")
@@ -363,7 +366,7 @@ object LlmQueries {
   )
 
   private val ShingleSql =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(
       |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
       |  ELSE [array_to_string(ws[x:x+4], ' ')
@@ -384,7 +387,7 @@ object LlmQueries {
     * the g2 recursive-closure SQL). */
   private val ClusterCte =
     """WITH RECURSIVE
-      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(
       |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
       |  ELSE [array_to_string(ws[x:x+4], ' ')
@@ -470,7 +473,7 @@ object LlmQueries {
         |FROM h ORDER BY doc_id""".stripMargin,
     // d4's proven shingle SQL with cross-side join conditions
     "d26_cross_neardup" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
         |  FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(
         |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
@@ -685,7 +688,7 @@ object LlmQueries {
         |  CAST(len(list_filter(ws, t -> t IN
         |  ('the','a','an','and','of','is','to','in'))) AS DOUBLE) / len(ws)
         |  END AS stop_ratio
-        |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |FROM (SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
         |FROM documents) ORDER BY doc_id""".stripMargin,
     "d3_langid" ->
       """SELECT doc_id, lang,

@@ -273,8 +273,6 @@ object StoreQueries {
     // rollup exchanges. The oracle sees just the arithmetic.
     "s17_bucketed_join" -> ((s, d) => {
       import graft.sources.Bucketed
-      s.sql("DROP TABLE IF EXISTS graft_li_b")
-      s.sql("DROP TABLE IF EXISTS graft_or_b")
       Bucketed.writeBucketed(T.lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity")),
         "graft_li_b", "l_orderkey", buckets = 8,

@@ -38,8 +38,4 @@ object Bucketed {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
      else w).saveAsTable(table)
   }
-
-  /** Read a bucketed table back (bucket metadata rides the catalog). */
-  def table(spark: SparkSession, name: String): DataFrame =
-    spark.table(name)
 }

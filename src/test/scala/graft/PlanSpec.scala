@@ -40,35 +40,66 @@ class PlanSpec extends SparkSpec {
 
   test("near-dup pipelines contain no cartesian product") {
     // d10/d8 ride the bucketed LSH path — an equi-join on the bucket
-    // id — so no O(N²) nested-loop scan anywhere (round-3 verdict #4)
-    Seq("d4_jaccard_pairs", "d5_minhash_lsh", "fz_tf_cosine",
+    // id — so no O(N²) nested-loop scan anywhere (round-3 verdict #4).
+    // These queries don't checkpoint, so the query-level plan is the
+    // real pipeline plan.
+    Seq("fz_tf_cosine",
         "fz_tfidf_cosine", "d10_emb_neardup", "d8_ann_lsh").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q has a nested-loop join")
     }
+    // d4/d5's operators eagerly checkpoint their outputs (the query
+    // plan ends at a LogicalRDD scan), so probe the un-materialized
+    // constructions directly — same discipline as the er-waterfall test
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    Seq(
+      "jaccard" -> Dedup.jaccardPairs(docs, "doc_id", "text",
+        k = 5, theta = 0.3, materialize = false),
+      "minhash" -> Dedup.minHashLshPairs(docs, "doc_id", "text",
+        k = 5, theta = 0.7, materialize = false),
+      "crossnear" -> Dedup.crossDedupNear(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 7 =!= 0),
+        "doc_id", "text", k = 5, theta = 0.5, materialize = false)
+    ).foreach { case (tag, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$tag has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$tag has a nested-loop join")
+    }
+    spark.sharedState.cacheManager.clearCache() // drop the lazy barriers
   }
 
   test("round-6 queries: keyed joins only, and the profiler scans once") {
-    // BM25's probe, the cross-corpus near-dup, and the markup/shuffle/
-    // sample family must all stay equi-join / scan-side — no fallback
-    // to a nested-loop scan anywhere
-    Seq("d26_cross_neardup", "d21_markup_strip",
+    // the markup/shuffle/sample family must stay equi-join / scan-side
+    // (none of these checkpoint — the query plan is the real plan)
+    Seq("d21_markup_strip",
         "d22_shuffle_shards", "d25_sample_n", "st_attrib_join").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q has a nested-loop join")
     }
-    // BM25 attaches its two corpus scalars via crossJoin(broadcast(
+    // BM25 materializes its output, so probe the un-materialized form.
+    // It attaches its two corpus scalars via crossJoin(broadcast(
     // one-row agg)) — a BroadcastNestedLoopJoin with a 1-row build side
     // is O(N·1) and the right scalar-attach shape, so exactly one is
     // allowed; the term probe itself must stay an equi-join
-    val bm25 = plan("d24_bm25_search")
+    import org.apache.spark.sql.functions.{col, concat_ws, slice, split}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 6)).as("qt"))
+    val bm25 = graft.operators.Search.bm25TopK(docs, "doc_id", "text",
+        qs, "qid", "qt", k = 5, materialize = false)
+      .queryExecution.executedPlan.toString
     assert(!bm25.contains("CartesianProduct"))
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(bm25).length
     assert(bnlj == 1, s"d24 has $bnlj nested-loop joins (1 scalar attach allowed)")
+    spark.sharedState.cacheManager.clearCache() // drop the lazy barriers
     // the column profiler's one-pass claim: a single parquet scan
     // feeds the whole wide aggregate
     val scans = "Scan parquet".r.findAllIn(plan("rp_profile")).length
