@@ -29,6 +29,7 @@ object SparkEntry {
     (PipelineQueries.defs, PipelineQueries.sql),
     (ReportQueries.defs, ReportQueries.sql),
     (StoreQueries.defs, StoreQueries.sql),
+    (TemporalQueries.defs, TemporalQueries.sql),
   )
 
   /** Flagship query on sf0.001; driver smoke-checks rows>0. */
