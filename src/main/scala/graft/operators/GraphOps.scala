@@ -18,18 +18,33 @@ import org.apache.spark.sql.graftshim.Shims
   */
 object GraphOps {
 
-  /** Co-occurrence edge build: distinct (group, member) pairs self-joined
-    * within the group → weighted undirected edges (src < dst)
-    * (ref album-scope co-occurrence `tm_graph.py:294-316, 524-533`). */
+  /** Co-occurrence edge build: distinct members per group → all ordered
+    * pairs within the group → weighted undirected edges (src < dst)
+    * (ref album-scope co-occurrence `tm_graph.py:294-316, 524-533`).
+    *
+    * Shape: ONE shuffle on the group key with map-side partial
+    * `collect_set` aggregation, pair explosion entirely map-side on the
+    * aggregated array, then the (src, dst) count shuffle — two
+    * exchanges total. The previous distinct + self-join formulation
+    * cost four (distinct, both join sides, final count) and re-shipped
+    * every (group, member) row twice. Group fan-out is quadratic in
+    * members-per-group under EITHER formulation; the reference's groups
+    * (albums) are small and bounded. A pathological group would need
+    * upstream capping regardless of join strategy. */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, memberCol: String,
-                        minWeight: Long = 1L): DataFrame = {
-    val m = df.select(col(groupCol).as("g"), col(memberCol).as("m")).distinct()
-    m.as("a").join(m.as("b"), col("a.g") === col("b.g")
-        && col("a.m") < col("b.m"))
-      .groupBy(col("a.m").as("src"), col("b.m").as("dst"))
+                        minWeight: Long = 1L): DataFrame =
+    df.select(col(groupCol).as("g"), col(memberCol).as("m"))
+      .groupBy("g").agg(array_sort(collect_set(col("m"))).as("ms"))
+      // ms is sorted + distinct, so pairing each element with its
+      // strict suffix yields exactly the src < dst pairs
+      .select(explode(expr(
+        "flatten(transform(ms, (x, i) -> " +
+          "transform(slice(ms, i + 2, size(ms)), " +
+          "y -> struct(x AS src, y AS dst))))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy("src", "dst")
       .agg(count(lit(1)).as("weight"))
       .filter(col("weight") >= minWeight)
-  }
 
   /** Connected components over an undirected edge list. Returns
     * (node, component) where component = min node id in the component.
