@@ -126,7 +126,13 @@ object HashedShingles {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
-  def compute(text: UTF8String, k: Int): ArrayData = {
+  def compute(text: UTF8String, k: Int): ArrayData =
+    compute(text, k, strict = false)
+
+  /** strict = true: a text with fewer than k tokens yields NO windows
+    * (decontamination semantics — a short doc cannot contain a k-gram),
+    * instead of the whole-text fallback shingle near-dup blocking uses. */
+  def compute(text: UTF8String, k: Int, strict: Boolean): ArrayData = {
     val base = text.getBaseObject
     val off = text.getBaseOffset
     val n = text.numBytes()
@@ -146,7 +152,8 @@ object HashedShingles {
       }
     }
     val out =
-      if (nt < k) { // whole text as the single shingle, like shingles()
+      if (nt < k && strict) Array.emptyLongArray
+      else if (nt < k) { // whole text as the single shingle, like shingles()
         var h = Seed
         var j = 0
         while (j < nt) { h = XXH64.hashLong(toks(j), h); j += 1 }
@@ -388,17 +395,18 @@ case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
-case class HashedShinglesExpr(child: Expression, k: Int)
+case class HashedShinglesExpr(child: Expression, k: Int,
+                              strict: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hashed_shingles"
 
   override def nullSafeEval(s: Any): Any =
-    HashedShingles.compute(s.asInstanceOf[UTF8String], k)
+    HashedShingles.compute(s.asInstanceOf[UTF8String], k, strict)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HashedShingles.compute($c, $k)")
+      s"graft.functions.HashedShingles.compute($c, $k, $strict)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -412,6 +420,11 @@ object NativeExpressions {
 
   def hashedShingles(text: Column, k: Int): Column =
     Shims.toColumn(HashedShinglesExpr(Shims.toExpression(text), k))
+
+  /** Strict windows: < k tokens → empty array (no whole-text fallback). */
+  def hashedNgrams(text: Column, k: Int): Column =
+    Shims.toColumn(HashedShinglesExpr(Shims.toExpression(text), k,
+      strict = true))
 
   def minHashSig(hs: Column, numPerm: Int): Column =
     Shims.toColumn(MinHashSigExpr(Shims.toExpression(hs), numPerm))

@@ -283,40 +283,36 @@ object Dedup {
   /** Train/test decontamination: flag corpus documents sharing any
     * word n-gram with a benchmark set — the published exact-overlap
     * decontamination rule for pretraining corpora (n=8 words is the
-    * conventional window). Both sides hash their n-gram windows with a
-    * structural xxhash64 over the token slice — no per-window string
-    * building, and the hash is join-internal so the result (id, count)
-    * is hash-agnostic (measured 7.0 s → 5.8 s solo at sf0.1 vs
-    * md5-of-concat). The benchmark side dedupes to a distinct hash
-    * set and broadcasts; the corpus side joins BEFORE any
-    * deduplication, so the corpus never shuffles at all — the
-    * broadcast hash join filters at the scan, and only the matched
-    * (id, hash) survivors (vanishingly few at 100 TB) reach the
-    * per-doc distinct-count shuffle. The previous shape paid a full
-    * corpus-wide (id, hash) distinct shuffle first — the single most
-    * expensive stage of the operator (measured 5.8 s → 2.9 s solo at
-    * sf0.1).
+    * conventional window). Window hashing is the fused one-pass
+    * [[graft.functions.HashedShinglesExpr]] in strict mode (< n tokens
+    * → no windows): one tokenize pass per row, per-window hashing over
+    * token hashes (longs) instead of re-slicing string arrays, and the
+    * per-doc distinct built in — so the join output needs only a plain
+    * count, not a two-phase countDistinct. The hash is join-internal,
+    * so the result (id, count) is hash-agnostic. The benchmark side
+    * dedupes to a distinct hash set and broadcasts; the corpus side
+    * joins BEFORE any deduplication, so the corpus never shuffles at
+    * all — the broadcast hash join filters at the scan, and only the
+    * matched (id, hash) survivors (vanishingly few at 100 TB) reach
+    * the per-doc count shuffle. (Shape history, solo sf0.1: md5-of-
+    * concat + corpus-wide distinct 7.0 s → structural xxhash64 5.8 s →
+    * join-before-dedup 2.9 s → fused expr 2.1 s.)
     *
     * @return flagged docs only: (idCol, n_hits) — documents sharing at
     *         least one distinct n-gram window with the benchmark. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,
                     n: Int = 8): DataFrame = {
-    def grams(c: Column): Column = {
-      val ws = filter(split(c, "\\s+"), t => t =!= "")
-      when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => xxhash64(slice(ws, i, lit(n)))))
-        .otherwise(array().cast("array<long>"))
-    }
+    import graft.functions.NativeExpressions.hashedNgrams
     val corpusGrams = corpus
-      .select(col(idCol), explode(grams(col(textCol))).as("__h"))
+      .select(col(idCol), explode(hashedNgrams(col(textCol), n)).as("__h"))
     val benchGrams = broadcast(bench
-      .select(explode(grams(col(benchTextCol))).as("__h")).distinct())
-    // count DISTINCT matched windows per doc (a window repeated inside
-    // one doc counts once — same semantics as the old pre-join distinct)
+      .select(explode(hashedNgrams(col(benchTextCol), n)).as("__h"))
+      .distinct())
+    // per-doc grams are already distinct (fused expr dedups per row) and
+    // the bench side is distinct, so count(*) IS the distinct-window count
     corpusGrams.join(benchGrams, Seq("__h"))
-      .groupBy(idCol).agg(countDistinct(col("__h")).as("n_hits"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
 
   /** Incremental (cross-corpus) exact dedup: keep the incoming rows
