@@ -25,4 +25,27 @@ object Scale {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(keyCol)
       .agg(sum(col("__partial")).as("n"))
+
+  /** Skew-salted equi-join: the fact side salts each row
+    * deterministically into one of `n` buckets, the dim side replicates
+    * every row across ALL `n` buckets, and the join runs on
+    * (key, salt) — a hot fact key's rows spread over `n` reducers
+    * instead of one. Result is row-for-row identical to
+    * `fact.join(dim, key)` (inner); only the partitioning changes.
+    *
+    * This is the explicit fallback for the cases AQE's skew-join split
+    * does not reach: a skewed SHUFFLE side that must pair with a dim
+    * too big to broadcast but cheap to replicate `n`×, or a skewed
+    * build feeding a later stage through a required distribution. Cost
+    * model: dim shuffle volume × n vs hot-partition wall time — keep
+    * `n` small (8-32). `spreadCol`: any high-cardinality fact column;
+    * identical (spread, key) rows share a bucket, which skews nothing
+    * unless the fact table is itself one repeated row. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 spreadCol: String, n: Int = 16): DataFrame = {
+    val f = fact.withColumn("__salt", salt(col(spreadCol), n))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(n - 1L))))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -93,6 +93,46 @@ object TextAnalysis {
     aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
 
+  /** Sliding token-window document chunking — the "split long documents
+    * into model-context-sized pieces" step every pretraining pipeline
+    * runs before packing. Chunks are `chunkTokens` words; consecutive
+    * chunks share `overlap` words (stride = chunkTokens - overlap);
+    * chunk starts step by the stride until they pass the end of the
+    * document, so the final chunk may be short. Empty documents emit no
+    * chunks.
+    *
+    * Pure generator shape: the explode multiplies rows map-side inside
+    * the scan stage — no shuffle, no state. At 100 TB the output
+    * partitioning inherits the input's; downstream packing
+    * ([[Mixing.packByBudget]]) does the one keyed shuffle.
+    *
+    * @return (idCol, chunk_idx, n_tokens, chunk_text) */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got ($overlap, $chunkTokens)")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col(idCol), wordTokens(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        explode(when(size(col("__ws")) > 0,
+          transform(sequence(lit(0),
+            floor((size(col("__ws")) - 1) / stride).cast("int")),
+            i => struct(
+              i.cast("long").as("chunk_idx"),
+              size(slice(col("__ws"), i * stride + 1, lit(chunkTokens)))
+                .cast("long").as("n_tokens"),
+              array_join(
+                slice(col("__ws"), i * stride + 1, lit(chunkTokens)),
+                " ").as("chunk_text"))))
+          .otherwise(array().cast(
+            "array<struct<chunk_idx:bigint,n_tokens:bigint," +
+              "chunk_text:string>>"))).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx").as("chunk_idx"),
+        col("__c.n_tokens").as("n_tokens"),
+        col("__c.chunk_text").as("chunk_text"))
+  }
+
   /** Repetition statistics per document — the word-level form of the
     * published repetition quality filters for training corpora
     * (duplicate-fraction and most-frequent-n-gram dominance, Gopher

@@ -254,6 +254,14 @@ object LlmQueries {
         .orderBy("in_id", "ex_id")
     }),
 
+    // Sliding token-window chunking: 64-token chunks, 16-token overlap
+    // (stride 48) — map-side generator, no shuffle; the final chunk may
+    // be short, empty docs emit nothing.
+    "d27_chunk_windows" -> ((s, d) =>
+      TextAnalysis.chunkByTokens(T.documents(s, d), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")),
+
     // Fixed-count recipe sampling: exactly 25 docs per language by
     // deterministic md5 rank (strata smaller than 25 keep everything).
     "d25_sample_n" -> ((s, d) =>
@@ -471,6 +479,18 @@ object LlmQueries {
         |'&#39;', ''''), '&amp;', '&'),
         |'\s+', ' ', 'g')) AS clean
         |FROM h ORDER BY doc_id""".stripMargin,
+    // same tokenization as the shingle queries; chunk starts step by
+    // the 48-token stride (1-based range), slices are end-inclusive
+    "d27_chunk_windows" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |  unnest(range(1, CAST(len(ws) AS BIGINT) + 1, 48)) AS i FROM w)
+        |SELECT doc_id, CAST((i - 1) // 48 AS BIGINT) AS chunk_idx,
+        |CAST(len(ws[i:i+63]) AS BIGINT) AS n_tokens,
+        |array_to_string(ws[i:i+63], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // d4's proven shingle SQL with cross-side join conditions
     "d26_cross_neardup" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws

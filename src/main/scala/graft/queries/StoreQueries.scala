@@ -267,6 +267,22 @@ object StoreQueries {
           "l_suppkey", "l_orderkey")
         .orderBy("l_suppkey")),
 
+    // Skew-salted JOIN: fact rows salt into 8 buckets, the dim side
+    // replicates across all 8, the join runs on (key, salt) — same
+    // rows as the plain join (the oracle), but a hot orderkey spreads
+    // over 8 reducers. The explicit fallback for skew AQE can't split.
+    "sk_salted_join" -> ((s, d) => {
+      val fact = T.lineitem(s, d).select(col("l_orderkey").as("k"),
+        col("l_quantity"), col("l_partkey"))
+      val dim = T.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderpriority"))
+      graft.core.Scale.saltedJoin(fact, dim, "k", "l_partkey", n = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(l_quantity*100) AS BIGINT)")).as("qty_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // S17 (beyond-parity): bucketed co-located join — both sides
     // persisted bucketBy the join key, so the join itself runs with NO
     // key shuffle (asserted in BucketedSpec); only the final customer
@@ -402,6 +418,12 @@ object StoreQueries {
     "sk_salted_count" ->
       """SELECT l_suppkey, COUNT(*) AS n FROM lineitem
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "sk_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |  AS qty_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "s17_bucketed_join" ->
       """SELECT o_custkey, COUNT(*) AS n,
         |CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)

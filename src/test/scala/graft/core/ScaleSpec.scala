@@ -24,6 +24,21 @@ class ScaleSpec extends SparkSpec {
     val buckets = df.select(Scale.salt(col("id"), 16)).distinct().count()
     assert(buckets > 8, s"only $buckets of 16 salt buckets used")
   }
+
+  test("saltedJoin equals the plain join under a hot key") {
+    val fact = ((1 to 4000).map(i => (1L, i.toLong)) ++
+      (1 to 20).map(i => (2L, i.toLong)) ++
+      Seq((99L, 0L))).toDF("k", "id") // 99 has no dim row
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val salted = Scale.saltedJoin(fact, dim, "k", "id", n = 8)
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // the hot key's rows really occupy several (key, salt) buckets
+    val spread = fact.filter(col("k") === 1)
+      .select(Scale.salt(col("id"), 8)).distinct().count()
+    assert(spread > 4, s"hot key used only $spread of 8 buckets")
+  }
 }
 
 class WikidataSourceSpec extends SparkSpec {

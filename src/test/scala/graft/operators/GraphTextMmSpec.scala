@@ -128,6 +128,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hits == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("chunkByTokens: stride windows, short tail, empty doc drops") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // chunk 4 overlap 1 → stride 3
+      (2L, "a b"),                  // shorter than one chunk
+      (3L, "   "))                  // no tokens → no chunks
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(docs, "doc_id", "text",
+        chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 1L, "t7"), // tail chunk starts at the last stride step
+      (2L, 0L, 2L, "a b")))
+  }
+
   test("repetitionStats: dup-word fraction and top-bigram dominance") {
     import spark.implicits._
     val docs = Seq(
