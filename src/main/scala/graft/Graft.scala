@@ -185,6 +185,32 @@ object Graft {
     graft.operators.Search.bm25TopK(docs, idCol, textCol,
       queries, qidCol, qTextCol, k, dfCap = dfCap)
 
+  /** Left as-of join: latest build-side state at or before each probe
+    * row's timestamp (one keyed shuffle, no join node). */
+  def asofJoin(probe: DataFrame, build: DataFrame, key: String,
+               tsCol: String, tieCol: String,
+               payloadCols: Seq[String] = Seq.empty): DataFrame =
+    graft.operators.Temporal.asofJoin(probe, build, key, tsCol, tieCol,
+      payloadCols)
+
+  /** Interval containment join with no equi key — bucketed cell
+    * equi-join, never a broadcast nested loop. */
+  def rangeJoin(intervals: DataFrame, startCol: String, endCol: String,
+                points: DataFrame, ptCol: String,
+                bucketWidth: Long): DataFrame =
+    graft.operators.Temporal.rangeJoin(intervals, startCol, endCol,
+      points, ptCol, bucketWidth)
+
+  /** Sliding token-window chunking (map-side generator). */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlap: Int = 0): DataFrame =
+    TextAnalysis.chunkByTokens(docs, idCol, textCol, chunkTokens, overlap)
+
+  /** Skew-salted equi-join (fact salts into n buckets, dim replicates). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 spreadCol: String, n: Int = 16): DataFrame =
+    graft.core.Scale.saltedJoin(fact, dim, key, spreadCol, n)
+
   /** Register graft's SQL functions (`uuid5`, `title_case`) and the
     * codec-collapse optimizer rule on a session. */
   def install(spark: SparkSession): Unit = {
