@@ -37,25 +37,25 @@ object Search {
     def toks(c: org.apache.spark.sql.Column) =
       filter(split(c, "\\s+"), t => t =!= "")
 
-    // tokenize the corpus ONCE — tf, dl, the scalars, and df all read
-    // the materialized token arrays instead of re-scanning and
-    // re-splitting the corpus per branch (same discipline as
-    // jaccardPairs' shingle barrier)
-    val tokBase = docs.select(col(idCol).as("doc_id"),
-      toks(col(textCol)).as("ws"))
-    val tok = if (materialize) tokBase.localCheckpoint(true)
-              else tokBase.cache()
-    // stop-term cap applies to the postings themselves: a capped term
-    // neither scores nor fans out in the probe join
-    val tf = Fuzzy.capPostings(tok
-      .select(col("doc_id"), explode(col("ws")).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf")),
-      "t", dfCap)
+    // tokenize the corpus ONCE, straight into the skinny postings
+    // (doc, term, tf) — the ONLY materialized intermediate. Doc length
+    // is sum(tf) per doc, so dl, the corpus scalars, and df all derive
+    // from postings; the fat token arrays never persist anywhere (an
+    // earlier shape checkpointed them — corpus-sized string storage
+    // for data the postings already carry).
+    val tfAllBase = docs
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val tfAll = if (materialize) tfAllBase.localCheckpoint(true)
+                else tfAllBase.cache()
     // dl keeps ALL tokens (capped stop terms still lengthen their doc)
-    val dl = tok.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val dl = tfAll.groupBy("doc_id").agg(sum("tf").as("dl"))
     // corpus scalars: one row, broadcast onto every posting
     val scal = broadcast(dl.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("n_toks")))
+    // stop-term cap applies to the postings themselves: a capped term
+    // neither scores nor fans out in the probe join
+    val tf = Fuzzy.capPostings(tfAll, "t", dfCap)
     val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
 
     val qTerms = queries
@@ -90,9 +90,9 @@ object Search {
       .select("qid", "rank", "doc_id", "score_micros")
     if (!materialize) out
     else {
-      // materialize the (small) top-k, then free the token arrays
+      // materialize the (small) top-k, then free the postings
       val ck = out.localCheckpoint(true)
-      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(tok)
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(tfAll)
       ck
     }
   }
