@@ -206,6 +206,12 @@ object Graft {
                     chunkTokens: Int, overlap: Int = 0): DataFrame =
     TextAnalysis.chunkByTokens(docs, idCol, textCol, chunkTokens, overlap)
 
+  /** Per-group top-k via a bounded typed Aggregator — k-sized partial
+    * buffers shuffle instead of every row (no window sort). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+                   idCol: String, k: Int): DataFrame =
+    graft.operators.TopK.topKPerGroup(df, groupCols, scoreCol, idCol, k)
+
   /** Skew-salted equi-join (fact salts into n buckets, dim replicates). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  spreadCol: String, n: Int = 16): DataFrame =

@@ -73,6 +73,18 @@ object WindowQueries {
       .orderBy(col("tp_cents").desc, col("o_orderkey"))
       .limit(15)),
 
+    // Per-group top-k via the bounded typed Aggregator — only k-sized
+    // partial buffers cross the shuffle, vs the window form shipping
+    // and sorting every row (the oracle IS that window form).
+    "w5_topk_group" -> ((s, d) => {
+      val o = T.orders(s, d).select(col("o_orderpriority"),
+        Exprs.cents(col("o_totalprice")).as("price_cents"),
+        col("o_orderkey"))
+      graft.operators.TopK.topKPerGroup(o, Seq("o_orderpriority"),
+          "price_cents", "o_orderkey", k = 5)
+        .orderBy("o_orderpriority", "rank")
+    }),
+
     // §2.7: union + distinct.
     "set_union" -> ((s, d) => T.customer(s, d)
       .select(col("c_nationkey").as("nk"))
@@ -129,6 +141,16 @@ object WindowQueries {
     "topk_orders" ->
       """SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp_cents
         |FROM orders ORDER BY tp_cents DESC, o_orderkey LIMIT 15""".stripMargin,
+    "w5_topk_group" ->
+      """SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank, o_orderkey,
+        |  price_cents FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC,
+        |        o_orderkey) AS rank
+        |  FROM orders)
+        |WHERE rank <= 5 ORDER BY o_orderpriority, rank""".stripMargin,
     "set_union" ->
       """SELECT nk FROM (SELECT c_nationkey AS nk FROM customer
         |UNION SELECT s_nationkey AS nk FROM supplier) ORDER BY nk""".stripMargin,

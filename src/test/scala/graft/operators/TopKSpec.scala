@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    // group a: scores with a tie at 50 (ids 3 < 7 break it)
+    ("a", 90L, 1L), ("a", 50L, 7L), ("a", 50L, 3L), ("a", 10L, 2L),
+    // group b: fewer rows than k
+    ("b", 5L, 9L),
+    // group c: all-equal scores — pure id ordering
+    ("c", 1L, 30L), ("c", 1L, 10L), ("c", 1L, 20L))
+
+  test("topKPerGroup matches the window formulation incl. tie-breaks") {
+    val df = rows.toDF("g", "score", "id")
+    val got = TopK.topKPerGroup(df, Seq("g"), "score", "id", k = 2)
+      .orderBy("g", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 1L, 90L), ("a", 2L, 3L, 50L),
+      ("b", 1L, 9L, 5L),
+      ("c", 1L, 10L, 1L), ("c", 2L, 20L, 1L)))
+
+    val w = Window.partitionBy("g")
+      .orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("g"), col("rank").cast("long"), col("id"), col("score"))
+      .orderBy("g", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == viaWindow.toSeq)
+  }
+
+  test("buffer stays bounded at k under merge from many partitions") {
+    val big = (1 to 10000).map(i => ("hot", (i % 97).toLong, i.toLong))
+    val got = TopK.topKPerGroup(big.toDF("g", "score", "id")
+        .repartition(16), Seq("g"), "score", "id", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // score 96 first appears at ids 96, 193, 290
+    assert(got.toSeq == Seq((1L, 96L, 96L), (2L, 193L, 96L),
+      (3L, 290L, 96L)))
+  }
+
+  test("plan aggregates partially — no Window, no full-row sort") {
+    val df = rows.toDF("g", "score", "id")
+    val plan = TopK.topKPerGroup(df, Seq("g"), "score", "id", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sneaked in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), s"no aggregate exec:\n$plan")
+    assert(plan.contains("partial_"), s"no partial (map-side) agg:\n$plan")
+  }
+}
