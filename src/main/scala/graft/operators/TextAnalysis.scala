@@ -93,6 +93,49 @@ object TextAnalysis {
     aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L)
 
+  /** Corpus-unigram language-model score per document — the cheap
+    * engine-side proxy for the published LM-perplexity quality filters
+    * (CCNet-style: score each doc by how typical its tokens are of the
+    * corpus). p(t) = count(t)/total over the whole corpus; each term's
+    * log-prob is rounded to integer MICROS once, so the per-doc sums
+    * are integer-exact regardless of aggregation order (same
+    * determinism trick as BM25 scoring — float summation order is not
+    * associative, integer summation is).
+    *
+    * Scale shape: one postings aggregation (map-side combinable), the
+    * term-total rollup rides it, the one-row grand total broadcasts,
+    * and docs re-join their terms' log-probs on the term key. Docs
+    * with zero tokens don't appear (no tokens → no LM evidence).
+    *
+    * @return (idCol, n_tokens, sum_logp_micros, mean_logp_micros) */
+  def unigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                     materialize: Boolean = true): DataFrame = {
+    val base = docs
+      .select(col(idCol), explode(wordTokens(col(textCol))).as("__t"))
+      .groupBy(idCol, "__t").agg(count(lit(1)).as("__tf"))
+    // postings feed both the vocabulary rollup and the scoring join —
+    // materialize once (same discipline as Search.bm25TopK)
+    val postings = if (materialize) base.localCheckpoint(true) else base
+    val termTotals = postings.groupBy("__t").agg(sum("__tf").as("__ct"))
+    val total = broadcast(termTotals.agg(sum("__ct").as("__tot")))
+    val lp = termTotals.crossJoin(total)
+      .select(col("__t"),
+        round(log(col("__ct").cast("double") / col("__tot").cast("double"))
+          * 1e6).cast("long").as("__lpm"))
+    val out = postings.join(lp, Seq("__t"))
+      .groupBy(idCol)
+      .agg(sum("__tf").as("n_tokens"),
+        sum(col("__tf") * col("__lpm")).as("sum_logp_micros"))
+      .withColumn("mean_logp_micros",
+        col("sum_logp_micros").cast("double") / col("n_tokens"))
+    if (!materialize) out
+    else {
+      val ck = out.localCheckpoint(true)
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(postings)
+      ck
+    }
+  }
+
   /** Sliding token-window document chunking — the "split long documents
     * into model-context-sized pieces" step every pretraining pipeline
     * runs before packing. Chunks are `chunkTokens` words; consecutive

@@ -129,25 +129,9 @@ object WorkInference {
     val exactTitleCounts = allPairs.filter(col("exact_title"))
       .groupBy("__tid").agg(count(lit(1)).as("exact_title_cnt"))
 
-    // shared shape for both corroboration paths: count distinct
-    // matches per role, cap each role's score, sum per (track, work)
-    def roleScores(matched: DataFrame, scoreCol: String,
-                   nCol: String): DataFrame = matched
-      .join(candKeys, Seq("__tid", "work_id"), "left_semi")
-      // roles outside the rule table are ignored — an unruled role
-      // must not inflate the match count / person_match flag
-      .filter(try_element_at(capOf, col("__role")).isNotNull)
-      .groupBy("__tid", "work_id", "__role")
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__s", least(try_element_at(capOf, col("__role")),
-        col("__n") * try_element_at(weightOf, col("__role"))))
-      .groupBy("__tid", "work_id")
-      .agg(sum("__s").as(scoreCol), sum("__n").as(nCol))
-
     // contributor-name corroboration: join on the normalized person,
-    // role taken from the TRACK column (ref :1066-1075); restrict the
-    // person join to candidate pairs before counting
-    val peopleAgg = roleCols.toSeq.map { case (role, c) =>
+    // role taken from the TRACK column (ref :1066-1075)
+    val peopleMatched = roleCols.toSeq.map { case (role, c) =>
       tracks.select(col(trackId).as("__tid"), lit(role).as("__role"),
         explode(MultiValue.tokens(coalesce(col(c), lit("")))).as("__p"))
     }.reduceOption(_ unionByName _).map { trackPeople =>
@@ -159,36 +143,61 @@ object WorkInference {
         .filter(col("__p") =!= "").distinct()
       val tp = trackPeople.withColumn("__p", normText(col("__p")))
         .filter(col("__p") =!= "").distinct()
-      roleScores(tp.join(lookupPeople, Seq("__p")),
-        "people_score", "people_n")
+      tp.join(lookupPeople, Seq("__p"))
+        .select(col("__tid"), col("work_id"), col("__role"),
+          lit("p").as("__src"))
     }
 
     // artist-MBID corroboration: role taken from the LOOKUP pairs
-    val trackIds = mbidCols.map(c =>
+    val idMatched = mbidCols.map(c =>
       tracks.select(col(trackId).as("__tid"),
         explode(MultiValue.tokens(coalesce(col(c), lit("")))).as("__id")))
       .reduceOption(_ unionByName _)
       .map(_.withColumn("__id", lower(trim(col("__id"))))
         .filter(col("__id") =!= "").distinct())
-    val idAgg = trackIds.map { tid =>
-      val lookupIds = lk.select(col("work_id"),
-          explode(MultiValue.tokens(coalesce(col("role_mbids"), lit(""))))
-            .as("__ri"))
-        .select(col("work_id"),
-          substring_index(col("__ri"), ":", 1).as("__role"),
-          lower(trim(substring_index(col("__ri"), ":", -1))).as("__id"))
-        .filter(col("__id") =!= "").distinct()
-      roleScores(tid.join(lookupIds, Seq("__id")), "id_score", "id_n")
+      .map { tid =>
+        val lookupIds = lk.select(col("work_id"),
+            explode(MultiValue.tokens(coalesce(col("role_mbids"), lit(""))))
+              .as("__ri"))
+          .select(col("work_id"),
+            substring_index(col("__ri"), ":", 1).as("__role"),
+            lower(trim(substring_index(col("__ri"), ":", -1))).as("__id"))
+          .filter(col("__id") =!= "").distinct()
+        tid.join(lookupIds, Seq("__id"))
+          .select(col("__tid"), col("work_id"), col("__role"),
+            lit("i").as("__src"))
+      }
+
+    // ONE shared scoring chain for both corroboration sources: the
+    // match streams union (tagged by source), restrict to candidate
+    // pairs with a single semi-join, count per role, cap each role's
+    // score, and split the per-source sums back out with conditional
+    // aggregation — one semi-join + one two-level aggregation instead
+    // of two of each (the separate-path shape cost ~4 extra shuffles)
+    val corrAgg = (peopleMatched.toSeq ++ idMatched.toSeq)
+      .reduceOption(_ unionByName _).map { matched =>
+      matched
+        .join(candKeys, Seq("__tid", "work_id"), "left_semi")
+        // roles outside the rule table are ignored — an unruled role
+        // must not inflate the match count / person_match flag
+        .filter(try_element_at(capOf, col("__role")).isNotNull)
+        .groupBy("__tid", "work_id", "__src", "__role")
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__s", least(try_element_at(capOf, col("__role")),
+          col("__n") * try_element_at(weightOf, col("__role"))))
+        .groupBy("__tid", "work_id")
+        .agg(
+          sum(when(col("__src") === "p", col("__s"))).as("people_score"),
+          sum(when(col("__src") === "p", col("__n"))).as("people_n"),
+          sum(when(col("__src") === "i", col("__s"))).as("id_score"),
+          sum(when(col("__src") === "i", col("__n"))).as("id_n"))
     }
 
-    def withAgg(df: DataFrame, agg: Option[DataFrame],
-                scoreCol: String, nCol: String): DataFrame =
-      agg.fold(df.withColumn(scoreCol, lit(0L)).withColumn(nCol, lit(0L)))(
-        a => df.join(a, Seq("__tid", "work_id"), "left"))
-
-    val scored =
-      withAgg(withAgg(cand, peopleAgg, "people_score", "people_n"),
-        idAgg, "id_score", "id_n")
+    val scored = corrAgg
+      .fold(cand.withColumn("people_score", lit(0L))
+        .withColumn("people_n", lit(0L))
+        .withColumn("id_score", lit(0L)).withColumn("id_n", lit(0L)))(
+        a => cand.join(a, Seq("__tid", "work_id"), "left"))
       .na.fill(0, Seq("people_score", "people_n", "id_score", "id_n"))
       .withColumn("total", (col("s_title") + col("s_alias") +
         col("s_workid") + col("s_vetted") + col("people_score") +

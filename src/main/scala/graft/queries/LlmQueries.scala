@@ -254,6 +254,12 @@ object LlmQueries {
         .orderBy("in_id", "ex_id")
     }),
 
+    // Corpus-unigram LM quality score (perplexity-proxy filter):
+    // per-term log-probs in integer micros, per-doc sums integer-exact.
+    "d28_unigram_lm" -> ((s, d) =>
+      TextAnalysis.unigramLmScore(T.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Sliding token-window chunking: 64-token chunks, 16-token overlap
     // (stride 48) — map-side generator, no shuffle; the final chunk may
     // be short, empty docs emit nothing.
@@ -479,6 +485,24 @@ object LlmQueries {
         |'&#39;', ''''), '&amp;', '&'),
         |'\s+', ' ', 'g')) AS clean
         |FROM h ORDER BY doc_id""".stripMargin,
+    // ln() rounds to micros per TERM before any doc-level summation on
+    // both engines, so the doc sums compare as exact integers
+    "d28_unigram_lm" ->
+      """WITH p AS (SELECT doc_id, t, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(text, '\s+'), x -> x <> '')) AS t
+        |    FROM documents) GROUP BY 1, 2),
+        |tt AS (SELECT t, CAST(SUM(tf) AS BIGINT) AS ct FROM p GROUP BY t),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS total FROM tt),
+        |lp AS (SELECT t, CAST(ROUND(
+        |    ln(CAST(ct AS DOUBLE) / total) * 1e6) AS BIGINT) AS lpm
+        |  FROM tt, tot)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |CAST(SUM(tf * lpm) AS BIGINT) AS sum_logp_micros,
+        |CAST(SUM(tf * lpm) AS DOUBLE) / SUM(tf) AS mean_logp_micros
+        |FROM p JOIN lp USING (t) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // same tokenization as the shingle queries; chunk starts step by
     // the 48-token stride (1-based range), slices are end-inclusive
     "d27_chunk_windows" ->

@@ -128,6 +128,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hits == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("unigramLmScore: hand-checked micros, rare tokens score lower") {
+    import spark.implicits._
+    // corpus: "a" x3, "b" x1 → total 4; ln(3/4), ln(1/4)
+    val docs = Seq((1L, "a a b"), (2L, "a"), (3L, "  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lpA = math.round(math.log(3.0 / 4.0) * 1e6) // per-term micros
+    val lpB = math.round(math.log(1.0 / 4.0) * 1e6)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2 * lpA + lpB), // doc 1: a,a,b
+      (2L, 1L, lpA)))          // doc 3 (no tokens) absent
+    // the all-common doc is more "typical" per token than doc 1
+    assert(lpA > (2 * lpA + lpB) / 3.0)
+  }
+
   test("chunkByTokens: stride windows, short tail, empty doc drops") {
     import spark.implicits._
     val docs = Seq(
