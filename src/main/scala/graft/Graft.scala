@@ -201,6 +201,11 @@ object Graft {
     graft.operators.Temporal.rangeJoin(intervals, startCol, endCol,
       points, ptCol, bucketWidth)
 
+  /** Corpus-unigram LM quality score (integer-micro exact). */
+  def unigramLmScore(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    TextAnalysis.unigramLmScore(docs, idCol, textCol)
+
   /** Sliding token-window chunking (map-side generator). */
   def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
                     chunkTokens: Int, overlap: Int = 0): DataFrame =
