@@ -34,14 +34,19 @@ object GraphOps {
   def coOccurrenceEdges(df: DataFrame, groupCol: String, memberCol: String,
                         minWeight: Long = 1L): DataFrame =
     df.select(col(groupCol).as("g"), col(memberCol).as("m"))
+      // null groups never co-occur (the join formulation's g = g
+      // dropped them implicitly; keep that contract explicit)
+      .where(col("g").isNotNull)
       .groupBy("g").agg(array_sort(collect_set(col("m"))).as("ms"))
       // ms is sorted + distinct, so pairing each element with its
-      // strict suffix yields exactly the src < dst pairs
-      .select(explode(expr(
-        "flatten(transform(ms, (x, i) -> " +
-          "transform(slice(ms, i + 2, size(ms)), " +
-          "y -> struct(x AS src, y AS dst))))")).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // strict suffix yields exactly the src < dst pairs. TWO chained
+      // generators, not one flattened array: the first emits one row
+      // per member, the second that member's suffix — peak per-row
+      // allocation stays O(group), never the O(group²) a single
+      // flatten would materialize on a pathological group
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "src")))
+      .select(col("src"),
+        explode(slice(col("ms"), col("i") + 2, size(col("ms")))).as("dst"))
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("weight"))
       .filter(col("weight") >= minWeight)

@@ -50,9 +50,12 @@ object Search {
                 else tfAllBase.cache()
     // dl keeps ALL tokens (capped stop terms still lengthen their doc)
     val dl = tfAll.groupBy("doc_id").agg(sum("tf").as("dl"))
-    // corpus scalars: one row, broadcast onto every posting
-    val scal = broadcast(dl.agg(count(lit(1)).as("n_docs"),
-      sum("dl").as("n_toks")))
+    // corpus scalars: one row, broadcast onto every posting. n_docs
+    // counts EVERY corpus row — a zero-token doc has no postings (and
+    // can never be a hit) but still belongs to N for the idf/avgdl
+    // denominators, exactly as the oracle counts it
+    val scal = broadcast(docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum("dl").as("n_toks"))))
     // stop-term cap applies to the postings themselves: a capped term
     // neither scores nor fans out in the probe join
     val tf = Fuzzy.capPostings(tfAll, "t", dfCap)

@@ -140,9 +140,10 @@ object TextAnalysis {
     * into model-context-sized pieces" step every pretraining pipeline
     * runs before packing. Chunks are `chunkTokens` words; consecutive
     * chunks share `overlap` words (stride = chunkTokens - overlap);
-    * chunk starts step by the stride until they pass the end of the
-    * document, so the final chunk may be short. Empty documents emit no
-    * chunks.
+    * chunk starts step by the stride while they still contribute at
+    * least one NEW token (a tail that would be pure overlap — already
+    * fully contained in the previous chunk — is not emitted), so the
+    * final chunk may be short. Empty documents emit no chunks.
     *
     * Pure generator shape: the explode multiplies rows map-side inside
     * the scan stage — no shuffle, no state. At 100 TB the output
@@ -158,12 +159,18 @@ object TextAnalysis {
     docs
       .select(col(idCol), wordTokens(col(textCol)).as("__ws"))
       .select(col(idCol),
+        // last start: the largest i*stride with ≥1 token beyond the
+        // previous chunk's end, i.e. i ≤ (n - overlap - 1)/stride
+        // (floored); a doc shorter than one chunk still emits i = 0
         explode(when(size(col("__ws")) > 0,
-          transform(sequence(lit(0),
-            floor((size(col("__ws")) - 1) / stride).cast("int")),
+          transform(sequence(lit(0), greatest(lit(0),
+            floor((size(col("__ws")) - overlap - 1) / stride)
+              .cast("int"))),
             i => struct(
               i.cast("long").as("chunk_idx"),
-              size(slice(col("__ws"), i * stride + 1, lit(chunkTokens)))
+              // tokens in [i*stride, min(i*stride + chunk, n)) — no
+              // second slice materialization just to count it
+              least(lit(chunkTokens), size(col("__ws")) - i * stride)
                 .cast("long").as("n_tokens"),
               array_join(
                 slice(col("__ws"), i * stride + 1, lit(chunkTokens)),

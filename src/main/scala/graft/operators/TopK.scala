@@ -64,18 +64,28 @@ object TopK {
     * (scoreCol desc, idCol asc), returns one row per kept entry:
     * groupCols ++ (rank, idCol, scoreCol). Both rank inputs must be
     * integral (cast upstream — integer ranking is what makes the
-    * result engine-exact). */
+    * result engine-exact). A null score ranks below every value
+    * (`desc_nulls_last`, like the window formulation) — it can still
+    * surface in a group with fewer than k non-null rows, where it
+    * comes back out as null. Ids must be non-null. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
                    idCol: String, k: Int): DataFrame = {
     val agg = udaf(new TopKAgg(k))
+    // the Entry encoder is non-nullable; carry null scores through the
+    // aggregation as MIN_VALUE (below any real score) and restore on
+    // the way out. A REAL MIN_VALUE score is indistinguishable — it
+    // would round-trip to null — which no integral ranking in practice
+    // produces (cents, counts, micros are all far from 2^63-1).
     val kept = df
       .groupBy(groupCols.map(col): _*)
-      .agg(agg(col(scoreCol), col(idCol)).as("__top"))
+      .agg(agg(coalesce(col(scoreCol), lit(Long.MinValue)), col(idCol))
+        .as("__top"))
     kept
       .select(groupCols.map(col) :+ posexplode(col("__top")): _*)
       .select(groupCols.map(col) ++ Seq(
         (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as(idCol),
-        col("col.score").as(scoreCol)): _*)
+        when(col("col.score") === Long.MinValue, lit(null).cast("long"))
+          .otherwise(col("col.score")).as(scoreCol)): _*)
   }
 }

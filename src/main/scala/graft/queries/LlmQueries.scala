@@ -504,15 +504,20 @@ object LlmQueries {
         |ORDER BY doc_id""".stripMargin,
 
     // same tokenization as the shingle queries; chunk starts step by
-    // the 48-token stride (1-based range), slices are end-inclusive
+    // the 48-token stride (1-based range), slices are end-inclusive;
+    // the last start must contribute a new token: start <= len - 16
+    // (a pure-overlap tail is not emitted), min one chunk per
+    // non-empty doc
     "d27_chunk_windows" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
-        |  FROM documents),
+        |  FROM documents WHERE len(list_filter(
+        |    string_split_regex(text, '\s+'), t -> t <> '')) > 0),
         |c AS (SELECT doc_id, ws,
-        |  unnest(range(1, CAST(len(ws) AS BIGINT) + 1, 48)) AS i FROM w)
+        |  unnest(range(1, CAST(greatest(len(ws) - 16, 1) AS BIGINT) + 1,
+        |    48)) AS i FROM w)
         |SELECT doc_id, CAST((i - 1) // 48 AS BIGINT) AS chunk_idx,
-        |CAST(len(ws[i:i+63]) AS BIGINT) AS n_tokens,
+        |CAST(least(64, len(ws) - i + 1) AS BIGINT) AS n_tokens,
         |array_to_string(ws[i:i+63], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // d4's proven shingle SQL with cross-side join conditions

@@ -52,7 +52,10 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("coOccurrenceEdges counts undirected weights with src<dst") {
-    val df = Seq(("g1", 2L), ("g1", 1L), ("g2", 1L), ("g2", 2L), ("g2", 2L))
+    val df = Seq((Option("g1"), 2L), (Option("g1"), 1L),
+      (Option("g2"), 1L), (Option("g2"), 2L), (Option("g2"), 2L),
+      // null group: its members never co-occur (join-on-g contract)
+      (Option.empty[String], 5L), (Option.empty[String], 6L))
       .toDF("g", "m")
     val e = GraphOps.coOccurrenceEdges(df, "g", "m").collect()
     assert(e.length == 1)
@@ -149,7 +152,8 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7"), // chunk 4 overlap 1 → stride 3
       (2L, "a b"),                  // shorter than one chunk
-      (3L, "   "))                  // no tokens → no chunks
+      (3L, "   "),                  // no tokens → no chunks
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8")) // short tail with new content
       .toDF("doc_id", "text")
     val out = TextAnalysis.chunkByTokens(docs, "doc_id", "text",
         chunkTokens = 4, overlap = 1)
@@ -159,8 +163,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1L, 0L, 4L, "t1 t2 t3 t4"),
       (1L, 1L, 4L, "t4 t5 t6 t7"),
-      (1L, 2L, 1L, "t7"), // tail chunk starts at the last stride step
-      (2L, 0L, 2L, "a b")))
+      // NO (1, 2, "t7") tail: start 6 would be pure overlap — t7 is
+      // already the last token of the previous chunk
+      (2L, 0L, 2L, "a b"),
+      (4L, 0L, 4L, "x1 x2 x3 x4"),
+      (4L, 1L, 4L, "x4 x5 x6 x7"),
+      (4L, 2L, 2L, "x7 x8"))) // x8 is new → tail IS emitted
   }
 
   test("repetitionStats: dup-word fraction and top-bigram dominance") {

@@ -49,6 +49,20 @@ class TopKSpec extends SparkSpec {
       (3L, 290L, 96L)))
   }
 
+  test("null scores rank last and round-trip as null") {
+    val df = Seq(("a", Option(9L), 1L), ("a", Option.empty[Long], 2L),
+      ("a", Option(5L), 3L), ("b", Option.empty[Long], 4L))
+      .toDF("g", "score", "id")
+    val got = TopK.topKPerGroup(df, Seq("g"), "score", "id", k = 2)
+      .orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 1L, Some(9L)), ("a", 2L, 3L, Some(5L)),
+      // a group of only-null scores still surfaces, score null
+      ("b", 1L, 4L, None)))
+  }
+
   test("plan aggregates partially — no Window, no full-row sort") {
     val df = rows.toDF("g", "score", "id")
     val plan = TopK.topKPerGroup(df, Seq("g"), "score", "id", k = 2)
