@@ -33,8 +33,10 @@ object Decisions {
     * @return (assigned, pending): assigned = (name, context,
     *   assigned_id, source ∈ unique|user_decision); pending = (name,
     *   context, n_candidates). */
-  def resolveWithDecisions(candidates: DataFrame,
-                           decisions: DataFrame): (DataFrame, DataFrame) = {
+  /** The shared join: candidate groups on the normalized key, left-
+    * joined to the (deduplicated, broadcast) decision table. */
+  private def joined(candidates: DataFrame,
+                     decisions: DataFrame): DataFrame = {
     // group on the NORMALIZED key (the reference's keying): case or
     // whitespace variants of one contributor are one group — otherwise
     // two singleton variants would each auto-assign as "unique" with
@@ -54,8 +56,28 @@ object Decisions {
       .select(norm(col("name")).as("__dn"), norm(col("context")).as("__dc"),
         col("assigned_id").as("__aid"))
       .groupBy("__dn", "__dc").agg(max("__aid").as("__aid")))
-    val j = uniq.join(dec, col("__kn") === col("__dn") &&
+    uniq.join(dec, col("__kn") === col("__dn") &&
       col("__kc") === col("__dc"), "left")
+  }
+
+  /** Step 18, single-output form: every candidate group classified in
+    * ONE pass — (name, context, assigned_id, source) with source ∈
+    * unique | user_decision | pending (assigned_id null for pending).
+    * Use this when the downstream is a combined report/queue table;
+    * [[resolveWithDecisions]] splits the same classification into the
+    * two tables the reference persists, at the cost of evaluating the
+    * join per output. */
+  def resolveAll(candidates: DataFrame, decisions: DataFrame): DataFrame =
+    joined(candidates, decisions).select(col("name"), col("context"),
+      when(col("__n") === 1, col("__only"))
+        .otherwise(col("__aid")).as("assigned_id"),
+      when(col("__n") === 1, lit("unique"))
+        .when(col("__aid").isNotNull, lit("user_decision"))
+        .otherwise(lit("pending")).as("source"))
+
+  def resolveWithDecisions(candidates: DataFrame,
+                           decisions: DataFrame): (DataFrame, DataFrame) = {
+    val j = joined(candidates, decisions)
     val assigned = j.filter(col("__n") === 1 || col("__aid").isNotNull)
       .select(col("name"), col("context"),
         when(col("__n") === 1, col("__only")).otherwise(col("__aid"))

@@ -87,9 +87,9 @@ object MiscQueries {
         .filter(col("n") > 1 && col("mk") % 2 === 0)
         .select(col("p_name").as("name"), col("p_brand").as("context"),
           col("ms").cast("long").as("assigned_id"))
-      val (assigned, pending) = Decisions.resolveWithDecisions(cands, decisions)
-      assigned.unionByName(pending.select(col("name"), col("context"),
-          lit(null).cast("long").as("assigned_id"), lit("pending").as("source")))
+      // single-pass classification — the union-of-two-outputs form ran
+      // the whole candidate join once per branch
+      Decisions.resolveAll(cands, decisions)
         .orderBy("name", "context")
     }),
 

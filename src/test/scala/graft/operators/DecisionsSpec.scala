@@ -23,6 +23,15 @@ class DecisionsSpec extends SparkSpec {
       ("smith", 11L, "user_decision")))
     val p = pending.collect().map(r => (r.getString(0), r.getLong(2)))
     assert(p.toSeq == Seq(("jones", 2L)))
+
+    // the single-pass form classifies identically (pending → null id)
+    val all = Decisions.resolveAll(cands, dec).orderBy("name").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+    assert(all.toSeq == Seq(
+      ("jones", None, "pending"),
+      ("miles", Some(1L), "unique"),
+      ("smith", Some(11L), "user_decision")))
   }
 
   test("case/whitespace variants are ONE group under the normalized key") {
