@@ -53,9 +53,15 @@ object Search {
     // corpus scalars: one row, broadcast onto every posting. n_docs
     // counts EVERY corpus row — a zero-token doc has no postings (and
     // can never be a hit) but still belongs to N for the idf/avgdl
-    // denominators, exactly as the oracle counts it
-    val scal = broadcast(docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(dl.agg(sum("dl").as("n_toks"))))
+    // denominators, exactly as the oracle counts it. Both scalars come
+    // out of ONE aggregation over a union (doc-count markers + token
+    // sums), so the plan keeps a single scalar attach instead of
+    // chaining two single-row cross joins
+    val scal = broadcast(
+      docs.select(lit(1L).as("__doc"), lit(0L).as("__toks"))
+        .unionByName(dl.select(lit(0L).as("__doc"),
+          col("dl").as("__toks")))
+        .agg(sum("__doc").as("n_docs"), sum("__toks").as("n_toks")))
     // stop-term cap applies to the postings themselves: a capped term
     // neither scores nor fans out in the probe join
     val tf = Fuzzy.capPostings(tfAll, "t", dfCap)
