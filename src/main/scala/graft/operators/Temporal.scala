@@ -40,11 +40,20 @@ object Temporal {
     *
     * @param payloadCols build columns to carry (beyond tsCol/tieCol)
     * @param prefix      prefix for the attached build columns
+    * @param tolerance   max probe.ts − build.ts (same units as tsCol);
+    *                    a match older than this nulls out, the standard
+    *                    time-series as-of tolerance. ≤ 0 = unbounded.
+    *                    A post-filter on the carried match suffices:
+    *                    the window carries the LATEST prior build row,
+    *                    and every earlier one is older still, so
+    *                    "latest is out of tolerance" means no row
+    *                    qualifies — null is the only correct answer.
     * @return probe.columns ++ (tsCol, tieCol, payloadCols*).map(prefix+) */
   def asofJoin(probe: DataFrame, build: DataFrame, key: String,
                tsCol: String, tieCol: String,
                payloadCols: Seq[String] = Seq.empty,
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               tolerance: Long = 0L): DataFrame = {
     val payFields = (Seq(tsCol, tieCol) ++ payloadCols).distinct
     val tieType = build.schema(tieCol).dataType
     val bSide = build.select(col(key), col(tsCol),
@@ -71,6 +80,8 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pAligned.unionByName(bAligned)
       .withColumn("__m", last(col("__asof"), ignoreNulls = true).over(w))
+      .withColumn("__m", if (tolerance <= 0L) col("__m")
+        else when(col(tsCol) - col(s"__m.$tsCol") <= tolerance, col("__m")))
       .where(col("__side") === 1)
       .select(probe.columns.map(col).toSeq ++
         payFields.map(f => col(s"__m.$f").as(prefix + f)): _*)

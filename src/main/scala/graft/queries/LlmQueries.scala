@@ -370,6 +370,17 @@ object LlmQueries {
         .orderBy("node")
     }),
 
+    // G2 alternate: the O(log n)-round large-star/small-star
+    // contraction on the same graph — same labels, same oracle shape,
+    // but round count independent of component diameter (the scale
+    // path for chain-shaped graphs).
+    "g4_components_star" -> ((s, d) => {
+      val edges = GraphOps.coOccurrenceEdges(T.lineitem(s, d),
+        "l_orderkey", "l_suppkey", minWeight = 3L)
+      GraphOps.connectedComponentsStar(edges)
+        .orderBy("node")
+    }),
+
     // G3/A17: per-component rollup (nodes/edges result tables).
     "g3_component_stats" -> ((s, d) => {
       val edges = GraphOps.coOccurrenceEdges(T.lineitem(s, d),
@@ -828,6 +839,18 @@ object LlmQueries {
         |FROM m a JOIN m b ON a.g = b.g AND a.mm < b.mm
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY src, dst""".stripMargin,
     "g2_connected_components" ->
+      """WITH RECURSIVE
+        |m AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS mm FROM lineitem),
+        |e AS (SELECT a.mm AS src, b.mm AS dst
+        |  FROM m a JOIN m b ON a.g = b.g AND a.mm < b.mm
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |reach(a, b) AS (SELECT src, src FROM sym
+        |  UNION SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b)
+        |SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a
+        |ORDER BY node""".stripMargin,
+    // identical closure oracle — the labels are algorithm-independent
+    "g4_components_star" ->
       """WITH RECURSIVE
         |m AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS mm FROM lineitem),
         |e AS (SELECT a.mm AS src, b.mm AS dst

@@ -44,6 +44,24 @@ object TemporalQueries {
         .orderBy("purchase_id")
     }),
 
+    // As-of with tolerance: same attribution, but a click older than
+    // 24h no longer counts (standard time-series as-of semantics — the
+    // latest prior state expires).
+    "aj_asof_tolerance" -> ((s, d) => {
+      val tol = 86400000000L // 24h in micros
+      val probe = eventsUs(s, d, "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us"))
+      val build = eventsUs(s, d, "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      Temporal.asofJoin(probe, build, "user_id", "ts_us", "event_id",
+          tolerance = tol)
+        .select(col("purchase_id"), col("user_id"), col("ts_us"),
+          col("asof_event_id").as("click_id"),
+          col("asof_ts_us").as("click_ts_us"))
+        .orderBy("purchase_id")
+    }),
+
     // Interval join with NO equi key: every signup opens a 2-hour
     // window; count/sum the purchases (any user) landing inside it.
     // Bucketed cell join — no BroadcastNestedLoop, no cartesian.
@@ -78,6 +96,19 @@ object TemporalQueries {
         |  FROM events c
         |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
         |    AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |  ORDER BY epoch_us(c.ts) DESC, c.event_id DESC LIMIT 1
+        |) c ON TRUE
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+    "aj_asof_tolerance" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |epoch_us(p.ts) AS ts_us, c.click_id, c.click_ts_us
+        |FROM events p LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
+        |  FROM events c
+        |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |    AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |    AND epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000
         |  ORDER BY epoch_us(c.ts) DESC, c.event_id DESC LIMIT 1
         |) c ON TRUE
         |WHERE p.event_type = 'purchase'

@@ -36,6 +36,16 @@ class TemporalSpec extends SparkSpec {
     assert(r(102L).contains(2L))
   }
 
+  test("asofJoin tolerance nulls matches older than the bound") {
+    val r = Temporal.asofJoin(probe, build, "k", "ts", "bid",
+        tolerance = 10L)
+      .select("pid", "asof_bid").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(r(100L).contains(3L)) // ts 50 vs build 40: age 10 ≤ 10
+    assert(r(102L).contains(2L)) // age 0
+    assert(r(104L).isEmpty)      // ts 99 vs build 1: age 98 > 10 → null
+  }
+
   test("asofJoin carries payload columns with the prefix") {
     val b = build.withColumn("state", concat(lit("s"), col("bid")))
     val r = Temporal.asofJoin(probe, b, "k", "ts", "bid", Seq("state"))
