@@ -94,6 +94,29 @@ object AggQueries {
         (sum(col("tp")).cast("double") / count(lit(1))).as("avg_cents"))
       .orderBy("o_custkey")),
 
+    // Long→wide pivot with an EXPLICIT value list — at scale the value
+    // scan pivot() otherwise runs (collect distinct to the driver) is
+    // the anti-pattern; pinned values keep it one pass, map-side
+    // combinable (the inverse of f_unpivot).
+    "a19_pivot_wide" -> ((s, d) => T.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .pivot("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+        "HOUSEHOLD", "MACHINERY"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("c_nationkey")),
+
+    // ROLLUP: per-priority rows plus the grand total in ONE aggregation
+    // pass (Expand), not a union of two scans; the null grouping key is
+    // surfaced as an explicit label.
+    "a20_rollup_totals" -> ((s, d) => T.orders(s, d)
+      .select(col("o_orderpriority"), Exprs.cents(col("o_totalprice")).as("tp"))
+      .rollup(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("tp")).as("sum_cents"))
+      .select(coalesce(col("o_orderpriority"), lit("TOTAL")).as("priority"),
+        col("n"), col("sum_cents"))
+      .orderBy("priority")),
+
     // A8: quantile / median / spread (ref 92-...py:1290-1299). Integer
     // cents input ⇒ interpolated quantiles are exact in double; 0.25 /
     // 0.75 are binary-exact fractions.
@@ -232,6 +255,27 @@ object AggQueries {
         |CAST(SUM(tp) AS DOUBLE)/COUNT(*) AS avg_cents
         |FROM (SELECT o_custkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp
         |FROM orders) GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "a19_pivot_wide" ->
+      """SELECT c_nationkey,
+        |CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS "AUTOMOBILE",
+        |CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS "BUILDING",
+        |CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS "FURNITURE",
+        |CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS "HOUSEHOLD",
+        |CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS "MACHINERY"
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "a20_rollup_totals" ->
+      """SELECT COALESCE(o_orderpriority, 'TOTAL') AS priority,
+        |COUNT(*) AS n,
+        |CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |  AS sum_cents
+        |FROM orders GROUP BY ROLLUP(o_orderpriority)
+        |ORDER BY priority""".stripMargin,
     "a8_quantile_spread" ->
       """SELECT o_orderpriority,
         |CAST(quantile_cont(tp, 0.5) AS DOUBLE) AS med,
