@@ -171,6 +171,36 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 2L, 2L, "x7 x8"))) // x8 is new → tail IS emitted
   }
 
+  test("chunkByTokens reconstructs the document on seeded random sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    val docs = (1L to 60L).map { i =>
+      (i, (1 to rnd.nextInt(300)).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((chunk, overlap) <- Seq((64, 16), (10, 0), (5, 4))) {
+      val stride = chunk - overlap
+      val chunks = TextAnalysis.chunkByTokens(docs, "doc_id", "text",
+          chunk, overlap)
+        .orderBy("doc_id", "chunk_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+      docs.collect().foreach { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        chunks.get(id) match {
+          case None => assert(toks.isEmpty, s"doc $id lost")
+          case Some(cs) =>
+            // dropping each chunk's leading overlap (except the first)
+            // and concatenating reconstructs the doc exactly
+            val rebuilt = cs.head.split(" ") ++
+              cs.tail.flatMap(_.split(" ").drop(overlap))
+            assert(rebuilt.toSeq == toks.toSeq,
+              s"doc $id not reconstructed at ($chunk,$overlap)")
+        }
+      }
+    }
+  }
+
   test("repetitionStats: dup-word fraction and top-bigram dominance") {
     import spark.implicits._
     val docs = Seq(

@@ -63,6 +63,26 @@ class TopKSpec extends SparkSpec {
       ("b", 1L, 4L, None)))
   }
 
+  test("matches the window formulation on seeded random data") {
+    val rnd = new scala.util.Random(20260812L)
+    val data = (1 to 5000).map { i =>
+      (s"g${rnd.nextInt(37)}", rnd.nextInt(50).toLong, i.toLong)
+    }
+    for (k <- Seq(1, 3, 7)) {
+      val df = data.toDF("g", "score", "id").repartition(8)
+      val viaAgg = TopK.topKPerGroup(df, Seq("g"), "score", "id", k)
+        .select("g", "rank", "id", "score")
+        .collect().map(_.toSeq).toSet
+      val w = Window.partitionBy("g")
+        .orderBy(col("score").desc, col("id"))
+      val viaWindow = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("g"), col("rank").cast("long"), col("id"), col("score"))
+        .collect().map(_.toSeq).toSet
+      assert(viaAgg == viaWindow, s"mismatch at k=$k")
+    }
+  }
+
   test("plan aggregates partially — no Window, no full-row sort") {
     val df = rows.toDF("g", "score", "id")
     val plan = TopK.topKPerGroup(df, Seq("g"), "score", "id", k = 2)
