@@ -67,10 +67,16 @@ object Graft {
               queryFilter: Column): DataFrame =
     Similarity.bruteForceTopK(emb, idCol, vecCol, k, queryFilter)
 
-  /** Bucketed ANN (multi-probe sign-LSH) — the scale path. */
+  /** Bucketed ANN (multi-probe sign-LSH) — the scale path. Pass
+    * `planes` (see [[operators.Similarity.rademacherPlanes]]) for
+    * balanced seeded random projections on real embeddings; empty →
+    * axis-aligned sign buckets. */
   def annTopKLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-                 nbits: Int, queryFilter: Column): DataFrame =
-    Similarity.lshTopK(emb, idCol, vecCol, k, nbits, queryFilter)
+                 nbits: Int, queryFilter: Column,
+                 maxHamming: Int = 1,
+                 planes: Array[Array[Float]] = Array.empty): DataFrame =
+    Similarity.lshTopK(emb, idCol, vecCol, k, nbits, queryFilter,
+      maxHamming, planes)
 
   /** Fuzzy name-match pairs by char-ngram cosine. */
   def fuzzyPairs(df: DataFrame, nameCol: String, n: Int,
@@ -189,9 +195,11 @@ object Graft {
     * row's timestamp (one keyed shuffle, no join node). */
   def asofJoin(probe: DataFrame, build: DataFrame, key: String,
                tsCol: String, tieCol: String,
-               payloadCols: Seq[String] = Seq.empty): DataFrame =
+               payloadCols: Seq[String] = Seq.empty,
+               prefix: String = "asof_",
+               tolerance: Long = 0L): DataFrame =
     graft.operators.Temporal.asofJoin(probe, build, key, tsCol, tieCol,
-      payloadCols)
+      payloadCols, prefix, tolerance)
 
   /** Interval containment join with no equi key — bucketed cell
     * equi-join, never a broadcast nested loop. */

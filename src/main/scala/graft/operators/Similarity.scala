@@ -56,11 +56,42 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: concatenated sign bits of `nbits` leading
-    * dimensions (a fixed axis-aligned random projection — deterministic,
-    * data-independent, shuffle key for bucketed ANN). */
+    * dimensions (a fixed axis-aligned projection — deterministic,
+    * data-independent, shuffle key for bucketed ANN).
+    *
+    * When to use which projection: axis-aligned buckets carry a
+    * structural guarantee for axis-sparse perturbations — a vector that
+    * differs from another ONLY in dimension j can flip ONLY bit j (the
+    * d10 near-dup query's total-recall argument rests on this). For
+    * generic embeddings, prefer [[rademacherPlanes]] +
+    * [[planeBucket]]: real embedding dims are correlated, so leading
+    * dims give unbalanced buckets → skewed shuffle keys at scale;
+    * every Rademacher plane mixes all dimensions, which balances
+    * bucket occupancy while staying seeded-deterministic. */
   def signBucket(vec: Column, nbits: Int): Column =
     (0 until nbits)
       .map(i => when(element_at(vec, i + 1) >= 0f, lit(1L << i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** Seeded Rademacher (±1) hyperplane matrix, `nbits` planes × `dim`
+    * entries. Data-independent and deterministic across JVMs:
+    * `java.util.Random`'s LCG is specified by its Javadoc, so the same
+    * seed always yields the same matrix — the DuckDB oracle for
+    * `d8_ann_lsh` interpolates this exact matrix into its SQL. */
+  def rademacherPlanes(nbits: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(nbits, dim)(if (rng.nextBoolean()) 1f else -1f)
+  }
+
+  /** Sign-LSH bucket id from explicit hyperplanes: bit i is the sign of
+    * `dot(vec, planes(i))`. Each projection is a codegen'd
+    * [[graft.functions.DotProductExpr]] against a literal array — one
+    * map-side pass, no shuffle, no UDF. */
+  def planeBucket(vec: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex
+      .map { case (h, i) =>
+        when(dot(vec, lit(h)) >= lit(0d), lit(1L << i)).otherwise(0L)
+      }
       .reduce((a, b) => a.bitwiseOR(b))
 
   /** Bucketed ANN: exact cosine top-k over sign-LSH buckets with
@@ -75,16 +106,28 @@ object Similarity {
     * at θ=0.95 over 8 bits is ~0.8 bits — Hamming-1 probing misses
     * ~19% of θ=0.95 pairs (≥2 flipped bits) while Hamming-2 misses
     * ~4%; at θ≈0.999 the rates are ~0.5% and ~0.01%. High-threshold
-    * near-dup passes should probe at depth 2. */
+    * near-dup passes should probe at depth 2.
+    *
+    * `planes`: optional explicit hyperplane matrix (see
+    * [[rademacherPlanes]]). Empty → the axis-aligned [[signBucket]]
+    * (kept for axis-sparse perturbation workloads and the d10
+    * structural-recall argument); non-empty → balanced seeded random
+    * projections, the right default for real embeddings. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               k: Int, nbits: Int, queryFilter: Column,
-              maxHamming: Int = 1): DataFrame = {
+              maxHamming: Int = 1,
+              planes: Array[Array[Float]] = Array.empty): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 2,
       s"maxHamming must be 1 or 2 (got $maxHamming): depth-1 probes are " +
         "always included, and depth >2 is not generated")
+    require(planes.isEmpty || planes.length == nbits,
+      s"planes.length ${planes.length} must equal nbits $nbits")
+    val bucketExpr =
+      if (planes.isEmpty) signBucket(col(vecCol), nbits)
+      else planeBucket(col(vecCol), planes)
     val withB = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"),
-      signBucket(col(vecCol), nbits).as("bucket"))
+      bucketExpr.as("bucket"))
     val flips1 = (0 until nbits)
       .map(i => col("bucket").bitwiseXOR(lit(1L << i)))
     val flips2 =

@@ -19,6 +19,14 @@ import graft.operators.{Dedup, GraphOps, Mixing, Multimodal, Search, Similarity,
 object LlmQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Single source of truth for d8's hyperplanes: the Spark query
+    * builds its bucket Column from this matrix, and the DuckDB oracle
+    * SQL interpolates the same ±1 entries — determinism is by
+    * construction, not by hoping two RNGs agree. 8 planes × 64 dims
+    * (the embeddings fixture's width), seed 42. */
+  private val D8Planes: Array[Array[Float]] =
+    Similarity.rademacherPlanes(nbits = 8, dim = 64, seed = 42L)
+
   val defs: Map[String, Q] = Map(
     // Exact dedup: one hash-partitioned aggregation on the fingerprint.
     "d1_exact_dedup" -> ((s, d) =>
@@ -71,14 +79,22 @@ object LlmQueries {
         k = 3, queryFilter = col("vec_id") % 10 === 0)
         .orderBy("qid", "rank")),
 
-    // Sign-LSH bucketed ANN (scale path; recall unit-tested vs brute
-    // force → rows-only check).
+    // Sign-LSH bucketed ANN (scale path): seeded Rademacher hyperplanes
+    // (balanced buckets on correlated real embeddings — round-6 advice)
+    // instead of axis-aligned leading dims. Fully deterministic
+    // (seeded planes, 6-dp rounding, id tie-breaks), so the whole
+    // bucket→probe→re-score pipeline is under the DuckDB oracle, which
+    // interpolates the same ±1 matrix; recall vs brute force stays
+    // spec-asserted in SimilaritySpec.
     "d8_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(T.embeddings(s, d), "vec_id", "embedding",
-        k = 3, nbits = 8, queryFilter = col("id") % 10 === 0)
+        k = 3, nbits = 8, queryFilter = col("id") % 10 === 0,
+        planes = D8Planes)
         .orderBy("qid", "rank")),
 
-    // IVF-style ANN probing the 2 nearest label-cells (rows-only).
+    // IVF-style ANN probing the 2 nearest label-cells — deterministic
+    // (label cells, dimension-wise-mean centroids, 6-dp rounding, id
+    // tie-breaks) and oracle-checked end to end.
     "d9_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(T.embeddings(s, d), "vec_id", "embedding", "label",
         k = 3, nprobe = 2, queryFilter = col("id") % 10 === 0)
@@ -389,6 +405,44 @@ object LlmQueries {
         .orderBy("comp")
     }),
   )
+
+  /** d8 oracle, generated from [[D8Planes]]: per-vector bucket = 8
+    * sign bits of Rademacher projections (the ±1 matrix interpolated
+    * below is the exact matrix the Spark query uses), Hamming-1
+    * multi-probe via xor, pair dedup, exact re-score, rank ≤ 3. The
+    * products are exact (float × ±1 in double); only summation order
+    * differs between engines, which 6-dp rounding absorbs. */
+  private val D8LshSql: String = {
+    val planeCols = D8Planes.zipWithIndex.map { case (h, i) =>
+      h.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]") + s" AS h$i"
+    }.mkString(", ")
+    val bucketExpr = D8Planes.indices.map { i =>
+      s"""(CASE WHEN list_sum([CAST(embedding[j] AS DOUBLE)*h$i[j]
+         |  FOR j IN range(1, len(embedding)+1)]) >= 0
+         |  THEN ${1L << i} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    val probeList = ("bucket" +: D8Planes.indices.map(i =>
+      s"xor(bucket, ${1L << i})")).mkString("[", ", ", "]")
+    s"""WITH planes AS (SELECT $planeCols),
+       |v AS (SELECT vec_id, embedding,
+       |sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+       |  FOR i IN range(1, len(embedding)+1)])) AS nrm,
+       |$bucketExpr AS bucket
+       |FROM embeddings CROSS JOIN planes),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
+       |  unnest($probeList) AS bucket FROM v WHERE vec_id % 10 = 0),
+       |cand AS (SELECT DISTINCT qid, qe, qn, n.vec_id AS nid,
+       |  n.embedding AS ne, n.nrm AS nn
+       |  FROM q JOIN v n USING (bucket) WHERE qid <> n.vec_id),
+       |p AS (SELECT qid, nid,
+       |  ROUND(list_sum([CAST(qe[i] AS DOUBLE)*CAST(ne[i] AS DOUBLE)
+       |    FOR i IN range(1, len(qe)+1)]) / (qn * nn), 6) AS cos
+       |  FROM cand),
+       |r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid
+       |  ORDER BY cos DESC, nid) AS rank FROM p)
+       |SELECT qid, CAST(rank AS INT) AS rank, nid, cos FROM r
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
 
   private val ShingleSql =
     """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM documents),
@@ -773,6 +827,36 @@ object LlmQueries {
         |ROUND(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE)
         |  FOR i IN range(1, len(q.embedding)+1)]) / (q.nrm * n.nrm), 6) AS cos
         |FROM v q JOIN v n ON q.vec_id % 10 = 0 AND q.vec_id <> n.vec_id),
+        |r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid
+        |  ORDER BY cos DESC, nid) AS rank FROM p)
+        |SELECT qid, CAST(rank AS INT) AS rank, nid, cos FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "d8_ann_lsh" -> D8LshSql,
+    "d9_ann_ivf" ->
+      """WITH d AS (SELECT vec_id, embedding, label AS cell,
+        |sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+        |  FOR i IN range(1, len(embedding)+1)])) AS nrm FROM embeddings),
+        |ex AS (SELECT cell, unnest(range(1, len(embedding)+1)) AS i,
+        |  unnest(embedding) AS x FROM d),
+        |cent AS (SELECT cell, list(m ORDER BY i) AS centroid FROM
+        |  (SELECT cell, i, avg(CAST(x AS DOUBLE)) AS m FROM ex
+        |   GROUP BY cell, i) GROUP BY cell),
+        |cn AS (SELECT cell, centroid,
+        |  sqrt(list_sum([centroid[i]*centroid[i]
+        |    FOR i IN range(1, len(centroid)+1)])) AS cnrm FROM cent),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM d
+        |  WHERE vec_id % 10 = 0),
+        |probed AS (SELECT qid, qe, qn, cell, ROW_NUMBER() OVER
+        |  (PARTITION BY qid ORDER BY cdist DESC, cell) AS crank FROM
+        |  (SELECT q.*, cn.cell,
+        |   ROUND(list_sum([CAST(qe[i] AS DOUBLE)*centroid[i]
+        |     FOR i IN range(1, len(qe)+1)]) / (qn * cnrm), 6) AS cdist
+        |   FROM q CROSS JOIN cn)),
+        |p AS (SELECT qid, n.vec_id AS nid,
+        |  ROUND(list_sum([CAST(qe[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE)
+        |    FOR i IN range(1, len(qe)+1)]) / (qn * n.nrm), 6) AS cos
+        |  FROM probed JOIN d n USING (cell)
+        |  WHERE crank <= 2 AND qid <> n.vec_id),
         |r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid
         |  ORDER BY cos DESC, nid) AS rank FROM p)
         |SELECT qid, CAST(rank AS INT) AS rank, nid, cos FROM r

@@ -88,6 +88,34 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh2 == bf, s"depth-2 lsh diverged: ${lsh2.diff(bf)}")
   }
 
+  test("rademacherPlanes is seed-deterministic and balanced") {
+    val a = Similarity.rademacherPlanes(8, 64, 42L)
+    val b = Similarity.rademacherPlanes(8, 64, 42L)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == 8 && a.forall(_.length == 64))
+    assert(a.flatten.forall(v => v == 1f || v == -1f))
+    // a degenerate all-same-sign plane would make its bit constant —
+    // with 64 fair coin flips per plane that's a 2^-63 event; assert
+    // each plane mixes signs so the bucket genuinely uses all 8 bits
+    assert(a.forall(h => h.exists(_ > 0) && h.exists(_ < 0)))
+  }
+
+  test("lshTopK with Rademacher planes: recall vs brute force (d8 shape)") {
+    // nbits=4 like the axis-aligned recall test above: at sf0.001 the
+    // corpus is ~50 vectors, so 8 balanced bits (256 buckets) would
+    // shred it into singletons — bucket count must track corpus size
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 3,
+      col("vec_id") % 10 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val planes = Similarity.rademacherPlanes(4, 64, 42L)
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", 3, 4,
+      col("id") % 10 === 0, planes = planes).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall > 0.2, s"recall $recall suspiciously low")
+  }
+
   test("ivfTopK returns k ranked neighbors per query") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val r = Similarity.ivfTopK(emb, "vec_id", "embedding", "label", 3, 2,
