@@ -84,13 +84,18 @@ object Fuzzy {
                        theta: Double, dfCap: Int = 0): DataFrame = {
     val names = df.select(lower(trim(col(nameCol))).as("name"))
       .filter(col("name") =!= "").distinct()
-    val nNames = names.count()
+    // N for the idf term rides the plan as a one-row broadcast scalar
+    // (the bm25TopK pattern) — a driver-side names.count() here was
+    // the last blocking action on a hot analytical path (round-6
+    // verdict): an extra job per call for one long.
+    val nNames = broadcast(names.agg(count(lit(1)).as("n_names")))
     val tf = names
       .select(col("name"), explode(grams(col("name"), n)).as("g"))
       .groupBy("name", "g").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy("g").agg(count(lit(1)).as("df"))
+      .crossJoin(nNames)
       .withColumn("idf",
-        log((lit(1.0) + nNames) / (lit(1.0) + col("df"))) + 1.0)
+        log((lit(1.0) + col("n_names")) / (lit(1.0) + col("df"))) + 1.0)
     val w = tf.join(idf.select("g", "idf"), Seq("g"))
       .withColumn("w", col("tf") * col("idf"))
     val norms = w.groupBy("name")

@@ -38,33 +38,36 @@ object Search {
       filter(split(c, "\\s+"), t => t =!= "")
 
     // tokenize the corpus ONCE, straight into the skinny postings
-    // (doc, term, tf) — the ONLY materialized intermediate. Doc length
-    // is sum(tf) per doc, so dl, the corpus scalars, and df all derive
-    // from postings; the fat token arrays never persist anywhere (an
-    // earlier shape checkpointed them — corpus-sized string storage
-    // for data the postings already carry).
+    // (doc, term, tf) — the ONLY materialized intermediate. One marker
+    // row per doc (t = "", impossible as a real token: toks filters
+    // empties) rides along so EVERYTHING — dl, df, and both corpus
+    // scalars — derives from this single snapshot: a zero-token doc
+    // has no postings (and can never be a hit) but its marker keeps it
+    // in N for the idf/avgdl denominators, exactly as the oracle
+    // counts it, without re-scanning the corpus (round-6 advice: the
+    // previous shape read `docs` a second time for the doc count,
+    // which with materialize=true could disagree with the postings
+    // snapshot on a changing source).
     val tfAllBase = docs
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .unionByName(docs.select(col(idCol).as("doc_id"),
+        lit("").as("t"), lit(0L).as("tf")))
     val tfAll = if (materialize) tfAllBase.localCheckpoint(true)
                 else tfAllBase.cache()
-    // dl keeps ALL tokens (capped stop terms still lengthen their doc)
+    val postings = tfAll.filter(col("t") =!= "")
+    // dl keeps ALL tokens (capped stop terms still lengthen their doc);
+    // markers add 0, so zero-token docs appear with dl = 0, harmless
     val dl = tfAll.groupBy("doc_id").agg(sum("tf").as("dl"))
-    // corpus scalars: one row, broadcast onto every posting. n_docs
-    // counts EVERY corpus row — a zero-token doc has no postings (and
-    // can never be a hit) but still belongs to N for the idf/avgdl
-    // denominators, exactly as the oracle counts it. Both scalars come
-    // out of ONE aggregation over a union (doc-count markers + token
-    // sums), so the plan keeps a single scalar attach instead of
-    // chaining two single-row cross joins
-    val scal = broadcast(
-      docs.select(lit(1L).as("__doc"), lit(0L).as("__toks"))
-        .unionByName(dl.select(lit(0L).as("__doc"),
-          col("dl").as("__toks")))
-        .agg(sum("__doc").as("n_docs"), sum("__toks").as("n_toks")))
+    // corpus scalars: one row, broadcast onto every posting, both out
+    // of ONE aggregation over the snapshot (single scalar attach, no
+    // chained one-row cross joins)
+    val scal = broadcast(tfAll.agg(
+      sum(when(col("t") === "", 1L).otherwise(0L)).as("n_docs"),
+      sum("tf").as("n_toks")))
     // stop-term cap applies to the postings themselves: a capped term
     // neither scores nor fans out in the probe join
-    val tf = Fuzzy.capPostings(tfAll, "t", dfCap)
+    val tf = Fuzzy.capPostings(postings, "t", dfCap)
     val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
 
     val qTerms = queries
