@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.reports.Insights
 
@@ -21,6 +22,33 @@ object ReportQueries {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority"))
         .orderBy("col_name")),
+    // Report 94: missing-critical-tags-by-album exception table over a
+    // deterministic alib-shaped fixture from customer (the
+    // PipelineQueries synthesis convention): stride-40 albums, every
+    // 8th a CD-subfolder box set (exercises album-root collapse),
+    // every 8th+4 a compilation (exercises the albumartist waiver),
+    // and modular null/blank/whitespace gaps in each critical column.
+    "rp_missing_critical" -> ((s, d) => {
+      val k = col("c_custkey")
+      val dd = expr("c_custkey % 40")
+      val tracks = graft.core.Tables.customer(s, d).select(
+        when(dd % 8 === 3, concat(lit("/m/Box"), dd.cast("string"),
+            lit("/CD "), (dd % 2 + 1).cast("string")))
+          .otherwise(concat(lit("/m/Album"), dd.cast("string")))
+          .as("__dirpath"),
+        when(k % 17 === 0, lit(null).cast("string"))
+          .when(k % 19 === 0, lit(""))
+          .when(k % 23 === 0, lit(" "))
+          .otherwise(concat(lit("T"), k.cast("string"))).as("title"),
+        when(k % 13 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("A"), dd.cast("string"))).as("artist"),
+        when(dd % 5 === 0 && k % 3 === 0, lit(""))
+          .otherwise(concat(lit("AA"), dd.cast("string"))).as("albumartist"),
+        when(dd % 8 === 4, lit(1)).otherwise(lit(0)).as("compilation"))
+      Insights.missingCriticalTags(tracks, "__dirpath",
+        Seq("title", "artist", "albumartist"),
+        compilationCol = Some("compilation"))
+    }),
   )
 
   val sql: Map[String, String] = Map(
@@ -63,5 +91,43 @@ object ReportQueries {
            |COUNT(DISTINCT $c) AS n_distinct,
            |$mn AS min_s, $mx AS max_s FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "rp_missing_critical" ->
+      """WITH t AS (SELECT
+        |CASE WHEN (c_custkey % 40) % 8 = 3
+        |  THEN '/m/Box' || (c_custkey % 40) || '/CD ' || ((c_custkey % 40) % 2 + 1)
+        |  ELSE '/m/Album' || (c_custkey % 40) END AS dirpath,
+        |CASE WHEN c_custkey % 17 = 0 THEN NULL
+        |  WHEN c_custkey % 19 = 0 THEN ''
+        |  WHEN c_custkey % 23 = 0 THEN ' '
+        |  ELSE 'T' || c_custkey END AS title,
+        |CASE WHEN c_custkey % 13 = 0 THEN NULL
+        |  ELSE 'A' || (c_custkey % 40) END AS artist,
+        |CASE WHEN (c_custkey % 40) % 5 = 0 AND c_custkey % 3 = 0 THEN ''
+        |  ELSE 'AA' || (c_custkey % 40) END AS albumartist,
+        |CASE WHEN (c_custkey % 40) % 8 = 4 THEN 1 ELSE 0 END AS compilation
+        |FROM customer),
+        |g AS (SELECT
+        |regexp_replace(dirpath, '/(?:cd|disc)\s*0*\d{1,3}$', '', 'i')
+        |  AS album_dirpath,
+        |COUNT(*) AS total_tracks,
+        |CAST(SUM(CASE WHEN title IS NULL OR TRIM(title) = ''
+        |  THEN 1 ELSE 0 END) AS INT) AS title,
+        |CAST(SUM(CASE WHEN artist IS NULL OR TRIM(artist) = ''
+        |  THEN 1 ELSE 0 END) AS INT) AS artist,
+        |CAST(SUM(CASE WHEN albumartist IS NULL OR TRIM(albumartist) = ''
+        |  THEN 1 ELSE 0 END) AS INT) AS aa_raw,
+        |MAX(compilation) AS comp
+        |FROM t GROUP BY 1),
+        |z AS (SELECT album_dirpath, total_tracks, title, artist,
+        |CASE WHEN comp = 1 THEN 0 ELSE aa_raw END AS albumartist FROM g)
+        |SELECT album_dirpath,
+        |regexp_replace(regexp_replace(album_dirpath, '/$', ''), '^.*/', '')
+        |  AS album_dirname,
+        |total_tracks,
+        |CASE WHEN title = 0 THEN NULL ELSE title END AS title,
+        |CASE WHEN artist = 0 THEN NULL ELSE artist END AS artist,
+        |CASE WHEN albumartist = 0 THEN NULL ELSE albumartist END AS albumartist
+        |FROM z WHERE title > 0 OR artist > 0 OR albumartist > 0
+        |ORDER BY album_dirpath""".stripMargin,
   )
 }

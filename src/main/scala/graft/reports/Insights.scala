@@ -1,6 +1,6 @@
 package graft.reports
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Exprs, Tables => T}
@@ -46,5 +46,54 @@ object Insights {
           sum(col("n")).over(org.apache.spark.sql.expressions.Window
             .partitionBy()))
       .orderBy("o_orderpriority")
+  }
+
+  /** Report 94 (ref `scripts/reports/94-report-missing-critical-tags-
+    * by-album.py`): exception-only wide report — one row per album
+    * (album-root of `dirCol`, disc subfolders collapsed) that has at
+    * least one track missing a critical field. A field is missing when
+    * NULL or blank after trim; each critical column carries the
+    * album's missing-track count, 0 → NULL for readability; on
+    * compilation albums `albumartist` is not required (zeroed before
+    * the any-missing filter, ref :199-209).
+    *
+    * One hash aggregation on the album root — the per-column sums are
+    * map-side partial, so at 100 TB this is a single shuffle of
+    * album-count rows, not tracks. */
+  def missingCriticalTags(tracks: DataFrame, dirCol: String,
+                          criticalCols: Seq[String],
+                          compilationCol: Option[String] = None)
+      : DataFrame = {
+    def missing(c: String): Column = {
+      val s = trim(col(c))
+      s.isNull || (s === "")
+    }
+    val aggs =
+      count(lit(1)).as("total_tracks") +:
+      criticalCols.map(c =>
+        sum(missing(c).cast("int")).cast("int").as(c)) ++:
+      compilationCol.map(c =>
+        max(col(c).cast("int")).as("__is_comp")).toSeq
+    val grouped = tracks
+      .groupBy(graft.core.Exprs.albumRoot(col(dirCol)).as("album_dirpath"))
+      .agg(aggs.head, aggs.tail: _*)
+    val compAdj = compilationCol match {
+      case Some(_) if criticalCols.contains("albumartist") =>
+        grouped.withColumn("albumartist",
+          when(col("__is_comp") === 1, lit(0))
+            .otherwise(col("albumartist")))
+      case _ => grouped
+    }
+    val anyMissing = criticalCols.map(c => col(c) > 0).reduce(_ || _)
+    compAdj
+      .filter(anyMissing)
+      .select(
+        Seq(col("album_dirpath"),
+          regexp_replace(regexp_replace(col("album_dirpath"), "/$", ""),
+            "^.*/", "").as("album_dirname"),
+          col("total_tracks")) ++
+        criticalCols.map(c =>
+          when(col(c) === 0, lit(null)).otherwise(col(c)).as(c)): _*)
+      .orderBy("album_dirpath")
   }
 }

@@ -24,7 +24,6 @@ class QueriesSmokeSpec extends SparkSpec {
   test("every query lacking an oracle is on the documented allowlist") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val allowed = Set(
-      "d8_ann_lsh", "d9_ann_ivf", // hash-seed-specific bucketing
       "f_uuid5",                  // sha1-based; DuckDB has no sha1
       "f_uuid7_validity")         // time-based by design
     assert(rowsOnly == allowed,
