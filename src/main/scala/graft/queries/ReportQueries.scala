@@ -16,6 +16,10 @@ object ReportQueries {
     "rp_kpis" -> ((s, d) => Insights.kpis(Insights.base(s, d))),
     "rp_yearly" -> ((s, d) => Insights.yearlyTrends(Insights.base(s, d))),
     "rp_priority_mix" -> ((s, d) => Insights.priorityMix(Insights.base(s, d))),
+    "rp_decades" -> ((s, d) => Insights.decadeTrends(Insights.base(s, d))),
+    "rp_year_mode" -> ((s, d) => Insights.yearMode(Insights.base(s, d))),
+    "rp_acquisition" -> ((s, d) =>
+      Insights.acquisitionTimeline(Insights.base(s, d))),
     // one-pass column profile of orders (the 96-sanity-report shape)
     "rp_profile" -> ((s, d) =>
       graft.operators.Profile.profile(graft.core.Tables.orders(s, d),
@@ -91,6 +95,27 @@ object ReportQueries {
            |COUNT(DISTINCT $c) AS n_distinct,
            |$mn AS min_s, $mx AS max_s FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "rp_decades" ->
+      """SELECT yr - (yr % 10) AS decade, COUNT(*) AS n,
+        |CAST(SUM(tp) AS BIGINT) AS revenue_cents,
+        |CAST(quantile_cont(tp, 0.5) AS DOUBLE) AS med_cents
+        |FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp FROM orders)
+        |GROUP BY 1 ORDER BY decade""".stripMargin,
+    "rp_year_mode" ->
+      """SELECT o_custkey, mode_yr, n FROM (
+        |SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS mode_yr,
+        |COUNT(*) AS n,
+        |ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |  ORDER BY COUNT(*) DESC, CAST(year(o_orderdate) AS INT)) AS rn
+        |FROM orders GROUP BY 1, 2)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "rp_acquisition" ->
+      """SELECT acq_yr, acq_yr - (acq_yr % 10) AS acq_decade,
+        |COUNT(*) AS n_customers FROM (
+        |SELECT o_custkey, CAST(year(MIN(o_orderdate)) AS INT) AS acq_yr
+        |FROM orders GROUP BY o_custkey)
+        |GROUP BY acq_yr ORDER BY acq_yr""".stripMargin,
     "rp_missing_critical" ->
       """WITH t AS (SELECT
         |CASE WHEN (c_custkey % 40) % 8 = 3

@@ -48,6 +48,42 @@ object Insights {
       .orderBy("o_orderpriority")
   }
 
+  /** Decade-trend branch (ref 92-...py:1682-1792): per decade, volume,
+    * revenue, and the exact median order value (integer-cents input ⇒
+    * the interpolated median is exact in double). */
+  def decadeTrends(b: DataFrame): DataFrame =
+    b.groupBy((col("yr") - pmod(col("yr"), lit(10))).as("decade"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("tp_cents")).as("revenue_cents"),
+        expr("percentile(tp_cents, 0.5)").as("med_cents"))
+      .orderBy("decade")
+
+  /** Modal order year per customer (the album-year-mode shape, ref
+    * 92-...py:176-199) — count per (group, value), rank by count with
+    * a deterministic value tie-break, keep rank 1. */
+  def yearMode(b: DataFrame): DataFrame = {
+    val counts = b.groupBy("o_custkey", "yr").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("n").desc, col("yr"))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), col("yr").as("mode_yr"), col("n"))
+      .orderBy("o_custkey")
+  }
+
+  /** Acquisition-timeline branch (ref 92-...py:825-850): first-order
+    * date per customer → cohort year/decade, then new-customer counts
+    * per cohort year. Two keyed shuffles (customer, then year), both
+    * on aggregated rows. */
+  def acquisitionTimeline(b: DataFrame): DataFrame =
+    b.groupBy("o_custkey")
+      .agg(min(col("o_orderdate").cast("date")).as("first_dt"))
+      .select(year(col("first_dt")).as("acq_yr"))
+      .groupBy("acq_yr").agg(count(lit(1)).as("n_customers"))
+      .withColumn("acq_decade",
+        col("acq_yr") - pmod(col("acq_yr"), lit(10)))
+      .select("acq_yr", "acq_decade", "n_customers")
+      .orderBy("acq_yr")
+
   /** Report 94 (ref `scripts/reports/94-report-missing-critical-tags-
     * by-album.py`): exception-only wide report — one row per album
     * (album-root of `dirCol`, disc subfolders collapsed) that has at
