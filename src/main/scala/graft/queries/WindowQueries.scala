@@ -85,6 +85,20 @@ object WindowQueries {
         .orderBy("o_orderpriority", "rank")
     }),
 
+    // String-keyed per-group top-k on the same bounded-buffer path
+    // (generalized Entry id — round-6 advice): top tokens per language
+    // without a window sort OR a global top-N limit.
+    "w6_topk_tokens" -> ((s, d) => {
+      val toks = T.documents(s, d)
+        .select(col("lang"),
+          explode(graft.operators.TextAnalysis.wordTokens(col("text")))
+            .as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      graft.operators.TopK.topKPerGroupAs[String](toks, Seq("lang"),
+          "cnt", "tok", k = 5)
+        .orderBy("lang", "rank")
+    }),
+
     // §2.7: union + distinct.
     "set_union" -> ((s, d) => T.customer(s, d)
       .select(col("c_nationkey").as("nk"))
@@ -151,6 +165,16 @@ object WindowQueries {
         |        o_orderkey) AS rank
         |  FROM orders)
         |WHERE rank <= 5 ORDER BY o_orderpriority, rank""".stripMargin,
+    "w6_topk_tokens" ->
+      """SELECT lang, CAST(rank AS BIGINT) AS rank, tok, cnt FROM (
+        |  SELECT lang, tok, cnt,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, tok) AS rank
+        |  FROM (SELECT lang, tok, COUNT(*) AS cnt FROM (
+        |    SELECT lang, unnest(list_filter(
+        |      string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+        |    FROM documents) GROUP BY lang, tok))
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "set_union" ->
       """SELECT nk FROM (SELECT c_nationkey AS nk FROM customer
         |UNION SELECT s_nationkey AS nk FROM supplier) ORDER BY nk""".stripMargin,

@@ -83,6 +83,39 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("a genuine Long.MinValue score survives (no sentinel corruption)") {
+    val df = Seq(("a", Option(Long.MinValue), 1L), ("a", Option(9L), 2L),
+      ("a", Option.empty[Long], 3L)).toDF("g", "score", "id")
+    val got = TopK.topKPerGroup(df, Seq("g"), "score", "id", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // MIN_VALUE is a real score: ranks above the null, round-trips intact
+    assert(got.toSeq == Seq((1L, 2L, Some(9L)),
+      (2L, 1L, Some(Long.MinValue)), (3L, 3L, None)))
+  }
+
+  test("string-keyed top-k matches the window formulation, no Window node") {
+    val df = Seq(("en", 10L, "the"), ("en", 10L, "a"), ("en", 3L, "zoo"),
+      ("de", 7L, "der"), ("de", 7L, "die"), ("de", 2L, "und"))
+      .toDF("g", "cnt", "tok")
+    val q = TopK.topKPerGroupAs[String](df, Seq("g"), "cnt", "tok", k = 2)
+    val got = q.orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("de", 1L, "der", 7L), ("de", 2L, "die", 7L),
+      ("en", 1L, "a", 10L), ("en", 2L, "the", 10L)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sneaked in:\n$plan")
+  }
+
+  test("a group column named pos or col does not collide with the generator") {
+    val df = Seq(("x", 2L, 1L), ("x", 1L, 2L)).toDF("pos", "score", "id")
+    val got = TopK.topKPerGroup(df, Seq("pos"), "score", "id", k = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("x", 1L, 1L)))
+  }
+
   test("plan aggregates partially — no Window, no full-row sort") {
     val df = rows.toDF("g", "score", "id")
     val plan = TopK.topKPerGroup(df, Seq("g"), "score", "id", k = 2)
