@@ -128,6 +128,19 @@ object EventStream {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
   }
 
+  /** Incremental new-rows pickup (SURVEY §2.11's nominated upgrade of
+    * the s7 batch anti-join, ref `tags2db.py:955-977` `--new-files`):
+    * a stream of candidate rows anti-joined against the existing key
+    * set. Stream-static left-anti is fully supported by micro-batch
+    * execution — each batch probes the static side with the identical
+    * expressions as the batch query, so stream == batch by
+    * construction (EventStreamSpec asserts it on an AvailableNow
+    * pass). At scale the static side is a broadcast or shuffled hash
+    * probe per micro-batch; no streaming state accrues. */
+  def newRowsAntiJoin(incoming: DataFrame, existing: DataFrame,
+                      inKey: String, exKey: String): DataFrame =
+    incoming.join(existing, col(inKey) === col(exKey), "left_anti")
+
   /** One-shot catch-up run (processes all available input, then stops) —
     * the Trigger.AvailableNow analogue of the reference's incremental
     * import. Caller supplies the sink via `foreachBatch`. */

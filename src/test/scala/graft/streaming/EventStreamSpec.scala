@@ -98,6 +98,27 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("AvailableNow new-rows anti-join matches the batch s7 query") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("evs7").toString
+    val ckpt = Files.createTempDirectory("evs7ck").toString
+    Files.copy(Paths.get(s"$sf0001/part.parquet"),
+      Paths.get(s"$dir/part.parquet"))
+    val schema = spark.read.parquet(s"$dir/part.parquet").schema
+    val incoming = spark.readStream.schema(schema).parquet(dir)
+    val existing = graft.core.Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") > 45)
+    val newRows = EventStream.newRowsAntiJoin(incoming, existing,
+      "p_partkey", "l_partkey").select("p_partkey")
+    var got = Set.empty[Long]
+    EventStream.runAvailableNow(newRows, ckpt, mode = "append") { (b, _) =>
+      got ++= b.collect().map(_.getLong(0))
+    }
+    val want = graft.queries.JoinQueries.defs("s7_new_anti")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("streaming upsert sink folds to the same state as the batch MERGE") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("evups").toString
