@@ -107,13 +107,17 @@ object AggQueries {
       .orderBy("c_nationkey")),
 
     // ROLLUP: per-priority rows plus the grand total in ONE aggregation
-    // pass (Expand), not a union of two scans; the null grouping key is
-    // surfaced as an explicit label.
+    // pass (Expand), not a union of two scans; the super-aggregate row
+    // is identified by grouping(), not coalesce — a genuine NULL
+    // priority group stays distinguishable from the grand total
+    // (round-6 advice: the coalesce form conflated them).
     "a20_rollup_totals" -> ((s, d) => T.orders(s, d)
       .select(col("o_orderpriority"), Exprs.cents(col("o_totalprice")).as("tp"))
       .rollup(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(col("tp")).as("sum_cents"))
-      .select(coalesce(col("o_orderpriority"), lit("TOTAL")).as("priority"),
+      .agg(count(lit(1)).as("n"), sum(col("tp")).as("sum_cents"),
+        grouping(col("o_orderpriority")).as("__g"))
+      .select(when(col("__g") === 1, lit("TOTAL"))
+          .otherwise(col("o_orderpriority")).as("priority"),
         col("n"), col("sum_cents"))
       .orderBy("priority")),
 
@@ -270,12 +274,13 @@ object AggQueries {
         |FROM customer GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
     "a20_rollup_totals" ->
-      """SELECT COALESCE(o_orderpriority, 'TOTAL') AS priority,
+      """SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'TOTAL'
+        |  ELSE o_orderpriority END AS priority,
         |COUNT(*) AS n,
         |CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
         |  AS sum_cents
         |FROM orders GROUP BY ROLLUP(o_orderpriority)
-        |ORDER BY priority""".stripMargin,
+        |ORDER BY priority NULLS FIRST""".stripMargin,
     "a8_quantile_spread" ->
       """SELECT o_orderpriority,
         |CAST(quantile_cont(tp, 0.5) AS DOUBLE) AS med,
