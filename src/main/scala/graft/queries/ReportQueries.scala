@@ -26,6 +26,31 @@ object ReportQueries {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority"))
         .orderBy("col_name")),
+    // Persona scoring over an alib-shaped fixture: multi-value genre
+    // cells (tagminder \\ delimiter), sparse style, modular role
+    // columns — exercises token-vocabulary shares, role-share means,
+    // max-combine, and the 0.22 argmax threshold.
+    "rp_persona" -> ((s, d) => {
+      val k = col("c_custkey")
+      val tracks = graft.core.Tables.customer(s, d).select(
+        when(k % 5 === 0, lit("Jazz\\\\Hard Bop"))
+          .when(k % 5 === 1, lit("Rock\\\\Indie"))
+          .when(k % 5 === 2, lit("Classical"))
+          .when(k % 5 === 3, lit("Techno"))
+          .otherwise(lit(null).cast("string")).as("genre"),
+        when(k % 7 === 0, lit("Baroque")).otherwise(lit("")).as("style"),
+        when(k % 2 === 0, lit("C")).otherwise(lit(null).cast("string"))
+          .as("composer"),
+        when(k % 3 === 0, lit("K")).otherwise(lit("")).as("conductor"),
+        when(k % 4 === 0, lit("O")).otherwise(lit(null).cast("string"))
+          .as("orchestra"),
+        when(k % 4 === 0, lit("R")).otherwise(lit(null).cast("string"))
+          .as("remixer"),
+        when(k % 8 === 0, lit("P")).otherwise(lit("")).as("producer"))
+      Insights.personaScores(tracks,
+        classicalRoles = Seq("composer", "conductor", "orchestra"),
+        electronicRoles = Seq("remixer", "producer"))
+    }),
     // Report 94: missing-critical-tags-by-album exception table over a
     // deterministic alib-shaped fixture from customer (the
     // PipelineQueries synthesis convention): stride-40 albums, every
@@ -116,6 +141,55 @@ object ReportQueries {
         |SELECT o_custkey, CAST(year(MIN(o_orderdate)) AS INT) AS acq_yr
         |FROM orders GROUP BY o_custkey)
         |GROUP BY acq_yr ORDER BY acq_yr""".stripMargin,
+    "rp_persona" ->
+      """WITH t AS (SELECT
+        |CASE WHEN c_custkey % 5 = 0 THEN 'Jazz\\Hard Bop'
+        |  WHEN c_custkey % 5 = 1 THEN 'Rock\\Indie'
+        |  WHEN c_custkey % 5 = 2 THEN 'Classical'
+        |  WHEN c_custkey % 5 = 3 THEN 'Techno' END AS genre,
+        |CASE WHEN c_custkey % 7 = 0 THEN 'Baroque' ELSE '' END AS style,
+        |CASE WHEN c_custkey % 2 = 0 THEN 'C' END AS composer,
+        |CASE WHEN c_custkey % 3 = 0 THEN 'K' ELSE '' END AS conductor,
+        |CASE WHEN c_custkey % 4 = 0 THEN 'O' END AS orchestra,
+        |CASE WHEN c_custkey % 4 = 0 THEN 'R' END AS remixer,
+        |CASE WHEN c_custkey % 8 = 0 THEN 'P' ELSE '' END AS producer
+        |FROM customer),
+        |tok AS (SELECT *,
+        |list_transform(list_filter(list_transform(
+        |  string_split(coalesce(genre, ''), '\\'), x -> trim(x)),
+        |  x -> x <> ''), x -> lower(x)) AS gt,
+        |list_transform(list_filter(list_transform(
+        |  string_split(coalesce(style, ''), '\\'), x -> trim(x)),
+        |  x -> x <> ''), x -> lower(x)) AS st
+        |FROM t),
+        |a AS (SELECT
+        |AVG(CASE WHEN list_has_any(gt, ['classical','baroque','romantic','opera','symphony','chamber']) THEN 1 ELSE 0 END) AS g_cls,
+        |AVG(CASE WHEN list_has_any(st, ['classical','baroque','romantic','opera','symphony','chamber']) THEN 1 ELSE 0 END) AS s_cls,
+        |AVG(CASE WHEN list_has_any(gt, ['jazz','bebop','hard bop','swing','fusion']) THEN 1 ELSE 0 END) AS g_jazz,
+        |AVG(CASE WHEN list_has_any(st, ['jazz','bebop','hard bop','swing','fusion']) THEN 1 ELSE 0 END) AS s_jazz,
+        |AVG(CASE WHEN list_has_any(gt, ['electronic','electronica','ambient','techno','house','trance','idm','dnb']) THEN 1 ELSE 0 END) AS g_elec,
+        |AVG(CASE WHEN list_has_any(st, ['electronic','electronica','ambient','techno','house','trance','idm','dnb']) THEN 1 ELSE 0 END) AS s_elec,
+        |AVG(CASE WHEN list_has_any(gt, ['rock','pop','indie','alternative','metal','punk','grunge','folk']) THEN 1 ELSE 0 END) AS g_rock,
+        |AVG(CASE WHEN list_has_any(st, ['rock','pop','indie','alternative','metal','punk','grunge','folk']) THEN 1 ELSE 0 END) AS s_rock,
+        |(AVG(CASE WHEN composer IS NOT NULL AND composer <> '' THEN 1 ELSE 0 END)
+        | + AVG(CASE WHEN conductor IS NOT NULL AND conductor <> '' THEN 1 ELSE 0 END)
+        | + AVG(CASE WHEN orchestra IS NOT NULL AND orchestra <> '' THEN 1 ELSE 0 END)) / 3 AS role_cls,
+        |(AVG(CASE WHEN remixer IS NOT NULL AND remixer <> '' THEN 1 ELSE 0 END)
+        | + AVG(CASE WHEN producer IS NOT NULL AND producer <> '' THEN 1 ELSE 0 END)) / 2 AS role_elec
+        |FROM tok),
+        |s AS (SELECT greatest(g_cls, s_cls, role_cls) AS classical,
+        |greatest(g_jazz, s_jazz) AS jazz,
+        |greatest(g_elec, s_elec, role_elec) AS electronic,
+        |greatest(g_rock, s_rock) AS rock_pop FROM a)
+        |SELECT classical, jazz, electronic, rock_pop,
+        |CASE WHEN greatest(classical, jazz, electronic, rock_pop) < 0.22
+        |    THEN 'mixed'
+        |  WHEN classical >= jazz AND classical >= electronic
+        |    AND classical >= rock_pop THEN 'classical'
+        |  WHEN jazz >= electronic AND jazz >= rock_pop THEN 'jazz'
+        |  WHEN electronic >= rock_pop THEN 'electronic'
+        |  ELSE 'rock_pop' END AS persona
+        |FROM s""".stripMargin,
     "rp_missing_critical" ->
       """WITH t AS (SELECT
         |CASE WHEN (c_custkey % 40) % 8 = 3

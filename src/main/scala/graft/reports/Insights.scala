@@ -84,6 +84,63 @@ object Insights {
       .select("acq_yr", "acq_decade", "n_customers")
       .orderBy("acq_yr")
 
+  /** Persona-scoring branch (ref 92-...py:497-600): corpus-level
+    * share signals — the fraction of tracks whose genre/style token
+    * list hits a persona vocabulary, and the mean non-empty share of
+    * persona-typical role columns — max-combined per persona, then
+    * argmax with the reference's 0.22 threshold (below it → "mixed").
+    * Ties prefer the reference's dict order (classical, jazz,
+    * electronic, rock_pop). ONE aggregation pass over the tracks: all
+    * shares are map-side-combinable boolean means. */
+  def personaScores(tracks: DataFrame,
+                    classicalRoles: Seq[String],
+                    electronicRoles: Seq[String]): DataFrame = {
+    import graft.core.MultiValue
+    def lowToks(c: String): Column =
+      transform(MultiValue.tokens(coalesce(col(c), lit(""))),
+        t => lower(t))
+    def anyTok(c: String, ts: Seq[String]): Column =
+      avg(arrays_overlap(lowToks(c), lit(ts.toArray)).cast("int"))
+    def nonEmpty(c: String): Column =
+      avg((col(c).isNotNull && col(c) =!= "").cast("int"))
+    val classicalT = Seq("classical", "baroque", "romantic", "opera",
+      "symphony", "chamber")
+    val jazzT = Seq("jazz", "bebop", "hard bop", "swing", "fusion")
+    val elecT = Seq("electronic", "electronica", "ambient", "techno",
+      "house", "trance", "idm", "dnb")
+    val rockT = Seq("rock", "pop", "indie", "alternative", "metal",
+      "punk", "grunge", "folk")
+    def roleMean(roles: Seq[String]): Column =
+      roles.map(nonEmpty).reduce(_ + _) / roles.size
+    val agg = tracks.agg(
+      anyTok("genre", classicalT).as("g_cls"),
+      anyTok("style", classicalT).as("s_cls"),
+      anyTok("genre", jazzT).as("g_jazz"),
+      anyTok("style", jazzT).as("s_jazz"),
+      anyTok("genre", elecT).as("g_elec"),
+      anyTok("style", elecT).as("s_elec"),
+      anyTok("genre", rockT).as("g_rock"),
+      anyTok("style", rockT).as("s_rock"),
+      roleMean(classicalRoles).as("role_cls"),
+      roleMean(electronicRoles).as("role_elec"))
+    val scoresDf = agg.select(
+      greatest(col("g_cls"), col("s_cls"), col("role_cls")).as("classical"),
+      greatest(col("g_jazz"), col("s_jazz")).as("jazz"),
+      greatest(col("g_elec"), col("s_elec"), col("role_elec"))
+        .as("electronic"),
+      greatest(col("g_rock"), col("s_rock")).as("rock_pop"))
+    scoresDf.withColumn("persona",
+      when(greatest(col("classical"), col("jazz"), col("electronic"),
+        col("rock_pop")) < 0.22, "mixed")
+        .when(col("classical") >= col("jazz") &&
+          col("classical") >= col("electronic") &&
+          col("classical") >= col("rock_pop"), "classical")
+        .when(col("jazz") >= col("electronic") &&
+          col("jazz") >= col("rock_pop"), "jazz")
+        .when(col("electronic") >= col("rock_pop"), "electronic")
+        .otherwise("rock_pop"))
+  }
+
   /** Report 94 (ref `scripts/reports/94-report-missing-critical-tags-
     * by-album.py`): exception-only wide report — one row per album
     * (album-root of `dirCol`, disc subfolders collapsed) that has at
