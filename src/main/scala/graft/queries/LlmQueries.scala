@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
-import graft.operators.{Dedup, GraphOps, Mixing, Multimodal, Search, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, GraphOps, Mixing, Multimodal, Search, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators: dedup (exact / n-gram Jaccard /
   * MinHash-LSH / SimHash), ANN similarity search, text analysis,
@@ -371,6 +371,16 @@ object LlmQueries {
       Multimodal.featureVector(Multimodal.asMedia(T.documents(s, d)))
         .orderBy("doc_id")),
 
+    // Embedding k-means (2 Lloyd rounds, k=8): the coarse-quantizer
+    // trainer for IVF cells and a topic-bucketing curation primitive.
+    // Deterministic end to end (lowest-id init, 6-dp rounded
+    // similarities and centroids) → the full iteration is under the
+    // DuckDB oracle.
+    "d29_kmeans" -> ((s, d) =>
+      Clustering.kMeans(T.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)
+        .orderBy("vec_id")),
+
     // G1: similarity-graph edge build (ref tm_graph.py:294-316).
     "g1_similarity_edges" -> ((s, d) =>
       GraphOps.coOccurrenceEdges(T.lineitem(s, d), "l_orderkey", "l_suppkey",
@@ -467,6 +477,36 @@ object LlmQueries {
        |  ORDER BY cos DESC, nid) AS rank FROM p)
        |SELECT qid, CAST(rank AS INT) AS rank, nid, cos FROM r
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** d29 oracle: two unrolled Lloyd rounds. `assignRound` renders one
+    * cosine-argmax assignment CTE pair against a centroid relation
+    * (c, cv) — identical arithmetic both rounds, 6-dp rounding
+    * everywhere the Spark side rounds. */
+  private val D29KmeansSql: String = {
+    def assignRound(n: Int, centRel: String): String =
+      s"""p$n AS (SELECT id, vv, c,
+         |ROUND(list_sum([vv[i]*cv[i] FOR i IN range(1, len(vv)+1)])
+         |  / (sqrt(list_sum([vv[i]*vv[i] FOR i IN range(1, len(vv)+1)]))
+         |     * sqrt(list_sum([cv[i]*cv[i] FOR i IN range(1, len(cv)+1)]))), 6) AS s
+         |FROM v CROSS JOIN $centRel),
+         |a$n AS (SELECT id, vv, c AS cluster FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+         |    ORDER BY s DESC, c) AS rn FROM p$n) WHERE rn = 1)""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS id,
+       |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+       |FROM embeddings),
+       |init AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS c, vv AS cv
+       |FROM (SELECT id, vv FROM v ORDER BY id LIMIT 8)),
+       |${assignRound(1, "init")},
+       |ex AS (SELECT cluster, unnest(range(1, len(vv)+1)) AS i,
+       |  unnest(vv) AS x FROM a1),
+       |c1 AS (SELECT cluster AS c, list(m ORDER BY i) AS cv FROM (
+       |  SELECT cluster, i, ROUND(avg(x), 6) AS m FROM ex
+       |  GROUP BY cluster, i) GROUP BY cluster),
+       |${assignRound(2, "c1")}
+       |SELECT id AS vec_id, CAST(cluster AS INT) AS cluster FROM a2
+       |ORDER BY vec_id""".stripMargin
   }
 
   private val ShingleSql =
@@ -857,6 +897,7 @@ object LlmQueries {
         |SELECT qid, CAST(rank AS INT) AS rank, nid, cos FROM r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "d8_ann_lsh" -> D8LshSql,
+    "d29_kmeans" -> D29KmeansSql,
     "d9_ann_ivf" ->
       """WITH d AS (SELECT vec_id, embedding, label AS cell,
         |sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
