@@ -381,6 +381,20 @@ object LlmQueries {
         k = 8, iters = 2)
         .orderBy("vec_id")),
 
+    // End-to-end trained IVF: k-means cells (d29) feed ivfTopK as the
+    // coarse quantizer — the composition a real ANN deployment runs,
+    // where d9's label-cell variant stands in for externally-given
+    // partitions. Oracle replays the full chain.
+    "d30_ann_ivf_trained" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val cells = Clustering.kMeans(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      Similarity.ivfTopK(emb.join(cells, "vec_id"), "vec_id", "embedding",
+          "cluster", k = 3, nprobe = 2,
+          queryFilter = col("id") % 10 === 0)
+        .orderBy("qid", "rank")
+    }),
+
     // G1: similarity-graph edge build (ref tm_graph.py:294-316).
     "g1_similarity_edges" -> ((s, d) =>
       GraphOps.coOccurrenceEdges(T.lineitem(s, d), "l_orderkey", "l_suppkey",
@@ -479,11 +493,12 @@ object LlmQueries {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
-  /** d29 oracle: two unrolled Lloyd rounds. `assignRound` renders one
-    * cosine-argmax assignment CTE pair against a centroid relation
-    * (c, cv) — identical arithmetic both rounds, 6-dp rounding
-    * everywhere the Spark side rounds. */
-  private val D29KmeansSql: String = {
+  /** d29/d30 oracle prefix: two unrolled Lloyd rounds ending in the
+    * final assignment relation `a2 (id, vv, cluster)`. `assignRound`
+    * renders one cosine-argmax assignment CTE pair against a centroid
+    * relation (c, cv) — identical arithmetic both rounds, 6-dp
+    * rounding everywhere the Spark side rounds. */
+  private val D29Prefix: String = {
     def assignRound(n: Int, centRel: String): String =
       s"""p$n AS (SELECT id, vv, c,
          |ROUND(list_sum([vv[i]*cv[i] FOR i IN range(1, len(vv)+1)])
@@ -504,10 +519,53 @@ object LlmQueries {
        |c1 AS (SELECT cluster AS c, list(m ORDER BY i) AS cv FROM (
        |  SELECT cluster, i, ROUND(avg(x), 6) AS m FROM ex
        |  GROUP BY cluster, i) GROUP BY cluster),
-       |${assignRound(2, "c1")}
-       |SELECT id AS vec_id, CAST(cluster AS INT) AS cluster FROM a2
-       |ORDER BY vec_id""".stripMargin
+       |${assignRound(2, "c1")}""".stripMargin
   }
+
+  private val D29KmeansSql: String =
+    D29Prefix +
+      """
+        |SELECT id AS vec_id, CAST(cluster AS INT) AS cluster FROM a2
+        |ORDER BY vec_id""".stripMargin
+
+  /** Shared IVF probe/rescore suffix (d9/d30): expects a relation
+    * `d (vec_id, embedding, cell, nrm)`. */
+  private val IvfSuffixSql: String =
+    """iex AS (SELECT cell, unnest(range(1, len(embedding)+1)) AS i,
+      |  unnest(embedding) AS x FROM d),
+      |cent AS (SELECT cell, list(m ORDER BY i) AS centroid FROM
+      |  (SELECT cell, i, avg(CAST(x AS DOUBLE)) AS m FROM iex
+      |   GROUP BY cell, i) GROUP BY cell),
+      |cn AS (SELECT cell, centroid,
+      |  sqrt(list_sum([centroid[i]*centroid[i]
+      |    FOR i IN range(1, len(centroid)+1)])) AS cnrm FROM cent),
+      |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM d
+      |  WHERE vec_id % 10 = 0),
+      |probed AS (SELECT qid, qe, qn, cell, ROW_NUMBER() OVER
+      |  (PARTITION BY qid ORDER BY cdist DESC, cell) AS crank FROM
+      |  (SELECT q.*, cn.cell,
+      |   ROUND(list_sum([CAST(qe[i] AS DOUBLE)*centroid[i]
+      |     FOR i IN range(1, len(qe)+1)]) / (qn * cnrm), 6) AS cdist
+      |   FROM q CROSS JOIN cn)),
+      |p AS (SELECT qid, n.vec_id AS nid,
+      |  ROUND(list_sum([CAST(qe[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE)
+      |    FOR i IN range(1, len(qe)+1)]) / (qn * n.nrm), 6) AS cos
+      |  FROM probed JOIN d n USING (cell)
+      |  WHERE crank <= 2 AND qid <> n.vec_id),
+      |r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid
+      |  ORDER BY cos DESC, nid) AS rank FROM p)
+      |SELECT qid, CAST(rank AS INT) AS rank, nid, cos FROM r
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  private val D30IvfTrainedSql: String =
+    D29Prefix +
+      """,
+        |d AS (SELECT e.vec_id, e.embedding, a2.cluster AS cell,
+        |sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)
+        |  FOR i IN range(1, len(e.embedding)+1)])) AS nrm
+        |FROM embeddings e JOIN a2 ON e.vec_id = a2.id),
+        |""".stripMargin +
+      IvfSuffixSql
 
   private val ShingleSql =
     """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM documents),
@@ -899,34 +957,11 @@ object LlmQueries {
     "d8_ann_lsh" -> D8LshSql,
     "d29_kmeans" -> D29KmeansSql,
     "d9_ann_ivf" ->
-      """WITH d AS (SELECT vec_id, embedding, label AS cell,
+      ("""WITH d AS (SELECT vec_id, embedding, label AS cell,
         |sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
         |  FOR i IN range(1, len(embedding)+1)])) AS nrm FROM embeddings),
-        |ex AS (SELECT cell, unnest(range(1, len(embedding)+1)) AS i,
-        |  unnest(embedding) AS x FROM d),
-        |cent AS (SELECT cell, list(m ORDER BY i) AS centroid FROM
-        |  (SELECT cell, i, avg(CAST(x AS DOUBLE)) AS m FROM ex
-        |   GROUP BY cell, i) GROUP BY cell),
-        |cn AS (SELECT cell, centroid,
-        |  sqrt(list_sum([centroid[i]*centroid[i]
-        |    FOR i IN range(1, len(centroid)+1)])) AS cnrm FROM cent),
-        |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM d
-        |  WHERE vec_id % 10 = 0),
-        |probed AS (SELECT qid, qe, qn, cell, ROW_NUMBER() OVER
-        |  (PARTITION BY qid ORDER BY cdist DESC, cell) AS crank FROM
-        |  (SELECT q.*, cn.cell,
-        |   ROUND(list_sum([CAST(qe[i] AS DOUBLE)*centroid[i]
-        |     FOR i IN range(1, len(qe)+1)]) / (qn * cnrm), 6) AS cdist
-        |   FROM q CROSS JOIN cn)),
-        |p AS (SELECT qid, n.vec_id AS nid,
-        |  ROUND(list_sum([CAST(qe[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE)
-        |    FOR i IN range(1, len(qe)+1)]) / (qn * n.nrm), 6) AS cos
-        |  FROM probed JOIN d n USING (cell)
-        |  WHERE crank <= 2 AND qid <> n.vec_id),
-        |r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid
-        |  ORDER BY cos DESC, nid) AS rank FROM p)
-        |SELECT qid, CAST(rank AS INT) AS rank, nid, cos FROM r
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+        |""".stripMargin + IvfSuffixSql),
+    "d30_ann_ivf_trained" -> D30IvfTrainedSql,
     // identical clone construction (zero dim 1 of every 50th vector,
     // id+1e6), then exact global rank-1. The Spark side rides bucketed
     // LSH — the hash match holds because the planted clones' recall is
