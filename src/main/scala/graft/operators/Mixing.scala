@@ -105,4 +105,60 @@ object Mixing {
       .select(col(idCol), col("shard"),
         row_number().over(w).cast("long").as("pos"))
   }
+
+  /** DSIR-style importance scoring for target-matched data selection
+    * (hashed-unigram importance weights, after Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * each document by `Σ_tokens tf · (log p_target(t) − log
+    * p_source(t))` with Laplace-smoothed unigram LMs — the target LM
+    * estimated from the rows matching `targetFilter`, the source LM
+    * from the whole corpus. Positive score ⇒ more target-like than
+    * corpus-average; `keep` selects those rows (resampling = feed
+    * `keep` into [[hashSample]]-style thinning downstream).
+    *
+    * Engine-exact by the d28 discipline: each term's log-ratio rounds
+    * to integer MICROS before the per-doc sum, so document scores are
+    * exact integer sums — order-independent, oracle-portable.
+    *
+    * Scale shape: postings materialize once; term LMs are one
+    * term-keyed aggregation with the three corpus scalars (token
+    * totals + vocab size) attached as a single broadcast row; the
+    * scoring join is term-keyed. Nothing doc-keyed shuffles except
+    * the final per-doc rollup.
+    *
+    * @return (idCol, n_tokens, score_micros, keep) */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 targetFilter: Column,
+                 materialize: Boolean = true): DataFrame = {
+    def toks(c: Column) = filter(split(c, "\\s+"), t => t =!= "")
+    val base = docs
+      .select(col(idCol), coalesce(targetFilter.cast("int"), lit(0)).as("__tgt"),
+        explode(toks(col(textCol))).as("__t"))
+      .groupBy(idCol, "__tgt", "__t").agg(count(lit(1)).as("__tf"))
+    val postings = if (materialize) base.localCheckpoint(true) else base
+    val terms = postings.groupBy("__t").agg(
+      sum("__tf").as("__cs"),
+      sum(col("__tgt") * col("__tf")).as("__ct"))
+    val scal = broadcast(terms.agg(
+      sum("__cs").as("__ns"), sum("__ct").as("__nt"),
+      count(lit(1)).as("__v")))
+    val wm = terms.crossJoin(scal)
+      .select(col("__t"), round((
+        log((col("__ct") + 1L).cast("double") /
+          (col("__nt") + col("__v")).cast("double")) -
+        log((col("__cs") + 1L).cast("double") /
+          (col("__ns") + col("__v")).cast("double"))) * 1e6)
+        .cast("long").as("__wm"))
+    val out = postings.join(wm, Seq("__t"))
+      .groupBy(idCol)
+      .agg(sum("__tf").as("n_tokens"),
+        sum(col("__tf") * col("__wm")).as("score_micros"))
+      .withColumn("keep", (col("score_micros") > 0).cast("int"))
+    if (!materialize) out
+    else {
+      val ck = out.localCheckpoint(true)
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(postings)
+      ck
+    }
+  }
 }

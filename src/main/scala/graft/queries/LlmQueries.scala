@@ -371,6 +371,14 @@ object LlmQueries {
       Multimodal.featureVector(Multimodal.asMedia(T.documents(s, d)))
         .orderBy("doc_id")),
 
+    // DSIR-style importance scoring: which docs look more like the
+    // English subcorpus than the corpus average (Laplace-smoothed
+    // unigram LM ratio, integer-micro exact).
+    "d31_dsir_scores" -> ((s, d) =>
+      Mixing.dsirScores(T.documents(s, d), "doc_id", "text",
+        targetFilter = col("lang") === "en")
+        .orderBy("doc_id")),
+
     // Embedding k-means (2 Lloyd rounds, k=8): the coarse-quantizer
     // trainer for IVF cells and a topic-bucketing curation primitive.
     // Deterministic end to end (lowest-id init, 6-dp rounded
@@ -956,6 +964,25 @@ object LlmQueries {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "d8_ann_lsh" -> D8LshSql,
     "d29_kmeans" -> D29KmeansSql,
+    "d31_dsir_scores" ->
+      """WITH p AS (SELECT doc_id, tgt, t, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS t
+        |    FROM documents) GROUP BY 1, 2, 3),
+        |terms AS (SELECT t, CAST(SUM(tf) AS BIGINT) AS cs,
+        |  CAST(SUM(tgt * tf) AS BIGINT) AS ct FROM p GROUP BY t),
+        |scal AS (SELECT CAST(SUM(cs) AS BIGINT) AS ns,
+        |  CAST(SUM(ct) AS BIGINT) AS nt, COUNT(*) AS v FROM terms),
+        |wm AS (SELECT t, CAST(ROUND((
+        |    ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+        |  - ln(CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))) * 1e6)
+        |  AS BIGINT) AS wmic FROM terms, scal)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |CAST(SUM(tf * wmic) AS BIGINT) AS score_micros,
+        |CAST(CASE WHEN SUM(tf * wmic) > 0 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM p JOIN wm USING (t) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "d9_ann_ivf" ->
       ("""WITH d AS (SELECT vec_id, embedding, label AS cell,
         |sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)

@@ -87,4 +87,28 @@ class MixingSpec extends SparkSpec {
     val sizes = a.groupBy(_._2).view.mapValues(_.length)
     assert(sizes.values.forall(n => n > 125 && n < 500), sizes.toMap)
   }
+
+  test("dsirScores separates the target subcorpus from the rest") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val scored = Mixing.dsirScores(docs, "doc_id", "text",
+        targetFilter = col("lang") === "en")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("score_micros")))
+    assert(scored.nonEmpty)
+    // an importance sampler trained on the en slice must rank en docs
+    // above the rest on average — not a tautology: the LM only sees
+    // token frequencies, never the lang column
+    val en = scored.collect { case ("en", s) => s.toDouble }
+    val rest = scored.collect { case (l, s) if l != "en" => s.toDouble }
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(en.sum / en.length > rest.sum / rest.length)
+    // scores are exact integer sums → a repartitioned rerun is
+    // bit-identical
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Mixing.dsirScores(df, "doc_id", "text",
+        targetFilter = col("lang") === "en")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(run(docs) == run(docs.repartition(7)))
+  }
 }
