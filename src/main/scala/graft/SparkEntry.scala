@@ -10,9 +10,9 @@ import graft.queries._
   * (plus the LLM-pipeline operators); `oracleSql` carries the DuckDB
   * equivalent for every SQL-expressible query (same column names/types,
   * same total-order ORDER BY). The only rows-only queries are the
-  * genuinely non-SQL-expressible four: approximate ANN (hash-seed-
-  * specific bucketing; recall spec-asserted), sha1-based uuid5 (DuckDB
-  * has no sha1) and time-based uuid7 — everything else hash-matches.
+  * genuinely non-SQL-expressible two: sha1-based uuid5 (DuckDB has no
+  * sha1) and time-based uuid7 — everything else, including both
+  * approximate-ANN paths and the iterative k-means, hash-matches.
   */
 object SparkEntry {
 
