@@ -56,6 +56,12 @@ object PlanDump {
     "a19_pivot_wide" ->
       ("Pivot with a pinned value list: one map-side-combinable " +
         "aggregation pass, no driver-side distinct-value scan."),
+    "d29_kmeans" ->
+      ("k-means assignment round: driver-held centroids broadcast as " +
+        "literals into a codegen'd argmax-cosine projection — the " +
+        "final round is ONE scan with zero shuffles; only the " +
+        "(cluster, dim) centroid aggregation between rounds shuffles, " +
+        "and it carries k x d rows."),
     "pl_infer_works" ->
       ("Work-inference waterfall: three broadcast-probe pair builds " +
         "unioned and checkpointed ONCE, one shared corroboration " +
