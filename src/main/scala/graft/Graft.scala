@@ -220,10 +220,30 @@ object Graft {
     TextAnalysis.chunkByTokens(docs, idCol, textCol, chunkTokens, overlap)
 
   /** Per-group top-k via a bounded typed Aggregator — k-sized partial
-    * buffers shuffle instead of every row (no window sort). */
+    * buffers shuffle instead of every row (no window sort). String ids:
+    * [[operators.TopK.topKPerGroupAs]]. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
                    idCol: String, k: Int): DataFrame =
     graft.operators.TopK.topKPerGroup(df, groupCols, scoreCol, idCol, k)
+
+  /** Deterministic embedding k-means (Lloyd rounds with broadcast
+    * centroids) — IVF coarse-quantizer trainer / topic bucketing. */
+  def kMeans(emb: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): DataFrame =
+    graft.operators.Clustering.kMeans(emb, idCol, vecCol, k, iters)
+
+  /** DSIR-style importance scores for target-matched data selection
+    * (Laplace unigram-LM log-ratio, integer-micro exact). */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 targetFilter: Column): DataFrame =
+    graft.operators.Mixing.dsirScores(docs, idCol, textCol, targetFilter)
+
+  /** Report 94: per-album missing-critical-tags exception table. */
+  def missingCriticalTags(tracks: DataFrame, dirCol: String,
+                          criticalCols: Seq[String],
+                          compilationCol: Option[String] = None): DataFrame =
+    graft.reports.Insights.missingCriticalTags(tracks, dirCol,
+      criticalCols, compilationCol)
 
   /** Skew-salted equi-join (fact salts into n buckets, dim replicates). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
