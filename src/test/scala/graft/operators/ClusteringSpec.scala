@@ -24,6 +24,48 @@ class ClusteringSpec extends SparkSpec {
     assert(run(emb) == run(emb.repartition(7)))
   }
 
+  test("kMeans matches a driver-side Lloyd reference on seeded random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val data = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    // Spark's centroid sums may fold in a different order than the
+    // reference's left-to-right — a ≤1-ulp difference that survives
+    // the 6-dp rounding only on an exact .5e-6 boundary, which random
+    // float data does not produce
+    val df = data.toDF("vec_id", "embedding")
+
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(v: Array[Float], c: Array[Double]): Double = {
+      var d = 0.0; var nv = 0.0; var nc = 0.0
+      for (i <- v.indices) {
+        d += v(i).toDouble * c(i); nv += v(i).toDouble * v(i)
+        nc += c(i) * c(i)
+      }
+      round6(d / (math.sqrt(nv) * math.sqrt(nc)))
+    }
+    def assign(cents: Seq[(Int, Array[Double])]): Map[Long, Int] =
+      data.map { case (id, v) =>
+        id -> cents.map { case (ci, cv) => (-cos(v, cv), ci) }.min._2
+      }.toMap
+    val k = 3
+    var cents: Seq[(Int, Array[Double])] = data.sortBy(_._1).take(k)
+      .zipWithIndex.map { case ((_, v), i) => i -> v.map(_.toDouble) }
+    var ref = assign(cents)
+    // one recompute round (iters = 2): dim-wise mean in id order, 6 dp
+    cents = ref.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map { case (c, m) =>
+      val members = m.map(_._1).sorted.map(id => data(id.toInt)._2)
+      c -> Array.tabulate(8) { i =>
+        round6(members.map(_(i).toDouble).sum / members.size)
+      }
+    }
+    ref = assign(cents)
+    val got = Clustering.kMeans(df, "vec_id", "embedding", k, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == ref)
+  }
+
   test("a Lloyd round does not worsen mean assigned similarity") {
     // mean cosine(v, centroid-of-assigned-cluster) must be monotone
     // non-decreasing in iterations — the k-means objective

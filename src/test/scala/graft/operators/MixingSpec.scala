@@ -88,6 +88,48 @@ class MixingSpec extends SparkSpec {
     assert(sizes.values.forall(n => n > 125 && n < 500), sizes.toMap)
   }
 
+  test("dsirScores matches a driver-side reference on seeded random docs") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocabA = Vector("alpha", "beta", "gamma", "delta")
+    val vocabB = Vector("omega", "sigma", "tau", "beta")
+    val docs = (0L until 40L).map { i =>
+      val tgt = i % 2 == 0
+      val v = if (tgt) vocabA else vocabB
+      (i, (1 to 1 + rnd.nextInt(10)).map(_ => v(rnd.nextInt(v.size)))
+        .mkString(" "), if (tgt) "en" else "xx")
+    }
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text", "lang")
+    // reference: exact integer counts, per-term micro-rounded log ratio
+    val toks = docs.map { case (id, t, l) => (id, t.split("\\s+").toSeq, l) }
+    val srcCt = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val tgtCt = toks.filter(_._3 == "en").flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val ns = srcCt.values.sum.toLong
+    val nt = tgtCt.values.sum.toLong
+    val v = srcCt.size.toLong
+    def round0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val wm = srcCt.map { case (t, cs) =>
+      val ct = tgtCt.getOrElse(t, 0)
+      t -> round0((math.log((ct + 1.0) / (nt + v)) -
+        math.log((cs + 1.0) / (ns + v))) * 1e6)
+    }.toMap
+    val ref = toks.map { case (id, ts, _) =>
+      id -> ts.map(wm).sum
+    }.toMap
+    val got = Mixing.dsirScores(df, "doc_id", "text",
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // ≤1-ulp log differences can move a term weight by one micro; a
+    // doc's drift is bounded by its token count
+    val tokCount = toks.map(t => t._1 -> t._2.size.toLong).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - ref(id)) <= tokCount(id),
+        s"doc $id: got $s want ${ref(id)}")
+    }
+  }
+
   test("dsirScores separates the target subcorpus from the rest") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val scored = Mixing.dsirScores(docs, "doc_id", "text",
