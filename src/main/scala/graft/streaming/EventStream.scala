@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -140,6 +140,16 @@ object EventStream {
   def newRowsAntiJoin(incoming: DataFrame, existing: DataFrame,
                       inKey: String, exKey: String): DataFrame =
     incoming.join(existing, col(inKey) === col(exKey), "left_anti")
+
+  /** Modified-rows pickup, s7's sibling (ref `tags2db.py:980-1019`
+    * `--modified-files`): stream rows whose counterpart in the
+    * existing set satisfies `changed` (e.g. a newer mod-time) — a
+    * stream-static left-semi with the identical expressions as the s8
+    * batch query. Same execution shape as [[newRowsAntiJoin]]: static
+    * side probed per micro-batch, no streaming state. */
+  def modifiedSemiJoin(incoming: DataFrame, existing: DataFrame,
+                       changed: Column): DataFrame =
+    incoming.join(existing, changed, "left_semi")
 
   /** One-shot catch-up run (processes all available input, then stops) —
     * the Trigger.AvailableNow analogue of the reference's incremental

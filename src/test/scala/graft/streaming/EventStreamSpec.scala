@@ -119,6 +119,29 @@ class EventStreamSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("AvailableNow modified-rows semi-join matches the batch s8 query") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("evs8").toString
+    val ckpt = Files.createTempDirectory("evs8ck").toString
+    Files.copy(Paths.get(s"$sf0001/orders.parquet"),
+      Paths.get(s"$dir/orders.parquet"))
+    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    val incoming = spark.readStream.schema(schema).parquet(dir)
+    val existing = graft.core.Tables.lineitem(spark, sf0001)
+    val changed = EventStream.modifiedSemiJoin(incoming, existing,
+      col("o_orderkey") === col("l_orderkey") &&
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")) > 100)
+      .select("o_orderkey")
+    var got = Set.empty[Long]
+    EventStream.runAvailableNow(changed, ckpt, mode = "append") { (b, _) =>
+      got ++= b.collect().map(_.getLong(0))
+    }
+    val want = graft.queries.JoinQueries.defs("s8_modified_semi")(
+      spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("streaming upsert sink folds to the same state as the batch MERGE") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("evups").toString
