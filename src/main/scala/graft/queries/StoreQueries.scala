@@ -306,6 +306,26 @@ object StoreQueries {
         .orderBy("o_custkey")
     }),
 
+    // Hive-partitioned layout round-trip: orders written partitioned
+    // by order year, read back with a partition predicate — the scan
+    // lists only the matching year directory (pruning asserted in
+    // PlanSpec), then aggregates. The oracle restates the same agg
+    // over the unpartitioned table: layout must never change answers.
+    "s18_partition_prune" -> ((s, d) => {
+      import graft.sources.Bucketed
+      val root = s"/tmp/graft_${s.sparkContext.applicationId}/orders_part"
+      Bucketed.writePartitioned(
+        T.orders(s, d).withColumn("o_year",
+          year(col("o_orderdate").cast("date"))),
+        root, Seq("o_year"))
+      s.read.parquet(root)
+        .filter(col("o_year") === 1995)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.core.Exprs.cents(col("o_totalprice"))).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Z-order layout: Morton z-values of the (partkey, suppkey) filter
     // pair — the bit-interleave that bounds every range-partitioned
     // output file in BOTH dimensions (see operators/Layout.scala; the
@@ -430,6 +450,12 @@ object StoreQueries {
         |  AS qty_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "s18_partition_prune" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |  AS sum_cents
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "zo_zvalue" ->
       """SELECT l_partkey, l_suppkey, CAST(list_sum(
         |[((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))

@@ -38,4 +38,16 @@ object Bucketed {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
      else w).saveAsTable(table)
   }
+
+  /** Hive-style partitioned layout: one directory per partition value.
+    * A filter on a partition column prunes at FILE-LISTING time — the
+    * scan never opens non-matching directories, the first-order scan
+    * reducer for time-partitioned 100 TB stores (production lakes
+    * partition fact tables by ingest date for exactly this). Pruning
+    * composes with [[writeBucketed]] (co-located joins inside a
+    * partition) and Z-order (min/max pruning inside files): directory
+    * → bucket → file, three independent layers of skipping. */
+  def writePartitioned(df: DataFrame, dir: String,
+                       partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(dir)
 }

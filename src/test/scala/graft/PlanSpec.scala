@@ -38,6 +38,27 @@ class PlanSpec extends SparkSpec {
     assert(plan("q1_pricing_summary").contains("PushedFilters: [IsNotNull(l_quantity)"))
   }
 
+  test("s18 partition filter prunes to the matching year directory") {
+    val df = SparkEntry.queries("s18_partition_prune")(spark, sf0001)
+    val top = df.queryExecution.executedPlan
+    val inner = top match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case o => o
+    }
+    val scan = inner.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("o_year"),
+      s"no partition filter in scan:\n${scan.metadata}")
+    // pruning is real, not just planned: the executed scan reads ONLY
+    // the o_year=1995 directory's file(s), not all ~7 year partitions
+    // (df.inputFiles would lie here — it lists pre-pruning)
+    df.collect()
+    val read = scan.metrics("numFiles").value
+    assert(read >= 1 && read <= 2, s"scan read $read files — unpruned")
+  }
+
   test("near-dup pipelines contain no cartesian product") {
     // d10/d8 ride the bucketed LSH path — an equi-join on the bucket
     // id — so no O(N²) nested-loop scan anywhere (round-3 verdict #4).
