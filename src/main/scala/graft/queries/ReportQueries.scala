@@ -51,6 +51,49 @@ object ReportQueries {
         classicalRoles = Seq("composer", "conductor", "orchestra"),
         electronicRoles = Seq("remixer", "producer"))
     }),
+    // Quality-matrix branch (ref 92-...py:1045-1110): the
+    // filetype/bit-depth lossless-classification waterfall — DSD
+    // (bps=1) → lossless, known lossy codecs → lossy, known lossless
+    // containers → lossless, bit depth >0 → lossless, ambiguous
+    // containers without bit depth → lossy, else unknown — rolled up
+    // into the (class, bps, freq) histogram the dashboard plots.
+    "rp_quality_matrix" -> ((s, d) => {
+      val k = col("p_partkey")
+      val m11 = k % 11
+      val tracks = graft.core.Tables.part(s, d).select(
+        when(m11 === 0, lit("FLAC")).when(m11 === 1, lit("MP3"))
+          .when(m11 === 2, lit("Ogg Vorbis")).when(m11 === 3, lit("WavPack"))
+          .when(m11 === 4, lit("AIFF")).when(m11 === 5, lit("Opus"))
+          .when(m11 === 6, lit("M4A")).when(m11 === 7, lit("WMA"))
+          .when(m11 === 8, lit("DSF")).when(m11 === 9, lit(""))
+          .otherwise(lit(null).cast("string")).as("filetype"),
+        when(k % 13 === 0, lit("1")).when(k % 3 === 0, lit("16"))
+          .when(k % 3 === 1, lit("24")).when(k % 17 === 0, lit("0"))
+          .otherwise(lit(null).cast("string")).as("bps_raw"),
+        when(k % 4 === 0, lit(44.1)).when(k % 4 === 1, lit(48.0))
+          .when(k % 4 === 2, lit(96.0))
+          .otherwise(lit(null).cast("double")).as("freq_khz"))
+      val ftLc = lower(col("filetype"))
+      val bpsRaw = col("bps_raw").cast("long")
+      val bps = when(bpsRaw.isNotNull && bpsRaw > 0, bpsRaw)
+      val lossless = Seq("flac", "wav", "wave", "aiff", "aif", "ape",
+        "wavpack", "wv", "w64", "tta", "dsf", "dff", "alac")
+      val lossy = Seq("mp3", "ogg vorbis", "vorbis", "opus", "aac")
+      val isLossless = when(bps === 1, true)
+        .when(ftLc.isin(lossy: _*), false)
+        .when(ftLc.isin(lossless: _*), true)
+        .when(bps.isNotNull && bps > 0, true)
+        .when(ftLc.isin("m4a", "mp4", "wma") && bps.isNull, false)
+        .otherwise(lit(null).cast("boolean"))
+      tracks
+        .withColumn("quality", when(isLossless === true, "lossless")
+          .when(isLossless === false, "lossy").otherwise("unknown"))
+        .withColumn("dsd", coalesce(bps === 1, lit(false)))
+        .withColumn("bps", bps)
+        .groupBy("quality", "dsd", "bps", "freq_khz")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("quality", "dsd", "bps", "freq_khz")
+    }),
     // Report 94: missing-critical-tags-by-album exception table over a
     // deterministic alib-shaped fixture from customer (the
     // PipelineQueries synthesis convention): stride-40 albums, every
@@ -190,6 +233,42 @@ object ReportQueries {
         |  WHEN electronic >= rock_pop THEN 'electronic'
         |  ELSE 'rock_pop' END AS persona
         |FROM s""".stripMargin,
+    "rp_quality_matrix" ->
+      """WITH t AS (SELECT
+        |CASE WHEN p_partkey % 11 = 0 THEN 'FLAC'
+        |  WHEN p_partkey % 11 = 1 THEN 'MP3'
+        |  WHEN p_partkey % 11 = 2 THEN 'Ogg Vorbis'
+        |  WHEN p_partkey % 11 = 3 THEN 'WavPack'
+        |  WHEN p_partkey % 11 = 4 THEN 'AIFF'
+        |  WHEN p_partkey % 11 = 5 THEN 'Opus'
+        |  WHEN p_partkey % 11 = 6 THEN 'M4A'
+        |  WHEN p_partkey % 11 = 7 THEN 'WMA'
+        |  WHEN p_partkey % 11 = 8 THEN 'DSF'
+        |  WHEN p_partkey % 11 = 9 THEN '' END AS filetype,
+        |CASE WHEN p_partkey % 13 = 0 THEN '1'
+        |  WHEN p_partkey % 3 = 0 THEN '16'
+        |  WHEN p_partkey % 3 = 1 THEN '24'
+        |  WHEN p_partkey % 17 = 0 THEN '0' END AS bps_raw,
+        |CASE WHEN p_partkey % 4 = 0 THEN CAST(44.1 AS DOUBLE)
+        |  WHEN p_partkey % 4 = 1 THEN CAST(48.0 AS DOUBLE)
+        |  WHEN p_partkey % 4 = 2 THEN CAST(96.0 AS DOUBLE) END AS freq_khz
+        |FROM part),
+        |c AS (SELECT lower(filetype) AS ft,
+        |CASE WHEN CAST(bps_raw AS BIGINT) > 0
+        |  THEN CAST(bps_raw AS BIGINT) END AS bps, freq_khz FROM t),
+        |q AS (SELECT *,
+        |CASE WHEN bps = 1 THEN TRUE
+        |  WHEN ft IN ('mp3','ogg vorbis','vorbis','opus','aac') THEN FALSE
+        |  WHEN ft IN ('flac','wav','wave','aiff','aif','ape','wavpack',
+        |    'wv','w64','tta','dsf','dff','alac') THEN TRUE
+        |  WHEN bps > 0 THEN TRUE
+        |  WHEN ft IN ('m4a','mp4','wma') AND bps IS NULL THEN FALSE
+        |  END AS isll FROM c)
+        |SELECT CASE WHEN isll THEN 'lossless' WHEN NOT isll THEN 'lossy'
+        |  ELSE 'unknown' END AS quality,
+        |COALESCE(bps = 1, FALSE) AS dsd, bps, freq_khz, COUNT(*) AS n
+        |FROM q GROUP BY 1, 2, 3, 4
+        |ORDER BY quality, dsd, bps NULLS FIRST, freq_khz NULLS FIRST""".stripMargin,
     "rp_missing_critical" ->
       """WITH t AS (SELECT
         |CASE WHEN (c_custkey % 40) % 8 = 3
