@@ -395,6 +395,113 @@ case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment for k-means / IVF coarse quantization:
+  * argmax cosine against a driver-resident centroid matrix, ties to the
+  * LOWEST cluster id, similarities rounded to 6 dp (Spark `round`
+  * semantics: BigDecimal HALF_UP) so the value is bit-identical to the
+  * literal-expression formulation [[graft.operators.Clustering]] uses at
+  * small k. A zero-norm vector or centroid scores the sentinel -2.0
+  * (below any real cosine) instead of NaN, keeping the argmax total and
+  * engine-portable.
+  *
+  * Scale rationale: inlining k centroids as literals generates O(k·d)
+  * expression tree — megabytes of codegen source at a realistic coarse
+  * quantizer size (nlist 1024–65536), then Janino failure and
+  * interpreter fallback. Here the matrix rides the plan as a codegen
+  * REFERENCE OBJECT (`ctx.addReferenceObj`): the generated source is one
+  * static call regardless of k, the matrix is broadcast with the task
+  * binary exactly like MLlib's closure-captured centroids, and the scan
+  * stays map-side whole-stage-codegen with no join, no row expansion and
+  * no shuffle — the join + min-by alternative would expand every row k×
+  * and re-aggregate it back.
+  */
+object NearestCentroid {
+  def norms(cents: Array[Array[Double]]): Array[Double] =
+    cents.map { c =>
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  /** Spark `round(x, 6)` for doubles: BigDecimal.valueOf + HALF_UP. */
+  def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def assign(v: ArrayData, cents: Array[Array[Double]], cnorms: Array[Double],
+             ids: Array[Int], isFloat: Boolean): Int = {
+    val n = v.numElements()
+    // vector norm first (shared across all k candidates); left-to-right
+    // fold in double, same order as DotProductExpr(v, v)
+    var vsq = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      vsq += x * x
+      i += 1
+    }
+    val vn = math.sqrt(vsq)
+    var best = Double.NegativeInfinity
+    var bestId = if (ids.isEmpty) 0 else ids(0)
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      val m = math.min(n, c.length)
+      var d = 0.0
+      var j = 0
+      while (j < m) {
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        d += x * c(j)
+        j += 1
+      }
+      val denom = vn * cnorms(ci)
+      val sim = if (denom == 0d) -2d else round6(d / denom)
+      // strict > keeps the earlier (lowest-id) centroid on ties — ids
+      // must be passed in ascending order
+      if (sim > best) { best = sim; bestId = ids(ci) }
+      ci += 1
+    }
+    bestId
+  }
+}
+
+case class NearestCentroidExpr(child: Expression, cents: Seq[(Int, Seq[Double])])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // Seq in the case-class field (structural equality for Catalyst
+  // canonicalization); arrays materialized once per instance for the
+  // eval hot path and shared with codegen via addReferenceObj
+  @transient private lazy val matrix: Array[Array[Double]] =
+    cents.map(_._2.toArray).toArray
+  @transient private lazy val cnorms: Array[Double] =
+    NearestCentroid.norms(matrix)
+  @transient private lazy val ids: Array[Int] = cents.map(_._1).toArray
+
+  override def nullSafeEval(x: Any): Any =
+    NearestCentroid.assign(x.asInstanceOf[ArrayData], matrix, cnorms, ids,
+      childIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("cents", matrix, "double[][]")
+    val nRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    val iRef = ctx.addReferenceObj("cids", ids, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NearestCentroid.assign($c, $mRef, $nRef, $iRef, " +
+        s"$childIsFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class HashedShinglesExpr(child: Expression, k: Int,
                               strict: Boolean = false)
     extends UnaryExpression {
@@ -428,6 +535,12 @@ object NativeExpressions {
 
   def minHashSig(hs: Column, numPerm: Int): Column =
     Shims.toColumn(MinHashSigExpr(Shims.toExpression(hs), numPerm))
+
+  /** Argmax-cosine cluster id against a driver-resident centroid matrix
+    * (`(id, vector)` pairs, ids ascending). Constant plan size at any k. */
+  def nearestCentroid(v: Column, cents: Seq[(Int, Array[Double])]): Column =
+    Shims.toColumn(NearestCentroidExpr(Shims.toExpression(v),
+      cents.map { case (i, a) => (i, a.toSeq) }))
 
   def textStats(text: Column, stop: Seq[String]): Column =
     Shims.toColumn(TextStatsExpr(Shims.toExpression(text), stop))

@@ -66,6 +66,70 @@ class ClusteringSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("reference-object assignment path matches driver-side argmax at k=100") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val dim = 8
+    val data = (0L until 300L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val df = data.toDF("vec_id", "embedding")
+    val cents: Seq[(Int, Array[Double])] = (0 until 100).map(ci =>
+      ci -> Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(v: Array[Float], c: Array[Double]): Double = {
+      var d = 0.0; var nv = 0.0; var nc = 0.0
+      for (i <- v.indices) {
+        d += v(i).toDouble * c(i); nv += v(i).toDouble * v(i)
+        nc += c(i) * c(i)
+      }
+      round6(d / (math.sqrt(nv) * math.sqrt(nc)))
+    }
+    val ref = data.map { case (id, v) =>
+      id -> cents.map { case (ci, cv) => (-cos(v, cv), ci) }.min._2
+    }.toMap
+    val got = df.select(col("vec_id"),
+        graft.functions.NativeExpressions
+          .nearestCentroid(col("embedding"), cents).as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == ref)
+  }
+
+  test("k=256 kMeans completes with codegen fallback disabled") {
+    // above LiteralKMax the assignment must NOT be a k-wide literal
+    // expression: with fallback off, a Janino failure (the literal
+    // path's failure mode at large k) would throw instead of silently
+    // interpreting — completing here proves constant-size codegen
+    val prevWs = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = Clustering.kMeans(emb, "vec_id", "embedding", k = 256,
+          iters = 2)
+        .collect().map(x => (x.getLong(0), x.getInt(1)))
+      assert(r.length == emb.count())
+      assert(r.forall { case (_, c) => c >= 0 && c < 256 })
+      assert(r.map(_._2).distinct.length > 10)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevWs)
+  }
+
+  test("zero-norm vectors assign to the lowest cluster id, no NaN") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val dim = 4
+    // id 0 is a zero vector AND becomes centroid 0 (k lowest ids init)
+    val data = (0L until 80L).map(i =>
+      (i, if (i == 0L) Array.fill(dim)(0f)
+          else Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val df = data.toDF("vec_id", "embedding")
+    for (k <- Seq(4, 70)) { // literal path and reference-object path
+      val got = Clustering.kMeans(df, "vec_id", "embedding", k, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got.size == 80)
+      assert(got(0L) == 0, s"zero vector must tie-break to cluster 0 at k=$k")
+      assert(got.values.forall(c => c >= 0 && c < k))
+    }
+  }
+
   test("a Lloyd round does not worsen mean assigned similarity") {
     // mean cosine(v, centroid-of-assigned-cluster) must be monotone
     // non-decreasing in iterations — the k-means objective
