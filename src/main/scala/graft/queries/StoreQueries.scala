@@ -51,6 +51,27 @@ object StoreQueries {
     s"$root/$name"
   }
 
+  /** The year-partitioned orders copy for s18, written ONCE per
+    * (application, dataset dir) and read thereafter: re-running the
+    * query must time the partition-pruned READ, not a rewrite, and two
+    * concurrent constructions in one app must not race on one
+    * overwrite path. Keyed like [[LlmQueries]]' memos; the path uses a
+    * SHA-1 digest of the dataset dir (collision-free, unlike
+    * String.hashCode). */
+  private val partMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedOrders(s: SparkSession, d: String): String =
+    partMemo.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      val digest = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val root = scratch(s, s"orders_part_$digest")
+      graft.sources.Bucketed.writePartitioned(
+        T.orders(s, d).withColumn("o_year",
+          year(col("o_orderdate").cast("date"))),
+        root, Seq("o_year"))
+      root
+    })
+
   val defs: Map[String, Q] = Map(
     // S5: INSERT OR REPLACE upsert — incoming (10% of docs, lang
     // rewritten) wins on key collision, everything else survives.
@@ -311,20 +332,16 @@ object StoreQueries {
     // lists only the matching year directory (pruning asserted in
     // PlanSpec), then aggregates. The oracle restates the same agg
     // over the unpartitioned table: layout must never change answers.
-    "s18_partition_prune" -> ((s, d) => {
-      import graft.sources.Bucketed
-      val root = s"/tmp/graft_${s.sparkContext.applicationId}/orders_part"
-      Bucketed.writePartitioned(
-        T.orders(s, d).withColumn("o_year",
-          year(col("o_orderdate").cast("date"))),
-        root, Seq("o_year"))
-      s.read.parquet(root)
+    // The partitioned copy is written ONCE per (app, dataset) — see
+    // [[partitionedOrders]]; re-invocations (bench iterations,
+    // concurrent constructions) read, never racing on an overwrite.
+    "s18_partition_prune" -> ((s, d) =>
+      s.read.parquet(partitionedOrders(s, d))
         .filter(col("o_year") === 1995)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(graft.core.Exprs.cents(col("o_totalprice"))).as("sum_cents"))
-        .orderBy("o_orderpriority")
-    }),
+        .orderBy("o_orderpriority")),
 
     // Z-order layout: Morton z-values of the (partkey, suppkey) filter
     // pair — the bit-interleave that bounds every range-partitioned
