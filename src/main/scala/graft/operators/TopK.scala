@@ -50,14 +50,26 @@ object TopK {
     override def reduce(buf: Seq[Entry[I]], e: Entry[I]): Seq[Entry[I]] =
       insert(buf, e)
 
+    /** One array allocation + one pass per ACCEPTED element; a rejected
+      * element returns `buf` itself (same instance — asserted in
+      * TopKSpec). The previous `(take :+ e) ++ drop.take` built three
+      * intermediate collections per accepted element, measurable churn
+      * at k=100 × many groups. */
     private def insert(buf: Seq[Entry[I]], e: Entry[I]): Seq[Entry[I]] = {
-      if (buf.size == k && !better(e, buf.last)) buf
+      val n = buf.length
+      if (n == k && !better(e, buf(n - 1))) buf
       else {
-        val i = buf.indexWhere(b => better(e, b)) match {
-          case -1 => buf.size
-          case j  => j
-        }
-        (buf.take(i) :+ e) ++ buf.drop(i).take(k - i - 1)
+        var i = 0
+        while (i < n && !better(e, buf(i))) i += 1
+        val m = math.min(n + 1, k)
+        val out = new Array[AnyRef](m)
+        var j = 0
+        while (j < i) { out(j) = buf(j).asInstanceOf[AnyRef]; j += 1 }
+        out(i) = e.asInstanceOf[AnyRef]
+        j = i + 1
+        while (j < m) { out(j) = buf(j - 1).asInstanceOf[AnyRef]; j += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+          .asInstanceOf[Seq[Entry[I]]]
       }
     }
 
@@ -84,16 +96,50 @@ object TopK {
                    idCol: String, k: Int): DataFrame =
     topKPerGroupAs[Long](df, groupCols, scoreCol, idCol, k)
 
+  /** Unicode code-point order — equal to UTF-8 lexicographic byte order
+    * (a structural property of UTF-8), i.e. Spark's UTF8String binary
+    * comparison, for ALL inputs including non-BMP. Scala/Java's natural
+    * String ordering is UTF-16 code-UNIT order, which ranks
+    * supplementary characters (surrogate pairs, 0xD800-0xDFFF units)
+    * BELOW some BMP characters — a silent oracle divergence waiting on
+    * the first emoji id. */
+  object Utf8Ordering extends Ordering[String] {
+    override def compare(a: String, b: String): Int = {
+      val la = a.length
+      val lb = b.length
+      var i = 0
+      while (i < la && i < lb) {
+        val ca = a.charAt(i)
+        val cb = b.charAt(i)
+        if (ca != cb) {
+          // unequal UTF-16 units at the first difference: code-point
+          // order differs from unit order only when exactly one side
+          // is a high surrogate (its code point is >= 0x10000)
+          val cpa = a.codePointAt(i)
+          val cpb = b.codePointAt(i)
+          return Integer.compare(cpa, cpb)
+        }
+        i += 1
+      }
+      Integer.compare(la, lb)
+    }
+  }
+
   /** Generic-id variant: `I` is the id column's external type (Long,
-    * String, …). String ids compare with Scala's natural String
-    * ordering — identical to Spark's UTF8String binary order for BMP
-    * text (both are code-point order there). */
+    * String, …). String ids compare with [[Utf8Ordering]] — Spark's
+    * UTF8String binary order for all inputs, non-BMP included (the
+    * natural String ordering the caller's implicit would supply
+    * diverges on surrogate pairs, so it is swapped out here). */
   def topKPerGroupAs[I: Ordering: TypeTag](
       df: DataFrame, groupCols: Seq[String], scoreCol: String,
       idCol: String, k: Int): DataFrame = {
     implicit val bufEnc: Encoder[Seq[Entry[I]]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry[I]]]()
-    val agg = udaf(new TopKAgg[I](k))
+    val ord0 = implicitly[Ordering[I]]
+    val ord =
+      if (ord0 eq Ordering.String) Utf8Ordering.asInstanceOf[Ordering[I]]
+      else ord0
+    val agg = udaf(new TopKAgg[I](k)(ord, bufEnc))
     val kept = df
       .groupBy(groupCols.map(col): _*)
       .agg(agg(coalesce(col(scoreCol), lit(0L)), col(scoreCol).isNull,

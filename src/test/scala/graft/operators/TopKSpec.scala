@@ -109,6 +109,42 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window sneaked in:\n$plan")
   }
 
+  test("non-BMP string ids tie-break in UTF8String (code point) order") {
+    // U+1D11E (musical G clef) is a surrogate pair: UTF-16 unit order
+    // puts it BEFORE U+FF21 (fullwidth A); code-point / UTF-8 byte
+    // order — what Spark's sort and DuckDB use — puts it AFTER
+    val clef = new String(Character.toChars(0x1D11E))
+    val fwA = "Ａ"
+    assert(Ordering.String.lt(clef, fwA), "premise: natural order differs")
+    assert(TopK.Utf8Ordering.gt(clef, fwA))
+    val df = Seq(("g", 5L, clef), ("g", 5L, fwA), ("g", 5L, "plain"))
+      .toDF("g", "cnt", "tok")
+    val got = TopK.topKPerGroupAs[String](df, Seq("g"), "cnt", "tok", k = 3)
+      .orderBy("rank").collect().map(_.getString(2))
+    // expected order = Spark's own ORDER BY tok (UTF8String binary)
+    val sparkOrder = df.select("tok").orderBy("tok").collect()
+      .map(_.getString(0))
+    assert(got.toSeq == sparkOrder.toSeq)
+  }
+
+  test("insert allocates once per accepted element, nothing when rejected") {
+    val agg = new TopK.TopKAgg[Long](2)(
+      implicitly[Ordering[Long]],
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[TopK.Entry[Long]]]())
+    val full = agg.reduce(agg.reduce(agg.zero,
+      TopK.Entry(9L, noScore = false, 1L)),
+      TopK.Entry(8L, noScore = false, 2L))
+    // rejected: the SAME buffer instance comes back — zero allocation
+    val rejected = agg.reduce(full, TopK.Entry(1L, noScore = false, 3L))
+    assert(rejected.asInstanceOf[AnyRef] eq full.asInstanceOf[AnyRef])
+    // accepted: one fresh k-bounded ArraySeq
+    val accepted = agg.reduce(full, TopK.Entry(10L, noScore = false, 4L))
+    assert(accepted.isInstanceOf[scala.collection.immutable.ArraySeq[_]])
+    assert(accepted.length == 2)
+    assert(accepted.map(_.id) == Seq(4L, 1L))
+  }
+
   test("a group column named pos or col does not collide with the generator") {
     val df = Seq(("x", 2L, 1L), ("x", 1L, 2L)).toDF("pos", "score", "id")
     val got = TopK.topKPerGroup(df, Seq("pos"), "score", "id", k = 1)
