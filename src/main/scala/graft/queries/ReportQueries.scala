@@ -12,7 +12,51 @@ import graft.reports.Insights
 object ReportQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Deterministic alib-shaped roles/ReplayGain fixture from customer
+    * (the synthesis convention rp_missing_critical uses): stride-40
+    * album roots; decimal-grid signed gains with modular nulls
+    * (multiples of 0.1 / 0.001 keep interpolated quantiles on a 0.01
+    * grid, far from 6-dp rounding boundaries); multi-value producer
+    * cells on the tagminder \\ delimiter; engineer with null AND blank
+    * gaps; single-value label. Shared by rp_quality_quantiles /
+    * rp_top_roles / rp_role_pairs. */
+  private def roleTracks(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey")
+    graft.core.Tables.customer(s, d).select(
+      concat(lit("/m/A"), (k % 40).cast("string")).as("album_root"),
+      when(k % 11 === 0, lit(null).cast("double"))
+        .otherwise((-(k % 240)).cast("double") / 10.0).as("rg_album_gain_db"),
+      when(k % 7 === 0, lit(null).cast("double"))
+        .otherwise((k % 1300).cast("double") / 1000.0).as("rg_album_peak"),
+      when(k % 13 === 0, lit(null).cast("double"))
+        .otherwise(((k * 3) % 200 - 100).cast("double") / 10.0)
+        .as("rg_track_gain_db"),
+      when(k % 29 === 0, lit(null).cast("string"))
+        .when(k % 3 === 0, concat(lit("P"), (k % 7).cast("string")))
+        .otherwise(concat(lit("P"), (k % 7).cast("string"), lit("\\\\"),
+          lit("P"), ((k % 11) + 7).cast("string"))).as("producer"),
+      when(k % 31 === 0, lit(null).cast("string"))
+        .when(k % 17 === 0, lit(""))
+        .otherwise(concat(lit("E"), (k % 5).cast("string"))).as("engineer"),
+      when(k % 19 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("L"), (k % 9).cast("string"))).as("label"))
+  }
+
   val defs: Map[String, Q] = Map(
+    // Per-album ReplayGain quality/dynamics quantiles (ref
+    // 92-...py:1289-1304): median album gain, max peak, non-null
+    // counts, p90-p10 track-gain spread.
+    "rp_quality_quantiles" -> ((s, d) =>
+      Insights.qualityQuantiles(roleTracks(s, d))),
+    // Top-N role tokens by distinct-album count (ref :1883-2715):
+    // producer (multi-value) and label vocabularies in one table.
+    "rp_top_roles" -> ((s, d) =>
+      Insights.topRoles(roleTracks(s, d), Seq("producer", "label"),
+        topN = 10)),
+    // Producer<->engineer collaboration (ref :2471-2560 section 7c).
+    "rp_role_pairs" -> ((s, d) =>
+      Insights.rolePairs(roleTracks(s, d), "producer", "engineer",
+        topN = 20)),
     "rp_kpis" -> ((s, d) => Insights.kpis(Insights.base(s, d))),
     "rp_yearly" -> ((s, d) => Insights.yearlyTrends(Insights.base(s, d))),
     "rp_priority_mix" -> ((s, d) => Insights.priorityMix(Insights.base(s, d))),
@@ -123,7 +167,85 @@ object ReportQueries {
     }),
   )
 
+  /** DuckDB restatement of [[roleTracks]] (interpolated into the three
+    * role/quality oracles). `\\` in this triple-quoted literal is two
+    * backslash characters — the tagminder delimiter, no escape
+    * processing on either side. */
+  private val RoleTracksSql: String =
+    """SELECT '/m/A' || (c_custkey % 40) AS album_root,
+      |CASE WHEN c_custkey % 11 = 0 THEN NULL
+      |  ELSE -((c_custkey % 240) / CAST(10 AS DOUBLE)) END AS rg_album_gain_db,
+      |CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |  ELSE (c_custkey % 1300) / CAST(1000 AS DOUBLE) END AS rg_album_peak,
+      |CASE WHEN c_custkey % 13 = 0 THEN NULL
+      |  ELSE ((c_custkey * 3) % 200 - 100) / CAST(10 AS DOUBLE)
+      |  END AS rg_track_gain_db,
+      |CASE WHEN c_custkey % 29 = 0 THEN NULL
+      |  WHEN c_custkey % 3 = 0 THEN 'P' || (c_custkey % 7)
+      |  ELSE 'P' || (c_custkey % 7) || '\\P' || ((c_custkey % 11) + 7)
+      |  END AS producer,
+      |CASE WHEN c_custkey % 31 = 0 THEN NULL
+      |  WHEN c_custkey % 17 = 0 THEN ''
+      |  ELSE 'E' || (c_custkey % 5) END AS engineer,
+      |CASE WHEN c_custkey % 19 = 0 THEN NULL
+      |  ELSE 'L' || (c_custkey % 9) END AS label
+      |FROM customer""".stripMargin
+
+  private def tokSql(c: String): String =
+    s"unnest(list_filter(list_transform(string_split(coalesce($c, ''), " +
+      s"'\\\\'), x -> trim(x)), x -> x <> ''))"
+
   val sql: Map[String, String] = Map(
+    "rp_quality_quantiles" ->
+      s"""WITH t AS ($RoleTracksSql)
+         |SELECT album_root,
+         |ROUND(CAST(quantile_cont(rg_album_gain_db, 0.5) AS DOUBLE), 6)
+         |  AS rg_album_gain_db,
+         |MAX(rg_album_peak) AS rg_album_peak,
+         |CAST(COUNT(rg_album_gain_db) AS INT) AS rg_album_gain_n,
+         |CAST(COUNT(rg_album_peak) AS INT) AS rg_album_peak_n,
+         |ROUND(CAST(quantile_cont(rg_track_gain_db, 0.9) AS DOUBLE)
+         |  - CAST(quantile_cont(rg_track_gain_db, 0.1) AS DOUBLE), 6)
+         |  AS rg_track_gain_p90_p10_db
+         |FROM t GROUP BY album_root ORDER BY album_root""".stripMargin,
+    "rp_top_roles" ->
+      s"""WITH t AS ($RoleTracksSql),
+         |pr AS (SELECT DISTINCT album_root, tok FROM (
+         |  SELECT album_root, ${tokSql("producer")} AS tok FROM t)),
+         |la AS (SELECT DISTINCT album_root, tok FROM (
+         |  SELECT album_root, ${tokSql("label")} AS tok FROM t)),
+         |c AS (
+         |  SELECT 'producer' AS role, tok, COUNT(*) AS albums
+         |  FROM pr GROUP BY tok
+         |  UNION ALL
+         |  SELECT 'label' AS role, tok, COUNT(*) AS albums
+         |  FROM la GROUP BY tok),
+         |r AS (SELECT role, ROW_NUMBER() OVER (PARTITION BY role
+         |  ORDER BY albums DESC, tok) AS rank, tok, albums FROM c)
+         |SELECT role, rank, tok, albums FROM r WHERE rank <= 10
+         |ORDER BY role, rank""".stripMargin,
+    "rp_role_pairs" ->
+      s"""WITH t AS ($RoleTracksSql),
+         |pa AS (SELECT DISTINCT album_root, tok AS a_tok FROM (
+         |  SELECT album_root, ${tokSql("producer")} AS tok FROM t)),
+         |pb AS (SELECT DISTINCT album_root, tok AS b_tok FROM (
+         |  SELECT album_root, ${tokSql("engineer")} AS tok FROM t)),
+         |c AS (SELECT a_tok, b_tok, COUNT(*) AS albums
+         |  FROM pa JOIN pb USING (album_root) GROUP BY a_tok, b_tok),
+         |da AS (SELECT a_tok, b_tok, albums, ROW_NUMBER() OVER (
+         |  PARTITION BY a_tok ORDER BY albums DESC, b_tok) AS rn FROM c),
+         |db AS (SELECT a_tok, b_tok, albums, ROW_NUMBER() OVER (
+         |  PARTITION BY b_tok ORDER BY albums DESC, a_tok) AS rn FROM c),
+         |u AS (
+         |  SELECT 'producer' AS side, a_tok || ' | ' || b_tok AS label,
+         |    albums FROM da WHERE rn = 1
+         |  UNION ALL
+         |  SELECT 'engineer' AS side, b_tok || ' | ' || a_tok AS label,
+         |    albums FROM db WHERE rn = 1),
+         |r AS (SELECT side, ROW_NUMBER() OVER (PARTITION BY side
+         |  ORDER BY albums DESC, label) AS rank, label, albums FROM u)
+         |SELECT side, rank, label, albums FROM r WHERE rank <= 20
+         |ORDER BY side, rank""".stripMargin,
     "rp_kpis" ->
       """SELECT COUNT(*) AS n_orders,
         |COUNT(DISTINCT o_custkey) AS n_customers,

@@ -141,6 +141,100 @@ object Insights {
         .otherwise("rock_pop"))
   }
 
+  /** Per-album ReplayGain quality/dynamics rollup (ref
+    * 92-...py:1289-1304): median album gain, max album peak, non-null
+    * counts, and the p90−p10 spread of track gain (the "dynamics
+    * compression" signal). One hash aggregation on the album root.
+    *
+    * Oracle parity: the quantiles interpolate (`percentile` here,
+    * `quantile_cont` in DuckDB — both linear `lower + (hi-lo)·frac`),
+    * so every value is rounded to 6 dp on BOTH sides; with the
+    * fixture's decimal-grid gains the true quantiles are multiples of
+    * 0.01, far from any .5e-6 rounding boundary, so ulp-level
+    * interpolation drift cannot flip the hash (the a8/d29 recipe). */
+  def qualityQuantiles(tracks: DataFrame): DataFrame =
+    tracks.filter(col("album_root").isNotNull)
+      .groupBy("album_root")
+      .agg(
+        round(expr("percentile(rg_album_gain_db, 0.5)"), 6)
+          .as("rg_album_gain_db"),
+        max(col("rg_album_peak")).as("rg_album_peak"),
+        count(col("rg_album_gain_db")).cast("int").as("rg_album_gain_n"),
+        count(col("rg_album_peak")).cast("int").as("rg_album_peak_n"),
+        round(expr("percentile(rg_track_gain_db, 0.9)")
+          - expr("percentile(rg_track_gain_db, 0.1)"), 6)
+          .as("rg_track_gain_p90_p10_db"))
+      .orderBy("album_root")
+
+  /** Top-N role tokens by distinct-album count (ref 92-...py:1883-2715
+    * — the producers/labels/engineers horizontal-bar family; each
+    * chart is `distinct (album, token) → count per token → head(N)`).
+    * All requested role columns ride ONE result table with a `role`
+    * discriminator.
+    *
+    * Scale shape: explode + distinct is one shuffle of (album, token)
+    * rows, the count another on aggregated rows, and the final head(N)
+    * uses the bounded per-group top-k aggregator — k-sized buffers
+    * cross the last shuffle, never the full token vocabulary sorted. */
+  def topRoles(tracks: DataFrame, roleCols: Seq[String], topN: Int)
+      : DataFrame = {
+    import graft.core.MultiValue
+    val counts = roleCols.map { rc =>
+      tracks.filter(col("album_root").isNotNull)
+        .select(col("album_root"),
+          explode(MultiValue.tokens(coalesce(col(rc), lit("")))).as("tok"))
+        .distinct()
+        .groupBy("tok").agg(count(lit(1)).as("albums"))
+        .select(lit(rc).as("role"), col("tok"), col("albums"))
+    }.reduce(_ unionByName _)
+    graft.operators.TopK
+      .topKPerGroupAs[String](counts, Seq("role"), "albums", "tok", topN)
+      .orderBy("role", "rank")
+  }
+
+  /** Producer ↔ engineer collaboration patterns (ref
+    * 92-...py:2471-2560, section 7c): album-level co-occurrence of the
+    * two role vocabularies, then each producer's most frequent
+    * engineer and each engineer's most frequent producer, top-N rows
+    * per direction by shared-album count, labelled `who | partner`
+    * like the reference. Ties are pinned (partner asc, then label
+    * asc) — the reference's `unique(keep="first")` after a sort not
+    * keyed on the partner is unstable; a deterministic engine cannot
+    * reproduce instability, so it fixes the order instead.
+    *
+    * Both rank steps ride the bounded top-k aggregator (k=1 per
+    * `who`, then k=N per direction): no window sort touches the
+    * (who, partner) count table. */
+  def rolePairs(tracks: DataFrame, roleA: String, roleB: String,
+                topN: Int): DataFrame = {
+    import graft.core.MultiValue
+    import graft.operators.TopK
+    def sideToks(rc: String, as: String): DataFrame =
+      tracks.filter(col("album_root").isNotNull)
+        .select(col("album_root"),
+          explode(MultiValue.tokens(coalesce(col(rc), lit("")))).as(as))
+        .distinct()
+    val pairs = sideToks(roleA, "a_tok").join(sideToks(roleB, "b_tok"),
+        "album_root")
+      .groupBy("a_tok", "b_tok").agg(count(lit(1)).as("albums"))
+    def direction(side: String, who: String, partner: String): DataFrame = {
+      // top partner per `who`: bounded k=1 buffers, score = albums,
+      // partner-asc tie-break via the aggregator's id ordering
+      val top1 = TopK.topKPerGroupAs[String](
+        pairs.select(col(who).as("who"), col(partner).as("partner"),
+          col("albums")),
+        Seq("who"), "albums", "partner", 1)
+      TopK.topKPerGroupAs[String](
+        top1.select(lit(side).as("side"),
+          concat(col("who"), lit(" | "), col("partner")).as("label"),
+          col("albums")),
+        Seq("side"), "albums", "label", topN)
+    }
+    direction(roleA, "a_tok", "b_tok")
+      .unionByName(direction(roleB, "b_tok", "a_tok"))
+      .orderBy("side", "rank")
+  }
+
   /** Report 94 (ref `scripts/reports/94-report-missing-critical-tags-
     * by-album.py`): exception-only wide report — one row per album
     * (album-root of `dirCol`, disc subfolders collapsed) that has at
