@@ -11,7 +11,63 @@ import org.apache.spark.sql.SparkSession
   * the full physical plan including projections and writes nothing.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    if (args.contains("--solo")) solo() else suite()
+
+  private def sessionBuilder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.maxFields", "1024")
+
+  /** Solo mode (`runMain graft.Bench --solo`): each query in a FRESH
+    * SparkContext, timed twice — `cold` is the first execution in the
+    * new context (session bring-up amortized out, codegen compilation
+    * in), `warm` the immediate re-run (plans/codegen hot; memoized
+    * scratch tables materialized). In-suite numbers are NOT comparable
+    * to these (shared-suite codegen shapes + inter-query GC attribution
+    * make suite times read 2-4× higher for some queries); this mode
+    * exists to pin per-query cost claims (PLANS.md) to a measured
+    * artifact, BENCH_SOLO.json. The JVM itself is shared across the
+    * loop, so JIT state carries over — `cold` is cold-context, not
+    * cold-JVM. */
+  private def solo(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq("pl_infer_works", "g2_connected_components",
+        "d24_bm25_search", "rp_profile", "d5_minhash_lsh"))
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val results = names.map { name =>
+      SparkSession.getActiveSession.foreach(_.stop())
+      val spark = sessionBuilder(cpus).getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once()
+      val warm = once()
+      System.err.println(s"[bench-solo] $name cold=${f(cold)} warm=${f(warm)}")
+      (name, cold, warm)
+    }
+    SparkSession.getActiveSession.foreach(_.stop())
+    val qs = results.map { case (k, c, w) =>
+      "\"" + k + "\":{\"cold\":" + f(c) + ",\"warm\":" + f(w) + "}"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"solo","unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SOLO.json"), line + "\n")
+    println(line)
+  }
+
+  private def suite(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
