@@ -245,6 +245,21 @@ object Graft {
     graft.reports.Insights.missingCriticalTags(tracks, dirCol,
       criticalCols, compilationCol)
 
+  /** Per-album ReplayGain quality/dynamics quantile rollup. */
+  def qualityQuantiles(tracks: DataFrame): DataFrame =
+    graft.reports.Insights.qualityQuantiles(tracks)
+
+  /** Top-N role tokens per role column by distinct-album count. */
+  def topRoles(tracks: DataFrame, roleCols: Seq[String],
+               topN: Int): DataFrame =
+    graft.reports.Insights.topRoles(tracks, roleCols, topN)
+
+  /** Album-level role co-occurrence: each side's top partner, top-N
+    * rows per direction. */
+  def rolePairs(tracks: DataFrame, roleA: String, roleB: String,
+                topN: Int): DataFrame =
+    graft.reports.Insights.rolePairs(tracks, roleA, roleB, topN)
+
   /** Skew-salted equi-join (fact salts into n buckets, dim replicates). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  spreadCol: String, n: Int = 16): DataFrame =

@@ -38,4 +38,54 @@ class InsightsSpec extends SparkSpec {
       Seq("title", "artist", "albumartist")).collect()
     assert(r.length == 1 && r.head.getInt(5) == 1)
   }
+
+  test("qualityQuantiles: median, max, non-null counts, p90-p10 spread") {
+    // album A: 11 track gains 1..11 → p90 = sorted[0.9*10] = 10 exactly,
+    // p10 = 2 → spread 8; album gains (-1,-2,-3) → median -2; one null
+    // peak → count 2, max 0.9
+    val a = (1 to 11).map(i => ("/m/A",
+      Some(-(1 + (i % 3)).toDouble), if (i <= 2) Some(i * 0.4 + 0.1) else None,
+      Some(i.toDouble)))
+    // album B: all-null track gains → null spread, count 0
+    val b = Seq(("/m/B", Some(5.0), Some(0.7), Option.empty[Double]))
+    val tracks = (a ++ b).toDF("album_root", "rg_album_gain_db",
+      "rg_album_peak", "rg_track_gain_db")
+    val r = Insights.qualityQuantiles(tracks).collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2),
+        x.getInt(3), x.getInt(4), Option(x.get(5)))).toSeq
+    assert(r == Seq(
+      ("/m/A", -2.0, 0.9, 11, 2, Some(8.0)),
+      ("/m/B", 5.0, 0.7, 1, 1, None)))
+  }
+
+  test("topRoles: distinct-album counts, multi-value cells, tok tie-break") {
+    val tracks = Seq(
+      // P1 on two albums (one via a multi-value cell that also repeats
+      // P1 — distinct must count the album once); P2 on one
+      ("/m/A", "P1\\\\P2", "L1"),
+      ("/m/A", "P1", "L1"),
+      ("/m/B", "P1\\\\P1", null),
+      ("/m/C", null, "L2"))
+      .toDF("album_root", "producer", "label")
+    val r = Insights.topRoles(tracks, Seq("producer", "label"), topN = 1)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2),
+        x.getLong(3))).toSeq
+    // label tie (L1=1, L2=1) breaks to L1; producer top is P1 with 2
+    assert(r == Seq(("label", 1L, "L1", 1L), ("producer", 1L, "P1", 2L)))
+  }
+
+  test("rolePairs: per-side top partner with shared-album counts") {
+    val tracks = Seq(
+      ("/m/A", "P1", "E1"), ("/m/A", "P1", "E2"),
+      ("/m/B", "P1", "E1"), ("/m/B", "P2", "E1"))
+      .toDF("album_root", "producer", "engineer")
+    val r = Insights.rolePairs(tracks, "producer", "engineer", topN = 5)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2),
+        x.getLong(3))).toSeq
+    assert(r == Seq(
+      // engineers: E1's top producer is P1 (2 shared albums); E2 | P1 (1)
+      ("engineer", 1L, "E1 | P1", 2L), ("engineer", 2L, "E2 | P1", 1L),
+      // producers: P1's top engineer is E1 (2); P2 | E1 (1)
+      ("producer", 1L, "P1 | E1", 2L), ("producer", 2L, "P2 | E1", 1L)))
+  }
 }
