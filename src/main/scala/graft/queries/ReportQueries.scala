@@ -39,7 +39,19 @@ object ReportQueries {
         .when(k % 17 === 0, lit(""))
         .otherwise(concat(lit("E"), (k % 5).cast("string"))).as("engineer"),
       when(k % 19 === 0, lit(null).cast("string"))
-        .otherwise(concat(lit("L"), (k % 9).cast("string"))).as("label"))
+        .otherwise(concat(lit("L"), (k % 9).cast("string"))).as("label"),
+      // albumartist: multi-value every 6th row, null every 23rd; the
+      // token vocabulary wraps mod 12 so artists span many albums
+      when(k % 23 === 0, lit(null).cast("string"))
+        .when(k % 6 === 0, concat(lit("AA"), (k % 12).cast("string"),
+          lit("\\\\"), lit("AA"), ((k % 12 + 1) % 12).cast("string")))
+        .otherwise(concat(lit("AA"), (k % 12).cast("string")))
+        .as("albumartist"),
+      // one year per album root (functionally dependent on k % 40),
+      // repeating mod 7 so distinct-years < albums per artist; every
+      // 11th album has no year (exercises the fill-to-1 fallback)
+      when((k % 40) % 11 === 0, lit(null).cast("int"))
+        .otherwise((lit(1970) + (k % 40) % 7).cast("int")).as("album_year"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -57,6 +69,10 @@ object ReportQueries {
     "rp_role_pairs" -> ((s, d) =>
       Insights.rolePairs(roleTracks(s, d), "producer", "engineer",
         topN = 20)),
+    // Artist depth vs breadth (ref :1880-1896): albums vs distinct
+    // release years per albumartist token.
+    "rp_artist_depth" -> ((s, d) =>
+      Insights.artistDepth(roleTracks(s, d), topN = 600)),
     "rp_kpis" -> ((s, d) => Insights.kpis(Insights.base(s, d))),
     "rp_yearly" -> ((s, d) => Insights.yearlyTrends(Insights.base(s, d))),
     "rp_priority_mix" -> ((s, d) => Insights.priorityMix(Insights.base(s, d))),
@@ -188,7 +204,13 @@ object ReportQueries {
       |  WHEN c_custkey % 17 = 0 THEN ''
       |  ELSE 'E' || (c_custkey % 5) END AS engineer,
       |CASE WHEN c_custkey % 19 = 0 THEN NULL
-      |  ELSE 'L' || (c_custkey % 9) END AS label
+      |  ELSE 'L' || (c_custkey % 9) END AS label,
+      |CASE WHEN c_custkey % 23 = 0 THEN NULL
+      |  WHEN c_custkey % 6 = 0
+      |    THEN 'AA' || (c_custkey % 12) || '\\AA' || ((c_custkey % 12 + 1) % 12)
+      |  ELSE 'AA' || (c_custkey % 12) END AS albumartist,
+      |CASE WHEN (c_custkey % 40) % 11 = 0 THEN NULL
+      |  ELSE CAST(1970 + (c_custkey % 40) % 7 AS INT) END AS album_year
       |FROM customer""".stripMargin
 
   private def tokSql(c: String): String =
@@ -246,6 +268,21 @@ object ReportQueries {
          |  ORDER BY albums DESC, label) AS rank, label, albums FROM u)
          |SELECT side, rank, label, albums FROM r WHERE rank <= 20
          |ORDER BY side, rank""".stripMargin,
+    "rp_artist_depth" ->
+      s"""WITH t AS ($RoleTracksSql),
+         |pairs AS (SELECT DISTINCT album_root, tok AS aa FROM (
+         |  SELECT album_root, ${tokSql("albumartist")} AS tok FROM t)),
+         |alb AS (SELECT aa, COUNT(*) AS albums FROM pairs GROUP BY aa),
+         |ay AS (SELECT DISTINCT album_root, album_year FROM t
+         |  WHERE album_year IS NOT NULL),
+         |yrs AS (SELECT aa, COUNT(DISTINCT album_year) AS dy
+         |  FROM pairs JOIN ay USING (album_root) GROUP BY aa),
+         |r AS (SELECT ROW_NUMBER() OVER (ORDER BY albums DESC, alb.aa)
+         |    AS rank, alb.aa AS aa, albums,
+         |    CAST(COALESCE(dy, 1) AS INT) AS distinct_years
+         |  FROM alb LEFT JOIN yrs ON alb.aa = yrs.aa)
+         |SELECT rank, aa, albums, distinct_years FROM r
+         |WHERE rank <= 600 ORDER BY rank""".stripMargin,
     "rp_kpis" ->
       """SELECT COUNT(*) AS n_orders,
         |COUNT(DISTINCT o_custkey) AS n_customers,

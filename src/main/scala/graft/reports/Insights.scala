@@ -192,6 +192,38 @@ object Insights {
       .orderBy("role", "rank")
   }
 
+  /** Artist depth vs breadth (ref 92-...py:1880-1896): per albumartist
+    * token, the number of distinct albums and of distinct release
+    * years (the reference's scatter axes), top-N artists by album
+    * count. Artists whose albums all lack a year fall back to 1 (the
+    * reference's `fill_null(1)`).
+    *
+    * Shape: distinct (album, artist) pairs once; album count and
+    * distinct-year count are two aggregations over those pairs; the
+    * head(N) rides the bounded top-k aggregator and the (tiny) year
+    * profile joins AFTER the cut — N rows, not the artist vocabulary. */
+  def artistDepth(tracks: DataFrame, topN: Int): DataFrame = {
+    import graft.core.MultiValue
+    import graft.operators.TopK
+    val pairs = tracks.filter(col("album_root").isNotNull)
+      .select(col("album_root"),
+        explode(MultiValue.tokens(coalesce(col("albumartist"), lit(""))))
+          .as("aa"))
+      .distinct()
+    val albums = pairs.groupBy("aa").agg(count(lit(1)).as("albums"))
+    val years = pairs
+      .join(tracks.select(col("album_root"), col("album_year"))
+        .filter(col("album_year").isNotNull).distinct(), "album_root")
+      .groupBy("aa").agg(countDistinct("album_year").as("dy"))
+    val top = TopK.topKPerGroupAs[String](
+      albums.select(lit("aa").as("side"), col("aa"), col("albums")),
+      Seq("side"), "albums", "aa", topN)
+    top.join(years, Seq("aa"), "left")
+      .select(col("rank"), col("aa"), col("albums"),
+        coalesce(col("dy").cast("int"), lit(1)).as("distinct_years"))
+      .orderBy("rank")
+  }
+
   /** Producer ↔ engineer collaboration patterns (ref
     * 92-...py:2471-2560, section 7c): album-level co-occurrence of the
     * two role vocabularies, then each producer's most frequent

@@ -74,6 +74,23 @@ class InsightsSpec extends SparkSpec {
     assert(r == Seq(("label", 1L, "L1", 1L), ("producer", 1L, "P1", 2L)))
   }
 
+  test("artistDepth: albums vs distinct years, year-less artist falls to 1") {
+    val tracks = Seq(
+      // AA1: three albums across two distinct years (B has no year)
+      ("/m/A", "AA1", Some(1990)), ("/m/B", "AA1", None),
+      ("/m/C", "AA1\\\\AA2", Some(1991)), ("/m/C", "AA1", Some(1991)),
+      // AA3: one album, no year anywhere → distinct_years = 1 fallback
+      ("/m/D", "AA3", None))
+      .toDF("album_root", "albumartist", "album_year")
+    val r = Insights.artistDepth(tracks, topN = 10).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getInt(3)))
+      .toSeq
+    assert(r == Seq(
+      (1L, "AA1", 3L, 2),
+      // AA2 and AA3 tie at 1 album → token asc
+      (2L, "AA2", 1L, 1), (3L, "AA3", 1L, 1)))
+  }
+
   test("rolePairs: per-side top partner with shared-album counts") {
     val tracks = Seq(
       ("/m/A", "P1", "E1"), ("/m/A", "P1", "E2"),
