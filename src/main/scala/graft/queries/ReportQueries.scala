@@ -73,6 +73,9 @@ object ReportQueries {
     // release years per albumartist token.
     "rp_artist_depth" -> ((s, d) =>
       Insights.artistDepth(roleTracks(s, d), topN = 600)),
+    // ReplayGain dynamics trend by year (ref :1684-1700, PLR proxy
+    // :1253-1258).
+    "rp_rg_trend" -> ((s, d) => Insights.rgTrend(roleTracks(s, d))),
     "rp_kpis" -> ((s, d) => Insights.kpis(Insights.base(s, d))),
     "rp_yearly" -> ((s, d) => Insights.yearlyTrends(Insights.base(s, d))),
     "rp_priority_mix" -> ((s, d) => Insights.priorityMix(Insights.base(s, d))),
@@ -283,6 +286,23 @@ object ReportQueries {
          |  FROM alb LEFT JOIN yrs ON alb.aa = yrs.aa)
          |SELECT rank, aa, albums, distinct_years FROM r
          |WHERE rank <= 600 ORDER BY rank""".stripMargin,
+    "rp_rg_trend" ->
+      s"""WITH t AS ($RoleTracksSql),
+         |alb AS (SELECT album_root,
+         |  ROUND(CAST(quantile_cont(rg_album_gain_db, 0.5) AS DOUBLE), 6)
+         |    AS gain,
+         |  MAX(rg_album_peak) AS peak,
+         |  MAX(album_year) AS yr
+         |  FROM t WHERE album_root IS NOT NULL GROUP BY album_root),
+         |p AS (SELECT yr, gain,
+         |  ROUND(CAST(20 AS DOUBLE) * log10(peak) + CAST(18 AS DOUBLE)
+         |    + gain, 6) AS plr
+         |  FROM alb WHERE yr IS NOT NULL AND gain IS NOT NULL AND peak > 0)
+         |SELECT yr,
+         |ROUND(CAST(quantile_cont(gain, 0.5) AS DOUBLE), 6) AS gain_med,
+         |ROUND(CAST(quantile_cont(plr, 0.5) AS DOUBLE), 6) AS dyn_med,
+         |COUNT(*) AS albums
+         |FROM p GROUP BY yr ORDER BY yr""".stripMargin,
     "rp_kpis" ->
       """SELECT COUNT(*) AS n_orders,
         |COUNT(DISTINCT o_custkey) AS n_customers,

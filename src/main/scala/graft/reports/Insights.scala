@@ -192,6 +192,37 @@ object Insights {
       .orderBy("role", "rank")
   }
 
+  /** ReplayGain dynamics trend over time (ref 92-...py:1684-1700): per
+    * release year, the median album gain, the median PLR-proxy
+    * dynamics (peak dBFS − (target −18 LUFS − album gain), ref
+    * :1253-1258 — higher = more headroom) and the album count, over a
+    * per-album rollup (median gain, max peak, the album's year).
+    * Albums without a year, gain, or positive peak drop, like the
+    * reference's drop_nulls.
+    *
+    * Oracle parity: log10 may differ by an ulp between engines, so the
+    * per-album PLR is rounded to 6 dp before the median and the medians
+    * again after (the interpolated-quantile recipe); the fixture's
+    * peaks come from a finite decimal grid, so a green hash at one SF
+    * covers every SF. */
+  def rgTrend(tracks: DataFrame): DataFrame = {
+    val byAlbum = tracks.filter(col("album_root").isNotNull)
+      .groupBy("album_root")
+      .agg(
+        round(expr("percentile(rg_album_gain_db, 0.5)"), 6).as("gain"),
+        max(col("rg_album_peak")).as("peak"),
+        max(col("album_year")).as("yr"))
+      .filter(col("yr").isNotNull && col("gain").isNotNull
+        && col("peak") > 0)
+      .withColumn("plr",
+        round(lit(20.0) * log10(col("peak")) + lit(18.0) + col("gain"), 6))
+    byAlbum.groupBy("yr")
+      .agg(round(expr("percentile(gain, 0.5)"), 6).as("gain_med"),
+        round(expr("percentile(plr, 0.5)"), 6).as("dyn_med"),
+        count(lit(1)).as("albums"))
+      .orderBy("yr")
+  }
+
   /** Artist depth vs breadth (ref 92-...py:1880-1896): per albumartist
     * token, the number of distinct albums and of distinct release
     * years (the reference's scatter axes), top-N artists by album

@@ -91,6 +91,22 @@ class InsightsSpec extends SparkSpec {
       (2L, "AA2", 1L, 1), (3L, "AA3", 1L, 1)))
   }
 
+  test("rgTrend: PLR proxy per year, zero-peak and year-less albums drop") {
+    val tracks = Seq(
+      // 1990: two albums; peak 1.0 → dBFS 0 → plr = 18 + gain
+      ("/m/A", Some(-10.0), Some(1.0), Some(1990)),
+      ("/m/B", Some(-6.0), Some(1.0), Some(1990)),
+      // zero peak → dropped; no year → dropped
+      ("/m/C", Some(-5.0), Some(0.0), Some(1990)),
+      ("/m/D", Some(-5.0), Some(1.0), None))
+      .toDF("album_root", "rg_album_gain_db", "rg_album_peak", "album_year")
+    val r = Insights.rgTrend(tracks).collect()
+      .map(x => (x.getInt(0), x.getDouble(1), x.getDouble(2), x.getLong(3)))
+      .toSeq
+    // medians over {-10, -6}: gain -8; plr over {8, 12}: 10
+    assert(r == Seq((1990, -8.0, 10.0, 2L)))
+  }
+
   test("rolePairs: per-side top partner with shared-album counts") {
     val tracks = Seq(
       ("/m/A", "P1", "E1"), ("/m/A", "P1", "E2"),
