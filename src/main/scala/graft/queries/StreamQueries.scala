@@ -26,7 +26,8 @@ object StreamQueries {
   private val streamMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def materializedStream(s: SparkSession, d: String, name: String,
-      srcFile: String)(build: String => DataFrame): String =
+      srcFile: String, mode: String = "append")(
+      build: String => DataFrame): String =
     streamMemo.computeIfAbsent(
       s.sparkContext.applicationId + "|" + d + "|" + name, _ => {
         import java.nio.file.{Files, Paths}
@@ -41,9 +42,12 @@ object StreamQueries {
         val in = s"$base/in"
         Files.createDirectories(Paths.get(in))
         Files.copy(Paths.get(s"$d/$srcFile"), Paths.get(s"$in/$srcFile"))
+        // append sinks accumulate batches; a complete-mode sink holds
+        // the full result each batch, so the LAST overwrite wins
         graft.streaming.EventStream.runAvailableNow(build(in), s"$base/ckpt",
-          mode = "append") { (b, _) =>
-          b.write.mode("append").parquet(s"$base/out")
+          mode) { (b, _) =>
+          b.write.mode(if (mode == "complete") "overwrite" else "append")
+            .parquet(s"$base/out")
         }
         s"$base/out"
       })
@@ -67,6 +71,47 @@ object StreamQueries {
           .select("p_partkey")
       }
       s.read.parquet(out).orderBy("p_partkey")
+    }),
+
+    // The watermarked hourly-window aggregation as an oracle row: the
+    // streaming run (event-time window + 2h watermark, complete mode)
+    // hashes against the BATCH st_hourly_window oracle — same contract
+    // as st_s7_new, for a stateful aggregation instead of a
+    // stream-static join.
+    "st_hourly_stream" -> ((s, d) => {
+      val out = materializedStream(s, d, "hourly", "events.parquet",
+        mode = "complete") { in =>
+        graft.streaming.EventStream.hourlyAgg(
+          graft.streaming.EventStream.readEvents(s, in))
+      }
+      s.read.parquet(out).orderBy("hour_start", "event_type")
+    }),
+
+    // Custom stateful sessionization (flatMapGroupsWithState) as an
+    // oracle row: the streaming session counts hash against the batch
+    // st_sessions oracle (lag + flag cumsum) — puts the hand-rolled
+    // state machine itself under the driver's hash gate.
+    "st_sessions_stream" -> ((s, d) => {
+      val out = materializedStream(s, d, "sessions", "events.parquet") {
+        in =>
+          implicit val ss: SparkSession = s
+          graft.streaming.EventStream.sessionize(
+            graft.streaming.EventStream.readEvents(s, in),
+            gapNanos = 1800000000000L).toDF()
+      }
+      s.read.parquet(out).orderBy("user_id")
+    }),
+
+    // The stream-stream attribution join as an oracle row: two
+    // watermarked streaming views over one file source joined with
+    // event-time bounds, hashed against the batch st_attrib_join
+    // oracle.
+    "st_attrib_stream" -> ((s, d) => {
+      val out = materializedStream(s, d, "attrib", "events.parquet") { in =>
+        graft.streaming.EventStream.attributeJoin(
+          graft.streaming.EventStream.readEvents(s, in))
+      }
+      s.read.parquet(out).orderBy("purchase_id", "click_id")
     }),
 
     // S8's streaming twin as an oracle row — stream-static left-semi
@@ -149,6 +194,27 @@ object StreamQueries {
         |AND date_diff('day', CAST(o_orderdate AS DATE),
         |  CAST(l_shipdate AS DATE)) > 100)
         |ORDER BY o_orderkey""".stripMargin,
+    "st_hourly_stream" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS v_cents
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "st_sessions_stream" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM (
+        |SELECT user_id, CASE WHEN prev IS NULL
+        |  OR epoch_ns(ts) - epoch_ns(prev) > 1800000000000 THEN 1 ELSE 0
+        |  END AS new_s FROM (
+        |SELECT user_id, ts, LAG(ts, 1) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id) AS prev FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "st_attrib_stream" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |c.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "st_hourly_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         |event_type, COUNT(*) AS n,
