@@ -41,7 +41,11 @@ object StreamQueries {
         // drop into between AvailableNow catch-up runs)
         val in = s"$base/in"
         Files.createDirectories(Paths.get(in))
-        Files.copy(Paths.get(s"$d/$srcFile"), Paths.get(s"$in/$srcFile"))
+        // REPLACE_EXISTING: a failed earlier build in this JVM leaves
+        // the staged file behind without a memo entry; the retry must
+        // not trip over it
+        Files.copy(Paths.get(s"$d/$srcFile"), Paths.get(s"$in/$srcFile"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         // append sinks accumulate batches; a complete-mode sink holds
         // the full result each batch, so the LAST overwrite wins
         graft.streaming.EventStream.runAvailableNow(build(in), s"$base/ckpt",
