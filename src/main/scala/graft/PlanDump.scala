@@ -29,7 +29,24 @@ object PlanDump {
     "g1_similarity_edges" ->
       ("Co-occurrence edges via one map-side-combinable collect_set " +
         "shuffle + map-side pair explosion — two Exchanges total, " +
-        "half the previous join formulation's."),
+        "half the previous join formulation's. Round 8: the edge " +
+        "build runs ONCE per (application, dataset) and materializes " +
+        "to scratch parquet shared by the whole g-family — g1 reads " +
+        "it whole, g4 and the g2/g3 labels build read the weight≥3 " +
+        "subset as a scan-side filter. The plan below is therefore a " +
+        "parquet scan of the materialized table when dumped after a " +
+        "prior call, or the first-call build.\n\n" +
+        "**Bench attribution (g-family)**: whichever g-query runs " +
+        "FIRST in a suite pays the one-time edge build; g2 " +
+        "additionally pays the CC fixpoint + labels write on its " +
+        "first call, g3 reads those labels, g4 runs star contraction " +
+        "over the shared edges. In-suite per-query seconds are " +
+        "family-order-dependent: g2's number is \"edge read + " +
+        "fixpoint + labels write\", NOT a per-query CC cost (round " +
+        "7's apparent 6.6→10.4 s \"regression\" was exactly this " +
+        "materialization moving into g2). Measured solo " +
+        "(BENCH_SOLO_r8.json, sf0.1): g2 5.94 s first call vs 0.18 s " +
+        "memoized re-read."),
     "d5_minhash_lsh" ->
       ("MinHash signatures fused into one codegen'd expression at the " +
         "scan; only (id, band, hash) rows shuffle to the LSH buckets."),
@@ -57,22 +74,31 @@ object PlanDump {
       ("Pivot with a pinned value list: one map-side-combinable " +
         "aggregation pass, no driver-side distinct-value scan."),
     "d29_kmeans" ->
-      ("k-means assignment round: driver-held centroids broadcast as " +
-        "literals into a codegen'd argmax-cosine projection — the " +
-        "final round is ONE scan with zero shuffles; only the " +
-        "(cluster, dim) centroid aggregation between rounds shuffles, " +
-        "and it carries k x d rows."),
+      ("k-means assignment round: driver-held centroids shipped into " +
+        "a codegen'd argmax-cosine projection — the final round is " +
+        "ONE scan with zero shuffles; only the (cluster, dim) " +
+        "centroid aggregation between rounds shuffles, and it " +
+        "carries k x d rows. At k ≤ 64 the centroids inline as " +
+        "literals (constant-folded, oracle-mirrorable); above that " +
+        "they ride the plan as a codegen reference object " +
+        "(NearestCentroidExpr) so generated source stays " +
+        "constant-size at any nlist. The input projection is " +
+        "localCheckpointed once per call (freed on exit), so each " +
+        "Lloyd round scans checkpoint blocks, not source lineage — " +
+        "the scan below reads the checkpoint RDD on iterations ≥ 2."),
     "pl_infer_works" ->
       ("Work-inference waterfall: three broadcast-probe pair builds " +
         "unioned and checkpointed ONCE, one shared corroboration " +
         "semi-join + two-level aggregation, one ranking window. " +
-        "Expected cost at sf0.1 is overhead, not data: the 300-work " +
-        "lookup broadcasts everywhere, per-stage work sums to <2 s, " +
-        "and a warm session re-runs the query in ~4 s vs ~9 s cold — " +
-        "the in-suite bench number (~13-15 s) mostly measures codegen " +
-        "compilation and GC amortization across the suite. The plan " +
-        "shape (no fact re-scan, no unkeyed join, single window) is " +
-        "the one that matters at 100x."))
+        "Measured solo (BENCH_SOLO_r8.json, sf0.1, `runMain " +
+        "graft.Bench --solo`): **3.81 s warm / 13.16 s " +
+        "cold-context** — the warm number is the query's actual data " +
+        "cost, and the cold−warm gap (~9.4 s) is codegen compilation " +
+        "+ fresh-context bring-up, which is also what the in-suite " +
+        "number (~13-19 s across rounds) keeps re-measuring on top " +
+        "of suite GC attribution. The plan shape (no fact re-scan, " +
+        "no unkeyed join, single window) is the one that matters at " +
+        "100x."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
