@@ -76,6 +76,9 @@ object ReportQueries {
     // ReplayGain dynamics trend by year (ref :1684-1700, PLR proxy
     // :1253-1258).
     "rp_rg_trend" -> ((s, d) => Insights.rgTrend(roleTracks(s, d))),
+    // Most/least dynamic albums by PLR proxy (ref :1560-1660).
+    "rp_dynamics_extremes" -> ((s, d) =>
+      Insights.dynamicsExtremes(roleTracks(s, d), topN = 10)),
     "rp_kpis" -> ((s, d) => Insights.kpis(Insights.base(s, d))),
     "rp_yearly" -> ((s, d) => Insights.yearlyTrends(Insights.base(s, d))),
     "rp_priority_mix" -> ((s, d) => Insights.priorityMix(Insights.base(s, d))),
@@ -303,6 +306,29 @@ object ReportQueries {
          |ROUND(CAST(quantile_cont(plr, 0.5) AS DOUBLE), 6) AS dyn_med,
          |COUNT(*) AS albums
          |FROM p GROUP BY yr ORDER BY yr""".stripMargin,
+    "rp_dynamics_extremes" ->
+      s"""WITH t AS ($RoleTracksSql),
+         |alb AS (SELECT album_root,
+         |  ROUND(CAST(quantile_cont(rg_album_gain_db, 0.5) AS DOUBLE), 6)
+         |    AS gain,
+         |  MAX(rg_album_peak) AS peak,
+         |  MAX(album_year) AS yr
+         |  FROM t WHERE album_root IS NOT NULL GROUP BY album_root),
+         |p AS (SELECT album_root,
+         |  CAST(ROUND((ROUND(CAST(20 AS DOUBLE) * log10(peak)
+         |    + CAST(18 AS DOUBLE) + gain, 6)) * 1e6) AS BIGINT)
+         |    AS plr_micros
+         |  FROM alb WHERE yr IS NOT NULL AND gain IS NOT NULL AND peak > 0),
+         |u AS (
+         |  SELECT 'most' AS side, ROW_NUMBER() OVER (
+         |    ORDER BY plr_micros DESC, album_root) AS rank,
+         |    album_root, plr_micros FROM p
+         |  UNION ALL
+         |  SELECT 'least' AS side, ROW_NUMBER() OVER (
+         |    ORDER BY plr_micros ASC, album_root) AS rank,
+         |    album_root, plr_micros FROM p)
+         |SELECT side, rank, album_root, plr_micros FROM u
+         |WHERE rank <= 10 ORDER BY side, rank""".stripMargin,
     "rp_kpis" ->
       """SELECT COUNT(*) AS n_orders,
         |COUNT(DISTINCT o_custkey) AS n_customers,

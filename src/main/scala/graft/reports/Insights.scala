@@ -205,8 +205,11 @@ object Insights {
     * again after (the interpolated-quantile recipe); the fixture's
     * peaks come from a finite decimal grid, so a green hash at one SF
     * covers every SF. */
-  def rgTrend(tracks: DataFrame): DataFrame = {
-    val byAlbum = tracks.filter(col("album_root").isNotNull)
+  /** Per-album RG rollup + PLR proxy shared by [[rgTrend]] and
+    * [[dynamicsExtremes]]: (album_root, gain, peak, yr, plr), albums
+    * without a year, gain, or positive peak dropped. */
+  private def albumRg(tracks: DataFrame): DataFrame =
+    tracks.filter(col("album_root").isNotNull)
       .groupBy("album_root")
       .agg(
         round(expr("percentile(rg_album_gain_db, 0.5)"), 6).as("gain"),
@@ -216,11 +219,34 @@ object Insights {
         && col("peak") > 0)
       .withColumn("plr",
         round(lit(20.0) * log10(col("peak")) + lit(18.0) + col("gain"), 6))
-    byAlbum.groupBy("yr")
+
+  def rgTrend(tracks: DataFrame): DataFrame =
+    albumRg(tracks).groupBy("yr")
       .agg(round(expr("percentile(gain, 0.5)"), 6).as("gain_med"),
         round(expr("percentile(plr, 0.5)"), 6).as("dyn_med"),
         count(lit(1)).as("albums"))
       .orderBy("yr")
+
+  /** Most / least dynamic albums by PLR proxy (ref 92-...py:1560-1660,
+    * the dyn_most / dyn_least horizontal bars): top-N per direction
+    * over the per-album rollup. The PLR rides as integer MICROS
+    * (exact for 6-dp values) so both directions use the bounded
+    * integer top-k aggregator — `least` ranks on the negated score,
+    * re-negated on output. */
+  def dynamicsExtremes(tracks: DataFrame, topN: Int): DataFrame = {
+    import graft.operators.TopK
+    val byAlbum = albumRg(tracks)
+      .withColumn("plr_micros", round(col("plr") * 1e6).cast("long"))
+    def side(name: String, score: Column): DataFrame =
+      TopK.topKPerGroupAs[String](
+        byAlbum.select(lit(name).as("side"), score.as("s"),
+          col("album_root")),
+        Seq("side"), "s", "album_root", topN)
+    side("most", col("plr_micros"))
+      .withColumn("plr_micros", col("s")).drop("s")
+      .unionByName(side("least", -col("plr_micros"))
+        .withColumn("plr_micros", -col("s")).drop("s"))
+      .orderBy("side", "rank")
   }
 
   /** Artist depth vs breadth (ref 92-...py:1880-1896): per albumartist

@@ -107,6 +107,20 @@ class InsightsSpec extends SparkSpec {
     assert(r == Seq((1990, -8.0, 10.0, 2L)))
   }
 
+  test("dynamicsExtremes: most/least by PLR micros, bounded to topN") {
+    val tracks = Seq(
+      ("/m/A", Some(-10.0), Some(1.0), Some(1990)), // plr 8
+      ("/m/B", Some(-6.0), Some(1.0), Some(1991)),  // plr 12
+      ("/m/C", Some(-2.0), Some(1.0), Some(1992)))  // plr 16
+      .toDF("album_root", "rg_album_gain_db", "rg_album_peak", "album_year")
+    val r = Insights.dynamicsExtremes(tracks, topN = 2).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getString(2), x.getLong(3)))
+      .toSeq
+    assert(r == Seq(
+      ("least", 1L, "/m/A", 8000000L), ("least", 2L, "/m/B", 12000000L),
+      ("most", 1L, "/m/C", 16000000L), ("most", 2L, "/m/B", 12000000L)))
+  }
+
   test("rolePairs: per-side top partner with shared-album counts") {
     val tracks = Seq(
       ("/m/A", "P1", "E1"), ("/m/A", "P1", "E2"),
