@@ -83,4 +83,22 @@ object GraftProperties extends Properties("graft") {
       val h = hashed(s, k)
       h.zip(h.drop(1)).forall { case (x, y) => x < y } || h.length <= 1
     }
+
+  // arbitrary Unicode strings incl. supplementary-plane code points
+  // (built from code points, so no lone surrogates — matching what a
+  // valid UTF-8 column can hold)
+  private val unicode: Gen[String] = Gen.listOf(Gen.frequency(
+    4 -> Gen.choose(0x20, 0x7e),
+    2 -> Gen.choose(0xa0, 0x2fff),
+    1 -> Gen.choose(0xe000, 0xfffd),
+    2 -> Gen.choose(0x10000, 0x10ffff)))
+    .map(_.map(Character.toChars(_).mkString).mkString)
+
+  property("TopK.Utf8Ordering equals UTF8String binary comparison") =
+    forAll(unicode, unicode) { (a, b) =>
+      val mine = graft.operators.TopK.Utf8Ordering.compare(a, b)
+      val spark = org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      Integer.signum(mine) == Integer.signum(spark)
+    }
 }
