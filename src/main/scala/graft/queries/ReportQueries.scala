@@ -51,7 +51,16 @@ object ReportQueries {
       // repeating mod 7 so distinct-years < albums per artist; every
       // 11th album has no year (exercises the fill-to-1 fallback)
       when((k % 40) % 11 === 0, lit(null).cast("int"))
-        .otherwise((lit(1970) + (k % 40) % 7).cast("int")).as("album_year"))
+        .otherwise((lit(1970) + (k % 40) % 7).cast("int")).as("album_year"),
+      // genre: one family per album root (so the album-scope bucket
+      // waterfall sees clean buckets), multi-value for the jazz/rock
+      // families, 'Blues' → the Other bucket, nulls every 37th row
+      when(k % 37 === 0, lit(null).cast("string"))
+        .when(k % 40 % 5 === 0, lit("Classical"))
+        .when(k % 40 % 5 === 1, lit("Jazz\\\\Bebop"))
+        .when(k % 40 % 5 === 2, lit("Rock\\\\Indie"))
+        .when(k % 40 % 5 === 3, lit("Techno"))
+        .otherwise(lit("Blues")).as("genre"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -79,6 +88,8 @@ object ReportQueries {
     // Most/least dynamic albums by PLR proxy (ref :1560-1660).
     "rp_dynamics_extremes" -> ((s, d) =>
       Insights.dynamicsExtremes(roleTracks(s, d), topN = 10)),
+    // ReplayGain by genre bucket (ref :3129-3208).
+    "rp_rg_by_genre" -> ((s, d) => Insights.rgByGenre(roleTracks(s, d))),
     "rp_kpis" -> ((s, d) => Insights.kpis(Insights.base(s, d))),
     "rp_yearly" -> ((s, d) => Insights.yearlyTrends(Insights.base(s, d))),
     "rp_priority_mix" -> ((s, d) => Insights.priorityMix(Insights.base(s, d))),
@@ -216,7 +227,13 @@ object ReportQueries {
       |    THEN 'AA' || (c_custkey % 12) || '\\AA' || ((c_custkey % 12 + 1) % 12)
       |  ELSE 'AA' || (c_custkey % 12) END AS albumartist,
       |CASE WHEN (c_custkey % 40) % 11 = 0 THEN NULL
-      |  ELSE CAST(1970 + (c_custkey % 40) % 7 AS INT) END AS album_year
+      |  ELSE CAST(1970 + (c_custkey % 40) % 7 AS INT) END AS album_year,
+      |CASE WHEN c_custkey % 37 = 0 THEN NULL
+      |  WHEN c_custkey % 40 % 5 = 0 THEN 'Classical'
+      |  WHEN c_custkey % 40 % 5 = 1 THEN 'Jazz\\Bebop'
+      |  WHEN c_custkey % 40 % 5 = 2 THEN 'Rock\\Indie'
+      |  WHEN c_custkey % 40 % 5 = 3 THEN 'Techno'
+      |  ELSE 'Blues' END AS genre
       |FROM customer""".stripMargin
 
   private def tokSql(c: String): String =
@@ -329,6 +346,41 @@ object ReportQueries {
          |    album_root, plr_micros FROM p)
          |SELECT side, rank, album_root, plr_micros FROM u
          |WHERE rank <= 10 ORDER BY side, rank""".stripMargin,
+    "rp_rg_by_genre" ->
+      s"""WITH t AS ($RoleTracksSql),
+         |gt AS (SELECT album_root,
+         |  list_transform(list_filter(list_transform(
+         |    string_split(coalesce(genre, ''), '\\'), x -> trim(x)),
+         |    x -> x <> ''), x -> lower(x)) AS toks
+         |  FROM t WHERE album_root IS NOT NULL),
+         |fl AS (SELECT album_root,
+         |  MAX(list_has_any(toks, ['classical','baroque','romantic','opera','symphony','chamber'])) AS c,
+         |  MAX(list_has_any(toks, ['jazz','bebop','hard bop','swing','fusion'])) AS j,
+         |  MAX(list_has_any(toks, ['rock','pop','indie','alternative','metal','punk','grunge','folk'])) AS r,
+         |  MAX(list_has_any(toks, ['electronic','electronica','ambient','techno','house','trance','idm','dnb'])) AS e
+         |  FROM gt GROUP BY album_root),
+         |bm AS (SELECT album_root,
+         |  CASE WHEN c THEN 'Classical' WHEN j THEN 'Jazz'
+         |    WHEN r THEN 'Rock/Pop' WHEN e THEN 'Electronic'
+         |    ELSE 'Other' END AS bucket FROM fl),
+         |alb AS (SELECT album_root,
+         |  ROUND(CAST(quantile_cont(rg_album_gain_db, 0.5) AS DOUBLE), 6)
+         |    AS gain,
+         |  MAX(rg_album_peak) AS peak,
+         |  MAX(album_year) AS yr
+         |  FROM t WHERE album_root IS NOT NULL GROUP BY album_root),
+         |p AS (SELECT album_root, gain,
+         |  ROUND(CAST(20 AS DOUBLE) * log10(peak) + CAST(18 AS DOUBLE)
+         |    + gain, 6) AS plr
+         |  FROM alb WHERE yr IS NOT NULL AND gain IS NOT NULL AND peak > 0)
+         |SELECT bucket, albums, gain_med, dyn_med FROM (
+         |  SELECT COALESCE(bucket, 'Other') AS bucket, COUNT(*) AS albums,
+         |  ROUND(CAST(quantile_cont(gain, 0.5) AS DOUBLE), 6) AS gain_med,
+         |  ROUND(CAST(quantile_cont(plr, 0.5) AS DOUBLE), 6) AS dyn_med
+         |  FROM p LEFT JOIN bm USING (album_root)
+         |  GROUP BY 1) z
+         |ORDER BY CASE bucket WHEN 'Classical' THEN 0 WHEN 'Jazz' THEN 1
+         |  WHEN 'Rock/Pop' THEN 2 WHEN 'Electronic' THEN 3 ELSE 4 END""".stripMargin,
     "rp_kpis" ->
       """SELECT COUNT(*) AS n_orders,
         |COUNT(DISTINCT o_custkey) AS n_customers,

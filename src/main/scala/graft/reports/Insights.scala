@@ -249,6 +249,53 @@ object Insights {
       .orderBy("side", "rank")
   }
 
+  /** ReplayGain by genre bucket (ref 92-...py:3129-3208): album-scoped
+    * genre flags (any track's genre token hits the bucket vocabulary,
+    * per-album max) → one bucket per album by the reference's
+    * waterfall (Classical > Jazz > Rock/Pop > Electronic > Other),
+    * then per bucket the album count, median gain and median
+    * PLR-proxy dynamics, in the reference's pinned bucket order.
+    * Vocabulary membership is exact-token (the personaScores
+    * simplification of the reference's regex-contains — ref
+    * :3134-3141).
+    *
+    * Two keyed shuffles over album-sized rows (flag rollup, bucket
+    * agg); the track scan computes flags map-side. */
+  def rgByGenre(tracks: DataFrame): DataFrame = {
+    import graft.core.MultiValue
+    val lowToks = transform(
+      MultiValue.tokens(coalesce(col("genre"), lit(""))), t => lower(t))
+    def hit(ts: Seq[String]): Column =
+      arrays_overlap(lowToks, lit(ts.toArray))
+    val classicalT = Seq("classical", "baroque", "romantic", "opera",
+      "symphony", "chamber")
+    val jazzT = Seq("jazz", "bebop", "hard bop", "swing", "fusion")
+    val rockT = Seq("rock", "pop", "indie", "alternative", "metal",
+      "punk", "grunge", "folk")
+    val elecT = Seq("electronic", "electronica", "ambient", "techno",
+      "house", "trance", "idm", "dnb")
+    val buckets = tracks.filter(col("album_root").isNotNull)
+      .select(col("album_root"), hit(classicalT).as("c"),
+        hit(jazzT).as("j"), hit(rockT).as("r"), hit(elecT).as("e"))
+      .groupBy("album_root")
+      .agg(max("c").as("c"), max("j").as("j"), max("r").as("r"),
+        max("e").as("e"))
+      .select(col("album_root"),
+        when(col("c"), "Classical").when(col("j"), "Jazz")
+          .when(col("r"), "Rock/Pop").when(col("e"), "Electronic")
+          .otherwise("Other").as("bucket"))
+    albumRg(tracks).join(buckets, Seq("album_root"), "left")
+      .withColumn("bucket", coalesce(col("bucket"), lit("Other")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("albums"),
+        round(expr("percentile(gain, 0.5)"), 6).as("gain_med"),
+        round(expr("percentile(plr, 0.5)"), 6).as("dyn_med"))
+      .orderBy(when(col("bucket") === "Classical", 0)
+        .when(col("bucket") === "Jazz", 1)
+        .when(col("bucket") === "Rock/Pop", 2)
+        .when(col("bucket") === "Electronic", 3).otherwise(4))
+  }
+
   /** Artist depth vs breadth (ref 92-...py:1880-1896): per albumartist
     * token, the number of distinct albums and of distinct release
     * years (the reference's scatter axes), top-N artists by album

@@ -121,6 +121,26 @@ class InsightsSpec extends SparkSpec {
       ("most", 1L, "/m/C", 16000000L), ("most", 2L, "/m/B", 12000000L)))
   }
 
+  test("rgByGenre: album-scope bucket waterfall and pinned bucket order") {
+    val tracks = Seq(
+      // one classical track outranks the album's jazz track (waterfall)
+      ("/m/A", "Jazz", Some(-10.0), Some(1.0), Some(1990)),
+      ("/m/A", "Classical", Some(-10.0), Some(1.0), Some(1990)),
+      ("/m/B", "Techno", Some(-6.0), Some(1.0), Some(1991)),
+      ("/m/C", "Blues", Some(-2.0), Some(1.0), Some(1992)),
+      ("/m/D", null, Some(-4.0), Some(1.0), Some(1993)))
+      .toDF("album_root", "genre", "rg_album_gain_db", "rg_album_peak",
+        "album_year")
+    val r = Insights.rgByGenre(tracks).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3))).toSeq
+    // plr = 18 + gain at peak 1.0; ref order, Other collects Blues+null
+    assert(r == Seq(
+      ("Classical", 1L, -10.0, 8.0),
+      ("Electronic", 1L, -6.0, 12.0),
+      ("Other", 2L, -3.0, 15.0)))
+  }
+
   test("rolePairs: per-side top partner with shared-album counts") {
     val tracks = Seq(
       ("/m/A", "P1", "E1"), ("/m/A", "P1", "E2"),
