@@ -41,6 +41,12 @@ object Bench {
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Seq("pl_infer_works", "g2_connected_components",
         "d24_bm25_search", "rp_profile", "d5_minhash_lsh"))
+    // fail fast on typos — otherwise a bad name throws a bare
+    // NoSuchElementException mid-loop and discards every timing
+    // already taken
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown SPARK_GRAFT_ONLY queries: ${unknown.mkString(", ")}")
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = names.map { name =>
       SparkSession.getActiveSession.foreach(_.stop())

@@ -167,6 +167,28 @@ object Dedup {
     * (1/64)^(1/4)≈0.35 over-generates and the exact re-score filters.
     * Candidates shuffle by band hash; no cartesian product anywhere.
     *
+    * `bucketCap` bounds the population of each (band, bucket-hash)
+    * bucket before the self-join — the LSH analogue of the shingle
+    * paths' `dfCap`. Without it a bucket holding m near-identical docs
+    * (boilerplate, licenses, mirrored pages — clone-heavy is the NORM
+    * for web corpora) yields m(m−1)/2 candidates, the one quadratic
+    * blowup left in the family (the sf1 probe measured 8.08× at 10×
+    * rows from exactly this). Buckets above the cap are SAMPLED, not
+    * dropped: members are ranked by `xxhash64(band, bh, id)` and the
+    * first `bucketCap` kept, so the kept subset re-randomizes per band
+    * and a doc dropped in one band survives in others. Miss bound for
+    * a clone group of size m > B over b bands: a specific pair
+    * co-survives some band with p = 1−(1−(B/m)²)^b (m=100, B=64, b=64
+    * → miss ≈ 2e-15; m=1000 → most PAIRS missed but each bucket still
+    * contributes a random-B-subset clique per band, so the group stays
+    * one connected COMPONENT w.h.p. — what the d11/d12 cluster
+    * consumers actually need). Candidate volume is O(b·B·m) per group
+    * instead of O(m²). Buckets at or under the cap are untouched, so
+    * results are exact (≡ `bucketCap = 0`, uncapped) whenever no
+    * bucket exceeds B. The rank window partitions by the same
+    * (band, bh) key the self-join shuffles on, so the cap adds no
+    * extra exchange on the capped side.
+    *
     * `materialize` as in [[jaccardPairs]]: `true` (default) eagerly
     * checkpoints the pair output and frees the shingle/signature
     * blocks; `false` keeps the plan lazy (cache barriers only) for
@@ -176,6 +198,7 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, theta: Double,
                       numPerm: Int = 256, bands: Int = 64,
+                      bucketCap: Int = 64,
                       materialize: Boolean = true): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rows = numPerm / bands
@@ -201,8 +224,20 @@ object Dedup {
     // multiply shuffle volume by `bands` if carried through the join.
     val banded = sig.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
+    // population cap per (band, bh) — see scaladoc. row_number over the
+    // per-band rehash keeps a band-independent random B-subset; ties
+    // impossible (id is unique within a bucket) so the sample is
+    // deterministic.
+    val capped =
+      if (bucketCap <= 0) banded
+      else {
+        val w = Window.partitionBy("band", "bh")
+          .orderBy(xxhash64(col("band"), col("bh"), col("id")), col("id"))
+        banded.withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= bucketCap).drop("__r")
+      }
+    val cand = capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -102,7 +102,16 @@ object TopK {
     * String ordering is UTF-16 code-UNIT order, which ranks
     * supplementary characters (surrogate pairs, 0xD800-0xDFFF units)
     * BELOW some BMP characters — a silent oracle divergence waiting on
-    * the first emoji id. */
+    * the first emoji id.
+    *
+    * PRECONDITION: well-formed UTF-16. On a LONE surrogate (ill-formed
+    * input that cannot come from decoding valid UTF-8 — parquet/JSON
+    * strings are safe, but a JVM caller can synthesize one) this
+    * ordering compares the raw surrogate value (0xD800-0xDFFF), while
+    * UTF8String.fromString replaces the unit with '?' (0x3F), so the
+    * two orders diverge there. Spark itself cannot round-trip such a
+    * string, so there is no "correct" target order to match; callers
+    * feeding JVM-synthesized ids must ensure well-formedness. */
   object Utf8Ordering extends Ordering[String] {
     override def compare(a: String, b: String): Int = {
       val la = a.length

@@ -310,17 +310,24 @@ object LlmQueries {
     }),
 
     // BM25 inverted-index search: the query set is the first 6 words
-    // of every 40th doc; per-term scores fold to integer micros before
-    // the group sum so addition order cannot perturb the hash.
+    // of a FIXED-SIZE probe set — the 128 docs ranked first by
+    // md5(doc_id) (doc_id tie-break) — so bench / scaling numbers
+    // measure per-query cost at constant query count instead of
+    // growing the query set with the corpus (the old `% 40` probe made
+    // the sf1 ratio quadratic: 10× queries × 10× df). TakeOrdered
+    // top-k, no global sort. Per-term scores fold to integer micros
+    // before the group sum so addition order cannot perturb the hash.
     "d24_bm25_search" -> ((s, d) => {
       val docs = T.documents(s, d)
       // slice the empty-FILTERED token list — the oracle's ws[1:6] is
       // over filtered tokens, and a raw slice would admit a leading
       // empty token on whitespace-prefixed text
-      val queries = docs.filter(col("doc_id") % 40 === 0)
+      val queries = docs
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
-            t => t =!= ""), 1, 6)).as("qtext"))
+            t => t =!= ""), 1, 6)).as("qtext"),
+          md5(col("doc_id").cast("string").cast("binary")).as("__rk"))
+        .orderBy(col("__rk"), col("qid")).limit(128).drop("__rk")
       Search.bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext",
           k = 5)
         .orderBy("qid", "rank")
@@ -806,8 +813,10 @@ object LlmQueries {
         |scal AS (SELECT COUNT(*) AS n_docs,
         |  CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl),
         |dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+        |probe AS (SELECT doc_id, ws FROM tok
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 128),
         |qt AS (SELECT DISTINCT doc_id AS qid, unnest(ws[1:6]) AS t
-        |  FROM tok WHERE doc_id % 40 = 0),
+        |  FROM probe),
         |hits AS (SELECT qt.qid, tf.doc_id, tf.tf, dft.df, dl.dl
         |  FROM qt JOIN tf ON qt.t = tf.t JOIN dft ON qt.t = dft.t
         |  JOIN dl ON tf.doc_id = dl.doc_id),

@@ -23,6 +23,11 @@ object StreamQueries {
     * re-running the stream (a checkpoint replay would process zero new
     * files — correct but misleading to time) and keeps two concurrent
     * constructions from racing on one checkpoint. */
+  // The whole build (stage file → AvailableNow run → parquet write)
+  // executes inside computeIfAbsent, holding that bin's lock for the
+  // stream's runtime; an unrelated key hashing to the same bin would
+  // block. Accepted for this harness (queries run sequentially); a
+  // contended caller should memoize a lazy holder instead.
   private val streamMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def materializedStream(s: SparkSession, d: String, name: String,
@@ -46,6 +51,20 @@ object StreamQueries {
         // not trip over it
         Files.copy(Paths.get(s"$d/$srcFile"), Paths.get(s"$in/$srcFile"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // same retry hazard for the sink and checkpoint: foreachBatch
+        // is at-least-once, so resuming a half-written append sink from
+        // a leftover checkpoint can double-append a replayed micro-batch
+        // into `out` — and the memoized result would feed the oracle
+        // hash duplicated rows. No memo entry ⇒ this build owns the
+        // dirs; start them empty.
+        def rmTree(p: String): Unit = {
+          val root = Paths.get(p)
+          if (Files.exists(root))
+            Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.delete(f))
+        }
+        rmTree(s"$base/out")
+        rmTree(s"$base/ckpt")
         // append sinks accumulate batches; a complete-mode sink holds
         // the full result each batch, so the LAST overwrite wins
         graft.streaming.EventStream.runAvailableNow(build(in), s"$base/ckpt",
@@ -116,6 +135,21 @@ object StreamQueries {
           graft.streaming.EventStream.readEvents(s, in))
       }
       s.read.parquet(out).orderBy("purchase_id", "click_id")
+    }),
+
+    // The DETERMINISTIC streaming dedup as an oracle row: per-key
+    // pinned-survivor summary (count, min event-time, min id) via
+    // flatMapGroupsWithState, hashed against the batch st_dedup
+    // oracle — the last streaming operator brought under the hash
+    // gate (dropDuplicatesWithinWatermark keeps an arbitrary
+    // survivor; this path pins it).
+    "st_dedup_stream" -> ((s, d) => {
+      val out = materializedStream(s, d, "dedup", "events.parquet") { in =>
+        implicit val ss: SparkSession = s
+        graft.streaming.EventStream.dedupPinned(
+          graft.streaming.EventStream.readEvents(s, in)).toDF()
+      }
+      s.read.parquet(out).orderBy("user_id", "event_type")
     }),
 
     // S8's streaming twin as an oracle row — stream-static left-semi
@@ -229,6 +263,12 @@ object StreamQueries {
         |COUNT(*) AS n,
         |CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS v_cents
         |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    // the batch st_dedup oracle verbatim: stream == batch by contract
+    "st_dedup_stream" ->
+      """SELECT user_id, event_type, COUNT(*) AS n_dups,
+        |CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_ts,
+        |MIN(event_id) AS keeper
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
     "st_dedup" ->
       """SELECT user_id, event_type, COUNT(*) AS n_dups,
         |CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_ts,

@@ -77,7 +77,10 @@ object EventStream {
     * watermark horizon (bounded state at 100 TB/day rates; an unbounded
     * `dropDuplicates` would accrete state forever). Batch twin:
     * `st_dedup` (per-key first-event summary); EventStreamSpec asserts
-    * the streamed survivor key set equals the batch key set. */
+    * the streamed survivor key set equals the batch key set. The
+    * SURVIVOR ROW per key is whichever arrives first — arbitrary under
+    * re-ordering, which is why this variant stays spec-only; the
+    * deterministic, oracle-hashable form is [[dedupPinned]]. */
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events
       .withColumn("ts_ev",
@@ -86,6 +89,48 @@ object EventStream {
         else col("ts"))
       .withWatermark("ts_ev", "2 hours")
       .dropDuplicatesWithinWatermark(keyCols)
+
+  case class DedupSummary(user_id: Long, event_type: String, n_dups: Long,
+                          first_ts: Long, keeper: Long)
+
+  /** Deterministic streaming dedup: per (user_id, event_type) key,
+    * carry (count, min event-time, min event_id) across micro-batches
+    * and emit the updated per-key summary each batch — the SURVIVOR is
+    * PINNED (min event-time for `first_ts`, min id for `keeper`, each
+    * an independent min like the batch aggregate), so the answer is
+    * identical under any arrival order or batch split, unlike
+    * [[dedupStream]]'s first-arrival keeper. This is what puts the
+    * last streaming operator under the driver's hash gate
+    * (`st_dedup_stream` hashes against the batch `st_dedup` oracle).
+    *
+    * `first_ts` is emitted in micros (`min(ts) div 1000`) to match the
+    * batch twin's precision contract. State is three longs per live
+    * key with NoTimeout — right for an AvailableNow catch-up run over
+    * a bounded key space; a continuous deployment over an unbounded
+    * key stream would add an event-time timeout to expire keys past
+    * the watermark (the [[dedupStream]] trade, applied here). */
+  def dedupPinned(events: DataFrame)(
+      implicit spark: SparkSession): Dataset[DedupSummary] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_type"),
+        col("ts").cast("long"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), it: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (n, minTs, minId) =
+            state.getOption.getOrElse((0L, Long.MaxValue, Long.MaxValue))
+          it.foreach { case (_, _, ts, id) =>
+            n += 1
+            if (ts < minTs) minTs = ts
+            if (id < minId) minId = id
+          }
+          state.update((n, minTs, minId))
+          Iterator(DedupSummary(key._1, key._2, n,
+            Math.floorDiv(minTs, 1000L), minId))
+      }
+  }
 
   /** Stream-stream click→purchase attribution join: every purchase
     * pairs with each of the user's clicks in the preceding

@@ -51,6 +51,42 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("bucketCap bounds clone-group candidates at O(clones·B), keeps the group connected") {
+    // 100-way exact clone group: every doc lands in the same (band, bh)
+    // bucket in all 64 bands, the uncapped worst case (4950 pairs).
+    val clones = (1L to 100L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minHashLshPairs(clones, "doc_id", "text",
+      k = 3, theta = 0.7, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // O(clones·B): at most bands × C(B,2) distinct pairs survive the
+    // per-band 8-subsets — far below the quadratic 4950.
+    assert(capped.length <= 64 * 8 * 7 / 2)
+    assert(capped.length < 4950)
+    assert(capped.nonEmpty)
+    // connectivity: the union of the per-band cliques keeps (nearly all
+    // of) the clone group in ONE component — what d11/d12 need. The
+    // per-band sample is a fixed hash, so this is deterministic.
+    val parent = scala.collection.mutable.Map((1L to 100L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    capped.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val biggest = (1L to 100L).groupBy(find).values.map(_.size).max
+    assert(biggest >= 90)
+  }
+
+  test("bucketCap leaves under-cap buckets exact (default cap, 10-way clones)") {
+    val clones = (1L to 10L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(clones, "doc_id", "text",
+      k = 3, theta = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10 ≤ 64 → no bucket exceeds the default cap → all 45 pairs, jac 1
+    assert(pairs == (for (a <- 1L to 10L; b <- (a + 1) to 10L) yield (a, b)).toSet)
+  }
+
   test("dfCap drops stop-shingle postings") {
     // shingle shared by all docs gets dropped at cap 2 → no pairs via it
     val stop = Seq((1L, "x y z"), (2L, "x y z"), (3L, "x y z"))

@@ -74,6 +74,32 @@ class EventStreamSpec extends SparkSpec {
     assert(n == want.size, "a key emitted more than one survivor")
   }
 
+  test("pinned-survivor dedup (flatMapGroupsWithState) equals the batch summary") {
+    implicit val s = spark
+    val dir = Files.createTempDirectory("evdedup2").toString
+    val ckpt = Files.createTempDirectory("evdedup2ck").toString
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+
+    val dd = EventStream.dedupPinned(EventStream.readEvents(spark, dir)).toDF()
+    // later batches supersede earlier per-key rows (running summary)
+    var got = Map.empty[(Long, String), (Long, Long, Long)]
+    EventStream.runAvailableNow(dd, ckpt, mode = "append") { (b, _) =>
+      b.collect().foreach { r =>
+        got += (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))
+      }
+    }
+
+    // full-row equality against the batch twin — not just key sets:
+    // the survivor (first_ts, keeper) is pinned, so every column must
+    // agree with the deterministic batch aggregate
+    val want = graft.queries.StreamQueries.defs("st_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(want.nonEmpty && got == want)
+  }
+
   test("stream-stream attribution join matches the batch twin") {
     val dir = Files.createTempDirectory("evattr").toString
     val ckpt = Files.createTempDirectory("evattrck").toString
