@@ -40,7 +40,8 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Seq("pl_infer_works", "g2_connected_components",
-        "d24_bm25_search", "rp_profile", "d5_minhash_lsh"))
+        "d24_bm25_search", "rp_profile", "d5_minhash_lsh",
+        "st_attrib_stream", "d6_simhash", "j4_cooccur_join"))
     // fail fast on typos — otherwise a bad name throws a bare
     // NoSuchElementException mid-loop and discards every timing
     // already taken

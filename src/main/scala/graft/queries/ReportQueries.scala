@@ -60,7 +60,65 @@ object ReportQueries {
         .when(k % 40 % 5 === 1, lit("Jazz\\\\Bebop"))
         .when(k % 40 % 5 === 2, lit("Rock\\\\Indie"))
         .when(k % 40 % 5 === 3, lit("Techno"))
-        .otherwise(lit("Blues")).as("genre"))
+        .otherwise(lit("Blues")).as("genre"),
+      // composer: multi-value every 4th row, null every 41st; wraps
+      // mod 6 so composers span albums (the classical-roles branch)
+      when(k % 41 === 0, lit(null).cast("string"))
+        .when(k % 4 === 0, concat(lit("C"), (k % 6).cast("string"),
+          lit("\\\\"), lit("C"), ((k % 6) + 6).cast("string")))
+        .otherwise(concat(lit("C"), (k % 6).cast("string"))).as("composer"),
+      // conductor: single-value, null every 43rd, wraps mod 4
+      when(k % 43 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("K"), (k % 4).cast("string"))).as("conductor"))
+  }
+
+  /** Classified quality fixture shared by rp_quality_matrix /
+    * rp_format_breakdown (ref 92-...py:1045-1110): the part-table
+    * synthesis plus the reference's lossless-classification waterfall
+    * — DSD (bps=1) → lossless, known lossy codecs → lossy, known
+    * lossless containers → lossless, bit depth >0 → lossless,
+    * ambiguous containers without bit depth → lossy, else unknown —
+    * with channels and bitrate columns for the breakdown tables. */
+  private def qualityTracks(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey")
+    val m11 = k % 11
+    val tracks = graft.core.Tables.part(s, d).select(
+      when(m11 === 0, lit("FLAC")).when(m11 === 1, lit("MP3"))
+        .when(m11 === 2, lit("Ogg Vorbis")).when(m11 === 3, lit("WavPack"))
+        .when(m11 === 4, lit("AIFF")).when(m11 === 5, lit("Opus"))
+        .when(m11 === 6, lit("M4A")).when(m11 === 7, lit("WMA"))
+        .when(m11 === 8, lit("DSF")).when(m11 === 9, lit(""))
+        .otherwise(lit(null).cast("string")).as("filetype"),
+      when(k % 13 === 0, lit("1")).when(k % 3 === 0, lit("16"))
+        .when(k % 3 === 1, lit("24")).when(k % 17 === 0, lit("0"))
+        .otherwise(lit(null).cast("string")).as("bps_raw"),
+      when(k % 4 === 0, lit(44.1)).when(k % 4 === 1, lit(48.0))
+        .when(k % 4 === 2, lit(96.0))
+        .otherwise(lit(null).cast("double")).as("freq_khz"),
+      // channels: stereo default, 6-channel every 5th, null every 23rd
+      when(k % 23 === 0, lit(null).cast("int"))
+        .when(k % 5 === 0, lit(6)).otherwise(lit(2)).as("ch"),
+      // bitrate (kbps): meaningful for the lossy rows; null every 29th
+      when(k % 29 === 0, lit(null).cast("int"))
+        .when(k % 6 === 0, lit(320)).when(k % 6 === 1, lit(256))
+        .when(k % 6 === 2, lit(192)).otherwise(lit(128)).as("br"))
+    val ftLc = lower(col("filetype"))
+    val bpsRaw = col("bps_raw").cast("long")
+    val bps = when(bpsRaw.isNotNull && bpsRaw > 0, bpsRaw)
+    val lossless = Seq("flac", "wav", "wave", "aiff", "aif", "ape",
+      "wavpack", "wv", "w64", "tta", "dsf", "dff", "alac")
+    val lossy = Seq("mp3", "ogg vorbis", "vorbis", "opus", "aac")
+    val isLossless = when(bps === 1, true)
+      .when(ftLc.isin(lossy: _*), false)
+      .when(ftLc.isin(lossless: _*), true)
+      .when(bps.isNotNull && bps > 0, true)
+      .when(ftLc.isin("m4a", "mp4", "wma") && bps.isNull, false)
+      .otherwise(lit(null).cast("boolean"))
+    tracks
+      .withColumn("quality", when(isLossless === true, "lossless")
+        .when(isLossless === false, "lossy").otherwise("unknown"))
+      .withColumn("dsd", coalesce(bps === 1, lit(false)))
+      .withColumn("bps", bps)
   }
 
   val defs: Map[String, Q] = Map(
@@ -134,43 +192,30 @@ object ReportQueries {
     // containers → lossless, bit depth >0 → lossless, ambiguous
     // containers without bit depth → lossy, else unknown — rolled up
     // into the (class, bps, freq) histogram the dashboard plots.
-    "rp_quality_matrix" -> ((s, d) => {
-      val k = col("p_partkey")
-      val m11 = k % 11
-      val tracks = graft.core.Tables.part(s, d).select(
-        when(m11 === 0, lit("FLAC")).when(m11 === 1, lit("MP3"))
-          .when(m11 === 2, lit("Ogg Vorbis")).when(m11 === 3, lit("WavPack"))
-          .when(m11 === 4, lit("AIFF")).when(m11 === 5, lit("Opus"))
-          .when(m11 === 6, lit("M4A")).when(m11 === 7, lit("WMA"))
-          .when(m11 === 8, lit("DSF")).when(m11 === 9, lit(""))
-          .otherwise(lit(null).cast("string")).as("filetype"),
-        when(k % 13 === 0, lit("1")).when(k % 3 === 0, lit("16"))
-          .when(k % 3 === 1, lit("24")).when(k % 17 === 0, lit("0"))
-          .otherwise(lit(null).cast("string")).as("bps_raw"),
-        when(k % 4 === 0, lit(44.1)).when(k % 4 === 1, lit(48.0))
-          .when(k % 4 === 2, lit(96.0))
-          .otherwise(lit(null).cast("double")).as("freq_khz"))
-      val ftLc = lower(col("filetype"))
-      val bpsRaw = col("bps_raw").cast("long")
-      val bps = when(bpsRaw.isNotNull && bpsRaw > 0, bpsRaw)
-      val lossless = Seq("flac", "wav", "wave", "aiff", "aif", "ape",
-        "wavpack", "wv", "w64", "tta", "dsf", "dff", "alac")
-      val lossy = Seq("mp3", "ogg vorbis", "vorbis", "opus", "aac")
-      val isLossless = when(bps === 1, true)
-        .when(ftLc.isin(lossy: _*), false)
-        .when(ftLc.isin(lossless: _*), true)
-        .when(bps.isNotNull && bps > 0, true)
-        .when(ftLc.isin("m4a", "mp4", "wma") && bps.isNull, false)
-        .otherwise(lit(null).cast("boolean"))
-      tracks
-        .withColumn("quality", when(isLossless === true, "lossless")
-          .when(isLossless === false, "lossy").otherwise("unknown"))
-        .withColumn("dsd", coalesce(bps === 1, lit(false)))
-        .withColumn("bps", bps)
+    "rp_quality_matrix" -> ((s, d) =>
+      qualityTracks(s, d)
         .groupBy("quality", "dsd", "bps", "freq_khz")
         .agg(count(lit(1)).as("n"))
-        .orderBy("quality", "dsd", "bps", "freq_khz")
-    }),
+        .orderBy("quality", "dsd", "bps", "freq_khz")),
+    // Lossless/lossy format breakdown (ref 92-...py:1126-1245): per
+    // codec class the (filetype, channels, depth-or-rate, frequency)
+    // histogram with share-of-class percentages.
+    "rp_format_breakdown" -> ((s, d) =>
+      Insights.formatBreakdown(qualityTracks(s, d))),
+    // Classical top composers and conductors (ref :3379, :3470):
+    // track-genre-scoped distinct-album counts, both roles in one
+    // table.
+    "rp_classical_roles" -> ((s, d) =>
+      Insights.genreTopRoles(roleTracks(s, d),
+        Seq("classical", "baroque", "romantic", "opera", "symphony",
+          "chamber"),
+        Seq("composer", "conductor"), topN = 10)),
+    // Jazz top artists (ref :3498): album-scoped jazz roots joined to
+    // the global distinct (album, albumartist) pairs.
+    "rp_jazz_artists" -> ((s, d) =>
+      Insights.genreAlbumTopArtists(roleTracks(s, d),
+        Seq("jazz", "bebop", "hard bop", "swing", "fusion"),
+        "albumartist", topN = 10)),
     // Report 94: missing-critical-tags-by-album exception table over a
     // deterministic alib-shaped fixture from customer (the
     // PipelineQueries synthesis convention): stride-40 albums, every
@@ -233,7 +278,13 @@ object ReportQueries {
       |  WHEN c_custkey % 40 % 5 = 1 THEN 'Jazz\\Bebop'
       |  WHEN c_custkey % 40 % 5 = 2 THEN 'Rock\\Indie'
       |  WHEN c_custkey % 40 % 5 = 3 THEN 'Techno'
-      |  ELSE 'Blues' END AS genre
+      |  ELSE 'Blues' END AS genre,
+      |CASE WHEN c_custkey % 41 = 0 THEN NULL
+      |  WHEN c_custkey % 4 = 0
+      |    THEN 'C' || (c_custkey % 6) || '\\C' || ((c_custkey % 6) + 6)
+      |  ELSE 'C' || (c_custkey % 6) END AS composer,
+      |CASE WHEN c_custkey % 43 = 0 THEN NULL
+      |  ELSE 'K' || (c_custkey % 4) END AS conductor
       |FROM customer""".stripMargin
 
   private def tokSql(c: String): String =
@@ -526,6 +577,106 @@ object ReportQueries {
         |COALESCE(bps = 1, FALSE) AS dsd, bps, freq_khz, COUNT(*) AS n
         |FROM q GROUP BY 1, 2, 3, 4
         |ORDER BY quality, dsd, bps NULLS FIRST, freq_khz NULLS FIRST""".stripMargin,
+    // track-genre-scoped role counts: the classical filter runs on
+    // TRACK rows before the distinct (album, token) pairs
+    "rp_classical_roles" ->
+      s"""WITH t AS ($RoleTracksSql),
+         |ct AS (SELECT * FROM t WHERE list_has_any(
+         |  list_transform(list_filter(list_transform(
+         |    string_split(coalesce(genre, ''), '\\'), x -> trim(x)),
+         |    x -> x <> ''), x -> lower(x)),
+         |  ['classical','baroque','romantic','opera','symphony','chamber'])),
+         |cp AS (SELECT DISTINCT album_root, tok FROM (
+         |  SELECT album_root, ${tokSql("composer")} AS tok FROM ct)),
+         |cd AS (SELECT DISTINCT album_root, tok FROM (
+         |  SELECT album_root, ${tokSql("conductor")} AS tok FROM ct)),
+         |c AS (
+         |  SELECT 'composer' AS role, tok, COUNT(*) AS albums
+         |  FROM cp GROUP BY tok
+         |  UNION ALL
+         |  SELECT 'conductor' AS role, tok, COUNT(*) AS albums
+         |  FROM cd GROUP BY tok),
+         |r AS (SELECT role, ROW_NUMBER() OVER (PARTITION BY role
+         |  ORDER BY albums DESC, tok) AS rank, tok, albums FROM c)
+         |SELECT role, rank, tok, albums FROM r WHERE rank <= 10
+         |ORDER BY role, rank""".stripMargin,
+    // album-scoped: roots qualify on ANY jazz-genre track; the artist
+    // pairs come from all the album's tracks
+    "rp_jazz_artists" ->
+      s"""WITH t AS ($RoleTracksSql),
+         |roots AS (SELECT DISTINCT album_root FROM t WHERE list_has_any(
+         |  list_transform(list_filter(list_transform(
+         |    string_split(coalesce(genre, ''), '\\'), x -> trim(x)),
+         |    x -> x <> ''), x -> lower(x)),
+         |  ['jazz','bebop','hard bop','swing','fusion'])),
+         |pairs AS (SELECT DISTINCT album_root, tok FROM (
+         |  SELECT album_root, ${tokSql("albumartist")} AS tok FROM t)),
+         |c AS (SELECT tok, COUNT(*) AS albums
+         |  FROM pairs JOIN roots USING (album_root) GROUP BY tok),
+         |r AS (SELECT 'albumartist' AS role, ROW_NUMBER() OVER (
+         |  ORDER BY albums DESC, tok) AS rank, tok, albums FROM c)
+         |SELECT role, rank, tok, albums FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
+    // same classification waterfall as rp_quality_matrix, then the
+    // per-class histograms with window-share denominators; null sort
+    // keys sink via the reference's fill(9999) coalesce
+    "rp_format_breakdown" ->
+      """WITH t AS (SELECT
+        |CASE WHEN p_partkey % 11 = 0 THEN 'FLAC'
+        |  WHEN p_partkey % 11 = 1 THEN 'MP3'
+        |  WHEN p_partkey % 11 = 2 THEN 'Ogg Vorbis'
+        |  WHEN p_partkey % 11 = 3 THEN 'WavPack'
+        |  WHEN p_partkey % 11 = 4 THEN 'AIFF'
+        |  WHEN p_partkey % 11 = 5 THEN 'Opus'
+        |  WHEN p_partkey % 11 = 6 THEN 'M4A'
+        |  WHEN p_partkey % 11 = 7 THEN 'WMA'
+        |  WHEN p_partkey % 11 = 8 THEN 'DSF'
+        |  WHEN p_partkey % 11 = 9 THEN '' END AS filetype,
+        |CASE WHEN p_partkey % 13 = 0 THEN '1'
+        |  WHEN p_partkey % 3 = 0 THEN '16'
+        |  WHEN p_partkey % 3 = 1 THEN '24'
+        |  WHEN p_partkey % 17 = 0 THEN '0' END AS bps_raw,
+        |CASE WHEN p_partkey % 4 = 0 THEN CAST(44.1 AS DOUBLE)
+        |  WHEN p_partkey % 4 = 1 THEN CAST(48.0 AS DOUBLE)
+        |  WHEN p_partkey % 4 = 2 THEN CAST(96.0 AS DOUBLE) END AS freq_khz,
+        |CASE WHEN p_partkey % 23 = 0 THEN NULL
+        |  WHEN p_partkey % 5 = 0 THEN CAST(6 AS INT)
+        |  ELSE CAST(2 AS INT) END AS ch,
+        |CASE WHEN p_partkey % 29 = 0 THEN NULL
+        |  WHEN p_partkey % 6 = 0 THEN CAST(320 AS INT)
+        |  WHEN p_partkey % 6 = 1 THEN CAST(256 AS INT)
+        |  WHEN p_partkey % 6 = 2 THEN CAST(192 AS INT)
+        |  ELSE CAST(128 AS INT) END AS br
+        |FROM part),
+        |c AS (SELECT filetype, lower(filetype) AS ft,
+        |CASE WHEN CAST(bps_raw AS BIGINT) > 0
+        |  THEN CAST(bps_raw AS BIGINT) END AS bps,
+        |freq_khz, ch, br FROM t),
+        |q AS (SELECT *,
+        |CASE WHEN bps = 1 THEN TRUE
+        |  WHEN ft IN ('mp3','ogg vorbis','vorbis','opus','aac') THEN FALSE
+        |  WHEN ft IN ('flac','wav','wave','aiff','aif','ape','wavpack',
+        |    'wv','w64','tta','dsf','dff','alac') THEN TRUE
+        |  WHEN bps > 0 THEN TRUE
+        |  WHEN ft IN ('m4a','mp4','wma') AND bps IS NULL THEN FALSE
+        |  END AS isll FROM c),
+        |f AS (SELECT
+        |CASE WHEN isll THEN 'Lossless' ELSE 'Lossy' END AS codec_class,
+        |CASE WHEN filetype IS NULL OR TRIM(filetype) = '' THEN '(Unknown)'
+        |  ELSE TRIM(filetype) END AS filetype,
+        |ch,
+        |CASE WHEN isll THEN bps END AS bps,
+        |CASE WHEN NOT isll THEN br END AS br,
+        |freq_khz FROM q WHERE isll IS NOT NULL),
+        |g AS (SELECT codec_class, filetype, ch, bps, br, freq_khz,
+        |COUNT(*) AS tracks FROM f GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT codec_class, filetype, ch, bps, br, freq_khz, tracks,
+        |ROUND(CAST(tracks AS DOUBLE) * 100
+        |  / SUM(tracks) OVER (PARTITION BY codec_class), 6) AS pct
+        |FROM g
+        |ORDER BY codec_class, filetype, COALESCE(ch, 9999),
+        |COALESCE(bps, 9999), COALESCE(br, 9999999),
+        |COALESCE(freq_khz, 9999.0)""".stripMargin,
     "rp_missing_critical" ->
       """WITH t AS (SELECT
         |CASE WHEN (c_custkey % 40) % 8 = 3

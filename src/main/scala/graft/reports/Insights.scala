@@ -371,6 +371,96 @@ object Insights {
       .orderBy("side", "rank")
   }
 
+  /** Persona-sliced top roles (ref 92-...py:3379 "Classical — Top
+    * composers", :3470 "Classical — Top conductors"): [[topRoles]]
+    * restricted to TRACKS whose genre token list hits the bucket
+    * vocabulary — track-scoped like the reference's `_tok_any_in`
+    * mask over `df_genre_tok`, so a classical track on a mixed album
+    * still counts its album once, and non-classical tracks on a
+    * classical album contribute nothing. Same scale shape as
+    * [[topRoles]]; the genre filter is a map-side scan predicate. */
+  def genreTopRoles(tracks: DataFrame, vocab: Seq[String],
+                    roleCols: Seq[String], topN: Int): DataFrame = {
+    import graft.core.MultiValue
+    val lowToks = transform(
+      MultiValue.tokens(coalesce(col("genre"), lit(""))), t => lower(t))
+    topRoles(tracks.filter(arrays_overlap(lowToks, lit(vocab.toArray))),
+      roleCols, topN)
+  }
+
+  /** Album-scoped persona top artists (ref 92-...py:3498 "Jazz — Top
+    * artists", :3480 classical album artists): an album QUALIFIES when
+    * any of its tracks genre-hits the vocabulary, and the artist pairs
+    * then come from ALL the album's tracks — the reference joins its
+    * global `aa_pairs` against `jazz_roots`/`classical_roots`.
+    * Deliberately different scoping from [[genreTopRoles]].
+    *
+    * Scale shape: the qualifying-roots set is album-cardinality after
+    * a distinct (tiny next to tracks) and joins the distinct
+    * (album, token) pairs on album_root; the head(N) rides the bounded
+    * top-k aggregator. */
+  def genreAlbumTopArtists(tracks: DataFrame, vocab: Seq[String],
+                           roleCol: String, topN: Int): DataFrame = {
+    import graft.core.MultiValue
+    import graft.operators.TopK
+    val lowToks = transform(
+      MultiValue.tokens(coalesce(col("genre"), lit(""))), t => lower(t))
+    val roots = tracks.filter(col("album_root").isNotNull
+        && arrays_overlap(lowToks, lit(vocab.toArray)))
+      .select("album_root").distinct()
+    val pairs = tracks.filter(col("album_root").isNotNull)
+      .select(col("album_root"),
+        explode(MultiValue.tokens(coalesce(col(roleCol), lit(""))))
+          .as("tok"))
+      .distinct()
+    val counts = pairs.join(roots, Seq("album_root"))
+      .groupBy("tok").agg(count(lit(1)).as("albums"))
+    TopK.topKPerGroupAs[String](
+      counts.select(lit(roleCol).as("role"), col("tok"), col("albums")),
+      Seq("role"), "albums", "tok", topN)
+      .orderBy("rank")
+  }
+
+  /** Lossless/lossy format breakdown (ref 92-...py:1126-1245): within
+    * each codec class the reference renders a (filetype, channels,
+    * depth-or-rate, frequency) histogram with each combo's share of
+    * the class total — lossless keyed on bits-per-sample, lossy on
+    * bitrate. One result table with a `codec_class` discriminator;
+    * the class's unused key column is NULL (mirroring the two
+    * separate reference tables), unknown-class rows are excluded (the
+    * reference renders only the two tables), and null/blank filetypes
+    * display as "(Unknown)" (ref :1177).
+    *
+    * The share denominator is a class-partitioned window over
+    * aggregated (combo, count) rows — no second scan; null sort keys
+    * sink via the reference's fill(9999) coalesce so both engines
+    * agree without null-ordering settings. Input must carry the
+    * classified columns (`quality`, `bps`) plus `filetype`, `ch`,
+    * `br`, `freq_khz`. */
+  def formatBreakdown(tracks: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("codec_class")
+    tracks.filter(col("quality").isin("lossless", "lossy"))
+      .select(
+        when(col("quality") === "lossless", "Lossless")
+          .otherwise("Lossy").as("codec_class"),
+        when(col("filetype").isNull || trim(col("filetype")) === "",
+          "(Unknown)").otherwise(trim(col("filetype"))).as("filetype"),
+        col("ch"),
+        when(col("quality") === "lossless", col("bps")).as("bps"),
+        when(col("quality") === "lossy", col("br")).as("br"),
+        col("freq_khz"))
+      .groupBy("codec_class", "filetype", "ch", "bps", "br", "freq_khz")
+      .agg(count(lit(1)).as("tracks"))
+      .withColumn("pct",
+        round(col("tracks").cast("double") * 100
+          / sum(col("tracks")).over(w), 6))
+      .orderBy(col("codec_class"), col("filetype"),
+        coalesce(col("ch"), lit(9999)),
+        coalesce(col("bps"), lit(9999L)),
+        coalesce(col("br"), lit(9999999)),
+        coalesce(col("freq_khz"), lit(9999.0)))
+  }
+
   /** Report 94 (ref `scripts/reports/94-report-missing-critical-tags-
     * by-album.py`): exception-only wide report — one row per album
     * (album-root of `dirCol`, disc subfolders collapsed) that has at
