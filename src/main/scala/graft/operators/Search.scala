@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,23 +19,32 @@ import org.apache.spark.sql.functions._
   * practice. Scoring folds per-term BM25 contributions into integer
   * micro-units before summing, so group-sum order cannot perturb the
   * result (double addition is not associative; integer addition is).
+  *
+  * Two scoring paths share one index build:
+  *  - [[bm25TopK]] — exact: every query term meets every posting of
+  *    that term (per-query cost linear in the term's df).
+  *  - [[bm25TopKMaxScore]] — exact-with-certificate impact-ordered
+  *    pruning (the WAND/max-score family): candidates come from
+  *    per-term champion lists (top-m postings by impact), and a
+  *    per-query Fagin-style threshold check proves when the candidate
+  *    top-k IS the true top-k; unproven queries fall back to the
+  *    exact path. Identical output by construction — the d32 oracle
+  *    row pins it to the same SQL as d24.
   */
 object Search {
 
-  /** BM25 top-k: for each query row, the `k` best documents by summed
-    * per-term BM25 score (integer micros; ties broken by doc id).
+  /** Shared index build: the skinny corpus snapshot plus the
+    * per-posting BM25 impact (query-independent: idf depends on the
+    * term alone, saturation on (tf, dl)).
     *
-    * @param docs    corpus: (idCol, textCol)
-    * @param queries query set: (qidCol, qTextCol)
-    * @param dfCap   drop terms appearing in more than this many docs
-    *                (0 = keep all)
-    * @return (qid, rank, doc_id, score_micros) */
-  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queries: DataFrame, qidCol: String, qTextCol: String,
-               k: Int, k1: Double = 1.2, b: Double = 0.75,
-               dfCap: Int = 0, materialize: Boolean = true): DataFrame = {
-    def toks(c: org.apache.spark.sql.Column) =
-      filter(split(c, "\\s+"), t => t =!= "")
+    * @return (tfAll snapshot for cleanup, perPost(t, doc_id, s_micros),
+    *         qTerms(qid, t)) */
+  private def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                         queries: DataFrame, qidCol: String,
+                         qTextCol: String, k1: Double, b: Double,
+                         dfCap: Int, materialize: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    def toks(c: Column) = filter(split(c, "\\s+"), t => t =!= "")
 
     // tokenize the corpus ONCE, straight into the skinny postings
     // (doc, term, tf) — the ONLY materialized intermediate. One marker
@@ -70,17 +79,6 @@ object Search {
     val tf = Fuzzy.capPostings(postings, "t", dfCap)
     val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
 
-    val qTerms = queries
-      .select(col(qidCol).as("qid"), explode(toks(col(qTextCol))).as("t"))
-      .distinct()
-
-    // the inverted-index probe: query terms equi-join the postings on
-    // the term, never the documents
-    val hits = qTerms
-      .join(tf, Seq("t"))
-      .join(dfT, Seq("t"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(scal)
     // Lucene-style BM25, every float step an IEEE-exact op mirrored in
     // the oracle: idf = ln(1 + (N - df + .5)/(df + .5)), then the tf
     // saturation with dl/avgdl where avgdl = n_toks/n_docs
@@ -91,18 +89,152 @@ object Search {
     val sat = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) +
         lit(b) * (col("dl").cast("double") / avgdl)))
-    val scored = hits
-      .withColumn("s_micros", round(idf * sat * lit(1e6)).cast("long"))
-      .groupBy("qid", "doc_id")
-      .agg(sum("s_micros").as("score_micros"))
+    val perPost = tf
+      .join(dfT, Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(scal)
+      .select(col("t"), col("doc_id"),
+        round(idf * sat * lit(1e6)).cast("long").as("s_micros"))
+
+    val qTerms = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(qTextCol))).as("t"))
+      .distinct()
+    (tfAll, perPost, qTerms)
+  }
+
+  /** Rank/emit tail shared by both paths: per-(qid, doc) integer score
+    * sum, per-qid top-k window, the output column contract. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid")
       .orderBy(col("score_micros").desc, col("doc_id"))
-    val out = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "doc_id", "score_micros")
+  }
+
+  /** BM25 top-k: for each query row, the `k` best documents by summed
+    * per-term BM25 score (integer micros; ties broken by doc id).
+    *
+    * @param docs    corpus: (idCol, textCol)
+    * @param queries query set: (qidCol, qTextCol)
+    * @param dfCap   drop terms appearing in more than this many docs
+    *                (0 = keep all)
+    * @return (qid, rank, doc_id, score_micros) */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               dfCap: Int = 0, materialize: Boolean = true): DataFrame = {
+    val (tfAll, perPost, qTerms) = buildIndex(docs, idCol, textCol,
+      queries, qidCol, qTextCol, k1, b, dfCap, materialize)
+    // the inverted-index probe: query terms equi-join the postings on
+    // the term, never the documents
+    val scored = qTerms.join(perPost, Seq("t"))
+      .groupBy("qid", "doc_id")
+      .agg(sum("s_micros").as("score_micros"))
+    val out = rankTopK(scored, k)
     if (!materialize) out
     else {
       // materialize the (small) top-k, then free the postings
+      val ck = out.localCheckpoint(true)
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(tfAll)
+      ck
+    }
+  }
+
+  /** Impact-ordered BM25 top-k (the max-score/WAND family, relational
+    * form) — EXACT output, certified per query:
+    *
+    *  1. Champion lists: each term keeps its top-`m` postings by
+    *     impact (s_micros desc, doc_id) — a window on the term key
+    *     the postings already group by.
+    *  2. Candidates: query terms probe the CHAMPION lists only, so
+    *     candidate volume per query is ≤ m·|terms| instead of Σ df.
+    *  3. Candidates are scored exactly — the full postings are
+    *     semi-joined down to candidate docs BEFORE meeting the query
+    *     terms, so the heavy per-term fan-out never materializes.
+    *  4. Certificate (Fagin threshold): any NON-candidate doc's score
+    *     is ≤ B_q = Σ_t c_t, where c_t is the m-th (last champion)
+    *     impact of t — or 0 when the term's whole posting list is in
+    *     its champions. A query whose k-th candidate score exceeds
+    *     B_q STRICTLY has its true top-k inside the candidates
+    *     (strict: a non-candidate tying at B_q < θ can never displace
+    *     a ranked row; at equality it could win an id tie-break, so
+    *     equality falls back too).
+    *  5. Queries whose certificate fails (fewer than k candidates, or
+    *     θ ≤ B_q) re-run through the exact probe — correctness never
+    *     depends on m.
+    *
+    * At 100 TB the exact path's per-query cost is linear in term df —
+    * dominated by high-df terms whose postings are almost all
+    * irrelevant to the top-k; this path touches m rows per term for
+    * candidate generation plus the candidate docs' own postings, and
+    * the certificate tells you (measurably, per query) when that was
+    * enough. Raising `m` trades candidate volume for fallback rate.
+    *
+    * Identical column contract and values as [[bm25TopK]]; `d32` pins
+    * this path to d24's oracle SQL. */
+  def bm25TopKMaxScore(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, qidCol: String,
+                       qTextCol: String, k: Int, m: Int = 64,
+                       k1: Double = 1.2, b: Double = 0.75,
+                       dfCap: Int = 0,
+                       materialize: Boolean = true): DataFrame = {
+    require(m >= k, s"champion size m=$m must be >= k=$k")
+    val (tfAll, perPost, qTerms) = buildIndex(docs, idCol, textCol,
+      queries, qidCol, qTextCol, k1, b, dfCap, materialize)
+
+    // 1. champion prefix per term + the per-term non-champion bound
+    val wT = Window.partitionBy("t")
+      .orderBy(col("s_micros").desc, col("doc_id"))
+    val rankedPost = perPost.withColumn("rn", row_number().over(wT))
+      .withColumn("nt", count(lit(1)).over(Window.partitionBy("t")))
+    val champions = rankedPost.filter(col("rn") <= m)
+      .select("t", "doc_id", "s_micros")
+    // c_t: the weakest champion impact when postings extend past the
+    // prefix; 0 when the prefix holds the whole list (then no
+    // non-candidate doc matches t at all)
+    val cT = rankedPost
+      .filter(col("rn") === m && col("nt") > m)
+      .select(col("t"), col("s_micros").as("c_t"))
+
+    // 2. candidates from champion probes only
+    val cand = qTerms.join(champions, Seq("t"))
+      .select("qid", "doc_id").distinct()
+
+    // 3. exact candidate scores: postings filtered to candidate DOCS
+    // first (skinny distinct key list), then the query-term probe,
+    // then the (qid, doc) restriction — the full per-term fan-out
+    // never happens
+    val candDocs = cand.select("doc_id").distinct()
+    val candScored = perPost.join(candDocs, Seq("doc_id"), "left_semi")
+      .join(qTerms, Seq("t"))
+      .join(cand, Seq("qid", "doc_id"), "left_semi")
+      .groupBy("qid", "doc_id")
+      .agg(sum("s_micros").as("score_micros"))
+    val candTopK = rankTopK(candScored, k)
+
+    // 4. the certificate: θ_q (k-th candidate score) strictly above
+    // B_q (best possible non-candidate score), with a full top-k
+    val bounds = qTerms.join(cT, Seq("t"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("c_t"), lit(0L))).as("b_q"))
+    val proof = candTopK.groupBy("qid")
+      .agg(count(lit(1)).as("n_top"), min("score_micros").as("theta"))
+      .join(bounds, Seq("qid"))
+      .filter(col("n_top") === k && col("theta") > col("b_q"))
+      .select("qid")
+
+    // 5. certified queries emit their candidate top-k; the rest
+    // re-run the exact probe (correctness never depends on m)
+    val provenOut = candTopK.join(proof, Seq("qid"), "left_semi")
+    val fallbackQ = qTerms.join(proof, Seq("qid"), "left_anti")
+    val fallbackScored = fallbackQ.join(perPost, Seq("t"))
+      .groupBy("qid", "doc_id")
+      .agg(sum("s_micros").as("score_micros"))
+    val out = provenOut.unionByName(rankTopK(fallbackScored, k))
+
+    if (!materialize) out
+    else {
       val ck = out.localCheckpoint(true)
       org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(tfAll)
       ck

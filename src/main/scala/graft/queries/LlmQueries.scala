@@ -333,6 +333,24 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Impact-ordered BM25 (max-score/WAND family): champion-list
+    // candidates + per-query exactness certificate, falling back to
+    // the exact probe where unproven — same probe set and k as d24,
+    // and the SAME oracle SQL: the pruning must be invisible in the
+    // result.
+    "d32_bm25_maxscore" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val queries = docs
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
+            t => t =!= ""), 1, 6)).as("qtext"),
+          md5(col("doc_id").cast("string").cast("binary")).as("__rk"))
+        .orderBy(col("__rk"), col("qid")).limit(128).drop("__rk")
+      Search.bm25TopKMaxScore(docs, "doc_id", "text", queries, "qid",
+          "qtext", k = 5, m = 64)
+        .orderBy("qid", "rank")
+    }),
+
     // Decontamination: the benchmark is the first 15 words of every
     // 37th document, so those docs (and any other doc sharing one of
     // their 8-gram windows) flag with their overlap count.
@@ -676,6 +694,38 @@ object LlmQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** The exact-BM25 oracle, shared by d24 (exact path) and d32
+    * (max-score path — the pruning must be result-invisible). */
+  private val Bm25Sql =
+    """WITH tok AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM
+      |  (SELECT doc_id, unnest(ws) AS t FROM tok) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM tok),
+      |scal AS (SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl),
+      |dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      |probe AS (SELECT doc_id, ws FROM tok
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 128),
+      |qt AS (SELECT DISTINCT doc_id AS qid, unnest(ws[1:6]) AS t
+      |  FROM probe),
+      |hits AS (SELECT qt.qid, tf.doc_id, tf.tf, dft.df, dl.dl
+      |  FROM qt JOIN tf ON qt.t = tf.t JOIN dft ON qt.t = dft.t
+      |  JOIN dl ON tf.doc_id = dl.doc_id),
+      |sc AS (SELECT qid, doc_id, CAST(SUM(CAST(ROUND(
+      |  (ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |   * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75
+      |      * (CAST(dl AS DOUBLE)
+      |         / (CAST(n_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))
+      |  * 1e6) AS BIGINT)) AS BIGINT) AS score_micros
+      |  FROM hits, scal GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, score_micros, ROW_NUMBER() OVER (
+      |  PARTITION BY qid ORDER BY score_micros DESC, doc_id) AS rank
+      |  FROM sc)
+      |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score_micros
+      |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val sql: Map[String, String] = Map(
     "d6_simhash" -> SimHashSql,
     // md5-hex bucket parsed the cross-engine way (conv base-16 vs
@@ -803,35 +853,10 @@ object LlmQueries {
     // float steps mirrored op-for-op (every +,*,/ and ln argument in
     // the same association order as Search.bm25TopK), per-term micros
     // rounded before the integer sum
-    "d24_bm25_search" ->
-      """WITH tok AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
-        |  FROM documents),
-        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM
-        |  (SELECT doc_id, unnest(ws) AS t FROM tok) GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM tok),
-        |scal AS (SELECT COUNT(*) AS n_docs,
-        |  CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl),
-        |dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
-        |probe AS (SELECT doc_id, ws FROM tok
-        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 128),
-        |qt AS (SELECT DISTINCT doc_id AS qid, unnest(ws[1:6]) AS t
-        |  FROM probe),
-        |hits AS (SELECT qt.qid, tf.doc_id, tf.tf, dft.df, dl.dl
-        |  FROM qt JOIN tf ON qt.t = tf.t JOIN dft ON qt.t = dft.t
-        |  JOIN dl ON tf.doc_id = dl.doc_id),
-        |sc AS (SELECT qid, doc_id, CAST(SUM(CAST(ROUND(
-        |  (ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
-        |   * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75
-        |      * (CAST(dl AS DOUBLE)
-        |         / (CAST(n_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))
-        |  * 1e6) AS BIGINT)) AS BIGINT) AS score_micros
-        |  FROM hits, scal GROUP BY 1, 2),
-        |r AS (SELECT qid, doc_id, score_micros, ROW_NUMBER() OVER (
-        |  PARTITION BY qid ORDER BY score_micros DESC, doc_id) AS rank
-        |  FROM sc)
-        |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score_micros
-        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "d24_bm25_search" -> Bm25Sql,
+    // the same SQL verbatim: the max-score path must be result-
+    // invisible relative to the exact path
+    "d32_bm25_maxscore" -> Bm25Sql,
     // same 8-gram md5 windows on both sides (1-based inclusive slices);
     // distinct (doc, hash) pairs before the join so n_hits counts
     // windows once

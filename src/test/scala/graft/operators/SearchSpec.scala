@@ -33,6 +33,45 @@ class SearchSpec extends SparkSpec {
     assert(pos >= 0 && pos < 2, s"doc 4 ranked ${pos + 1}")
   }
 
+  test("bm25TopKMaxScore equals the exact path at every champion size") {
+    // deterministic skewed corpus: common terms appear in most docs
+    // (champion prefix ≪ df → certificate genuinely needed), rare
+    // terms in few (whole list in champions → c_t = 0)
+    val vocab = Seq("the", "of", "apple", "banana", "cherry", "durian",
+      "elderberry", "fig", "grape", "honeydew", "kiwi", "lemon")
+    val corpus = (1L to 200L).map { i =>
+      val words = vocab.zipWithIndex.collect {
+        case (wd, j) if i % (j + 2) == 0 =>
+          Seq.fill((i % 3).toInt + 1)(wd)
+      }.flatten
+      (i, if (words.isEmpty) "lonely" else words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val qs = (1L to 20L)
+      .map(q => (q, s"${vocab((q % 12).toInt)} ${vocab(((q * 5) % 12).toInt)}"))
+      .toDF("qid", "qtext")
+    val exact = Search.bm25TopK(corpus, "doc_id", "text", qs, "qid",
+      "qtext", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // m = 5 (minimum, mostly fallback), 16 (mixed), 200 (all proven:
+    // every posting list fits its champion prefix)
+    for (m <- Seq(5, 16, 200)) {
+      val pruned = Search.bm25TopKMaxScore(corpus, "doc_id", "text", qs,
+        "qid", "qtext", k = 5, m = m)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(pruned == exact, s"max-score diverged from exact at m=$m")
+    }
+  }
+
+  test("bm25TopKMaxScore rejects champion prefixes smaller than k") {
+    val q = Seq((100L, "apple")).toDF("qid", "qtext")
+    intercept[IllegalArgumentException] {
+      Search.bm25TopKMaxScore(docs, "doc_id", "text", q, "qid", "qtext",
+        k = 4, m = 2)
+    }
+  }
+
   test("bm25TopK dfCap drops stop terms from probe and scoring") {
     // "apple" appears in 3 of 4 docs; cap at 2 removes it entirely
     val q = Seq((100L, "apple")).toDF("qid", "qtext")
