@@ -185,9 +185,15 @@ object Dedup {
     * consumers actually need). Candidate volume is O(b·B·m) per group
     * instead of O(m²). Buckets at or under the cap are untouched, so
     * results are exact (≡ `bucketCap = 0`, uncapped) whenever no
-    * bucket exceeds B. The rank window partitions by the same
-    * (band, bh) key the self-join shuffles on, so the cap adds no
-    * extra exchange on the capped side.
+    * bucket exceeds B. Plan cost of the cap: Spark plans the
+    * row_number≤B filter as WindowGroupLimit Partial/Final — each map
+    * partition pre-trims its buckets to B rows BEFORE the exchange,
+    * so the added shuffle of skinny (id, band, bh) rows is itself
+    * bucket-capped map-side; the rank window partitions on the same
+    * (band, bh) key the self-join uses, so in the sort-merge regime
+    * the join reuses that distribution (in the broadcast regime the
+    * window's exchange is the only one, where uncapped had none —
+    * the price of the bound).
     *
     * `materialize` as in [[jaccardPairs]]: `true` (default) eagerly
     * checkpoints the pair output and frees the shingle/signature

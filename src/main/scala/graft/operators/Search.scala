@@ -180,8 +180,17 @@ object Search {
                        dfCap: Int = 0,
                        materialize: Boolean = true): DataFrame = {
     require(m >= k, s"champion size m=$m must be >= k=$k")
-    val (tfAll, perPost, qTerms) = buildIndex(docs, idCol, textCol,
+    val (tfAll, perPost0, qTerms0) = buildIndex(docs, idCol, textCol,
       queries, qidCol, qTextCol, k1, b, dfCap, materialize)
+    // unlike the exact path (one consumer), this path reads perPost
+    // three times (champions/bounds, candidate scoring, fallback) and
+    // qTerms four — barrier both so the index build runs ONCE instead
+    // of replaying the posting joins per consumer (the jaccardPairs
+    // materialize discipline)
+    def barrier(d: DataFrame): DataFrame =
+      if (materialize) d.localCheckpoint(true) else d.cache()
+    val perPost = barrier(perPost0)
+    val qTerms = barrier(qTerms0)
 
     // 1. champion prefix per term + the per-term non-champion bound
     val wT = Window.partitionBy("t")
@@ -236,7 +245,10 @@ object Search {
     if (!materialize) out
     else {
       val ck = out.localCheckpoint(true)
-      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(tfAll)
+      import org.apache.spark.sql.graftshim.Shims
+      Shims.unpersistLocalCheckpoint(tfAll)
+      Shims.unpersistLocalCheckpoint(perPost)
+      Shims.unpersistLocalCheckpoint(qTerms)
       ck
     }
   }

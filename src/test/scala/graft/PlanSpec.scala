@@ -103,6 +103,46 @@ class PlanSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache() // drop the lazy barriers
   }
 
+  test("d5 bucket cap pre-trims map-side (WindowGroupLimit) and stays keyed") {
+    val p = graft.operators.Dedup.minHashLshPairs(
+        spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text",
+        k = 5, theta = 0.7, bucketCap = 64, materialize = false)
+      .queryExecution.executedPlan.toString
+    spark.sharedState.cacheManager.clearCache() // drop the lazy barriers
+    // the rank≤B filter must plan as WindowGroupLimit Partial+Final:
+    // each map partition trims its buckets to B rows BEFORE the
+    // exchange, so the cap's own shuffle is bucket-capped map-side —
+    // without the Partial phase the full uncapped banded rows would
+    // cross the wire just to be dropped after
+    assert(p.contains("WindowGroupLimit"), "cap not planned as a group limit")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).nonEmpty,
+      "no map-side partial group limit before the exchange")
+    assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
+  }
+
+  test("d32 max-score pipeline stays keyed (no cartesian beyond scalar attaches)") {
+    import org.apache.spark.sql.functions.{col, concat_ws, slice, split}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qs = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 6)).as("qt"))
+    val plan = graft.operators.Search.bm25TopKMaxScore(docs, "doc_id",
+        "text", qs, "qid", "qt", k = 5, m = 16, materialize = false)
+      .queryExecution.executedPlan
+    spark.sharedState.cacheManager.clearCache()
+    // programmatic collect, not textual grep: the textual plan
+    // restates the cached perPost subtree (holding the ONE allowed
+    // one-row scalar attach) at every InMemoryTableScan site, so a
+    // grep would count the same physical node a dozen times. Outside
+    // that cached index, every champion/candidate/bound/fallback join
+    // must be keyed — zero nested loops, zero cartesians.
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    val bnlj = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.isEmpty,
+      s"d32 has ${bnlj.size} nested-loop joins outside the cached index")
+  }
+
   test("round-6 queries: keyed joins only, and the profiler scans once") {
     // the markup/shuffle/sample family must stay equi-join / scan-side
     // (none of these checkpoint — the query plan is the real plan)
