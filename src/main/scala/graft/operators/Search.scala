@@ -168,8 +168,21 @@ object Search {
     * dominated by high-df terms whose postings are almost all
     * irrelevant to the top-k; this path touches m rows per term for
     * candidate generation plus the candidate docs' own postings, and
-    * the certificate tells you (measurably, per query) when that was
-    * enough. Raising `m` trades candidate volume for fallback rate.
+    * [[bm25MaxScoreCertificates]] tells you (measurably, per query)
+    * when that was enough. Raising `m` trades candidate volume for
+    * fallback rate.
+    *
+    * WHEN IT PAYS: pruning wins exactly when per-term impacts are
+    * SKEWED (varied tf/dl — real text), so the champion tail bound
+    * c_t sits well below the top impacts. A corpus with near-uniform
+    * impacts is the adversarial case: c_t ≈ the best impact, B_q ≈
+    * the best achievable score, and the certificate (correctly)
+    * never fires — every query then pays candidates + fallback on
+    * top of the exact probe. The synthetic `documents` fixture is
+    * exactly that shape (measured: 0/128 certified at m=64 AND
+    * m=256, sf0.1 — d32 runs ~20% over d24 there, the price of the
+    * attempt). Run the certificate diagnostic before choosing this
+    * path for a corpus.
     *
     * Identical column contract and values as [[bm25TopK]]; `d32` pins
     * this path to d24's oracle SQL. */
@@ -179,6 +192,63 @@ object Search {
                        k1: Double = 1.2, b: Double = 0.75,
                        dfCap: Int = 0,
                        materialize: Boolean = true): DataFrame = {
+    val p = maxScoreParts(docs, idCol, textCol, queries, qidCol,
+      qTextCol, k, m, k1, b, dfCap, materialize)
+    // 5. certified queries emit their candidate top-k; the rest
+    // re-run the exact probe (correctness never depends on m)
+    val provenOut = p.candTopK.join(p.proof, Seq("qid"), "left_semi")
+    val fallbackQ = p.qTerms.join(p.proof, Seq("qid"), "left_anti")
+    val fallbackScored = fallbackQ.join(p.perPost, Seq("t"))
+      .groupBy("qid", "doc_id")
+      .agg(sum("s_micros").as("score_micros"))
+    val out = provenOut.unionByName(rankTopK(fallbackScored, k))
+    p.seal(out, materialize)
+  }
+
+  /** Per-query certificate outcomes of [[bm25TopKMaxScore]] — the
+    * tuning diagnostic the scaladoc promises: (qid, certified). A low
+    * certified rate means the champion prefix `m` is too shallow for
+    * this corpus/query mix (every uncertified query pays candidate
+    * generation AND the exact probe), so raise `m` — or keep the
+    * exact [[bm25TopK]] when most queries are made of broad terms. */
+  def bm25MaxScoreCertificates(docs: DataFrame, idCol: String,
+                               textCol: String, queries: DataFrame,
+                               qidCol: String, qTextCol: String, k: Int,
+                               m: Int = 64, k1: Double = 1.2,
+                               b: Double = 0.75, dfCap: Int = 0,
+                               materialize: Boolean = true): DataFrame = {
+    val p = maxScoreParts(docs, idCol, textCol, queries, qidCol,
+      qTextCol, k, m, k1, b, dfCap, materialize)
+    val out = p.qTerms.select("qid").distinct()
+      .join(p.proof.withColumn("certified", lit(true)), Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("certified"), lit(false))
+        .as("certified"))
+    p.seal(out, materialize)
+  }
+
+  /** Intermediates of the max-score pipeline (steps 1-4), shared by
+    * the ranking path and the certificate diagnostic. `seal`
+    * checkpoints a result and frees the barriered index frames. */
+  private case class MaxScoreParts(tfAll: DataFrame, perPost: DataFrame,
+                                   qTerms: DataFrame, candTopK: DataFrame,
+                                   proof: DataFrame) {
+    def seal(out: DataFrame, materialize: Boolean): DataFrame =
+      if (!materialize) out
+      else {
+        val ck = out.localCheckpoint(true)
+        import org.apache.spark.sql.graftshim.Shims
+        Shims.unpersistLocalCheckpoint(tfAll)
+        Shims.unpersistLocalCheckpoint(perPost)
+        Shims.unpersistLocalCheckpoint(qTerms)
+        ck
+      }
+  }
+
+  private def maxScoreParts(docs: DataFrame, idCol: String,
+                            textCol: String, queries: DataFrame,
+                            qidCol: String, qTextCol: String, k: Int,
+                            m: Int, k1: Double, b: Double, dfCap: Int,
+                            materialize: Boolean): MaxScoreParts = {
     require(m >= k, s"champion size m=$m must be >= k=$k")
     val (tfAll, perPost0, qTerms0) = buildIndex(docs, idCol, textCol,
       queries, qidCol, qTextCol, k1, b, dfCap, materialize)
@@ -232,24 +302,6 @@ object Search {
       .join(bounds, Seq("qid"))
       .filter(col("n_top") === k && col("theta") > col("b_q"))
       .select("qid")
-
-    // 5. certified queries emit their candidate top-k; the rest
-    // re-run the exact probe (correctness never depends on m)
-    val provenOut = candTopK.join(proof, Seq("qid"), "left_semi")
-    val fallbackQ = qTerms.join(proof, Seq("qid"), "left_anti")
-    val fallbackScored = fallbackQ.join(perPost, Seq("t"))
-      .groupBy("qid", "doc_id")
-      .agg(sum("s_micros").as("score_micros"))
-    val out = provenOut.unionByName(rankTopK(fallbackScored, k))
-
-    if (!materialize) out
-    else {
-      val ck = out.localCheckpoint(true)
-      import org.apache.spark.sql.graftshim.Shims
-      Shims.unpersistLocalCheckpoint(tfAll)
-      Shims.unpersistLocalCheckpoint(perPost)
-      Shims.unpersistLocalCheckpoint(qTerms)
-      ck
-    }
+    MaxScoreParts(tfAll, perPost, qTerms, candTopK, proof)
   }
 }

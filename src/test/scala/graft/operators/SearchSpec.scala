@@ -64,6 +64,38 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("bm25MaxScoreCertificates: full champion coverage certifies; shallow prefixes don't lie") {
+    val vocab = Seq("the", "of", "apple", "banana", "cherry", "durian",
+      "elderberry", "fig", "grape", "honeydew", "kiwi", "lemon")
+    val corpus = (1L to 200L).map { i =>
+      val words = vocab.zipWithIndex.collect {
+        case (wd, j) if i % (j + 2) == 0 =>
+          Seq.fill((i % 3).toInt + 1)(wd)
+      }.flatten
+      (i, if (words.isEmpty) "lonely" else words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val qs = (1L to 20L)
+      .map(q => (q, s"${vocab((q % 12).toInt)} ${vocab(((q * 5) % 12).toInt)}"))
+      .toDF("qid", "qtext")
+    // m=200 ≥ every df: all posting lists sit inside their champion
+    // prefix, every c_t is 0, so every query with a full top-k
+    // certifies — the diagnostic must say so
+    val full = Search.bm25MaxScoreCertificates(corpus, "doc_id", "text",
+      qs, "qid", "qtext", k = 5, m = 200)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(full.size == 20)
+    assert(full.values.count(identity) >= 15,
+      s"only ${full.values.count(identity)}/20 certified at full coverage")
+    // at the minimum prefix most queries must NOT certify (broad terms
+    // have deep postings; the bound is honest) — and the ranking path
+    // already proved result-equality at m=5 above, so uncertified
+    // means fallback, never wrong answers
+    val shallow = Search.bm25MaxScoreCertificates(corpus, "doc_id",
+      "text", qs, "qid", "qtext", k = 5, m = 5)
+      .collect().map(r => r.getBoolean(1))
+    assert(shallow.count(identity) < 20)
+  }
+
   test("bm25TopKMaxScore rejects champion prefixes smaller than k") {
     val q = Seq((100L, "apple")).toDF("qid", "qtext")
     intercept[IllegalArgumentException] {
