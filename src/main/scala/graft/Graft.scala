@@ -57,10 +57,13 @@ object Graft {
   }
 
   /** MinHash-LSH near-dup pairs (probabilistic candidate generation,
-    * exact re-score) — the very-large-corpus path. */
+    * exact re-score) — the very-large-corpus path. `bucketCap` bounds
+    * per-(band, hash) bucket population against clone-heavy skew
+    * (see [[operators.Dedup.minHashLshPairs]] for the miss bound). */
   def dedupLshPairs(df: DataFrame, idCol: String, textCol: String,
-                    k: Int, theta: Double): DataFrame =
-    Dedup.minHashLshPairs(df, idCol, textCol, k, theta)
+                    k: Int, theta: Double, bucketCap: Int = 64): DataFrame =
+    Dedup.minHashLshPairs(df, idCol, textCol, k, theta,
+      bucketCap = bucketCap)
 
   /** Exact cosine top-k for a probe subset. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
@@ -191,6 +194,26 @@ object Graft {
     graft.operators.Search.bm25TopK(docs, idCol, textCol,
       queries, qidCol, qTextCol, k, dfCap = dfCap)
 
+  /** Impact-ordered BM25 top-k (max-score pruning, exact-certified
+    * per query with exact-probe fallback). Run
+    * [[searchCertificates]] first: on near-uniform-impact corpora
+    * the certificate never fires and [[searchTopK]] is cheaper. */
+  def searchTopKPruned(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, qidCol: String,
+                       qTextCol: String, k: Int, m: Int = 64,
+                       dfCap: Int = 0): DataFrame =
+    graft.operators.Search.bm25TopKMaxScore(docs, idCol, textCol,
+      queries, qidCol, qTextCol, k, m, dfCap = dfCap)
+
+  /** Per-query (qid, certified) outcomes of the max-score pruning —
+    * the m-tuning / path-selection diagnostic. */
+  def searchCertificates(docs: DataFrame, idCol: String, textCol: String,
+                         queries: DataFrame, qidCol: String,
+                         qTextCol: String, k: Int, m: Int = 64,
+                         dfCap: Int = 0): DataFrame =
+    graft.operators.Search.bm25MaxScoreCertificates(docs, idCol, textCol,
+      queries, qidCol, qTextCol, k, m, dfCap = dfCap)
+
   /** Left as-of join: latest build-side state at or before each probe
     * row's timestamp (one keyed shuffle, no join node). */
   def asofJoin(probe: DataFrame, build: DataFrame, key: String,
@@ -259,6 +282,23 @@ object Graft {
   def rolePairs(tracks: DataFrame, roleA: String, roleB: String,
                 topN: Int): DataFrame =
     graft.reports.Insights.rolePairs(tracks, roleA, roleB, topN)
+
+  /** Persona-sliced top roles: [[topRoles]] over tracks whose genre
+    * tokens hit `vocab` (track-scoped, the classical-roles shape). */
+  def genreTopRoles(tracks: DataFrame, vocab: Seq[String],
+                    roleCols: Seq[String], topN: Int): DataFrame =
+    graft.reports.Insights.genreTopRoles(tracks, vocab, roleCols, topN)
+
+  /** Album-scoped persona top artists: albums qualify on ANY matching
+    * track; artists counted over all the album's tracks. */
+  def genreAlbumTopArtists(tracks: DataFrame, vocab: Seq[String],
+                           roleCol: String, topN: Int): DataFrame =
+    graft.reports.Insights.genreAlbumTopArtists(tracks, vocab, roleCol,
+      topN)
+
+  /** Lossless/lossy format breakdown with share-of-class percentages. */
+  def formatBreakdown(tracks: DataFrame): DataFrame =
+    graft.reports.Insights.formatBreakdown(tracks)
 
   /** Skew-salted equi-join (fact salts into n buckets, dim replicates). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,

@@ -87,6 +87,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs == (for (a <- 1L to 10L; b <- (a + 1) to 10L) yield (a, b)).toSet)
   }
 
+  test("capped == uncapped whenever no bucket exceeds the cap (mixed corpus)") {
+    // clone groups of ≤6 plus near-dups plus singletons: every
+    // (band, bh) bucket stays under 64, so the capped result must be
+    // IDENTICAL to the uncapped one — pairs and scores both
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog today",
+      "pack my box with five dozen liquor jugs right now",
+      "how vexingly quick daft zebras jump over fences")
+    val corpus = (0 until 60).map { i =>
+      val b = base(i % 3)
+      val text = if (i % 5 == 0) b + " extra" else b
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.minHashLshPairs(corpus, "doc_id", "text",
+      k = 3, theta = 0.7, bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(64) == run(0))
+  }
+
   test("dfCap drops stop-shingle postings") {
     // shingle shared by all docs gets dropped at cap 2 → no pairs via it
     val stop = Seq((1L, "x y z"), (2L, "x y z"), (3L, "x y z"))
