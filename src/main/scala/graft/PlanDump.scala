@@ -106,6 +106,21 @@ object PlanDump {
         "of suite GC attribution. The plan shape (no fact re-scan, " +
         "no unkeyed join, single window) is the one that matters at " +
         "100x."),
+    "d32_bm25_maxscore" ->
+      ("Impact-ordered BM25 (max-score/WAND family): champion lists " +
+        "per term (WindowGroupLimit pre-trims map-side), candidates " +
+        "scored over a doc-semi-joined postings subset, a Fagin " +
+        "threshold certificate per query, exact-probe fallback. The " +
+        "barriered index (perPost/qTerms localCheckpoints) appears as " +
+        "LogicalRDD scans — every join beyond the cached one-row " +
+        "scalar attach is keyed (PlanSpec asserts programmatically; " +
+        "textual BNLJ greps double-count cached-subtree " +
+        "restatements). On this synthetic corpus the certificate " +
+        "fires 0/128 times (near-uniform impacts — the adversarial " +
+        "case, measured via bm25MaxScoreCertificates), so d32 " +
+        "in-suite ≈ d24 + candidate overhead; the pruned path wins " +
+        "on skewed-impact corpora, and the certificate is the " +
+        "per-corpus selector."),
     "st_attrib_stream" ->
       ("The stream-stream attribution join run THROUGH Structured " +
         "Streaming (Trigger.AvailableNow file source → two " +
