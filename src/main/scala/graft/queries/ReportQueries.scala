@@ -69,7 +69,19 @@ object ReportQueries {
         .otherwise(concat(lit("C"), (k % 6).cast("string"))).as("composer"),
       // conductor: single-value, null every 43rd, wraps mod 4
       when(k % 43 === 0, lit(null).cast("string"))
-        .otherwise(concat(lit("K"), (k % 4).cast("string"))).as("conductor"))
+        .otherwise(concat(lit("K"), (k % 4).cast("string"))).as("conductor"),
+      // title: wraps mod 30 so one composition recurs across albums;
+      // case and whitespace variants exercise the most-instances key
+      // normalization (lower + ws-collapse + trim)
+      when(k % 53 === 0, lit(null).cast("string"))
+        .when(k % 9 === 0, concat(lit("TTL  "), (k % 30).cast("string")))
+        .otherwise(concat(lit("Ttl "), (k % 30).cast("string"))).as("title"),
+      // artist: distinct from albumartist; multi-value every 8th, null
+      // every 47th, wraps mod 15 (performer diversity per composition)
+      when(k % 47 === 0, lit(null).cast("string"))
+        .when(k % 8 === 0, concat(lit("Ar"), (k % 15).cast("string"),
+          lit("\\\\"), lit("Ar"), ((k % 15 + 5) % 15).cast("string")))
+        .otherwise(concat(lit("Ar"), (k % 15).cast("string"))).as("artist"))
   }
 
   /** Classified quality fixture shared by rp_quality_matrix /
@@ -216,6 +228,51 @@ object ReportQueries {
       Insights.genreAlbumTopArtists(roleTracks(s, d),
         Seq("jazz", "bebop", "hard bop", "swing", "fusion"),
         "albumartist", topN = 10)),
+    // Classical top album artists (ref :3480): the same album-scoped
+    // shape over the classical roots.
+    "rp_classical_artists" -> ((s, d) =>
+      Insights.genreAlbumTopArtists(roleTracks(s, d),
+        Seq("classical", "baroque", "romantic", "opera", "symphony",
+          "chamber"),
+        "albumartist", topN = 10)),
+    // Jazz and Rock/Pop top composers (ref :3525, :3440) in one table
+    // with a bucket discriminator — track-genre-scoped like
+    // rp_classical_roles.
+    "rp_genre_composers" -> ((s, d) => {
+      val t = roleTracks(s, d)
+      Insights.genreTopRoles(t,
+          Seq("jazz", "bebop", "hard bop", "swing", "fusion"),
+          Seq("composer"), topN = 10)
+        .withColumn("bucket", lit("jazz"))
+        .unionByName(Insights.genreTopRoles(t,
+            Seq("rock", "pop", "indie", "alternative", "metal", "punk",
+              "grunge", "folk"),
+            Seq("composer"), topN = 10)
+          .withColumn("bucket", lit("rockpop")))
+        .orderBy("bucket", "rank")
+    }),
+    // Loudest/quietest albums by median album gain (ref "ReplayGain —
+    // Loudest/Quietest albums" brick charts).
+    "rp_gain_extremes" -> ((s, d) =>
+      Insights.gainExtremes(roleTracks(s, d), topN = 10)),
+    // Top compositions by performer diversity per genre bucket (ref
+    // :2874 _most_instances_card at :3388-3420).
+    "rp_most_instances" -> ((s, d) => {
+      val t = roleTracks(s, d)
+      Seq(
+        "classical" -> Seq("classical", "baroque", "romantic", "opera",
+          "symphony", "chamber"),
+        "jazz" -> Seq("jazz", "bebop", "hard bop", "swing", "fusion"),
+        "rockpop" -> Seq("rock", "pop", "indie", "alternative", "metal",
+          "punk", "grunge", "folk"))
+        .map { case (b, v) =>
+          Insights.mostInstances(t, v, topN = 20)
+            .withColumn("bucket", lit(b))
+        }
+        .reduce(_ unionByName _)
+        .orderBy(col("bucket"), col("distinct_artists").desc,
+          col("tracks").desc, col("composer_key"), col("title_key"))
+    }),
     // Report 94: missing-critical-tags-by-album exception table over a
     // deterministic alib-shaped fixture from customer (the
     // PipelineQueries synthesis convention): stride-40 albums, every
@@ -284,12 +341,42 @@ object ReportQueries {
       |    THEN 'C' || (c_custkey % 6) || '\\C' || ((c_custkey % 6) + 6)
       |  ELSE 'C' || (c_custkey % 6) END AS composer,
       |CASE WHEN c_custkey % 43 = 0 THEN NULL
-      |  ELSE 'K' || (c_custkey % 4) END AS conductor
+      |  ELSE 'K' || (c_custkey % 4) END AS conductor,
+      |CASE WHEN c_custkey % 53 = 0 THEN NULL
+      |  WHEN c_custkey % 9 = 0 THEN 'TTL  ' || (c_custkey % 30)
+      |  ELSE 'Ttl ' || (c_custkey % 30) END AS title,
+      |CASE WHEN c_custkey % 47 = 0 THEN NULL
+      |  WHEN c_custkey % 8 = 0
+      |    THEN 'Ar' || (c_custkey % 15) || '\\Ar' || ((c_custkey % 15 + 5) % 15)
+      |  ELSE 'Ar' || (c_custkey % 15) END AS artist
       |FROM customer""".stripMargin
 
   private def tokSql(c: String): String =
     s"unnest(list_filter(list_transform(string_split(coalesce($c, ''), " +
       s"'\\\\'), x -> trim(x)), x -> x <> ''))"
+
+  /** The LIST form of [[tokSql]] (no unnest), lowercased. */
+  private def lowTokListSql(c: String): String =
+    s"list_transform(list_filter(list_transform(string_split(" +
+      s"coalesce($c, ''), '\\\\'), x -> trim(x)), x -> x <> ''), " +
+      s"x -> lower(x))"
+
+  /** One genre bucket of the rp_most_instances oracle: scoped base →
+    * track counts + distinct-artist counts per (composer, title) key →
+    * top-20 by (distinct_artists, tracks) with key tie-breaks. */
+  private def mostInstancesBucketSql(bucket: String, vocab: String): String =
+    s"""(SELECT '$bucket' AS bucket, composer_key, title_key, tracks,
+       |  distinct_artists FROM (
+       |  SELECT composer_key, title_key, COUNT(*) AS tracks FROM base
+       |  WHERE list_has_any(gt, [$vocab]) GROUP BY 1, 2) tr
+       |JOIN (
+       |  SELECT composer_key, title_key,
+       |    COUNT(DISTINCT artist) AS distinct_artists FROM (
+       |    SELECT composer_key, title_key, unnest(artist_toks) AS artist
+       |    FROM base WHERE list_has_any(gt, [$vocab]))
+       |  GROUP BY 1, 2) ar USING (composer_key, title_key)
+       |ORDER BY distinct_artists DESC, tracks DESC, composer_key,
+       |  title_key LIMIT 20)""".stripMargin
 
   val sql: Map[String, String] = Map(
     "rp_quality_quantiles" ->
@@ -617,6 +704,97 @@ object ReportQueries {
          |  ORDER BY albums DESC, tok) AS rank, tok, albums FROM c)
          |SELECT role, rank, tok, albums FROM r WHERE rank <= 10
          |ORDER BY rank""".stripMargin,
+    // classical roots × global artist pairs — rp_jazz_artists with the
+    // classical vocabulary
+    "rp_classical_artists" ->
+      s"""WITH t AS ($RoleTracksSql),
+         |roots AS (SELECT DISTINCT album_root FROM t WHERE list_has_any(
+         |  ${lowTokListSql("genre")},
+         |  ['classical','baroque','romantic','opera','symphony','chamber'])),
+         |pairs AS (SELECT DISTINCT album_root, tok FROM (
+         |  SELECT album_root, ${tokSql("albumartist")} AS tok FROM t)),
+         |c AS (SELECT tok, COUNT(*) AS albums
+         |  FROM pairs JOIN roots USING (album_root) GROUP BY tok),
+         |r AS (SELECT 'albumartist' AS role, ROW_NUMBER() OVER (
+         |  ORDER BY albums DESC, tok) AS rank, tok, albums FROM c)
+         |SELECT role, rank, tok, albums FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin,
+    // jazz + rock/pop composer counts, track-genre-scoped, bucketed
+    "rp_genre_composers" ->
+      s"""WITH t AS ($RoleTracksSql),
+         |jt AS (SELECT * FROM t WHERE list_has_any(
+         |  ${lowTokListSql("genre")},
+         |  ['jazz','bebop','hard bop','swing','fusion'])),
+         |rt AS (SELECT * FROM t WHERE list_has_any(
+         |  ${lowTokListSql("genre")},
+         |  ['rock','pop','indie','alternative','metal','punk','grunge','folk'])),
+         |jp AS (SELECT DISTINCT album_root, tok FROM (
+         |  SELECT album_root, ${tokSql("composer")} AS tok FROM jt)),
+         |rp AS (SELECT DISTINCT album_root, tok FROM (
+         |  SELECT album_root, ${tokSql("composer")} AS tok FROM rt)),
+         |c AS (
+         |  SELECT 'jazz' AS bucket, tok, COUNT(*) AS albums
+         |  FROM jp GROUP BY tok
+         |  UNION ALL
+         |  SELECT 'rockpop' AS bucket, tok, COUNT(*) AS albums
+         |  FROM rp GROUP BY tok),
+         |r AS (SELECT bucket, 'composer' AS role, ROW_NUMBER() OVER (
+         |  PARTITION BY bucket ORDER BY albums DESC, tok) AS rank,
+         |  tok, albums FROM c)
+         |SELECT role, rank, tok, albums, bucket FROM r WHERE rank <= 10
+         |ORDER BY bucket, rank""".stripMargin,
+    // loudest (most negative median gain) / quietest top-10 — the
+    // rp_dynamics_extremes pattern on gain micros
+    "rp_gain_extremes" ->
+      s"""WITH t AS ($RoleTracksSql),
+         |alb AS (SELECT album_root,
+         |  ROUND(CAST(quantile_cont(rg_album_gain_db, 0.5) AS DOUBLE), 6)
+         |    AS gain
+         |  FROM t WHERE album_root IS NOT NULL GROUP BY album_root),
+         |p AS (SELECT album_root,
+         |  CAST(ROUND(gain * 1e6) AS BIGINT) AS gain_micros
+         |  FROM alb WHERE gain IS NOT NULL),
+         |u AS (
+         |  SELECT 'loudest' AS side, ROW_NUMBER() OVER (
+         |    ORDER BY gain_micros ASC, album_root) AS rank,
+         |    album_root, gain_micros FROM p
+         |  UNION ALL
+         |  SELECT 'quietest' AS side, ROW_NUMBER() OVER (
+         |    ORDER BY gain_micros DESC, album_root) AS rank,
+         |    album_root, gain_micros FROM p)
+         |SELECT side, rank, album_root, gain_micros FROM u
+         |WHERE rank <= 10 ORDER BY side, rank""".stripMargin,
+    // per-bucket composition diversity: normalized (composer, title)
+    // keys, distinct artist tokens, top-20 per bucket
+    "rp_most_instances" ->
+      s"""WITH t AS ($RoleTracksSql),
+         |base AS (SELECT
+         |  lower(trim(regexp_replace(title, '\\s+', ' ', 'g')))
+         |    AS title_key,
+         |  array_to_string(list_sort(${lowTokListSql("composer")}), ' / ')
+         |    AS composer_key,
+         |  list_filter(list_transform(string_split(coalesce(artist, ''),
+         |    '\\'), x -> trim(x)), x -> x <> '') AS artist_toks,
+         |  ${lowTokListSql("genre")} AS gt
+         |  FROM t),
+         |filtered AS (SELECT * FROM base WHERE title_key IS NOT NULL
+         |  AND title_key <> '' AND composer_key <> ''
+         |  AND len(artist_toks) > 0)
+         |SELECT bucket, composer_key, title_key, tracks, distinct_artists
+         |FROM (
+         |${mostInstancesBucketSql("classical",
+            "'classical','baroque','romantic','opera','symphony','chamber'")
+            .replace("FROM base", "FROM filtered")}
+         |UNION ALL
+         |${mostInstancesBucketSql("jazz",
+            "'jazz','bebop','hard bop','swing','fusion'")
+            .replace("FROM base", "FROM filtered")}
+         |UNION ALL
+         |${mostInstancesBucketSql("rockpop",
+            "'rock','pop','indie','alternative','metal','punk','grunge','folk'")
+            .replace("FROM base", "FROM filtered")}
+         |) z ORDER BY bucket, distinct_artists DESC, tracks DESC,
+         |  composer_key, title_key""".stripMargin,
     // same classification waterfall as rp_quality_matrix, then the
     // per-class histograms with window-share denominators; null sort
     // keys sink via the reference's fill(9999) coalesce

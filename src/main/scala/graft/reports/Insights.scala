@@ -421,6 +421,77 @@ object Insights {
       .orderBy("rank")
   }
 
+  /** Loudest / quietest albums by median ReplayGain album gain (ref
+    * 92-...py "ReplayGain — Loudest albums (most negative album
+    * gain)" / "Quietest albums"): top-N per direction over the
+    * per-album median, gain carried as integer micros so both
+    * directions ride the bounded top-k aggregator (the
+    * [[dynamicsExtremes]] shape on gain instead of PLR). Only a
+    * non-null gain is required — the reference's brick chart drops
+    * nulls on gain alone, unlike the PLR rollup's year/peak filters. */
+  def gainExtremes(tracks: DataFrame, topN: Int): DataFrame = {
+    import graft.operators.TopK
+    val byAlbum = tracks.filter(col("album_root").isNotNull)
+      .groupBy("album_root")
+      .agg(round(expr("percentile(rg_album_gain_db, 0.5)"), 6).as("gain"))
+      .filter(col("gain").isNotNull)
+      .withColumn("gain_micros", round(col("gain") * 1e6).cast("long"))
+    def side(name: String, score: Column): DataFrame =
+      TopK.topKPerGroupAs[String](
+        byAlbum.select(lit(name).as("side"), score.as("s"),
+          col("album_root")),
+        Seq("side"), "s", "album_root", topN)
+    // loudest = most NEGATIVE gain first: rank on the negated micros
+    side("loudest", -col("gain_micros"))
+      .withColumn("gain_micros", -col("s")).drop("s")
+      .unionByName(side("quietest", col("gain_micros"))
+        .withColumn("gain_micros", col("s")).drop("s"))
+      .orderBy("side", "rank")
+  }
+
+  /** Top compositions by performer diversity (ref 92-...py:2874-2990
+    * `_most_instances_card`, rendered per genre bucket at :3388-3420):
+    * group by (composer key, title key) — composer key = sorted
+    * lowercase composer tokens joined " / ", title key = lowercase
+    * whitespace-collapsed trim — then rank by distinct performing
+    * artist tokens (tracks count as tie-break). Rows without a title,
+    * composer, or any artist token drop, like the reference's
+    * filters. The reference's display-value mode joins are
+    * presentation; the engine emits the normalized keys.
+    *
+    * Scale shape: two aggregations over (composition) keys — tracks
+    * count map-side-combines; distinct artists is one count-distinct
+    * shuffle — and the head(N) is an orderBy+limit, which Spark plans
+    * as TakeOrdered (per-partition k-heaps, no global sort). */
+  def mostInstances(tracks: DataFrame, vocab: Seq[String],
+                    topN: Int): DataFrame = {
+    import graft.core.MultiValue
+    val lowGenre = transform(
+      MultiValue.tokens(coalesce(col("genre"), lit(""))), t => lower(t))
+    val base = tracks.filter(arrays_overlap(lowGenre, lit(vocab.toArray)))
+      .select(
+        lower(trim(regexp_replace(col("title"), "\\s+", " ")))
+          .as("title_key"),
+        array_join(array_sort(transform(
+          MultiValue.tokens(coalesce(col("composer"), lit(""))),
+          t => lower(t))), " / ").as("composer_key"),
+        MultiValue.tokens(coalesce(col("artist"), lit("")))
+          .as("artist_toks"))
+      .filter(col("title_key").isNotNull && col("title_key") =!= ""
+        && col("composer_key") =!= "" && size(col("artist_toks")) > 0)
+    val trackCounts = base.groupBy("composer_key", "title_key")
+      .agg(count(lit(1)).as("tracks"))
+    val artistCounts = base
+      .select(col("composer_key"), col("title_key"),
+        explode(col("artist_toks")).as("artist"))
+      .groupBy("composer_key", "title_key")
+      .agg(countDistinct("artist").as("distinct_artists"))
+    trackCounts.join(artistCounts, Seq("composer_key", "title_key"))
+      .orderBy(col("distinct_artists").desc, col("tracks").desc,
+        col("composer_key"), col("title_key"))
+      .limit(topN)
+  }
+
   /** Lossless/lossy format breakdown (ref 92-...py:1126-1245): within
     * each codec class the reference renders a (filetype, channels,
     * depth-or-rate, frequency) histogram with each combo's share of
