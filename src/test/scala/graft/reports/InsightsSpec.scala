@@ -141,6 +141,48 @@ class InsightsSpec extends SparkSpec {
       ("Other", 2L, -3.0, 15.0)))
   }
 
+  test("gainExtremes: loudest = most negative median gain, quietest = most positive") {
+    val tracks = Seq(
+      ("/m/A", Some(-12.0)), ("/m/A", Some(-10.0)),   // median -11
+      ("/m/B", Some(-2.0)),
+      ("/m/C", Some(1.5)),
+      ("/m/D", None))                                  // no gain → dropped
+      .toDF("album_root", "rg_album_gain_db")
+    val r = Insights.gainExtremes(tracks, topN = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2),
+        x.getLong(3))).toSeq
+    assert(r == Seq(
+      ("loudest", 1L, "/m/A", -11000000L),
+      ("loudest", 2L, "/m/B", -2000000L),
+      ("quietest", 1L, "/m/C", 1500000L),
+      ("quietest", 2L, "/m/B", -2000000L)))
+  }
+
+  test("mostInstances: normalized keys merge variants; distinct artists rank") {
+    val tracks = Seq(
+      // one composition, three spellings of the title, 3 artists: the
+      // ws-collapse + lowercase key must merge them all
+      ("Classical", "Moonlight  Sonata", "C1\\\\C2", "Ar1"),
+      ("Classical", "moonlight sonata",  "C2\\\\C1", "Ar2"),  // sorted composer key merges too
+      ("Classical", " MOONLIGHT SONATA ", "C1\\\\C2", "Ar3"),
+      // second composition: more tracks but fewer distinct artists
+      ("Classical", "Fur Elise", "C1", "Ar1"),
+      ("Classical", "Fur Elise", "C1", "Ar1"),
+      ("Classical", "Fur Elise", "C1", "Ar1"),
+      ("Classical", "Fur Elise", "C1", "Ar2"),
+      // non-classical and artist-less rows must drop
+      ("Jazz", "Moonlight Sonata", "C1\\\\C2", "Ar9"),
+      ("Classical", "Orphan", "C9", null))
+      .toDF("genre", "title", "composer", "artist")
+    val r = Insights.mostInstances(tracks,
+        Seq("classical"), topN = 5)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    assert(r == Seq(
+      ("c1 / c2", "moonlight sonata", 3L, 3L),
+      ("c1", "fur elise", 4L, 2L)))
+  }
+
   test("rolePairs: per-side top partner with shared-album counts") {
     val tracks = Seq(
       ("/m/A", "P1", "E1"), ("/m/A", "P1", "E2"),
