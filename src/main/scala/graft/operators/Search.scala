@@ -33,9 +33,35 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
-  /** Shared index build: the skinny corpus snapshot plus the
-    * per-posting BM25 impact (query-independent: idf depends on the
-    * term alone, saturation on (tf, dl)).
+  /** The (doc_id, t, tf) corpus snapshot both scoring paths derive
+    * from — tokenize the corpus ONCE, straight into the skinny
+    * postings. One marker row per doc (t = "", impossible as a real
+    * token: the tokenizer filters empties) rides along so EVERYTHING
+    * — dl, df, and both corpus scalars — derives from this single
+    * snapshot: a zero-token doc has no postings (and can never be a
+    * hit) but its marker keeps it in N for the idf/avgdl
+    * denominators, exactly as the oracle counts it, without
+    * re-scanning the corpus (round-6 advice: a second corpus read
+    * could disagree with the postings snapshot on a changing source).
+    *
+    * Public so a caller serving MANY query batches can materialize it
+    * once (parquet / checkpoint) and run [[bm25TopKIndexed]] /
+    * [[bm25TopKMaxScoreIndexed]] against the shared snapshot — at
+    * scale the index build is the dominant one-time cost and this is
+    * the "build the inverted index once" boundary. */
+  def tfSnapshot(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    def toks(c: Column) = filter(split(c, "\\s+"), t => t =!= "")
+    docs
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .unionByName(docs.select(col(idCol).as("doc_id"),
+        lit("").as("t"), lit(0L).as("tf")))
+  }
+
+  /** Shared index build: the snapshot plus the per-posting BM25
+    * impact (query-independent: idf depends on the term alone,
+    * saturation on (tf, dl)).
     *
     * @return (tfAll snapshot for cleanup, perPost(t, doc_id, s_micros),
     *         qTerms(qid, t)) */
@@ -44,26 +70,16 @@ object Search {
                          qTextCol: String, k1: Double, b: Double,
                          dfCap: Int, materialize: Boolean)
       : (DataFrame, DataFrame, DataFrame) = {
-    def toks(c: Column) = filter(split(c, "\\s+"), t => t =!= "")
-
-    // tokenize the corpus ONCE, straight into the skinny postings
-    // (doc, term, tf) — the ONLY materialized intermediate. One marker
-    // row per doc (t = "", impossible as a real token: toks filters
-    // empties) rides along so EVERYTHING — dl, df, and both corpus
-    // scalars — derives from this single snapshot: a zero-token doc
-    // has no postings (and can never be a hit) but its marker keeps it
-    // in N for the idf/avgdl denominators, exactly as the oracle
-    // counts it, without re-scanning the corpus (round-6 advice: the
-    // previous shape read `docs` a second time for the doc count,
-    // which with materialize=true could disagree with the postings
-    // snapshot on a changing source).
-    val tfAllBase = docs
-      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      .unionByName(docs.select(col(idCol).as("doc_id"),
-        lit("").as("t"), lit(0L).as("tf")))
+    val tfAllBase = tfSnapshot(docs, idCol, textCol)
     val tfAll = if (materialize) tfAllBase.localCheckpoint(true)
                 else tfAllBase.cache()
+    (tfAll, perPostFrom(tfAll, k1, b, dfCap),
+      qTermsFrom(queries, qidCol, qTextCol))
+  }
+
+  /** Per-posting impact table from a (materialized) snapshot. */
+  private def perPostFrom(tfAll: DataFrame, k1: Double, b: Double,
+                          dfCap: Int): DataFrame = {
     val postings = tfAll.filter(col("t") =!= "")
     // dl keeps ALL tokens (capped stop terms still lengthen their doc);
     // markers add 0, so zero-token docs appear with dl = 0, harmless
@@ -89,18 +105,21 @@ object Search {
     val sat = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) +
         lit(b) * (col("dl").cast("double") / avgdl)))
-    val perPost = tf
-      .join(dfT, Seq("t"))
+    tf.join(dfT, Seq("t"))
       .join(dl, Seq("doc_id"))
       .crossJoin(scal)
       .select(col("t"), col("doc_id"),
         round(idf * sat * lit(1e6)).cast("long").as("s_micros"))
-
-    val qTerms = queries
-      .select(col(qidCol).as("qid"), explode(toks(col(qTextCol))).as("t"))
-      .distinct()
-    (tfAll, perPost, qTerms)
   }
+
+  /** Distinct (qid, term) probe rows. */
+  private def qTermsFrom(queries: DataFrame, qidCol: String,
+                         qTextCol: String): DataFrame =
+    queries
+      .select(col(qidCol).as("qid"),
+        explode(filter(split(col(qTextCol), "\\s+"), t => t =!= ""))
+          .as("t"))
+      .distinct()
 
   /** Rank/emit tail shared by both paths: per-(qid, doc) integer score
     * sum, per-qid top-k window, the output column contract. */
@@ -139,6 +158,36 @@ object Search {
       org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(tfAll)
       ck
     }
+  }
+
+  /** [[bm25TopK]] against a pre-materialized [[tfSnapshot]] — the
+    * caller owns the snapshot's lifecycle (a parquet table or a held
+    * checkpoint; share it across query batches), so only the output
+    * is checkpointed here. Identical results to [[bm25TopK]] over the
+    * same corpus state. */
+  def bm25TopKIndexed(tfAll: DataFrame, queries: DataFrame,
+                      qidCol: String, qTextCol: String, k: Int,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      dfCap: Int = 0,
+                      materialize: Boolean = true): DataFrame = {
+    val scored = qTermsFrom(queries, qidCol, qTextCol)
+      .join(perPostFrom(tfAll, k1, b, dfCap), Seq("t"))
+      .groupBy("qid", "doc_id")
+      .agg(sum("s_micros").as("score_micros"))
+    val out = rankTopK(scored, k)
+    if (materialize) out.localCheckpoint(true) else out
+  }
+
+  /** [[bm25TopKMaxScore]] against a pre-materialized [[tfSnapshot]]
+    * (caller-owned, like [[bm25TopKIndexed]]). */
+  def bm25TopKMaxScoreIndexed(tfAll: DataFrame, queries: DataFrame,
+                              qidCol: String, qTextCol: String, k: Int,
+                              m: Int = 64, k1: Double = 1.2,
+                              b: Double = 0.75, dfCap: Int = 0,
+                              materialize: Boolean = true): DataFrame = {
+    val p = maxScorePartsFrom(tfAll, ownsSnapshot = false, queries,
+      qidCol, qTextCol, k, m, k1, b, dfCap, materialize)
+    maxScoreEmit(p, k, materialize)
   }
 
   /** Impact-ordered BM25 top-k (the max-score/WAND family, relational
@@ -194,15 +243,20 @@ object Search {
                        materialize: Boolean = true): DataFrame = {
     val p = maxScoreParts(docs, idCol, textCol, queries, qidCol,
       qTextCol, k, m, k1, b, dfCap, materialize)
-    // 5. certified queries emit their candidate top-k; the rest
-    // re-run the exact probe (correctness never depends on m)
+    maxScoreEmit(p, k, materialize)
+  }
+
+  /** Step 5, shared by both max-score entry points: certified queries
+    * emit their candidate top-k; the rest re-run the exact probe
+    * (correctness never depends on m). */
+  private def maxScoreEmit(p: MaxScoreParts, k: Int,
+                           materialize: Boolean): DataFrame = {
     val provenOut = p.candTopK.join(p.proof, Seq("qid"), "left_semi")
     val fallbackQ = p.qTerms.join(p.proof, Seq("qid"), "left_anti")
     val fallbackScored = fallbackQ.join(p.perPost, Seq("t"))
       .groupBy("qid", "doc_id")
       .agg(sum("s_micros").as("score_micros"))
-    val out = provenOut.unionByName(rankTopK(fallbackScored, k))
-    p.seal(out, materialize)
+    p.seal(provenOut.unionByName(rankTopK(fallbackScored, k)), materialize)
   }
 
   /** Per-query certificate outcomes of [[bm25TopKMaxScore]] — the
@@ -228,18 +282,17 @@ object Search {
 
   /** Intermediates of the max-score pipeline (steps 1-4), shared by
     * the ranking path and the certificate diagnostic. `seal`
-    * checkpoints a result and frees the barriered index frames. */
-  private case class MaxScoreParts(tfAll: DataFrame, perPost: DataFrame,
-                                   qTerms: DataFrame, candTopK: DataFrame,
-                                   proof: DataFrame) {
+    * checkpoints a result and frees `freeOnSeal` (the operator-owned
+    * barriers — a caller-owned snapshot is never in the list). */
+  private case class MaxScoreParts(freeOnSeal: Seq[DataFrame],
+                                   perPost: DataFrame, qTerms: DataFrame,
+                                   candTopK: DataFrame, proof: DataFrame) {
     def seal(out: DataFrame, materialize: Boolean): DataFrame =
       if (!materialize) out
       else {
         val ck = out.localCheckpoint(true)
-        import org.apache.spark.sql.graftshim.Shims
-        Shims.unpersistLocalCheckpoint(tfAll)
-        Shims.unpersistLocalCheckpoint(perPost)
-        Shims.unpersistLocalCheckpoint(qTerms)
+        freeOnSeal.foreach(
+          org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
         ck
       }
   }
@@ -249,9 +302,19 @@ object Search {
                             qidCol: String, qTextCol: String, k: Int,
                             m: Int, k1: Double, b: Double, dfCap: Int,
                             materialize: Boolean): MaxScoreParts = {
+    val tfAllBase = tfSnapshot(docs, idCol, textCol)
+    val tfAll = if (materialize) tfAllBase.localCheckpoint(true)
+                else tfAllBase.cache()
+    maxScorePartsFrom(tfAll, ownsSnapshot = true, queries, qidCol,
+      qTextCol, k, m, k1, b, dfCap, materialize)
+  }
+
+  private def maxScorePartsFrom(tfAll: DataFrame, ownsSnapshot: Boolean,
+                                queries: DataFrame, qidCol: String,
+                                qTextCol: String, k: Int, m: Int,
+                                k1: Double, b: Double, dfCap: Int,
+                                materialize: Boolean): MaxScoreParts = {
     require(m >= k, s"champion size m=$m must be >= k=$k")
-    val (tfAll, perPost0, qTerms0) = buildIndex(docs, idCol, textCol,
-      queries, qidCol, qTextCol, k1, b, dfCap, materialize)
     // unlike the exact path (one consumer), this path reads perPost
     // three times (champions/bounds, candidate scoring, fallback) and
     // qTerms four — barrier both so the index build runs ONCE instead
@@ -259,8 +322,8 @@ object Search {
     // materialize discipline)
     def barrier(d: DataFrame): DataFrame =
       if (materialize) d.localCheckpoint(true) else d.cache()
-    val perPost = barrier(perPost0)
-    val qTerms = barrier(qTerms0)
+    val perPost = barrier(perPostFrom(tfAll, k1, b, dfCap))
+    val qTerms = barrier(qTermsFrom(queries, qidCol, qTextCol))
 
     // 1. champion prefix per term + the per-term non-champion bound
     val wT = Window.partitionBy("t")
@@ -302,6 +365,8 @@ object Search {
       .join(bounds, Seq("qid"))
       .filter(col("n_top") === k && col("theta") > col("b_q"))
       .select("qid")
-    MaxScoreParts(tfAll, perPost, qTerms, candTopK, proof)
+    val owned = if (ownsSnapshot) Seq(tfAll, perPost, qTerms)
+                else Seq(perPost, qTerms)
+    MaxScoreParts(owned, perPost, qTerms, candTopK, proof)
   }
 }

@@ -328,6 +328,12 @@ object LlmQueries {
             t => t =!= ""), 1, 6)).as("qtext"),
           md5(col("doc_id").cast("string").cast("binary")).as("__rk"))
         .orderBy(col("__rk"), col("qid")).limit(128).drop("__rk")
+      // direct (in-memory) index build: a parquet-memoized snapshot
+      // shared with d32 was measured ~1.5 s SLOWER for this two-query
+      // pair (the round-trip doesn't amortize over two consumers);
+      // the snapshot boundary exists as library surface
+      // (Search.tfSnapshot + bm25TopKIndexed) for genuine many-batch
+      // serving
       Search.bm25TopK(docs, "doc_id", "text", queries, "qid", "qtext",
           k = 5)
         .orderBy("qid", "rank")

@@ -96,6 +96,24 @@ class SearchSpec extends SparkSpec {
     assert(shallow.count(identity) < 20)
   }
 
+  test("indexed variants over a shared snapshot equal the direct paths") {
+    val q = Seq((100L, "apple durian"), (101L, "fig grape")).toDF("qid", "qtext")
+    val snap = Search.tfSnapshot(docs, "doc_id", "text").localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val exact = rows(Search.bm25TopK(docs, "doc_id", "text", q, "qid",
+      "qtext", k = 4))
+    assert(rows(Search.bm25TopKIndexed(snap, q, "qid", "qtext", k = 4))
+      == exact)
+    assert(rows(Search.bm25TopKMaxScoreIndexed(snap, q, "qid", "qtext",
+      k = 4, m = 4)) == exact)
+    // the caller-owned snapshot must survive the indexed calls' seals
+    // (only operator-owned barriers are freed) — a second use works
+    assert(rows(Search.bm25TopKIndexed(snap, q, "qid", "qtext", k = 4))
+      == exact)
+  }
+
   test("bm25TopKMaxScore rejects champion prefixes smaller than k") {
     val q = Seq((100L, "apple")).toDF("qid", "qtext")
     intercept[IllegalArgumentException] {
