@@ -255,6 +255,23 @@ object Graft {
              k: Int, iters: Int): DataFrame =
     graft.operators.Clustering.kMeans(emb, idCol, vecCol, k, iters)
 
+  /** [[kMeans]] plus each vector's 6-dp cosine to its final cluster
+    * centroid — the SemDeDup ranking quantity. */
+  def kMeansWithSim(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int): DataFrame =
+    graft.operators.Clustering.kMeansWithSim(emb, idCol, vecCol, k, iters)
+
+  /** SemDeDup-style semantic dedup: k-means clusters, then greedy
+    * within-cluster removal of cos≥theta near-duplicates, keeping the
+    * far-from-centroid member of each similar group. `clusterCap`
+    * bounds the per-cluster probe prefix (see
+    * [[operators.Dedup.semDedup]] for the miss characterization). */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, theta: Double,
+               clusterCap: Int = 4096): DataFrame =
+    graft.operators.Dedup.semDedup(emb, idCol, vecCol, k, iters, theta,
+      clusterCap)
+
   /** DSIR-style importance scores for target-matched data selection
     * (Laplace unigram-LM log-ratio, integer-micro exact). */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,

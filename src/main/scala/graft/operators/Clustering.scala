@@ -71,6 +71,43 @@ object Clustering {
     if (cents.length <= LiteralKMax) assignExpr(v, cents)
     else NativeExpressions.nearestCentroid(v, cents)
 
+  /** Lloyd training over a checkpointed (id, v) frame: returns the
+    * final centroid matrix, ascending cluster id. Round r's assignment
+    * runs against round r-1's centroids — the exact interleave the
+    * former inline loop ran, so the d29/d30 oracles are unaffected. */
+  private def trainedCents(d0: DataFrame, k: Int, iters: Int)
+      : Seq[(Int, Array[Double])] = {
+    // init: the k lowest-id vectors, cluster index in id order —
+    // deterministic and trivially mirrored in SQL (row_number - 1)
+    var cents: Seq[(Int, Array[Double])] = d0.orderBy("id").limit(k)
+      .collect().zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](1).map(_.toDouble).toArray
+      }.toSeq
+    for (_ <- 2 to iters) {
+      // new centroids: dimension-wise mean per cluster, rounded to
+      // 6 dp (see scaladoc); k × d values — a driver-sized collect,
+      // the same shape MLlib's k-means uses
+      cents = d0.withColumn("cluster", assignCol(col("v"), cents))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cluster", "i").agg(round(avg("x"), 6).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+        .toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
+  private def checkpointInput(emb: DataFrame, idCol: String,
+                              vecCol: String): DataFrame =
+    // one materialization of the skinny (id, v) projection: every
+    // assignment round and every centroid aggregation re-reads this,
+    // and without the checkpoint each would re-scan the source
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(true)
+
   /** k-means cluster assignment: one row per input id,
     * (idCol, cluster). `iters` assignment rounds run against the
     * centroids of the previous round; the returned assignment is the
@@ -79,36 +116,45 @@ object Clustering {
   def kMeans(emb: DataFrame, idCol: String, vecCol: String,
              k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0: $k, $iters")
-    // one materialization of the skinny (id, v) projection: every
-    // assignment round and every centroid aggregation below re-reads
-    // this, and without the checkpoint each would re-scan the source
-    val d0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .localCheckpoint(true)
+    val d0 = checkpointInput(emb, idCol, vecCol)
     try {
-      // init: the k lowest-id vectors, cluster index in id order —
-      // deterministic and trivially mirrored in SQL (row_number - 1)
-      var cents: Seq[(Int, Array[Double])] = d0.orderBy("id").limit(k)
-        .collect().zipWithIndex.map { case (r, i) =>
-          i -> r.getSeq[Float](1).map(_.toDouble).toArray
-        }.toSeq
-      var assigned = d0.withColumn("cluster", assignCol(col("v"), cents))
-      for (_ <- 2 to iters) {
-        // new centroids: dimension-wise mean per cluster, rounded to
-        // 6 dp (see scaladoc); k × d values — a driver-sized collect,
-        // the same shape MLlib's k-means uses
-        cents = assigned
-          .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
-          .groupBy("cluster", "i").agg(round(avg("x"), 6).as("m"))
-          .collect()
-          .groupBy(_.getInt(0))
-          .map { case (c, rows) =>
-            c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-          }
-          .toSeq.sortBy(_._1)
-        assigned = d0.withColumn("cluster", assignCol(col("v"), cents))
-      }
-      assigned.select(col("id").as(idCol), col("cluster").cast("int")
-        .as("cluster"))
+      val cents = trainedCents(d0, k, iters)
+      d0.withColumn("cluster", assignCol(col("v"), cents))
+        .select(col("id").as(idCol), col("cluster").cast("int")
+          .as("cluster"))
+        .localCheckpoint(true)
+    } finally Shims.unpersistLocalCheckpoint(d0)
+  }
+
+  /** [[kMeans]] plus the assignment similarity:
+    * (idCol, cluster, csim) where csim is the 6-dp cosine between each
+    * vector and its OWN final cluster's centroid — the quantity
+    * SemDeDup ranks survivors on ([[Dedup.semDedup]]).
+    *
+    * The cluster id comes from the same dispatched assignment
+    * expression as [[kMeans]] (literal inlining at k ≤ LiteralKMax,
+    * reference-object expression above). csim is then computed against
+    * a broadcast (cluster → centroid) table rather than a k-wide
+    * literal lookup, so the similarity plan stays constant-size at any
+    * k. Zero-norm products score the -2.0 sentinel, as in assignment.
+    */
+  def kMeansWithSim(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"need k > 0 and iters > 0: $k, $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d0 = checkpointInput(emb, idCol, vecCol)
+    try {
+      val cents = trainedCents(d0, k, iters)
+      val centDf = cents.map { case (c, cvec) => (c, cvec.toSeq) }
+        .toDF("cluster", "cv")
+      val denom = Similarity.norm(col("v")) * Similarity.norm(col("cv"))
+      d0.withColumn("cluster", assignCol(col("v"), cents))
+        .join(broadcast(centDf), Seq("cluster"))
+        .withColumn("csim", when(denom === 0d, lit(-2d))
+          .otherwise(round(Similarity.dot(col("v"), col("cv")) / denom, 6)))
+        .select(col("id").as(idCol), col("cluster").cast("int")
+          .as("cluster"), col("csim"))
         .localCheckpoint(true)
     } finally Shims.unpersistLocalCheckpoint(d0)
   }

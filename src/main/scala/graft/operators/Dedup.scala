@@ -380,4 +380,66 @@ object Dedup {
       .groupBy("fp").agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("fp"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means topic clusters over the embedding
+    * column, then greedy within-cluster removal — a vector is dropped
+    * iff some better-ranked vector in the same cluster is cosine-θ
+    * close. The preference order is the paper's: ascending similarity
+    * to the cluster centroid (far-from-centroid examples survive,
+    * maximizing the kept set's diversity), id tie-break. As in the
+    * paper's reference implementation, the greedy rule is prefix-based,
+    * not component-based: v is removed iff ∃ u with rank(u) < rank(v)
+    * and cos(u, v) ≥ θ, whether or not u itself survived (an a–b–c
+    * similarity chain keeps only a).
+    *
+    * Scale design: all pairwise work is cluster-local — the paper's
+    * own contract (k is sized so a cluster fits a worker; they run
+    * k=50k on LAION). On top of that the PROBE side (the
+    * better-ranked u's) is capped at the `clusterCap` best-ranked
+    * members per cluster — the [[minHashLshPairs]] bucketCap
+    * discipline. A removal is missed only when a vector's every
+    * θ-neighbor ranks beyond the cap, i.e. when a single cluster holds
+    * > clusterCap mutually-similar members the quantizer failed to
+    * split — the fix at scale is raising k, not the cap. Cap inactive
+    * (every cluster ≤ clusterCap) ⇒ exact greedy semantics. The
+    * row_number≤cap filter plans as WindowGroupLimit, so map
+    * partitions pre-trim before the exchange.
+    *
+    * @return one row per input id: (idCol, cluster, kept). */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, theta: Double,
+               clusterCap: Int = 4096): DataFrame = {
+    require(clusterCap > 0, s"clusterCap must be positive: $clusterCap")
+    val a = Clustering.kMeansWithSim(emb, idCol, vecCol, k, iters)
+    val d = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(a.select(col(idCol).as("id"), col("cluster"), col("csim")),
+        Seq("id"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("csim").asc, col("id"))))
+    val probe = d.filter(col("rnk") <= clusterCap)
+      .select(col("cluster"), col("v").as("uv"), col("nrm").as("un"),
+        col("rnk").as("urnk"))
+    // zero-norm sentinel -2.0 keeps the θ-filter total (NaN sorts
+    // HIGH in both engines, which would turn degenerate vectors into
+    // universal duplicates)
+    val denom = col("un") * col("vn")
+    val removed = probe
+      .join(d.select(col("cluster"), col("id").as("vid"),
+          col("v").as("vv"), col("nrm").as("vn"), col("rnk").as("vrnk")),
+        Seq("cluster"))
+      .filter(col("urnk") < col("vrnk"))
+      .withColumn("cos", when(denom === 0d, lit(-2d))
+        .otherwise(round(Similarity.dot(col("uv"), col("vv")) / denom, 6)))
+      .filter(col("cos") >= theta)
+      .select(col("vid").as("id")).distinct()
+    val out = d
+      .join(removed.withColumn("__rm", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        col("__rm").isNull.as("kept"))
+      .localCheckpoint(true)
+    Shims.unpersistLocalCheckpoint(a)
+    out
+  }
 }

@@ -434,6 +434,25 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // SemDeDup semantic dedup: the d29 k-means trainer buckets the
+    // corpus, then greedy within-cluster removal at cos ≥ 0.95 with
+    // the paper's survivor rule (ascending centroid-similarity rank —
+    // far-from-centroid examples survive). Near-dups are planted as in
+    // d10 (every 25th vector gets a dim0-zeroed clone at id+1e6,
+    // cos ≈ 0.99 to its source) so removals exist by construction; the
+    // oracle replays the full kmeans + rank + pairwise chain in SQL.
+    "d33_semdedup" -> ((s, d) => {
+      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val clones = base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, lit(0.0f)).otherwise(x))
+            .as("embedding"))
+      Dedup.semDedup(base.unionByName(clones), "vec_id", "embedding",
+          k = 8, iters = 2, theta = 0.95)
+        .orderBy("vec_id")
+    }),
+
     // G1: similarity-graph edge build (ref tm_graph.py:294-316).
     // Reads the shared materialized edge table — see [[cooccurEdges]].
     "g1_similarity_edges" -> ((s, d) =>
@@ -569,19 +588,24 @@ object LlmQueries {
     * renders one cosine-argmax assignment CTE pair against a centroid
     * relation (c, cv) — identical arithmetic both rounds, 6-dp
     * rounding everywhere the Spark side rounds. */
-  private val D29Prefix: String = {
+  /** The two unrolled Lloyd rounds WITHOUT the leading `WITH`, reading
+    * vectors from `srcRel` (vec_id, embedding) — so callers can prepend
+    * their own CTEs (d33 prepends a planted-clone union). `a2` keeps
+    * the winning similarity `s` (= 6-dp cosine to the final centroid),
+    * which d33 ranks on; d29/d30 select named columns and ignore it. */
+  private def d29Rounds(srcRel: String): String = {
     def assignRound(n: Int, centRel: String): String =
       s"""p$n AS (SELECT id, vv, c,
          |ROUND(list_sum([vv[i]*cv[i] FOR i IN range(1, len(vv)+1)])
          |  / (sqrt(list_sum([vv[i]*vv[i] FOR i IN range(1, len(vv)+1)]))
          |     * sqrt(list_sum([cv[i]*cv[i] FOR i IN range(1, len(cv)+1)]))), 6) AS s
          |FROM v CROSS JOIN $centRel),
-         |a$n AS (SELECT id, vv, c AS cluster FROM (
+         |a$n AS (SELECT id, vv, c AS cluster, s FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id
          |    ORDER BY s DESC, c) AS rn FROM p$n) WHERE rn = 1)""".stripMargin
-    s"""WITH v AS (SELECT vec_id AS id,
+    s"""v AS (SELECT vec_id AS id,
        |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-       |FROM embeddings),
+       |FROM $srcRel),
        |init AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS c, vv AS cv
        |FROM (SELECT id, vv FROM v ORDER BY id LIMIT 8)),
        |${assignRound(1, "init")},
@@ -592,6 +616,8 @@ object LlmQueries {
        |  GROUP BY cluster, i) GROUP BY cluster),
        |${assignRound(2, "c1")}""".stripMargin
   }
+
+  private val D29Prefix: String = "WITH " + d29Rounds("embeddings")
 
   private val D29KmeansSql: String =
     D29Prefix +
@@ -637,6 +663,39 @@ object LlmQueries {
         |FROM embeddings e JOIN a2 ON e.vec_id = a2.id),
         |""".stripMargin +
       IvfSuffixSql
+
+  /** d33 oracle: plant the d10-style clones, replay the two Lloyd
+    * rounds on the union, rank each cluster by ascending
+    * centroid-similarity (a2.s), and remove every vector with a
+    * better-ranked cos≥0.95 neighbor in its cluster. The `a.rnk <=
+    * 4096` guard restates the Spark side's (inactive-here) clusterCap
+    * verbatim, so the two texts stay in lock-step if either cap ever
+    * changes. */
+  private val D33SemDedupSql: String =
+    """WITH semsrc AS (SELECT vec_id, embedding FROM embeddings
+      |UNION ALL SELECT vec_id + 1000000,
+      |  list_transform(embedding, (x, i) ->
+      |    CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END)
+      |FROM embeddings WHERE vec_id % 25 = 0),
+      |""".stripMargin +
+      d29Rounds("semsrc") +
+      """,
+        |nv AS (SELECT id, vv,
+        |  sqrt(list_sum([vv[i]*vv[i] FOR i IN range(1, len(vv)+1)])) AS nrm
+        |  FROM v),
+        |r AS (SELECT id, cluster, s, ROW_NUMBER() OVER (
+        |  PARTITION BY cluster ORDER BY s ASC, id) AS rnk FROM a2),
+        |rem AS (SELECT DISTINCT b.id FROM r a
+        |  JOIN r b ON a.cluster = b.cluster AND a.rnk < b.rnk
+        |  JOIN nv va ON va.id = a.id JOIN nv vb ON vb.id = b.id
+        |  WHERE a.rnk <= 4096
+        |  AND (CASE WHEN va.nrm * vb.nrm = 0 THEN -2 ELSE
+        |    ROUND(list_sum([va.vv[i]*vb.vv[i]
+        |      FOR i IN range(1, len(va.vv)+1)]) / (va.nrm * vb.nrm), 6)
+        |    END) >= 0.95)
+        |SELECT r.id AS vec_id, CAST(r.cluster AS INT) AS cluster,
+        |(rem.id IS NULL) AS kept
+        |FROM r LEFT JOIN rem ON r.id = rem.id ORDER BY vec_id""".stripMargin
 
   private val ShingleSql =
     """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM documents),
@@ -1061,6 +1120,7 @@ object LlmQueries {
         |  FOR i IN range(1, len(embedding)+1)])) AS nrm FROM embeddings),
         |""".stripMargin + IvfSuffixSql),
     "d30_ann_ivf_trained" -> D30IvfTrainedSql,
+    "d33_semdedup" -> D33SemDedupSql,
     // identical clone construction (zero dim 1 of every 50th vector,
     // id+1e6), then exact global rank-1. The Spark side rides bucketed
     // LSH — the hash match holds because the planted clones' recall is

@@ -152,4 +152,34 @@ class ClusteringSpec extends SparkSpec {
     val s2 = meanSim(2)
     assert(s2 >= s1 - 1e-9, s"iteration worsened objective: $s1 -> $s2")
   }
+
+  test("kMeansWithSim: same clusters as kMeans, csim = cosine to own centroid") {
+    val plain = Clustering.kMeans(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val withSim = Clustering
+      .kMeansWithSim(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(withSim.map(t => t._1 -> t._2).toMap == plain)
+    // csim is a 6-dp cosine: bounded, and each vector should sit closer
+    // to its own centroid than a random direction — mean well above 0
+    assert(withSim.forall(t => t._3 >= -1.0 - 1e-9 && t._3 <= 1.0 + 1e-9))
+    val mean = withSim.map(_._3).sum / withSim.length
+    assert(mean > 0.1, s"implausible mean centroid similarity $mean")
+  }
+
+  test("kMeansWithSim k>LiteralKMax rides the reference-object path") {
+    // 80 rows, k = 70 > LiteralKMax: the assignment dispatches to
+    // NearestCentroidExpr and csim comes from the broadcast centroid
+    // join — clusters must still match kMeans exactly
+    import spark.implicits._
+    val rnd = new scala.util.Random(9L)
+    val data = (0L until 80L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val plain = Clustering.kMeans(data, "vec_id", "embedding", k = 70, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val withSim = Clustering
+      .kMeansWithSim(data, "vec_id", "embedding", k = 70, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(withSim == plain)
+  }
 }

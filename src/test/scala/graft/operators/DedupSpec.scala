@@ -158,4 +158,45 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).sorted
     assert(out.sameElements(Array(11L, 13L))) // 10 seen; 12 loses to 11
   }
+
+  // Two well-separated direction groups; init = vectors of ids 1 and 2,
+  // so cluster A collects the e1-axis family and B the e3-axis family.
+  private val semVecs = Seq(
+    (1L, Array(1f, 0f, 0f, 0f)),           // A: cos(1,3)≈0.990, cos(1,5)≈0.902
+    (2L, Array(0f, 0f, 1f, 0f)),           // B: cos(2,4)≈0.995
+    (3L, Array(0.99f, 0.14f, 0f, 0f)),     // A
+    (4L, Array(0f, 0f, 0.99f, 0.1f)),      // B
+    (5L, Array(0.9f, 0.43f, 0f, 0f)))      // A: cos(3,5)≈0.954
+    .toDF("vec_id", "embedding")
+
+  test("semDedup keeps the far-from-centroid member of each similar group") {
+    val out = Dedup.semDedup(semVecs, "vec_id", "embedding",
+        k = 2, iters = 2, theta = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 5)
+    // cluster A ranks ascending centroid-sim: 5, 1, 3. Greedy: 5 kept;
+    // 1 kept (cos(5,1)≈0.902 < θ); 3 removed (cos(5,3)≈0.954 ≥ θ) —
+    // by a better-ranked vector, NOT by its closest neighbor (1).
+    // Cluster B: 4 ranks before 2 (farther from centroid), 2 removed.
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> true))
+  }
+
+  test("semDedup clusterCap bounds the probe prefix; inactive cap is exact") {
+    // single cluster (k=1); ascending centroid-sim rank: 1, 2, 3.
+    // id 3's ONLY θ-neighbor is rank-2 (id 2): cos(2,3)≈0.998, while
+    // cos(1,2)≈0.707 and cos(1,3)≈0.751 are far below θ.
+    val one = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.71f, 0.71f, 0f, 0f)),
+      (3L, Array(0.75f, 0.66f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    def kept(cap: Int) = Dedup.semDedup(one, "vec_id", "embedding",
+        k = 1, iters = 2, theta = 0.95, clusterCap = cap)
+      .filter(col("kept")).collect().map(_.getLong(0)).toSet
+    assert(kept(4096) == Set(1L, 2L)) // exact greedy: 3 removed by 2
+    // cap=1 probes only rank-1 (id 1), so the rank-2-only removal is
+    // missed — the documented miss mode, and kept is a superset
+    assert(kept(1) == Set(1L, 2L, 3L))
+  }
 }
