@@ -272,6 +272,14 @@ object Graft {
     graft.operators.Dedup.semDedup(emb, idCol, vecCol, k, iters, theta,
       clusterCap)
 
+  /** Exact duplicate-substring spans (Lee et al. 2022 EXACTSUBSTR,
+    * re-expressed as rolling w-gram runs): merged 1-based word ranges
+    * whose every w-gram occurs ≥ minCount times corpus-wide. Linear
+    * output, no self-join — see [[operators.Dedup.duplicateSpans]]. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int = 8, minCount: Int = 2): DataFrame =
+    graft.operators.Dedup.duplicateSpans(docs, idCol, textCol, w, minCount)
+
   /** DSIR-style importance scores for target-matched data selection
     * (Laplace unigram-LM log-ratio, integer-micro exact). */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,

@@ -121,6 +121,31 @@ object PlanDump {
         "in-suite ≈ d24 + candidate overhead; the pruned path wins " +
         "on skewed-impact corpora, and the certificate is the " +
         "per-corpus selector."),
+    "d33_semdedup" ->
+      ("SemDeDup semantic dedup: the k-means assignment ships as the " +
+        "same dispatched expression as d29 (literal argmax at k ≤ 64, " +
+        "codegen reference object above), the per-vector centroid " +
+        "similarity comes from a BROADCAST (cluster → centroid) join " +
+        "— constant plan size at any k — and all pairwise cosine work " +
+        "is cluster-local: the probe side is the per-cluster " +
+        "`clusterCap` best-ranked prefix (WindowGroupLimit pre-trims " +
+        "map-side before the exchange), so candidate volume is " +
+        "O(cluster·cap), never O(cluster²). The paper's own scale " +
+        "contract (raise k until clusters fit a worker) is the " +
+        "remaining knob; the cap converts quantizer failure from a " +
+        "job-killer into a documented miss mode."),
+    "d34_dup_spans" ->
+      ("Exact duplicate-substring spans (EXACTSUBSTR as rolling " +
+        "8-gram runs): the ONLY dedup-family member with no self-join " +
+        "at all — gram-hash partial-count aggregation (map-side " +
+        "combine absorbs boilerplate hot keys: a billion-fold " +
+        "repeated license line arrives as one partial row per map " +
+        "task), a keyed join of gram occurrences against the " +
+        "frequent-hash set (linear in occurrences, AQE can broadcast " +
+        "the aggregated side), then one per-doc window for the " +
+        "interval merge. Three keyed shuffles total, output linear in " +
+        "corpus size by construction — the 100 TB shape the " +
+        "suffix-array original cannot distribute."),
     "st_attrib_stream" ->
       ("The stream-stream attribution join run THROUGH Structured " +
         "Streaming (Trigger.AvailableNow file source → two " +

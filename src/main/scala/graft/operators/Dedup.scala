@@ -407,6 +407,70 @@ object Dedup {
     * partitions pre-trim before the exchange.
     *
     * @return one row per input id: (idCol, cluster, kept). */
+  /** Exact duplicate-substring spans (Lee et al. 2022,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better", the EXACTSUBSTR path): every word position whose
+    * w-gram occurs at least `minCount` times ANYWHERE in the corpus
+    * (other docs or the same doc — self-repeated boilerplate counts)
+    * is duplicated; contiguous duplicated positions merge into one
+    * span. Output: one row per merged span,
+    * (idCol, span_start, span_end, span_tokens), 1-based inclusive
+    * word indexes. Callers cut or down-weight these ranges; docs
+    * shorter than w words yield no spans.
+    *
+    * The paper builds a corpus-wide suffix array — inherently
+    * single-machine. The distributed re-expression is the standard
+    * one: fixed-width rolling w-gram keys instead of arbitrary-length
+    * suffix matches (a duplicated substring of length ≥ w is exactly a
+    * run of duplicated w-grams, so the merged spans coincide with the
+    * suffix-array answer for matches ≥ w; shorter matches are below
+    * the dedup threshold by construction).
+    *
+    * Scale design: NO self-join anywhere — unlike pair-based near-dup,
+    * output is linear in corpus size by construction. Three keyed
+    * shuffles: (1) gram-hash partial-count aggregation (map-side
+    * combine absorbs hot boilerplate grams — a billion-fold repeated
+    * license line arrives as one partial row per map task); (2) the
+    * grams-to-frequent-hashes join, keyed on the hash, output bounded
+    * by gram occurrences; (3) the per-doc interval-merge window keyed
+    * on id. Gram identity is md5 of the chr(1)-joined words —
+    * engine-portable (the DuckDB oracle computes identical keys) and
+    * collision-safe at corpus scale. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int = 8, minCount: Int = 2): DataFrame = {
+    require(w > 0 && minCount >= 2,
+      s"need w > 0 and minCount >= 2: $w, $minCount")
+    val ws = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val grams = docs
+      .select(col(idCol).as("id"),
+        explode(when(size(ws) < w, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(ws) - (w - 1)))).as("s"),
+        ws.as("__ws"))
+      .select(col("id"), col("s"),
+        md5(array_join(slice(col("__ws"), col("s"), lit(w)), "\u0001"))
+          .as("h"))
+    val dupHashes = grams.groupBy("h")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= minCount)
+      .select("h")
+    val dup = grams.join(dupHashes, Seq("h"))
+      .select(col("id"), col("s"), (col("s") + (w - 1)).as("e"))
+    // classic interval merge: a position starts a new span iff it is
+    // not covered by (or adjacent to) the running max end of earlier
+    // positions; gram starts are unique per doc so the order is total
+    val byS = Window.partitionBy("id").orderBy("s")
+    val prevMax = max(col("e"))
+      .over(byS.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = dup
+      .withColumn("__new",
+        when(prevMax.isNull || col("s") > prevMax + 1, 1).otherwise(0))
+      .withColumn("__grp", sum(col("__new")).over(byS))
+      .groupBy("id", "__grp")
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+    merged.select(col("id").as(idCol),
+      col("span_start"), col("span_end"),
+      (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, theta: Double,
                clusterCap: Int = 4096): DataFrame = {

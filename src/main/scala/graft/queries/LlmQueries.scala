@@ -453,6 +453,15 @@ object LlmQueries {
         .orderBy("vec_id")
     }),
 
+    // Exact duplicate-substring spans (Lee et al. 2022 EXACTSUBSTR,
+    // re-expressed as rolling 8-gram runs): merged 1-based word ranges
+    // whose every 8-gram repeats somewhere in the corpus. Linear output
+    // — no self-join; the oracle replays the gram-count + interval
+    // merge verbatim.
+    "d34_dup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(T.documents(s, d), "doc_id", "text", w = 8)
+        .orderBy("doc_id", "span_start")),
+
     // G1: similarity-graph edge build (ref tm_graph.py:294-316).
     // Reads the shared materialized edge table — see [[cooccurEdges]].
     "g1_similarity_edges" -> ((s, d) =>
@@ -1121,6 +1130,30 @@ object LlmQueries {
         |""".stripMargin + IvfSuffixSql),
     "d30_ann_ivf_trained" -> D30IvfTrainedSql,
     "d33_semdedup" -> D33SemDedupSql,
+    // identical gram keys (md5 of chr(1)-joined words), identical
+    // interval merge — spark `sequence` yields INT positions, so every
+    // span column casts to INT here
+    "d34_dup_spans" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+        |  string_split_regex(text, '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 8 THEN []
+        |  ELSE [{'s': x, 'h': md5(array_to_string(ws[x:x+7], chr(1)))}
+        |        FOR x IN range(1, len(ws) - 6)] END) AS u FROM w),
+        |g AS (SELECT doc_id, u.s AS s, u.h AS h FROM g0),
+        |c AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+        |r AS (SELECT doc_id, s, s + 7 AS e FROM g JOIN c USING (h)),
+        |m AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id
+        |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  AS pe FROM r),
+        |x AS (SELECT doc_id, s, e, SUM(CASE WHEN pe IS NULL OR s > pe + 1
+        |  THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        |  FROM m)
+        |SELECT doc_id, CAST(MIN(s) AS INT) AS span_start,
+        |CAST(MAX(e) AS INT) AS span_end,
+        |CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_tokens
+        |FROM x GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
     // identical clone construction (zero dim 1 of every 50th vector,
     // id+1e6), then exact global rank-1. The Spark side rides bucketed
     // LSH — the hash match holds because the planted clones' recall is

@@ -182,6 +182,27 @@ class DedupSpec extends SparkSpec {
       4L -> true, 5L -> true))
   }
 
+  test("duplicateSpans merges contiguous repeated 8-gram runs per doc") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),            // gram [1,8] repeats (docs 2, 5)
+      (2L, "x a b c d e f g h y"),            // the shared gram sits at s=2
+      (3L, "p q r s t u v w"),                // exactly 8 words, unique gram
+      (4L, "m n o p q r s t m n o p q r s t"),// self-repeat: [1,8] + [9,16]
+      (5L, "a b c d e f g h 1 2 a b c d e f g h")) // two NON-adjacent hits
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", w = 8)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1, 8, 8),
+      (2L, 2, 9, 8),
+      // doc 4: spans [1,8] and [9,16] are contiguous (9 = 8+1) → one
+      // merged span; only s=1 and s=9 grams repeat (period-8 text)
+      (4L, 1, 16, 16),
+      // doc 5: 11 > 8+1 → the two hits stay separate spans
+      (5L, 1, 8, 8), (5L, 11, 18, 8)))
+  }
+
   test("semDedup clusterCap bounds the probe prefix; inactive cap is exact") {
     // single cluster (k=1); ascending centroid-sim rank: 1, 2, 3.
     // id 3's ONLY θ-neighbor is rank-2 (id 2): cos(2,3)≈0.998, while
