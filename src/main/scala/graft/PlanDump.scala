@@ -137,15 +137,21 @@ object PlanDump {
     "d34_dup_spans" ->
       ("Exact duplicate-substring spans (EXACTSUBSTR as rolling " +
         "8-gram runs): the ONLY dedup-family member with no self-join " +
-        "at all — gram-hash partial-count aggregation (map-side " +
-        "combine absorbs boilerplate hot keys: a billion-fold " +
-        "repeated license line arrives as one partial row per map " +
-        "task), a keyed join of gram occurrences against the " +
-        "frequent-hash set (linear in occurrences, AQE can broadcast " +
-        "the aggregated side), then one per-doc window for the " +
-        "interval merge. Three keyed shuffles total, output linear in " +
-        "corpus size by construction — the 100 TB shape the " +
-        "suffix-array original cannot distribute."),
+        "at all — per-position gram hashes from one fused codegen " +
+        "expression at the scan (PositionalNgramsExpr; the naive " +
+        "explode-then-slice carries the whole token array into every " +
+        "gram row, O(tokens²) bytes per doc, and an interpreted " +
+        "md5-per-gram HOF was still 5×: 13.9 → 1.9 s solo-warm at " +
+        "sf0.1 across the two rewrites), then gram-hash partial-count " +
+        "aggregation (map-side combine absorbs boilerplate hot keys: " +
+        "a billion-fold repeated license line arrives as one partial " +
+        "row per map task), a broadcast join-back of the " +
+        "frequent-hash set (linear in occurrences), and one per-doc " +
+        "window for the interval merge. Output linear in corpus size " +
+        "by construction — the 100 TB shape the suffix-array " +
+        "original cannot distribute. The hash never leaves the " +
+        "operator, so the oracle's md5 keys are equivalent gram-" +
+        "equality classes (the d4 blocking precedent)."),
     "st_attrib_stream" ->
       ("The stream-stream attribution join run THROUGH Structured " +
         "Streaming (Trigger.AvailableNow file source → two " +

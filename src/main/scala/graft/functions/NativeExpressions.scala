@@ -179,6 +179,42 @@ object HashedShingles {
       }
     new GenericArrayData(out)
   }
+
+  /** Per-position k-gram hashes: index i holds the hash of the window
+    * starting at token i (0-based) — NO sort, NO dedup, so callers get
+    * (position, hash) pairs via `posexplode`. Fewer than k tokens →
+    * empty (strict window semantics). Same tokenization and hash
+    * composition as [[compute]]. */
+  def computePositional(text: UTF8String, k: Int): ArrayData = {
+    val n = text.numBytes()
+    var toks = new Array[Long](math.max(8, n / 8))
+    var nt = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(text.getByte(i))) i += 1
+      val start = i
+      while (i < n && !isWs(text.getByte(i))) i += 1
+      if (i > start) {
+        if (nt == toks.length) toks = java.util.Arrays.copyOf(toks, nt * 2)
+        toks(nt) = XXH64.hashUnsafeBytes(text.getBaseObject,
+          text.getBaseOffset + start, i - start, Seed)
+        nt += 1
+      }
+    }
+    if (nt < k) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val hs = new Array[Long](nt - k + 1)
+      var s = 0
+      while (s <= nt - k) {
+        var h = Seed
+        var j = s
+        while (j < s + k) { h = XXH64.hashLong(toks(j), h); j += 1 }
+        hs(s) = h
+        s += 1
+      }
+      new GenericArrayData(hs)
+    }
+  }
 }
 
 /** Fused MinHash signature: all `numPerm` per-permutation minima in one
@@ -502,6 +538,24 @@ case class NearestCentroidExpr(child: Expression, cents: Seq[(Int, Seq[Double])]
     copy(child = newChild)
 }
 
+/** [[HashedShingles.computePositional]] as an expression: per-position
+  * k-gram hashes, array index = 0-based window start. */
+case class PositionalNgramsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positional_ngram_hashes"
+
+  override def nullSafeEval(s: Any): Any =
+    HashedShingles.computePositional(s.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashedShingles.computePositional($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class HashedShinglesExpr(child: Expression, k: Int,
                               strict: Boolean = false)
     extends UnaryExpression {
@@ -532,6 +586,11 @@ object NativeExpressions {
   def hashedNgrams(text: Column, k: Int): Column =
     Shims.toColumn(HashedShinglesExpr(Shims.toExpression(text), k,
       strict = true))
+
+  /** Per-position k-gram hashes (index = 0-based window start; < k
+    * tokens → empty): `posexplode` yields (position, gram-hash) rows. */
+  def positionalNgramHashes(text: Column, k: Int): Column =
+    Shims.toColumn(PositionalNgramsExpr(Shims.toExpression(text), k))
 
   def minHashSig(hs: Column, numPerm: Int): Column =
     Shims.toColumn(MinHashSigExpr(Shims.toExpression(hs), numPerm))

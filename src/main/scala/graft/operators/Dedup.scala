@@ -381,32 +381,6 @@ object Dedup {
       .select(col(idCol), col("fp"))
   }
 
-  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
-    * arXiv:2303.09540): k-means topic clusters over the embedding
-    * column, then greedy within-cluster removal — a vector is dropped
-    * iff some better-ranked vector in the same cluster is cosine-θ
-    * close. The preference order is the paper's: ascending similarity
-    * to the cluster centroid (far-from-centroid examples survive,
-    * maximizing the kept set's diversity), id tie-break. As in the
-    * paper's reference implementation, the greedy rule is prefix-based,
-    * not component-based: v is removed iff ∃ u with rank(u) < rank(v)
-    * and cos(u, v) ≥ θ, whether or not u itself survived (an a–b–c
-    * similarity chain keeps only a).
-    *
-    * Scale design: all pairwise work is cluster-local — the paper's
-    * own contract (k is sized so a cluster fits a worker; they run
-    * k=50k on LAION). On top of that the PROBE side (the
-    * better-ranked u's) is capped at the `clusterCap` best-ranked
-    * members per cluster — the [[minHashLshPairs]] bucketCap
-    * discipline. A removal is missed only when a vector's every
-    * θ-neighbor ranks beyond the cap, i.e. when a single cluster holds
-    * > clusterCap mutually-similar members the quantizer failed to
-    * split — the fix at scale is raising k, not the cap. Cap inactive
-    * (every cluster ≤ clusterCap) ⇒ exact greedy semantics. The
-    * row_number≤cap filter plans as WindowGroupLimit, so map
-    * partitions pre-trim before the exchange.
-    *
-    * @return one row per input id: (idCol, cluster, kept). */
   /** Exact duplicate-substring spans (Lee et al. 2022,
     * arXiv:2107.06499 "Deduplicating Training Data Makes Language
     * Models Better", the EXACTSUBSTR path): every word position whose
@@ -433,22 +407,22 @@ object Dedup {
     * license line arrives as one partial row per map task); (2) the
     * grams-to-frequent-hashes join, keyed on the hash, output bounded
     * by gram occurrences; (3) the per-doc interval-merge window keyed
-    * on id. Gram identity is md5 of the chr(1)-joined words —
-    * engine-portable (the DuckDB oracle computes identical keys) and
-    * collision-safe at corpus scale. */
+    * on id. Gram identity is the fused codegen'd
+    * [[graft.functions.PositionalNgramsExpr]] hash (xxhash64 token
+    * composition — no per-gram string building; an earlier md5-string
+    * formulation was 5-10x slower). The hash never leaves the
+    * operator, so the DuckDB oracle's md5-of-joined-words keys are
+    * equivalent: both induce the same gram-equality classes w.h.p.
+    * (collisions ~n^2/2^64 — the d4 shingle-blocking precedent). */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      w: Int = 8, minCount: Int = 2): DataFrame = {
     require(w > 0 && minCount >= 2,
       s"need w > 0 and minCount >= 2: $w, $minCount")
-    val ws = filter(split(col(textCol), "\\s+"), t => t =!= "")
     val grams = docs
       .select(col(idCol).as("id"),
-        explode(when(size(ws) < w, array().cast("array<int>"))
-          .otherwise(sequence(lit(1), size(ws) - (w - 1)))).as("s"),
-        ws.as("__ws"))
-      .select(col("id"), col("s"),
-        md5(array_join(slice(col("__ws"), col("s"), lit(w)), "\u0001"))
-          .as("h"))
+        posexplode(graft.functions.NativeExpressions
+          .positionalNgramHashes(col(textCol), w)).as(Seq("p", "h")))
+      .select(col("id"), (col("p") + 1).as("s"), col("h"))
     val dupHashes = grams.groupBy("h")
       .agg(count(lit(1)).as("__n")).filter(col("__n") >= minCount)
       .select("h")
@@ -471,6 +445,32 @@ object Dedup {
       (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means topic clusters over the embedding
+    * column, then greedy within-cluster removal — a vector is dropped
+    * iff some better-ranked vector in the same cluster is cosine-θ
+    * close. The preference order is the paper's: ascending similarity
+    * to the cluster centroid (far-from-centroid examples survive,
+    * maximizing the kept set's diversity), id tie-break. As in the
+    * paper's reference implementation, the greedy rule is prefix-based,
+    * not component-based: v is removed iff ∃ u with rank(u) < rank(v)
+    * and cos(u, v) ≥ θ, whether or not u itself survived (an a–b–c
+    * similarity chain keeps only a).
+    *
+    * Scale design: all pairwise work is cluster-local — the paper's
+    * own contract (k is sized so a cluster fits a worker; they run
+    * k=50k on LAION). On top of that the PROBE side (the
+    * better-ranked u's) is capped at the `clusterCap` best-ranked
+    * members per cluster — the [[minHashLshPairs]] bucketCap
+    * discipline. A removal is missed only when a vector's every
+    * θ-neighbor ranks beyond the cap, i.e. when a single cluster holds
+    * > clusterCap mutually-similar members the quantizer failed to
+    * split — the fix at scale is raising k, not the cap. Cap inactive
+    * (every cluster ≤ clusterCap) ⇒ exact greedy semantics. The
+    * row_number≤cap filter plans as WindowGroupLimit, so map
+    * partitions pre-trim before the exchange.
+    *
+    * @return one row per input id: (idCol, cluster, kept). */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, theta: Double,
                clusterCap: Int = 4096): DataFrame = {

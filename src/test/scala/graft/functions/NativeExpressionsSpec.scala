@@ -59,6 +59,35 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("positional ngram hashes: index = window start; distinct-sorted == hashedNgrams") {
+    val df = Seq(
+      (1L, "a b c d e"),          // 3 positional 3-grams
+      (2L, "x y"),                // < k tokens -> empty
+      (3L, "a b c a b c a b c")   // repeated windows SURVIVE (no dedup)
+    ).toDF("id", "t")
+    val rows = df.select(col("id"),
+        NativeExpressions.positionalNgramHashes(col("t"), 3).as("ph"),
+        NativeExpressions.hashedNgrams(col("t"), 3).as("nh"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+      .sortBy(_._1)
+    assert(rows(0)._2.length == 3 && rows(1)._2.isEmpty
+      && rows(2)._2.length == 7)
+    // period-3 text: windows at starts 0,3 and 1,4 and 2,5 coincide
+    val p3 = rows(2)._2
+    assert(p3(0) == p3(3) && p3(3) == p3(6) && p3(1) == p3(4)
+      && p3(2) == p3(5) && p3(0) != p3(1))
+    // set semantics agree with the strict dedup expression
+    rows.foreach { case (_, ph, nh) =>
+      assert(ph.distinct.sorted == nh.sorted)
+    }
+    // window identity: each hash equals the hash of the joined window
+    // computed independently via hashedNgrams on the sliced text
+    val oneWin = df.filter(col("id") === 1).select(
+      NativeExpressions.hashedNgrams(lit("b c d"), 3).as("w2")).head.getSeq[Long](0)
+    assert(rows(0)._2(1) == oneWin.head)
+  }
+
   test("native dot product is null-safe and handles empty arrays") {
     val df = Seq(
       (Some(Array(1f, 2f)), Some(Array(3f, 4f))),
