@@ -280,6 +280,16 @@ object Graft {
                      w: Int = 8, minCount: Int = 2): DataFrame =
     graft.operators.Dedup.duplicateSpans(docs, idCol, textCol, w, minCount)
 
+  /** WHERE benchmark contamination sits in each corpus doc: merged
+    * 1-based word ranges whose every w-gram appears in the bench
+    * suite — cut the range, keep the doc. See
+    * [[operators.Dedup.decontaminateSpans]]. */
+  def decontaminateSpans(corpus: DataFrame, idCol: String,
+                         textCol: String, bench: DataFrame,
+                         benchTextCol: String, w: Int = 8): DataFrame =
+    graft.operators.Dedup.decontaminateSpans(corpus, idCol, textCol,
+      bench, benchTextCol, w)
+
   /** DSIR-style importance scores for target-matched data selection
     * (Laplace unigram-LM log-ratio, integer-micro exact). */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,

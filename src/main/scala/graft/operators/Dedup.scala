@@ -418,19 +418,31 @@ object Dedup {
                      w: Int = 8, minCount: Int = 2): DataFrame = {
     require(w > 0 && minCount >= 2,
       s"need w > 0 and minCount >= 2: $w, $minCount")
-    val grams = docs
-      .select(col(idCol).as("id"),
-        posexplode(graft.functions.NativeExpressions
-          .positionalNgramHashes(col(textCol), w)).as(Seq("p", "h")))
-      .select(col("id"), (col("p") + 1).as("s"), col("h"))
+    val grams = positionalGrams(docs, idCol, textCol, w)
     val dupHashes = grams.groupBy("h")
       .agg(count(lit(1)).as("__n")).filter(col("__n") >= minCount)
       .select("h")
     val dup = grams.join(dupHashes, Seq("h"))
       .select(col("id"), col("s"), (col("s") + (w - 1)).as("e"))
-    // classic interval merge: a position starts a new span iff it is
-    // not covered by (or adjacent to) the running max end of earlier
-    // positions; gram starts are unique per doc so the order is total
+    mergeSpans(dup, idCol)
+  }
+
+  /** Positional w-gram rows of `docs`: (id, s, h) with s the 1-based
+    * window start — one fused codegen scan, small rows only through
+    * the Generate (see the [[duplicateSpans]] scaladoc). */
+  private def positionalGrams(docs: DataFrame, idCol: String,
+                              textCol: String, w: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(graft.functions.NativeExpressions
+          .positionalNgramHashes(col(textCol), w)).as(Seq("p", "h")))
+      .select(col("id"), (col("p") + 1).as("s"), col("h"))
+
+  /** Classic interval merge of (id, s, e) rows into
+    * (idCol, span_start, span_end, span_tokens): a position starts a
+    * new span iff it is not covered by (or adjacent to) the running
+    * max end of earlier positions; gram starts are unique per doc so
+    * the order is total. One keyed shuffle on id. */
+  private def mergeSpans(dup: DataFrame, idCol: String): DataFrame = {
     val byS = Window.partitionBy("id").orderBy("s")
     val prevMax = max(col("e"))
       .over(byS.rowsBetween(Window.unboundedPreceding, -1))
@@ -443,6 +455,32 @@ object Dedup {
     merged.select(col("id").as(idCol),
       col("span_start"), col("span_end"),
       (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** WHERE the contamination sits: merged word spans of `corpus` docs
+    * whose every w-gram appears in the benchmark suite — the surgical
+    * companion to [[decontaminate]] (cut the overlapping range and
+    * keep the doc, instead of dropping or manually reviewing it;
+    * same spirit as the open n-gram-overlap decontamination tooling
+    * around Lee et al. 2022 / Brown et al. 2020 appendix C).
+    *
+    * Scale shape: identical to [[duplicateSpans]] minus the count
+    * aggregation — the bench gram set is DISTINCT and broadcast
+    * (benchmark suites are small by definition, the [[decontaminate]]
+    * contract), so the corpus never shuffles until the per-doc
+    * interval-merge window: ONE keyed exchange total.
+    *
+    * @return (idCol, span_start, span_end, span_tokens). */
+  def decontaminateSpans(corpus: DataFrame, idCol: String,
+                         textCol: String, bench: DataFrame,
+                         benchTextCol: String, w: Int = 8): DataFrame = {
+    import graft.functions.NativeExpressions.hashedNgrams
+    val grams = positionalGrams(corpus, idCol, textCol, w)
+    val benchGrams = broadcast(bench
+      .select(explode(hashedNgrams(col(benchTextCol), w)).as("h"))
+      .distinct())
+    mergeSpans(grams.join(benchGrams, Seq("h"))
+      .select(col("id"), col("s"), (col("s") + (w - 1)).as("e")), idCol)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,

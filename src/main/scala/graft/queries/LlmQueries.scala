@@ -462,6 +462,18 @@ object LlmQueries {
       Dedup.duplicateSpans(T.documents(s, d), "doc_id", "text", w = 8)
         .orderBy("doc_id", "span_start")),
 
+    // Decontamination SPANS: where the benchmark overlap sits inside
+    // each corpus doc (the surgical companion to d18's doc-level
+    // hit counts) — same %37 bench fixture, merged word ranges out.
+    "d35_decontam_spans" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+        .select(concat_ws(" ",
+          slice(split(col("text"), "\\s+"), 1, 15)).as("btext"))
+      Dedup.decontaminateSpans(docs, "doc_id", "text", bench, "btext")
+        .orderBy("doc_id", "span_start")
+    }),
+
     // G1: similarity-graph edge build (ref tm_graph.py:294-316).
     // Reads the shared materialized edge table — see [[cooccurEdges]].
     "g1_similarity_edges" -> ((s, d) =>
@@ -954,6 +966,37 @@ object LlmQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
         |FROM tg JOIN bg USING (h) GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // d18's gram keys + d34's interval merge: positions ride the gram
+    // comprehension as structs, bench membership replaces the count
+    "d35_decontam_spans" ->
+      """WITH tr AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |bench AS (SELECT array_to_string(
+        |    string_split_regex(text, '\s+')[1:15], ' ') AS btext
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |bw AS (SELECT list_filter(string_split_regex(btext, '\s+'),
+        |    t -> t <> '') AS ws FROM bench),
+        |bg AS (SELECT DISTINCT h FROM (SELECT
+        |    unnest([md5(array_to_string(ws[i:i+7], ' '))
+        |      FOR i IN range(1, len(ws) - 6)]) AS h
+        |    FROM bw WHERE len(ws) >= 8)),
+        |tg AS (SELECT doc_id, u.s AS s, u.h AS h FROM (SELECT doc_id,
+        |    unnest(CASE WHEN len(ws) < 8 THEN []
+        |      ELSE [{'s': i, 'h': md5(array_to_string(ws[i:i+7], ' '))}
+        |            FOR i IN range(1, len(ws) - 6)] END) AS u FROM tr)),
+        |r AS (SELECT doc_id, s, s + 7 AS e FROM tg JOIN bg USING (h)),
+        |m AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id
+        |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  AS pe FROM r),
+        |x AS (SELECT doc_id, s, e, SUM(CASE WHEN pe IS NULL OR s > pe + 1
+        |  THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        |  FROM m)
+        |SELECT doc_id, CAST(MIN(s) AS INT) AS span_start,
+        |CAST(MAX(e) AS INT) AS span_end,
+        |CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_tokens
+        |FROM x GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
     // same bigram construction via a 1-based list comprehension; the
     // window tie-break (count desc, bigram asc) matches; fractions are
     // exact integer divisions rounded at 6 dp

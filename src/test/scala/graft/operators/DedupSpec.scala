@@ -203,6 +203,26 @@ class DedupSpec extends SparkSpec {
       (5L, 1, 8, 8), (5L, 11, 18, 8)))
   }
 
+  test("decontaminateSpans marks bench-overlapping ranges, merged") {
+    val corpus = Seq(
+      (1L, "q w e r t y u i o p"),
+      (2L, "z z z z z q w e r t y u i o p"),
+      (3L, "n o t h i n g h e r e"))
+      .toDF("doc_id", "text")
+    // bench gram set = {"w e r t y u i o", "e r t y u i o x"} (the
+    // 9-worder contributes both of its windows)
+    val bench = Seq("w e r t y u i o x", "w e r t y u i o")
+      .toDF("btext")
+    val out = Dedup.decontaminateSpans(corpus, "doc_id", "text",
+        bench, "btext")
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // doc 1: only its s=2 window "w e r t y u i o" is a bench gram →
+    // span [2,9]. doc 2: the same window sits at s=7 → [7,14]; its
+    // s=8 window "e r t y u i o p" is NOT in the bench. doc 3: none.
+    assert(out.toSeq == Seq((1L, 2, 9, 8), (2L, 7, 14, 8)))
+  }
+
   test("semDedup clusterCap bounds the probe prefix; inactive cap is exact") {
     // single cluster (k=1); ascending centroid-sim rank: 1, 2, 3.
     // id 3's ONLY θ-neighbor is rank-2 (id 2): cos(2,3)≈0.998, while
