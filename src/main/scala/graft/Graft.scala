@@ -290,6 +290,13 @@ object Graft {
     graft.operators.Dedup.decontaminateSpans(corpus, idCol, textCol,
       bench, benchTextCol, w)
 
+  /** Rebuild text with span-table ranges cut (whitespace-normalizing;
+    * the "cut the range, keep the doc" step for [[duplicateSpans]] /
+    * [[decontaminateSpans]] output). */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String,
+               spans: DataFrame): DataFrame =
+    graft.operators.Dedup.cutSpans(docs, idCol, textCol, spans)
+
   /** DSIR-style importance scores for target-matched data selection
     * (Laplace unigram-LM log-ratio, integer-micro exact). */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,

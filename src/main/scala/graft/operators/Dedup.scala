@@ -457,6 +457,37 @@ object Dedup {
       (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Rebuild text with `spans` removed: tokens whose 1-based position
+    * falls inside any [span_start, span_end] range of the doc's rows
+    * in `spans` are dropped and the survivors rejoin with single
+    * spaces — the output is whitespace-NORMALIZED for every doc
+    * (spanless docs rejoin too), keeping the transform uniform. This
+    * is the "cut the duplicated/contaminated range, keep the doc"
+    * step the span operators exist for (Lee et al. 2022 cut, not
+    * drop).
+    *
+    * Scale shape: the span table aggregates to a per-doc sorted range
+    * array (small shuffle), then ONE keyed join against the corpus
+    * and a per-row indexed HOF filter — the text never explodes to
+    * token rows and shuffles exactly once (the rebuild join).
+    *
+    * @return (idCol, cleaned). */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String,
+               spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col(idCol).as("id"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("sp"))
+    val ws = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    docs.select(col(idCol).as("id"), ws.as("__ws"))
+      .join(sp, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        array_join(
+          filter(col("__ws"), (_, i) =>
+            col("sp").isNull || !exists(col("sp"), r =>
+              (i + 1) >= r.getField("s") && (i + 1) <= r.getField("e"))),
+          " ").as("cleaned"))
+  }
+
   /** WHERE the contamination sits: merged word spans of `corpus` docs
     * whose every w-gram appears in the benchmark suite — the surgical
     * companion to [[decontaminate]] (cut the overlapping range and

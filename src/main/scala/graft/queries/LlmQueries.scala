@@ -462,6 +462,15 @@ object LlmQueries {
       Dedup.duplicateSpans(T.documents(s, d), "doc_id", "text", w = 8)
         .orderBy("doc_id", "span_start")),
 
+    // Span cutting end-to-end: d34's duplicated ranges removed from
+    // the text, survivors rejoined with single spaces (whitespace-
+    // normalizing for every doc — see cutSpans scaladoc).
+    "d36_cut_spans" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val spans = Dedup.duplicateSpans(docs, "doc_id", "text", w = 8)
+      Dedup.cutSpans(docs, "doc_id", "text", spans).orderBy("doc_id")
+    }),
+
     // Decontamination SPANS: where the benchmark overlap sits inside
     // each corpus doc (the surgical companion to d18's doc-level
     // hit counts) — same %37 bench fixture, merged word ranges out.
@@ -717,6 +726,25 @@ object LlmQueries {
         |SELECT r.id AS vec_id, CAST(r.cluster AS INT) AS cluster,
         |(rem.id IS NULL) AS kept
         |FROM r LEFT JOIN rem ON r.id = rem.id ORDER BY vec_id""".stripMargin
+
+  /** d34/d36 shared prefix: positional 8-gram keys, corpus-frequent
+    * filter, interval-merge groups — `x` holds (doc_id, s, e, grp). */
+  private val D34SpanCtes: String =
+    """WITH w AS (SELECT doc_id, list_filter(
+      |  string_split_regex(text, '\s+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |g0 AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 8 THEN []
+      |  ELSE [{'s': x, 'h': md5(array_to_string(ws[x:x+7], chr(1)))}
+      |        FOR x IN range(1, len(ws) - 6)] END) AS u FROM w),
+      |g AS (SELECT doc_id, u.s AS s, u.h AS h FROM g0),
+      |c AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+      |r AS (SELECT doc_id, s, s + 7 AS e FROM g JOIN c USING (h)),
+      |m AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id
+      |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |  AS pe FROM r),
+      |x AS (SELECT doc_id, s, e, SUM(CASE WHEN pe IS NULL OR s > pe + 1
+      |  THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+      |  FROM m)""".stripMargin
 
   private val ShingleSql =
     """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws FROM documents),
@@ -1176,27 +1204,30 @@ object LlmQueries {
     // identical gram keys (md5 of chr(1)-joined words), identical
     // interval merge — spark `sequence` yields INT positions, so every
     // span column casts to INT here
-    "d34_dup_spans" ->
-      """WITH w AS (SELECT doc_id, list_filter(
-        |  string_split_regex(text, '\s+'), t -> t <> '') AS ws
-        |  FROM documents),
-        |g0 AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 8 THEN []
-        |  ELSE [{'s': x, 'h': md5(array_to_string(ws[x:x+7], chr(1)))}
-        |        FOR x IN range(1, len(ws) - 6)] END) AS u FROM w),
-        |g AS (SELECT doc_id, u.s AS s, u.h AS h FROM g0),
-        |c AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
-        |r AS (SELECT doc_id, s, s + 7 AS e FROM g JOIN c USING (h)),
-        |m AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id
-        |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |  AS pe FROM r),
-        |x AS (SELECT doc_id, s, e, SUM(CASE WHEN pe IS NULL OR s > pe + 1
-        |  THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS grp
-        |  FROM m)
+    "d34_dup_spans" -> (D34SpanCtes +
+      """
         |SELECT doc_id, CAST(MIN(s) AS INT) AS span_start,
         |CAST(MAX(e) AS INT) AS span_end,
         |CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_tokens
         |FROM x GROUP BY doc_id, grp
-        |ORDER BY doc_id, span_start""".stripMargin,
+        |ORDER BY doc_id, span_start""".stripMargin),
+    // d34's span CTEs, then the rebuild: per-doc sorted range list,
+    // indexed list_filter (1-based i, matching spark's i+1), single-
+    // space rejoin. COALESCE because duckdb's array_to_string of an
+    // EMPTY list (fully-duplicated doc) is NULL where spark's
+    // array_join is '' — same string otherwise
+    "d36_cut_spans" -> (D34SpanCtes +
+      """,
+        |sp0 AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM x
+        |  GROUP BY doc_id, grp),
+        |spl AS (SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS sp
+        |  FROM sp0 GROUP BY doc_id)
+        |SELECT w.doc_id, COALESCE(CASE
+        |  WHEN spl.sp IS NULL THEN array_to_string(w.ws, ' ')
+        |  ELSE array_to_string(list_filter(w.ws, (t, i) ->
+        |    len(list_filter(spl.sp, rr -> i >= rr.s AND i <= rr.e)) = 0),
+        |    ' ') END, '') AS cleaned
+        |FROM w LEFT JOIN spl USING (doc_id) ORDER BY w.doc_id""".stripMargin),
     // identical clone construction (zero dim 1 of every 50th vector,
     // id+1e6), then exact global rank-1. The Spark side rides bucketed
     // LSH — the hash match holds because the planted clones' recall is

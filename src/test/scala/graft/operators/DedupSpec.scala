@@ -203,6 +203,31 @@ class DedupSpec extends SparkSpec {
       (5L, 1, 8, 8), (5L, 11, 18, 8)))
   }
 
+  test("cutSpans removes span ranges and whitespace-normalizes the rest") {
+    val docs = Seq(
+      (1L, "a b  c"),             // double space: normalization visible
+      (2L, "p q r s t"),
+      (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 2, 2, 1),              // cut "b" -> "a c"
+      (2L, 1, 2, 2), (2L, 4, 5, 2)) // cut "p q" and "s t" -> "r"
+      .toDF("doc_id", "span_start", "span_end", "span_tokens")
+    val out = Dedup.cutSpans(docs, "doc_id", "text", spans)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // doc 3 has no spans but still normalizes (single-space rejoin)
+    assert(out.toSeq == Seq(1L -> "a c", 2L -> "r", 3L -> "x y z"))
+  }
+
+  test("cutSpans on a fully-covered doc yields the empty string") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val spans = Seq((1L, 1, 3, 3))
+      .toDF("doc_id", "span_start", "span_end", "span_tokens")
+    val out = Dedup.cutSpans(docs, "doc_id", "text", spans).collect()
+    assert(out.length == 1 && out.head.getString(1) == "")
+  }
+
   test("decontaminateSpans marks bench-overlapping ranges, merged") {
     val corpus = Seq(
       (1L, "q w e r t y u i o p"),
