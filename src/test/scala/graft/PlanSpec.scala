@@ -120,6 +120,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("ScalaUDF"))
   }
 
+  test("span family: no self-join, broadcast join-back, one merge exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = graft.operators.Dedup
+      .duplicateSpans(docs, "doc_id", "text", w = 8)
+      .queryExecution.executedPlan
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+    // exactly the designed exchanges: the gram-count aggregation, the
+    // (broadcast-probed) gram side feeding it, and the per-doc merge
+    // window — the corpus gram stream must NOT shuffle for the join
+    // itself (frequent-hash set broadcasts; AQE nodes hide inside
+    // AdaptiveSparkPlan only at runtime, this is the static plan)
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 3,
+      s"span pipeline grew ${exchanges.size} exchanges")
+    val p = plan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "frequent-hash join-back is not broadcast in the static plan")
+  }
+
+  test("cutSpans rebuild never explodes tokens (no Generate after the join)") {
+    import org.apache.spark.sql.execution.GenerateExec
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val spans = graft.operators.Dedup
+      .duplicateSpans(docs, "doc_id", "text", w = 8)
+    val plan = graft.operators.Dedup
+      .cutSpans(docs, "doc_id", "text", spans)
+      .queryExecution.executedPlan
+    // the rebuild path itself is generator-free: tokens are filtered
+    // by an indexed HOF inside the row, never exploded. The only
+    // Generate nodes allowed are the span SOURCE's gram posexplode.
+    val gens = plan.collect { case g: GenerateExec => g }
+    assert(gens.size <= 2,
+      s"cutSpans rebuild introduced token explosion (${gens.size} Generates)")
+  }
+
   test("d32 max-score pipeline stays keyed (no cartesian beyond scalar attaches)") {
     import org.apache.spark.sql.functions.{col, concat_ws, slice, split}
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
