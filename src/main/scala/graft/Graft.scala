@@ -290,6 +290,16 @@ object Graft {
     graft.operators.Dedup.decontaminateSpans(corpus, idCol, textCol,
       bench, benchTextCol, w)
 
+  /** Cross-corpus duplicate-substring spans: incoming word ranges
+    * whose every w-gram exists in the existing corpus (the existing
+    * side never self-compares). See
+    * [[operators.Dedup.crossDupSpans]]. */
+  def crossDupSpans(incoming: DataFrame, existing: DataFrame,
+                    idCol: String, textCol: String,
+                    w: Int = 8): DataFrame =
+    graft.operators.Dedup.crossDupSpans(incoming, existing, idCol,
+      textCol, w)
+
   /** Rebuild text with span-table ranges cut (whitespace-normalizing;
     * the "cut the range, keep the doc" step for [[duplicateSpans]] /
     * [[decontaminateSpans]] output). */

@@ -457,6 +457,34 @@ object Dedup {
       (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Cross-corpus duplicate-substring spans: merged word ranges of
+    * `incoming` docs whose every w-gram occurs anywhere in the
+    * EXISTING corpus — the incremental arm of [[duplicateSpans]]
+    * (a new crawl re-serves boilerplate the archive already holds;
+    * cut the overlap, ingest the rest). The existing side never
+    * self-compares, mirroring [[crossDedup]]/[[crossDedupNear]].
+    *
+    * Scale shape: the existing corpus reduces to DISTINCT gram hashes
+    * (8 bytes each, one aggregation shuffle — text never crosses the
+    * wire), the incoming grams join keyed on the hash (output bounded
+    * by incoming occurrences), then the per-doc interval merge. Unlike
+    * [[decontaminateSpans]] the existing side is corpus-sized, so the
+    * join is keyed rather than broadcast; candidate volume is still
+    * linear — there is no self-join on either side.
+    *
+    * @return (idCol, span_start, span_end, span_tokens). */
+  def crossDupSpans(incoming: DataFrame, existing: DataFrame,
+                    idCol: String, textCol: String,
+                    w: Int = 8): DataFrame = {
+    import graft.functions.NativeExpressions.hashedNgrams
+    val grams = positionalGrams(incoming, idCol, textCol, w)
+    val seen = existing
+      .select(explode(hashedNgrams(col(textCol), w)).as("h"))
+      .distinct()
+    mergeSpans(grams.join(seen, Seq("h"))
+      .select(col("id"), col("s"), (col("s") + (w - 1)).as("e")), idCol)
+  }
+
   /** Rebuild text with `spans` removed: tokens whose 1-based position
     * falls inside any [span_start, span_end] range of the doc's rows
     * in `spans` are dropped and the survivors rejoin with single

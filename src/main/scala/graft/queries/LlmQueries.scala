@@ -462,6 +462,16 @@ object LlmQueries {
       Dedup.duplicateSpans(T.documents(s, d), "doc_id", "text", w = 8)
         .orderBy("doc_id", "span_start")),
 
+    // Cross-corpus spans: word ranges of the incoming slice (doc_id %
+    // 5 = 0) whose every 8-gram exists somewhere in the remaining
+    // (existing) corpus — incoming self-repeats do NOT count.
+    "d37_cross_spans" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Dedup.crossDupSpans(docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        .orderBy("doc_id", "span_start")
+    }),
+
     // Span cutting end-to-end: d34's duplicated ranges removed from
     // the text, survivors rejoined with single spaces (whitespace-
     // normalizing for every doc — see cutSpans scaladoc).
@@ -1211,6 +1221,34 @@ object LlmQueries {
         |CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_tokens
         |FROM x GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin),
+    // d34's gram keys split across the %5 partition: incoming
+    // positional grams join the existing side's DISTINCT hash set
+    "d37_cross_spans" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+        |  string_split_regex(text, '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |gi AS (SELECT doc_id, u.s AS s, u.h AS h FROM (
+        |  SELECT doc_id, unnest(CASE WHEN len(ws) < 8 THEN []
+        |    ELSE [{'s': x, 'h': md5(array_to_string(ws[x:x+7], chr(1)))}
+        |          FOR x IN range(1, len(ws) - 6)] END) AS u
+        |  FROM w WHERE doc_id % 5 = 0)),
+        |ge AS (SELECT DISTINCT h FROM (
+        |  SELECT unnest(CASE WHEN len(ws) < 8 THEN []
+        |    ELSE [md5(array_to_string(ws[x:x+7], chr(1)))
+        |          FOR x IN range(1, len(ws) - 6)] END) AS h
+        |  FROM w WHERE doc_id % 5 <> 0)),
+        |r AS (SELECT doc_id, s, s + 7 AS e FROM gi JOIN ge USING (h)),
+        |m AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id
+        |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  AS pe FROM r),
+        |x AS (SELECT doc_id, s, e, SUM(CASE WHEN pe IS NULL OR s > pe + 1
+        |  THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        |  FROM m)
+        |SELECT doc_id, CAST(MIN(s) AS INT) AS span_start,
+        |CAST(MAX(e) AS INT) AS span_end,
+        |CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_tokens
+        |FROM x GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
     // d34's span CTEs, then the rebuild: per-doc sorted range list,
     // indexed list_filter (1-based i, matching spark's i+1), single-
     // space rejoin. COALESCE because duckdb's array_to_string of an

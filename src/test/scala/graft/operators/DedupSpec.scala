@@ -203,6 +203,22 @@ class DedupSpec extends SparkSpec {
       (5L, 1, 8, 8), (5L, 11, 18, 8)))
   }
 
+  test("crossDupSpans matches only against the EXISTING corpus") {
+    val existing = Seq((100L, "e1 e2 e3 e4 e5 e6 e7 e8 e9"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "x e2 e3 e4 e5 e6 e7 e8 e9 y"), // existing gram at s=2
+      (2L, "i1 i2 i3 i4 i5 i6 i7 i8"),     // repeats within incoming...
+      (3L, "i1 i2 i3 i4 i5 i6 i7 i8"))     // ...but absent from existing
+      .toDF("doc_id", "text")
+    val out = Dedup.crossDupSpans(incoming, existing, "doc_id", "text")
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // incoming self-duplication (docs 2/3) must NOT produce spans —
+    // only overlap with the existing side counts
+    assert(out.toSeq == Seq((1L, 2, 9, 8)))
+  }
+
   test("cutSpans removes span ranges and whitespace-normalizes the rest") {
     val docs = Seq(
       (1L, "a b  c"),             // double space: normalization visible
