@@ -98,9 +98,9 @@ object PlanDump {
         "unioned and checkpointed ONCE, one shared corroboration " +
         "semi-join + two-level aggregation, one ranking window. " +
         "Measured solo (BENCH_SOLO_r9.json, sf0.1, `runMain " +
-        "graft.Bench --solo`): **3.41 s warm / 14.24 s " +
+        "graft.Bench --solo`): **3.07 s warm / 10.89 s " +
         "cold-context** — the warm number is the query's actual data " +
-        "cost, and the cold−warm gap (~10.8 s) is codegen compilation " +
+        "cost, and the cold−warm gap (~7.8 s) is codegen compilation " +
         "+ fresh-context bring-up, which is also what the in-suite " +
         "number (~13-19 s across rounds) keeps re-measuring on top " +
         "of suite GC attribution. The plan shape (no fact re-scan, " +
@@ -141,8 +141,8 @@ object PlanDump {
         "expression at the scan (PositionalNgramsExpr; the naive " +
         "explode-then-slice carries the whole token array into every " +
         "gram row, O(tokens²) bytes per doc, and an interpreted " +
-        "md5-per-gram HOF was still 5×: 13.9 → 1.9 s solo-warm at " +
-        "sf0.1 across the two rewrites), then gram-hash partial-count " +
+        "md5-per-gram HOF was still 5×: 13.9 → 0.73 s solo-warm at " +
+        "sf0.1 across the two rewrites, BENCH_SOLO_r9.json), then gram-hash partial-count " +
         "aggregation (map-side combine absorbs boilerplate hot keys: " +
         "a billion-fold repeated license line arrives as one partial " +
         "row per map task), a broadcast join-back of the " +
@@ -164,8 +164,8 @@ object PlanDump {
         "per (application, dataset); later calls read the scratch " +
         "parquet, so the plan below is the memoized read when dumped " +
         "after a prior call. Measured solo (BENCH_SOLO_r9.json, " +
-        "sf0.1): **9.32 s first call / 0.26 s memoized** — the " +
-        "in-suite ~9.5 s is one-time micro-batch bring-up " +
+        "sf0.1): **6.88 s first call / 0.19 s memoized** — the " +
+        "in-suite ~7-9.5 s is one-time micro-batch bring-up " +
         "(checkpoint + sink write + stream machinery), not a " +
         "per-query cost; it is also the suite's #1 row, which is why " +
         "the attribution is pinned here."))
