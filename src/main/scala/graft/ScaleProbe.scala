@@ -20,18 +20,63 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: `sbt "runMain graft.ScaleProbe [groups] [m]"` (defaults
   * 4 and 500). Prints one JSON line with both wall times.
+  *
+  * `runMain graft.ScaleProbe semdedup [m]` probes the analogous
+  * [[graft.operators.Dedup.semDedup]] clusterCap instead: m vectors in
+  * ONE tight direction cluster (the k-means quantizer's worst case —
+  * a cluster it failed to split), theta unreachable so the timing
+  * isolates the within-cluster pairwise path (uncapped: m²/2 cosine
+  * pairs; capped at B: m·B).
   */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val groups = args.headOption.map(_.toInt).getOrElse(4)
-    val m = args.drop(1).headOption.map(_.toInt).getOrElse(500)
-    val spark = SparkSession.builder()
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("semdedup"))
+      semDedupProbe(args.drop(1).headOption.map(_.toInt).getOrElse(4000))
+    else lshProbe(args)
+
+  /** One degenerate k=1 cluster of m near-identical vectors: capped
+    * (B = 64) vs uncapped probe-prefix timing. */
+  private def semDedupProbe(m: Int): Unit = {
+    val spark = session()
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val base = Array.fill(64)(rnd.nextFloat())
+    val emb = (0 until m).map { i =>
+      val v = base.clone()
+      v(i % 64) = v(i % 64) + 0.001f * ((i / 64) % 8)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    def run(cap: Int): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.semDedup(emb, "vec_id", "embedding",
+        k = 1, iters = 2, theta = 1.01, clusterCap = cap)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(64); run(m) // codegen warm-up per plan shape
+    val capped = run(64)
+    val uncapped = run(m)
+    println(s"""{"metric":"semdedup_cluster_cap_probe","unit":"sec","vectors":$m,"capped_64":${f(capped)},"uncapped":${f(uncapped)},"speedup":${f(uncapped / capped)}}""")
+    spark.stop()
+  }
+
+  private def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.maxFields", "1024")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def lshProbe(args: Array[String]): Unit = {
+    val groups = args.headOption.map(_.toInt).getOrElse(4)
+    val m = args.drop(1).headOption.map(_.toInt).getOrElse(500)
+    val spark = session()
     import spark.implicits._
     val docs = (0 until groups * m).map { i =>
       val g = i / m
@@ -46,7 +91,6 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // codegen/session warm-up pass per plan shape, then the timed pair
     // (first-run compilation otherwise lands on whichever runs first)
     run(64); run(0)
