@@ -136,6 +136,66 @@ object TextAnalysis {
     }
   }
 
+  /** Corpus-bigram LM score per document, Laplace-smoothed — the next
+    * step up from [[unigramLmScore]] toward the published LM-perplexity
+    * quality filters (CCNet-style): score each doc by how typical its
+    * token TRANSITIONS are of the corpus, which separates fluent text
+    * from shuffled-token or keyword-stuffed spam that unigram
+    * statistics cannot see. P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)
+    * with c(w1) the corpus count of w1 as a bigram context and V the
+    * corpus vocabulary size; each distinct bigram's log-prob rounds to
+    * integer MICROS once, so per-doc sums are order-independent
+    * integers (the d28/BM25 determinism trick).
+    *
+    * Scale shape: bigrams are built inside the row (struct array →
+    * explode of small structs, never the token array), the doc-bigram
+    * postings aggregate map-side-combinably, the corpus bigram table
+    * rolls up FROM the postings, the context rollup rides the bigram
+    * table, V is a one-row broadcast, and docs re-join their bigrams
+    * on the (w1, w2) key. No unkeyed join beyond the one-row scalar
+    * attach. Docs with < 2 tokens don't appear (no transition
+    * evidence).
+    *
+    * @return (idCol, n_bigrams, sum_logp_micros, mean_logp_micros) */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    materialize: Boolean = true): DataFrame = {
+    val ws = wordTokens(col(textCol))
+    val base = docs
+      .select(col(idCol), explode(
+        when(size(ws) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(ws) - 1),
+            i => struct(element_at(ws, i).as("w1"),
+              element_at(ws, i + 1).as("w2"))))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+      .groupBy(idCol, "__w1", "__w2").agg(count(lit(1)).as("__bf"))
+    val postings = if (materialize) base.localCheckpoint(true) else base
+    val bigCounts = postings.groupBy("__w1", "__w2")
+      .agg(sum("__bf").as("__bc"))
+    val ctxCounts = bigCounts.groupBy("__w1").agg(sum("__bc").as("__cc"))
+    val vocab = broadcast(docs
+      .select(explode(wordTokens(col(textCol))).as("__t"))
+      .agg(count_distinct(col("__t")).as("__vs")))
+    val lp = bigCounts.join(ctxCounts, Seq("__w1"))
+      .crossJoin(vocab)
+      .select(col("__w1"), col("__w2"),
+        round(log((col("__bc").cast("double") + 1d)
+          / (col("__cc") + col("__vs")).cast("double")) * 1e6)
+          .cast("long").as("__lpm"))
+    val out = postings.join(lp, Seq("__w1", "__w2"))
+      .groupBy(idCol)
+      .agg(sum("__bf").as("n_bigrams"),
+        sum(col("__bf") * col("__lpm")).as("sum_logp_micros"))
+      .withColumn("mean_logp_micros",
+        col("sum_logp_micros").cast("double") / col("n_bigrams"))
+    if (!materialize) out
+    else {
+      val ck = out.localCheckpoint(true)
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(postings)
+      ck
+    }
+  }
+
   /** Sliding token-window document chunking — the "split long documents
     * into model-context-sized pieces" step every pretraining pipeline
     * runs before packing. Chunks are `chunkTokens` words; consecutive

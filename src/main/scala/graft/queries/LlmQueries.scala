@@ -276,6 +276,12 @@ object LlmQueries {
       TextAnalysis.unigramLmScore(T.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Bigram LM quality score (Laplace-smoothed transitions) — the
+    // CCNet-style step past d28's unigram proxy; integer-micro exact.
+    "d38_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLmScore(T.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Sliding token-window chunking: 64-token chunks, 16-token overlap
     // (stride 48) — map-side generator, no shuffle; the final chunk may
     // be short, empty docs emit nothing.
@@ -910,6 +916,32 @@ object LlmQueries {
         |CAST(SUM(tf * lpm) AS BIGINT) AS sum_logp_micros,
         |CAST(SUM(tf * lpm) AS DOUBLE) / SUM(tf) AS mean_logp_micros
         |FROM p JOIN lp USING (t) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical smoothing arithmetic: (bc+1)/(cc+V) in double, ln,
+    // micros rounded ONCE per distinct bigram, integer per-doc sums
+    "d38_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+        |  string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vs FROM (
+        |  SELECT unnest(ws) AS t FROM w)),
+        |b0 AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []
+        |  ELSE [{'w1': ws[i], 'w2': ws[i+1]}
+        |        FOR i IN range(1, len(ws))] END) AS u FROM w),
+        |p AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, COUNT(*) AS bf
+        |  FROM b0 GROUP BY 1, 2, 3),
+        |bc AS (SELECT w1, w2, CAST(SUM(bf) AS BIGINT) AS c
+        |  FROM p GROUP BY 1, 2),
+        |cc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cnt FROM bc GROUP BY w1),
+        |lp AS (SELECT bc.w1, bc.w2, CAST(ROUND(
+        |    ln((CAST(bc.c AS DOUBLE) + 1) / (cc.cnt + v.vs)) * 1e6)
+        |    AS BIGINT) AS lpm
+        |  FROM bc JOIN cc USING (w1), v)
+        |SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+        |CAST(SUM(bf * lpm) AS BIGINT) AS sum_logp_micros,
+        |CAST(SUM(bf * lpm) AS DOUBLE) / SUM(bf) AS mean_logp_micros
+        |FROM p JOIN lp USING (w1, w2) GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // same tokenization as the shingle queries; chunk starts step by

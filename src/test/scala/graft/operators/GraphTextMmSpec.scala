@@ -147,6 +147,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(lpA > (2 * lpA + lpB) / 3.0)
   }
 
+  test("bigramLmScore: hand-checked Laplace micros, 1-token doc absent") {
+    import spark.implicits._
+    // bigrams: doc1 (a,b)x2 (b,a)x1; doc2 (b,a)x1; corpus counts
+    // (a,b)=2 (b,a)=2, contexts c(a)=2 c(b)=2, vocab {a,b,x} V=3
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lp = math.round(math.log((2.0 + 1) / (2 + 3)) * 1e6) // both bigrams
+    assert(out.toSeq == Seq((1L, 3L, 3 * lp), (2L, 1L, lp)))
+  }
+
+  test("bigramLmScore ranks fluent transitions above shuffled tokens") {
+    import spark.implicits._
+    // same token multiset, different order: unigram stats are blind to
+    // this, the transition model is the point of the operator
+    val docs = Seq((1L, "a b a b a b"), (2L, "a a a b b b"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(m(1L) > m(2L),
+      s"fluent doc should outscore shuffled: ${m(1L)} vs ${m(2L)}")
+    val u = TextAnalysis.unigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(u(1L) == u(2L), "unigram can't separate them — bigram must")
+  }
+
   test("chunkByTokens: stride windows, short tail, empty doc drops") {
     import spark.implicits._
     val docs = Seq(
