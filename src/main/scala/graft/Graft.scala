@@ -237,6 +237,13 @@ object Graft {
                      textCol: String): DataFrame =
     TextAnalysis.unigramLmScore(docs, idCol, textCol)
 
+  /** Corpus-bigram LM quality score (Laplace-smoothed transitions,
+    * integer-micro exact) — ranks fluent text above shuffled tokens,
+    * which unigram statistics cannot. */
+  def bigramLmScore(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    TextAnalysis.bigramLmScore(docs, idCol, textCol)
+
   /** Sliding token-window chunking (map-side generator). */
   def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
                     chunkTokens: Int, overlap: Int = 0): DataFrame =
