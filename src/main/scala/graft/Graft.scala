@@ -99,6 +99,13 @@ object Graft {
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.simHashPortable(df, idCol, textCol)
 
+  /** Weighted PageRank centrality over an undirected (src, dst,
+    * weight) edge list — fixed-iteration, cross-engine-deterministic
+    * (see [[operators.GraphOps.pageRank]]). */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               damping: Double = 0.85): DataFrame =
+    GraphOps.pageRank(edges, iters, damping)
+
   /** Staged entity-resolution waterfall: cheap key stages with
     * anti-join residues, fuzzy terminal on what remains. */
   def resolveWaterfall(left: DataFrame, leftId: String,

@@ -196,4 +196,84 @@ object GraphOps {
       count(lit(1)).as("n_members"),
       array_join(transform(array_sort(collect_list(col("node"))),
         _.cast("string")), " | ").as("members"))
+
+  /** Weighted PageRank over an undirected edge list (src, dst, weight),
+    * fixed iteration count — graph centrality as a per-node quality
+    * signal (web-crawl curation weighs documents by link centrality;
+    * the similarity graph's analogue ranks members by how embedded
+    * they are in heavily co-occurring neighborhoods).
+    *
+    * Semantics: the undirected graph is symmetrized (each edge feeds
+    * both directions), so every node has out-weight > 0 and the
+    * dangling-mass term vanishes. Each round,
+    * pr'(v) = round((1−d)/N + d·Σ_{u→v} pr(u)·w(u,v)/outw(u), 6).
+    * Fixed `iters` (not convergence-tested) keeps the operator a
+    * deterministic, oracle-expressible prefix of the power iteration —
+    * the d29 k-means discipline.
+    *
+    * Cross-engine exactness: per-edge contributions are rounded to
+    * INTEGER MICROS before summing (long sums are order-independent,
+    * so shuffle/aggregation order cannot perturb the result — the
+    * d28/d31 log-prob discipline), and each round's rank is rounded to
+    * 6 dp so float drift cannot compound across rounds. All scalar
+    * arithmetic mirrors the oracle's operation order exactly.
+    *
+    * Scale shape: the symmetrized edge list joins its out-weight table
+    * once, is repartitioned on `src` and checkpointed — each round's
+    * contribution join then reuses that partitioning against the
+    * rank table and pays ONE aggregation shuffle on `dst`. N rides as
+    * a one-row broadcast scalar (no driver round-trip). Per-round
+    * lineage is truncated (eager checkpoint) and the previous round's
+    * blocks freed — the [[connectedComponents]] leak discipline.
+    *
+    * @return (node, pr) */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val sym = edges.select(col("src"), col("dst"), col("weight"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+    val withOw = sym
+      .join(sym.groupBy("src").agg(sum("weight").as("ow")), Seq("src"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    // one-row N scalar, materialized once — every round broadcasts it,
+    // and without the checkpoint each broadcast would re-run the
+    // distinct+count aggregation
+    val nRow = withOw.select(col("src").as("node")).distinct()
+      .agg(count(lit(1)).as("nn"))
+      .localCheckpoint(true)
+    // uniform start, rounded as the oracle rounds it
+    var pr = withOw.select(col("src").as("node")).distinct()
+      .crossJoin(broadcast(nRow))
+      .select(col("node"),
+        round(lit(1.0).cast("double") / col("nn"), 6).as("pr"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      // every node of the symmetric graph has an in-edge, so the
+      // contribution aggregation covers the full node set — no
+      // left-join backfill needed
+      val next = withOw.join(pr, withOw("src") === pr("node"))
+        .select(col("dst"),
+          round(col("pr") * col("weight") / col("ow") * lit(1e6))
+            .cast("long").as("__c"))
+        .groupBy(col("dst").as("node")).agg(sum("__c").as("__sm"))
+        .crossJoin(broadcast(nRow))
+        .select(col("node"),
+          round((lit(1.0) - lit(damping)) / col("nn")
+            + lit(damping)
+              * (col("__sm").cast("double") / lit(1e6)), 6).as("pr"))
+        .localCheckpoint(true)
+      Shims.unpersistLocalCheckpoint(pr)
+      pr = next
+      i += 1
+    }
+    // copy the (small) ranks out so the edge cache can be freed
+    val out = pr.localCheckpoint(true)
+    Shims.unpersistLocalCheckpoint(pr)
+    Shims.unpersistLocalCheckpoint(withOw)
+    Shims.unpersistLocalCheckpoint(nRow)
+    out
+  }
 }

@@ -528,6 +528,17 @@ object LlmQueries {
     // (15-...py:347-375).
     "g3_component_stats" -> ((s, d) =>
       GraphOps.componentStats(cooccurLabels(s, d)).orderBy("comp")),
+
+    // G5: weighted PageRank over the same weight≥3 similarity graph
+    // the CC family labels — graph centrality as a per-node quality
+    // signal (crawl-curation pipelines weight documents by link
+    // centrality; here: how embedded a supplier is in heavily
+    // co-occurring neighborhoods). Fixed 5 power-iteration rounds,
+    // integer-micro contributions, 6-dp per-round rounding — the
+    // oracle unrolls the identical recurrence as CTE layers.
+    "g5_pagerank" -> ((s, d) =>
+      GraphOps.pageRank(cooccurEdges(s, d).filter(col("weight") >= 3L))
+        .orderBy("node")),
   )
 
   /** Collision-free scratch-path suffix for a dataset dir: SHA-1 hex of
@@ -1396,5 +1407,47 @@ object LlmQueries {
         |array_to_string(list_transform(list_sort(list(node)),
         |  x -> CAST(x AS VARCHAR)), ' | ') AS members
         |FROM labels GROUP BY comp ORDER BY comp""".stripMargin,
+    "g5_pagerank" -> G5PageRankSql,
   )
+
+  /** g5 oracle: the [[graft.operators.GraphOps.pageRank]] recurrence
+    * unrolled as one CTE layer per power-iteration round. Every scalar
+    * op mirrors the Spark side in order and type: per-edge
+    * contributions round to integer micros before the (exact, BIGINT)
+    * sum; each round's rank rounds to 6 dp; the damping constants are
+    * computed with the same double ops on both engines
+    * (`CAST(0.85 AS DOUBLE)` ≡ `lit(0.85)` bit-exactly — DuckDB's
+    * DECIMAL(3,2)→DOUBLE is the correctly-rounded 85/100, the same
+    * double the Scala literal denotes). */
+  // lazy: declared after the `sql` map that references it — a strict
+  // val would still be null when the map initializes
+  private lazy val G5PageRankSql: String = {
+    val iters = 5
+    val head =
+      """WITH m AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS mm
+        |  FROM lineitem),
+        |e AS (SELECT a.mm AS src, b.mm AS dst, COUNT(*) AS weight
+        |  FROM m a JOIN m b ON a.g = b.g AND a.mm < b.mm
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |sym AS (SELECT src, dst, weight FROM e
+        |  UNION ALL SELECT dst, src, weight FROM e),
+        |ow AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS ow
+        |  FROM sym GROUP BY src),
+        |so AS (SELECT s.src, s.dst, s.weight, o.ow
+        |  FROM sym s JOIN ow o ON o.src = s.src),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM ow),
+        |p0 AS (SELECT src AS node, ROUND(CAST(1 AS DOUBLE) / nn, 6) AS pr
+        |  FROM ow CROSS JOIN n)""".stripMargin
+    val layers = (1 to iters).map { i =>
+      s"""p$i AS (SELECT so.dst AS node,
+         |  ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.nn
+         |    + CAST(0.85 AS DOUBLE) * (CAST(SUM(CAST(ROUND(
+         |        p.pr * so.weight / so.ow * 1e6) AS BIGINT)) AS DOUBLE)
+         |      / 1e6), 6) AS pr
+         |  FROM so JOIN p${i - 1} p ON p.node = so.src CROSS JOIN n
+         |  GROUP BY so.dst, n.nn)""".stripMargin
+    }
+    (head +: layers).mkString(",\n") +
+      s"\nSELECT node, pr FROM p$iters ORDER BY node"
+  }
 }

@@ -51,6 +51,62 @@ class GraphOpsSpec extends SparkSpec {
     assert(partial.map(_.getLong(0)).distinct.length == partial.length)
   }
 
+  test("pageRank: uniform on regular graphs, center-heavy on stars") {
+    // triangle, equal weights: the uniform vector is (up to the 6-dp
+    // per-round rounding) a fixed point — all ranks equal
+    val tri = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L))
+      .toDF("src", "dst", "weight")
+    val triPr = GraphOps.pageRank(tri).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(triPr.size == 3)
+    assert(triPr.values.toSet.size == 1, s"regular graph not uniform: $triPr")
+    assert(math.abs(triPr.values.sum - 1.0) < 1e-4)
+    // star: the center accumulates every leaf's full out-weight
+    val star = (2L to 6L).map(i => (1L, i, 1L)).toDF("src", "dst", "weight")
+    val starPr = GraphOps.pageRank(star).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(starPr(1L) > starPr(2L) * 2)
+    assert((3L to 6L).forall(i => starPr(i) == starPr(2L)))
+    assert(math.abs(starPr.values.sum - 1.0) < 1e-4)
+  }
+
+  test("pageRank matches the micro-rounded recurrence exactly, " +
+      "independent of partitioning") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(12).toLong,
+        rnd.nextInt(12).toLong, (1 + rnd.nextInt(4)).toLong))
+      .filter(e => e._1 != e._2)
+      .map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+      .distinct
+    // single-threaded reference: the same recurrence on Scala Maps —
+    // micro-rounded contributions (order-free by construction), 6-dp
+    // per-round ranks, 5 rounds, damping 0.85
+    val sym = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val ow = sym.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    val n = ow.size
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var pr = ow.keys.map(_ -> r6(1.0 / n)).toMap
+    for (_ <- 1 to 5) {
+      val sums = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, w) =>
+          math.round(pr(u) * w / ow(u) * 1e6) }.sum
+      }
+      pr = sums.map { case (v, sm) =>
+        v -> r6((1.0 - 0.85) / n + 0.85 * (sm.toDouble / 1e6)) }
+    }
+    val df = edges.toDF("src", "dst", "weight")
+    val got = GraphOps.pageRank(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == pr)
+    // shuffling the physical layout must not perturb a single bit —
+    // the integer-micro contributions make the sums order-free
+    val got7 = GraphOps.pageRank(df.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got7 == pr)
+  }
+
   test("coOccurrenceEdges counts undirected weights with src<dst") {
     val df = Seq((Option("g1"), 2L), (Option("g1"), 1L),
       (Option("g2"), 1L), (Option("g2"), 2L), (Option("g2"), 2L),
