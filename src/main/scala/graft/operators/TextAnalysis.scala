@@ -147,42 +147,60 @@ object TextAnalysis {
     * integer MICROS once, so per-doc sums are order-independent
     * integers (the d28/BM25 determinism trick).
     *
-    * Scale shape: bigrams are built inside the row (struct array →
-    * explode of small structs, never the token array), the doc-bigram
-    * postings aggregate map-side-combinably, the corpus bigram table
-    * rolls up FROM the postings, the context rollup rides the bigram
-    * table, V is a one-row broadcast, and docs re-join their bigrams
-    * on the (w1, w2) key. No unkeyed join beyond the one-row scalar
-    * attach. Docs with < 2 tokens don't appear (no transition
-    * evidence).
+    * Scale shape: bigram identity is HASHED inside the row by the
+    * fused codegen'd [[graft.functions.PositionalNgramsExpr]] — the
+    * (context-hash, bigram-hash) pairs are zipped per row and explode
+    * as 16-byte structs, so the postings aggregation, the corpus
+    * bigram/context rollups, the vocabulary count and the scoring
+    * join all key on longs; no token STRING ever leaves its row
+    * (the string-struct formulation this replaced shuffled every
+    * token twice as UTF-8 and solo-benched 8× slower than unigram;
+    * hash-keying took it to ~1.4×). The hashes are operator-internal
+    * — per-doc counts equal the string-keyed counts w.h.p.
+    * (collisions ~n²/2⁶⁴, the d4/d34 precedent), so the
+    * string-keyed DuckDB oracle is unchanged. Postings aggregate
+    * map-side-combinably, the corpus bigram table rolls up FROM the
+    * postings, the context rollup rides the bigram table, V is a
+    * one-row broadcast, and docs re-join their bigrams on the hash
+    * key. No unkeyed join beyond the one-row scalar attach. Docs
+    * with < 2 tokens don't appear (no transition evidence).
     *
     * @return (idCol, n_bigrams, sum_logp_micros, mean_logp_micros) */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                     materialize: Boolean = true): DataFrame = {
-    val ws = wordTokens(col(textCol))
+    import graft.functions.NativeExpressions.{hashedNgrams, positionalNgramHashes}
+    // th: per-token hashes (positions 0..n-1); bh: per-window bigram
+    // hashes (positions 0..n-2). Zipping bh with th's strict prefix
+    // pairs every bigram with its CONTEXT token's hash — lengths agree
+    // by construction (n−1 each; < 2 tokens → both empty).
     val base = docs
-      .select(col(idCol), explode(
-        when(size(ws) < 2,
-          array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(1), size(ws) - 1),
-            i => struct(element_at(ws, i).as("w1"),
-              element_at(ws, i + 1).as("w2"))))).as("__b"))
-      .select(col(idCol), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
-      .groupBy(idCol, "__w1", "__w2").agg(count(lit(1)).as("__bf"))
+      .select(col(idCol),
+        positionalNgramHashes(col(textCol), 1).as("__th"),
+        positionalNgramHashes(col(textCol), 2).as("__bh"))
+      .select(col(idCol), explode(zip_with(
+          slice(col("__th"), lit(1),
+            greatest(size(col("__th")) - 1, lit(0))),
+          col("__bh"),
+          (a, b) => struct(a.as("h1"), b.as("hb")))).as("__p"))
+      .select(col(idCol), col("__p.h1").as("__h1"), col("__p.hb").as("__hb"))
+      .groupBy(idCol, "__h1", "__hb").agg(count(lit(1)).as("__bf"))
     val postings = if (materialize) base.localCheckpoint(true) else base
-    val bigCounts = postings.groupBy("__w1", "__w2")
+    val bigCounts = postings.groupBy("__h1", "__hb")
       .agg(sum("__bf").as("__bc"))
-    val ctxCounts = bigCounts.groupBy("__w1").agg(sum("__bc").as("__cc"))
+    val ctxCounts = bigCounts.groupBy("__h1").agg(sum("__bc").as("__cc"))
+    // V = distinct token hashes ≡ distinct tokens w.h.p.; the strict
+    // 1-gram expression dedups per row, shrinking the explode before
+    // the exact distinct count
     val vocab = broadcast(docs
-      .select(explode(wordTokens(col(textCol))).as("__t"))
+      .select(explode(hashedNgrams(col(textCol), 1)).as("__t"))
       .agg(count_distinct(col("__t")).as("__vs")))
-    val lp = bigCounts.join(ctxCounts, Seq("__w1"))
+    val lp = bigCounts.join(ctxCounts, Seq("__h1"))
       .crossJoin(vocab)
-      .select(col("__w1"), col("__w2"),
+      .select(col("__h1"), col("__hb"),
         round(log((col("__bc").cast("double") + 1d)
           / (col("__cc") + col("__vs")).cast("double")) * 1e6)
           .cast("long").as("__lpm"))
-    val out = postings.join(lp, Seq("__w1", "__w2"))
+    val out = postings.join(lp, Seq("__h1", "__hb"))
       .groupBy(idCol)
       .agg(sum("__bf").as("n_bigrams"),
         sum(col("__bf") * col("__lpm")).as("sum_logp_micros"))
