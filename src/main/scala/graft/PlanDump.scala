@@ -152,6 +152,44 @@ object PlanDump {
         "original cannot distribute. The hash never leaves the " +
         "operator, so the oracle's md5 keys are equivalent gram-" +
         "equality classes (the d4 blocking precedent)."),
+    "d38_bigram_lm" ->
+      ("Corpus-bigram LM quality score (Laplace-smoothed transitions), " +
+        "hash-rekeyed: one fused codegen scan emits per-row " +
+        "(context-hash, bigram-hash) pairs (PositionalNgramsExpr ×2 + " +
+        "zip_with — the Generate explodes 16-byte long structs, never " +
+        "token strings), so the postings aggregation, the corpus " +
+        "bigram/context rollups, the one-row V broadcast and the " +
+        "scoring join all exchange longs. The string-struct " +
+        "formulation this replaced shuffled every token twice as " +
+        "UTF-8 and solo-benched 6.7 s warm at sf0.1; this shape runs " +
+        "**1.2 s warm** (BENCH_SOLO_r9.json) — 1.4× the unigram " +
+        "score, which is the honest floor for touching every " +
+        "transition. Hashing is operator-internal (d4/d34 w.h.p. " +
+        "precedent), so the string-keyed DuckDB oracle is unchanged. " +
+        "The operator checkpoints its (small) result eagerly and " +
+        "frees the postings blocks, so the tree below is the " +
+        "post-materialization read — the join/rollup shape lives " +
+        "inside the checkpoint (TextAnalysis.bigramLmScore; pass " +
+        "materialize = false to inspect it lazily)."),
+    "g5_pagerank" ->
+      ("Weighted PageRank over the shared weight≥3 similarity graph: " +
+        "5 fixed power rounds, each ONE keyed aggregation shuffle on " +
+        "dst against the once-checkpointed symmetrized edge+outweight " +
+        "table (the repartition(src) is reused by every round's " +
+        "contribution join); N rides as a one-row broadcast scalar " +
+        "checkpointed once. Per-edge contributions round to integer " +
+        "micros before the long sum — aggregation order cannot " +
+        "perturb a bit, which is what lets the 5-layer unrolled-CTE " +
+        "oracle hash-match and the spec assert bit-equality under " +
+        "repartitioning. Measured solo (BENCH_SOLO_r9.json, sf0.1): " +
+        "**3.09 s warm / 11.4 s cold** — the warm number is ~0.6 " +
+        "s/round of checkpoint+shuffle latency on a tiny graph (the " +
+        "per-round fixed cost a 1000-executor run amortizes); the " +
+        "cold number includes the first-call cc_edges memo build the " +
+        "whole g-family shares. The fixpoint is inherently eager " +
+        "(per-round checkpoints), so the tree below is the final " +
+        "ranks read — the per-round shape is the contribution join + " +
+        "dst aggregation described above (GraphOps.pageRank)."),
     "st_attrib_stream" ->
       ("The stream-stream attribution join run THROUGH Structured " +
         "Streaming (Trigger.AvailableNow file source → two " +
