@@ -251,6 +251,12 @@ object Graft {
                     textCol: String): DataFrame =
     TextAnalysis.bigramLmScore(docs, idCol, textCol)
 
+  /** CCNet-style per-language perplexity tiers over the bigram LM
+    * (rank-exact NTILE cut; bucket 1 = head, last = tail). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, buckets: Int = 3): DataFrame =
+    TextAnalysis.perplexityBuckets(docs, idCol, textCol, langCol, buckets)
+
   /** Sliding token-window chunking (map-side generator). */
   def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
                     chunkTokens: Int, overlap: Int = 0): DataFrame =
@@ -370,6 +376,23 @@ object Graft {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  spreadCol: String, n: Int = 16): DataFrame =
     graft.core.Scale.saltedJoin(fact, dim, key, spreadCol, n)
+
+  /** Bloom-pruned exact semi-join: misses drop in the fact scan stage,
+    * false positives are removed by the exact join — row-identical to
+    * the plain semi-join at any fpp. */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
+                    factKey: String, dimKey: String,
+                    expectedItems: Long = 1000000L): DataFrame =
+    graft.operators.RuntimeFilter.bloomSemiJoin(fact, dim, factKey,
+      dimKey, expectedItems)
+
+  /** Bloom-pruned exact anti-join: probe-false rows are definite
+    * non-members and bypass the join entirely. */
+  def bloomAntiJoin(fact: DataFrame, dim: DataFrame,
+                    factKey: String, dimKey: String,
+                    expectedItems: Long = 1000000L): DataFrame =
+    graft.operators.RuntimeFilter.bloomAntiJoin(fact, dim, factKey,
+      dimKey, expectedItems)
 
   /** Register graft's SQL functions (`uuid5`, `title_case`) and the
     * codec-collapse optimizer rule on a session. */

@@ -214,6 +214,44 @@ object TextAnalysis {
     }
   }
 
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al.
+    * 2020, arXiv:1911.00359 — CCNet keeps the head/middle perplexity
+    * terciles of each language for pretraining): rank every document's
+    * [[bigramLmScore]] fluency WITHIN its language and cut the ranking
+    * into `buckets` equal-population tiers. Bucket 1 = "head" (most
+    * fluent — highest mean log-prob ⇔ lowest perplexity), the last =
+    * "tail". The cut is the rank-based NTILE, not an interpolated
+    * quantile: exact, engine-portable, and total (ties break on
+    * ascending id), so the whole pipeline stays under the oracle hash
+    * gate — interpolated cutoffs would put boundary documents at the
+    * mercy of cross-engine interpolation rounding.
+    *
+    * Scale shape: the score is [[bigramLmScore]] (hash-keyed postings,
+    * no token strings on the wire); bucketing adds ONE window over the
+    * skinny (lang, score, id) projection. Languages are few and large,
+    * so the per-language sort is the one deliberately rank-exact step
+    * — the 100 TB deployment variant replaces it with per-language
+    * `approx_percentile` cutoffs (two scalars, broadcast; CCNet itself
+    * thresholds on precomputed numbers), keeping this exact form as
+    * the oracle-checkable contract the approximation is judged
+    * against.
+    *
+    * @return (idCol, langCol, n_bigrams, sum_logp_micros,
+    *         mean_logp_micros, bucket); docs with < 2 tokens carry no
+    *         transition evidence and are absent, as in
+    *         [[bigramLmScore]]. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, buckets: Int = 3): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
+      .orderBy(col("mean_logp_micros").desc, col(idCol))
+    bigramLmScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("bucket", ntile(buckets).over(w))
+      .select(col(idCol), col(langCol), col("n_bigrams"),
+        col("sum_logp_micros"), col("mean_logp_micros"), col("bucket"))
+  }
+
   /** Sliding token-window document chunking — the "split long documents
     * into model-context-sized pieces" step every pretraining pipeline
     * runs before packing. Chunks are `chunkTokens` words; consecutive

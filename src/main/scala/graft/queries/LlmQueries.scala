@@ -282,6 +282,13 @@ object LlmQueries {
       TextAnalysis.bigramLmScore(T.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // CCNet-style per-language perplexity terciles over the bigram LM:
+    // bucket 1 = head (most fluent), 3 = tail; rank-exact NTILE cut.
+    "d39_ppl_buckets" -> ((s, d) =>
+      TextAnalysis.perplexityBuckets(T.documents(s, d), "doc_id", "text",
+          "lang")
+        .orderBy("doc_id")),
+
     // Sliding token-window chunking: 64-token chunks, 16-token overlap
     // (stride 48) — map-side generator, no shuffle; the final chunk may
     // be short, empty docs emit nothing.
@@ -650,6 +657,32 @@ object LlmQueries {
     * their own CTEs (d33 prepends a planted-clone union). `a2` keeps
     * the winning similarity `s` (= 6-dp cosine to the final centroid),
     * which d33 ranks on; d29/d30 select named columns and ignore it. */
+  /** d38/d39 shared LM body: Laplace-smoothed bigram log-probs in
+    * integer micros, summed per doc into the `lm` relation
+    * (doc_id, n_bigrams, sum_logp_micros, mean_logp_micros). */
+  private val D38LmPrefix: String =
+    """WITH w AS (SELECT doc_id, list_filter(
+      |  string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vs FROM (
+      |  SELECT unnest(ws) AS t FROM w)),
+      |b0 AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []
+      |  ELSE [{'w1': ws[i], 'w2': ws[i+1]}
+      |        FOR i IN range(1, len(ws))] END) AS u FROM w),
+      |p AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, COUNT(*) AS bf
+      |  FROM b0 GROUP BY 1, 2, 3),
+      |bc AS (SELECT w1, w2, CAST(SUM(bf) AS BIGINT) AS c
+      |  FROM p GROUP BY 1, 2),
+      |cc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cnt FROM bc GROUP BY w1),
+      |lp AS (SELECT bc.w1, bc.w2, CAST(ROUND(
+      |    ln((CAST(bc.c AS DOUBLE) + 1) / (cc.cnt + v.vs)) * 1e6)
+      |    AS BIGINT) AS lpm
+      |  FROM bc JOIN cc USING (w1), v),
+      |lm AS (SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+      |CAST(SUM(bf * lpm) AS BIGINT) AS sum_logp_micros,
+      |CAST(SUM(bf * lpm) AS DOUBLE) / SUM(bf) AS mean_logp_micros
+      |FROM p JOIN lp USING (w1, w2) GROUP BY doc_id)""".stripMargin
+
   private def d29Rounds(srcRel: String): String = {
     def assignRound(n: Int, centRel: String): String =
       s"""p$n AS (SELECT id, vv, c,
@@ -932,28 +965,23 @@ object LlmQueries {
     // identical smoothing arithmetic: (bc+1)/(cc+V) in double, ln,
     // micros rounded ONCE per distinct bigram, integer per-doc sums
     "d38_bigram_lm" ->
-      """WITH w AS (SELECT doc_id, list_filter(
-        |  string_split_regex(text, '\s+'), x -> x <> '') AS ws
-        |  FROM documents),
-        |v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vs FROM (
-        |  SELECT unnest(ws) AS t FROM w)),
-        |b0 AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []
-        |  ELSE [{'w1': ws[i], 'w2': ws[i+1]}
-        |        FOR i IN range(1, len(ws))] END) AS u FROM w),
-        |p AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, COUNT(*) AS bf
-        |  FROM b0 GROUP BY 1, 2, 3),
-        |bc AS (SELECT w1, w2, CAST(SUM(bf) AS BIGINT) AS c
-        |  FROM p GROUP BY 1, 2),
-        |cc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cnt FROM bc GROUP BY w1),
-        |lp AS (SELECT bc.w1, bc.w2, CAST(ROUND(
-        |    ln((CAST(bc.c AS DOUBLE) + 1) / (cc.cnt + v.vs)) * 1e6)
-        |    AS BIGINT) AS lpm
-        |  FROM bc JOIN cc USING (w1), v)
-        |SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
-        |CAST(SUM(bf * lpm) AS BIGINT) AS sum_logp_micros,
-        |CAST(SUM(bf * lpm) AS DOUBLE) / SUM(bf) AS mean_logp_micros
-        |FROM p JOIN lp USING (w1, w2) GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+      (D38LmPrefix +
+        """
+          |SELECT doc_id, n_bigrams, sum_logp_micros, mean_logp_micros
+          |FROM lm ORDER BY doc_id""".stripMargin),
+
+    // d38's LM verbatim, then the rank-exact NTILE cut per language —
+    // DESC mean log-prob = ascending perplexity, id tie-break mirrors
+    // the Spark window ordering exactly
+    "d39_ppl_buckets" ->
+      (D38LmPrefix +
+        """
+          |SELECT lm.doc_id, d.lang, lm.n_bigrams, lm.sum_logp_micros,
+          |lm.mean_logp_micros,
+          |CAST(NTILE(3) OVER (PARTITION BY d.lang
+          |  ORDER BY lm.mean_logp_micros DESC, lm.doc_id) AS INT) AS bucket
+          |FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+          |ORDER BY lm.doc_id""".stripMargin),
 
     // same tokenization as the shingle queries; chunk starts step by
     // the 48-token stride (1-based range), slices are end-inclusive;

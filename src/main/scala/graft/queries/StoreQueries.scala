@@ -304,6 +304,33 @@ object StoreQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Bloom runtime-filter semi-join: the dim folds into one sketch,
+    // the fact scan drops misses BEFORE any exchange, the exact join
+    // removes false positives — row-identical to the plain semi-join
+    // (the oracle) at any fpp.
+    "rf_bloom_semi" -> ((s, d) =>
+      graft.operators.RuntimeFilter.bloomSemiJoin(
+          T.lineitem(s, d), T.part(s, d).filter(col("p_size") === 1),
+          "l_partkey", "p_partkey", expectedItems = 10000)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(l_quantity*100) AS BIGINT)")).as("qty_cents"))
+        .orderBy("l_returnflag")),
+
+    // Bloom runtime-filter ANTI-join (the dual): probe-false rows are
+    // definite non-members and bypass the join entirely; only probe
+    // hits shuffle in to resolve false positives exactly.
+    "rf_bloom_anti" -> ((s, d) =>
+      graft.operators.RuntimeFilter.bloomAntiJoin(
+          T.orders(s, d),
+          T.customer(s, d).filter(col("c_mktsegment") === "BUILDING"),
+          "o_custkey", "c_custkey", expectedItems = 10000)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(o_totalprice*100) AS BIGINT)"))
+            .as("price_cents"))
+        .orderBy("o_orderpriority")),
+
     // S17 (beyond-parity): bucketed co-located join — both sides
     // persisted bucketBy the join key, so the join itself runs with NO
     // key shuffle (asserted in BucketedSpec); only the final customer
@@ -461,6 +488,21 @@ object StoreQueries {
         |  AS qty_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "rf_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |  AS qty_cents
+        |FROM lineitem WHERE l_partkey IN (
+        |  SELECT p_partkey FROM part WHERE p_size = 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rf_bloom_anti" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |  AS price_cents
+        |FROM orders o WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o.o_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s17_bucketed_join" ->
       """SELECT o_custkey, COUNT(*) AS n,
         |CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)

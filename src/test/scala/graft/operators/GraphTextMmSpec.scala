@@ -231,6 +231,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(u(1L) == u(2L), "unigram can't separate them — bigram must")
   }
 
+  test("perplexityBuckets: per-language NTILE cut tracks LM rank") {
+    import spark.implicits._
+    // en: three docs with strictly decreasing bigram fluency (fluent
+    // repetition > mixed > shuffled); de: two docs → buckets 1 and 2
+    // of a 3-cut (NTILE with fewer rows than tiles)
+    val docs = Seq(
+      (1L, "a b a b a b a b", "en"),
+      (2L, "a b a b c d c d", "en"),
+      (3L, "a a c b b d a c", "en"),
+      (10L, "x y x y", "de"),
+      (11L, "y x z z", "de")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis
+      .perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(4),
+        r.getInt(5))).toMap
+    val en = Seq(1L, 2L, 3L).map(out(_))
+    assert(en.map(_._3) == Seq(1, 2, 3), s"en buckets: $en")
+    assert(en.map(_._2) == en.map(_._2).sorted.reverse,
+      "bucket order must follow descending mean log-prob")
+    assert(Seq(10L, 11L).map(out(_)._3).sorted == Seq(1, 2))
+    assert(out.values.forall(v => v._1 == "en" || v._1 == "de"))
+  }
+
   test("chunkByTokens: stride windows, short tail, empty doc drops") {
     import spark.implicits._
     val docs = Seq(
