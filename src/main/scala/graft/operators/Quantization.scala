@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
+
+/** Product quantization (Jégou, Douze, Schmid 2011, "Product
+  * Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)) — the
+  * standard memory-compression path for billion-vector ANN: split each
+  * d-dim vector into `m` subvectors, train an independent k-centroid
+  * L2 codebook per subspace (classic Lloyd), and store each vector as
+  * `m` small codes. A 64-dim float vector (256 bytes) becomes m=4
+  * bytes — the factor that decides whether a 100 TB corpus's index
+  * fits executor memory at all.
+  *
+  * Asymmetric distance computation (ADC): queries stay full-precision;
+  * a per-query lookup table of subspace dot products (m·k entries)
+  * scores any database code with `m` table adds — the compressed
+  * domain never decompresses. Cosine is reconstruction-based:
+  * approx dot(q, x) = Σ_s dot(q_s, c_{s,code_s}) and approx |x| from
+  * the chosen centroids' squared norms.
+  *
+  * Scale shape: training is [[Clustering]]'s driver-held-centroid
+  * Lloyd, fused across subspaces — per round ONE scan of the
+  * checkpointed (id, v) projection assigns all m subspaces and one
+  * (s, cluster, dim)-keyed aggregation (m·k·d/m cells — config-table
+  * sized) re-estimates every codebook; iters scans total regardless
+  * of m. Encoding is map-side only. ADC scoring joins the exploded
+  * (id, s, code) table against the per-query LUT on (s, code) — the
+  * database side carries CODES, not vectors, so the scored join
+  * shuffles m longs per vector instead of d floats. Composing with
+  * IVF cells ([[Similarity.ivfTopK]]'s partitioner) bounds the
+  * candidate set per query; this operator is the compressed-domain
+  * scoring kernel of that composition (FAISS's IVFADC layout).
+  *
+  * Determinism (the [[Clustering]] oracle discipline, L2 flavor):
+  * init = the k lowest-id subvectors in id order; per-round L2
+  * distances round to 6 dp with lowest-centroid tie-break; centroid
+  * dims are re-estimated as 6-dp-rounded means, and a cluster that
+  * loses every member simply drops (mirrored in SQL); ADC partials
+  * are integer MICROS (the d28/d38 trick), so per-pair sums are
+  * order-independent longs and the whole chain is
+  * DuckDB-oracle-checkable. Zero-norm queries or all-zero
+  * reconstructions score the -2.0 sentinel, keeping ranking total.
+  */
+object Quantization {
+
+  /** Trained PQ model: `cents(s)` is subspace s's codebook as
+    * (code, centroid) pairs, ascending code id; codebooks may hold
+    * fewer than k entries if clusters emptied during training. */
+  final case class PqModel(m: Int, dsub: Int,
+                           cents: IndexedSeq[Seq[(Int, Array[Double])]])
+
+  /** Subvector s of a float-array column, as doubles. */
+  private def subvec(v: Column, s: Int, dsub: Int): Column =
+    transform(slice(v, s * dsub + 1, dsub), x => x.cast("double"))
+
+  /** 6-dp-rounded squared L2 distance to a literal centroid. */
+  private def sqDist(sv: Column, cvec: Array[Double]): Column =
+    round(aggregate(zip_with(sv, lit(cvec), (x, y) => (x - y) * (x - y)),
+      lit(0d), (acc, e) => acc + e), 6)
+
+  /** Argmin-distance code against a literal codebook: array_min over
+    * (dist, code) structs — lowest distance, then lowest code. */
+  private def assignExpr(sv: Column, cb: Seq[(Int, Array[Double])]): Column = {
+    val entries = cb.map { case (c, cv) =>
+      struct(sqDist(sv, cv).as("d"), lit(c).as("c"))
+    }
+    array_min(array(entries: _*)).getField("c")
+  }
+
+  /** Train per-subspace codebooks over a checkpointed (id, v) frame.
+    * Round r assigns against round r-1's codebooks — the
+    * [[Clustering]] interleave, so `iters = 2` is one re-estimation. */
+  private def train(d0: DataFrame, m: Int, k: Int, iters: Int,
+                    dsub: Int): PqModel = {
+    val initRows = d0.orderBy("id").limit(k).collect()
+    var cents: IndexedSeq[Seq[(Int, Array[Double])]] =
+      (0 until m).map { s =>
+        initRows.zipWithIndex.map { case (r, c) =>
+          c -> r.getSeq[Float](1).slice(s * dsub, (s + 1) * dsub)
+            .map(_.toDouble).toArray
+        }.toSeq
+      }
+    for (_ <- 2 to iters) {
+      // ONE scan re-estimates every subspace: explode m (s, code, sv)
+      // structs per row, then a (s, code, dim)-keyed mean
+      val perS = (0 until m).map { s =>
+        val sv = subvec(col("v"), s, dsub)
+        struct(lit(s).as("s"), assignExpr(sv, cents(s)).as("c"),
+          sv.as("sv"))
+      }
+      val rows = d0.select(explode(array(perS: _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.c").as("c"),
+          posexplode(col("e.sv")).as(Seq("i", "x")))
+        .groupBy("s", "c", "i").agg(round(avg("x"), 6).as("mu"))
+        .collect()
+      cents = (0 until m).map { s =>
+        rows.filter(_.getInt(0) == s).groupBy(_.getInt(1))
+          .map { case (c, rs) =>
+            c -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+          }.toSeq.sortBy(_._1)
+      }
+    }
+    PqModel(m, dsub, cents)
+  }
+
+  private def checkpointed(emb: DataFrame, idCol: String,
+                           vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(true)
+
+  /** Train and encode: one row per input id,
+    * (idCol, code: array<int> of length m). Encoding is a single
+    * map-side pass — the m argmin expressions against the final
+    * codebooks run inside the scan stage. */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int): DataFrame = {
+    val dsub = subDim(emb, vecCol, m)
+    require(k > 0 && iters > 0, s"need k > 0 and iters > 0: $k, $iters")
+    val d0 = checkpointed(emb, idCol, vecCol)
+    try {
+      val model = train(d0, m, k, iters, dsub)
+      d0.select(col("id").as(idCol),
+          array((0 until m).map(s =>
+            assignExpr(subvec(col("v"), s, dsub), model.cents(s))
+              .cast("int")): _*).as("code"))
+        .localCheckpoint(true)
+    } finally Shims.unpersistLocalCheckpoint(d0)
+  }
+
+  /** ADC top-k cosine: full-precision queries (`queryFilter` rows)
+    * against the PQ-compressed corpus. Returns
+    * (qid, rank, nid, score) with `score` the 6-dp reconstruction
+    * cosine; self-pairs are excluded, rank ties break on ascending
+    * nid. */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+                m: Int, k: Int, iters: Int, topK: Int,
+                queryFilter: Column): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dsub = subDim(emb, vecCol, m)
+    val d0 = checkpointed(emb, idCol, vecCol)
+    try {
+      val model = train(d0, m, k, iters, dsub)
+      // (nid, s, c) code rows — m longs per vector is ALL the database
+      // side ever shuffles
+      val codes = d0.select(col("id").as("nid"),
+          posexplode(array((0 until m).map(s =>
+            assignExpr(subvec(col("v"), s, dsub), model.cents(s))): _*))
+            .as(Seq("s", "c")))
+        .localCheckpoint(true)
+      // per-(s, code) centroid squared norms in integer micros —
+      // driver-computed (codebooks are driver-held), broadcast
+      val cw = model.cents.zipWithIndex.flatMap { case (cb, s) =>
+        cb.map { case (c, cv) =>
+          (s, c, math.round(cv.map(x => x * x).sum * 1e6))
+        }
+      }.toDF("s", "c", "sqm")
+      val nsq = codes.join(broadcast(cw), Seq("s", "c"))
+        .groupBy("nid").agg(sum("sqm").as("nsqm"))
+      // per-query LUT: m·k dot products in integer micros
+      val centDf = model.cents.zipWithIndex.flatMap { case (cb, s) =>
+        cb.map { case (c, cv) => (s, c, cv.toSeq) }
+      }.toDF("s", "c", "cv")
+      val q = d0.filter(queryFilter).select(col("id").as("qid"),
+        col("v").as("qv"), Similarity.norm(col("v")).as("qn"))
+      val lut = q.select(col("qid"), col("qn"),
+          posexplode(array((0 until m).map(s =>
+            subvec(col("qv"), s, dsub)): _*)).as(Seq("s", "qsv")))
+        .join(broadcast(centDf), Seq("s"))
+        .select(col("qid"), col("qn"), col("s"), col("c"),
+          round(aggregate(zip_with(col("qsv"), col("cv"),
+            (x, y) => x * y), lit(0d), (acc, e) => acc + e) * 1e6)
+            .cast("long").as("dotm"))
+      // score every code row via the LUT: integer-micro sums are
+      // order-independent, so the (qid, nid) aggregation is exact
+      val scored = codes.join(lut, Seq("s", "c"))
+        .filter(col("nid") =!= col("qid"))
+        .groupBy("qid", "qn", "nid").agg(sum("dotm").as("sdm"))
+        .join(nsq, Seq("nid"))
+        .withColumn("score",
+          when(col("qn") === 0d || col("nsqm") <= 0L, lit(-2d))
+            .otherwise(round((col("sdm") / 1e6)
+              / (col("qn") * sqrt(col("nsqm") / 1e6)), 6)))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("nid"))
+      val out = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select("qid", "rank", "nid", "score")
+        .localCheckpoint(true)
+      Shims.unpersistLocalCheckpoint(codes)
+      out
+    } finally Shims.unpersistLocalCheckpoint(d0)
+  }
+
+  private def subDim(emb: DataFrame, vecCol: String, m: Int): Int = {
+    require(m > 0, s"m must be positive: $m")
+    val dim = emb.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"m=$m must divide the vector dim $dim")
+    dim / m
+  }
+}

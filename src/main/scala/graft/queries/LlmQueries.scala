@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
-import graft.operators.{Clustering, Dedup, GraphOps, Mixing, Multimodal, Search, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, GraphOps, Mixing, Multimodal, Quantization, Search, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators: dedup (exact / n-gram Jaccard /
   * MinHash-LSH / SimHash), ANN similarity search, text analysis,
@@ -446,6 +446,23 @@ object LlmQueries {
           queryFilter = col("id") % 10 === 0)
         .orderBy("qid", "rank")
     }),
+
+    // Product quantization codes (Jégou et al. 2011): 4 subspaces ×
+    // 4-centroid L2 codebooks, one re-estimation round — each 64-dim
+    // vector compresses to 4 small codes (the 100 TB ANN memory path).
+    "d40_pq_codes" -> ((s, d) =>
+      Quantization.pqCodes(T.embeddings(s, d), "vec_id", "embedding",
+          m = 4, k = 4, iters = 2)
+        .orderBy("vec_id")),
+
+    // ADC top-k over the PQ codes: full-precision queries (every 10th
+    // id), compressed-domain scoring via per-query LUTs in integer
+    // micros; reconstruction cosine, self-pairs excluded.
+    "d41_pq_adc" -> ((s, d) =>
+      Quantization.pqAdcTopK(T.embeddings(s, d), "vec_id", "embedding",
+          m = 4, k = 4, iters = 2, topK = 3,
+          queryFilter = col("id") % 10 === 0)
+        .orderBy("qid", "rank")),
 
     // SemDeDup semantic dedup: the d29 k-means trainer buckets the
     // corpus, then greedy within-cluster removal at cos ≥ 0.95 with
