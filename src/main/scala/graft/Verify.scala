@@ -15,8 +15,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects;
-      // read as long nanos (queries do exact integer nano arithmetic).
+      // historical fixtures carried TIMESTAMP(NANOS), which Spark 4
+      // rejects without this flag; current fixtures are µs. Either way
+      // Tables.normalizeEventTs presents `ts` as long epoch nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

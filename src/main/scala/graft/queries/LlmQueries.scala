@@ -771,6 +771,79 @@ object LlmQueries {
         |""".stripMargin +
       IvfSuffixSql
 
+  /** d40/d41 shared PQ training chain — the Spark params verbatim
+    * (m = 4 subspaces of dim/4 each, k = 4, one re-estimation round):
+    * per-subspace init = the 4 lowest-id subvectors in id order,
+    * round-1 L2 assignment (6-dp distances, lowest-code tie-break),
+    * per-(s, code, dim) 6-dp mean re-estimation (emptied codes drop),
+    * round-2 assignment in `pa2 (id, s, sv, c)`; final codebooks in
+    * `pc1 (s, c, cv)`. The [[D29Prefix]] discipline, L2 flavor. */
+  private val PqPrefix: String = {
+    def assign(n: Int, centRel: String): String =
+      s"""pq$n AS (SELECT id, s, sv, c,
+         |ROUND(list_sum([(sv[i]-cv[i])*(sv[i]-cv[i])
+         |  FOR i IN range(1, len(sv)+1)]), 6) AS dd
+         |FROM sub JOIN $centRel USING (s)),
+         |pa$n AS (SELECT id, s, sv, c FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id, s
+         |    ORDER BY dd, c) AS rn FROM pq$n) WHERE rn = 1)""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS id,
+       |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+       |FROM embeddings),
+       |sg AS (SELECT unnest(range(4)) AS s),
+       |sub AS (SELECT id, s,
+       |  list_slice(vv, s*(len(vv)//4) + 1, (s+1)*(len(vv)//4)) AS sv
+       |FROM v CROSS JOIN sg),
+       |pinit AS (SELECT s,
+       |  ROW_NUMBER() OVER (PARTITION BY s ORDER BY id) - 1 AS c, sv AS cv
+       |FROM sub WHERE id IN (SELECT id FROM v ORDER BY id LIMIT 4)),
+       |${assign(1, "pinit")},
+       |pex AS (SELECT s, c, unnest(range(1, len(sv)+1)) AS i,
+       |  unnest(sv) AS x FROM pa1),
+       |pc1 AS (SELECT s, c, list(m ORDER BY i) AS cv FROM (
+       |  SELECT s, c, i, ROUND(avg(x), 6) AS m FROM pex
+       |  GROUP BY s, c, i) GROUP BY s, c),
+       |${assign(2, "pc1")}""".stripMargin
+  }
+
+  private val D40PqCodesSql: String =
+    PqPrefix +
+      """
+        |SELECT id AS vec_id, list(CAST(c AS INT) ORDER BY s) AS code
+        |FROM pa2 GROUP BY id ORDER BY vec_id""".stripMargin
+
+  /** d41: ADC replay — integer-micro LUT dot products and centroid
+    * squared norms exactly as the Spark side computes them (both
+    * engines round half away from zero on positives AND negatives),
+    * so per-(qid, nid) sums are order-independent longs. */
+  private val D41PqAdcSql: String =
+    PqPrefix +
+      """,
+        |cw AS (SELECT s, c, CAST(ROUND(list_sum([cv[i]*cv[i]
+        |  FOR i IN range(1, len(cv)+1)]) * 1000000) AS BIGINT) AS sqm
+        |FROM pc1),
+        |nsq AS (SELECT id AS nid, SUM(sqm) AS nsqm FROM pa2
+        |  JOIN cw USING (s, c) GROUP BY id),
+        |q AS (SELECT id AS qid, vv AS qv,
+        |  sqrt(list_sum([vv[i]*vv[i] FOR i IN range(1, len(vv)+1)])) AS qn
+        |FROM v WHERE id % 10 = 0),
+        |qsub AS (SELECT qid, qn, s,
+        |  list_slice(qv, s*(len(qv)//4) + 1, (s+1)*(len(qv)//4)) AS qsv
+        |FROM q CROSS JOIN sg),
+        |lut AS (SELECT qid, qn, s, c, CAST(ROUND(list_sum([qsv[i]*cv[i]
+        |  FOR i IN range(1, len(qsv)+1)]) * 1000000) AS BIGINT) AS dotm
+        |FROM qsub JOIN pc1 USING (s)),
+        |sc AS (SELECT qid, qn, nid, SUM(dotm) AS sdm FROM
+        |  (SELECT id AS nid, s, c FROM pa2) cd JOIN lut USING (s, c)
+        |  WHERE nid <> qid GROUP BY qid, qn, nid),
+        |sc2 AS (SELECT qid, nid, CASE WHEN qn = 0 OR nsqm <= 0 THEN -2.0
+        |  ELSE ROUND((sdm / 1000000.0) / (qn * sqrt(nsqm / 1000000.0)), 6)
+        |  END AS score FROM sc JOIN nsq USING (nid)),
+        |r AS (SELECT qid, nid, score, ROW_NUMBER() OVER (PARTITION BY qid
+        |  ORDER BY score DESC, nid) AS rank FROM sc2)
+        |SELECT qid, CAST(rank AS INT) AS rank, nid, score FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   /** d33 oracle: plant the d10-style clones, replay the two Lloyd
     * rounds on the union, rank each cluster by ascending
     * centroid-similarity (a2.s), and remove every vector with a
@@ -1273,6 +1346,8 @@ object LlmQueries {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "d8_ann_lsh" -> D8LshSql,
     "d29_kmeans" -> D29KmeansSql,
+    "d40_pq_codes" -> D40PqCodesSql,
+    "d41_pq_adc" -> D41PqAdcSql,
     "d31_dsir_scores" ->
       """WITH p AS (SELECT doc_id, tgt, t, COUNT(*) AS tf FROM (
         |    SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,

@@ -12,10 +12,11 @@ import graft.operators.Temporal
   * over event data needs (and the builder brief names both as flagship
   * custom operators).
   *
-  * The events parquet carries TIMESTAMP(NANOS) which Spark reads as
-  * long nanos (nanosAsLong) while DuckDB reads at micro precision —
-  * so every comparison and output here is integer MICROS on both
-  * engines (ts DIV 1000 vs epoch_us), keeping the hash exact.
+  * The events table's `ts` arrives as long epoch NANOS (normalized at
+  * the [[graft.core.Tables.normalizeEventTs]] chokepoint whatever the
+  * parquet's physical precision) while DuckDB reads the same file as a
+  * timestamp — so every comparison and output here is integer MICROS
+  * on both engines (ts DIV 1000 vs epoch_us), keeping the hash exact.
   */
 object TemporalQueries {
   type Q = (SparkSession, String) => DataFrame

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Product-quantization spec: structural contracts plus an INDEPENDENT
+  * in-test replay of the deterministic training/ADC chain (the DuckDB
+  * oracle discipline, Scala flavor) on a fixture small enough to audit
+  * by eye. */
+class QuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two groups separated in DIRECTION (cosine's notion of distance) in
+  // both subspaces (m=2, dsub=2): group A points along (1,0) per
+  // subspace, group B along (0,1), with per-vector nudges so the
+  // re-estimated means are non-trivial. Ids 0 and 1 land in different
+  // groups on purpose — init takes the k=2 lowest-id subvectors, so
+  // the initial codebooks already span both groups and one Lloyd round
+  // converges to the group partition.
+  private def v(a: Float, b: Float, c: Float, d: Float) = Array(a, b, c, d)
+  private val vecs = Seq(
+    (0L, v(1f, 0f, 1f, 0f)),       // A
+    (1L, v(0f, 1f, 0f, 1f)),       // B
+    (2L, v(1f, 0.2f, 1f, 0f)),     // A
+    (3L, v(1f, 0f, 1f, 0.2f)),     // A
+    (4L, v(0.2f, 1f, 0f, 1f)),     // B — the ADC query
+    (5L, v(0f, 0.8f, 0f, 0.8f)),   // B
+    (6L, v(0.8f, 0f, 0.8f, 0f)),   // A
+    (7L, v(0f, 1f, 0.2f, 1f)))     // B
+    .toDF("vec_id", "embedding")
+
+  /** Independent replay of train+assign with the operator's exact
+    * determinism rules: init = k lowest-id subvectors, 6-dp-rounded L2
+    * distances with lowest-code tie-break, 6-dp-rounded mean
+    * re-estimation, `iters = 2` → one re-estimation round. */
+  private def replayCodes(rows: Seq[(Long, Array[Float])], m: Int, k: Int,
+                          dsub: Int): Map[Long, Seq[Int]] = {
+    val subs = rows.sortBy(_._1).map { case (id, a) =>
+      id -> (0 until m).map(s =>
+        a.slice(s * dsub, (s + 1) * dsub).map(_.toDouble))
+    }
+    def d6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      d6(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    def assign(cb: Seq[(Int, Seq[Double])], sv: Seq[Double]) =
+      cb.map { case (c, cv) => (dist(sv, cv.toSeq), c) }.min._2
+    var cents: IndexedSeq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
+      subs.take(k).zipWithIndex.map { case ((_, sv), c) => c -> sv(s).toSeq }
+    }
+    // one re-estimation round (iters = 2)
+    cents = (0 until m).map { s =>
+      subs.groupBy { case (_, sv) => assign(cents(s), sv(s).toSeq) }
+        .map { case (c, members) =>
+          val dims = members.head._2(s).length
+          c -> (0 until dims).map(i =>
+            d6(members.map(_._2(s)(i)).sum / members.size)).toSeq
+        }.toSeq.sortBy(_._1)
+    }
+    subs.map { case (id, sv) =>
+      id -> (0 until m).map(s => assign(cents(s), sv(s).toSeq))
+    }.toMap
+  }
+
+  test("pqCodes matches an independent replay of the deterministic chain") {
+    val got = Quantization.pqCodes(vecs, "vec_id", "embedding",
+        m = 2, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val want = replayCodes(
+      vecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+      m = 2, k = 2, dsub = 2)
+    assert(got == want)
+    // and the codes respect the group structure: A = {0,2,3,6} and
+    // B = {1,4,5,7} each share a code word; the groups differ
+    assert(Set(0L, 2L, 3L, 6L).map(got).size == 1)
+    assert(Set(1L, 4L, 5L, 7L).map(got).size == 1)
+    assert(got(0L) != got(1L))
+  }
+
+  test("pqAdcTopK ranks in-group neighbors above cross-group") {
+    val top = Quantization.pqAdcTopK(vecs, "vec_id", "embedding",
+        m = 2, k = 2, iters = 2, topK = 7,
+        queryFilter = col("id") === 4L)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(top.length == 7)
+    assert(top.map(_._1).toSeq == (1 to 7))
+    // the three in-group neighbors (1, 5, 7 share vec 4's code word,
+    // hence an identical reconstruction) outrank every A-group vector
+    // under reconstruction cosine, and their exact score tie breaks on
+    // ascending nid
+    assert(top.take(3).map(_._2).toSeq == Seq(1L, 5L, 7L))
+    assert(top.take(3).map(_._3).distinct.length == 1)
+    // no self-pairs
+    assert(!top.map(_._2).contains(4L))
+    val scores = top.map(_._3).toSeq
+    assert(scores.sorted.reverse == scores)
+  }
+
+  test("m must divide the vector dimension") {
+    intercept[IllegalArgumentException] {
+      Quantization.pqCodes(vecs, "vec_id", "embedding",
+        m = 3, k = 2, iters = 2)
+    }
+  }
+}
