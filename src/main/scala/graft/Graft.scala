@@ -56,6 +56,15 @@ object Graft {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Exact Jaccard pairs via PPJoin-style prefix filtering —
+    * output-identical to the inverted-index blocking inside
+    * [[dedupNearExact]], but candidate volume shrinks quadratically on
+    * boilerplate-heavy corpora with zero misses (see
+    * [[operators.Dedup.prefixJaccardPairs]] for the lemma). */
+  def dedupPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, theta: Double): DataFrame =
+    Dedup.prefixJaccardPairs(df, idCol, textCol, k, theta)
+
   /** MinHash-LSH near-dup pairs (probabilistic candidate generation,
     * exact re-score) — the very-large-corpus path. `bucketCap` bounds
     * per-(band, hash) bucket population against clone-heavy skew

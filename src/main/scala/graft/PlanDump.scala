@@ -206,7 +206,23 @@ object PlanDump {
         "in-suite ~7-9.5 s is one-time micro-batch bring-up " +
         "(checkpoint + sink write + stream machinery), not a " +
         "per-query cost; it is also the suite's #1 row, which is why " +
-        "the attribution is pinned here."))
+        "the attribution is pinned here."),
+    "d42_prefix_jaccard" ->
+      ("PPJoin-family prefix filtering as plan shapes: output-" +
+        "identical to d4's full inverted index (the oracle is the " +
+        "same pairwise SQL — losslessness is itself oracle-checked), " +
+        "but the quadratic candidate self-join runs over each " +
+        "document's (1−θ)·n RAREST shingles only (global df order, " +
+        "one skinny agg + one per-doc rank window), with the length " +
+        "filter θ·na ≤ nb ≤ na/θ applied inside the join condition. " +
+        "Boilerplate shingles (df in the millions on a real crawl) " +
+        "rank LAST, so they fall out of every prefix instead of " +
+        "being hard-dropped by dfCap — candidate volume shrinks by " +
+        "the square of the prefix fraction with zero misses, where " +
+        "d4's only defense is lossy df capping. Two extra skinny " +
+        "shuffles (df agg + rank window over 32-byte rows) buy a " +
+        "quadratically smaller join — the trade that wins exactly " +
+        "when the corpus, not the prep, is the bottleneck."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -27,12 +27,60 @@ import org.apache.spark.sql.SparkSession
   * a cluster it failed to split), theta unreachable so the timing
   * isolates the within-cluster pairwise path (uncapped: m²/2 cosine
   * pairs; capped at B: m·B).
+  *
+  * `runMain graft.ScaleProbe prefix [n] [n2]` times
+  * [[graft.operators.Dedup.prefixJaccardPairs]] against
+  * [[graft.operators.Dedup.jaccardPairs]] (both at their lossless
+  * defaults) on the regime the prefix filter targets: n docs all
+  * sharing one boilerplate sentence plus a unique tail, θ = 0.7 so no
+  * pair qualifies. Full inverted-index blocking pairs all n docs
+  * through the hot shingles — n(n−1)/2 candidates into the
+  * aggregation — while rarest-first prefixes exclude the hot shingles
+  * from every prefix, generating ~0 candidates. Run at two sizes
+  * (default 2000 and 4000) so the output shows the scaling exponent,
+  * not just one ratio: full blocking should ~4× when n doubles,
+  * prefix should stay ~flat. This is the "crossover" artifact the
+  * prefixJaccardPairs scaladoc cites — at fixture scale the two extra
+  * prep shuffles make d42 SLOWER than d4 (BENCH_r09 shows that);
+  * here the candidate join dominates and the order reverses.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("semdedup"))
       semDedupProbe(args.drop(1).headOption.map(_.toInt).getOrElse(4000))
+    else if (args.headOption.contains("prefix"))
+      prefixProbe(args.drop(1).headOption.map(_.toInt).getOrElse(2000),
+        args.drop(2).headOption.map(_.toInt).getOrElse(4000))
     else lshProbe(args)
+
+  /** Boilerplate-heavy corpus: full blocking vs prefix filtering at
+    * two corpus sizes. theta = 0.7 is unreachable for distinct-tail
+    * pairs, so timings isolate candidate generation + aggregation. */
+  private def prefixProbe(n1: Int, n2: Int): Unit = {
+    val spark = session()
+    import spark.implicits._
+    def corpus(n: Int) = (0 until n).map { i =>
+      (i.toLong,
+        "all rights reserved by the site operator terms of service apply " +
+          s"to every visitor unique$i tail$i words$i here$i now$i end$i")
+    }.toDF("doc_id", "text").localCheckpoint(true)
+    def time(body: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      body.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def full(df: org.apache.spark.sql.DataFrame) = time(
+      graft.operators.Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.7))
+    def pref(df: org.apache.spark.sql.DataFrame) = time(
+      graft.operators.Dedup.prefixJaccardPairs(df, "doc_id", "text", 3, 0.7))
+    val small = corpus(n1)
+    val big = corpus(n2)
+    full(small); pref(small) // codegen warm-up per plan shape
+    val fs = full(small); val ps = pref(small)
+    val fb = full(big); val pb = pref(big)
+    println(s"""{"metric":"prefix_vs_full_jaccard_probe","unit":"sec","n1":$n1,"n2":$n2,"full_n1":${f(fs)},"prefix_n1":${f(ps)},"full_n2":${f(fb)},"prefix_n2":${f(pb)},"full_growth":${f(fb / fs)},"prefix_growth":${f(pb / ps)}}""")
+    spark.stop()
+  }
 
   /** One degenerate k=1 cluster of m near-identical vectors: capped
     * (B = 64) vs uncapped probe-prefix timing. */

@@ -148,6 +148,107 @@ object Dedup {
     }
   }
 
+  /** Prefix-filtered exact Jaccard pairs — the PPJoin-family candidate
+    * generation (Chaudhuri et al., ICDE'06 "A Primitive Operator for
+    * Similarity Joins"; Bayardo et al., WWW'07; Xiao et al., WWW'08)
+    * re-expressed as Spark plan shapes. Output-identical to
+    * [[jaccardPairs]] at the same (k, theta): every pair with exact
+    * Jaccard ≥ theta, scored identically. What changes is the plan:
+    * the quadratic shingle self-join runs over each document's PREFIX
+    * only, not its full shingle set.
+    *
+    * Why it is lossless: order the shingle universe by a global total
+    * order (here ascending document frequency, hash tie-break — rarest
+    * first). J(A,B) ≥ θ implies |A∩B| ≥ ⌈θ·|A|⌉ and ≥ ⌈θ·|B|⌉, and the
+    * classic cross-prefix lemma then guarantees the
+    * (n − ⌈θ·n⌉ + 1)-prefixes of A and B share at least one element:
+    * if they were disjoint, every common element would sit past the
+    * later of the two prefix boundaries, leaving at most ⌈θ·n⌉ − 1 <
+    * |A∩B| slots on that side. So joining prefixes finds every
+    * qualifying pair, and the exact re-score on the full sets filters
+    * the rest — no approximation anywhere.
+    *
+    * Why it scales where [[jaccardPairs]] strains: the full inverted
+    * index joins EVERY posting, so candidate volume is Σ_s df(s)² over
+    * all shingles — boilerplate shingles with df in the millions
+    * dominate even though they never certify a pair ([[jaccardPairs]]
+    * can only drop them wholesale via `dfCap`). Here a document
+    * contributes only its ≈(1−θ)·n rarest shingles to the join, and
+    * frequent shingles land in late positions ranked AFTER the rare
+    * ones, so they fall out of most prefixes instead of being
+    * hard-dropped: pruning emerges from the order, loss-free. The
+    * length filter (θ·na ≤ nb ≤ na/θ, a direct J ≥ θ consequence)
+    * further kills cross-size candidates at the join. At θ=0.7 the
+    * prefix is ~30% of postings and candidate volume drops by the
+    * SQUARE of that on clone-heavy keys — the difference between a
+    * web-scale corpus joining terabytes of postings and joining a
+    * bounded sliver.
+    *
+    * Cost of the exactness: two extra skinny shuffles before the join
+    * (the df aggregation and the per-document rank window — (id, n, s,
+    * df) rows, 32 bytes each). At fixture scale this overhead exceeds
+    * the savings; the operator exists for the corpus where the
+    * candidate join, not the prep, is the bottleneck (the sf1 probe
+    * quantifies the crossover).
+    *
+    * `materialize` as in [[jaccardPairs]].
+    *
+    * @return (id_a, id_b, jac) with id_a < id_b, jac ≥ theta. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, theta: Double,
+                         materialize: Boolean = true): DataFrame = {
+    require(theta > 0 && theta <= 1, s"theta must be in (0, 1], got $theta")
+    val shBase = df
+      .select(col(idCol).as("id"), hashedShingles(col(textCol), k).as("hs"))
+    val sh = if (materialize) shBase.localCheckpoint(true) else shBase.cache()
+    val cand = prefixCandidates(sh, theta)
+    val out = cand
+      .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("shared", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jac", round(col("shared").cast("double")
+        / (size(col("hs_a")) + size(col("hs_b")) - col("shared")), 6))
+      .filter(col("jac") >= theta)
+      .select("id_a", "id_b", "jac")
+    if (!materialize) out
+    else {
+      val ck = out.localCheckpoint(true)
+      Shims.unpersistLocalCheckpoint(sh)
+      ck
+    }
+  }
+
+  /** Candidate (id_a, id_b) pairs of [[prefixJaccardPairs]] — exposed
+    * within the package so the spec can assert the candidate-volume
+    * reduction vs full inverted-index blocking, not just end-result
+    * equality. `sh` is the (id, hs) shingle-set frame.
+    *
+    * The ⌈θ·n⌉ ceiling is taken after subtracting 1e-9: binary doubles
+    * overshoot products like 0.3 × 10 (= 3.0000000000000004), and an
+    * overshot ceiling would SHORTEN the prefix — the lossy direction.
+    * The epsilon can only lengthen a prefix by one slot (more
+    * candidates, never fewer). The same slack widens the length filter
+    * bounds. */
+  private[graft] def prefixCandidates(sh: DataFrame,
+                                      theta: Double): DataFrame = {
+    val post = sh.select(col("id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("s"))
+    val dfreq = post.groupBy("s").agg(count(lit(1)).as("df"))
+    val minOverlap = ceil(lit(theta) * col("n") - lit(1e-9)).cast("int")
+    val rk = row_number().over(Window.partitionBy("id").orderBy("df", "s"))
+    val prefix = post.join(dfreq, "s")
+      .withColumn("__rk", rk)
+      .filter(col("__rk") <= col("n") - minOverlap + 1)
+      .select("id", "n", "s")
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id")
+          && col("b.n").cast("double") >= lit(theta) * col("a.n") - lit(1e-9)
+          && col("a.n").cast("double") >= lit(theta) * col("b.n") - lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** MinHash signature: array of `numPerm` 64-bit min-hashes over a
     * pre-hashed shingle array (`hs`: array<long>), computed by the
     * fused one-pass [[graft.functions.MinHashSigExpr]] (multiply-add

@@ -59,6 +59,15 @@ object LlmQueries {
         k = 5, theta = 0.3)
         .orderBy("id_a", "id_b")),
 
+    // Prefix-filtered exact Jaccard (PPJoin-family): output-identical
+    // to d4's inverted-index blocking — the oracle is the same pairwise
+    // SQL — but the quadratic join runs over rarest-first prefixes
+    // with a length filter, the 100 TB-shaped plan.
+    "d42_prefix_jaccard" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(T.documents(s, d), "doc_id", "text",
+        k = 5, theta = 0.5)
+        .orderBy("id_a", "id_b")),
+
     // MinHash-LSH near-dup with exact re-score at θ=0.7.
     "d5_minhash_lsh" -> ((s, d) =>
       Dedup.minHashLshPairs(T.documents(s, d), "doc_id", "text",
@@ -1331,6 +1340,11 @@ object LlmQueries {
         |FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
         |FROM documents)) ORDER BY doc_id""".stripMargin,
     "d4_jaccard_pairs" -> ShingleSql.replace("THETA", "0.3"),
+    // d42 is output-identical to the inverted-index formulation by the
+    // cross-prefix lemma (see Dedup.prefixJaccardPairs), so its oracle
+    // is the SAME pairwise SQL at θ=0.5 — the oracle checks the
+    // lossless-ness claim, not just the arithmetic.
+    "d42_prefix_jaccard" -> ShingleSql.replace("THETA", "0.5"),
     "d5_minhash_lsh" -> ShingleSql.replace("THETA", "0.7"),
     "d7_ann_topk" ->
       """WITH v AS (SELECT vec_id, embedding,

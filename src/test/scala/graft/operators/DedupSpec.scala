@@ -43,6 +43,54 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j12 - 7.0 / 9.0) < 1e-6)
   }
 
+  test("prefixJaccardPairs == jaccardPairs across thresholds (lossless)") {
+    for (theta <- Seq(0.3, 0.5, 0.7, 1.0)) {
+      val full = Dedup.jaccardPairs(docs, "doc_id", "text", 3, theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == full, s"mismatch at theta=$theta")
+    }
+  }
+
+  test("prefixJaccardPairs survives the 0.3×10 float-ceiling boundary") {
+    // Ten 12-shingle docs sharing exactly their rare tail: θ·n = 0.3×10
+    // computes as 3.0000000000000004 in doubles; an overshot ceiling
+    // would shorten every prefix by one and can drop boundary pairs.
+    // Doc pairs here share 5 of 10 word-3-shingles → J = 5/15 ≈ 0.333.
+    val a = "alpha beta gamma delta epsilon zeta eta ones twos three fours fives"
+    val b = "alpha beta gamma delta epsilon zeta eta seven eight nines tens elevens"
+    val two = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val full = Dedup.jaccardPairs(two, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.prefixJaccardPairs(two, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty, "fixture must produce a boundary pair")
+    assert(pref == full)
+  }
+
+  test("prefix candidate volume collapses vs full blocking on hot shingles") {
+    import graft.functions.NativeExpressions
+    // 40 docs all sharing one boilerplate sentence (a hot shingle block)
+    // plus a unique tail — the full inverted index pairs all 40 choose 2
+    // through the boilerplate; rarest-first prefixes exclude the hot
+    // shingles from every prefix, so only true candidates remain.
+    val corpus = (1L to 40L).map(i =>
+      (i, s"all rights reserved by the site owner unique$i tail$i words$i here$i"))
+      .toDF("doc_id", "text")
+    val sh = corpus.select(col("doc_id").as("id"),
+      NativeExpressions.hashedShingles(col("text"), 3).as("hs"))
+    val prefCand = Dedup.prefixCandidates(sh, 0.7).count()
+    // full blocking: every pair sharing ≥1 shingle
+    val post = sh.select(col("id"), explode(col("hs")).as("s"))
+    val fullCand = post.as("a")
+      .join(post.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    assert(fullCand == 40L * 39 / 2, "boilerplate links every doc pair")
+    assert(prefCand == 0L,
+      s"no pair reaches θ=0.7, so prefixes should generate nothing, got $prefCand")
+  }
+
   test("minHashLshPairs agrees with exact jaccard at high threshold") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
