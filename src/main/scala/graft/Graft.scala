@@ -164,6 +164,18 @@ object Graft {
                    budget: Int, shards: Int): DataFrame =
     Mixing.packByBudget(df, idCol, tokensCol, budget, shards)
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis-Spirakis Gumbel keys; distributed top-n, no RNG). */
+  def weightedSampleN(df: DataFrame, idCol: String, weightCol: String,
+                      n: Int): DataFrame =
+    Mixing.weightedSampleN(df, idCol, weightCol, n)
+
+  /** Per-stratum keep rates for a token-budget corpus recipe;
+    * saturating strata surface their shortfall as `deficit_tokens`. */
+  def mixturePlan(df: DataFrame, stratumCol: String, tokensCol: String,
+                  targets: Map[String, Double], budget: Long): DataFrame =
+    Mixing.mixturePlan(df, stratumCol, tokensCol, targets, budget)
+
   /** HTML/markup boilerplate strip (tags, script/style blocks,
     * entities) — the first cleanup pass of a web-crawl ingest. */
   def stripMarkup(c: Column): Column = TextAnalysis.stripMarkup(c)

@@ -161,4 +161,72 @@ object Mixing {
       ck
     }
   }
+
+  /** Weighted sampling WITHOUT replacement, Gumbel-key formulation
+    * (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    * reservoir", IPL 97(5), via the exponential-key ↔ Gumbel-top-k
+    * equivalence of Kool et al. 2019): each row draws a deterministic
+    * uniform u ∈ (0,1) from md5(id) and keys on
+    * `ln(w) − ln(−ln(u))` — a Gumbel(ln w) sample — and the n largest
+    * keys ARE a weighted draw without replacement.
+    *
+    * Scale shape: the draw is one scan-side expression and the
+    * selection is `orderBy(key).limit(n)` — Spark plans
+    * TakeOrderedAndProject (per-partition top-n, one n·P-row merge),
+    * never a global sort; no RNG state, so re-runs and recoveries
+    * reproduce the identical sample on any cluster size.
+    *
+    * Determinism across engines: u = (h32 + 0.5) / 2^32 with h32 the
+    * first 8 md5 hex chars — h32 is exactly representable in a
+    * double, u is strictly inside (0,1) so both logs are finite, and
+    * the key rounds to 6 dp with the raw id as tie-break (the
+    * repo-wide cross-engine float discipline; the d43 oracle restates
+    * the draw verbatim). Rows with weight ≤ 0 are excluded — a
+    * non-positive weight has no Gumbel key.
+    *
+    * @return the n winners as (idCol, weightCol, gkey), key
+    *         descending, id tie-break. */
+  def weightedSampleN(df: DataFrame, idCol: String, weightCol: String,
+                      n: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val u = (h + lit(0.5)) / lit(4294967296.0)
+    val key = round(log(col(weightCol).cast("double")) - log(-log(u)), 6)
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol), key.as("gkey"))
+      .orderBy(col("gkey").desc, col(idCol))
+      .limit(n)
+  }
+
+  /** Token-budget mixture planner: the arithmetic that turns a corpus
+    * recipe ("30% web, 20% code, …" against a total token budget)
+    * into per-stratum keep rates — the planning half of DoReMi-style
+    * mixture work, where the weights come in as givens. Per stratum:
+    * available tokens (one agg), desired = ⌊share·budget⌋, keep rate
+    * = min(1, desired/available) at 6 dp, planned = ⌊rate·available⌋,
+    * and the unmet remainder surfaces as `deficit_tokens` — a recipe
+    * that over-asks a small stratum should SEE the shortfall, not
+    * have it silently redistributed. Strata absent from `targets`
+    * get share 0 (present in the output with their inventory, planned
+    * 0 — the "what am I leaving out" row).
+    *
+    * One shuffle (the stratum rollup); the rates feed
+    * [[stratifiedSample]]/[[sampleN]] for the actual row selection. */
+  def mixturePlan(df: DataFrame, stratumCol: String, tokensCol: String,
+                  targets: Map[String, Double], budget: Long): DataFrame = {
+    val share = coalesce(
+      try_element_at(typedlit(targets), col(stratumCol)), lit(0d))
+    df.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).cast("long").as("available_tokens"))
+      .withColumn("target_share", round(share, 6))
+      .withColumn("desired_tokens",
+        floor(col("target_share") * lit(budget.toDouble)).cast("long"))
+      .withColumn("keep_rate", round(least(lit(1d),
+        col("desired_tokens").cast("double") / col("available_tokens")), 6))
+      .withColumn("planned_tokens",
+        floor(col("keep_rate") * col("available_tokens").cast("double"))
+          .cast("long"))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), col("desired_tokens") - col("available_tokens")))
+  }
 }

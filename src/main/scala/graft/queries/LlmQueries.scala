@@ -313,6 +313,28 @@ object LlmQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis via
+    // Gumbel keys): 50 docs drawn proportionally to token count, as a
+    // deterministic scan-side expression + distributed top-n.
+    "d43_weighted_sample" -> ((s, d) =>
+      Mixing.weightedSampleN(
+        T.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("double").as("w")),
+        "doc_id", "w", n = 50)),
+
+    // Token-budget mixture planner: per-language keep rates for a
+    // 10M-token recipe (en-heavy on purpose, so at least one stratum
+    // saturates and surfaces a deficit instead of silently
+    // redistributing).
+    "d44_mixture_plan" -> ((s, d) =>
+      Mixing.mixturePlan(
+        T.documents(s, d).select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks")),
+        "lang", "n_toks",
+        targets = Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.2, "zh" -> 0.05),
+        budget = 10000000L)
+        .orderBy("lang")),
+
     // Epoch shuffle: deterministic md5-keyed deal of the corpus into
     // 16 training shards with in-shard positions — no RNG state, no
     // global sort (one hash shuffle + per-shard local sort).
@@ -1126,6 +1148,42 @@ object LlmQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 25 ORDER BY doc_id""".stripMargin,
+    // identical Gumbel key: u from the first 8 md5 hex chars (exact in
+    // a double), key = ln(w) − ln(−ln(u)) at 6 dp, id tie-break
+    "d43_weighted_sample" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '')) AS DOUBLE) AS w FROM documents),
+        |k AS (SELECT doc_id, w,
+        |  ROUND(ln(w) - ln(-ln(
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      + 0.5) / 4294967296.0)), 6) AS gkey
+        |FROM t WHERE w > 0)
+        |SELECT doc_id, w, gkey FROM k
+        |ORDER BY gkey DESC, doc_id LIMIT 50""".stripMargin,
+    // identical plan arithmetic: floor/least on the same 6-dp-rounded
+    // doubles, absent strata share 0
+    "d44_mixture_plan" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> ''))) AS BIGINT) AS available_tokens
+        |FROM documents GROUP BY lang),
+        |p AS (SELECT lang, available_tokens,
+        |  ROUND(CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+        |    WHEN 'es' THEN 0.2 WHEN 'zh' THEN 0.05 ELSE 0 END AS DOUBLE),
+        |    6) AS target_share FROM t),
+        |q AS (SELECT *, CAST(FLOOR(target_share * 10000000.0) AS BIGINT)
+        |  AS desired_tokens FROM p),
+        |r AS (SELECT *, ROUND(LEAST(1.0,
+        |  CAST(desired_tokens AS DOUBLE) / available_tokens), 6)
+        |  AS keep_rate FROM q)
+        |SELECT lang, available_tokens, target_share, desired_tokens,
+        |keep_rate,
+        |CAST(FLOOR(keep_rate * CAST(available_tokens AS DOUBLE)) AS BIGINT)
+        |  AS planned_tokens,
+        |GREATEST(CAST(0 AS BIGINT), desired_tokens - available_tokens)
+        |  AS deficit_tokens
+        |FROM r ORDER BY lang""".stripMargin,
     // identical 60-bit md5 key, shard = key % 16, per-shard rank
     "d22_shuffle_shards" ->
       """WITH k AS (SELECT doc_id,

@@ -153,4 +153,56 @@ class MixingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(run(docs) == run(docs.repartition(7)))
   }
+
+  test("weightedSampleN matches an independent replay of the Gumbel draw") {
+    val rows = (0L until 500L).map(i => (i, (i % 17 + 1).toDouble))
+    val df = rows.toDF("id", "w")
+    val got = Mixing.weightedSampleN(df, "id", "w", n = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // independent replay: same md5-derived uniform, same key
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Double): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      BigDecimal(math.log(w) - math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = rows.map { case (i, w) => (i, key(i, w)) }
+      .sortBy { case (i, k) => (-k, i) }.take(20)
+    assert(got.toSeq == want)
+    // weight monotonicity in expectation: the kept set's mean weight
+    // exceeds the corpus mean (weights 1..17, md5 keys fixed → exact)
+    val meanAll = rows.map(_._2).sum / rows.size
+    val meanKept = got.map { case (i, _) => rows(i.toInt)._2 }.sum / got.length
+    assert(meanKept > meanAll)
+  }
+
+  test("weightedSampleN excludes non-positive weights; reruns identical") {
+    val df = Seq((1L, 0.0), (2L, -3.0), (3L, 5.0), (4L, 2.0))
+      .toDF("id", "w")
+    val out = Mixing.weightedSampleN(df, "id", "w", n = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(3L, 4L))
+    val again = Mixing.weightedSampleN(df, "id", "w", n = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out)
+  }
+
+  test("mixturePlan: saturation, deficit, and unlisted strata by hand") {
+    val df = Seq.tabulate(10)(i => ("web", 100L)) ++
+      Seq.tabulate(4)(i => ("code", 50L)) ++
+      Seq.tabulate(2)(i => ("books", 10L))
+    val plan = Mixing.mixturePlan(df.toDF("src", "n"), "src", "n",
+      targets = Map("web" -> 0.5, "books" -> 0.5), budget = 400L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // web: 1000 available, desired 200 → rate 0.2, planned 200, no deficit
+    assert(plan("web") == ((1000L, 0.5, 200L, 0.2, 200L, 0L)))
+    // books: 20 available, desired 200 → saturates at rate 1, deficit 180
+    assert(plan("books") == ((20L, 0.5, 200L, 1.0, 20L, 180L)))
+    // code: unlisted → share 0, planned 0, inventory still visible
+    assert(plan("code") == ((200L, 0.0, 0L, 0.0, 0L, 0L)))
+  }
 }
