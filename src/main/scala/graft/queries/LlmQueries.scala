@@ -486,6 +486,13 @@ object LlmQueries {
           m = 4, k = 4, iters = 2)
         .orderBy("vec_id")),
 
+    // Symmetric per-dim int8 scalar quantization (SQ8): one skinny
+    // per-dim absmax agg, scales ride as a one-row broadcast array,
+    // encoding is map-side zip_with. Integer codes → no float epsilon.
+    "d45_sq8_codes" -> ((s, d) =>
+      Quantization.sq8Codes(T.embeddings(s, d), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
     // ADC top-k over the PQ codes: full-precision queries (every 10th
     // id), compressed-domain scoring via per-query LUTs in integer
     // micros; reconstruction cosine, self-pairs excluded.
@@ -1420,6 +1427,20 @@ object LlmQueries {
     "d29_kmeans" -> D29KmeansSql,
     "d40_pq_codes" -> D40PqCodesSql,
     "d41_pq_adc" -> D41PqAdcSql,
+    // same per-dim absmax scales, same (x*127)/absmax rounding — all
+    // integer output, so the comparison is exact with no 6-dp round
+    "d45_sq8_codes" ->
+      """WITH pe AS (SELECT unnest(range(1, len(embedding)+1)) AS i,
+        |  unnest(embedding) AS x FROM embeddings),
+        |mx AS (SELECT i, MAX(ABS(CAST(x AS DOUBLE))) AS m FROM pe
+        |  GROUP BY i),
+        |sarr AS (SELECT list(m ORDER BY i) AS ms FROM mx)
+        |SELECT vec_id, [CASE WHEN ms[i] = 0 THEN 0
+        |  ELSE CAST(LEAST(GREATEST(ROUND(
+        |    (CAST(embedding[i] AS DOUBLE) * 127) / ms[i]), -127), 127)
+        |    AS INT) END
+        |  FOR i IN range(1, len(embedding)+1)] AS code
+        |FROM embeddings CROSS JOIN sarr ORDER BY vec_id""".stripMargin,
     "d31_dsir_scores" ->
       """WITH p AS (SELECT doc_id, tgt, t, COUNT(*) AS tf FROM (
         |    SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,

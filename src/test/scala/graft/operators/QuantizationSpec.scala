@@ -103,4 +103,30 @@ class QuantizationSpec extends SparkSpec {
         m = 3, k = 2, iters = 2)
     }
   }
+
+  test("sq8Codes: reconstruction within half a scale step, zero dims exact") {
+    // dim 3 is all-zero (scale 0 → code 0); dim 0 spans ±2 so its
+    // absmax comes from a negative value
+    val df = Seq(
+      (0L, Array(-2f, 0.5f, 1f, 0f)),
+      (1L, Array(1f, -0.25f, 0.1f, 0f)),
+      (2L, Array(0.5f, 1f, -1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Quantization.sq8Codes(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    val raw = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val absmax = (0 until 4).map(i => raw.values.map(v => v(i).abs).max)
+    for ((id, codes) <- got; i <- 0 until 4) {
+      assert(codes(i) >= -127 && codes(i) <= 127)
+      if (absmax(i) == 0) assert(codes(i) == 0)
+      else {
+        val scale = absmax(i) / 127
+        assert(math.abs(codes(i) * scale - raw(id)(i)) <= scale / 2 + 1e-12,
+          s"id=$id dim=$i")
+      }
+    }
+    // extremes hit exactly ±127
+    assert(got(0L)(0) == -127 && got(2L)(1) == 127)
+  }
 }
