@@ -282,6 +282,28 @@ class PlanSpec extends SparkSpec {
     assert(plan("topk_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("weighted sampling is a scan-side draw + distributed top-n") {
+    val p = plan("d43_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the Gumbel draw must select via per-partition top-n, not a " +
+        "global sort")
+    assert(!p.contains("ScalaUDF") && !p.contains("Window"))
+  }
+
+  test("sq8 encode: skinny agg + one-row broadcast, no row-side shuffle") {
+    val p = plan("d45_sq8_codes")
+    // the trained scales attach as a broadcast one-row array; the
+    // embeddings side must not shuffle to meet them
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("prefix-Jaccard candidates join on the shingle key, never nested-loop") {
+    val p = plan("d42_prefix_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"))
+  }
+
   test("multi-value codec is a single scan-stage projection, no UDFs") {
     // HOF lambdas (transform/filter) are CodegenFallback in Spark, so
     // no WholeStageCodegen marker — but the codec must stay one Project
