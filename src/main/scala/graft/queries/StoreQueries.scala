@@ -197,6 +197,20 @@ object StoreQueries {
         .orderBy("n_nationkey")
     }),
 
+    // S19 (beyond parity): JSONL round-trip — the training-corpus
+    // interchange format. The full documents table (text included, so
+    // JSON string escaping is exercised) writes as line-delimited JSON
+    // and reads back under its own schema.
+    "s19_jsonl_roundtrip" -> ((s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+      val dir = scratch(s, "s19_jsonl")
+      DelimitedSources.writeJsonl(docs, dir)
+      DelimitedSources.readJsonl(s, dir, docs.schema)
+        .orderBy("doc_id")
+    }),
+
     // S6: DB -> DataFrame bridge over a REAL embedded JDBC database
     // (Derby ships with Spark): typed rows write out through Spark's
     // JDBC sink, read back through DbBridge, and the string-default
@@ -431,6 +445,11 @@ object StoreQueries {
     "s15_csv_roundtrip" ->
       """SELECT n_nationkey, n_name FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    // round-trip must preserve every value verbatim, so the oracle is
+    // the identity projection of the source table
+    "s19_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // ordered on the STRING form of the key (the policy output), so the
     // oracle orders lexicographically too
     "s6_jdbc_roundtrip" ->

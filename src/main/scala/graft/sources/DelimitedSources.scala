@@ -56,6 +56,21 @@ object DelimitedSources {
     df.write.mode("overwrite").option("header", "true")
       .option("sep", "\t").csv(path)
 
+  /** JSONL sink — the LLM-training interchange format (one JSON object
+    * per line; WebDataset/HF-datasets ingest shape). Spark's json sink
+    * IS line-delimited JSON, partitioned into one file per task — at
+    * 100 TB the shard layout falls out of the upstream partitioning,
+    * and a compression codec option rides along when needed. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSONL source with an explicit schema: inference would scan the
+    * whole corpus once just to guess types (twice the IO at scale) and
+    * can mis-type sparse fields; training-corpus schemas are known. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S13: Wikidata-dump-style JSON source — the reference streams the
     * full dump and keeps only entities carrying MusicBrainz/AllMusic
     * identifier claims, denormalized to one wide row (ref

@@ -43,6 +43,31 @@ class DelimitedSourcesSpec extends SparkSpec {
     val back = spark.read.option("header", "true").csv(dir)
     assert(back.count() == 2 && back.columns.toSeq == Seq("k", "v"))
   }
+
+  test("JSONL round-trip preserves escapes, unicode, nulls, and types") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl").toString
+    val rows = Seq(
+      (1L, "plain text", Some(42L)),
+      (2L, "quote \" backslash \\ tab \t newline \n done", Some(0L)),
+      (3L, "unicode: caffè 音楽 🎵 ñ", None),
+      (4L, "", Some(-7L)))
+    val df = rows.toDF("id", "text", "n")
+      .select($"id", $"text", $"n".cast("long"))
+    DelimitedSources.writeJsonl(df, dir)
+    val back = DelimitedSources.readJsonl(spark, dir, df.schema)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(back.toSeq == rows)
+    // and it really is one JSON object per line
+    import scala.jdk.CollectionConverters._
+    val lines = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".json"))
+      .flatMap(p => Files.readAllLines(p).asScala).toSeq
+    assert(lines.size == 4)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+  }
 }
 
 class AlibStoreSpec extends SparkSpec {
@@ -129,4 +154,5 @@ class AlibStoreSpec extends SparkSpec {
     assert(kept.filter($"artist".isNotNull).count() == 3)
     assert(kept.filter($"__path".isNotNull).count() == 3)
   }
+
 }
