@@ -45,7 +45,7 @@ object PlanDump {
         "fixpoint + labels write\", NOT a per-query CC cost (round " +
         "7's apparent 6.6→10.4 s \"regression\" was exactly this " +
         "materialization moving into g2). Measured solo " +
-        "(BENCH_SOLO_r8.json, sf0.1): g2 5.94 s first call vs 0.18 s " +
+        "(BENCH_SOLO_r9.json, sf0.1): g2 4.09 s first call vs 0.12 s " +
         "memoized re-read."),
     "d5_minhash_lsh" ->
       ("MinHash signatures fused into one codegen'd expression at the " +
@@ -98,10 +98,11 @@ object PlanDump {
         "unioned and checkpointed ONCE, one shared corroboration " +
         "semi-join + two-level aggregation, one ranking window. " +
         "Measured solo (BENCH_SOLO_r9.json, sf0.1, `runMain " +
-        "graft.Bench --solo`): **3.07 s warm / 10.89 s " +
-        "cold-context** — the warm number is the query's actual data " +
-        "cost, and the cold−warm gap (~7.8 s) is codegen compilation " +
-        "+ fresh-context bring-up, which is also what the in-suite " +
+        "graft.Bench --solo`, post-regeneration fixtures): **3.70 s " +
+        "warm / 3.78 s cold-context** — cold≈warm because the loop's " +
+        "earlier entries already paid codegen; the first-session " +
+        "artifact (git 5cc8f10) pinned the fresh-context gap at " +
+        "~7.8 s of compilation, which is also what the in-suite " +
         "number (~13-19 s across rounds) keeps re-measuring on top " +
         "of suite GC attribution. The plan shape (no fact re-scan, " +
         "no unkeyed join, single window) is the one that matters at " +
@@ -162,7 +163,9 @@ object PlanDump {
         "scoring join all exchange longs. The string-struct " +
         "formulation this replaced shuffled every token twice as " +
         "UTF-8 and solo-benched 6.7 s warm at sf0.1; this shape runs " +
-        "**1.2 s warm** (BENCH_SOLO_r9.json) — 1.4× the unigram " +
+        "**1.2 s warm** (BENCH_SOLO_r9.json at git 5cc8f10 — the " +
+        "artifact was later refreshed to the regenerated fixtures' " +
+        "suite-top set) — 1.4× the unigram " +
         "score, which is the honest floor for touching every " +
         "transition. Hashing is operator-internal (d4/d34 w.h.p. " +
         "precedent), so the string-keyed DuckDB oracle is unchanged. " +
@@ -181,8 +184,9 @@ object PlanDump {
         "micros before the long sum — aggregation order cannot " +
         "perturb a bit, which is what lets the 5-layer unrolled-CTE " +
         "oracle hash-match and the spec assert bit-equality under " +
-        "repartitioning. Measured solo (BENCH_SOLO_r9.json, sf0.1): " +
-        "**3.09 s warm / 11.4 s cold** — the warm number is ~0.6 " +
+        "repartitioning. Measured solo (BENCH_SOLO_r9.json, sf0.1, " +
+        "post-regeneration fixtures): " +
+        "**4.10 s warm / 5.60 s cold** — the warm number is ~0.8 " +
         "s/round of checkpoint+shuffle latency on a tiny graph (the " +
         "per-round fixed cost a 1000-executor run amortizes); the " +
         "cold number includes the first-call cc_edges memo build the " +
@@ -202,7 +206,8 @@ object PlanDump {
         "per (application, dataset); later calls read the scratch " +
         "parquet, so the plan below is the memoized read when dumped " +
         "after a prior call. Measured solo (BENCH_SOLO_r9.json, " +
-        "sf0.1): **6.88 s first call / 0.19 s memoized** — the " +
+        "sf0.1, post-regeneration fixtures): **11.81 s first call / " +
+        "0.29 s memoized** — the " +
         "in-suite ~7-9.5 s is one-time micro-batch bring-up " +
         "(checkpoint + sink write + stream machinery), not a " +
         "per-query cost; it is also the suite's #1 row, which is why " +

@@ -198,6 +198,36 @@ object Mixing {
       .limit(n)
   }
 
+  /** Source/domain-level filtering with an audit trail — the
+    * URL/domain blocklist stage every web pipeline runs (C4's
+    * blocklist, RefinedWeb §3.1 URL filtering, Gopher's domain rules)
+    * plus the per-source accounting that justifies it. A row survives
+    * iff its source is off the blocklist AND `rowGate` holds (the
+    * row-level quality predicate — length, langid, quality score);
+    * ONE aggregation emits, per source: docs/tokens in, docs/tokens
+    * surviving, and the survival rate at 6 dp. Blocklisted and
+    * fully-gated sources appear with zero survivors rather than
+    * vanishing, so the audit columns sum back to the corpus total —
+    * the "where did my tokens go" report.
+    *
+    * The blocklist rides as a literal IN-list (a real deployment's
+    * list is config-table sized; broadcast-join a table instead if it
+    * ever isn't). Row selection itself composes as
+    * `df.filter(!srcBlocked && rowGate)` — this operator is the WHY
+    * of that filter, not a replacement. */
+  def sourceAudit(df: DataFrame, srcCol: String, tokensCol: String,
+                  blocklist: Set[String], rowGate: Column): DataFrame = {
+    val kept = (!col(srcCol).isInCollection(blocklist.toSeq)) && rowGate
+    df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("docs_in"),
+        sum(col(tokensCol)).cast("long").as("tokens_in"),
+        sum(when(kept, 1L).otherwise(0L)).as("docs_kept"),
+        sum(when(kept, col(tokensCol)).otherwise(0L)).cast("long")
+          .as("tokens_kept"))
+      .withColumn("keep_rate",
+        round(col("docs_kept").cast("double") / col("docs_in"), 6))
+  }
+
   /** Token-budget mixture planner: the arithmetic that turns a corpus
     * recipe ("30% web, 20% code, …" against a total token budget)
     * into per-stratum keep rates — the planning half of DoReMi-style

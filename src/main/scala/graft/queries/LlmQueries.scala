@@ -313,6 +313,18 @@ object LlmQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Source blocklist + quality gate, audited per source: the C4/
+    // RefinedWeb URL-filtering stage with the "where did my tokens go"
+    // accounting. src2/src5 blocklisted; rows need >= 30 tokens.
+    "d46_source_audit" -> ((s, d) =>
+      Mixing.sourceAudit(
+        T.documents(s, d).select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks")),
+        "source", "n_toks",
+        blocklist = Set("src2", "src5"),
+        rowGate = col("n_toks") >= 30)
+        .orderBy("source")),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis via
     // Gumbel keys): 50 docs drawn proportionally to token count, as a
     // deterministic scan-side expression + distributed top-n.
@@ -1155,6 +1167,23 @@ object LlmQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 25 ORDER BY doc_id""".stripMargin,
+    // identical blocklist + token gate; rates on docs, 6 dp
+    "d46_source_audit" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_toks FROM documents),
+        |a AS (SELECT source,
+        |  COUNT(*) AS docs_in,
+        |  CAST(SUM(n_toks) AS BIGINT) AS tokens_in,
+        |  CAST(SUM(CASE WHEN source NOT IN ('src2', 'src5')
+        |    AND n_toks >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+        |  CAST(SUM(CASE WHEN source NOT IN ('src2', 'src5')
+        |    AND n_toks >= 30 THEN n_toks ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept
+        |FROM t GROUP BY source)
+        |SELECT source, docs_in, tokens_in, docs_kept, tokens_kept,
+        |ROUND(CAST(docs_kept AS DOUBLE) / docs_in, 6) AS keep_rate
+        |FROM a ORDER BY source""".stripMargin,
     // identical Gumbel key: u from the first 8 md5 hex chars (exact in
     // a double), key = ln(w) − ln(−ln(u)) at 6 dp, id tie-break
     "d43_weighted_sample" ->

@@ -189,6 +189,25 @@ class MixingSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("sourceAudit: blocklist, row gate, and conservation by hand") {
+    val df = Seq(
+      ("a", 100L), ("a", 10L), ("a", 50L),   // gate drops the 10
+      ("bad", 100L), ("bad", 200L),          // blocklisted entirely
+      ("c", 5L))                             // survives source, fails gate
+      .toDF("src", "n")
+    val got = Mixing.sourceAudit(df, "src", "n",
+      blocklist = Set("bad"), rowGate = col("n") >= 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(got("a") == ((3L, 160L, 2L, 150L, 0.666667)))
+    assert(got("bad") == ((2L, 300L, 0L, 0L, 0.0)))
+    assert(got("c") == ((1L, 5L, 0L, 0L, 0.0)))
+    // audit sums back to the corpus: nothing vanishes
+    assert(got.values.map(_._1).sum == 6L)
+    assert(got.values.map(_._2).sum == 465L)
+  }
+
   test("mixturePlan: saturation, deficit, and unlisted strata by hand") {
     val df = Seq.tabulate(10)(i => ("web", 100L)) ++
       Seq.tabulate(4)(i => ("code", 50L)) ++
