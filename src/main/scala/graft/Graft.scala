@@ -176,6 +176,13 @@ object Graft {
                   targets: Map[String, Double], budget: Long): DataFrame =
     Mixing.mixturePlan(df, stratumCol, tokensCol, targets, budget)
 
+  /** Per-source blocklist + quality-gate audit (docs/tokens in vs
+    * kept, survival rate) — the URL-filtering stage's accounting. */
+  def sourceAudit(df: DataFrame, srcCol: String, tokensCol: String,
+                  blocklist: Set[String],
+                  rowGate: Column): DataFrame =
+    Mixing.sourceAudit(df, srcCol, tokensCol, blocklist, rowGate)
+
   /** HTML/markup boilerplate strip (tags, script/style blocks,
     * entities) — the first cleanup pass of a web-crawl ingest. */
   def stripMarkup(c: Column): Column = TextAnalysis.stripMarkup(c)
