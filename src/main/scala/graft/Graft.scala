@@ -197,6 +197,14 @@ object Graft {
                  idCol: String, textCol: String): DataFrame =
     Dedup.crossDedup(incoming, existing, idCol, textCol)
 
+  /** Prefix-filtered variant of [[crossDedupNear]] — output-identical,
+    * quadratically fewer candidates on boilerplate-heavy corpora, df
+    * order reusable across ingest batches. */
+  def crossDedupNearPrefix(incoming: DataFrame, existing: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int, theta: Double): DataFrame =
+    Dedup.prefixCrossJaccard(incoming, existing, idCol, textCol, k, theta)
+
   /** Near-dup arm of the incremental import: incoming×existing Jaccard
     * pairs ≥ theta (the existing corpus never self-joins). */
   def crossDedupNear(incoming: DataFrame, existing: DataFrame,

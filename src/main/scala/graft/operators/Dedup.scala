@@ -218,6 +218,75 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus prefix-filtered exact Jaccard — [[prefixJaccardPairs]]'s
+    * lemma applied to the incremental-ingest path ([[crossDedupNear]]'s
+    * semantics, identical output at the same (k, theta)): incoming and
+    * existing prefixes are built under ONE shared total order — ascending
+    * document frequency over the EXISTING corpus, shingle-hash
+    * tie-break — and only prefixes join. The per-side prefix lengths
+    * n − ⌈θ·n⌉ + 1 are lossless because J ≥ θ bounds the overlap by
+    * ⌈θ·n⌉ on EACH side, and the cross-prefix lemma's WLOG lands on
+    * whichever side's last prefix element ranks earlier — either way
+    * the shared-order argument closes (see [[prefixJaccardPairs]]).
+    *
+    * Keying the order on existing-side df is the operational choice: a
+    * shingle the existing corpus has never seen has df 0 — rarest,
+    * prefix-resident — which is exactly right for ingest (novel content
+    * must generate candidates); boilerplate the corpus already holds in
+    * bulk ranks last and falls out of both sides' prefixes. The df
+    * table is also reusable across ingest batches, where
+    * [[crossDedupNear]]'s only defense (dfCap) re-prices every batch.
+    *
+    * @return (in_id, ex_id, jac) with jac ≥ theta. */
+  def prefixCrossJaccard(incoming: DataFrame, existing: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int, theta: Double,
+                         materialize: Boolean = true): DataFrame = {
+    require(theta > 0 && theta <= 1, s"theta must be in (0, 1], got $theta")
+    def shingled(df: DataFrame) = {
+      val base = df.select(col(idCol).as("id"),
+        hashedShingles(col(textCol), k).as("hs"))
+      if (materialize) base.localCheckpoint(true) else base.cache()
+    }
+    val shIn = shingled(incoming)
+    val shEx = shingled(existing)
+    def post(sh: DataFrame) = sh.select(col("id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("s"))
+    val dfreq = post(shEx).groupBy("s").agg(count(lit(1)).as("df"))
+    val minOverlap = ceil(lit(theta) * col("n") - lit(1e-9)).cast("int")
+    def prefix(p: DataFrame) = p
+      .join(dfreq, Seq("s"), "left")
+      .withColumn("__df", coalesce(col("df"), lit(0L)))
+      .withColumn("__rk", row_number()
+        .over(Window.partitionBy("id").orderBy("__df", "s")))
+      .filter(col("__rk") <= col("n") - minOverlap + 1)
+      .select("id", "n", "s")
+    val cand = prefix(post(shIn)).as("a")
+      .join(prefix(post(shEx)).as("b"),
+        col("a.s") === col("b.s")
+          && col("b.n").cast("double") >= lit(theta) * col("a.n") - lit(1e-9)
+          && col("a.n").cast("double") >= lit(theta) * col("b.n") - lit(1e-9))
+      .select(col("a.id").as("in_id"), col("b.id").as("ex_id"))
+      .dropDuplicates("in_id", "ex_id")
+    val out = cand
+      .join(shIn.select(col("id").as("in_id"), col("hs").as("hs_a")),
+        Seq("in_id"))
+      .join(shEx.select(col("id").as("ex_id"), col("hs").as("hs_b")),
+        Seq("ex_id"))
+      .withColumn("shared", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jac", round(col("shared").cast("double")
+        / (size(col("hs_a")) + size(col("hs_b")) - col("shared")), 6))
+      .filter(col("jac") >= theta)
+      .select("in_id", "ex_id", "jac")
+    if (!materialize) out
+    else {
+      val ck = out.localCheckpoint(true)
+      Shims.unpersistLocalCheckpoint(shIn)
+      Shims.unpersistLocalCheckpoint(shEx)
+      ck
+    }
+  }
+
   /** Candidate (id_a, id_b) pairs of [[prefixJaccardPairs]] — exposed
     * within the package so the spec can assert the candidate-volume
     * reduction vs full inverted-index blocking, not just end-result

@@ -279,6 +279,18 @@ object LlmQueries {
         .orderBy("in_id", "ex_id")
     }),
 
+    // Cross-corpus prefix-filtered exact Jaccard: d26's incremental
+    // near-dup semantics under the PPJoin lemma, ordered by
+    // existing-side df (novel shingles rank rarest — ingest-correct).
+    // Oracle = d26's pairwise SQL verbatim: losslessness is checked.
+    "d47_prefix_cross" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Dedup.prefixCrossJaccard(docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          k = 5, theta = 0.5)
+        .orderBy("in_id", "ex_id")
+    }),
+
     // Corpus-unigram LM quality score (perplexity-proxy filter):
     // per-term log-probs in integer micros, per-doc sums integer-exact.
     "d28_unigram_lm" -> ((s, d) =>
@@ -774,6 +786,29 @@ object LlmQueries {
        |${assignRound(2, "c1")}""".stripMargin
   }
 
+  /** d26/d47 shared oracle: full pairwise incoming×existing Jaccard at
+    * θ=0.5 over the %7 split — d47's prefix filtering must reproduce
+    * this exactly (the cross-prefix lemma, cross-corpus flavor). */
+  private val CrossNearSql: String =
+    """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+      |  ELSE [array_to_string(ws[x:x+4], ' ')
+      |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM w),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS in_id, b.doc_id AS ex_id,
+      |  COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s
+      |  AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+      |  GROUP BY 1, 2)
+      |SELECT in_id, ex_id,
+      |ROUND(shared*1.0/(ca.n + cb.n - shared), 6) AS jac
+      |FROM pairs JOIN cnt ca ON in_id = ca.doc_id
+      |JOIN cnt cb ON ex_id = cb.doc_id
+      |WHERE shared*1.0/(ca.n + cb.n - shared) >= 0.5
+      |ORDER BY in_id, ex_id""".stripMargin
+
   private val D29Prefix: String = "WITH " + d29Rounds("embeddings")
 
   private val D29KmeansSql: String =
@@ -1141,25 +1176,11 @@ object LlmQueries {
         |array_to_string(ws[i:i+63], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // d4's proven shingle SQL with cross-side join conditions
-    "d26_cross_neardup" ->
-      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
-        |  FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(
-        |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
-        |  ELSE [array_to_string(ws[x:x+4], ' ')
-        |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM w),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (SELECT a.doc_id AS in_id, b.doc_id AS ex_id,
-        |  COUNT(*) AS shared
-        |  FROM sh a JOIN sh b ON a.s = b.s
-        |  AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
-        |  GROUP BY 1, 2)
-        |SELECT in_id, ex_id,
-        |ROUND(shared*1.0/(ca.n + cb.n - shared), 6) AS jac
-        |FROM pairs JOIN cnt ca ON in_id = ca.doc_id
-        |JOIN cnt cb ON ex_id = cb.doc_id
-        |WHERE shared*1.0/(ca.n + cb.n - shared) >= 0.5
-        |ORDER BY in_id, ex_id""".stripMargin,
+    "d26_cross_neardup" -> CrossNearSql,
+    // d47 is output-identical to d26 by the cross-corpus prefix lemma
+    // (Dedup.prefixCrossJaccard), so the SAME pairwise SQL is its
+    // oracle — losslessness of the prefix filter is itself checked.
+    "d47_prefix_cross" -> CrossNearSql,
     // identical md5 rank key with (key, doc_id) total order
     "d25_sample_n" ->
       """SELECT doc_id, lang FROM (

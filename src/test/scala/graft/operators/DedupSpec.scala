@@ -69,6 +69,34 @@ class DedupSpec extends SparkSpec {
     assert(pref == full)
   }
 
+  test("prefixCrossJaccard == crossDedupNear across thresholds (lossless)") {
+    val in = docs.filter(col("doc_id") % 2 === 0)
+    val ex = docs.filter(col("doc_id") % 2 =!= 0)
+    for (theta <- Seq(0.3, 0.5, 0.8)) {
+      val full = Dedup.crossDedupNear(in, ex, "doc_id", "text", 3, theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.prefixCrossJaccard(in, ex, "doc_id", "text", 3, theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == full, s"mismatch at theta=$theta")
+    }
+  }
+
+  test("prefixCrossJaccard: novel incoming shingles rank into the prefix") {
+    // incoming doc shares its RARE tail with an existing doc while its
+    // other shingles are corpus-novel (df 0); the pair must surface
+    // even though the shared shingles are rare on the existing side
+    val ex = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "common words repeated across the existing corpus here"),
+      (5L, "common words repeated across the existing corpus there"))
+      .toDF("doc_id", "text")
+    val in = Seq((2L, "alpha beta gamma delta epsilon eta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixCrossJaccard(in, ex, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((2L, 1L)))
+  }
+
   test("prefix candidate volume collapses vs full blocking on hot shingles") {
     import graft.functions.NativeExpressions
     // 40 docs all sharing one boilerplate sentence (a hot shingle block)
