@@ -231,7 +231,11 @@ object PlanDump {
         "(BENCH_SF1_r9.json prefix_vs_full_jaccard_probe, " +
         "boilerplate-heavy corpus): full blocking 7.6 s at n=8k " +
         "diverging to 49.0 s at n=16k while the prefix path stays " +
-        "flat at ~1.2 s — 44× at 16k docs and widening quadratically."))
+        "flat at ~1.2 s — 44× at 16k docs and widening quadratically. " +
+        "The cross-corpus sibling (d47, Dedup.prefixCrossJaccard) " +
+        "applies the same lemma to the incremental-ingest join with " +
+        "the order keyed on existing-side df — novel shingles rank " +
+        "rarest, and the df table is reusable across ingest batches."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
