@@ -74,6 +74,13 @@ object Graft {
     Dedup.minHashLshPairs(df, idCol, textCol, k, theta,
       bucketCap = bucketCap)
 
+  /** Embedding-level decontamination: per corpus vector, max cosine to
+    * any benchmark vector with a contamination flag at `theta`. */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            theta: Double): DataFrame =
+    Similarity.semanticContamination(corpus, bench, idCol, vecCol, theta)
+
   /** Exact cosine top-k for a probe subset. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
               queryFilter: Column): DataFrame =

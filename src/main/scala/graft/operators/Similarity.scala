@@ -156,6 +156,40 @@ object Similarity {
     * existing label / `id % nlist` cell), probe the `nprobe` nearest
     * cells. Centroid table is tiny → broadcast; only cell-local pairs
     * are scored. */
+  /** Embedding-level (semantic) decontamination: per corpus vector,
+    * the max cosine to ANY benchmark vector, flagged at `theta` — the
+    * embedding-space analogue of the n-gram decontamination operator
+    * (catches paraphrased benchmark leakage that exact n-grams miss;
+    * the train-test-overlap analyses of GPT-3 §4 / Llama-style data
+    * work run exactly this screen).
+    *
+    * Scale shape follows the d18 discipline: the benchmark side
+    * broadcasts (benchmarks are small by nature) and the |corpus|×|B|
+    * pair cosines reduce map-side to one row per corpus vector — the
+    * corpus never shuffles its vectors, only (id, max_cos) rows move.
+    * Per-pair cosines round to 6 dp BEFORE the max (round is monotone,
+    * so the max is the same value the oracle's round-then-MAX
+    * computes); zero norms on either side score the −2.0 sentinel.
+    *
+    * @return one row per corpus vector: (idCol, max_cos, contaminated
+    *         0/1). */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            theta: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val b = bench.select(col(vecCol).as("bv"), norm(col(vecCol)).as("bn"))
+    c.crossJoin(broadcast(b))
+      .withColumn("cos",
+        when(col("nrm") === 0d || col("bn") === 0d, lit(-2d))
+          .otherwise(round(dot(col("v"), col("bv"))
+            / (col("nrm") * col("bn")), 6)))
+      .groupBy("id")
+      .agg(max("cos").as("max_cos"))
+      .select(col("id").as(idCol), col("max_cos"),
+        (col("max_cos") >= theta).cast("int").as("contaminated"))
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
               k: Int, nprobe: Int, queryFilter: Column): DataFrame = {
     val d = emb.select(col(idCol).as("id"), col(vecCol).as("v"),

@@ -533,6 +533,21 @@ object LlmQueries {
     // d10 (every 25th vector gets a dim0-zeroed clone at id+1e6,
     // cos ≈ 0.99 to its source) so removals exist by construction; the
     // oracle replays the full kmeans + rank + pairwise chain in SQL.
+    // Semantic decontamination: the "benchmark" is every 25th vector
+    // dim0-zeroed (cos ≈ 0.99 to its source, the d33 planting), so
+    // sources flag at θ=0.95 while unrelated vectors stay clean — the
+    // paraphrase-leakage screen exact n-grams (d18/d35) can't run.
+    "d48_sem_decontam" -> ((s, d) => {
+      val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val bench = base.filter(col("vec_id") % 25 === 0)
+        .select(transform(col("embedding"),
+          (x, i) => when(i === 0, lit(0.0f)).otherwise(x))
+          .as("embedding"))
+      Similarity.semanticContamination(base, bench, "vec_id", "embedding",
+          theta = 0.95)
+        .orderBy("vec_id")
+    }),
+
     "d33_semdedup" -> ((s, d) => {
       val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val clones = base.filter(col("vec_id") % 25 === 0)
@@ -1475,6 +1490,29 @@ object LlmQueries {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "d8_ann_lsh" -> D8LshSql,
     "d29_kmeans" -> D29KmeansSql,
+    // same planted bench (dim0-zeroed every-25th), same per-pair
+    // round-then-MAX; -2.0 sentinel on zero norms
+    "d48_sem_decontam" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |FROM embeddings),
+        |n AS (SELECT vec_id, vv,
+        |  sqrt(list_sum([vv[i]*vv[i] FOR i IN range(1, len(vv)+1)])) AS nrm
+        |FROM v),
+        |b AS (SELECT list_transform(embedding, (x, i) ->
+        |  CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END) AS be
+        |FROM embeddings WHERE vec_id % 25 = 0),
+        |bn AS (SELECT list_transform(be, x -> CAST(x AS DOUBLE)) AS bv,
+        |  sqrt(list_sum([CAST(be[i] AS DOUBLE)*CAST(be[i] AS DOUBLE)
+        |    FOR i IN range(1, len(be)+1)])) AS bnrm FROM b),
+        |p AS (SELECT n.vec_id, CASE WHEN n.nrm = 0 OR bn.bnrm = 0
+        |  THEN -2.0 ELSE ROUND(list_sum([n.vv[i]*bn.bv[i]
+        |    FOR i IN range(1, len(n.vv)+1)]) / (n.nrm * bn.bnrm), 6)
+        |  END AS cos
+        |FROM n CROSS JOIN bn)
+        |SELECT vec_id, MAX(cos) AS max_cos,
+        |CAST(MAX(cos) >= 0.95 AS INT) AS contaminated
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "d40_pq_codes" -> D40PqCodesSql,
     "d41_pq_adc" -> D41PqAdcSql,
     // same per-dim absmax scales, same (x*127)/absmax rounding — all

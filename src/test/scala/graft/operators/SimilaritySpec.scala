@@ -23,6 +23,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - (-1.0)) < 1e-12)
   }
 
+  test("semanticContamination flags by max cosine with sentinel") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f)),   // equals a bench vector → cos 1
+      (11L, Array(0f, 0f, 1f)),   // orthogonal to both → cos 0
+      (12L, Array(0f, 0f, 0f)))   // zero norm → sentinel
+      .toDF("vec_id", "embedding")
+    val bench = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(corpus, bench,
+        "vec_id", "embedding", theta = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2))))
+      .toMap
+    assert(got(10L) == ((1.0, 1)))
+    assert(got(11L) == ((0.0, 0)))
+    assert(got(12L) == ((-2.0, 0)))
+  }
+
   test("bruteForceTopK ranks by cosine with id tie-break") {
     val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
       k = 2, queryFilter = col("vec_id") === 0).collect()
