@@ -534,12 +534,18 @@ object LlmQueries {
     // cos ≈ 0.99 to its source) so removals exist by construction; the
     // oracle replays the full kmeans + rank + pairwise chain in SQL.
     // Semantic decontamination: the "benchmark" is every 25th vector
-    // dim0-zeroed (cos ≈ 0.99 to its source, the d33 planting), so
-    // sources flag at θ=0.95 while unrelated vectors stay clean — the
-    // paraphrase-leakage screen exact n-grams (d18/d35) can't run.
+    // among the first 12800 ids, dim0-zeroed (cos ≈ 0.99 to its
+    // source, the d33 planting), so sources flag at θ=0.95 while
+    // unrelated vectors stay clean — the paraphrase-leakage screen
+    // exact n-grams (d18/d35) can't run. The id cap FIXES the bench
+    // size (≤512 vectors) as the corpus grows — a real benchmark does
+    // not scale with the crawl, and an uncapped probe would make every
+    // scaling measurement quadratic by construction (the d24 r8
+    // bench-probe lesson).
     "d48_sem_decontam" -> ((s, d) => {
       val base = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val bench = base.filter(col("vec_id") % 25 === 0)
+      val bench = base
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 12800)
         .select(transform(col("embedding"),
           (x, i) => when(i === 0, lit(0.0f)).otherwise(x))
           .as("embedding"))
@@ -1501,7 +1507,7 @@ object LlmQueries {
         |FROM v),
         |b AS (SELECT list_transform(embedding, (x, i) ->
         |  CASE WHEN i = 1 THEN CAST(0 AS FLOAT) ELSE x END) AS be
-        |FROM embeddings WHERE vec_id % 25 = 0),
+        |FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 12800),
         |bn AS (SELECT list_transform(be, x -> CAST(x AS DOUBLE)) AS bv,
         |  sqrt(list_sum([CAST(be[i] AS DOUBLE)*CAST(be[i] AS DOUBLE)
         |    FOR i IN range(1, len(be)+1)])) AS bnrm FROM b),
