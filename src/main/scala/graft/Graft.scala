@@ -171,6 +171,12 @@ object Graft {
                    budget: Int, shards: Int): DataFrame =
     Mixing.packByBudget(df, idCol, tokensCol, budget, shards)
 
+  /** BPE merge-candidate pair counts (vocabulary-weighted adjacent
+    * character pairs) — the counting kernel of tokenizer training. */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+                    topN: Int): DataFrame =
+    TextAnalysis.bpePairCounts(docs, textCol, topN)
+
   /** Deterministic weighted sampling without replacement
     * (Efraimidis-Spirakis Gumbel keys; distributed top-n, no RNG). */
   def weightedSampleN(df: DataFrame, idCol: String, weightCol: String,

@@ -83,6 +83,37 @@ object TextAnalysis {
   def subwordTokens(c: Column): Column =
     regexp_extract_all(c, lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N} ]"), lit(0))
 
+  /** Adjacent-symbol pair statistics — the counting kernel of BPE
+    * tokenizer training (Sennrich, Haddow, Birch 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units", ACL):
+    * every merge round picks the most frequent adjacent pair; this is
+    * round one's candidate table at corpus scale, and the shape every
+    * later round repeats over re-segmented words.
+    *
+    * Scale shape: the corpus first collapses to the VOCABULARY (one
+    * word-count shuffle — Heaps-law sublinear in corpus size), then
+    * character pairs explode from vocabulary entries weighted by
+    * their counts, and a second skinny shuffle rolls pairs up. A
+    * 100 TB crawl's pair table is two aggregations over ever-smaller
+    * keys; the text itself is read once. Deterministic total order
+    * (count desc, pair asc) with a top-N cut.
+    *
+    * @return (pair, n) — the `topN` most frequent adjacent character
+    *         pairs across lowercased whitespace words. */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+                    topN: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(wordTokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    vocab.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("wc").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topN)
+  }
+
   /** Polynomial (Rabin-Karp-style) rolling-hash fingerprint: an ordered
     * integer fold `h = (h*31 + code) mod 1e9+7` over the character
     * codes. Pure integer math in a fixed order → bit-identical in any

@@ -291,6 +291,12 @@ object LlmQueries {
         .orderBy("in_id", "ex_id")
     }),
 
+    // BPE pair-statistics kernel: corpus collapses to the vocabulary
+    // first, pairs explode from vocab entries weighted by word counts
+    // — two ever-smaller shuffles, text read once.
+    "d49_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(T.documents(s, d), "text", topN = 30)),
+
     // Corpus-unigram LM quality score (perplexity-proxy filter):
     // per-term log-probs in integer micros, per-doc sums integer-exact.
     "d28_unigram_lm" -> ((s, d) =>
@@ -1198,6 +1204,18 @@ object LlmQueries {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // d4's proven shingle SQL with cross-side join conditions
     "d26_cross_neardup" -> CrossNearSql,
+    // same vocabulary rollup, same 1..len-1 substr pairs, same
+    // (n DESC, pair) total order
+    "d49_bpe_pairs" ->
+      """WITH t AS (SELECT lower(x) AS w FROM (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |    v -> v <> '')) AS x FROM documents)),
+        |wc AS (SELECT w, COUNT(*) AS wc FROM t GROUP BY w),
+        |p AS (SELECT unnest([substr(w, i, 2)
+        |    FOR i IN range(1, len(w))]) AS pair, wc
+        |  FROM wc WHERE len(w) >= 2)
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
     // d47 is output-identical to d26 by the cross-corpus prefix lemma
     // (Dedup.prefixCrossJaccard), so the SAME pairwise SQL is its
     // oracle — losslessness of the prefix filter is itself checked.

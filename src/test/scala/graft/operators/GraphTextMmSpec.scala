@@ -154,6 +154,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v == 97L * 31 + 98)
   }
 
+  test("bpePairCounts: vocabulary-weighted adjacent pairs by hand") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab AB abc"), (2L, "xy")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(docs, "text", topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // vocab after lowering: ab×2, abc×1, xy×1 → pairs ab:2+1, bc:1, xy:1
+    assert(got == Seq(("ab", 3L), ("bc", 1L), ("xy", 1L)))
+    // topN truncates on the (n desc, pair) total order
+    val top1 = TextAnalysis.bpePairCounts(docs, "text", topN = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("ab"))
+  }
+
   test("token metrics") {
     val r = Seq("ab cd  ef ab").toDF("t").select(
       TextAnalysis.tokenCount(col("t")),
