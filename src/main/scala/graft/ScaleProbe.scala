@@ -51,7 +51,39 @@ object ScaleProbe {
     else if (args.headOption.contains("prefix"))
       prefixProbe(args.drop(1).headOption.map(_.toInt).getOrElse(2000),
         args.drop(2).headOption.map(_.toInt).getOrElse(4000))
+    else if (args.headOption.contains("semdecon"))
+      semDeconProbe(args.drop(1).headOption.map(_.toInt).getOrElse(20000),
+        args.drop(2).headOption.map(_.toInt).getOrElse(512))
     else lshProbe(args)
+
+  /** Semantic-decontamination scaling: n then 10n corpus vectors
+    * against a FIXED `benchN`-vector benchmark — the d48 contract
+    * (the query's id cap is exactly what makes this the measured
+    * regime). Cost is |corpus|·|bench|·d flops map-side + one
+    * |corpus|-row rollup, so the 10× run should land near 10×. */
+  private def semDeconProbe(n: Int, benchN: Int): Unit = {
+    val spark = session()
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    def vecs(m: Int) = (0 until m).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val bench = vecs(benchN)
+    def run(corpus: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.Similarity.semanticContamination(corpus, bench,
+          "vec_id", "embedding", theta = 0.95)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val small = vecs(n)
+    val big = vecs(10 * n)
+    run(small) // codegen warm-up
+    val ts = run(small)
+    val tb = run(big)
+    println(s"""{"metric":"semdecon_fixed_bench_probe","unit":"sec","bench":$benchN,"n":$n,"t_n":${f(ts)},"t_10n":${f(tb)},"ratio":${f(tb / ts)}}""")
+    spark.stop()
+  }
 
   /** Boilerplate-heavy corpus: full blocking vs prefix filtering at
     * two corpus sizes. theta = 0.7 is unreachable for distinct-tail
