@@ -75,7 +75,17 @@ object Graft {
       bucketCap = bucketCap)
 
   /** Embedding-level decontamination: per corpus vector, max cosine to
-    * any benchmark vector with a contamination flag at `theta`. */
+    * any benchmark vector with a contamination flag at `theta`.
+    *
+    * Scale contract: the BENCH side is broadcast in full to every
+    * executor, so this operator is safe only while the benchmark stays
+    * broadcast-bounded (thousands of vectors, not millions — a real
+    * eval benchmark, which by nature does not scale with the crawl).
+    * Callers feeding a growing frame as `bench` must cap it first, as
+    * the d48 query does with its fixed id-range bound; an oversized
+    * bench side fails at the broadcast threshold rather than silently
+    * going quadratic. An EMPTY bench yields one (id, null, 0) row per
+    * corpus vector, never an empty frame. */
   def semanticContamination(corpus: DataFrame, bench: DataFrame,
                             idCol: String, vecCol: String,
                             theta: Double): DataFrame =

@@ -238,21 +238,37 @@ object Mixing {
     * that over-asks a small stratum should SEE the shortfall, not
     * have it silently redistributed. Strata absent from `targets`
     * get share 0 (present in the output with their inventory, planned
-    * 0 — the "what am I leaving out" row).
+    * 0 — the "what am I leaving out" row). Symmetrically, a target
+    * stratum with ZERO corpus inventory still gets an output row
+    * (available 0, keep_rate 0, deficit = its full desired_tokens) —
+    * the rollup is a full outer union of the recipe's keys with the
+    * corpus's strata, so an empty stratum's shortfall is visible
+    * rather than silently vanishing from the plan. The recipe keys
+    * are a driver-held config map (a handful of rows), so the union
+    * side is free at any corpus scale.
     *
     * One shuffle (the stratum rollup); the rates feed
     * [[stratifiedSample]]/[[sampleN]] for the actual row selection. */
   def mixturePlan(df: DataFrame, stratumCol: String, tokensCol: String,
                   targets: Map[String, Double], budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val share = coalesce(
       try_element_at(typedlit(targets), col(stratumCol)), lit(0d))
+    val recipeKeys = targets.keys.toSeq.sorted.toDF(stratumCol)
     df.groupBy(col(stratumCol))
       .agg(sum(col(tokensCol)).cast("long").as("available_tokens"))
+      .join(recipeKeys, Seq(stratumCol), "full")
+      .withColumn("available_tokens",
+        coalesce(col("available_tokens"), lit(0L)))
       .withColumn("target_share", round(share, 6))
       .withColumn("desired_tokens",
         floor(col("target_share") * lit(budget.toDouble)).cast("long"))
-      .withColumn("keep_rate", round(least(lit(1d),
-        col("desired_tokens").cast("double") / col("available_tokens")), 6))
+      .withColumn("keep_rate",
+        when(col("available_tokens") === 0L, lit(0d))
+          .otherwise(round(least(lit(1d),
+            col("desired_tokens").cast("double")
+              / col("available_tokens")), 6)))
       .withColumn("planned_tokens",
         floor(col("keep_rate") * col("available_tokens").cast("double"))
           .cast("long"))

@@ -171,6 +171,15 @@ object Similarity {
     * so the max is the same value the oracle's round-then-MAX
     * computes); zero norms on either side score the −2.0 sentinel.
     *
+    * Every corpus vector appears in the output regardless of the
+    * benchmark's size: an EMPTY bench yields (id, max_cos = null,
+    * contaminated = 0) rows rather than an empty frame, so a caller
+    * that inner-joins the flags back (or treats row presence as
+    * "screened") can never silently drop the corpus because the bench
+    * load produced nothing. The join-back is skinny on both sides —
+    * (id) vs (id, max_cos) — so the corpus still never shuffles its
+    * vectors.
+    *
     * @return one row per corpus vector: (idCol, max_cos, contaminated
     *         0/1). */
   def semanticContamination(corpus: DataFrame, bench: DataFrame,
@@ -179,15 +188,18 @@ object Similarity {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
     val b = bench.select(col(vecCol).as("bv"), norm(col(vecCol)).as("bn"))
-    c.crossJoin(broadcast(b))
+    val flags = c.crossJoin(broadcast(b))
       .withColumn("cos",
         when(col("nrm") === 0d || col("bn") === 0d, lit(-2d))
           .otherwise(round(dot(col("v"), col("bv"))
             / (col("nrm") * col("bn")), 6)))
       .groupBy("id")
       .agg(max("cos").as("max_cos"))
+    c.select(col("id"))
+      .join(flags, Seq("id"), "left")
       .select(col("id").as(idCol), col("max_cos"),
-        (col("max_cos") >= theta).cast("int").as("contaminated"))
+        coalesce((col("max_cos") >= theta).cast("int"), lit(0))
+          .as("contaminated"))
   }
 
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, labelCol: String,

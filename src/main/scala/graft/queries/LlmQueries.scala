@@ -511,17 +511,25 @@ object LlmQueries {
     // Product quantization codes (Jégou et al. 2011): 4 subspaces ×
     // 4-centroid L2 codebooks, one re-estimation round — each 64-dim
     // vector compresses to 4 small codes (the 100 TB ANN memory path).
+    // Gate shape: the operator returns `code` as array<int>, which the
+    // driver's pandas comparison cannot sort/hash — so the QUERY layer
+    // posexplodes to (vec_id, s, c) rows (one per subspace), the shape
+    // the oracle's pa2 relation already carries natively.
     "d40_pq_codes" -> ((s, d) =>
       Quantization.pqCodes(T.embeddings(s, d), "vec_id", "embedding",
           m = 4, k = 4, iters = 2)
-        .orderBy("vec_id")),
+        .select(col("vec_id"), posexplode(col("code")).as(Seq("s", "c")))
+        .orderBy("vec_id", "s")),
 
     // Symmetric per-dim int8 scalar quantization (SQ8): one skinny
     // per-dim absmax agg, scales ride as a one-row broadcast array,
     // encoding is map-side zip_with. Integer codes → no float epsilon.
+    // Same gate-shape rule as d40: posexplode the array<int> codes to
+    // (vec_id, i, c) scalar rows for the driver's pandas sort/hash.
     "d45_sq8_codes" -> ((s, d) =>
       Quantization.sq8Codes(T.embeddings(s, d), "vec_id", "embedding")
-        .orderBy("vec_id")),
+        .select(col("vec_id"), posexplode(col("code")).as(Seq("i", "c")))
+        .orderBy("vec_id", "i")),
 
     // ADC top-k over the PQ codes: full-precision queries (every 10th
     // id), compressed-domain scoring via per-query LUTs in integer
@@ -921,8 +929,8 @@ object LlmQueries {
   private val D40PqCodesSql: String =
     PqPrefix +
       """
-        |SELECT id AS vec_id, list(CAST(c AS INT) ORDER BY s) AS code
-        |FROM pa2 GROUP BY id ORDER BY vec_id""".stripMargin
+        |SELECT id AS vec_id, CAST(s AS INT) AS s, CAST(c AS INT) AS c
+        |FROM pa2 ORDER BY vec_id, s""".stripMargin
 
   /** d41: ADC replay — integer-micro LUT dot products and centroid
     * squared norms exactly as the Spark side computes them (both
@@ -1258,20 +1266,27 @@ object LlmQueries {
         |SELECT doc_id, w, gkey FROM k
         |ORDER BY gkey DESC, doc_id LIMIT 50""".stripMargin,
     // identical plan arithmetic: floor/least on the same 6-dp-rounded
-    // doubles, absent strata share 0
+    // doubles, absent strata share 0; the recipe's keys full-outer-union
+    // the corpus strata so a zero-inventory target (zh here — the
+    // fixture has no zh docs) surfaces its full deficit
     "d44_mixture_plan" ->
-      """WITH t AS (SELECT lang,
+      """WITH inv AS (SELECT lang,
         |  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
         |    x -> x <> ''))) AS BIGINT) AS available_tokens
         |FROM documents GROUP BY lang),
+        |rk AS (SELECT unnest(['en','de','es','zh']) AS lang),
+        |t AS (SELECT COALESCE(inv.lang, rk.lang) AS lang,
+        |  COALESCE(available_tokens, 0) AS available_tokens
+        |FROM inv FULL OUTER JOIN rk ON inv.lang = rk.lang),
         |p AS (SELECT lang, available_tokens,
         |  ROUND(CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
         |    WHEN 'es' THEN 0.2 WHEN 'zh' THEN 0.05 ELSE 0 END AS DOUBLE),
         |    6) AS target_share FROM t),
         |q AS (SELECT *, CAST(FLOOR(target_share * 10000000.0) AS BIGINT)
         |  AS desired_tokens FROM p),
-        |r AS (SELECT *, ROUND(LEAST(1.0,
-        |  CAST(desired_tokens AS DOUBLE) / available_tokens), 6)
+        |r AS (SELECT *, CASE WHEN available_tokens = 0 THEN 0.0
+        |  ELSE ROUND(LEAST(1.0,
+        |    CAST(desired_tokens AS DOUBLE) / available_tokens), 6) END
         |  AS keep_rate FROM q)
         |SELECT lang, available_tokens, target_share, desired_tokens,
         |keep_rate,
@@ -1540,19 +1555,22 @@ object LlmQueries {
     "d40_pq_codes" -> D40PqCodesSql,
     "d41_pq_adc" -> D41PqAdcSql,
     // same per-dim absmax scales, same (x*127)/absmax rounding — all
-    // integer output, so the comparison is exact with no 6-dp round
+    // integer output, so the comparison is exact with no 6-dp round;
+    // (vec_id, i, c) rows mirror the Spark side's posexplode (0-based i)
     "d45_sq8_codes" ->
       """WITH pe AS (SELECT unnest(range(1, len(embedding)+1)) AS i,
         |  unnest(embedding) AS x FROM embeddings),
         |mx AS (SELECT i, MAX(ABS(CAST(x AS DOUBLE))) AS m FROM pe
         |  GROUP BY i),
-        |sarr AS (SELECT list(m ORDER BY i) AS ms FROM mx)
-        |SELECT vec_id, [CASE WHEN ms[i] = 0 THEN 0
+        |sarr AS (SELECT list(m ORDER BY i) AS ms FROM mx),
+        |ve AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i,
+        |  unnest(embedding) AS x FROM embeddings)
+        |SELECT vec_id, CAST(i - 1 AS INT) AS i,
+        |CASE WHEN ms[i] = 0 THEN 0
         |  ELSE CAST(LEAST(GREATEST(ROUND(
-        |    (CAST(embedding[i] AS DOUBLE) * 127) / ms[i]), -127), 127)
-        |    AS INT) END
-        |  FOR i IN range(1, len(embedding)+1)] AS code
-        |FROM embeddings CROSS JOIN sarr ORDER BY vec_id""".stripMargin,
+        |    (CAST(x AS DOUBLE) * 127) / ms[i]), -127), 127) AS INT) END
+        |  AS c
+        |FROM ve CROSS JOIN sarr ORDER BY vec_id, i""".stripMargin,
     "d31_dsir_scores" ->
       """WITH p AS (SELECT doc_id, tgt, t, COUNT(*) AS tf FROM (
         |    SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,

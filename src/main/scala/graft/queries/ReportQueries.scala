@@ -300,6 +300,48 @@ object ReportQueries {
         Seq("title", "artist", "albumartist"),
         compilationCol = Some("compilation"))
     }),
+    // VA / compilation classification (ref 92-...py:852-895) over a
+    // fixture planting every VA spelling the reference's set matches:
+    // exact "Various Artists" (album 0), whitespace+case " VA " (album
+    // 1), a multi-value cell whose FIRST token is "various" (album 2 —
+    // exercises token-level matching, not whole-cell), plus the
+    // stride-10 compilation flag so va/comp overlap and diverge.
+    "rp_va_classification" -> ((s, d) => {
+      val k = col("c_custkey")
+      val dd = k % 40
+      val tracks = graft.core.Tables.customer(s, d).select(
+        concat(lit("/m/A"), dd.cast("string")).as("album_root"),
+        when(dd === 0, lit("Various Artists"))
+          .when(dd === 1, lit("  VA "))
+          .when(dd === 2, lit("various\\\\AA3"))
+          .when(k % 23 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("AA"), (k % 12).cast("string")))
+          .as("albumartist"),
+        when(dd % 10 === 5, lit(1)).otherwise(lit(0)).as("compilation"))
+      Insights.vaClassification(tracks, "album_root", "albumartist",
+        "compilation")
+    }),
+    // Library KPI tiles (ref 92-...py:897-921): size/duration/format
+    // header metrics over a tracks fixture with multi-value
+    // albumartist cells and a null-gapped filetype column.
+    "rp_library_kpis" -> ((s, d) => {
+      val k = col("c_custkey")
+      val tracks = graft.core.Tables.customer(s, d).select(
+        concat(lit("/m/A"), (k % 40).cast("string")).as("album_root"),
+        when(k % 23 === 0, lit(null).cast("string"))
+          .when(k % 6 === 0, concat(lit("AA"), (k % 12).cast("string"),
+            lit("\\\\"), lit("AA"), ((k % 12 + 1) % 12).cast("string")))
+          .otherwise(concat(lit("AA"), (k % 12).cast("string")))
+          .as("albumartist"),
+        (lit(30) + k % 300).cast("double").as("duration_s"),
+        (lit(1000000L) + (k % 7919) * 1000L).as("size_bytes"),
+        when(k % 11 === 0, lit(null).cast("string"))
+          .when(k % 11 === 1, lit("MP3"))
+          .when(k % 11 === 2, lit("FLAC"))
+          .otherwise(lit("Ogg Vorbis")).as("filetype"))
+      Insights.libraryKpis(tracks, "album_root", "albumartist",
+        "duration_s", "size_bytes", "filetype")
+    }),
   )
 
   /** DuckDB restatement of [[roleTracks]] (interpolated into the three
@@ -893,5 +935,51 @@ object ReportQueries {
         |CASE WHEN albumartist = 0 THEN NULL ELSE albumartist END AS albumartist
         |FROM z WHERE title > 0 OR artist > 0 OR albumartist > 0
         |ORDER BY album_dirpath""".stripMargin,
+    // identical VA-token matching: lowercased trimmed tokens on the
+    // `\\` delimiter against the reference's three spellings
+    "rp_va_classification" ->
+      s"""WITH t AS (SELECT '/m/A' || (c_custkey % 40) AS album_root,
+         |CASE WHEN c_custkey % 40 = 0 THEN 'Various Artists'
+         |  WHEN c_custkey % 40 = 1 THEN '  VA '
+         |  WHEN c_custkey % 40 = 2 THEN 'various\\\\AA3'
+         |  WHEN c_custkey % 23 = 0 THEN NULL
+         |  ELSE 'AA' || (c_custkey % 12) END AS albumartist,
+         |CASE WHEN (c_custkey % 40) % 10 = 5 THEN 1 ELSE 0 END
+         |  AS compilation
+         |FROM customer),
+         |g AS (SELECT album_root,
+         |CAST(MAX(CASE WHEN list_has_any(${lowTokListSql("albumartist")},
+         |  ['various artists', 'various', 'va']) THEN 1 ELSE 0 END)
+         |  AS INT) AS album_is_va,
+         |CAST(MAX(compilation) AS INT) AS album_is_compilation
+         |FROM t GROUP BY album_root)
+         |SELECT album_root, album_is_va, album_is_compilation,
+         |CAST(CASE WHEN album_is_va = 1 OR album_is_compilation = 1
+         |  THEN 1 ELSE 0 END AS INT) AS album_is_va_or_comp
+         |FROM g ORDER BY album_root""".stripMargin,
+    // scalar pass + token-distinct pass, both one-row → cross join
+    "rp_library_kpis" ->
+      s"""WITH t AS (SELECT '/m/A' || (c_custkey % 40) AS album_root,
+         |CASE WHEN c_custkey % 23 = 0 THEN NULL
+         |  WHEN c_custkey % 6 = 0
+         |    THEN 'AA' || (c_custkey % 12) || '\\\\AA' || ((c_custkey % 12 + 1) % 12)
+         |  ELSE 'AA' || (c_custkey % 12) END AS albumartist,
+         |CAST(30 + c_custkey % 300 AS DOUBLE) AS duration_s,
+         |1000000 + (c_custkey % 7919) * 1000 AS size_bytes,
+         |CASE WHEN c_custkey % 11 = 0 THEN NULL
+         |  WHEN c_custkey % 11 = 1 THEN 'MP3'
+         |  WHEN c_custkey % 11 = 2 THEN 'FLAC'
+         |  ELSE 'Ogg Vorbis' END AS filetype
+         |FROM customer),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tracks,
+         |CAST(COUNT(DISTINCT album_root) AS BIGINT) AS n_albums,
+         |SUM(duration_s) AS listening_s,
+         |CAST(SUM(size_bytes) AS BIGINT) AS storage_bytes,
+         |CAST(COUNT(DISTINCT filetype) AS BIGINT) AS n_filetypes FROM t),
+         |a AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+         |  AS n_albumartists FROM (
+         |  SELECT ${tokSql("albumartist")} AS tok FROM t))
+         |SELECT n_tracks, n_albums, n_albumartists, listening_s,
+         |storage_bytes, n_filetypes FROM m CROSS JOIN a""".stripMargin,
   )
 }

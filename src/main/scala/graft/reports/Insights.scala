@@ -580,4 +580,66 @@ object Insights {
           when(col(c) === 0, lit(null)).otherwise(col(c)).as(c)): _*)
       .orderBy("album_dirpath")
   }
+
+  /** VA / compilation classification (ref 92-...py:852-895): per album
+    * root, `album_is_va` = any albumartist TOKEN (tagminder `\\`
+    * delimiter) whose lowercased trim is in the reference's VA set
+    * {"various artists", "various", "va"}, `album_is_compilation` =
+    * the album-level max of the track compilation flag, and the
+    * combined `album_is_va_or_comp` — the classification the dashboard
+    * joins onto every album-scoped card. Albums with no albumartist at
+    * all classify 0 (the reference's fill_null(0)).
+    *
+    * One hash aggregation on the album root; the token scan is
+    * map-side (arrays_overlap over the in-row token list — no
+    * explode), so at 100 TB this shuffles album-count rows only. */
+  def vaClassification(tracks: DataFrame, albumCol: String,
+                       aaCol: String, compCol: String): DataFrame = {
+    import graft.core.MultiValue
+    val vaSet = Array("various artists", "various", "va")
+    val lowToks = transform(
+      MultiValue.tokens(coalesce(col(aaCol), lit(""))), t => lower(t))
+    tracks
+      .groupBy(col(albumCol))
+      .agg(
+        max(arrays_overlap(lowToks, lit(vaSet)).cast("int"))
+          .as("album_is_va"),
+        max(col(compCol).cast("int")).as("album_is_compilation"))
+      .withColumn("album_is_va_or_comp",
+        ((col("album_is_va") === 1) || (col("album_is_compilation") === 1))
+          .cast("int"))
+      .orderBy(albumCol)
+  }
+
+  /** Library-level KPI tiles (ref 92-...py:897-921): track count,
+    * album count, distinct albumartist TOKENS across multi-value
+    * cells, total listening seconds, total storage bytes, and distinct
+    * non-null filetypes — the header row of the dashboard. Formatting
+    * (hours / GB strings) is rendering, out of engine scope; distinct
+    * counts ignore nulls (Spark and DuckDB agree; the reference's
+    * n_unique counted null as a value, a rendering nicety).
+    *
+    * Two aggregations — the scalar pass is fully map-side-combinable;
+    * the albumartist token distinct needs its own explode-then-count
+    * (a distinct over tokens, not rows). Both reduce to ONE row, so
+    * the join of the two halves is a one-row cross join — nothing
+    * resembling data scale moves. */
+  def libraryKpis(tracks: DataFrame, albumCol: String, aaCol: String,
+                  durCol: String, sizeCol: String,
+                  ftCol: String): DataFrame = {
+    import graft.core.MultiValue
+    val scalars = tracks.agg(
+      count(lit(1)).as("n_tracks"),
+      countDistinct(col(albumCol)).as("n_albums"),
+      sum(col(durCol).cast("double")).as("listening_s"),
+      sum(col(sizeCol)).cast("long").as("storage_bytes"),
+      countDistinct(col(ftCol)).as("n_filetypes"))
+    val aa = tracks
+      .select(explode(MultiValue.tokens(coalesce(col(aaCol), lit(""))))
+        .as("tok"))
+      .agg(countDistinct(col("tok")).as("n_albumartists"))
+    scalars.crossJoin(aa)
+      .select("n_tracks", "n_albums", "n_albumartists", "listening_s",
+        "storage_bytes", "n_filetypes")
+  }
 }

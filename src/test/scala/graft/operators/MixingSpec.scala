@@ -213,15 +213,21 @@ class MixingSpec extends SparkSpec {
       Seq.tabulate(4)(i => ("code", 50L)) ++
       Seq.tabulate(2)(i => ("books", 10L))
     val plan = Mixing.mixturePlan(df.toDF("src", "n"), "src", "n",
-      targets = Map("web" -> 0.5, "books" -> 0.5), budget = 400L)
+      targets = Map("web" -> 0.4, "books" -> 0.5, "wiki" -> 0.1),
+      budget = 400L)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
           r.getLong(5), r.getLong(6))).toMap
-    // web: 1000 available, desired 200 → rate 0.2, planned 200, no deficit
-    assert(plan("web") == ((1000L, 0.5, 200L, 0.2, 200L, 0L)))
+    // web: 1000 available, desired 160 → rate 0.16, planned 160, no deficit
+    assert(plan("web") == ((1000L, 0.4, 160L, 0.16, 160L, 0L)))
     // books: 20 available, desired 200 → saturates at rate 1, deficit 180
     assert(plan("books") == ((20L, 0.5, 200L, 1.0, 20L, 180L)))
     // code: unlisted → share 0, planned 0, inventory still visible
     assert(plan("code") == ((200L, 0.0, 0L, 0.0, 0L, 0L)))
+    // wiki: targeted but ZERO inventory → the row still appears, with
+    // its entire desired budget surfaced as deficit (the shortfall must
+    // be visible, not silently redistributed)
+    assert(plan("wiki") == ((0L, 0.1, 40L, 0.0, 0L, 40L)))
+    assert(plan.size == 4)
   }
 }

@@ -42,6 +42,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got(12L) == ((-2.0, 0)))
   }
 
+  test("semanticContamination on an EMPTY bench keeps every corpus row") {
+    // an empty benchmark must be visible (max_cos null, contaminated 0)
+    // rather than row-erasing — a caller inner-joining the flags back
+    // would otherwise silently drop the whole corpus
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f)),
+      (11L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val bench = corpus.filter(col("vec_id") < 0)
+    val got = Similarity.semanticContamination(corpus, bench,
+        "vec_id", "embedding", theta = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.isNullAt(1), r.getInt(2))))
+      .toMap
+    assert(got == Map(10L -> ((true, 0)), 11L -> ((true, 0))))
+  }
+
   test("bruteForceTopK ranks by cosine with id tie-break") {
     val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
       k = 2, queryFilter = col("vec_id") === 0).collect()

@@ -47,12 +47,27 @@ def main():
             got = con.sql(
                 f"SELECT * FROM read_parquet({files!r})")
             got_cols = [c.lower() for c in got.columns]
+            got_types = [str(t) for t in got.types]
             got_rows = got.fetchall()
             exp = con.sql(sql)
             exp_cols = [c.lower() for c in exp.columns]
+            exp_types = [str(t) for t in exp.types]
             exp_rows = exp.fetchall()
         except Exception as e:
             results[name] = f"ERROR: {e}"
+            continue
+        # The driver's gate sorts/hashes result frames via pandas, where
+        # list/struct/map cells are unhashable → the whole row errs.
+        # Declared queries therefore carry a SCALAR-OUTPUT CONTRACT:
+        # reject any nested-typed result column here so the self-check
+        # can never pass a query the driver gate will err on (the
+        # d40/d45 round-9 lesson).
+        nested = [f"{c}:{t}" for c, t in
+                  list(zip(got_cols, got_types)) + list(zip(exp_cols, exp_types))
+                  if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST"))]
+        if nested:
+            results[name] = (f"NESTED_TYPE: driver gate cannot sort/hash "
+                             f"array/struct/map result columns: {nested}")
             continue
         if sorted(got_cols) != sorted(exp_cols):
             results[name] = f"SCHEMA: got {sorted(got_cols)} want {sorted(exp_cols)}"
