@@ -54,7 +54,62 @@ object ScaleProbe {
     else if (args.headOption.contains("semdecon"))
       semDeconProbe(args.drop(1).headOption.map(_.toInt).getOrElse(20000),
         args.drop(2).headOption.map(_.toInt).getOrElse(512))
+    else if (args.headOption.contains("maxscore"))
+      maxScoreProbe(args.drop(1).headOption.map(_.toInt).getOrElse(20000),
+        args.drop(2).headOption.map(_.toInt).getOrElse(128))
     else lshProbe(args)
+
+  /** The regime [[graft.operators.Search.bm25TopKMaxScore]] exists
+    * for — SKEWED per-term impacts, the shape of real text — measured
+    * against the exact probe on the same index. The committed
+    * `documents` fixture is the adversarial near-uniform-impact case
+    * (d32 runs ~20-35% OVER d24 there with 0/128 certified, by
+    * design: the certificate refuses unsafe pruning); this probe
+    * builds the complementary corpus so a committed artifact shows
+    * the certificate firing and the pruning WINNING.
+    *
+    * Corpus: every doc carries a unique 8×-repeated head term (rare →
+    * its whole posting list fits the champion prefix, c_t = 0) plus
+    * ONE occurrence of the broad term "the" — except 8 planted docs
+    * where "the" repeats 10× in a short doc (the champion head).
+    * "the"'s impact distribution is thus 8 big values and n−8 tiny
+    * ones, so its non-champion bound c_t (the 64th-best impact) is a
+    * tf=1 long-doc score ≈ the floor. Queries are "u{x} the": θ_q
+    * (the unique term's big score) clears B_q = c_the by orders of
+    * magnitude → certified, and the exact probe's per-query Σdf ≈ n
+    * fan-out on "the" never materializes. */
+  private def maxScoreProbe(n: Int, nq: Int): Unit = {
+    val spark = session()
+    import spark.implicits._
+    val docs = (0 until n).map { i =>
+      val head = (s"u$i " * 8).trim
+      val the = if (i < 8) "the " * 10 else "the "
+      val filler = if (i < 8) "" else (s"w${i % 97} " * 12)
+      (i.toLong, s"$head $the$filler".trim)
+    }.toDF("doc_id", "text").localCheckpoint(true)
+    val queries = (0 until nq).map { j =>
+      val x = (j.toLong * 37L) % n
+      (j.toLong, s"u$x the")
+    }.toDF("qid", "qtext").localCheckpoint(true)
+    def time(body: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      body.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    import graft.operators.Search
+    def exact() = time(Search.bm25TopK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 3))
+    def pruned() = time(Search.bm25TopKMaxScore(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 3, m = 64))
+    exact(); pruned() // codegen warm-up per plan shape
+    val te = exact()
+    val tp = pruned()
+    val certified = Search.bm25MaxScoreCertificates(docs, "doc_id",
+        "text", queries, "qid", "qtext", k = 3, m = 64)
+      .filter("certified").count()
+    println(s"""{"metric":"bm25_maxscore_skewed_probe","unit":"sec","docs":$n,"queries":$nq,"certified":$certified,"exact":${f(te)},"maxscore":${f(tp)},"speedup":${f(te / tp)}}""")
+    spark.stop()
+  }
 
   /** Semantic-decontamination scaling: n then 10n corpus vectors
     * against a FIXED `benchN`-vector benchmark — the d48 contract

@@ -645,13 +645,37 @@ object Dedup {
     * @return (idCol, span_start, span_end, span_tokens). */
   def crossDupSpans(incoming: DataFrame, existing: DataFrame,
                     idCol: String, textCol: String,
-                    w: Int = 8): DataFrame = {
+                    w: Int = 8): DataFrame =
+    crossDupSpansAgainst(incoming,
+      existingGramSet(existing, textCol, w), idCol, textCol, w)
+
+  /** The existing corpus reduced to its DISTINCT w-gram hash set —
+    * the materialized half of [[crossDupSpans]]. A continuous ingest
+    * pipeline builds this ONCE (and appends to it as batches commit)
+    * rather than re-deriving it per catch-up run; the streaming twin
+    * (`st_cross_spans`) probes a frame produced here. 8 bytes per
+    * distinct gram, one aggregation shuffle — text never crosses the
+    * wire. */
+  def existingGramSet(existing: DataFrame, textCol: String,
+                      w: Int = 8): DataFrame = {
     import graft.functions.NativeExpressions.hashedNgrams
-    val grams = positionalGrams(incoming, idCol, textCol, w)
-    val seen = existing
+    existing
       .select(explode(hashedNgrams(col(textCol), w)).as("h"))
       .distinct()
-    mergeSpans(grams.join(seen, Seq("h"))
+  }
+
+  /** [[crossDupSpans]] against a pre-built [[existingGramSet]] frame
+    * (column `h`): incoming positional grams join the set keyed on
+    * the hash, then the per-doc interval merge. Each incoming doc's
+    * grams derive from its own row, so the operator is
+    * micro-batch-safe: applying it batch-by-batch over a partition of
+    * `incoming` yields exactly the rows of applying it once — the
+    * property the streaming arm relies on. */
+  def crossDupSpansAgainst(incoming: DataFrame, seenGrams: DataFrame,
+                           idCol: String, textCol: String,
+                           w: Int = 8): DataFrame = {
+    val grams = positionalGrams(incoming, idCol, textCol, w)
+    mergeSpans(grams.join(seenGrams, Seq("h"))
       .select(col("id"), col("s"), (col("s") + (w - 1)).as("e")), idCol)
   }
 

@@ -30,8 +30,14 @@ object StreamQueries {
   // contended caller should memoize a lazy holder instead.
   private val streamMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** `transform` runs INSIDE foreachBatch on each micro-batch before
+    * the sink write — the place for logic Structured Streaming cannot
+    * express on the stream itself (window functions, multi-stage
+    * aggregation), legal whenever the per-batch result depends only on
+    * that batch's rows plus static frames. */
   private def materializedStream(s: SparkSession, d: String, name: String,
-      srcFile: String, mode: String = "append")(
+      srcFile: String, mode: String = "append",
+      transform: DataFrame => DataFrame = identity)(
       build: String => DataFrame): String =
     streamMemo.computeIfAbsent(
       s.sparkContext.applicationId + "|" + d + "|" + name, _ => {
@@ -69,7 +75,8 @@ object StreamQueries {
         // the full result each batch, so the LAST overwrite wins
         graft.streaming.EventStream.runAvailableNow(build(in), s"$base/ckpt",
           mode) { (b, _) =>
-          b.write.mode(if (mode == "complete") "overwrite" else "append")
+          transform(b).write
+            .mode(if (mode == "complete") "overwrite" else "append")
             .parquet(s"$base/out")
         }
         s"$base/out"
@@ -152,6 +159,32 @@ object StreamQueries {
       s.read.parquet(out).orderBy("user_id", "event_type")
     }),
 
+    // Cross-corpus duplicate-span detection as a streaming twin — the
+    // operator a 100 TB ingest pipeline actually runs continuously:
+    // incoming micro-batches (doc_id % 5 = 0, the d37 split) probe the
+    // MATERIALIZED existing-gram set (built once from the static side,
+    // localCheckpointed — a production deployment keeps this table on
+    // disk and appends to it as batches commit). The interval merge is
+    // a window function, inexpressible on a stream, so it runs inside
+    // foreachBatch via `transform` — safe because every incoming doc's
+    // grams derive from its own row (micro-batch-local by
+    // construction; see Dedup.crossDupSpansAgainst). Hashed against
+    // the BATCH d37 oracle verbatim.
+    "st_cross_spans" -> ((s, d) => {
+      lazy val seen = graft.operators.Dedup.existingGramSet(
+        T.documents(s, d).filter(col("doc_id") % 5 =!= 0), "text")
+        .localCheckpoint(true)
+      val out = materializedStream(s, d, "xspans", "documents.parquet",
+        transform = batch =>
+          graft.operators.Dedup.crossDupSpansAgainst(
+            batch.filter(col("doc_id") % 5 === 0), seen,
+            "doc_id", "text")) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      s.read.parquet(out).orderBy("doc_id", "span_start")
+    }),
+
     // S8's streaming twin as an oracle row — stream-static left-semi
     // on the modified-rows condition, same contract as st_s7_new.
     "st_s8_modified" -> ((s, d) => {
@@ -220,6 +253,8 @@ object StreamQueries {
   )
 
   val sql: Map[String, String] = Map(
+    // the BATCH d37 oracle verbatim: stream == batch by contract
+    "st_cross_spans" -> LlmQueries.sql("d37_cross_spans"),
     // the BATCH s7/s8 oracles verbatim: stream == batch by contract
     "st_s7_new" ->
       """SELECT p_partkey FROM part WHERE NOT EXISTS (

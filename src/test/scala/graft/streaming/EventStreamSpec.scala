@@ -168,6 +168,44 @@ class EventStreamSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("cross-corpus span probe is invariant under micro-batch splits") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("evxs").toString
+    val ckpt = Files.createTempDirectory("evxsck").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    // stage the incoming half as TWO separate files so AvailableNow
+    // with maxFilesPerTrigger=1 runs TWO micro-batches — exercising
+    // crossDupSpansAgainst's batch-split-invariance claim, not just
+    // the trivial single-batch case
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("evxsstage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    stage(incoming.filter(col("doc_id") % 2 === 0), "a.parquet")
+    stage(incoming.filter(col("doc_id") % 2 =!= 0), "b.parquet")
+    val seen = Dedup.existingGramSet(
+      docs.filter(col("doc_id") % 5 =!= 0), "text").localCheckpoint(true)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    var got = Set.empty[Seq[Any]]
+    var batches = 0
+    EventStream.runAvailableNow(stream, ckpt, mode = "append") { (b, _) =>
+      batches += 1
+      got ++= Dedup.crossDupSpansAgainst(b, seen, "doc_id", "text")
+        .collect().map(_.toSeq)
+    }
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+    val want = Dedup.crossDupSpans(incoming,
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("streaming upsert sink folds to the same state as the batch MERGE") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("evups").toString
