@@ -114,6 +114,77 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Full BPE merge-rule training (Sennrich, Haddow, Birch 2016 §3.2)
+    * — the iterative loop [[bpePairCounts]] is one round of: pick the
+    * most frequent adjacent symbol pair, fuse it everywhere, repeat.
+    * Returns the learned merge table `(step, left_sym, right_sym,
+    * merged, n)` in training order — the artifact a tokenizer ships.
+    *
+    * Corpus → vocabulary ONCE (the Heaps-law-sublinear shuffle), then
+    * every round runs on the word-count table: symbols ride as a
+    * `|`-delimited string per word, pair counts are a vocab-sized
+    * aggregation, the winning pair comes back as ONE driver row (the
+    * [[Clustering]] centroid precedent), and the merge applies as a
+    * literal-driven scan-side `replace` — leftmost non-overlapping,
+    * exactly re.sub's semantics in the reference implementation. The
+    * vocab localCheckpoints each round, so the plan stays constant-size
+    * at any merge count; a 100 TB corpus pays one text scan total, and
+    * each merge round costs a config-table-sized aggregation.
+    *
+    * Vocabulary is restricted to lowercased `[a-z0-9]+` words (symbols
+    * can then never contain the `|` delimiter). Deterministic total
+    * order: count desc, then (left, right) asc — ties never depend on
+    * partitioning. If the vocabulary runs out of adjacent pairs early,
+    * training stops and the table is short. */
+  def bpeTrain(docs: DataFrame, textCol: String,
+               merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(merges > 0, s"merges must be positive: $merges")
+    var cur = docs
+      .select(explode(wordTokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        regexp_replace(col("w"), "(.)", "\\|$1").as("symstr"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.Buffer
+      .empty[(Int, String, String, String, Long)]
+    try {
+      var step = 1
+      var exhausted = false
+      while (step <= merges && !exhausted) {
+        val sy = filter(split(col("symstr"), "\\|"), s => s =!= "")
+        val top = cur.select(col("wc"), sy.as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("wc"), explode(zip_with(
+            slice(col("sy"), lit(1), size(col("sy")) - 1),
+            slice(col("sy"), lit(2), size(col("sy")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("wc").as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, n) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          learned += ((step, a, b, a + b, n))
+          val next = cur.select(col("wc"),
+              replace(col("symstr"), lit("|" + a + "|" + b),
+                lit("|" + a + b)).as("symstr"))
+            .localCheckpoint(true)
+          org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(cur)
+          cur = next
+          step += 1
+        }
+      }
+    } finally {
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(cur)
+    }
+    learned.toSeq.toDF("step", "left_sym", "right_sym", "merged", "n")
+  }
+
   /** Polynomial (Rabin-Karp-style) rolling-hash fingerprint: an ordered
     * integer fold `h = (h*31 + code) mod 1e9+7` over the character
     * codes. Pure integer math in a fixed order → bit-identical in any
@@ -425,5 +496,82 @@ object TextAnalysis {
       replace(acc, lit(e), lit(r))
     }
     trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Gopher's "required stop words" set (Rae et al. 2021, appendix
+    * A1.1) — a doc must contain ≥ 2 distinct members to pass `r_stop`. */
+  val GopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher repetition-free quality-rule suite (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", appendix A1.1) — the document-level heuristics
+    * every published pretraining pipeline since (MassiveText, RefinedWeb,
+    * Dolma, FineWeb) applies before model-based filtering:
+    *
+    *  - word count in [50, 100 000]            (`r_word_count`)
+    *  - mean word length in [3, 10] chars      (`r_mean_len`)
+    *  - symbol-to-word ratio ≤ 0.1 for `#`/ellipsis ("…" or "...")
+    *                                           (`r_symbol`)
+    *  - ≤ 90% of lines start with a bullet     (`r_bullet`)
+    *  - ≤ 30% of lines end with an ellipsis    (`r_ellipsis`)
+    *  - ≥ 80% of words contain a letter        (`r_alpha`)
+    *  - ≥ 2 distinct [[GopherStop]] words      (`r_stop`)
+    *
+    * One row per doc with the measured features, one boolean per rule,
+    * and the conjunction `pass`. Empty denominators ground to 0.0 (a
+    * wordless or lineless doc fails on `r_word_count`/`r_stop` anyway,
+    * and 0.0 keeps every column non-null for the hash gate). Ratios
+    * round to 6 dp once, so the flags are threshold-exact across
+    * engines.
+    *
+    * Scale shape: pure scan-side Column math — tokenize / line-split /
+    * regexp counts all fuse into the projection under whole-stage
+    * codegen; no shuffle, no UDF, no join. At 100 TB this is the
+    * cheapest full-corpus pass in the pipeline, which is exactly why
+    * the published pipelines run it FIRST (cut ~30-50% of a web crawl
+    * before any keyed or model-based stage touches it). */
+  def gopherRules(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = wordTokens(t)
+    val nW = size(ws)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)),
+      l => l =!= "")
+    val nL = size(lines)
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0))
+        .otherwise(round(num.cast("double") / den, 6))
+    val meanLen = frac(
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)), nW)
+    val symRatio = frac(
+      regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))
+        + regexp_count(t, lit("…")), nW)
+    val bulletFrac = frac(
+      size(filter(lines, l => l.rlike("^[-*•]"))), nL)
+    val ellipsisFrac = frac(
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))), nL)
+    val alphaFrac = frac(
+      size(filter(ws, w => w.rlike("\\p{L}"))), nW)
+    val stopHits = size(array_intersect(
+      array_distinct(wordTokens(lower(t))),
+      array(GopherStop.map(lit): _*)))
+    docs.select(col(idCol), nW.as("n_words"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_word_ratio"), bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
+        stopHits.as("n_stop_hits"))
+      .withColumn("r_word_count",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mean_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_symbol", col("symbol_word_ratio") <= 0.1)
+      .withColumn("r_bullet", col("bullet_line_frac") <= 0.9)
+      .withColumn("r_ellipsis", col("ellipsis_line_frac") <= 0.3)
+      .withColumn("r_alpha", col("alpha_word_frac") >= 0.8)
+      .withColumn("r_stop", col("n_stop_hits") >= 2)
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol")
+          && col("r_bullet") && col("r_ellipsis") && col("r_alpha")
+          && col("r_stop"))
   }
 }

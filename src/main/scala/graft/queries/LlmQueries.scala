@@ -297,6 +297,18 @@ object LlmQueries {
     "d49_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairCounts(T.documents(s, d), "text", topN = 30)),
 
+    // Gopher quality-rule suite (Rae et al. 2021 A1.1): per-doc
+    // features + per-rule booleans, all scan-side Column math.
+    "d52_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(T.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Full BPE merge-rule training: 6 greedy rounds over the vocab
+    // table — d49's kernel iterated, the tokenizer-training loop.
+    "d50_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(T.documents(s, d), "text", merges = 6)
+        .orderBy("step")),
+
     // Corpus-unigram LM quality score (perplexity-proxy filter):
     // per-term log-probs in integer micros, per-doc sums integer-exact.
     "d28_unigram_lm" -> ((s, d) =>
@@ -926,6 +938,43 @@ object LlmQueries {
        |${assign(2, "pc1")}""".stripMargin
   }
 
+  /** d50 oracle: the 6 BPE merge rounds unrolled as CTE chains — each
+    * round re-splits the `|`-delimited symbol strings, rolls pairs up
+    * weighted by word count, takes the (n DESC, a, b) winner, and
+    * applies it with `replace` (leftmost non-overlapping in both
+    * engines, the re.sub semantics of the reference algorithm). */
+  private val D50BpeTrainSql: String = {
+    val rounds = 6
+    def round(r: Int): String = {
+      val apply =
+        if (r == rounds) "" // the last winner is never applied
+        else s""",
+           |v$r AS (SELECT wc, replace(symstr,
+           |  '|' || bb.a || '|' || bb.b, '|' || bb.a || bb.b) AS symstr
+           |  FROM v${r - 1} CROSS JOIN b$r bb)""".stripMargin
+      s"""s$r AS (SELECT wc, list_filter(string_split(symstr, '|'),
+         |  s -> s <> '') AS sy FROM v${r - 1}),
+         |p$r AS (SELECT wc, unnest([{'a': sy[i], 'b': sy[i+1]}
+         |  FOR i IN range(1, len(sy))]) AS u FROM s$r WHERE len(sy) >= 2),
+         |b$r AS (SELECT u.a AS a, u.b AS b, CAST(SUM(wc) AS BIGINT) AS n
+         |  FROM p$r GROUP BY u.a, u.b ORDER BY n DESC, a, b LIMIT 1)"""
+        .stripMargin + apply
+    }
+    val steps = (1 to rounds).map(r =>
+      s"SELECT $r AS step, a AS left_sym, b AS right_sym, n FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH t AS (SELECT lower(x) AS w FROM (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |    v -> v <> '')) AS x FROM documents)),
+       |v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS wc,
+       |  regexp_replace(w, '(.)', '|\\1', 'g') AS symstr FROM t
+       |  WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY w),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT CAST(step AS INT) AS step, left_sym, right_sym,
+       |left_sym || right_sym AS merged, n FROM ($steps)
+       |ORDER BY step""".stripMargin
+  }
+
   private val D40PqCodesSql: String =
     PqPrefix +
       """
@@ -1224,6 +1273,54 @@ object LlmQueries {
         |  FROM wc WHERE len(w) >= 2)
         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+    // same tokenizer/line-split/regexp-count definitions as the Spark
+    // side; ratios round to 6 dp once so the rule flags are
+    // threshold-exact; empty denominators ground to 0.0
+    "d52_gopher_rules" ->
+      """WITH b AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws,
+        |  list_filter(list_transform(string_split(text, chr(10)),
+        |    l -> trim(l)), l -> l <> '') AS ls,
+        |  len(regexp_extract_all(text, '#'))
+        |    + len(regexp_extract_all(text, '\.\.\.'))
+        |    + len(regexp_extract_all(text, '…')) AS n_sym,
+        |  len(list_intersect(list_distinct(list_filter(
+        |    string_split_regex(lower(text), '\s+'), t -> t <> '')),
+        |    ['the','be','to','of','and','that','have','with'])) AS n_stop
+        |  FROM documents),
+        |f AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+        |    / len(ws), 6) END AS mean_word_len,
+        |  CASE WHEN len(ws) = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_sym AS DOUBLE) / len(ws), 6)
+        |    END AS symbol_word_ratio,
+        |  CASE WHEN len(ls) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))
+        |      AS DOUBLE) / len(ls), 6) END AS bullet_line_frac,
+        |  CASE WHEN len(ls) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$')))
+        |      AS DOUBLE) / len(ls), 6) END AS ellipsis_line_frac,
+        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '\p{L}')))
+        |      AS DOUBLE) / len(ws), 6) END AS alpha_word_frac,
+        |  CAST(n_stop AS INT) AS n_stop_hits FROM b)
+        |SELECT *,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |   AND n_stop_hits >= 2) AS pass
+        |FROM (SELECT *,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_len,
+        |  (symbol_word_ratio <= 0.1) AS r_symbol,
+        |  (bullet_line_frac <= 0.9) AS r_bullet,
+        |  (ellipsis_line_frac <= 0.3) AS r_ellipsis,
+        |  (alpha_word_frac >= 0.8) AS r_alpha,
+        |  (n_stop_hits >= 2) AS r_stop FROM f)
+        |ORDER BY doc_id""".stripMargin,
+    "d50_bpe_train" -> D50BpeTrainSql,
     // d47 is output-identical to d26 by the cross-corpus prefix lemma
     // (Dedup.prefixCrossJaccard), so the SAME pairwise SQL is its
     // oracle — losslessness of the prefix filter is itself checked.

@@ -167,6 +167,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top1 == Seq("ab"))
   }
 
+  test("bpeTrain: the Sennrich corpus learns its merge sequence by hand") {
+    import spark.implicits._
+    // the classic fixture: low×3 lower×2 newest×4 widest×1
+    val docs = Seq(
+      (1L, "low low low lower lower"),
+      (2L, "newest newest newest newest widest"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", merges = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // hand-derived greedy sequence (count desc, pair asc tie-break):
+    //  1: (w,e)=6 [lower×2 + newest×4]
+    //  2: (l,o)=5 ties (s,t)=5, 'l' < 's'
+    //  3: (s,t)=5
+    //  4: (e,we)=4 ties (n,e)=4 and (we,st)=4, 'e' wins
+    assert(got == Seq(
+      (1, "w", "e", "we", 6L),
+      (2, "l", "o", "lo", 5L),
+      (3, "s", "t", "st", 5L),
+      (4, "e", "we", "ewe", 4L)))
+  }
+
+  test("bpeTrain: overlapping-run counting, greedy fuse, early exhaustion") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", merges = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toSeq
+    // counts see all 3 adjacent (a,a) positions per word; the merge
+    // itself applies leftmost NON-overlapping (aaaa -> aa,aa), and
+    // once each word is one symbol the loop stops short of 5
+    assert(got == Seq((1, "aa", 9L), (2, "aaaa", 3L)))
+  }
+
   test("token metrics") {
     val r = Seq("ab cd  ef ab").toDF("t").select(
       TextAnalysis.tokenCount(col("t")),
@@ -386,6 +421,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3) == "a & b <tag> \"q\" 's' &lt;keep&gt; c d")
     assert(out(4) == "x y")
     assert(out(5) == "plain text stays")
+  }
+
+  test("gopherRules: hand-computed features and rule flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 1: a passing doc — 52 words incl. 2 stop words, all alphabetic,
+    //    mean length in range, no symbols/bullets/ellipses
+    val good = (("the quick brown fox jumps with vigor today " * 6) +
+      "alpha beta gamma delta").trim // 8*6+4 = 52 words
+    val docs = Seq(
+      (1L, good),
+      // 2: bullets + ellipsis lines: 4 lines, 3 bulleted, 2 ellipsis-ended
+      (2L, "- one thing\n* two things…\n• three things...\nplain tail"),
+      // 3: symbol-heavy: 2 words, '#'x3 + '...'x1 (4 symbols in 5 dots)
+      (3L, "## # w1 w2....."),
+      // 4: numeric-only words fail the alpha rule
+      (4L, "111 222 333 444"),
+      (5L, ""), (6L, "   \n  \n"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val d1 = r(1L)
+    assert(d1.getInt(1) == 52 && d1.getInt(7) == 2) // n_words, n_stop_hits
+    assert(d1.getBoolean(8) && d1.getBoolean(9) && d1.getBoolean(14))
+    assert(d1.getBoolean(15), "doc 1 must pass all rules")
+    val d2 = r(2L)
+    assert(d2.getDouble(4) == 0.75, "bullet_line_frac 3/4")
+    assert(d2.getDouble(5) == 0.5, "ellipsis_line_frac 2/4")
+    assert(d2.getBoolean(11) && !d2.getBoolean(12)) // bullet ok, ellipsis not
+    val d3 = r(3L)
+    // words: ##, #, w1, w2..... -> 4; symbols: '#'x3 + '...'x1 = 4
+    assert(d3.getInt(1) == 4 && d3.getDouble(3) == 1.0)
+    assert(!d3.getBoolean(10), "symbol rule fails")
+    val d4 = r(4L)
+    assert(d4.getDouble(6) == 0.0 && !d4.getBoolean(13), "alpha rule fails")
+    // empty docs: all denominators ground to 0.0, nothing is null
+    Seq(5L, 6L).foreach { id =>
+      val d = r(id)
+      assert(d.getInt(1) == 0 && d.getDouble(2) == 0.0
+        && d.getDouble(6) == 0.0 && !d.getBoolean(15))
+    }
   }
 }
 
