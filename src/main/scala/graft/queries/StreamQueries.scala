@@ -185,6 +185,30 @@ object StreamQueries {
       s.read.parquet(out).orderBy("doc_id", "span_start")
     }),
 
+    // Benchmark decontamination as a streaming twin — the other screen
+    // a continuous ingest pipeline runs on every arriving batch: the
+    // bench-gram set is tiny and static (broadcast inside
+    // Dedup.decontaminate), incoming micro-batches probe it, and the
+    // per-doc hit count aggregates inside foreachBatch — safe because
+    // every doc's grams derive from its own row, so the per-batch
+    // groupBy equals the global one (the st_cross_spans argument).
+    // Hashed against the BATCH d18 oracle verbatim.
+    "st_decontam_stream" -> ((s, d) => {
+      lazy val bench = T.documents(s, d)
+        .filter(col("doc_id") % 37 === 0)
+        .select(concat_ws(" ",
+          slice(split(col("text"), "\\s+"), 1, 15)).as("btext"))
+        .localCheckpoint(true)
+      val out = materializedStream(s, d, "decontam", "documents.parquet",
+        transform = batch =>
+          graft.operators.Dedup.decontaminate(
+            batch, "doc_id", "text", bench, "btext")) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      s.read.parquet(out).orderBy("doc_id")
+    }),
+
     // S8's streaming twin as an oracle row — stream-static left-semi
     // on the modified-rows condition, same contract as st_s7_new.
     "st_s8_modified" -> ((s, d) => {
@@ -255,6 +279,8 @@ object StreamQueries {
   val sql: Map[String, String] = Map(
     // the BATCH d37 oracle verbatim: stream == batch by contract
     "st_cross_spans" -> LlmQueries.sql("d37_cross_spans"),
+    // the BATCH d18 oracle verbatim: stream == batch by contract
+    "st_decontam_stream" -> LlmQueries.sql("d18_decontaminate"),
     // the BATCH s7/s8 oracles verbatim: stream == batch by contract
     "st_s7_new" ->
       """SELECT p_partkey FROM part WHERE NOT EXISTS (

@@ -206,6 +206,40 @@ class EventStreamSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("streaming decontamination is invariant under micro-batch splits") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("evdc").toString
+    val ckpt = Files.createTempDirectory("evdcck").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("evdcstage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    stage(docs.filter(col("doc_id") % 2 === 0), "a.parquet")
+    stage(docs.filter(col("doc_id") % 2 =!= 0), "b.parquet")
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(concat_ws(" ",
+        slice(split(col("text"), "\\s+"), 1, 15)).as("btext"))
+      .localCheckpoint(true)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    var got = Set.empty[Seq[Any]]
+    var batches = 0
+    EventStream.runAvailableNow(stream, ckpt, mode = "append") { (b, _) =>
+      batches += 1
+      got ++= Dedup.decontaminate(b, "doc_id", "text", bench, "btext")
+        .collect().map(_.toSeq)
+    }
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+    val want = Dedup.decontaminate(docs, "doc_id", "text", bench, "btext")
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("streaming upsert sink folds to the same state as the batch MERGE") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("evups").toString
