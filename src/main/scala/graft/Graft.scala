@@ -453,6 +453,46 @@ object Graft {
     graft.operators.RuntimeFilter.bloomAntiJoin(fact, dim, factKey,
       dimKey, expectedItems)
 
+  /** Train PQ codebooks and encode: (idCol, code array<int> of m
+    * sub-codes) — the 64× vector-compression step of billion-scale ANN. */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int = 2): DataFrame =
+    graft.operators.Quantization.pqCodes(emb, idCol, vecCol, m, k, iters)
+
+  /** ADC top-k cosine over the PQ-compressed corpus (full-precision
+    * queries, integer-micro LUT scoring). */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+                m: Int, k: Int, topK: Int, queryFilter: Column,
+                iters: Int = 2): DataFrame =
+    graft.operators.Quantization.pqAdcTopK(emb, idCol, vecCol, m, k,
+      iters, topK, queryFilter)
+
+  /** IVF-PQ end-to-end search (FAISS IndexIVFPQ / IVFADC): coarse
+    * cells + PQ residual codes + nprobe-bounded integer-micro ADC —
+    * a query pays for nprobe/nlist of the corpus, not all of it. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                nlist: Int, m: Int, ksub: Int, nprobe: Int, topK: Int,
+                queryFilter: Column, coarseIters: Int = 2,
+                pqIters: Int = 2): DataFrame =
+    graft.operators.Quantization.ivfPqTopK(emb, idCol, vecCol, nlist,
+      coarseIters, m, ksub, pqIters, nprobe, topK, queryFilter)
+
+  /** Symmetric per-dim int8 scalar quantization (absmax SQ8). */
+  def sq8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    graft.operators.Quantization.sq8Codes(emb, idCol, vecCol)
+
+  /** Full BPE merge-rule training over the corpus vocabulary —
+    * returns the learned (step, left, right, merged, n) merge table. */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame =
+    TextAnalysis.bpeTrain(docs, textCol, merges)
+
+  /** Gopher quality-rule suite (word count / word length / symbol /
+    * bullet / ellipsis / alpha / stop-word rules) with per-rule
+    * booleans and a conjunction `pass` flag — scan-side only. */
+  def gopherRules(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    TextAnalysis.gopherRules(docs, idCol, textCol)
+
   /** Register graft's SQL functions (`uuid5`, `title_case`) and the
     * codec-collapse optimizer rule on a session. */
   def install(spark: SparkSession): Unit = {

@@ -79,8 +79,8 @@ object Quantization {
     var cents: IndexedSeq[Seq[(Int, Array[Double])]] =
       (0 until m).map { s =>
         initRows.zipWithIndex.map { case (r, c) =>
-          c -> r.getSeq[Float](1).slice(s * dsub, (s + 1) * dsub)
-            .map(_.toDouble).toArray
+          c -> r.getSeq[Double](1).slice(s * dsub, (s + 1) * dsub)
+            .toArray
         }.toSeq
       }
     for (_ <- 2 to iters) {
@@ -106,9 +106,12 @@ object Quantization {
     PqModel(m, dsub, cents)
   }
 
+  // vectors ride as doubles from the checkpoint on, so [[train]] can
+  // consume raw embeddings and IVF residuals through one code path
   private def checkpointed(emb: DataFrame, idCol: String,
                            vecCol: String): DataFrame =
-    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    emb.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
       .localCheckpoint(true)
 
   /** Train and encode: one row per input id,
@@ -193,6 +196,106 @@ object Quantization {
       Shims.unpersistLocalCheckpoint(codes)
       out
     } finally Shims.unpersistLocalCheckpoint(d0)
+  }
+
+  /** IVF-PQ end-to-end search — FAISS's IndexIVFPQ / the IVFADC layout
+    * of Jégou et al. 2011 §IV: a coarse k-means quantizer partitions
+    * the corpus into `nlist` cells, every vector stores only its cell
+    * id plus the PQ codes of its RESIDUAL (v − cell centroid), and a
+    * query scans just its `nprobe` nearest cells, scoring codes through
+    * a per-(query, cell) lookup table of residual-subspace L2 terms.
+    * This is the composition the scaladoc above promises: [[pqCodes]]'
+    * compressed-domain kernel bounded by an inverted-file partitioner.
+    *
+    * The coarse quantizer IS [[train]] with one subspace of the full
+    * dimension (k-means == PQ at m=1), so both quantizers share one
+    * deterministic discipline: init = lowest-id vectors, 6-dp L2
+    * assignment with lowest-code tie-break, 6-dp mean re-estimation,
+    * emptied cells drop. Distances decompose per subspace —
+    * |q − c − r̂|² = Σ_s |(q−c)_s − r̂_s|² — so each LUT entry rounds
+    * to integer MICROS once and per-pair sums are order-independent
+    * longs (the d41 discipline); ranking is ascending distance with
+    * ascending-id tie-break.
+    *
+    * Scale shape: the corpus side shuffles (cell, m codes) per vector
+    * — never the vectors; the two codebooks are driver-held
+    * config-table-sized literals; the LUT is nq·nprobe·m·ksub tiny
+    * rows on the broadcast side of the scoring join; and the
+    * cell-keyed join means a query pays for `nprobe/nlist` of the
+    * corpus instead of all of it — the pruning that makes
+    * billion-vector ANN tractable where [[pqAdcTopK]] alone still
+    * scans every code.
+    *
+    * @return (qid, rank, nid, dist_micros) — ADC L2² in micros. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                nlist: Int, coarseIters: Int, m: Int, ksub: Int,
+                pqIters: Int, nprobe: Int, topK: Int,
+                queryFilter: Column): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = subDim(emb, vecCol, 1)
+    val dsub = subDim(emb, vecCol, m)
+    require(nlist > 0 && nprobe > 0, s"need positive nlist/nprobe")
+    val d0 = checkpointed(emb, idCol, vecCol)
+    var rd: DataFrame = null
+    var codes: DataFrame = null
+    try {
+      val cells = train(d0, 1, nlist, coarseIters, dim).cents(0)
+      def centFor(cell: Column): Column =
+        cells.tail.foldLeft(when(cell === cells.head._1,
+          lit(cells.head._2))) { case (acc, (c, cv)) =>
+          acc.when(cell === c, lit(cv))
+        }
+      val cellCol = assignExpr(col("v"), cells)
+      rd = d0.select(col("id"), cellCol.as("cell"),
+          zip_with(col("v"), centFor(cellCol), (x, y) => x - y).as("v"))
+        .localCheckpoint(true)
+      val pq = train(rd.select("id", "v"), m, ksub, pqIters, dsub)
+      // (nid, cell, s, c): the ONLY corpus-sized thing that shuffles
+      codes = rd.select(col("id").as("nid"), col("cell"),
+          posexplode(array((0 until m).map(s =>
+            assignExpr(subvec(col("v"), s, dsub), pq.cents(s))): _*))
+            .as(Seq("s", "c")))
+        .localCheckpoint(true)
+      // probe the nprobe nearest cells; carry the per-cell query
+      // residual forward for the LUT
+      val probeEntries = cells.map { case (c, cv) =>
+        struct(lit(c).as("cell"), sqDist(col("qv"), cv).as("cd"),
+          zip_with(col("qv"), lit(cv), (x, y) => x - y).as("qr"))
+      }
+      val wProbe = Window.partitionBy("qid")
+        .orderBy(col("cd").asc, col("cell").asc)
+      val probed = d0.filter(queryFilter)
+        .select(col("id").as("qid"), col("v").as("qv"))
+        .select(col("qid"), explode(array(probeEntries: _*)).as("e"))
+        .select(col("qid"), col("e.cell").as("cell"), col("e.cd").as("cd"),
+          col("e.qr").as("qr"))
+        .withColumn("crank", row_number().over(wProbe))
+        .filter(col("crank") <= nprobe)
+      val pqCentDf = broadcast(pq.cents.zipWithIndex.flatMap {
+        case (cb, s) => cb.map { case (c, cv) => (s, c, cv.toSeq) }
+      }.toDF("s", "c", "cv"))
+      val lut = probed.select(col("qid"), col("cell"),
+          posexplode(array((0 until m).map(s =>
+            subvec(col("qr"), s, dsub)): _*)).as(Seq("s", "qrs")))
+        .join(pqCentDf, Seq("s"))
+        .select(col("qid"), col("cell"), col("s"), col("c"),
+          round(aggregate(zip_with(col("qrs"), col("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0d), (acc, e) => acc + e)
+            * 1e6).cast("long").as("tm"))
+      val scored = codes.join(lut, Seq("cell", "s", "c"))
+        .filter(col("nid") =!= col("qid"))
+        .groupBy("qid", "nid").agg(sum("tm").as("dist_micros"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("dist_micros").asc, col("nid").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select("qid", "rank", "nid", "dist_micros")
+        .localCheckpoint(true)
+    } finally {
+      Seq(Option(codes), Option(rd), Some(d0)).flatten
+        .foreach(Shims.unpersistLocalCheckpoint)
+    }
   }
 
   private def subDim(emb: DataFrame, vecCol: String, m: Int): Int = {

@@ -552,6 +552,16 @@ object LlmQueries {
           queryFilter = col("id") % 10 === 0)
         .orderBy("qid", "rank")),
 
+    // IVF-PQ end-to-end (FAISS IndexIVFPQ / IVFADC): coarse k-means
+    // cells + PQ residual codes + nprobe-bounded ADC L2 scoring — the
+    // billion-vector composition of d30's partitioner and d41's
+    // compressed-domain kernel; the oracle replays the whole chain.
+    "d51_ivfpq" -> ((s, d) =>
+      Quantization.ivfPqTopK(T.embeddings(s, d), "vec_id", "embedding",
+          nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2,
+          nprobe = 2, topK = 3, queryFilter = col("id") % 10 === 0)
+        .orderBy("qid", "rank")),
+
     // SemDeDup semantic dedup: the d29 k-means trainer buckets the
     // corpus, then greedy within-cluster removal at cos ≥ 0.95 with
     // the paper's survivor rule (ascending centroid-similarity rank —
@@ -1012,6 +1022,86 @@ object LlmQueries {
         |  ORDER BY score DESC, nid) AS rank FROM sc2)
         |SELECT qid, CAST(rank AS INT) AS rank, nid, score FROM r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** d51 oracle: the IVF-PQ chain replayed end-to-end — coarse k-means
+    * (init = 4 lowest-id vectors, one 6-dp re-estimation, final L2
+    * assignment with lowest-cell tie-break), per-cell residuals, the
+    * d40 PQ chain over the residuals, then nprobe=2 cell probing and
+    * integer-micro ADC L2 scoring. Distances decompose per subspace,
+    * so each LUT term rounds to micros once and the per-(qid, nid)
+    * sums are order-independent BIGINTs. */
+  private val D51IvfPqSql: String = {
+    // 6-dp L2 argmin against a (c, cv) codebook relation, full vectors
+    def cassign(n: Int, rel: String): String =
+      s"""cq$n AS (SELECT id, vv, c, ROUND(list_sum([(vv[i]-cv[i])*(vv[i]-cv[i])
+         |  FOR i IN range(1, len(vv)+1)]), 6) AS dd FROM v CROSS JOIN $rel),
+         |ca$n AS (SELECT id, vv, c FROM (SELECT *, ROW_NUMBER() OVER
+         |  (PARTITION BY id ORDER BY dd, c) AS rn FROM cq$n) WHERE rn = 1)"""
+        .stripMargin
+    // the PqPrefix assign shape, against residual subvectors
+    def passign(n: Int, rel: String): String =
+      s"""pq$n AS (SELECT id, s, sv, c,
+         |ROUND(list_sum([(sv[i]-cv[i])*(sv[i]-cv[i])
+         |  FOR i IN range(1, len(sv)+1)]), 6) AS dd
+         |FROM sub JOIN $rel USING (s)),
+         |pa$n AS (SELECT id, s, sv, c FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id, s
+         |    ORDER BY dd, c) AS rn FROM pq$n) WHERE rn = 1)""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS id,
+       |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+       |FROM embeddings),
+       |cinit AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS c, vv AS cv
+       |  FROM (SELECT id, vv FROM v ORDER BY id LIMIT 4)),
+       |${cassign(1, "cinit")},
+       |cex AS (SELECT c, unnest(range(1, len(vv)+1)) AS i,
+       |  unnest(vv) AS x FROM ca1),
+       |cc1 AS (SELECT c, list(m ORDER BY i) AS cv FROM (
+       |  SELECT c, i, ROUND(avg(x), 6) AS m FROM cex
+       |  GROUP BY c, i) GROUP BY c),
+       |${cassign(2, "cc1")},
+       |res AS (SELECT id, ca2.c AS cell,
+       |  [vv[i] - cv[i] FOR i IN range(1, len(vv)+1)] AS rv
+       |  FROM ca2 JOIN cc1 ON ca2.c = cc1.c),
+       |sg AS (SELECT unnest(range(4)) AS s),
+       |sub AS (SELECT id, s,
+       |  list_slice(rv, s*(len(rv)//4) + 1, (s+1)*(len(rv)//4)) AS sv
+       |FROM res CROSS JOIN sg),
+       |pinit AS (SELECT s,
+       |  ROW_NUMBER() OVER (PARTITION BY s ORDER BY id) - 1 AS c, sv AS cv
+       |FROM sub WHERE id IN (SELECT id FROM v ORDER BY id LIMIT 4)),
+       |${passign(1, "pinit")},
+       |pex AS (SELECT s, c, unnest(range(1, len(sv)+1)) AS i,
+       |  unnest(sv) AS x FROM pa1),
+       |pc1 AS (SELECT s, c, list(m ORDER BY i) AS cv FROM (
+       |  SELECT s, c, i, ROUND(avg(x), 6) AS m FROM pex
+       |  GROUP BY s, c, i) GROUP BY s, c),
+       |${passign(2, "pc1")},
+       |q AS (SELECT id AS qid, vv AS qv FROM v WHERE id % 10 = 0),
+       |pr AS (SELECT qid, cell, qr FROM (SELECT qid, cc1.c AS cell,
+       |  ROUND(list_sum([(qv[i]-cv[i])*(qv[i]-cv[i])
+       |    FOR i IN range(1, len(qv)+1)]), 6) AS cd,
+       |  [qv[i] - cv[i] FOR i IN range(1, len(qv)+1)] AS qr,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |    ROUND(list_sum([(qv[i]-cv[i])*(qv[i]-cv[i])
+       |      FOR i IN range(1, len(qv)+1)]), 6), cc1.c) AS crank
+       |  FROM q CROSS JOIN cc1) WHERE crank <= 2),
+       |qsub AS (SELECT qid, cell, s,
+       |  list_slice(qr, s*(len(qr)//4) + 1, (s+1)*(len(qr)//4)) AS qrs
+       |FROM pr CROSS JOIN sg),
+       |lut AS (SELECT qid, cell, s, c,
+       |  CAST(ROUND(list_sum([(qrs[i]-cv[i])*(qrs[i]-cv[i])
+       |    FOR i IN range(1, len(qrs)+1)]) * 1000000) AS BIGINT) AS tm
+       |FROM qsub JOIN pc1 USING (s)),
+       |cdz AS (SELECT pa2.id AS nid, res.cell AS cell, pa2.s AS s,
+       |  pa2.c AS c FROM pa2 JOIN res ON pa2.id = res.id),
+       |sc AS (SELECT qid, nid, CAST(SUM(tm) AS BIGINT) AS dist_micros
+       |  FROM cdz JOIN lut USING (cell, s, c)
+       |  WHERE nid <> qid GROUP BY qid, nid),
+       |r AS (SELECT qid, nid, dist_micros, ROW_NUMBER() OVER (
+       |  PARTITION BY qid ORDER BY dist_micros, nid) AS rank FROM sc)
+       |SELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros FROM r
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
 
   /** d33 oracle: plant the d10-style clones, replay the two Lloyd
     * rounds on the union, rank each cluster by ascending
@@ -1651,6 +1741,7 @@ object LlmQueries {
         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "d40_pq_codes" -> D40PqCodesSql,
     "d41_pq_adc" -> D41PqAdcSql,
+    "d51_ivfpq" -> D51IvfPqSql,
     // same per-dim absmax scales, same (x*127)/absmax rounding — all
     // integer output, so the comparison is exact with no 6-dp round;
     // (vec_id, i, c) rows mirror the Spark side's posexplode (0-based i)

@@ -104,6 +104,32 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: nprobe bounds the candidate set to the probed cells") {
+    // coarse init = ids 0 (A-group) and 1 (B-group), so the k-means
+    // cells converge to the A/B direction split; query 4 is a B vector
+    val one = Quantization.ivfPqTopK(vecs, "vec_id", "embedding",
+        nlist = 2, coarseIters = 2, m = 2, ksub = 2, pqIters = 2,
+        nprobe = 1, topK = 7, queryFilter = col("id") === 4L)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // nprobe=1 probes ONLY the B cell: the A vectors (0, 2, 3, 6) are
+    // structurally unreachable, self is excluded → exactly {1, 5, 7}
+    assert(one.map(_._2).toSet == Set(1L, 5L, 7L))
+    assert(one.map(_._1).toSeq == (1 to 3))
+    val d1 = one.map(_._3).toSeq
+    assert(d1 == d1.sorted, "ascending ADC distance")
+
+    val two = Quantization.ivfPqTopK(vecs, "vec_id", "embedding",
+        nlist = 2, coarseIters = 2, m = 2, ksub = 2, pqIters = 2,
+        nprobe = 2, topK = 7, queryFilter = col("id") === 4L)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // probing both cells reaches all 7 non-self vectors, with the
+    // same-direction B trio still ahead of every A vector
+    assert(two.length == 7 && two.map(_._1).toSeq == (1 to 7))
+    assert(two.take(3).map(_._2).toSet == Set(1L, 5L, 7L))
+    // the nprobe=1 run is a strict prefix-set of the nprobe=2 ranking
+    assert(two.take(3).map(_._3).toSeq == d1.sorted)
+  }
+
   test("sq8Codes: reconstruction within half a scale step, zero dims exact") {
     // dim 3 is all-zero (scale 0 → code 0); dim 0 spans ±2 so its
     // absmax comes from a negative value
