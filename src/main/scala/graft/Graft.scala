@@ -493,6 +493,15 @@ object Graft {
                   textCol: String): DataFrame =
     TextAnalysis.gopherRules(docs, idCol, textCol)
 
+  /** Model-based quality scoring (fastText-filter shape): hashed-BoW
+    * logistic regression trained in-engine with deterministic unrolled
+    * GD, scoring every doc with a keep probability in micros. */
+  def lrQualityScores(docs: DataFrame, idCol: String, textCol: String,
+                      label: Column, dims: Int = 64, steps: Int = 2,
+                      eta: Double = 0.5): DataFrame =
+    graft.operators.QualityModel.lrQualityScores(docs, idCol, textCol,
+      label, dims, steps, eta)
+
   /** Register graft's SQL functions (`uuid5`, `title_case`) and the
     * codec-collapse optimizer rule on a session. */
   def install(spark: SparkSession): Unit = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
-import graft.operators.{Clustering, Dedup, GraphOps, Mixing, Multimodal, Quantization, Search, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, GraphOps, Mixing, Multimodal, QualityModel, Quantization, Search, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators: dedup (exact / n-gram Jaccard /
   * MinHash-LSH / SimHash), ANN similarity search, text analysis,
@@ -308,6 +308,14 @@ object LlmQueries {
     "d50_bpe_train" -> ((s, d) =>
       TextAnalysis.bpeTrain(T.documents(s, d), "text", merges = 6)
         .orderBy("step")),
+
+    // Model-based quality classifier (fastText-filter shape): hashed
+    // BoW logistic regression trained in-engine with 2 unrolled GD
+    // steps on the lang='en' label, rational fast-sigmoid, all micros.
+    "d54_quality_lr" -> ((s, d) =>
+      QualityModel.lrQualityScores(T.documents(s, d), "doc_id", "text",
+          label = col("lang") === "en", dims = 64, steps = 2, eta = 0.5)
+        .orderBy("doc_id")),
 
     // Corpus-unigram LM quality score (perplexity-proxy filter):
     // per-term log-probs in integer micros, per-doc sums integer-exact.
@@ -1103,6 +1111,50 @@ object LlmQueries {
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** d54 oracle: the hashed-BoW logistic trainer replayed — md5
+    * feature buckets, micro-rounded term frequencies, the rational
+    * fast sigmoid, and both GD steps unrolled (step 1 from w = 0 has
+    * σ = ½ exactly). Every intermediate rounds to integer micros with
+    * the shared half-away-from-zero rule, so weights and scores are
+    * bit-identical across engines. */
+  private val D54QualityLrSql: String =
+    """WITH d AS (SELECT doc_id AS id,
+      |  CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS ym
+      |  FROM documents),
+      |tok AS (SELECT doc_id AS id,
+      |  ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS j FROM (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), v -> v <> '')) AS t
+      |  FROM documents)),
+      |cnt AS (SELECT id, j, COUNT(*) AS c FROM tok GROUP BY id, j),
+      |ntok AS (SELECT id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY id),
+      |x AS (SELECT id, j, CAST(ROUND(c * 1000000.0 / n) AS BIGINT) AS x
+      |  FROM cnt JOIN ntok USING (id)),
+      |nn AS (SELECT COUNT(*) AS nd FROM d),
+      |g1 AS (SELECT j, CAST(SUM(CAST(ROUND((500000 - ym) * x / 1000000.0)
+      |    AS BIGINT)) AS BIGINT) AS g
+      |  FROM x JOIN d USING (id) GROUP BY j),
+      |w1 AS (SELECT j, -CAST(ROUND(0.5 * g / nd) AS BIGINT) AS w
+      |  FROM g1 CROSS JOIN nn),
+      |z2 AS (SELECT id, CAST(SUM(x * w) AS BIGINT) AS sp
+      |  FROM x JOIN w1 USING (j) GROUP BY id),
+      |p2 AS (SELECT id, CAST(ROUND(1000000 * (0.5 * (1 + (sp / 1e12)
+      |  / (1 + abs(sp / 1e12))))) AS BIGINT) AS pm FROM z2),
+      |g2 AS (SELECT j, CAST(SUM(CAST(ROUND((pm - ym) * x / 1000000.0)
+      |    AS BIGINT)) AS BIGINT) AS g
+      |  FROM x JOIN d USING (id) JOIN p2 USING (id) GROUP BY j),
+      |w2 AS (SELECT w1.j, w1.w - CAST(ROUND(0.5 * g2.g / nd) AS BIGINT) AS w
+      |  FROM w1 JOIN g2 ON w1.j = g2.j CROSS JOIN nn),
+      |zf AS (SELECT id, CAST(SUM(x * w) AS BIGINT) AS sp
+      |  FROM x JOIN w2 USING (j) GROUP BY id)
+      |SELECT d.id AS doc_id,
+      |CAST(ROUND(COALESCE(sp, 0) / 1000000.0) AS BIGINT) AS score_micros,
+      |CAST(ROUND(1000000 * (0.5 * (1 + (COALESCE(sp, 0) / 1e12)
+      |  / (1 + abs(COALESCE(sp, 0) / 1e12))))) AS BIGINT) AS prob_micros,
+      |(CAST(ROUND(1000000 * (0.5 * (1 + (COALESCE(sp, 0) / 1e12)
+      |  / (1 + abs(COALESCE(sp, 0) / 1e12))))) AS BIGINT) > 500000) AS pred
+      |FROM d LEFT JOIN zf USING (id) ORDER BY doc_id""".stripMargin
+
   /** d33 oracle: plant the d10-style clones, replay the two Lloyd
     * rounds on the union, rank each cluster by ascending
     * centroid-similarity (a2.s), and remove every vector with a
@@ -1742,6 +1794,7 @@ object LlmQueries {
     "d40_pq_codes" -> D40PqCodesSql,
     "d41_pq_adc" -> D41PqAdcSql,
     "d51_ivfpq" -> D51IvfPqSql,
+    "d54_quality_lr" -> D54QualityLrSql,
     // same per-dim absmax scales, same (x*127)/absmax rounding — all
     // integer output, so the comparison is exact with no 6-dp round;
     // (vec_id, i, c) rows mirror the Spark side's posexplode (0-based i)
