@@ -493,6 +493,14 @@ object Graft {
                   textCol: String): DataFrame =
     TextAnalysis.gopherRules(docs, idCol, textCol)
 
+  /** Corpus-wide exact line dedup (the C4 boilerplate screen): lines
+    * occurring ≥ minCount times are cut everywhere except one
+    * canonical lowest-(doc, pos) survivor; whitespace-only lines
+    * always stay. Returns (id, rebuilt text, n_removed). */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                minCount: Int = 3): DataFrame =
+    graft.operators.Dedup.lineDedup(docs, idCol, textCol, minCount)
+
   /** Model-based quality scoring (fastText-filter shape): hashed-BoW
     * logistic regression trained in-engine with deterministic unrolled
     * GD, scoring every doc with a keep probability in micros. */

@@ -57,7 +57,54 @@ object ScaleProbe {
     else if (args.headOption.contains("maxscore"))
       maxScoreProbe(args.drop(1).headOption.map(_.toInt).getOrElse(20000),
         args.drop(2).headOption.map(_.toInt).getOrElse(128))
+    else if (args.headOption.contains("ivfpq"))
+      ivfPqProbe(args.drop(1).headOption.map(_.toInt).getOrElse(20000),
+        args.drop(2).headOption.map(_.toInt).getOrElse(64))
     else lshProbe(args)
+
+  /** IVF pruning vs the full ADC scan on a FIXED corpus, measured as
+    * MARGINAL per-query cost: each path runs at `nq` and 8·nq queries
+    * and the difference quotient (t₈ − t₁)/(7·nq) isolates the
+    * scoring join from the shared training cost (coarse + PQ Lloyd
+    * rounds are query-count-independent; an end-to-end ratio at
+    * small nq mostly measures them). [[graft.operators.Quantization
+    * .pqAdcTopK]] joins every corpus code against every query's LUT —
+    * marginal cost ∝ n — while [[graft.operators.Quantization
+    * .ivfPqTopK]]'s cell-keyed join touches only the nprobe/nlist
+    * slice (here 2/16), so the marginal ratio should sit near the
+    * nlist/nprobe corpus-share bound. At a billion vectors the
+    * training amortizes across every ingest batch and THIS marginal
+    * cost is the steady-state number. */
+  private def ivfPqProbe(n: Int, nq: Int): Unit = {
+    val spark = session()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Quantization
+    val rnd = new scala.util.Random(7L)
+    val corpus = (0 until n).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    def time(body: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      body.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def full(q: Int) =
+      time(Quantization.pqAdcTopK(corpus, "vec_id", "embedding",
+        m = 4, k = 16, iters = 2, topK = 10,
+        queryFilter = col("id") < q))
+    def ivf(q: Int) =
+      time(Quantization.ivfPqTopK(corpus, "vec_id", "embedding",
+        nlist = 16, coarseIters = 2, m = 4, ksub = 16, pqIters = 2,
+        nprobe = 2, topK = 10, queryFilter = col("id") < q))
+    full(nq); ivf(nq) // codegen warm-up per plan shape
+    val f1 = full(nq); val f8 = full(8 * nq)
+    val i1 = ivf(nq); val i8 = ivf(8 * nq)
+    val mf = (f8 - f1) / (7 * nq)
+    val mi = (i8 - i1) / (7 * nq)
+    println(s"""{"metric":"ivfpq_prune_probe","unit":"sec","n":$n,"nq":$nq,"full_nq":${f(f1)},"full_8nq":${f(f8)},"ivf_nq":${f(i1)},"ivf_8nq":${f(i8)},"marginal_full_ms":${f(mf * 1e3)},"marginal_ivf_ms":${f(mi * 1e3)},"marginal_ratio":${f(mf / mi)}}""")
+    spark.stop()
+  }
 
   /** The regime [[graft.operators.Search.bm25TopKMaxScore]] exists
     * for — SKEWED per-term impacts, the shape of real text — measured

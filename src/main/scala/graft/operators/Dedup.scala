@@ -797,4 +797,56 @@ object Dedup {
     Shims.unpersistLocalCheckpoint(a)
     out
   }
+
+  /** Corpus-wide exact LINE deduplication — the C4 cleanup rule
+    * (Raffel et al. 2020 §2.2 removed repeated spans corpus-wide;
+    * RefinedWeb and Dolma run the same screen at line granularity):
+    * any trimmed line occurring at least `minCount` times across the
+    * corpus is boilerplate (cookie banners, nav text, license
+    * headers), and every occurrence is cut EXCEPT one canonical
+    * survivor — the lowest (doc, position) — so the content itself
+    * survives exactly once. Whitespace-only lines are structure, not
+    * boilerplate candidates; they always stay.
+    *
+    * Scale shape: lines explode map-side with their positions; the
+    * corpus-count aggregation and the occurrence join both key on the
+    * line's xxhash64 (8 bytes — the full boilerplate STRING never
+    * shuffles; per-key counts equal string-keyed counts w.h.p., the
+    * d4/d38 precedent), and the rebuild is one doc-keyed aggregation
+    * restoring line order. Two skinny shuffles total; the canonical
+    * survivor key packs (doc, pos) into one long (positions must stay
+    * below 1e6 lines/doc — far above any real document).
+    *
+    * @return (idCol, text, n_removed) — the rebuilt text (kept lines
+    *         joined with `\n`; empty string if everything was cut)
+    *         and how many lines were removed. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                minCount: Int = 3): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "ln")))
+      .withColumn("key",
+        when(trim(col("ln")) === "", lit(null))
+          .otherwise(xxhash64(trim(col("ln")))))
+      .localCheckpoint(true)
+    try {
+      val counts = lines.filter(col("key").isNotNull)
+        .groupBy("key")
+        .agg(count(lit(1)).as("cnt"),
+          min(col(idCol) * 1000000L + col("pos")).as("ck"))
+      val flagged = lines.join(counts, Seq("key"), "left")
+        .withColumn("keep",
+          col("key").isNull || col("cnt") < minCount
+            || col(idCol) * 1000000L + col("pos") === col("ck"))
+      flagged.groupBy(idCol)
+        .agg(
+          concat_ws("\n", transform(
+            filter(array_sort(collect_list(struct(col("pos"), col("ln"),
+              col("keep")))), e => e.getField("keep")),
+            e => e.getField("ln"))).as("text"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+        .localCheckpoint(true)
+    } finally Shims.unpersistLocalCheckpoint(lines)
+  }
 }

@@ -309,6 +309,20 @@ object LlmQueries {
       TextAnalysis.bpeTrain(T.documents(s, d), "text", merges = 6)
         .orderBy("step")),
 
+    // C4-style corpus-wide line dedup: the fixture is single-line, so
+    // the query PLANTS a shared boilerplate line on every 20th doc
+    // (the d33 planting precedent, mirrored in the oracle) — the
+    // operator must cut every copy but the lowest-(doc, pos) one.
+    "d55_line_dedup" -> ((s, d) => {
+      val boiler = "subscribe to our newsletter for updates today"
+      val src = T.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 20 === 0,
+          concat(col("text"), lit("\n" + boiler)))
+          .otherwise(col("text")).as("text"))
+      Dedup.lineDedup(src, "doc_id", "text", minCount = 3)
+        .orderBy("doc_id")
+    }),
+
     // Model-based quality classifier (fastText-filter shape): hashed
     // BoW logistic regression trained in-engine with 2 unrolled GD
     // steps on the lang='en' label, rational fast-sigmoid, all micros.
@@ -1795,6 +1809,29 @@ object LlmQueries {
     "d41_pq_adc" -> D41PqAdcSql,
     "d51_ivfpq" -> D51IvfPqSql,
     "d54_quality_lr" -> D54QualityLrSql,
+    // string-keyed restatement of the xxhash64-keyed count/join
+    // (hashing is operator-internal, equal w.h.p. — d4/d38 precedent)
+    "d55_line_dedup" ->
+      """WITH src AS (SELECT doc_id, CASE WHEN doc_id % 20 = 0
+        |  THEN text || chr(10) ||
+        |    'subscribe to our newsletter for updates today'
+        |  ELSE text END AS text FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM src),
+        |l AS (SELECT doc_id, u.i AS pos, u.ln AS ln FROM (
+        |  SELECT doc_id, unnest([{'i': x, 'ln': a[x+1]}
+        |    FOR x IN range(0, len(a))]) AS u FROM ls)),
+        |c AS (SELECT trim(ln) AS k, COUNT(*) AS cnt,
+        |  MIN(doc_id*1000000 + pos) AS ck
+        |  FROM l WHERE trim(ln) <> '' GROUP BY trim(ln)),
+        |k AS (SELECT doc_id, pos, ln,
+        |  (trim(ln) = '' OR cnt IS NULL OR cnt < 3
+        |   OR doc_id*1000000 + pos = ck) AS keep
+        |  FROM l LEFT JOIN c ON trim(ln) = c.k)
+        |SELECT doc_id,
+        |COALESCE(string_agg(ln, chr(10) ORDER BY pos)
+        |  FILTER (WHERE keep), '') AS text,
+        |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same per-dim absmax scales, same (x*127)/absmax rounding — all
     // integer output, so the comparison is exact with no 6-dp round;
     // (vec_id, i, c) rows mirror the Spark side's posexplode (0-based i)

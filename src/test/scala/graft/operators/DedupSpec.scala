@@ -357,4 +357,24 @@ class DedupSpec extends SparkSpec {
     // missed — the documented miss mode, and kept is a superset
     assert(kept(1) == Set(1L, 2L, 3L))
   }
+
+  test("lineDedup: canonical survivor, trim-keyed match, structure kept") {
+    val docs = Seq(
+      (1L, "keep me\nBOILER\nunique a"),
+      (2L, "BOILER\nother text"),
+      (3L, " BOILER \n  \nz"),       // trim-keyed: counts as BOILER
+      (4L, "twice\nmore"),
+      (5L, "twice\ntail"))            // 'twice' x2 < minCount -> stays
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", minCount = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    // BOILER occurs 3x; the lowest (doc, pos) = (1, 1) survives
+    assert(out(1L) == (("keep me\nBOILER\nunique a", 0L)))
+    assert(out(2L) == (("other text", 1L)))
+    // the whitespace-only line is structure, never a dedup candidate
+    assert(out(3L) == (("  \nz", 1L)))
+    assert(out(4L) == (("twice\nmore", 0L)))
+    assert(out(5L) == (("twice\ntail", 0L)))
+  }
 }
