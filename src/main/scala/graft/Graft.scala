@@ -493,6 +493,15 @@ object Graft {
                   textCol: String): DataFrame =
     TextAnalysis.gopherRules(docs, idCol, textCol)
 
+  /** Temperature-scaled mixture shares (mT5/XLM-R sampling):
+    * q_i = p_i^α / Σ p_j^α — flattens natural token shares toward
+    * uniform, up-weighting tail strata. α = 0.5 (sqrt) is the
+    * engine-exact choice. */
+  def temperatureMixture(df: DataFrame, stratumCol: String,
+                         tokensCol: String,
+                         alpha: Double = 0.5): DataFrame =
+    Mixing.temperatureMixture(df, stratumCol, tokensCol, alpha)
+
   /** Corpus-wide exact line dedup (the C4 boilerplate screen): lines
     * occurring ≥ minCount times are cut everywhere except one
     * canonical lowest-(doc, pos) survivor; whitespace-only lines

@@ -275,4 +275,50 @@ object Mixing {
       .withColumn("deficit_tokens",
         greatest(lit(0L), col("desired_tokens") - col("available_tokens")))
   }
+
+  /** Temperature-scaled mixture shares — the multilingual sampling
+    * formula of mT5 / XLM-R (Xue et al. 2021 §3.1; Conneau et al.
+    * 2020 §3): q_i = p_i^α / Σ_j p_j^α flattens the natural
+    * token-share distribution p toward uniform as α → 0, up-weighting
+    * tail languages/domains without discarding head data. The
+    * boost column (q/p) is the per-stratum oversampling factor a
+    * sampler applies on top of natural frequency.
+    *
+    * Determinism: shares round to 6 dp once. α = 0.5 is the
+    * IEEE-exact choice (p^0.5 = sqrt, correctly rounded in every
+    * engine); other α go through pow, which libm does not guarantee
+    * correctly rounded — fine for production sampling, but only
+    * α = 0.5 is hash-gate-exact across engines, so the oracle query
+    * pins it.
+    *
+    * Scale shape: one per-stratum aggregation (config-table-sized
+    * output), a one-row total broadcast, scan math after that. The
+    * corpus is read once.
+    *
+    * @return (stratum, n_tokens, p, q, boost) — natural share,
+    *         temperature share, q/p; all 6 dp. */
+  def temperatureMixture(df: DataFrame, stratumCol: String,
+                         tokensCol: String,
+                         alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    def powA(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else pow(c, alpha)
+    val strata = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).cast("long").as("n_tokens"))
+    val tot = broadcast(strata.agg(
+      sum("n_tokens").as("__tot")))
+    // p^α rounds to integer MICROS before the normalizing sum, so the
+    // total is an order-independent long (the d28/BM25 trick — a raw
+    // double Σ p^α would depend on aggregation order)
+    val withP = strata.crossJoin(tot)
+      .withColumn("p", round(col("n_tokens") / col("__tot"), 6))
+      .withColumn("__sp", round(powA(col("p")) * 1e6).cast("long"))
+    val qtot = broadcast(withP.agg(sum("__sp").as("__qt")))
+    withP.crossJoin(qtot)
+      .withColumn("q", round(col("__sp") / col("__qt"), 6))
+      .withColumn("boost",
+        when(col("p") === 0d, lit(0d))
+          .otherwise(round(col("q") / col("p"), 6)))
+      .select(stratumCol, "n_tokens", "p", "q", "boost")
+  }
 }

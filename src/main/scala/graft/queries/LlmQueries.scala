@@ -309,6 +309,13 @@ object LlmQueries {
       TextAnalysis.bpeTrain(T.documents(s, d), "text", merges = 6)
         .orderBy("step")),
 
+    // Temperature-scaled mixture shares (mT5/XLM-R sampling): α = 0.5
+    // is the IEEE-exact (sqrt) temperature, pinned for the hash gate.
+    "d56_temp_mixture" -> ((s, d) =>
+      Mixing.temperatureMixture(T.documents(s, d), "lang", "n_chars",
+          alpha = 0.5)
+        .orderBy("lang")),
+
     // C4-style corpus-wide line dedup: the fixture is single-line, so
     // the query PLANTS a shared boilerplate line on every 20th doc
     // (the d33 planting precedent, mirrored in the oracle) — the
@@ -1809,6 +1816,21 @@ object LlmQueries {
     "d41_pq_adc" -> D41PqAdcSql,
     "d51_ivfpq" -> D51IvfPqSql,
     "d54_quality_lr" -> D54QualityLrSql,
+    // sqrt(p) rounds to micros before the normalizing sum, so the
+    // total is an order-independent BIGINT in both engines
+    "d56_temp_mixture" ->
+      """WITH s AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM s),
+        |p AS (SELECT lang, n_tokens, ROUND(n_tokens / tt, 6) AS p,
+        |  CAST(ROUND(sqrt(ROUND(n_tokens / tt, 6)) * 1000000) AS BIGINT)
+        |    AS sp
+        |  FROM s CROSS JOIN t),
+        |qt AS (SELECT CAST(SUM(sp) AS BIGINT) AS qt FROM p)
+        |SELECT lang, n_tokens, p, ROUND(sp / qt, 6) AS q,
+        |CASE WHEN p = 0 THEN 0.0
+        |  ELSE ROUND(ROUND(sp / qt, 6) / p, 6) END AS boost
+        |FROM p CROSS JOIN qt ORDER BY lang""".stripMargin,
     // string-keyed restatement of the xxhash64-keyed count/join
     // (hashing is operator-internal, equal w.h.p. — d4/d38 precedent)
     "d55_line_dedup" ->

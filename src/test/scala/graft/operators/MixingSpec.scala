@@ -230,4 +230,32 @@ class MixingSpec extends SparkSpec {
     assert(plan("wiki") == ((0L, 0.1, 40L, 0.0, 0L, 40L)))
     assert(plan.size == 4)
   }
+
+  test("temperatureMixture flattens shares toward uniform at alpha=0.5") {
+    import spark.implicits._
+    val df = Seq(("en", 900L), ("sw", 100L))
+      .flatMap { case (l, n) => Seq((l, n)) }
+      .toDF("lang", "toks")
+    val out = Mixing.temperatureMixture(df, "lang", "toks", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val (_, pEn, qEn, bEn) = out("en")
+    val (_, pSw, qSw, bSw) = out("sw")
+    assert(pEn == 0.9 && pSw == 0.1)
+    // temperature pulls the head down and the tail up, total stays 1
+    assert(qEn < pEn && qSw > pSw)
+    assert(math.abs(qEn + qSw - 1.0) < 2e-6)
+    assert(bSw > 1.0 && bEn < 1.0)
+    // hand numbers: sqrt(.9)=.948683, sqrt(.1)=.316228 (micros) →
+    // q_en = 948683/1264911, q_sw = 316228/1264911
+    assert(qEn == 0.75, s"qEn $qEn")
+    assert(qSw == 0.25, s"qSw $qSw")
+
+    // alpha = 1 is the identity temperature: q == p
+    val id = Mixing.temperatureMixture(df, "lang", "toks", alpha = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(id.values.forall { case (p, q) => p == q })
+  }
 }
