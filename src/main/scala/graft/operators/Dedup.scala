@@ -238,6 +238,82 @@ object Dedup {
     * [[crossDedupNear]]'s only defense (dfCap) re-prices every batch.
     *
     * @return (in_id, ex_id, jac) with jac ≥ theta. */
+  /** (id, n, s) posting rows from a (id, hs) shingle-set frame. */
+  private def crossPost(sh: DataFrame): DataFrame =
+    sh.select(col("id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("s"))
+
+  /** Rarest-first (1−θ)·n+1 prefix of each id's postings, ranked by
+    * the EXISTING side's df (novel shingles rank rarest). */
+  private def crossPrefix(p: DataFrame, dfreq: DataFrame,
+                          theta: Double): DataFrame = {
+    val minOverlap = ceil(lit(theta) * col("n") - lit(1e-9)).cast("int")
+    p.join(dfreq, Seq("s"), "left")
+      .withColumn("__df", coalesce(col("df"), lit(0L)))
+      .withColumn("__rk", row_number()
+        .over(Window.partitionBy("id").orderBy("__df", "s")))
+      .filter(col("__rk") <= col("n") - minOverlap + 1)
+      .select("id", "n", "s")
+  }
+
+  /** The EXISTING side of [[prefixCrossJaccard]], materialized once so
+    * a continuous ingest pipeline can probe it per catch-up batch
+    * (the [[existingGramSet]] pattern for the near-dup screen): the
+    * shingle sets, the df table the shared prefix order keys on, and
+    * the existing side's own prefix postings. A production deployment
+    * keeps these on disk and refreshes them as batches commit. */
+  final case class PrefixCrossIndex(shEx: DataFrame, dfreq: DataFrame,
+                                    prefEx: DataFrame, k: Int,
+                                    theta: Double)
+
+  def prefixCrossIndex(existing: DataFrame, idCol: String,
+                       textCol: String, k: Int,
+                       theta: Double): PrefixCrossIndex = {
+    require(theta > 0 && theta <= 1, s"theta must be in (0, 1], got $theta")
+    val shEx = existing.select(col(idCol).as("id"),
+        hashedShingles(col(textCol), k).as("hs"))
+      .localCheckpoint(true)
+    val dfreq = crossPost(shEx).groupBy("s")
+      .agg(count(lit(1)).as("df")).localCheckpoint(true)
+    val prefEx = crossPrefix(crossPost(shEx), dfreq, theta)
+      .localCheckpoint(true)
+    PrefixCrossIndex(shEx, dfreq, prefEx, k, theta)
+  }
+
+  /** [[prefixCrossJaccard]] against a pre-built [[prefixCrossIndex]].
+    * Per-incoming-row work depends only on that row's shingles and the
+    * index (the prefix order keys on the EXISTING side's df), so
+    * micro-batch splits of the incoming side cannot change the result
+    * — the property the st_cross_near streaming twin asserts. */
+  def prefixCrossJaccardAgainst(incoming: DataFrame,
+                                idx: PrefixCrossIndex, idCol: String,
+                                textCol: String): DataFrame = {
+    val theta = idx.theta
+    val shIn = incoming.select(col(idCol).as("id"),
+        hashedShingles(col(textCol), idx.k).as("hs"))
+      .localCheckpoint(true)
+    val cand = crossPrefix(crossPost(shIn), idx.dfreq, theta).as("a")
+      .join(idx.prefEx.as("b"),
+        col("a.s") === col("b.s")
+          && col("b.n").cast("double") >= lit(theta) * col("a.n") - lit(1e-9)
+          && col("a.n").cast("double") >= lit(theta) * col("b.n") - lit(1e-9))
+      .select(col("a.id").as("in_id"), col("b.id").as("ex_id"))
+      .dropDuplicates("in_id", "ex_id")
+    val out = cand
+      .join(shIn.select(col("id").as("in_id"), col("hs").as("hs_a")),
+        Seq("in_id"))
+      .join(idx.shEx.select(col("id").as("ex_id"), col("hs").as("hs_b")),
+        Seq("ex_id"))
+      .withColumn("shared", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jac", round(col("shared").cast("double")
+        / (size(col("hs_a")) + size(col("hs_b")) - col("shared")), 6))
+      .filter(col("jac") >= theta)
+      .select("in_id", "ex_id", "jac")
+      .localCheckpoint(true)
+    Shims.unpersistLocalCheckpoint(shIn)
+    out
+  }
+
   def prefixCrossJaccard(incoming: DataFrame, existing: DataFrame,
                          idCol: String, textCol: String,
                          k: Int, theta: Double,
@@ -250,19 +326,10 @@ object Dedup {
     }
     val shIn = shingled(incoming)
     val shEx = shingled(existing)
-    def post(sh: DataFrame) = sh.select(col("id"), size(col("hs")).as("n"),
-      explode(col("hs")).as("s"))
-    val dfreq = post(shEx).groupBy("s").agg(count(lit(1)).as("df"))
-    val minOverlap = ceil(lit(theta) * col("n") - lit(1e-9)).cast("int")
-    def prefix(p: DataFrame) = p
-      .join(dfreq, Seq("s"), "left")
-      .withColumn("__df", coalesce(col("df"), lit(0L)))
-      .withColumn("__rk", row_number()
-        .over(Window.partitionBy("id").orderBy("__df", "s")))
-      .filter(col("__rk") <= col("n") - minOverlap + 1)
-      .select("id", "n", "s")
-    val cand = prefix(post(shIn)).as("a")
-      .join(prefix(post(shEx)).as("b"),
+    val dfreq = crossPost(shEx).groupBy("s").agg(count(lit(1)).as("df"))
+    def prefix(p: DataFrame) = crossPrefix(p, dfreq, theta)
+    val cand = prefix(crossPost(shIn)).as("a")
+      .join(prefix(crossPost(shEx)).as("b"),
         col("a.s") === col("b.s")
           && col("b.n").cast("double") >= lit(theta) * col("a.n") - lit(1e-9)
           && col("a.n").cast("double") >= lit(theta) * col("b.n") - lit(1e-9))

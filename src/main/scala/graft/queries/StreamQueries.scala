@@ -185,6 +185,30 @@ object StreamQueries {
       s.read.parquet(out).orderBy("doc_id", "span_start")
     }),
 
+    // Cross-corpus NEAR-dup (prefix-filtered exact Jaccard) as a
+    // streaming twin — the third leg of the continuous-ingest screen
+    // family (exact spans: st_cross_spans; bench overlap:
+    // st_decontam_stream; near-dup: this). The existing side
+    // materializes ONCE as a PrefixCrossIndex (shingle sets + the df
+    // table the shared prefix order keys on); each micro-batch probes
+    // it, and per-incoming-row work depends only on that row plus the
+    // index, so batch splits cannot change the result. Hashed against
+    // the BATCH d47 oracle (= d26's pairwise SQL) verbatim.
+    "st_cross_near" -> ((s, d) => {
+      lazy val idx = graft.operators.Dedup.prefixCrossIndex(
+        T.documents(s, d).filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", k = 5, theta = 0.5)
+      val out = materializedStream(s, d, "xnear", "documents.parquet",
+        transform = batch =>
+          graft.operators.Dedup.prefixCrossJaccardAgainst(
+            batch.filter(col("doc_id") % 7 === 0), idx,
+            "doc_id", "text")) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      s.read.parquet(out).orderBy("in_id", "ex_id")
+    }),
+
     // Benchmark decontamination as a streaming twin — the other screen
     // a continuous ingest pipeline runs on every arriving batch: the
     // bench-gram set is tiny and static (broadcast inside
@@ -281,6 +305,9 @@ object StreamQueries {
     "st_cross_spans" -> LlmQueries.sql("d37_cross_spans"),
     // the BATCH d18 oracle verbatim: stream == batch by contract
     "st_decontam_stream" -> LlmQueries.sql("d18_decontaminate"),
+    // the BATCH d47 oracle verbatim (= d26's pairwise SQL): the
+    // prefix lemma + batch invariance make stream == batch
+    "st_cross_near" -> LlmQueries.sql("d47_prefix_cross"),
     // the BATCH s7/s8 oracles verbatim: stream == batch by contract
     "st_s7_new" ->
       """SELECT p_partkey FROM part WHERE NOT EXISTS (

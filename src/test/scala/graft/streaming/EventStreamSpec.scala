@@ -206,6 +206,42 @@ class EventStreamSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("streaming cross-corpus near-dup is invariant under batch splits") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("evxn").toString
+    val ckpt = Files.createTempDirectory("evxnck").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val incoming = docs.filter(col("doc_id") % 7 === 0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("evxnstage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    stage(incoming.filter(col("doc_id") % 2 === 0), "a.parquet")
+    stage(incoming.filter(col("doc_id") % 2 =!= 0), "b.parquet")
+    val idx = Dedup.prefixCrossIndex(
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+      k = 5, theta = 0.5)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    var got = Set.empty[Seq[Any]]
+    var batches = 0
+    EventStream.runAvailableNow(stream, ckpt, mode = "append") { (b, _) =>
+      batches += 1
+      got ++= Dedup.prefixCrossJaccardAgainst(b, idx, "doc_id", "text")
+        .collect().map(_.toSeq)
+    }
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+    val want = Dedup.prefixCrossJaccard(incoming,
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        k = 5, theta = 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("streaming decontamination is invariant under micro-batch splits") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
