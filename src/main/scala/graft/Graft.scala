@@ -493,6 +493,17 @@ object Graft {
                   textCol: String): DataFrame =
     TextAnalysis.gopherRules(docs, idCol, textCol)
 
+  /** Exact L2 brute-force top-k in integer micros — the ground truth
+    * for ANN recall (same metric/rounding as [[ivfPqTopK]]). */
+  def bruteForceTopKL2(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, queryFilter: Column): DataFrame =
+    Similarity.bruteForceTopKL2(emb, idCol, vecCol, k, queryFilter)
+
+  /** Recall@k of an approximate (qid, nid) ranking vs the exact one —
+    * the tuning metric for nprobe / m / champion depth. */
+  def annRecallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame =
+    Similarity.annRecallAtK(approx, exact, k)
+
   /** Temperature-scaled mixture shares (mT5/XLM-R sampling):
     * q_i = p_i^α / Σ p_j^α — flattens natural token shares toward
     * uniform, up-weighting tail strata. α = 0.5 (sqrt) is the

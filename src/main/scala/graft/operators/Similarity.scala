@@ -36,6 +36,54 @@ object Similarity {
     * the plan is a single map-side pass over the corpus (O(|Q|·N·d)
     * flops, no shuffle of the corpus vectors). For corpus×corpus
     * near-dup use the bucketed [[lshTopK]]/[[ivfTopK]] paths. */
+  /** Exact L2 brute-force top-k in integer micros — the ground-truth
+    * baseline approximate-ANN recall is measured against (same metric
+    * and rounding as [[Quantization.ivfPqTopK]]'s ADC scores, so the
+    * two rankings are directly comparable). dist² decomposes as
+    * |q|² + |v|² − 2·q·v with the per-vector squared norms computed
+    * once outside the |Q|×|N| pair join.
+    *
+    * @return (qid, rank, nid, dist_micros), ascending distance with
+    *         ascending-nid tie-break, self-pairs excluded. */
+  def bruteForceTopKL2(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, queryFilter: Column): DataFrame = {
+    val withN = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      dot(col(vecCol), col(vecCol)).as("sq"))
+    val q = withN.filter(queryFilter)
+      .select(col("id").as("qid"), col("v").as("qv"), col("sq").as("qq"))
+    val c = withN.select(col("id").as("nid"), col("v").as("nv"),
+      col("sq").as("nn"))
+    val scored = broadcast(q).join(c, col("qid") =!= col("nid"))
+      .withColumn("dist_micros",
+        round((col("qq") + col("nn")
+          - lit(2d) * dot(col("qv"), col("nv"))) * 1e6).cast("long"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("dist_micros").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "dist_micros")
+  }
+
+  /** Recall@k of an approximate (qid, nid) ranking against the exact
+    * one — THE tuning metric for every ANN knob (nprobe, m, champion
+    * depth): per query, how many of the true top-k the approximate
+    * path found. One (qid, nid)-keyed join plus a per-query rollup;
+    * queries the approximate path missed entirely surface with
+    * recall 0 rather than vanishing.
+    *
+    * @return (qid, n_hits, recall) over every query in `exact`. */
+  def annRecallAtK(approx: DataFrame, exact: DataFrame,
+                   k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val hits = approx.select("qid", "nid")
+      .join(exact.select("qid", "nid"), Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / lit(k.toDouble), 6))
+  }
+
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      k: Int, queryFilter: Column): DataFrame = {
     // precompute norms once per vector — computing them inside the pair

@@ -591,6 +591,19 @@ object LlmQueries {
           nprobe = 2, topK = 3, queryFilter = col("id") % 10 === 0)
         .orderBy("qid", "rank")),
 
+    // ANN recall@3 of the d51 IVF-PQ ranking vs an exact L2 brute
+    // force — the tuning metric for every approximate-ANN knob; the
+    // oracle replays BOTH rankings and the recall join.
+    "d57_ann_recall" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val approx = Quantization.ivfPqTopK(emb, "vec_id", "embedding",
+        nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2,
+        nprobe = 2, topK = 3, queryFilter = col("id") % 10 === 0)
+      val exact = Similarity.bruteForceTopKL2(emb, "vec_id", "embedding",
+        k = 3, queryFilter = col("id") % 10 === 0)
+      Similarity.annRecallAtK(approx, exact, k = 3).orderBy("qid")
+    }),
+
     // SemDeDup semantic dedup: the d29 k-means trainer buckets the
     // corpus, then greedy within-cluster removal at cos ≥ 0.95 with
     // the paper's survivor rule (ascending centroid-similarity rank —
@@ -1059,7 +1072,7 @@ object LlmQueries {
     * integer-micro ADC L2 scoring. Distances decompose per subspace,
     * so each LUT term rounds to micros once and the per-(qid, nid)
     * sums are order-independent BIGINTs. */
-  private val D51IvfPqSql: String = {
+  private val D51Prefix: String = {
     // 6-dp L2 argmin against a (c, cv) codebook relation, full vectors
     def cassign(n: Int, rel: String): String =
       s"""cq$n AS (SELECT id, vv, c, ROUND(list_sum([(vv[i]-cv[i])*(vv[i]-cv[i])
@@ -1127,10 +1140,36 @@ object LlmQueries {
        |  FROM cdz JOIN lut USING (cell, s, c)
        |  WHERE nid <> qid GROUP BY qid, nid),
        |r AS (SELECT qid, nid, dist_micros, ROW_NUMBER() OVER (
-       |  PARTITION BY qid ORDER BY dist_micros, nid) AS rank FROM sc)
-       |SELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros FROM r
-       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+       |  PARTITION BY qid ORDER BY dist_micros, nid) AS rank FROM sc)""".stripMargin
   }
+
+  private val D51IvfPqSql: String =
+    D51Prefix + """
+      |SELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros FROM r
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** d57 oracle: recall@3 of the d51 IVF-PQ ranking against an exact
+    * L2 brute force over the same double vectors — identical
+    * |q|²+|v|²−2q·v micro rounding as the Spark baseline. */
+  private val D57AnnRecallSql: String =
+    D51Prefix + """,
+      |nsqv AS (SELECT id, vv, list_sum([vv[i]*vv[i]
+      |  FOR i IN range(1, len(vv)+1)]) AS sq FROM v),
+      |bf AS (SELECT qid, nid FROM (SELECT qid, nid,
+      |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dm, nid) AS rk
+      |  FROM (SELECT q2.qid, n.id AS nid,
+      |    CAST(ROUND((q2.qq + n.sq - 2*list_sum([q2.qv2[i]*n.vv[i]
+      |      FOR i IN range(1, len(n.vv)+1)])) * 1000000) AS BIGINT) AS dm
+      |    FROM (SELECT id AS qid, vv AS qv2, sq AS qq FROM nsqv
+      |      WHERE id % 10 = 0) q2
+      |    JOIN nsqv n ON n.id <> q2.qid)) WHERE rk <= 3),
+      |iv AS (SELECT qid, nid FROM r WHERE rank <= 3),
+      |h AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM iv JOIN bf USING (qid, nid) GROUP BY qid)
+      |SELECT b.qid, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+      |ROUND(COALESCE(n_hits, 0) / 3.0, 6) AS recall
+      |FROM (SELECT DISTINCT qid FROM bf) b LEFT JOIN h USING (qid)
+      |ORDER BY qid""".stripMargin
 
   /** d54 oracle: the hashed-BoW logistic trainer replayed — md5
     * feature buckets, micro-rounded term frequencies, the rational
@@ -1815,6 +1854,7 @@ object LlmQueries {
     "d40_pq_codes" -> D40PqCodesSql,
     "d41_pq_adc" -> D41PqAdcSql,
     "d51_ivfpq" -> D51IvfPqSql,
+    "d57_ann_recall" -> D57AnnRecallSql,
     "d54_quality_lr" -> D54QualityLrSql,
     // sqrt(p) rounds to micros before the normalizing sum, so the
     // total is an order-independent BIGINT in both engines

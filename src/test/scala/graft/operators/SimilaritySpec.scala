@@ -58,6 +58,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map(10L -> ((true, 0)), 11L -> ((true, 0))))
   }
 
+  test("bruteForceTopKL2 ranks by squared distance; annRecallAtK counts") {
+    // L2 ground truth from vec 0: dist² to 1 = .01+.01 = .02, to 2 = 2,
+    // to 3 = 1+.81+.01 = 1.82, to 4 = 4
+    val exact = Similarity.bruteForceTopKL2(vecs, "vec_id", "embedding",
+        k = 3, queryFilter = col("id") === 0L)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(exact.map(_._2).toSeq == Seq(1L, 3L, 2L))
+    assert(exact.head._3 == 20000L) // 0.02 in micros, exactly
+    // a fake approximate ranking that found 2 of the true top-3 for
+    // query 0 and nothing for query 2
+    val approx = Seq((0L, 1L), (0L, 2L), (0L, 4L)).toDF("qid", "nid")
+    val truth = Seq((0L, 1L), (0L, 3L), (0L, 2L), (2L, 3L), (2L, 1L),
+      (2L, 0L)).toDF("qid", "nid")
+    val rec = Similarity.annRecallAtK(approx, truth, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(rec(0L) == ((2L, 0.666667)))
+    assert(rec(2L) == ((0L, 0.0)), "missed queries surface with recall 0")
+  }
+
   test("bruteForceTopK ranks by cosine with id tie-break") {
     val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
       k = 2, queryFilter = col("vec_id") === 0).collect()
