@@ -235,7 +235,52 @@ object PlanDump {
         "The cross-corpus sibling (d47, Dedup.prefixCrossJaccard) " +
         "applies the same lemma to the incremental-ingest join with " +
         "the order keyed on existing-side df — novel shingles rank " +
-        "rarest, and the df table is reusable across ingest batches."))
+        "rarest, and the df table is reusable across ingest batches."),
+    "d51_ivfpq" ->
+      ("IVF-PQ (FAISS IndexIVFPQ / IVFADC): coarse k-means cells + PQ " +
+        "residual codes + nprobe-bounded ADC. The corpus side shuffles " +
+        "(cell, m codes) per vector — never vectors; both codebooks " +
+        "are driver-held literals; the per-(query, cell) LUT is " +
+        "broadcast-sized; and the cell-keyed scoring join touches " +
+        "nprobe/nlist of the corpus per query. The final plan below " +
+        "reads the checkpointed result — the load-bearing claim is " +
+        "measured, not asserted: BENCH_SF1_r10.json's " +
+        "ivfpq_prune_probe pins the MARGINAL per-query scoring cost " +
+        "at 7.8 ms vs the full ADC scan's 154 ms on a fixed 40k " +
+        "corpus (~20×, beyond the 8× corpus-share bound because the " +
+        "full path's rank window also shrinks). Training cost is " +
+        "query-count-independent and amortizes across ingest batches."),
+    "d50_bpe_train" ->
+      ("BPE merge-loop training: the corpus collapses to the " +
+        "word-count VOCABULARY once (Heaps-law sublinear), then every " +
+        "merge round is one vocab-sized pair aggregation + a one-row " +
+        "driver collect + a literal-driven scan-side replace, with " +
+        "the vocab localCheckpointed per round so the plan stays " +
+        "constant-size at any merge count. Measured at 10× text " +
+        "(BENCH_SF1_r10.json): 4.6 → 5.8 s — ratio 1.26, the " +
+        "vocab-bound shape doing exactly what it promises."),
+    "d54_quality_lr" ->
+      ("Hashed-BoW logistic quality classifier: one tokenize+hash " +
+        "pass builds the checkpointed (id, bucket, x) feature table; " +
+        "each GD step is a map-side weighted sum keyed on id (weights " +
+        "inlined as a literal map) plus a dims-row gradient " +
+        "aggregation collected to the driver; scoring reuses the " +
+        "same keyed-sum shape. No shuffle ever carries more than the " +
+        "skinny feature table; text is read once."),
+    "pl_title_suffix" ->
+      ("The only >25% common-subset movement in round 9 (1.04 → " +
+        "1.84 s in-suite), pinned in round 10: BENCH_SOLO_r10.json " +
+        "measures cold 3.72 s / warm 0.93 s in a non-first solo slot " +
+        "(the first-slot run reads 7.56 s — one-time JVM/parquet/" +
+        "codegen bring-up, the same artifact r9 documented for " +
+        "st_attrib_stream). The plan is unchanged from r8 — one scan " +
+        "→ a single Project holding the whole guarded-regex branch " +
+        "tree → the final orderBy's range exchange + sort — so the " +
+        "in-suite delta sits inside the documented 2-4× in-suite/" +
+        "solo attribution band, not a plan regression. Whole-stage " +
+        "codegen's subexpression elimination collapses the repeated " +
+        "suffix regexp_extract across branches at runtime, which the " +
+        "0.93 s warm number reflects."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
