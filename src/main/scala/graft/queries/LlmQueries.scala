@@ -309,6 +309,30 @@ object LlmQueries {
       TextAnalysis.bpeTrain(T.documents(s, d), "text", merges = 6)
         .orderBy("step")),
 
+    // End-to-end curation pipeline composing this round's stages:
+    // Gopher gate (the four rules the word-soup fixture can exercise —
+    // the full suite's stop-word rule fails every synthetic doc) →
+    // exact-dup canonical survivors → deterministic md5 stratified
+    // sample (en down-weighted) → per-lang summary. The d15 pattern,
+    // over the round-10 surface.
+    "d58_curation_pipeline" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val gate = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .filter(col("r_word_count") && col("r_mean_len")
+          && col("r_symbol") && col("r_alpha"))
+        .select("doc_id")
+      val gated = docs.join(gate, "doc_id")
+      val keepers = Dedup.exactDedup(gated, "doc_id", "text")
+        .select(col("keeper").as("doc_id"))
+      val surv = gated.join(keepers, "doc_id")
+      Mixing.stratifiedSample(surv, "doc_id", "lang",
+          Map("en" -> 5000), defaultBp = 10000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"))
+        .orderBy("lang")
+    }),
+
     // Temperature-scaled mixture shares (mT5/XLM-R sampling): α = 0.5
     // is the IEEE-exact (sqrt) temperature, pinned for the hash gate.
     "d56_temp_mixture" -> ((s, d) =>
@@ -1856,6 +1880,34 @@ object LlmQueries {
     "d51_ivfpq" -> D51IvfPqSql,
     "d57_ann_recall" -> D57AnnRecallSql,
     "d54_quality_lr" -> D54QualityLrSql,
+    // the d52 rule expressions verbatim (rounded ratios, identical
+    // thresholds), the d1 fingerprint, and the d19 md5 bucket —
+    // composed in one statement
+    "d58_curation_pipeline" ->
+      """WITH f AS (SELECT doc_id, text, lang, n_chars,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, text, lang, n_chars FROM f WHERE
+        |  len(ws) BETWEEN 50 AND 100000
+        |  AND (CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+        |    / len(ws), 6) END) BETWEEN 3.0 AND 10.0
+        |  AND (CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '\.\.\.'))
+        |      + len(regexp_extract_all(text, '…')) AS DOUBLE)
+        |    / len(ws), 6) END) <= 0.1
+        |  AND (CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '\p{L}')))
+        |      AS DOUBLE) / len(ws), 6) END) >= 0.8),
+        |k AS (SELECT MIN(doc_id) AS doc_id FROM g
+        |  GROUP BY md5(TRIM(regexp_replace(text, '\s+', ' ', 'g')))),
+        |sm AS (SELECT g.* FROM g JOIN k USING (doc_id)
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 10000 < CASE lang WHEN 'en' THEN 5000 ELSE 10000 END)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM sm GROUP BY lang ORDER BY lang""".stripMargin,
     // sqrt(p) rounds to micros before the normalizing sum, so the
     // total is an order-independent BIGINT in both engines
     "d56_temp_mixture" ->
