@@ -486,6 +486,12 @@ object Graft {
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame =
     TextAnalysis.bpeTrain(docs, textCol, merges)
 
+  /** Tokenizer inference: per-doc BPE token counts under a trained
+    * merge table — each distinct corpus word segments once. */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame =
+    TextAnalysis.bpeTokenCounts(docs, idCol, textCol, merges)
+
   /** Gopher quality-rule suite (word count / word length / symbol /
     * bullet / ellipsis / alpha / stop-word rules) with per-rule
     * booleans and a conjunction `pass` flag — scan-side only. */

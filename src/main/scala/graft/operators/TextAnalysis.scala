@@ -185,6 +185,36 @@ object TextAnalysis {
     learned.toSeq.toDF("step", "left_sym", "right_sym", "merged", "n")
   }
 
+  /** Tokenize with a TRAINED merge table — the inference half of
+    * [[bpeTrain]], and the path token-budget accounting actually runs:
+    * per-doc BPE token counts under the learned vocabulary. The merge
+    * chain applies in training order as scan-side literal `replace`s
+    * over the distinct-word vocabulary (Heaps-law-sublinear — each
+    * corpus word is segmented ONCE no matter how often it occurs),
+    * then per-word token counts join back onto per-doc word
+    * occurrences. Words outside the trainer's `[a-z0-9]+` scope are
+    * out of vocabulary and uncounted.
+    *
+    * @return (idCol, n_bpe_tokens, n_words) — docs with no in-scope
+    *         words don't appear (no tokenizable evidence). */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol), explode(wordTokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val symstr = merges.foldLeft(
+      regexp_replace(col("w"), "(.)", "\\|$1")) { case (acc, (a, b)) =>
+      replace(acc, lit("|" + a + "|" + b), lit("|" + a + b))
+    }
+    val wt = perDoc.select("w").distinct()
+      .select(col("w"), size(filter(split(symstr, "\\|"),
+        s => s =!= "")).cast("long").as("nt"))
+    perDoc.join(wt, "w").groupBy(idCol)
+      .agg(sum(col("c") * col("nt")).as("n_bpe_tokens"),
+        sum("c").as("n_words"))
+  }
+
   /** Polynomial (Rabin-Karp-style) rolling-hash fingerprint: an ordered
     * integer fold `h = (h*31 + code) mod 1e9+7` over the character
     * codes. Pure integer math in a fixed order → bit-identical in any

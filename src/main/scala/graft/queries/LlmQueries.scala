@@ -354,6 +354,18 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer inference: count per-doc BPE tokens under the merges
+    // d50's trainer just learned — train on the corpus, encode the
+    // corpus, the loop a token-budget accountant runs.
+    "d59_bpe_encode" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val merges = TextAnalysis.bpeTrain(docs, "text", merges = 6)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // Model-based quality classifier (fastText-filter shape): hashed
     // BoW logistic regression trained in-engine with 2 unrolled GD
     // steps on the lang='en' label, rational fast-sigmoid, all micros.
@@ -1019,13 +1031,18 @@ object LlmQueries {
     * weighted by word count, takes the (n DESC, a, b) winner, and
     * applies it with `replace` (leftmost non-overlapping in both
     * engines, the re.sub semantics of the reference algorithm). */
-  private val D50BpeTrainSql: String = {
+  /** The 6 unrolled BPE rounds over a `|`-delimited symbol vocabulary;
+    * `applyLast = true` additionally materializes v6 (the fully-merged
+    * vocab d59's encoder counts tokens from — training itself never
+    * applies the last winner). Keyed on WORDS (`v0` groups by w) so
+    * the encode side can join token counts back per word. */
+  private def bpeRoundCtes(applyLast: Boolean): String = {
     val rounds = 6
     def round(r: Int): String = {
       val apply =
-        if (r == rounds) "" // the last winner is never applied
+        if (r == rounds && !applyLast) ""
         else s""",
-           |v$r AS (SELECT wc, replace(symstr,
+           |v$r AS (SELECT w, wc, replace(symstr,
            |  '|' || bb.a || '|' || bb.b, '|' || bb.a || bb.b) AS symstr
            |  FROM v${r - 1} CROSS JOIN b$r bb)""".stripMargin
       s"""s$r AS (SELECT wc, list_filter(string_split(symstr, '|'),
@@ -1036,20 +1053,45 @@ object LlmQueries {
          |  FROM p$r GROUP BY u.a, u.b ORDER BY n DESC, a, b LIMIT 1)"""
         .stripMargin + apply
     }
-    val steps = (1 to rounds).map(r =>
-      s"SELECT $r AS step, a AS left_sym, b AS right_sym, n FROM b$r")
-      .mkString("\nUNION ALL ")
     s"""WITH t AS (SELECT lower(x) AS w FROM (
        |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
        |    v -> v <> '')) AS x FROM documents)),
-       |v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS wc,
+       |v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc,
        |  regexp_replace(w, '(.)', '|\\1', 'g') AS symstr FROM t
        |  WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY w),
-       |${(1 to rounds).map(round).mkString(",\n")}
-       |SELECT CAST(step AS INT) AS step, left_sym, right_sym,
-       |left_sym || right_sym AS merged, n FROM ($steps)
-       |ORDER BY step""".stripMargin
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
+
+  private val D50BpeTrainSql: String = {
+    val steps = (1 to 6).map(r =>
+      s"SELECT $r AS step, a AS left_sym, b AS right_sym, n FROM b$r")
+      .mkString("\nUNION ALL ")
+    bpeRoundCtes(applyLast = false) +
+      s"""
+         |SELECT CAST(step AS INT) AS step, left_sym, right_sym,
+         |left_sym || right_sym AS merged, n FROM ($steps)
+         |ORDER BY step""".stripMargin
+  }
+
+  /** d59 oracle: tokenize the corpus with the merges d50 just learned
+    * — per-word token counts from the fully-merged vocab (v6), joined
+    * back onto per-doc word occurrences. Words outside the trainer's
+    * `[a-z0-9]+` scope are out of vocabulary and uncounted, mirrored
+    * on both sides. */
+  private val D59BpeEncodeSql: String =
+    bpeRoundCtes(applyLast = true) +
+      """,
+        |wt AS (SELECT w, CAST(len(list_filter(string_split(symstr, '|'),
+        |  s -> s <> '')) AS BIGINT) AS nt FROM v6),
+        |dw AS (SELECT doc_id, lower(x) AS w, COUNT(*) AS c FROM (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(text, '\s+'), v -> v <> '')) AS x
+        |  FROM documents)
+        |  WHERE regexp_full_match(lower(x), '[a-z0-9]+')
+        |  GROUP BY doc_id, lower(x))
+        |SELECT doc_id, CAST(SUM(c * nt) AS BIGINT) AS n_bpe_tokens,
+        |CAST(SUM(c) AS BIGINT) AS n_words
+        |FROM dw JOIN wt USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val D40PqCodesSql: String =
     PqPrefix +
@@ -1547,6 +1589,7 @@ object LlmQueries {
         |  (n_stop_hits >= 2) AS r_stop FROM f)
         |ORDER BY doc_id""".stripMargin,
     "d50_bpe_train" -> D50BpeTrainSql,
+    "d59_bpe_encode" -> D59BpeEncodeSql,
     // d47 is output-identical to d26 by the cross-corpus prefix lemma
     // (Dedup.prefixCrossJaccard), so the SAME pairwise SQL is its
     // oracle — losslessness of the prefix filter is itself checked.

@@ -190,6 +190,24 @@ class TextAnalysisSpec extends SparkSpec {
       (4, "e", "we", "ewe", 4L)))
   }
 
+  test("bpeTokenCounts: the learned merges segment the corpus by hand") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low lower lower"),
+      (2L, "newest newest newest newest widest"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", merges = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // after [we, lo, st, ewe]: low→[lo,w]=2, lower→[lo,we,r]=3,
+    // newest→[n,ewe,st]=3, widest→[w,i,d,e,st]=5
+    assert(got(1L) == ((3 * 2 + 2 * 3, 5L)))  // 12 tokens / 5 words
+    assert(got(2L) == ((4 * 3 + 1 * 5, 5L)))  // 17 tokens / 5 words
+  }
+
   test("bpeTrain: overlapping-run counting, greedy fuse, early exhaustion") {
     import spark.implicits._
     val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
