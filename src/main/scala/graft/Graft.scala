@@ -481,6 +481,13 @@ object Graft {
   def sq8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     graft.operators.Quantization.sq8Codes(emb, idCol, vecCol)
 
+  /** The SQ8 → PQ residual compression ladder: per-vector squared
+    * reconstruction error of SQ8 alone vs SQ8 + PQ residual, micros. */
+  def sq8PqLadder(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int, iters: Int = 2): DataFrame =
+    graft.operators.Quantization.sq8PqLadder(emb, idCol, vecCol, m,
+      ksub, iters)
+
   /** Full BPE merge-rule training over the corpus vocabulary —
     * returns the learned (step, left, right, merged, n) merge table. */
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame =

@@ -298,6 +298,65 @@ object Quantization {
     }
   }
 
+  /** The SQ8 → PQ residual ladder the [[sq8Codes]] scaladoc promises:
+    * scalar-quantize first (cheap 4×, bounded per-dim error), then
+    * train PQ on the SQ8 RESIDUALS and measure what the second rung
+    * buys — per-vector squared reconstruction error of SQ8 alone vs
+    * SQ8 + PQ-reconstructed residual, in integer micros. This is the
+    * standard compression ladder (FAISS's SQ/PQ composition, the
+    * GGML-style absmax front end): each rung's codes are independent,
+    * so storage tiers can drop the PQ rung and keep a usable index.
+    *
+    * Scale shape: one skinny absmax aggregation (the d45 shape), one
+    * map-side dequantize+residual projection into a checkpointed
+    * residual frame, the fused PQ Lloyd rounds over it, and one
+    * map-side error projection — the corpus never shuffles anything
+    * wider than the (s, code, dim) re-estimation cells.
+    *
+    * @return (idCol, err_sq8_micros, err_ladder_micros). */
+  def sq8PqLadder(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int, iters: Int): DataFrame = {
+    val dsub = subDim(emb, vecCol, m)
+    val d0 = checkpointed(emb, idCol, vecCol)
+    var rd: DataFrame = null
+    try {
+      val scales = d0
+        .select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("i").agg(max(abs(col("x"))).as("mx"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mx")))),
+          e => e.getField("mx")).as("__ms"))
+      val dequant = zip_with(col("v"), col("__ms"), (x, mx) =>
+        when(mx === 0d, lit(0d))
+          .otherwise(least(greatest(round(x * 127 / mx), lit(-127d)),
+            lit(127d)) * mx / 127))
+      rd = d0.crossJoin(broadcast(scales))
+        .select(col("id"), zip_with(col("v"), dequant, (x, q) => x - q)
+          .as("v"))
+        .localCheckpoint(true)
+      val pq = train(rd, m, ksub, iters, dsub)
+      def centFor(s: Int, code: Column): Column = {
+        val cb = pq.cents(s)
+        cb.tail.foldLeft(when(code === cb.head._1, lit(cb.head._2))) {
+          case (acc, (c, cv)) => acc.when(code === c, lit(cv))
+        }
+      }
+      val rhat = flatten(array((0 until m).map { s =>
+        centFor(s, assignExpr(subvec(col("v"), s, dsub), pq.cents(s)))
+      }: _*))
+      def sq(c: Column): Column =
+        round(aggregate(c, lit(0d), (acc, e) => acc + e * e) * 1e6)
+          .cast("long")
+      rd.select(col("id").as(idCol),
+          sq(col("v")).as("err_sq8_micros"),
+          sq(zip_with(col("v"), rhat, (r, h) => r - h))
+            .as("err_ladder_micros"))
+        .localCheckpoint(true)
+    } finally {
+      Seq(Option(rd), Some(d0)).flatten
+        .foreach(Shims.unpersistLocalCheckpoint)
+    }
+  }
+
   private def subDim(emb: DataFrame, vecCol: String, m: Int): Int = {
     require(m > 0, s"m must be positive: $m")
     val dim = emb.select(size(col(vecCol))).head.getInt(0)

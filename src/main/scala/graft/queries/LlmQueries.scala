@@ -627,6 +627,14 @@ object LlmQueries {
           nprobe = 2, topK = 3, queryFilter = col("id") % 10 === 0)
         .orderBy("qid", "rank")),
 
+    // The SQ8 → PQ residual compression ladder: scalar-quantize,
+    // train PQ on the residuals, and measure what the second rung
+    // buys in per-vector reconstruction error (micros, gate-exact).
+    "d60_sq8_pq_ladder" -> ((s, d) =>
+      Quantization.sq8PqLadder(T.embeddings(s, d), "vec_id", "embedding",
+          m = 4, ksub = 4, iters = 2)
+        .orderBy("vec_id")),
+
     // ANN recall@3 of the d51 IVF-PQ ranking vs an exact L2 brute
     // force — the tuning metric for every approximate-ANN knob; the
     // oracle replays BOTH rankings and the recall join.
@@ -1281,6 +1289,56 @@ object LlmQueries {
       |  / (1 + abs(COALESCE(sp, 0) / 1e12))))) AS BIGINT) > 500000) AS pred
       |FROM d LEFT JOIN zf USING (id) ORDER BY doc_id""".stripMargin
 
+  /** d60 oracle: the SQ8 → PQ residual ladder replayed — the d45
+    * absmax/round/clamp dequantize, residuals, the d40 PQ chain over
+    * them, per-id reconstruction via the chosen codebook rows, and
+    * both squared errors rounded to micros once per vector. */
+  private val D60LadderSql: String = {
+    def passign(n: Int, rel: String): String =
+      s"""lq$n AS (SELECT id, s, sv, c,
+         |ROUND(list_sum([(sv[i]-cv[i])*(sv[i]-cv[i])
+         |  FOR i IN range(1, len(sv)+1)]), 6) AS dd
+         |FROM sub JOIN $rel USING (s)),
+         |la$n AS (SELECT id, s, sv, c FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id, s
+         |    ORDER BY dd, c) AS rn FROM lq$n) WHERE rn = 1)""".stripMargin
+    s"""WITH v AS (SELECT vec_id AS id,
+       |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+       |FROM embeddings),
+       |sc AS (SELECT i, MAX(abs(x)) AS mx FROM (
+       |  SELECT unnest(range(1, len(vv)+1)) AS i, unnest(vv) AS x
+       |  FROM v) GROUP BY i),
+       |sl AS (SELECT list(mx ORDER BY i) AS ms FROM sc),
+       |res AS (SELECT id, [vv[i] - (CASE WHEN ms[i] = 0 THEN 0.0 ELSE
+       |  least(greatest(round(vv[i]*127/ms[i]), -127.0), 127.0)
+       |    * ms[i] / 127 END) FOR i IN range(1, len(vv)+1)] AS rv
+       |  FROM v CROSS JOIN sl),
+       |sg AS (SELECT unnest(range(4)) AS s),
+       |sub AS (SELECT id, s,
+       |  list_slice(rv, s*(len(rv)//4) + 1, (s+1)*(len(rv)//4)) AS sv
+       |FROM res CROSS JOIN sg),
+       |linit AS (SELECT s,
+       |  ROW_NUMBER() OVER (PARTITION BY s ORDER BY id) - 1 AS c, sv AS cv
+       |FROM sub WHERE id IN (SELECT id FROM v ORDER BY id LIMIT 4)),
+       |${passign(1, "linit")},
+       |lex AS (SELECT s, c, unnest(range(1, len(sv)+1)) AS i,
+       |  unnest(sv) AS x FROM la1),
+       |lc1 AS (SELECT s, c, list(m ORDER BY i) AS cv FROM (
+       |  SELECT s, c, i, ROUND(avg(x), 6) AS m FROM lex
+       |  GROUP BY s, c, i) GROUP BY s, c),
+       |${passign(2, "lc1")},
+       |rh AS (SELECT id, flatten(list(cv ORDER BY s)) AS rh
+       |  FROM la2 JOIN lc1 USING (s, c) GROUP BY id)
+       |SELECT res.id AS vec_id,
+       |CAST(ROUND(list_sum([rv[i]*rv[i]
+       |  FOR i IN range(1, len(rv)+1)]) * 1000000) AS BIGINT)
+       |  AS err_sq8_micros,
+       |CAST(ROUND(list_sum([(rv[i]-rh[i])*(rv[i]-rh[i])
+       |  FOR i IN range(1, len(rv)+1)]) * 1000000) AS BIGINT)
+       |  AS err_ladder_micros
+       |FROM res JOIN rh USING (id) ORDER BY vec_id""".stripMargin
+  }
+
   /** d33 oracle: plant the d10-style clones, replay the two Lloyd
     * rounds on the union, rank each cluster by ascending
     * centroid-similarity (a2.s), and remove every vector with a
@@ -1922,6 +1980,7 @@ object LlmQueries {
     "d41_pq_adc" -> D41PqAdcSql,
     "d51_ivfpq" -> D51IvfPqSql,
     "d57_ann_recall" -> D57AnnRecallSql,
+    "d60_sq8_pq_ladder" -> D60LadderSql,
     "d54_quality_lr" -> D54QualityLrSql,
     // the d52 rule expressions verbatim (rounded ratios, identical
     // thresholds), the d1 fingerprint, and the d19 md5 bucket —

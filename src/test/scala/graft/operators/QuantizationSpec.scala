@@ -104,6 +104,26 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("sq8PqLadder: the PQ rung never hurts on a clustered fixture") {
+    val out = Quantization.sq8PqLadder(vecs, "vec_id", "embedding",
+        m = 2, ksub = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 8)
+    assert(out.forall { case (_, s, l) => s >= 0 && l >= 0 })
+    // within-cluster variance never exceeds the raw second moment, so
+    // the PQ rung cannot hurt; on THIS fixture the SQ8 residuals are
+    // already sub-micro noise, so equality is the expected outcome
+    // (the sf0.01 oracle row shows the strict improvement: 483/500
+    // vectors, mean 54 -> 48 micros)
+    val sumS = out.map(_._2).sum; val sumL = out.map(_._3).sum
+    assert(sumL <= sumS, s"ladder $sumL must never exceed sq8 $sumS")
+    // deterministic under repartitioning
+    val again = Quantization.sq8PqLadder(vecs.repartition(5),
+        "vec_id", "embedding", m = 2, ksub = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("ivfPqTopK: nprobe bounds the candidate set to the probed cells") {
     // coarse init = ids 0 (A-group) and 1 (B-group), so the k-means
     // cells converge to the A/B direction split; query 4 is a B vector
