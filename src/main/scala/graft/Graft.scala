@@ -543,6 +543,12 @@ object Graft {
     graft.operators.QualityModel.lrQualityScores(docs, idCol, textCol,
       label, dims, steps, eta)
 
+  /** Merge mergeable partial rollups (sum/min/max state) key-wise —
+    * incremental aggregate maintenance without a corpus rescan. */
+  def mergeRollups(partials: Seq[DataFrame], keys: Seq[String],
+                   specs: Seq[(String, String)]): DataFrame =
+    graft.operators.Incremental.mergeRollups(partials, keys, specs)
+
   /** Register graft's SQL functions (`uuid5`, `title_case`) and the
     * codec-collapse optimizer rule on a session. */
   def install(spark: SparkSession): Unit = {

@@ -248,6 +248,28 @@ object StreamQueries {
       }
       s.read.parquet(out).orderBy("o_orderkey")
     }),
+    // Incremental aggregate maintenance: two disjoint batch partials
+    // (event_id mod 10 split) merged key-wise must equal the full
+    // recompute — the pattern that keeps a 100 TB rollup fresh
+    // without rescanning the corpus. The oracle IS the full
+    // recompute, so the merge's exactness is the thing checked.
+    "inc_rollup_merge" -> ((s, d) => {
+      val ev = T.events(s, d)
+      def partial(f: org.apache.spark.sql.Column) = ev.filter(f)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(Exprs.cents(col("value"))).as("v_cents"),
+          expr("min(ts) div 1000").as("first_us"),
+          expr("max(ts) div 1000").as("last_us"))
+      graft.operators.Incremental.mergeRollups(
+          Seq(partial(col("event_id") % 10 < 8),
+            partial(col("event_id") % 10 >= 8)),
+          Seq("user_id", "event_type"),
+          Seq("n" -> "sum", "v_cents" -> "sum",
+            "first_us" -> "min", "last_us" -> "max"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // `ts` arrives as long nanos (nanosAsLong read); the hour bucket is
     // exact integer arithmetic — equivalent to window(ts, "1 hour") on a
     // timestamp column, with no sub-second precision hazards.
@@ -308,6 +330,13 @@ object StreamQueries {
     // the BATCH d47 oracle verbatim (= d26's pairwise SQL): the
     // prefix lemma + batch invariance make stream == batch
     "st_cross_near" -> LlmQueries.sql("d47_prefix_cross"),
+    // the full recompute — merged partials must equal it exactly
+    "inc_rollup_merge" ->
+      """SELECT user_id, event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS v_cents,
+        |CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
+        |CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
     // the BATCH s7/s8 oracles verbatim: stream == batch by contract
     "st_s7_new" ->
       """SELECT p_partkey FROM part WHERE NOT EXISTS (
