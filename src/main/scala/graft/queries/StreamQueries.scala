@@ -82,6 +82,46 @@ object StreamQueries {
         s"$base/out"
       })
 
+  /** [[materializedStream]]'s FOLD variant: instead of writing each
+    * micro-batch, `step` folds it into a running state frame (e.g. a
+    * maintained rollup), and the FINAL state is what materializes.
+    * The state localCheckpoints every batch so the plan never chains
+    * across batches. */
+  private def materializedFold(s: SparkSession, d: String, name: String,
+      srcFile: String, step: (Option[DataFrame], DataFrame) => DataFrame)(
+      build: String => DataFrame): String =
+    streamMemo.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + d + "|" + name, _ => {
+        import java.nio.file.{Files, Paths}
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val base = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+          s"stream_${name}_$digest"
+        val in = s"$base/in"
+        Files.createDirectories(Paths.get(in))
+        Files.copy(Paths.get(s"$d/$srcFile"), Paths.get(s"$in/$srcFile"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        def rmTree(p: String): Unit = {
+          val root = Paths.get(p)
+          if (Files.exists(root))
+            Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.delete(f))
+        }
+        rmTree(s"$base/out")
+        rmTree(s"$base/ckpt")
+        var state: Option[DataFrame] = None
+        graft.streaming.EventStream.runAvailableNow(build(in),
+          s"$base/ckpt", "append") { (b, _) =>
+          val next = step(state, b).localCheckpoint(true)
+          state.foreach(
+            org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+          state = Some(next)
+        }
+        state.getOrElse(s.emptyDataFrame)
+          .write.mode("overwrite").parquet(s"$base/out")
+        s"$base/out"
+      })
+
   val defs: Map[String, Q] = Map(
     // S7's streaming twin AS AN ORACLE ROW: the incremental new-rows
     // pickup run through Trigger.AvailableNow micro-batches (file
@@ -270,6 +310,32 @@ object StreamQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // The maintained-rollup pattern as a STREAMING run: each
+    // micro-batch's partial aggregate folds into the running state
+    // via the same mergeRollups the batch row uses — associativity
+    // makes the result batch-boundary-independent, and the final
+    // state hashes against the full-recompute oracle verbatim.
+    "st_inc_rollup" -> ((s, d) => {
+      def partial(df: DataFrame) = df
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(Exprs.cents(col("value"))).as("v_cents"),
+          expr("min(ts) div 1000").as("first_us"),
+          expr("max(ts) div 1000").as("last_us"))
+      val out = materializedFold(s, d, "increl", "events.parquet",
+        step = (st, b) => st match {
+          case None => partial(b)
+          case Some(prev) => graft.operators.Incremental.mergeRollups(
+            Seq(prev, partial(b)), Seq("user_id", "event_type"),
+            Seq("n" -> "sum", "v_cents" -> "sum",
+              "first_us" -> "min", "last_us" -> "max"))
+        }) { in =>
+        // readEvents normalizes ts to long epoch nanos on the stream
+        graft.streaming.EventStream.readEvents(s, in)
+      }
+      s.read.parquet(out).orderBy("user_id", "event_type")
+    }),
+
     // `ts` arrives as long nanos (nanosAsLong read); the hour bucket is
     // exact integer arithmetic — equivalent to window(ts, "1 hour") on a
     // timestamp column, with no sub-second precision hazards.
@@ -330,6 +396,13 @@ object StreamQueries {
     // the BATCH d47 oracle verbatim (= d26's pairwise SQL): the
     // prefix lemma + batch invariance make stream == batch
     "st_cross_near" -> LlmQueries.sql("d47_prefix_cross"),
+    // the full recompute — the folded stream state must equal it
+    "st_inc_rollup" ->
+      """SELECT user_id, event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS v_cents,
+        |CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
+        |CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
     // the full recompute — merged partials must equal it exactly
     "inc_rollup_merge" ->
       """SELECT user_id, event_type, COUNT(*) AS n,

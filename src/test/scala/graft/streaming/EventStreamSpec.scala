@@ -206,6 +206,47 @@ class EventStreamSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("folded rollup maintenance is invariant under micro-batch splits") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Incremental
+    val dir = Files.createTempDirectory("evir").toString
+    val ckpt = Files.createTempDirectory("evirck").toString
+    val events = graft.core.Tables.events(spark, sf0001)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("evirstage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    // the staged halves are already ts-normalized (long nanos), so the
+    // stream reads them with a long schema directly
+    stage(events.filter(col("event_id") % 2 === 0), "a.parquet")
+    stage(events.filter(col("event_id") % 2 =!= 0), "b.parquet")
+    def partial(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"), min("ts").as("lo"), max("ts").as("hi"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/a.parquet").schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var batches = 0
+    EventStream.runAvailableNow(stream, ckpt, mode = "append") { (b, _) =>
+      batches += 1
+      val pa = partial(b)
+      state = Some((state match {
+        case None => pa
+        case Some(prev) => Incremental.mergeRollups(Seq(prev, pa),
+          Seq("user_id", "event_type"),
+          Seq("n" -> "sum", "lo" -> "min", "hi" -> "max"))
+      }).localCheckpoint(true))
+    }
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+    val got = state.get.collect().map(_.toSeq).toSet
+    val want = partial(events).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("streaming cross-corpus near-dup is invariant under batch splits") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
