@@ -113,6 +113,48 @@ object Dedup {
       .filter(col("jac") >= theta)
       .select(outA, outB, "jac")
 
+  /** One-sided CONTAINMENT near-dup: C(a→b) = |A∩B| / |A| ≥ theta —
+    * the asymmetric screen symmetric Jaccard cannot run: a short doc
+    * quoted wholesale inside a long one has high containment but
+    * Jaccard near |A|/|B| (vanishing as B grows), so quote-farms,
+    * aggregator pages, and template-wrapped reposts slip a Jaccard
+    * filter entirely. Emits BOTH directions per overlapping pair
+    * (src contained-in dst), scored exactly.
+    *
+    * Same lossless shingle blocking and `dfCap` stop-shingle guard as
+    * [[jaccardPairs]]; the pair aggregation runs once per unordered
+    * pair and fans out to the two directed rows map-side after the
+    * theta-independent shared count is known.
+    *
+    * @return (src_id, dst_id, containment) with containment ≥ theta. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, theta: Double,
+                       dfCap: Int = 0): DataFrame = {
+    require(theta > 0 && theta <= 1, s"theta must be in (0, 1], got $theta")
+    val sh = df.select(col(idCol).as("id"),
+        hashedShingles(col(textCol), k).as("hs"))
+      .localCheckpoint(true)
+    val posting = postings(sh, dfCap)
+    val out = posting.as("a")
+      .join(posting.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ia"), col("b.id").as("ib"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .select(explode(array(
+        struct(col("ia").as("src_id"), col("ib").as("dst_id"),
+          round(col("shared").cast("double") / col("na"), 6)
+            .as("containment")),
+        struct(col("ib").as("src_id"), col("ia").as("dst_id"),
+          round(col("shared").cast("double") / col("nb"), 6)
+            .as("containment")))).as("e"))
+      .select("e.*")
+      .filter(col("containment") >= theta)
+      .localCheckpoint(true)
+    Shims.unpersistLocalCheckpoint(sh)
+    out
+  }
+
   /** Cross-corpus NEAR-dup: incoming docs with Jaccard ≥ `theta`
     * against any existing doc — the fuzzy arm of [[crossDedup]] (a new
     * crawl rarely re-serves pages byte-identical; it re-serves them

@@ -627,6 +627,23 @@ object LlmQueries {
           nprobe = 2, topK = 3, queryFilter = col("id") % 10 === 0)
         .orderBy("qid", "rank")),
 
+    // One-sided containment near-dup — catches short-doc-quoted-in-
+    // long-doc reuse that symmetric Jaccard misses. Every 50th doc
+    // gets a planted 25-word "quote" twin (id + 2e6, the d33 planting
+    // precedent, mirrored in the oracle) whose containment in its
+    // source is ~1.0 while its Jaccard is tiny.
+    "d61_containment" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val quotes = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
+            t => t =!= ""), 1, 25)).as("text"))
+      Dedup.containmentPairs(
+          docs.select("doc_id", "text").unionByName(quotes),
+          "doc_id", "text", k = 5, theta = 0.6)
+        .orderBy("src_id", "dst_id")
+    }),
+
     // The SQ8 → PQ residual compression ladder: scalar-quantize,
     // train PQ on the residuals, and measure what the second rung
     // buys in per-vector reconstruction error (micros, gate-exact).
@@ -1981,6 +1998,32 @@ object LlmQueries {
     "d51_ivfpq" -> D51IvfPqSql,
     "d57_ann_recall" -> D57AnnRecallSql,
     "d60_sq8_pq_ladder" -> D60LadderSql,
+    // the d4 shingle idiom over the quote-planted base, scored as
+    // |A∩B|/|A| in BOTH directions
+    "d61_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |UNION ALL SELECT doc_id + 2000000,
+        |  array_to_string(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t <> '')[1:25], ' ')
+        |FROM documents WHERE doc_id % 50 = 0),
+        |w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |  t -> t <> '') AS ws FROM base),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |  ELSE [array_to_string(ws[x:x+4], ' ')
+        |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM w),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  COUNT(*) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dir AS (SELECT id_a AS src_id, id_b AS dst_id,
+        |  ROUND(shared*1.0/ca.n, 6) AS containment
+        |  FROM pairs JOIN cnt ca ON id_a = ca.doc_id
+        |UNION ALL SELECT id_b, id_a, ROUND(shared*1.0/cb.n, 6)
+        |  FROM pairs JOIN cnt cb ON id_b = cb.doc_id)
+        |SELECT src_id, dst_id, containment FROM dir
+        |WHERE containment >= 0.6 ORDER BY src_id, dst_id""".stripMargin,
     "d54_quality_lr" -> D54QualityLrSql,
     // the d52 rule expressions verbatim (rounded ratios, identical
     // thresholds), the d1 fingerprint, and the d19 md5 bucket —

@@ -358,6 +358,26 @@ class DedupSpec extends SparkSpec {
     assert(kept(1) == Set(1L, 2L, 3L))
   }
 
+  test("containmentPairs: asymmetric quote detection Jaccard misses") {
+    // doc 2 is the first 6 words of doc 1 quoted verbatim: with k=2
+    // shingles, |Q|=5 shingles all inside |A|=11 -> C(2→1)=1.0 while
+    // jac = 5/(11+5-5) ≈ 0.45 — a θ=0.5 Jaccard filter misses it
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f"),
+      (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        k = 2, theta = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set((2L, 1L, 1.0)), s"got $got")
+    // the symmetric screen at the same theta finds nothing
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text",
+        k = 2, theta = 0.6).collect()
+    assert(jac.isEmpty)
+  }
+
   test("lineDedup: canonical survivor, trim-keyed match, structure kept") {
     val docs = Seq(
       (1L, "keep me\nBOILER\nunique a"),
