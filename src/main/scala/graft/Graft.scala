@@ -526,6 +526,14 @@ object Graft {
                          alpha: Double = 0.5): DataFrame =
     Mixing.temperatureMixture(df, stratumCol, tokensCol, alpha)
 
+  /** One-sided containment near-dup: C(a→b) = |A∩B|/|A| both
+    * directions — catches short-doc-quoted-in-long-doc reuse whose
+    * Jaccard vanishes as the host grows. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, theta: Double,
+                       dfCap: Int = 0): DataFrame =
+    Dedup.containmentPairs(df, idCol, textCol, k, theta, dfCap)
+
   /** Corpus-wide exact line dedup (the C4 boilerplate screen): lines
     * occurring ≥ minCount times are cut everywhere except one
     * canonical lowest-(doc, pos) survivor; whitespace-only lines

@@ -336,6 +336,25 @@ object StreamQueries {
       s.read.parquet(out).orderBy("user_id", "event_type")
     }),
 
+    // Fixed-N-per-stratum sampling as a folded streaming run: keeping
+    // the N lowest md5 ranks per stratum is a semilattice (min-N), so
+    // per-batch top-Ns merged and re-ranked equal the global top-N —
+    // the deterministic streaming sampler, hashed against the BATCH
+    // d25 oracle verbatim.
+    "st_sample_n" -> ((s, d) => {
+      def topn(df: DataFrame) = graft.operators.Mixing.sampleN(
+        df.select("doc_id", "lang"), "doc_id", "lang", nPer = 25)
+      val out = materializedFold(s, d, "samplen", "documents.parquet",
+        step = (st, b) => st match {
+          case None => topn(b)
+          case Some(prev) => topn(prev.unionByName(topn(b)))
+        }) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      s.read.parquet(out).orderBy("doc_id")
+    }),
+
     // Mergeable DISTINCT-COUNT maintenance via HLL sketches (the
     // DataSketches functions, codegen'd built-ins): per-batch sketches
     // union to EXACTLY the single-pass sketch (register-max is
@@ -433,6 +452,9 @@ object StreamQueries {
         |CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
         |CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+    // the BATCH d25 oracle verbatim: min-N mergeability makes the
+    // folded stream equal the one-pass sample
+    "st_sample_n" -> LlmQueries.sql("d25_sample_n"),
     // the exact distinct count plus the two always-true properties the
     // sketch composition guarantees (union exactness; 5% error bound)
     "inc_hll_distinct" ->

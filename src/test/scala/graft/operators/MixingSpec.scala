@@ -231,6 +231,23 @@ class MixingSpec extends SparkSpec {
     assert(plan.size == 4)
   }
 
+  test("sampleN is mergeable: per-part top-N re-ranked equals global") {
+    import spark.implicits._
+    val rows = (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) "x" else "y")).toDF("id", "st")
+    def topn(df: org.apache.spark.sql.DataFrame) =
+      Mixing.sampleN(df, "id", "st", nPer = 7)
+    val full = topn(rows).collect().map(_.toSeq).toSet
+    // arbitrary split: min-N by md5 rank is a semilattice, so merging
+    // per-part top-Ns and re-ranking recovers the global answer —
+    // the property the st_sample_n streaming fold relies on
+    val merged = topn(
+        topn(rows.filter(col("id") <= 20))
+          .unionByName(topn(rows.filter(col("id") > 20))))
+      .collect().map(_.toSeq).toSet
+    assert(merged == full && full.nonEmpty)
+  }
+
   test("temperatureMixture flattens shares toward uniform at alpha=0.5") {
     import spark.implicits._
     val df = Seq(("en", 900L), ("sw", 100L))
