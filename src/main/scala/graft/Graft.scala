@@ -526,6 +526,13 @@ object Graft {
                          alpha: Double = 0.5): DataFrame =
     Mixing.temperatureMixture(df, stratumCol, tokensCol, alpha)
 
+  /** Shingle df histogram — the dfCap / prefix-path tuning diagnostic
+    * for the near-dup family (heavy top bucket ⇒ the boilerplate
+    * regime where prefix filtering wins and dfCap loses recall). */
+  def shingleDfStats(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame =
+    Dedup.shingleDfStats(df, idCol, textCol, k)
+
   /** One-sided containment near-dup: C(a→b) = |A∩B|/|A| both
     * directions — catches short-doc-quoted-in-long-doc reuse whose
     * Jaccard vanishes as the host grows. */

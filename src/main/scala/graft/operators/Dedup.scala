@@ -155,6 +155,39 @@ object Dedup {
     out
   }
 
+  /** Shingle document-frequency statistics — the dfCap / prefix-path
+    * TUNING diagnostic for the whole near-dup family (the
+    * [[graft.operators.Search.bm25MaxScoreCertificates]] idea applied
+    * to dedup): a log2-bucketed df histogram with, per bucket, how
+    * many distinct shingles land there and what share of TOTAL
+    * POSTINGS they carry. Candidate volume through a shingle is
+    * ~df²/2, so a heavy top bucket with few shingles is exactly the
+    * boilerplate regime where dfCap loses recall and
+    * [[prefixJaccardPairs]] wins; a flat histogram says plain
+    * [[jaccardPairs]] is already fine. Two skinny aggregations over
+    * the postings — runs at full corpus scale for the price of the
+    * df table every candidate generator already builds.
+    *
+    * @return (df_bucket, n_shingles, n_postings, posting_share) with
+    *         df_bucket = floor(log2(df)) computed as the binary-digit
+    *         count (integer-exact — a float log2 can land on either
+    *         side of a power-of-2 boundary depending on the engine's
+    *         libm), ascending. */
+  def shingleDfStats(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val dfreq = df
+      .select(explode(hashedShingles(col(textCol), k)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val tot = broadcast(dfreq.agg(sum("df").as("__tot")))
+    dfreq
+      .groupBy((length(bin(col("df"))) - 1).cast("int").as("df_bucket"))
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_postings"))
+      .crossJoin(tot)
+      .withColumn("posting_share",
+        round(col("n_postings") / col("__tot"), 6))
+      .select("df_bucket", "n_shingles", "n_postings", "posting_share")
+  }
+
   /** Cross-corpus NEAR-dup: incoming docs with Jaccard ≥ `theta`
     * against any existing doc — the fuzzy arm of [[crossDedup]] (a new
     * crawl rarely re-serves pages byte-identical; it re-serves them

@@ -627,6 +627,13 @@ object LlmQueries {
           nprobe = 2, topK = 3, queryFilter = col("id") % 10 === 0)
         .orderBy("qid", "rank")),
 
+    // Shingle df histogram — the dfCap / prefix-path tuning
+    // diagnostic for the near-dup family (candidate volume through a
+    // shingle is ~df^2/2; a heavy top bucket = the prefix regime).
+    "d62_shingle_df_stats" -> ((s, d) =>
+      Dedup.shingleDfStats(T.documents(s, d), "doc_id", "text", k = 5)
+        .orderBy("df_bucket")),
+
     // One-sided containment near-dup — catches short-doc-quoted-in-
     // long-doc reuse that symmetric Jaccard misses. Every 50th doc
     // gets a planted 25-word "quote" twin (id + 2e6, the d33 planting
@@ -1998,6 +2005,24 @@ object LlmQueries {
     "d51_ivfpq" -> D51IvfPqSql,
     "d57_ann_recall" -> D57AnnRecallSql,
     "d60_sq8_pq_ladder" -> D60LadderSql,
+    // the d4 shingle idiom; bucket = binary-digit count - 1 (exact
+    // integer floor(log2), no libm boundary hazard)
+    "d62_shingle_df_stats" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+        |  string_split_regex(text, '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |  ELSE [array_to_string(ws[x:x+4], ' ')
+        |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM w),
+        |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+        |t AS (SELECT CAST(SUM(df) AS BIGINT) AS tot FROM dfq)
+        |SELECT CAST(length(bin(df)) - 1 AS INT) AS df_bucket,
+        |CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |CAST(SUM(df) AS BIGINT) AS n_postings,
+        |ROUND(CAST(SUM(df) AS BIGINT) / tot, 6) AS posting_share
+        |FROM dfq CROSS JOIN t GROUP BY 1, tot
+        |ORDER BY df_bucket""".stripMargin,
     // the d4 shingle idiom over the quote-planted base, scored as
     // |A∩B|/|A| in BOTH directions
     "d61_containment" ->

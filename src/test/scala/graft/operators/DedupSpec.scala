@@ -378,6 +378,18 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("shingleDfStats: exact log2 buckets and posting shares by hand") {
+    // k=2 shingles: "a b" in 3 docs (df=3 -> bucket 1), "x y" in 1
+    // (df=1 -> bucket 0); total postings 4
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val got = Dedup.shingleDfStats(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set((0, 1L, 1L, 0.25), (1, 1L, 3L, 0.75)))
+  }
+
   test("lineDedup: canonical survivor, trim-keyed match, structure kept") {
     val docs = Seq(
       (1L, "keep me\nBOILER\nunique a"),
