@@ -477,6 +477,22 @@ object Graft {
     graft.operators.Quantization.ivfPqTopK(emb, idCol, vecCol, nlist,
       coarseIters, m, ksub, pqIters, nprobe, topK, queryFilter)
 
+  /** Train and persist the IVF-PQ index (the serving artifact);
+    * probe it per query batch with [[ivfPqSearch]]. */
+  def ivfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int, m: Int, ksub: Int, coarseIters: Int = 2,
+                 pqIters: Int = 2): graft.operators.Quantization.IvfPqIndex =
+    graft.operators.Quantization.ivfPqIndex(emb, idCol, vecCol, nlist,
+      coarseIters, m, ksub, pqIters)
+
+  /** Probe a trained [[ivfPqIndex]] with a batch of queries — safe to
+    * call per micro-batch (per-query work is index-static). */
+  def ivfPqSearch(queries: DataFrame, idCol: String, vecCol: String,
+                  idx: graft.operators.Quantization.IvfPqIndex,
+                  nprobe: Int, topK: Int): DataFrame =
+    graft.operators.Quantization.ivfPqSearch(queries, idCol, vecCol,
+      idx, nprobe, topK)
+
   /** Symmetric per-dim int8 scalar quantization (absmax SQ8). */
   def sq8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     graft.operators.Quantization.sq8Codes(emb, idCol, vecCol)

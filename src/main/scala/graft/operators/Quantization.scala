@@ -227,18 +227,26 @@ object Quantization {
     * scans every code.
     *
     * @return (qid, rank, nid, dist_micros) — ADC L2² in micros. */
-  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
-                nlist: Int, coarseIters: Int, m: Int, ksub: Int,
-                pqIters: Int, nprobe: Int, topK: Int,
-                queryFilter: Column): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
+  /** A trained, persisted IVF-PQ index — the artifact a serving
+    * deployment keeps while query batches arrive: the coarse cell
+    * codebook and PQ codebooks (driver-held, config-table-sized) plus
+    * the checkpointed (nid, cell, s, c) code table (the ONLY
+    * corpus-sized thing, m small ints + a cell id per vector). Free
+    * with [[Shims.unpersistLocalCheckpoint]] on `codes` when done. */
+  final case class IvfPqIndex(cells: Seq[(Int, Array[Double])],
+                              pq: PqModel, codes: DataFrame, dsub: Int)
+
+  /** Train the coarse quantizer + residual PQ and encode the corpus —
+    * the build half of [[ivfPqTopK]], reusable across query batches
+    * (and across a stream's micro-batches: see st_ann_probe). */
+  def ivfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int, coarseIters: Int, m: Int, ksub: Int,
+                 pqIters: Int): IvfPqIndex = {
     val dim = subDim(emb, vecCol, 1)
     val dsub = subDim(emb, vecCol, m)
-    require(nlist > 0 && nprobe > 0, s"need positive nlist/nprobe")
+    require(nlist > 0, s"need positive nlist: $nlist")
     val d0 = checkpointed(emb, idCol, vecCol)
     var rd: DataFrame = null
-    var codes: DataFrame = null
     try {
       val cells = train(d0, 1, nlist, coarseIters, dim).cents(0)
       def centFor(cell: Column): Column =
@@ -251,51 +259,80 @@ object Quantization {
           zip_with(col("v"), centFor(cellCol), (x, y) => x - y).as("v"))
         .localCheckpoint(true)
       val pq = train(rd.select("id", "v"), m, ksub, pqIters, dsub)
-      // (nid, cell, s, c): the ONLY corpus-sized thing that shuffles
-      codes = rd.select(col("id").as("nid"), col("cell"),
+      val codes = rd.select(col("id").as("nid"), col("cell"),
           posexplode(array((0 until m).map(s =>
             assignExpr(subvec(col("v"), s, dsub), pq.cents(s))): _*))
             .as(Seq("s", "c")))
         .localCheckpoint(true)
-      // probe the nprobe nearest cells; carry the per-cell query
-      // residual forward for the LUT
-      val probeEntries = cells.map { case (c, cv) =>
-        struct(lit(c).as("cell"), sqDist(col("qv"), cv).as("cd"),
-          zip_with(col("qv"), lit(cv), (x, y) => x - y).as("qr"))
-      }
-      val wProbe = Window.partitionBy("qid")
-        .orderBy(col("cd").asc, col("cell").asc)
-      val probed = d0.filter(queryFilter)
-        .select(col("id").as("qid"), col("v").as("qv"))
-        .select(col("qid"), explode(array(probeEntries: _*)).as("e"))
-        .select(col("qid"), col("e.cell").as("cell"), col("e.cd").as("cd"),
-          col("e.qr").as("qr"))
-        .withColumn("crank", row_number().over(wProbe))
-        .filter(col("crank") <= nprobe)
-      val pqCentDf = broadcast(pq.cents.zipWithIndex.flatMap {
-        case (cb, s) => cb.map { case (c, cv) => (s, c, cv.toSeq) }
-      }.toDF("s", "c", "cv"))
-      val lut = probed.select(col("qid"), col("cell"),
-          posexplode(array((0 until m).map(s =>
-            subvec(col("qr"), s, dsub)): _*)).as(Seq("s", "qrs")))
-        .join(pqCentDf, Seq("s"))
-        .select(col("qid"), col("cell"), col("s"), col("c"),
-          round(aggregate(zip_with(col("qrs"), col("cv"),
-            (x, y) => (x - y) * (x - y)), lit(0d), (acc, e) => acc + e)
-            * 1e6).cast("long").as("tm"))
-      val scored = codes.join(lut, Seq("cell", "s", "c"))
-        .filter(col("nid") =!= col("qid"))
-        .groupBy("qid", "nid").agg(sum("tm").as("dist_micros"))
-      val w = Window.partitionBy("qid")
-        .orderBy(col("dist_micros").asc, col("nid").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= topK)
-        .select("qid", "rank", "nid", "dist_micros")
-        .localCheckpoint(true)
+      IvfPqIndex(cells, pq, codes, dsub)
     } finally {
-      Seq(Option(codes), Option(rd), Some(d0)).flatten
+      Seq(Option(rd), Some(d0)).flatten
         .foreach(Shims.unpersistLocalCheckpoint)
     }
+  }
+
+  /** Probe a trained [[IvfPqIndex]] with a batch of full-precision
+    * queries — the serving half of [[ivfPqTopK]]. Per-query work
+    * depends only on that query's vector and the (static) index, so
+    * micro-batch splits of the query stream cannot change results.
+    *
+    * @param queries (idCol, vecCol) rows; self-pairs (same id in
+    *                corpus and query) are excluded as in ivfPqTopK. */
+  def ivfPqSearch(queries: DataFrame, idCol: String, vecCol: String,
+                  idx: IvfPqIndex, nprobe: Int, topK: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(nprobe > 0, s"need positive nprobe: $nprobe")
+    val m = idx.pq.m
+    val probeEntries = idx.cells.map { case (c, cv) =>
+      struct(lit(c).as("cell"), sqDist(col("qv"), cv).as("cd"),
+        zip_with(col("qv"), lit(cv), (x, y) => x - y).as("qr"))
+    }
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(col("cd").asc, col("cell").asc)
+    val probed = queries
+      .select(col(idCol).as("qid"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .select(col("qid"), explode(array(probeEntries: _*)).as("e"))
+      .select(col("qid"), col("e.cell").as("cell"), col("e.cd").as("cd"),
+        col("e.qr").as("qr"))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+    val pqCentDf = broadcast(idx.pq.cents.zipWithIndex.flatMap {
+      case (cb, s) => cb.map { case (c, cv) => (s, c, cv.toSeq) }
+    }.toDF("s", "c", "cv"))
+    val lut = probed.select(col("qid"), col("cell"),
+        posexplode(array((0 until m).map(s =>
+          subvec(col("qr"), s, idx.dsub)): _*)).as(Seq("s", "qrs")))
+      .join(pqCentDf, Seq("s"))
+      .select(col("qid"), col("cell"), col("s"), col("c"),
+        round(aggregate(zip_with(col("qrs"), col("cv"),
+          (x, y) => (x - y) * (x - y)), lit(0d), (acc, e) => acc + e)
+          * 1e6).cast("long").as("tm"))
+    val scored = idx.codes.join(lut, Seq("cell", "s", "c"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy("qid", "nid").agg(sum("tm").as("dist_micros"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("dist_micros").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("qid", "rank", "nid", "dist_micros")
+  }
+
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                nlist: Int, coarseIters: Int, m: Int, ksub: Int,
+                pqIters: Int, nprobe: Int, topK: Int,
+                queryFilter: Column): DataFrame = {
+    val idx = ivfPqIndex(emb, idCol, vecCol, nlist, coarseIters, m,
+      ksub, pqIters)
+    try {
+      // queryFilter addresses the canonical (id, v) projection, as the
+      // call sites always have
+      val q = checkpointed(emb, idCol, vecCol).filter(queryFilter)
+      try ivfPqSearch(q, "id", "v", idx, nprobe, topK)
+        .localCheckpoint(true)
+      finally Shims.unpersistLocalCheckpoint(q)
+    } finally Shims.unpersistLocalCheckpoint(idx.codes)
   }
 
   /** The SQ8 → PQ residual ladder the [[sq8Codes]] scaladoc promises:

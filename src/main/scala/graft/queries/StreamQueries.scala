@@ -249,6 +249,27 @@ object StreamQueries {
       s.read.parquet(out).orderBy("in_id", "ex_id")
     }),
 
+    // ANN SERVING as a streaming run: the IVF-PQ index builds ONCE
+    // from the static corpus (codebooks driver-held, codes
+    // checkpointed — what a deployment persists), and query
+    // micro-batches probe it via ivfPqSearch; per-query work depends
+    // only on that query's vector plus the static index, so batch
+    // splits cannot change results. Hashed against the BATCH d51
+    // oracle verbatim.
+    "st_ann_probe" -> ((s, d) => {
+      lazy val idx = graft.operators.Quantization.ivfPqIndex(
+        T.embeddings(s, d), "vec_id", "embedding",
+        nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
+      val out = materializedStream(s, d, "annprobe", "embeddings.parquet",
+        transform = batch => graft.operators.Quantization.ivfPqSearch(
+          batch.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          idx, nprobe = 2, topK = 3)) { in =>
+        val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      s.read.parquet(out).orderBy("qid", "rank")
+    }),
+
     // Benchmark decontamination as a streaming twin — the other screen
     // a continuous ingest pipeline runs on every arriving batch: the
     // bench-gram set is tiny and static (broadcast inside
@@ -455,6 +476,9 @@ object StreamQueries {
     // the BATCH d25 oracle verbatim: min-N mergeability makes the
     // folded stream equal the one-pass sample
     "st_sample_n" -> LlmQueries.sql("d25_sample_n"),
+    // the BATCH d51 oracle verbatim: static index + per-query
+    // independence make stream == batch
+    "st_ann_probe" -> LlmQueries.sql("d51_ivfpq"),
     // the exact distinct count plus the two always-true properties the
     // sketch composition guarantees (union exactness; 5% error bound)
     "inc_hll_distinct" ->

@@ -206,6 +206,41 @@ class EventStreamSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("streaming ANN probe is invariant under query micro-batch splits") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Quantization
+    val dir = Files.createTempDirectory("evap").toString
+    val ckpt = Files.createTempDirectory("evapck").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("evapstage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    stage(queries.filter(col("vec_id") % 20 === 0), "a.parquet")
+    stage(queries.filter(col("vec_id") % 20 =!= 0), "b.parquet")
+    val idx = Quantization.ivfPqIndex(emb, "vec_id", "embedding",
+      nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    var got = Set.empty[Seq[Any]]
+    var batches = 0
+    EventStream.runAvailableNow(stream, ckpt, mode = "append") { (b, _) =>
+      batches += 1
+      got ++= Quantization.ivfPqSearch(b, "vec_id", "embedding",
+        idx, nprobe = 2, topK = 3).collect().map(_.toSeq)
+    }
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+    val want = Quantization.ivfPqTopK(emb, "vec_id", "embedding",
+        nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2,
+        nprobe = 2, topK = 3, queryFilter = col("id") % 10 === 0)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("folded rollup maintenance is invariant under micro-batch splits") {
     import org.apache.spark.sql.functions._
     import graft.operators.Incremental
