@@ -378,6 +378,20 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("lineDedup at an unreachable minCount is the identity rebuild") {
+    val docs = Seq(
+      (1L, "alpha beta\n  indented line  \n\ntail"),
+      (2L, "single"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", minCount = 99)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    // nothing qualifies for removal, so the rebuild reproduces the
+    // original text byte-for-byte (raw lines kept, order restored)
+    assert(out(1L) == (("alpha beta\n  indented line  \n\ntail", 0L)))
+    assert(out(2L) == (("single", 0L)))
+  }
+
   test("shingleDfStats: exact log2 buckets and posting shares by hand") {
     // k=2 shingles: "a b" in 3 docs (df=3 -> bucket 1), "x y" in 1
     // (df=1 -> bucket 0); total postings 4
