@@ -109,6 +109,27 @@ object LlmQueries {
         k = 3, nprobe = 2, queryFilter = col("id") % 10 === 0)
         .orderBy("qid", "rank")),
 
+    // Recall@3 of the d8 sign-LSH ranking against the d7 brute-force
+    // truth — the annRecallAtK harness applied to the OTHER
+    // approximate path, with the measured per-query recall itself
+    // under the hash gate. Expect LOW numbers here (~0.09 mean at
+    // sf0.01): d8 runs 8-bit single-probe buckets, the cheap-and-
+    // coarse end of the knob this diagnostic exists to tune
+    // (SimilaritySpec measures the same harness at 4 bits / deeper
+    // probing clearing 0.2 and rising monotonically with probe
+    // depth). An honest 0.09 is the point: it says "raise maxHamming
+    // or cut nbits before shipping this index", which no spec-level
+    // floor assertion can say per query.
+    "d63_ann_lsh_recall" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+        k = 3, nbits = 8, queryFilter = col("id") % 10 === 0,
+        planes = D8Planes)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        k = 3, queryFilter = col("vec_id") % 10 === 0)
+      Similarity.annRecallAtK(approx, exact, k = 3).orderBy("qid")
+    }),
+
     // Embedding-cosine near-dup, EXACT and oracle-checked (round-4
     // advice: an approximate path under an exact oracle passes only
     // vacuously and breaks on any marginal pair). The raw corpus has no
@@ -854,6 +875,21 @@ object LlmQueries {
       })
     s.read.parquet(path)
   }
+
+  /** d7 oracle: exact brute-force cosine top-3 for the 10% probe set
+    * — also the ground-truth side of d63's recall join. */
+  private val D7BruteSql: String =
+    """WITH v AS (SELECT vec_id, embedding,
+      |sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
+      |  FOR i IN range(1, len(embedding)+1)])) AS nrm FROM embeddings),
+      |p AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+      |ROUND(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE)
+      |  FOR i IN range(1, len(q.embedding)+1)]) / (q.nrm * n.nrm), 6) AS cos
+      |FROM v q JOIN v n ON q.vec_id % 10 = 0 AND q.vec_id <> n.vec_id),
+      |r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid
+      |  ORDER BY cos DESC, nid) AS rank FROM p)
+      |SELECT qid, CAST(rank AS INT) AS rank, nid, cos FROM r
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   /** d8 oracle, generated from [[D8Planes]]: per-vector bucket = 8
     * sign bits of Rademacher projections (the ±1 matrix interpolated
@@ -1963,19 +1999,19 @@ object LlmQueries {
     // lossless-ness claim, not just the arithmetic.
     "d42_prefix_jaccard" -> ShingleSql.replace("THETA", "0.5"),
     "d5_minhash_lsh" -> ShingleSql.replace("THETA", "0.7"),
-    "d7_ann_topk" ->
-      """WITH v AS (SELECT vec_id, embedding,
-        |sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)
-        |  FOR i IN range(1, len(embedding)+1)])) AS nrm FROM embeddings),
-        |p AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
-        |ROUND(list_sum([CAST(q.embedding[i] AS DOUBLE)*CAST(n.embedding[i] AS DOUBLE)
-        |  FOR i IN range(1, len(q.embedding)+1)]) / (q.nrm * n.nrm), 6) AS cos
-        |FROM v q JOIN v n ON q.vec_id % 10 = 0 AND q.vec_id <> n.vec_id),
-        |r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid
-        |  ORDER BY cos DESC, nid) AS rank FROM p)
-        |SELECT qid, CAST(rank AS INT) AS rank, nid, cos FROM r
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "d7_ann_topk" -> D7BruteSql,
     "d8_ann_lsh" -> D8LshSql,
+    // recall of the sign-LSH ranking against the brute-force truth:
+    // both rankings replayed as subqueries, joined on (qid, nid)
+    "d63_ann_lsh_recall" ->
+      s"""WITH ex AS (SELECT qid, nid FROM ($D7BruteSql)),
+         |ap AS (SELECT qid, nid FROM ($D8LshSql)),
+         |h AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM ap JOIN ex USING (qid, nid) GROUP BY qid)
+         |SELECT b.qid, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         |ROUND(COALESCE(n_hits, 0) / 3.0, 6) AS recall
+         |FROM (SELECT DISTINCT qid FROM ex) b LEFT JOIN h USING (qid)
+         |ORDER BY qid""".stripMargin,
     "d29_kmeans" -> D29KmeansSql,
     // same planted bench (dim0-zeroed every-25th), same per-pair
     // round-then-MAX; -2.0 sentinel on zero norms
