@@ -300,6 +300,32 @@ object ReportQueries {
         Seq("title", "artist", "albumartist"),
         compilationCol = Some("compilation"))
     }),
+
+    // The Library-Health radar axes (ref 92-report-library-health.py)
+    // over the rp_missing_critical fixture: per-field track-level
+    // non-compliance and album-level impact.
+    "rp_health_radar" -> ((s, d) => {
+      val k = col("c_custkey")
+      val dd = expr("c_custkey % 40")
+      val tracks = graft.core.Tables.customer(s, d).select(
+        when(dd % 8 === 3, concat(lit("/m/Box"), dd.cast("string"),
+            lit("/CD "), (dd % 2 + 1).cast("string")))
+          .otherwise(concat(lit("/m/Album"), dd.cast("string")))
+          .as("__dirpath"),
+        when(k % 17 === 0, lit(null).cast("string"))
+          .when(k % 19 === 0, lit(""))
+          .when(k % 23 === 0, lit(" "))
+          .otherwise(concat(lit("T"), k.cast("string"))).as("title"),
+        when(k % 13 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("A"), dd.cast("string"))).as("artist"),
+        when(dd % 5 === 0 && k % 3 === 0, lit(""))
+          .otherwise(concat(lit("AA"), dd.cast("string"))).as("albumartist"),
+        when(dd % 8 === 4, lit(1)).otherwise(lit(0)).as("compilation"))
+      Insights.healthRadar(tracks, "__dirpath",
+          Seq("title", "artist", "albumartist"),
+          compilationCol = Some("compilation"))
+        .orderBy("field")
+    }),
     // VA / compilation classification (ref 92-...py:852-895) over a
     // fixture planting every VA spelling the reference's set matches:
     // exact "Various Artists" (album 0), whitespace+case " VA " (album
@@ -897,6 +923,61 @@ object ReportQueries {
         |ORDER BY codec_class, filetype, COALESCE(ch, 9999),
         |COALESCE(bps, 9999), COALESCE(br, 9999999),
         |COALESCE(freq_khz, 9999.0)""".stripMargin,
+    // the rp_missing_critical CTEs + the two radar rollups: track
+    // denominators (albumartist excludes compilation rows), album
+    // impact over ALL album roots
+    "rp_health_radar" ->
+      """WITH t AS (SELECT
+        |CASE WHEN (c_custkey % 40) % 8 = 3
+        |  THEN '/m/Box' || (c_custkey % 40) || '/CD ' || ((c_custkey % 40) % 2 + 1)
+        |  ELSE '/m/Album' || (c_custkey % 40) END AS dirpath,
+        |CASE WHEN c_custkey % 17 = 0 THEN NULL
+        |  WHEN c_custkey % 19 = 0 THEN ''
+        |  WHEN c_custkey % 23 = 0 THEN ' '
+        |  ELSE 'T' || c_custkey END AS title,
+        |CASE WHEN c_custkey % 13 = 0 THEN NULL
+        |  ELSE 'A' || (c_custkey % 40) END AS artist,
+        |CASE WHEN (c_custkey % 40) % 5 = 0 AND c_custkey % 3 = 0 THEN ''
+        |  ELSE 'AA' || (c_custkey % 40) END AS albumartist,
+        |CASE WHEN (c_custkey % 40) % 8 = 4 THEN 1 ELSE 0 END AS compilation
+        |FROM customer),
+        |g AS (SELECT
+        |regexp_replace(dirpath, '/(?:cd|disc)\s*0*\d{1,3}$', '', 'i')
+        |  AS album_dirpath,
+        |CAST(SUM(CASE WHEN title IS NULL OR TRIM(title) = ''
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS title,
+        |CAST(SUM(CASE WHEN artist IS NULL OR TRIM(artist) = ''
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS artist,
+        |CAST(SUM(CASE WHEN albumartist IS NULL OR TRIM(albumartist) = ''
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS aa_raw,
+        |MAX(compilation) AS comp
+        |FROM t GROUP BY 1),
+        |z AS (SELECT album_dirpath, title, artist,
+        |CASE WHEN comp = 1 THEN 0 ELSE aa_raw END AS albumartist FROM g),
+        |d0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot,
+        |CAST(SUM(CASE WHEN compilation = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS noncomp FROM t),
+        |ad AS (SELECT CAST(COUNT(*) AS BIGINT) AS albs FROM z),
+        |m AS (SELECT CAST(SUM(title) AS BIGINT) AS mt,
+        |CAST(SUM(artist) AS BIGINT) AS ma,
+        |CAST(SUM(albumartist) AS BIGINT) AS maa,
+        |CAST(SUM(CASE WHEN title > 0 THEN 1 ELSE 0 END) AS BIGINT) AS it,
+        |CAST(SUM(CASE WHEN artist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ia,
+        |CAST(SUM(CASE WHEN albumartist > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS iaa FROM z)
+        |SELECT field, track_missing, track_denom,
+        |ROUND(100.0 * track_missing / track_denom, 6) AS track_pct,
+        |albums_impacted, album_denom,
+        |ROUND(100.0 * albums_impacted / album_denom, 6) AS album_pct
+        |FROM (
+        |  SELECT 'albumartist' AS field, maa AS track_missing,
+        |    noncomp AS track_denom, iaa AS albums_impacted,
+        |    albs AS album_denom FROM m CROSS JOIN d0 CROSS JOIN ad
+        |  UNION ALL SELECT 'artist', ma, tot, ia, albs
+        |    FROM m CROSS JOIN d0 CROSS JOIN ad
+        |  UNION ALL SELECT 'title', mt, tot, it, albs
+        |    FROM m CROSS JOIN d0 CROSS JOIN ad)
+        |ORDER BY field""".stripMargin,
     "rp_missing_critical" ->
       """WITH t AS (SELECT
         |CASE WHEN (c_custkey % 40) % 8 = 3

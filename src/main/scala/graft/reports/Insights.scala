@@ -642,4 +642,75 @@ object Insights {
       .select("n_tracks", "n_albums", "n_albumartists", "listening_s",
         "storage_bytes", "n_filetypes")
   }
+
+  /** The Library-Health radar axes (ref 92-report-library-health.py
+    * "Policy / Definitions"): per critical field, track-level
+    * non-compliance (missing tracks / total tracks, with the
+    * albumartist denominator excluding compilation rows and its
+    * numerator comp-zeroed like step 94's table) and album-level
+    * impact (albums with ≥ 1 missing / all distinct album roots,
+    * disc-subfolder rollup via [[graft.core.Exprs.albumRoot]]).
+    *
+    * One per-album rollup (the step-94 shape) plus three scalar
+    * counts; the handful of per-field output rows assemble on the
+    * driver — config-table-sized by construction, like the
+    * [[graft.operators.Clustering]] centroids.
+    *
+    * @return (field, track_missing, track_denom, track_pct,
+    *         albums_impacted, album_denom, album_pct), pcts at 6 dp. */
+  def healthRadar(tracks: DataFrame, dirCol: String,
+                  criticalCols: Seq[String],
+                  compilationCol: Option[String] = None): DataFrame = {
+    val spark = tracks.sparkSession
+    import spark.implicits._
+    def missing(c: String): Column = {
+      val s = trim(col(c))
+      (s.isNull || (s === "")).cast("int")
+    }
+    val comp = compilationCol.map(col(_).cast("int")).getOrElse(lit(0))
+    val aggs = count(lit(1)).as("__n") +:
+      criticalCols.map(c => sum(missing(c)).as(c)) :+ max(comp).as("__c")
+    val byAlbum = tracks
+      .groupBy(Exprs.albumRoot(col(dirCol)).as("__root"))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
+    try {
+      val albumDenom = byAlbum.count()
+      val totalTracks = tracks.count()
+      val nonCompTracks = compilationCol
+        .map(c => tracks.filter(col(c).cast("int") === 0).count())
+        .getOrElse(totalTracks)
+      def adj(c: String): Column =
+        if (compilationCol.isDefined && c == "albumartist")
+          when(col("__c") === 1, lit(0)).otherwise(col(c))
+        else col(c)
+      val sums = byAlbum.agg(
+        criticalCols.map(c => struct(
+          sum(adj(c)).cast("long").as("miss"),
+          sum((adj(c) > 0).cast("int")).cast("long").as("alb")).as(c))
+          .head,
+        criticalCols.map(c => struct(
+          sum(adj(c)).cast("long").as("miss"),
+          sum((adj(c) > 0).cast("int")).cast("long").as("alb")).as(c))
+          .tail: _*).head()
+      // positive-half-up at 6 dp — the ROUND rule both engines share
+      def pct(num: Long, den: Long): Double =
+        if (den == 0) 0.0
+        else math.floor(100.0 * num / den * 1e6 + 0.5) / 1e6
+      val rows = criticalCols.zipWithIndex.map { case (c, i) =>
+        val st = sums.getStruct(i)
+        val miss = st.getLong(0); val alb = st.getLong(1)
+        val denom =
+          if (compilationCol.isDefined && c == "albumartist") nonCompTracks
+          else totalTracks
+        (c, miss, denom, pct(miss, denom), alb, albumDenom,
+          pct(alb, albumDenom))
+      }
+      rows.toDF("field", "track_missing", "track_denom", "track_pct",
+        "albums_impacted", "album_denom", "album_pct")
+    } finally {
+      org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(byAlbum)
+    }
+  }
 }
