@@ -399,6 +399,14 @@ object Graft {
     graft.reports.Insights.missingCriticalTags(tracks, dirCol,
       criticalCols, compilationCol)
 
+  /** Library-Health radar axes: per critical field, track-level
+    * non-compliance and album-level impact (the report-92 radar). */
+  def healthRadar(tracks: DataFrame, dirCol: String,
+                  criticalCols: Seq[String],
+                  compilationCol: Option[String] = None): DataFrame =
+    graft.reports.Insights.healthRadar(tracks, dirCol, criticalCols,
+      compilationCol)
+
   /** Per-album ReplayGain quality/dynamics quantile rollup. */
   def qualityQuantiles(tracks: DataFrame): DataFrame =
     graft.reports.Insights.qualityQuantiles(tracks)
