@@ -155,6 +155,52 @@ object Dedup {
     out
   }
 
+  /** The EXISTING side of cross-corpus line dedup, materialized once:
+    * the xxhash64 keys of trimmed lines occurring ≥ `minCount` times
+    * in the existing corpus — the "boilerplate table" a production
+    * pipeline maintains and refreshes as batches commit (the
+    * [[existingGramSet]] pattern at line granularity). */
+  def boilerplateLineSet(existing: DataFrame, textCol: String,
+                         minCount: Int = 3): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    existing
+      .select(explode(split(col(textCol), "\n")).as("ln"))
+      .filter(trim(col("ln")) =!= "")
+      .select(xxhash64(trim(col("ln"))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select("key")
+  }
+
+  /** Cut every line of `incoming` that appears in the existing
+    * corpus's [[boilerplateLineSet]] — the ingest-time form of
+    * [[lineDedup]] (the existing corpus already holds the canonical
+    * copies, so incoming occurrences all drop). Per-incoming-row work
+    * depends only on that row's lines and the (static) set, so
+    * micro-batch splits cannot change results — the st_line_dedup
+    * streaming twin's contract. Whitespace-only lines always stay.
+    *
+    * @return (idCol, text, n_removed) as in [[lineDedup]]. */
+  def lineDedupAgainst(incoming: DataFrame, boilerplate: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val lines = incoming
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "ln")))
+      .withColumn("key",
+        when(trim(col("ln")) === "", lit(null))
+          .otherwise(xxhash64(trim(col("ln")))))
+    lines.join(broadcast(boilerplate.withColumn("__hit", lit(1))),
+        Seq("key"), "left")
+      .withColumn("keep", col("__hit").isNull)
+      .groupBy(idCol)
+      .agg(
+        concat_ws("\n", transform(
+          filter(array_sort(collect_list(struct(col("pos"), col("ln"),
+            col("keep")))), e => e.getField("keep")),
+          e => e.getField("ln"))).as("text"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Shingle document-frequency statistics — the dfCap / prefix-path
     * TUNING diagnostic for the whole near-dup family (the
     * [[graft.operators.Search.bm25MaxScoreCertificates]] idea applied

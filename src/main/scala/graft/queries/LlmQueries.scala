@@ -387,6 +387,23 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-corpus line dedup: incoming docs (doc_id % 5 = 0) lose any
+    // line in the EXISTING corpus's boilerplate table (planted shared
+    // line on every 4th doc, so both sides carry it — the existing
+    // side holds the canonical copies, incoming occurrences all drop).
+    "d64_cross_line_dedup" -> ((s, d) => {
+      val boiler = "subscribe to our newsletter for updates today"
+      val src = T.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit("\n" + boiler)))
+          .otherwise(col("text")).as("text"))
+      val set = Dedup.boilerplateLineSet(
+        src.filter(col("doc_id") % 5 =!= 0), "text", minCount = 3)
+      Dedup.lineDedupAgainst(src.filter(col("doc_id") % 5 === 0), set,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Model-based quality classifier (fastText-filter shape): hashed
     // BoW logistic regression trained in-engine with 2 unrolled GD
     // steps on the lang='en' label, rational fast-sigmoid, all micros.
@@ -2129,6 +2146,32 @@ object LlmQueries {
         |CASE WHEN p = 0 THEN 0.0
         |  ELSE ROUND(ROUND(sp / qt, 6) / p, 6) END AS boost
         |FROM p CROSS JOIN qt ORDER BY lang""".stripMargin,
+    // the d55 idiom split across the %5 partition: the existing side's
+    // boilerplate set (string-keyed restatement of the xxhash64 keys),
+    // incoming occurrences all drop
+    "d64_cross_line_dedup" ->
+      """WITH src AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |  THEN text || chr(10) ||
+        |    'subscribe to our newsletter for updates today'
+        |  ELSE text END AS text FROM documents),
+        |ex AS (SELECT trim(ln) AS k FROM (
+        |  SELECT unnest(string_split(text, chr(10))) AS ln FROM src
+        |  WHERE doc_id % 5 <> 0)
+        |  WHERE trim(ln) <> '' GROUP BY trim(ln)
+        |  HAVING COUNT(*) >= 3),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM src
+        |  WHERE doc_id % 5 = 0),
+        |l AS (SELECT doc_id, u.i AS pos, u.ln AS ln FROM (
+        |  SELECT doc_id, unnest([{'i': x, 'ln': a[x+1]}
+        |    FOR x IN range(0, len(a))]) AS u FROM ls)),
+        |k AS (SELECT doc_id, pos, ln,
+        |  (trim(ln) = '' OR ex.k IS NULL) AS keep
+        |  FROM l LEFT JOIN ex ON trim(ln) = ex.k)
+        |SELECT doc_id,
+        |COALESCE(string_agg(ln, chr(10) ORDER BY pos)
+        |  FILTER (WHERE keep), '') AS text,
+        |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // string-keyed restatement of the xxhash64-keyed count/join
     // (hashing is operator-internal, equal w.h.p. — d4/d38 precedent)
     "d55_line_dedup" ->

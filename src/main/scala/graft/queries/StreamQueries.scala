@@ -270,6 +270,33 @@ object StreamQueries {
       s.read.parquet(out).orderBy("qid", "rank")
     }),
 
+    // Cross-corpus LINE dedup as a streaming twin — the fourth ingest
+    // screen (exact spans, bench overlap, near-dup, and now
+    // boilerplate lines): the existing corpus's boilerplate table
+    // materializes once, incoming micro-batches drop any line in it;
+    // per-row work depends only on the row plus the static set, so
+    // batch splits cannot change results. Hashed against the BATCH
+    // d64 oracle verbatim.
+    "st_line_dedup" -> ((s, d) => {
+      val boiler = "subscribe to our newsletter for updates today"
+      def planted(df: DataFrame) = df.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit("\n" + boiler)))
+          .otherwise(col("text")).as("text"))
+      lazy val set = graft.operators.Dedup.boilerplateLineSet(
+        planted(T.documents(s, d)).filter(col("doc_id") % 5 =!= 0),
+        "text", minCount = 3).localCheckpoint(true)
+      val out = materializedStream(s, d, "xlines", "documents.parquet",
+        transform = batch =>
+          graft.operators.Dedup.lineDedupAgainst(
+            planted(batch.filter(col("doc_id") % 5 === 0)), set,
+            "doc_id", "text")) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      s.read.parquet(out).orderBy("doc_id")
+    }),
+
     // Benchmark decontamination as a streaming twin — the other screen
     // a continuous ingest pipeline runs on every arriving batch: the
     // bench-gram set is tiny and static (broadcast inside
@@ -479,6 +506,9 @@ object StreamQueries {
     // the BATCH d51 oracle verbatim: static index + per-query
     // independence make stream == batch
     "st_ann_probe" -> LlmQueries.sql("d51_ivfpq"),
+    // the BATCH d64 oracle verbatim: static boilerplate set +
+    // per-row independence make stream == batch
+    "st_line_dedup" -> LlmQueries.sql("d64_cross_line_dedup"),
     // the exact distinct count plus the two always-true properties the
     // sketch composition guarantees (union exactness; 5% error bound)
     "inc_hll_distinct" ->

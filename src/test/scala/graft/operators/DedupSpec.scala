@@ -378,6 +378,26 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("lineDedupAgainst cuts existing boilerplate, keeps the rest") {
+    val existing = Seq(
+      (10L, "BOILER\ncontent a"), (11L, "BOILER\ncontent b"),
+      (12L, " BOILER \ncontent c"),      // trim-keyed: counts too
+      (13L, "twice\nx"), (14L, "twice\ny")) // 2 < minCount: not boilerplate
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "BOILER\nkeep this\n  \ntwice"),
+      (2L, "no boilerplate here"))
+      .toDF("doc_id", "text")
+    val set = Dedup.boilerplateLineSet(existing, "text", minCount = 3)
+    val out = Dedup.lineDedupAgainst(incoming, set, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    // BOILER (3 existing occurrences) drops; 'twice' (2) and the
+    // whitespace-only line stay
+    assert(out(1L) == (("keep this\n  \ntwice", 1L)))
+    assert(out(2L) == (("no boilerplate here", 0L)))
+  }
+
   test("lineDedup at an unreachable minCount is the identity rebuild") {
     val docs = Seq(
       (1L, "alpha beta\n  indented line  \n\ntail"),
