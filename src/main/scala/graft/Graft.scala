@@ -588,6 +588,38 @@ object Graft {
                    specs: Seq[(String, String)]): DataFrame =
     graft.operators.Incremental.mergeRollups(partials, keys, specs)
 
+  /** Per-batch line-count partial of the boilerplate screen (no
+    * threshold); merge with [[mergeLineCounts]], threshold with
+    * [[boilerplateFromCounts]] — the refresh path a production ingest
+    * runs per committed batch instead of rescanning the corpus. */
+  def lineCountPartial(batch: DataFrame, textCol: String): DataFrame =
+    graft.operators.Dedup.lineCountPartial(batch, textCol)
+
+  /** Merge [[lineCountPartial]] tables key-wise (sum-mergeable). */
+  def mergeLineCounts(partials: Seq[DataFrame]): DataFrame =
+    graft.operators.Dedup.mergeLineCounts(partials)
+
+  /** Threshold a (merged) line-count table into the boilerplate set
+    * `lineDedupAgainst` probes. */
+  def boilerplateFromCounts(counts: DataFrame,
+                            minCount: Int = 3): DataFrame =
+    graft.operators.Dedup.boilerplateFromCounts(counts, minCount)
+
+  /** Merge existing-gram-set partials (distinct union — idempotent,
+    * associative, commutative; replay-safe). */
+  def mergeGramSets(sets: Seq[DataFrame]): DataFrame =
+    graft.operators.Dedup.mergeGramSets(sets)
+
+  /** Refresh a prefix-cross index with a newly committed batch:
+    * shingles append, df counts merge key-wise, only the prefix
+    * postings re-derive — no existing text rescanned. */
+  def refreshPrefixCrossIndex(idx: graft.operators.Dedup.PrefixCrossIndex,
+                              batch: DataFrame, idCol: String,
+                              textCol: String)
+      : graft.operators.Dedup.PrefixCrossIndex =
+    graft.operators.Dedup.refreshPrefixCrossIndex(idx, batch, idCol,
+      textCol)
+
   /** Register graft's SQL functions (`uuid5`, `title_case`) and the
     * codec-collapse optimizer rule on a session. */
   def install(spark: SparkSession): Unit = {

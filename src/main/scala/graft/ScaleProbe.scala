@@ -60,7 +60,61 @@ object ScaleProbe {
     else if (args.headOption.contains("ivfpq"))
       ivfPqProbe(args.drop(1).headOption.map(_.toInt).getOrElse(20000),
         args.drop(2).headOption.map(_.toInt).getOrElse(64))
+    else if (args.headOption.contains("recall"))
+      recallSweepProbe(args.drop(1).headOption.map(_.toInt).getOrElse(20000),
+        args.drop(2).headOption.map(_.toInt).getOrElse(64))
     else lshProbe(args)
+
+  /** The recall@10 × marginal-cost FRONTIER over nprobe ∈ {1,2,4,8}
+    * for one persisted [[graft.operators.Quantization.ivfPqIndex]] —
+    * the number an operator of this engine actually tunes by: how
+    * much recall each extra probed cell buys, and what it costs per
+    * query at the margin. The corpus is CLUSTER-STRUCTURED (16
+    * planted centers + noise, the regime IVF exists for — under a
+    * uniform cloud every cell is equidistant and the sweep only
+    * restates the corpus-share bound); recall is measured by
+    * [[graft.operators.Similarity.annRecallAtK]] against the exact
+    * L2 baseline on the same integer-micro metric, and marginal cost
+    * uses the ivfpq probe's difference-quotient discipline ((t₈−t₁)/
+    * (7·nq)) so the index build — shared, train-once — cancels out.
+    * The index is built ONCE and every nprobe probes the same codes
+    * table, exactly the serving topology. */
+  private def recallSweepProbe(n: Int, nq: Int): Unit = {
+    val spark = session()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{avg, col}
+    import graft.operators.{Quantization, Similarity}
+    val rnd = new scala.util.Random(7L)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextFloat()))
+    val corpus = (0 until n).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + 0.15f * (rnd.nextFloat() - 0.5f)))
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    val idx = Quantization.ivfPqIndex(corpus, "vec_id", "embedding",
+      nlist = 16, coarseIters = 2, m = 4, ksub = 16, pqIters = 2)
+    def queries(q: Int) = corpus.filter(col("vec_id") < q)
+    val exact = Similarity.bruteForceTopKL2(corpus, "vec_id",
+        "embedding", k = 10, queryFilter = col("id") < nq)
+      .localCheckpoint(true)
+    def time(body: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      body.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = Seq(1, 2, 4, 8).map { nprobe =>
+      def search(q: Int) = Quantization.ivfPqSearch(queries(q),
+        "vec_id", "embedding", idx, nprobe, topK = 10)
+      time(search(nq)) // codegen warm-up per plan shape
+      val t1 = time(search(nq))
+      val t8 = time(search(8 * nq))
+      val marginalMs = (t8 - t1) / (7 * nq) * 1e3
+      val recall = Similarity.annRecallAtK(search(nq), exact, k = 10)
+        .agg(avg("recall")).collect()(0).getDouble(0)
+      s"""{"nprobe":$nprobe,"recall_at_10":${f(recall)},"marginal_ms":${f(marginalMs)}}"""
+    }
+    println(s"""{"metric":"ivfpq_recall_cost_frontier","unit":"recall x ms/query","n":$n,"nq":$nq,"nlist":16,"sweep":[${rows.mkString(",")}]}""")
+    spark.stop()
+  }
 
   /** IVF pruning vs the full ADC scan on a FIXED corpus, measured as
     * MARGINAL per-query cost: each path runs at `nq` and 8·nq queries

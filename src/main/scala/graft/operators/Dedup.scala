@@ -161,24 +161,54 @@ object Dedup {
     * pipeline maintains and refreshes as batches commit (the
     * [[existingGramSet]] pattern at line granularity). */
   def boilerplateLineSet(existing: DataFrame, textCol: String,
-                         minCount: Int = 3): DataFrame = {
-    require(minCount >= 2, s"minCount must be >= 2: $minCount")
-    existing
+                         minCount: Int = 3): DataFrame =
+    boilerplateFromCounts(lineCountPartial(existing, textCol), minCount)
+
+  /** Per-batch PARTIAL of [[boilerplateLineSet]]: trimmed-line
+    * xxhash64 keys with their in-batch counts, NO threshold applied.
+    * Counts are sum-mergeable, so a production ingest refreshes the
+    * boilerplate screen per committed batch by merging partials
+    * ([[mergeLineCounts]] / [[Incremental.mergeRollups]]) instead of
+    * rescanning the corpus; [[boilerplateFromCounts]] applies the
+    * threshold to the merged table. For ANY partition of the corpus
+    * into batches, merged partials equal the full recompute —
+    * associativity + commutativity of sum (the inc_boilerplate
+    * oracle's claim). */
+  def lineCountPartial(batch: DataFrame, textCol: String): DataFrame =
+    batch
       .select(explode(split(col(textCol), "\n")).as("ln"))
       .filter(trim(col("ln")) =!= "")
       .select(xxhash64(trim(col("ln"))).as("key"))
       .groupBy("key").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
-      .select("key")
+
+  /** Merge [[lineCountPartial]] tables key-wise (skinny 16-byte rows;
+    * one shuffle over the DISTINCT repeated lines, never the text). */
+  def mergeLineCounts(partials: Seq[DataFrame]): DataFrame =
+    Incremental.mergeRollups(partials, Seq("key"), Seq("cnt" -> "sum"))
+
+  /** Threshold a (merged) line-count table into the boilerplate set
+    * [[lineDedupAgainst]] probes. */
+  def boilerplateFromCounts(counts: DataFrame,
+                            minCount: Int = 3): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    counts.filter(col("cnt") >= minCount).select("key")
   }
 
   /** Cut every line of `incoming` that appears in the existing
     * corpus's [[boilerplateLineSet]] — the ingest-time form of
     * [[lineDedup]] (the existing corpus already holds the canonical
     * copies, so incoming occurrences all drop). Per-incoming-row work
-    * depends only on that row's lines and the (static) set, so
-    * micro-batch splits cannot change results — the st_line_dedup
-    * streaming twin's contract. Whitespace-only lines always stay.
+    * depends only on that row's lines and the (static) set — true
+    * under ANY join strategy — so micro-batch splits cannot change
+    * results: the st_line_dedup streaming twin's contract.
+    * Whitespace-only lines always stay.
+    *
+    * Scale shape: the boilerplate set is CORPUS-DERIVED and therefore
+    * unbounded (a web-scale corpus holds 10⁸–10⁹ distinct repeated
+    * lines — several GB of 8-byte keys), so the join carries no
+    * broadcast hint: AQE picks broadcast only when the set actually
+    * fits, and a shuffled left join keyed on the 8-byte hash is safe
+    * at any scale.
     *
     * @return (idCol, text, n_removed) as in [[lineDedup]]. */
   def lineDedupAgainst(incoming: DataFrame, boilerplate: DataFrame,
@@ -189,7 +219,7 @@ object Dedup {
       .withColumn("key",
         when(trim(col("ln")) === "", lit(null))
           .otherwise(xxhash64(trim(col("ln")))))
-    lines.join(broadcast(boilerplate.withColumn("__hit", lit(1))),
+    lines.join(boilerplate.withColumn("__hit", lit(1)),
         Seq("key"), "left")
       .withColumn("keep", col("__hit").isNull)
       .groupBy(idCol)
@@ -399,6 +429,34 @@ object Dedup {
     val prefEx = crossPrefix(crossPost(shEx), dfreq, theta)
       .localCheckpoint(true)
     PrefixCrossIndex(shEx, dfreq, prefEx, k, theta)
+  }
+
+  /** Refresh a [[PrefixCrossIndex]] with a newly committed batch
+    * WITHOUT rescanning existing text: the batch's shingle table
+    * appends to `shEx` (union — already-hashed rows never recompute),
+    * its per-shingle counts merge into `dfreq` key-wise
+    * ([[Incremental.mergeRollups]] — df counts are sum-mergeable),
+    * and only the prefix postings re-derive, because prefix
+    * membership depends on the GLOBAL df order — a window over the
+    * hash-keyed postings table, no text involved. Equals
+    * `prefixCrossIndex(existing ∪ batch)` by construction (sum
+    * associativity for df; the postings window is a pure function of
+    * (posts, dfreq)) — the inc_prefix_refresh oracle's claim. */
+  def refreshPrefixCrossIndex(idx: PrefixCrossIndex, batch: DataFrame,
+                              idCol: String,
+                              textCol: String): PrefixCrossIndex = {
+    val shNew = batch.select(col(idCol).as("id"),
+        hashedShingles(col(textCol), idx.k).as("hs"))
+      .localCheckpoint(true)
+    val shEx = idx.shEx.unionByName(shNew).localCheckpoint(true)
+    val dfNew = crossPost(shNew).groupBy("s")
+      .agg(count(lit(1)).as("df"))
+    val dfreq = Incremental.mergeRollups(Seq(idx.dfreq, dfNew),
+        Seq("s"), Seq("df" -> "sum"))
+      .localCheckpoint(true)
+    val prefEx = crossPrefix(crossPost(shEx), dfreq, idx.theta)
+      .localCheckpoint(true)
+    PrefixCrossIndex(shEx, dfreq, prefEx, idx.k, idx.theta)
   }
 
   /** [[prefixCrossJaccard]] against a pre-built [[prefixCrossIndex]].
@@ -852,6 +910,17 @@ object Dedup {
       .distinct()
   }
 
+  /** Merge [[existingGramSet]] partials from separately committed
+    * batches: distinct-union over the 8-byte keys — idempotent,
+    * associative, and commutative, so batch boundaries, arrival
+    * order, and replays cannot change the set, and merged per-batch
+    * sets equal the full recompute (the inc_gram_refresh oracle's
+    * claim). Text is scanned once per batch, never again. */
+  def mergeGramSets(sets: Seq[DataFrame]): DataFrame = {
+    require(sets.nonEmpty, "need at least one gram-set partial")
+    sets.reduce(_ unionByName _).distinct()
+  }
+
   /** [[crossDupSpans]] against a pre-built [[existingGramSet]] frame
     * (column `h`): incoming positional grams join the set keyed on
     * the hash, then the per-doc interval merge. Each incoming doc's
@@ -1002,8 +1071,9 @@ object Dedup {
     * shuffles; per-key counts equal string-keyed counts w.h.p., the
     * d4/d38 precedent), and the rebuild is one doc-keyed aggregation
     * restoring line order. Two skinny shuffles total; the canonical
-    * survivor key packs (doc, pos) into one long (positions must stay
-    * below 1e6 lines/doc — far above any real document).
+    * survivor is the `min(struct(doc, pos))` occurrence — struct min
+    * is lexicographic, so the key is type-generic (string, long, or
+    * any orderable doc id) with no packing/overflow contract.
     *
     * @return (idCol, text, n_removed) — the rebuilt text (kept lines
     *         joined with `\n`; empty string if everything was cut)
@@ -1022,11 +1092,11 @@ object Dedup {
       val counts = lines.filter(col("key").isNotNull)
         .groupBy("key")
         .agg(count(lit(1)).as("cnt"),
-          min(col(idCol) * 1000000L + col("pos")).as("ck"))
+          min(struct(col(idCol), col("pos"))).as("ck"))
       val flagged = lines.join(counts, Seq("key"), "left")
         .withColumn("keep",
           col("key").isNull || col("cnt") < minCount
-            || col(idCol) * 1000000L + col("pos") === col("ck"))
+            || struct(col(idCol), col("pos")) === col("ck"))
       flagged.groupBy(idCol)
         .agg(
           concat_ws("\n", transform(

@@ -284,12 +284,17 @@ object Mixing {
     * boost column (q/p) is the per-stratum oversampling factor a
     * sampler applies on top of natural frequency.
     *
-    * Determinism: shares round to 6 dp once. α = 0.5 is the
-    * IEEE-exact choice (p^0.5 = sqrt, correctly rounded in every
-    * engine); other α go through pow, which libm does not guarantee
-    * correctly rounded — fine for production sampling, but only
-    * α = 0.5 is hash-gate-exact across engines, so the oracle query
-    * pins it.
+    * Determinism: p^α is computed from the UNROUNDED n/total ratio
+    * (IEEE division + sqrt are correctly rounded in every engine) and
+    * floored at 1 micro for non-empty strata — a tail stratum whose
+    * natural share rounds below 1e-6 still gets a positive q (the
+    * up-weighting of tails is the entire point of temperature
+    * sampling); only the REPORTED p/q/boost columns round to 6 dp.
+    * α = 0.5 is the IEEE-exact choice (p^0.5 = sqrt, correctly
+    * rounded in every engine); other α go through pow, which libm
+    * does not guarantee correctly rounded — fine for production
+    * sampling, but only α = 0.5 is hash-gate-exact across engines, so
+    * the oracle query pins it.
     *
     * Scale shape: one per-stratum aggregation (config-table-sized
     * output), a one-row total broadcast, scan math after that. The
@@ -309,16 +314,22 @@ object Mixing {
       sum("n_tokens").as("__tot")))
     // p^α rounds to integer MICROS before the normalizing sum, so the
     // total is an order-independent long (the d28/BM25 trick — a raw
-    // double Σ p^α would depend on aggregation order)
+    // double Σ p^α would depend on aggregation order). The power is
+    // taken on the UNROUNDED ratio, floored at 1 micro for non-empty
+    // strata, so sub-microshare tails keep a positive weight.
     val withP = strata.crossJoin(tot)
-      .withColumn("p", round(col("n_tokens") / col("__tot"), 6))
-      .withColumn("__sp", round(powA(col("p")) * 1e6).cast("long"))
+      .withColumn("__praw", col("n_tokens") / col("__tot"))
+      .withColumn("p", round(col("__praw"), 6))
+      .withColumn("__sp",
+        when(col("n_tokens") > 0L,
+          greatest(lit(1L), round(powA(col("__praw")) * 1e6).cast("long")))
+          .otherwise(lit(0L)))
     val qtot = broadcast(withP.agg(sum("__sp").as("__qt")))
     withP.crossJoin(qtot)
       .withColumn("q", round(col("__sp") / col("__qt"), 6))
       .withColumn("boost",
-        when(col("p") === 0d, lit(0d))
-          .otherwise(round(col("q") / col("p"), 6)))
+        when(col("n_tokens") === 0L, lit(0d))
+          .otherwise(round(col("q") / col("__praw"), 6)))
       .select(stratumCol, "n_tokens", "p", "q", "boost")
   }
 }

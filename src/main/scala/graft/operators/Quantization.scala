@@ -271,6 +271,55 @@ object Quantization {
     }
   }
 
+  /** Persist a trained [[IvfPqIndex]] as the production serving
+    * layout: the corpus-sized code table lands HIVE-PARTITIONED BY
+    * CELL (one directory per coarse cell — [[graft.sources.Bucketed
+    * .writePartitioned]]'s layer), and the config-table-sized
+    * codebooks + metadata land as tiny parquet tables beside it. A
+    * [[ivfPqSearch]] over the [[loadIvfPqIndex]]ed table is then
+    * cell-PRUNED and shuffle-free on the corpus side: the probe LUT
+    * is broadcast-sized (queries × nprobe × m × ksub), so the
+    * (cell, s, c) join broadcasts it, and Spark's dynamic partition
+    * pruning restricts the codes scan to the union of probed cell
+    * directories — a query batch reads ~nprobe/nlist of the corpus
+    * from DISK, not just post-scan. This is the topology an ANN
+    * deployment actually runs: train once, persist, serve query
+    * batches against the pruned layout. */
+  def persistIvfPqIndex(idx: IvfPqIndex, dir: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    graft.sources.Bucketed.writePartitioned(idx.codes, s"$dir/codes",
+      Seq("cell"))
+    idx.cells.map { case (c, cv) => (c, cv.toSeq) }
+      .toDF("cell", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/cells")
+    idx.pq.cents.zipWithIndex.flatMap { case (cb, s) =>
+      cb.map { case (c, cv) => (s, c, cv.toSeq) }
+    }.toDF("s", "c", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/pq")
+    Seq((idx.pq.m, idx.pq.dsub, idx.dsub)).toDF("m", "pq_dsub", "dsub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[persistIvfPqIndex]] layout: codebooks collect to the
+    * driver (k×d rows — the MLlib-shape exception), the code table
+    * stays a lazy partitioned scan so [[ivfPqSearch]] keeps its
+    * cell-pruning. */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): IvfPqIndex = {
+    val cells = spark.read.parquet(s"$dir/cells").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val pqRows = spark.read.parquet(s"$dir/pq").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    val (m, pqDsub, dsub) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val cents = (0 until m).map(s => pqRows.filter(_._1 == s)
+      .map { case (_, c, cv) => (c, cv) }.sortBy(_._1).toSeq)
+    IvfPqIndex(cells, PqModel(m, pqDsub, cents),
+      spark.read.parquet(s"$dir/codes"), dsub)
+  }
+
   /** Probe a trained [[IvfPqIndex]] with a batch of full-precision
     * queries — the serving half of [[ivfPqTopK]]. Per-query work
     * depends only on that query's vector and the (static) index, so

@@ -125,9 +125,12 @@ object TextAnalysis {
     * `|`-delimited string per word, pair counts are a vocab-sized
     * aggregation, the winning pair comes back as ONE driver row (the
     * [[Clustering]] centroid precedent), and the merge applies as a
-    * literal-driven scan-side `replace` — leftmost non-overlapping,
-    * exactly re.sub's semantics in the reference implementation. The
-    * vocab localCheckpoints each round, so the plan stays constant-size
+    * scan-side left-to-right symbol fold ([[applyMerge]]) — leftmost
+    * non-overlapping WITH symbol boundaries, matching the reference's
+    * `re.sub((?<!\S)a b(?!\S), ab)` (Sennrich's learn_bpe): a winning
+    * pair (a, b) fuses only where the adjacent SYMBOLS equal a and b,
+    * never where a later symbol merely starts with b. The vocab
+    * localCheckpoints each round, so the plan stays constant-size
     * at any merge count; a 100 TB corpus pays one text scan total, and
     * each merge round costs a config-table-sized aggregation.
     *
@@ -171,8 +174,7 @@ object TextAnalysis {
             (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           learned += ((step, a, b, a + b, n))
           val next = cur.select(col("wc"),
-              replace(col("symstr"), lit("|" + a + "|" + b),
-                lit("|" + a + b)).as("symstr"))
+              applyMerge(col("symstr"), a, b).as("symstr"))
             .localCheckpoint(true)
           org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(cur)
           cur = next
@@ -185,10 +187,31 @@ object TextAnalysis {
     learned.toSeq.toDF("step", "left_sym", "right_sym", "merged", "n")
   }
 
+  /** Apply ONE learned merge (a, b) to a `|`-delimited symbol string:
+    * a left-to-right fold over the symbols that appends b to the
+    * accumulator (fusing the pair) exactly when the LAST accumulated
+    * symbol is a — `ends_with(acc, "|" + a)` is an exact last-symbol
+    * test because symbols are `[a-z0-9]+` and can never contain the
+    * delimiter. The fused symbol becomes a+b ≠ a, so it can never
+    * immediately re-fuse as the left element — i.e. leftmost
+    * NON-OVERLAPPING application, the `re.sub` semantics of the
+    * reference trainer with its `(?<!\S)…(?!\S)` symbol boundaries
+    * (a literal substring replace would also fuse where the next
+    * symbol merely STARTS with b, e.g. (e,s) on `|l|e|st`). Mirrored
+    * verbatim by the d50/d59 oracles' `list_reduce` fold. */
+  private[operators] def applyMerge(symstr: Column, a: String,
+                                    b: String): Column =
+    aggregate(
+      filter(split(symstr, "\\|"), s => s =!= ""),
+      lit(""),
+      (acc, x) =>
+        when(acc.endsWith(lit("|" + a)) && x === lit(b), concat(acc, x))
+          .otherwise(concat(acc, lit("|"), x)))
+
   /** Tokenize with a TRAINED merge table — the inference half of
     * [[bpeTrain]], and the path token-budget accounting actually runs:
     * per-doc BPE token counts under the learned vocabulary. The merge
-    * chain applies in training order as scan-side literal `replace`s
+    * chain applies in training order as scan-side [[applyMerge]] folds
     * over the distinct-word vocabulary (Heaps-law-sublinear — each
     * corpus word is segmented ONCE no matter how often it occurs),
     * then per-word token counts join back onto per-doc word
@@ -205,7 +228,7 @@ object TextAnalysis {
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
     val symstr = merges.foldLeft(
       regexp_replace(col("w"), "(.)", "\\|$1")) { case (acc, (a, b)) =>
-      replace(acc, lit("|" + a + "|" + b), lit("|" + a + b))
+      applyMerge(acc, a, b)
     }
     val wt = perDoc.select("w").distinct()
       .select(col("w"), size(filter(split(symstr, "\\|"),

@@ -404,6 +404,64 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental maintenance of the boilerplate-line screen: the
+    // existing corpus arrives as THREE batches (doc_id % 3), each
+    // contributing a line-count partial; merged partials + threshold
+    // must equal d64's single-pass set — sum associativity is the
+    // claim, the d64 oracle verbatim is the check.
+    "inc_boilerplate" -> ((s, d) => {
+      val boiler = "subscribe to our newsletter for updates today"
+      val src = T.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit("\n" + boiler)))
+          .otherwise(col("text")).as("text"))
+      val existing = src.filter(col("doc_id") % 5 =!= 0)
+      val partials = (0 to 2).map(b =>
+        Dedup.lineCountPartial(
+          existing.filter(col("doc_id") % 3 === b), "text"))
+      val set = Dedup.boilerplateFromCounts(
+        Dedup.mergeLineCounts(partials), minCount = 3)
+      Dedup.lineDedupAgainst(src.filter(col("doc_id") % 5 === 0), set,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Incremental maintenance of the cross-corpus GRAM set: two era
+    // partials distinct-unioned must equal d37's single-pass set;
+    // incoming spans probe the merged set, hashed against the d37
+    // oracle verbatim.
+    "inc_gram_refresh" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val merged = Dedup.mergeGramSets(Seq(
+        Dedup.existingGramSet(existing.filter(col("doc_id") % 2 === 0),
+          "text"),
+        Dedup.existingGramSet(existing.filter(col("doc_id") % 2 =!= 0),
+          "text")))
+      Dedup.crossDupSpansAgainst(docs.filter(col("doc_id") % 5 === 0),
+          merged, "doc_id", "text")
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // Incremental maintenance of the prefix-cross INDEX: build on era
+    // A of the existing corpus, refresh with era B (shingle rows
+    // append, df counts merge key-wise, prefixes re-derive from the
+    // postings — no text rescanned), then probe with d47's incoming
+    // slice; refresh == full rebuild, hashed against the d47 oracle
+    // verbatim.
+    "inc_prefix_refresh" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val existing = docs.filter(col("doc_id") % 7 =!= 0)
+      val idx0 = Dedup.prefixCrossIndex(
+        existing.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        k = 5, theta = 0.5)
+      val idx = Dedup.refreshPrefixCrossIndex(idx0,
+        existing.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      Dedup.prefixCrossJaccardAgainst(
+          docs.filter(col("doc_id") % 7 === 0), idx, "doc_id", "text")
+        .orderBy("in_id", "ex_id")
+    }),
+
     // Model-based quality classifier (fastText-filter shape): hashed
     // BoW logistic regression trained in-engine with 2 unrolled GD
     // steps on the lang='en' label, rational fast-sigmoid, all micros.
@@ -664,6 +722,29 @@ object LlmQueries {
           nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2,
           nprobe = 2, topK = 3, queryFilter = col("id") % 10 === 0)
         .orderBy("qid", "rank")),
+
+    // The PERSISTED serving topology end-to-end: train the d51 index,
+    // write it cell-partitioned to disk, LOAD it, and serve the d51
+    // query batch from the pruned layout — a real-file round-trip
+    // (the s10/s12 precedent), hashed against the d51 oracle
+    // verbatim. The loaded codes scan is cell-pruned at file-listing
+    // time via dynamic partition pruning (broadcast LUT on the
+    // (cell, s, c) join), so a batch reads ~nprobe/nlist of the
+    // corpus from disk.
+    "d65_ivfpq_persist" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val built = Quantization.ivfPqIndex(emb, "vec_id", "embedding",
+        nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/ivfpq_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Quantization.persistIvfPqIndex(built, dir)
+      org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(built.codes)
+      val idx = Quantization.loadIvfPqIndex(s, dir)
+      Quantization.ivfPqSearch(emb.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", idx, nprobe = 2, topK = 3)
+        .orderBy("qid", "rank")
+    }),
 
     // Shingle df histogram — the dfCap / prefix-path tuning
     // diagnostic for the near-dup family (candidate volume through a
@@ -1114,8 +1195,13 @@ object LlmQueries {
   /** d50 oracle: the 6 BPE merge rounds unrolled as CTE chains — each
     * round re-splits the `|`-delimited symbol strings, rolls pairs up
     * weighted by word count, takes the (n DESC, a, b) winner, and
-    * applies it with `replace` (leftmost non-overlapping in both
-    * engines, the re.sub semantics of the reference algorithm). */
+    * applies it with a `list_reduce` left-to-right symbol fold:
+    * append-fuse b exactly when the last accumulated SYMBOL equals a
+    * (`ends_with(acc, '|' || a)` — exact because symbols never contain
+    * the delimiter), the same leftmost non-overlapping
+    * boundary-respecting semantics as the Spark side's
+    * `TextAnalysis.applyMerge` and the reference's re.sub with
+    * `(?<!\S)…(?!\S)` boundaries. */
   /** The 6 unrolled BPE rounds over a `|`-delimited symbol vocabulary;
     * `applyLast = true` additionally materializes v6 (the fully-merged
     * vocab d59's encoder counts tokens from — training itself never
@@ -1127,8 +1213,12 @@ object LlmQueries {
       val apply =
         if (r == rounds && !applyLast) ""
         else s""",
-           |v$r AS (SELECT w, wc, replace(symstr,
-           |  '|' || bb.a || '|' || bb.b, '|' || bb.a || bb.b) AS symstr
+           |v$r AS (SELECT w, wc, list_reduce(
+           |  list_prepend('', list_filter(string_split(symstr, '|'),
+           |    s -> s <> '')),
+           |  (acc, x) -> CASE WHEN ends_with(acc, '|' || bb.a)
+           |    AND x = bb.b THEN acc || x
+           |    ELSE acc || '|' || x END) AS symstr
            |  FROM v${r - 1} CROSS JOIN b$r bb)""".stripMargin
       s"""s$r AS (SELECT wc, list_filter(string_split(symstr, '|'),
          |  s -> s <> '') AS sy FROM v${r - 1}),
@@ -1146,6 +1236,63 @@ object LlmQueries {
        |  WHERE regexp_full_match(w, '[a-z0-9]+') GROUP BY w),
        |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
+
+  /** d64 / inc_boilerplate shared oracle: cross-corpus line dedup
+    * with the existing side's boilerplate set restated string-keyed
+    * (plant on %4, existing %5 <> 0, incoming %5 = 0, minCount 3). */
+  private val D64CrossLineSql: String =
+    """WITH src AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+      |  THEN text || chr(10) ||
+      |    'subscribe to our newsletter for updates today'
+      |  ELSE text END AS text FROM documents),
+      |ex AS (SELECT trim(ln) AS k FROM (
+      |  SELECT unnest(string_split(text, chr(10))) AS ln FROM src
+      |  WHERE doc_id % 5 <> 0)
+      |  WHERE trim(ln) <> '' GROUP BY trim(ln)
+      |  HAVING COUNT(*) >= 3),
+      |ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM src
+      |  WHERE doc_id % 5 = 0),
+      |l AS (SELECT doc_id, u.i AS pos, u.ln AS ln FROM (
+      |  SELECT doc_id, unnest([{'i': x, 'ln': a[x+1]}
+      |    FOR x IN range(0, len(a))]) AS u FROM ls)),
+      |k AS (SELECT doc_id, pos, ln,
+      |  (trim(ln) = '' OR ex.k IS NULL) AS keep
+      |  FROM l LEFT JOIN ex ON trim(ln) = ex.k)
+      |SELECT doc_id,
+      |COALESCE(string_agg(ln, chr(10) ORDER BY pos)
+      |  FILTER (WHERE keep), '') AS text,
+      |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** d37 / inc_gram_refresh shared oracle: incoming (%5 = 0)
+    * positional 8-grams against the existing side's DISTINCT gram
+    * set, interval-merged to spans. */
+  private val D37CrossSpansSql: String =
+    """WITH w AS (SELECT doc_id, list_filter(
+      |  string_split_regex(text, '\s+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |gi AS (SELECT doc_id, u.s AS s, u.h AS h FROM (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) < 8 THEN []
+      |    ELSE [{'s': x, 'h': md5(array_to_string(ws[x:x+7], chr(1)))}
+      |          FOR x IN range(1, len(ws) - 6)] END) AS u
+      |  FROM w WHERE doc_id % 5 = 0)),
+      |ge AS (SELECT DISTINCT h FROM (
+      |  SELECT unnest(CASE WHEN len(ws) < 8 THEN []
+      |    ELSE [md5(array_to_string(ws[x:x+7], chr(1)))
+      |          FOR x IN range(1, len(ws) - 6)] END) AS h
+      |  FROM w WHERE doc_id % 5 <> 0)),
+      |r AS (SELECT doc_id, s, s + 7 AS e FROM gi JOIN ge USING (h)),
+      |m AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id
+      |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |  AS pe FROM r),
+      |x AS (SELECT doc_id, s, e, SUM(CASE WHEN pe IS NULL OR s > pe + 1
+      |  THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+      |  FROM m)
+      |SELECT doc_id, CAST(MIN(s) AS INT) AS span_start,
+      |CAST(MAX(e) AS INT) AS span_end,
+      |CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_tokens
+      |FROM x GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
 
   private val D50BpeTrainSql: String = {
     val steps = (1 to 6).map(r =>
@@ -2056,6 +2203,9 @@ object LlmQueries {
     "d40_pq_codes" -> D40PqCodesSql,
     "d41_pq_adc" -> D41PqAdcSql,
     "d51_ivfpq" -> D51IvfPqSql,
+    // persisted round-trip serves the SAME index the d51 chain
+    // trains, so the oracle is d51's verbatim
+    "d65_ivfpq_persist" -> D51IvfPqSql,
     "d57_ann_recall" -> D57AnnRecallSql,
     "d60_sq8_pq_ladder" -> D60LadderSql,
     // the d4 shingle idiom; bucket = binary-digit count - 1 (exact
@@ -2131,47 +2281,33 @@ object LlmQueries {
         |SELECT lang, COUNT(*) AS n_docs,
         |CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |FROM sm GROUP BY lang ORDER BY lang""".stripMargin,
-    // sqrt(p) rounds to micros before the normalizing sum, so the
-    // total is an order-independent BIGINT in both engines
+    // sqrt of the UNROUNDED ratio (IEEE division + sqrt, identical in
+    // both engines) rounds to micros — floored at 1 for non-empty
+    // strata — before the normalizing sum, so the total is an
+    // order-independent BIGINT; only reported p/q/boost round to 6 dp
     "d56_temp_mixture" ->
       """WITH s AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY lang),
         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM s),
-        |p AS (SELECT lang, n_tokens, ROUND(n_tokens / tt, 6) AS p,
-        |  CAST(ROUND(sqrt(ROUND(n_tokens / tt, 6)) * 1000000) AS BIGINT)
-        |    AS sp
+        |p AS (SELECT lang, n_tokens, n_tokens / tt AS praw,
+        |  ROUND(n_tokens / tt, 6) AS p,
+        |  CASE WHEN n_tokens > 0 THEN GREATEST(1,
+        |    CAST(ROUND(sqrt(n_tokens / tt) * 1000000) AS BIGINT))
+        |  ELSE 0 END AS sp
         |  FROM s CROSS JOIN t),
         |qt AS (SELECT CAST(SUM(sp) AS BIGINT) AS qt FROM p)
         |SELECT lang, n_tokens, p, ROUND(sp / qt, 6) AS q,
-        |CASE WHEN p = 0 THEN 0.0
-        |  ELSE ROUND(ROUND(sp / qt, 6) / p, 6) END AS boost
+        |CASE WHEN n_tokens = 0 THEN 0.0
+        |  ELSE ROUND(ROUND(sp / qt, 6) / praw, 6) END AS boost
         |FROM p CROSS JOIN qt ORDER BY lang""".stripMargin,
     // the d55 idiom split across the %5 partition: the existing side's
     // boilerplate set (string-keyed restatement of the xxhash64 keys),
     // incoming occurrences all drop
-    "d64_cross_line_dedup" ->
-      """WITH src AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
-        |  THEN text || chr(10) ||
-        |    'subscribe to our newsletter for updates today'
-        |  ELSE text END AS text FROM documents),
-        |ex AS (SELECT trim(ln) AS k FROM (
-        |  SELECT unnest(string_split(text, chr(10))) AS ln FROM src
-        |  WHERE doc_id % 5 <> 0)
-        |  WHERE trim(ln) <> '' GROUP BY trim(ln)
-        |  HAVING COUNT(*) >= 3),
-        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM src
-        |  WHERE doc_id % 5 = 0),
-        |l AS (SELECT doc_id, u.i AS pos, u.ln AS ln FROM (
-        |  SELECT doc_id, unnest([{'i': x, 'ln': a[x+1]}
-        |    FOR x IN range(0, len(a))]) AS u FROM ls)),
-        |k AS (SELECT doc_id, pos, ln,
-        |  (trim(ln) = '' OR ex.k IS NULL) AS keep
-        |  FROM l LEFT JOIN ex ON trim(ln) = ex.k)
-        |SELECT doc_id,
-        |COALESCE(string_agg(ln, chr(10) ORDER BY pos)
-        |  FILTER (WHERE keep), '') AS text,
-        |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d64_cross_line_dedup" -> D64CrossLineSql,
+    // inc_boilerplate runs the SAME screen with the existing side's
+    // counts built as three merged batch partials — merged partials ==
+    // full recompute is the oracle's claim, so the SQL is d64 verbatim
+    "inc_boilerplate" -> D64CrossLineSql,
     // string-keyed restatement of the xxhash64-keyed count/join
     // (hashing is operator-internal, equal w.h.p. — d4/d38 precedent)
     "d55_line_dedup" ->
@@ -2250,32 +2386,16 @@ object LlmQueries {
         |ORDER BY doc_id, span_start""".stripMargin),
     // d34's gram keys split across the %5 partition: incoming
     // positional grams join the existing side's DISTINCT hash set
-    "d37_cross_spans" ->
-      """WITH w AS (SELECT doc_id, list_filter(
-        |  string_split_regex(text, '\s+'), t -> t <> '') AS ws
-        |  FROM documents),
-        |gi AS (SELECT doc_id, u.s AS s, u.h AS h FROM (
-        |  SELECT doc_id, unnest(CASE WHEN len(ws) < 8 THEN []
-        |    ELSE [{'s': x, 'h': md5(array_to_string(ws[x:x+7], chr(1)))}
-        |          FOR x IN range(1, len(ws) - 6)] END) AS u
-        |  FROM w WHERE doc_id % 5 = 0)),
-        |ge AS (SELECT DISTINCT h FROM (
-        |  SELECT unnest(CASE WHEN len(ws) < 8 THEN []
-        |    ELSE [md5(array_to_string(ws[x:x+7], chr(1)))
-        |          FOR x IN range(1, len(ws) - 6)] END) AS h
-        |  FROM w WHERE doc_id % 5 <> 0)),
-        |r AS (SELECT doc_id, s, s + 7 AS e FROM gi JOIN ge USING (h)),
-        |m AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id
-        |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |  AS pe FROM r),
-        |x AS (SELECT doc_id, s, e, SUM(CASE WHEN pe IS NULL OR s > pe + 1
-        |  THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS grp
-        |  FROM m)
-        |SELECT doc_id, CAST(MIN(s) AS INT) AS span_start,
-        |CAST(MAX(e) AS INT) AS span_end,
-        |CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_tokens
-        |FROM x GROUP BY doc_id, grp
-        |ORDER BY doc_id, span_start""".stripMargin,
+    "d37_cross_spans" -> D37CrossSpansSql,
+    // inc_gram_refresh probes the SAME screen with the existing gram
+    // set built as two merged era partials — distinct-union merge ==
+    // full recompute is the oracle's claim, so the SQL is d37 verbatim
+    "inc_gram_refresh" -> D37CrossSpansSql,
+    // inc_prefix_refresh replays d47 with the existing-side index
+    // built on era A then REFRESHED with era B (df counts merged
+    // key-wise, prefixes re-derived) — refresh == full rebuild is the
+    // oracle's claim, so the SQL is d47's verbatim
+    "inc_prefix_refresh" -> CrossNearSql,
     // d34's span CTEs, then the rebuild: per-doc sorted range list,
     // indexed list_filter (1-based i, matching spark's i+1), single-
     // space rejoin. COALESCE because duckdb's array_to_string of an

@@ -297,6 +297,52 @@ object StreamQueries {
       s.read.parquet(out).orderBy("doc_id")
     }),
 
+    // The boilerplate screen with the set REFRESHED BETWEEN
+    // AvailableNow catch-up runs — what a production ingest actually
+    // does as existing-corpus batches commit: era A's line-count
+    // partial screens the first incoming run; before the second run,
+    // era B's partial merges in (Incremental.mergeRollups — counts
+    // are sum-mergeable, no text rescanned) and the refreshed set
+    // screens the rest. Each incoming doc is screened by exactly one
+    // era's set (doc_id parity), so the composite is deterministic
+    // and the oracle states both sets explicitly.
+    "st_inc_boiler" -> ((s, d) => {
+      val boiler = "subscribe to our newsletter for updates today"
+      def planted(df: DataFrame) = df.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit("\n" + boiler)))
+          .otherwise(col("text")).as("text"))
+      lazy val partA = graft.operators.Dedup.lineCountPartial(
+        planted(T.documents(s, d)
+          .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 0)),
+        "text").localCheckpoint(true)
+      lazy val partB = graft.operators.Dedup.lineCountPartial(
+        planted(T.documents(s, d)
+          .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 =!= 0)),
+        "text").localCheckpoint(true)
+      lazy val setA = graft.operators.Dedup.boilerplateFromCounts(
+        partA, minCount = 3).localCheckpoint(true)
+      lazy val setAB = graft.operators.Dedup.boilerplateFromCounts(
+        graft.operators.Dedup.mergeLineCounts(Seq(partA, partB)),
+        minCount = 3).localCheckpoint(true)
+      def screen(set: DataFrame, era: Int)(batch: DataFrame) =
+        graft.operators.Dedup.lineDedupAgainst(
+          planted(batch.filter(col("doc_id") % 5 === 0
+            && col("doc_id") % 2 === era)), set, "doc_id", "text")
+      val run1 = materializedStream(s, d, "incboilA", "documents.parquet",
+        transform = screen(setA, era = 0)) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      val run2 = materializedStream(s, d, "incboilB", "documents.parquet",
+        transform = screen(setAB, era = 1)) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      s.read.parquet(run1).unionByName(s.read.parquet(run2))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination as a streaming twin — the other screen
     // a continuous ingest pipeline runs on every arriving batch: the
     // bench-gram set is tiny and static (broadcast inside
@@ -509,6 +555,40 @@ object StreamQueries {
     // the BATCH d64 oracle verbatim: static boilerplate set +
     // per-row independence make stream == batch
     "st_line_dedup" -> LlmQueries.sql("d64_cross_line_dedup"),
+    // the refresh-between-runs composite stated explicitly: even
+    // incoming docs screen against era A's set, odd ones against the
+    // merged (era A + era B = full existing) set — merged partials ==
+    // full recompute is what makes exM below d64's `ex` verbatim
+    "st_inc_boiler" ->
+      """WITH src AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |  THEN text || chr(10) ||
+        |    'subscribe to our newsletter for updates today'
+        |  ELSE text END AS text FROM documents),
+        |exA AS (SELECT trim(ln) AS k FROM (
+        |  SELECT unnest(string_split(text, chr(10))) AS ln FROM src
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 2 = 0)
+        |  WHERE trim(ln) <> '' GROUP BY trim(ln)
+        |  HAVING COUNT(*) >= 3),
+        |exM AS (SELECT trim(ln) AS k FROM (
+        |  SELECT unnest(string_split(text, chr(10))) AS ln FROM src
+        |  WHERE doc_id % 5 <> 0)
+        |  WHERE trim(ln) <> '' GROUP BY trim(ln)
+        |  HAVING COUNT(*) >= 3),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM src
+        |  WHERE doc_id % 5 = 0),
+        |l AS (SELECT doc_id, u.i AS pos, u.ln AS ln FROM (
+        |  SELECT doc_id, unnest([{'i': x, 'ln': a[x+1]}
+        |    FOR x IN range(0, len(a))]) AS u FROM ls)),
+        |k AS (SELECT doc_id, pos, ln,
+        |  (trim(ln) = '' OR CASE WHEN doc_id % 2 = 0
+        |    THEN a.k IS NULL ELSE m.k IS NULL END) AS keep
+        |  FROM l LEFT JOIN exA a ON trim(ln) = a.k
+        |  LEFT JOIN exM m ON trim(ln) = m.k)
+        |SELECT doc_id,
+        |COALESCE(string_agg(ln, chr(10) ORDER BY pos)
+        |  FILTER (WHERE keep), '') AS text,
+        |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the exact distinct count plus the two always-true properties the
     // sketch composition guarantees (union exactness; 5% error bound)
     "inc_hll_distinct" ->

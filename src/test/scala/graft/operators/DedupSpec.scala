@@ -443,4 +443,45 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == (("twice\nmore", 0L)))
     assert(out(5L) == (("twice\ntail", 0L)))
   }
+
+  test("lineDedup: STRING doc ids keep a canonical survivor") {
+    // regression: the survivor key was id*1e6+pos, which is null for a
+    // string id — every boilerplate occurrence was cut with no
+    // survivor. min(struct(id, pos)) is type-generic: the
+    // lexicographically lowest (id, pos) survives.
+    val docs = Seq(
+      ("doc-a", "BOILER\nunique a"),
+      ("doc-b", "BOILER\nother"),
+      ("doc-c", "BOILER\nz"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", minCount = 3)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out("doc-a") == (("BOILER\nunique a", 0L)))
+    assert(out("doc-b") == (("other", 1L)))
+    assert(out("doc-c") == (("z", 1L)))
+  }
+
+  test("lineDedupAgainst: no broadcast of an over-threshold set side") {
+    // the boilerplate set is corpus-derived and unbounded, so the join
+    // must carry no broadcast hint — with the threshold shrunk below
+    // the set's size, the planned join may not be broadcast
+    val existing = Seq.tabulate(40)(i => (i.toLong,
+      s"BOILER\ncontent $i")).toDF("doc_id", "text")
+    val incoming = Seq((100L, "BOILER\nkeep")).toDF("doc_id", "text")
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val set = Dedup.boilerplateLineSet(existing, "text", minCount = 3)
+      val out = Dedup.lineDedupAgainst(incoming, set, "doc_id", "text")
+      val rows = out.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      // semantics are join-strategy-independent
+      assert(rows(100L) == (("keep", 1L)))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"boilerplate set must not be force-broadcast:\n$plan")
+    } finally spark.conf.set(thresholdKey, prior)
+  }
 }

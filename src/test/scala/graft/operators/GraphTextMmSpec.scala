@@ -220,6 +220,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1, "aa", 9L), (2, "aaaa", 3L)))
   }
 
+  test("bpeTrain: a merge never fuses across a multi-char symbol start") {
+    import spark.implicits._
+    // regression: a literal substring replace of '|e|s' also matches
+    // '|l|e|st' (where the symbols are e, st — st merely STARTS with
+    // s), wrongly producing l, es, t. The boundary-correct fold leaves
+    // 'lest' as l, e, st after merges (s,t) then (e,s).
+    val docs = Seq((1L, "st st st st es es lest")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(4))).toSeq
+    // 1: (s,t)=5 [st×4 + lest]; 2: (e,s)=2 [es×2 — NOT lest's e|st];
+    // 3: lest is l|e|st, pairs (e,st) and (l,e) tie at 1, 'e' wins.
+    // The buggy replace had made lest l|es|t, learning (es,t) instead.
+    assert(got == Seq(
+      (1, "s", "t", 5L), (2, "e", "s", 2L), (3, "e", "st", 1L)))
+  }
+
   test("token metrics") {
     val r = Seq("ab cd  ef ab").toDF("t").select(
       TextAnalysis.tokenCount(col("t")),

@@ -34,4 +34,59 @@ class IncrementalSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("boilerplate line counts: merged batch partials == single pass") {
+    // BOILER crosses the threshold only ACROSS batches (2 + 1) — the
+    // case a recompute-only pipeline gets right and a broken merge
+    // path would miss
+    val batchA = Seq((1L, "BOILER\na"), (2L, "BOILER\nb"))
+      .toDF("doc_id", "text")
+    val batchB = Seq((3L, "BOILER\nc"), (4L, "once\nd"))
+      .toDF("doc_id", "text")
+    val merged = Dedup.boilerplateFromCounts(
+        Dedup.mergeLineCounts(Seq(
+          Dedup.lineCountPartial(batchA, "text"),
+          Dedup.lineCountPartial(batchB, "text"))), minCount = 3)
+      .collect().map(_.getLong(0)).toSet
+    val full = Dedup.boilerplateLineSet(
+        batchA.unionByName(batchB), "text", minCount = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(merged == full && merged.size == 1)
+  }
+
+  test("gram sets: era partials distinct-unioned == single pass") {
+    val eraA = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val eraB = Seq((2L, "c d e f g h i j k")).toDF("doc_id", "text")
+    val merged = Dedup.mergeGramSets(Seq(
+        Dedup.existingGramSet(eraA, "text"),
+        Dedup.existingGramSet(eraB, "text")))
+      .collect().map(_.getLong(0)).toSet
+    val full = Dedup.existingGramSet(eraA.unionByName(eraB), "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(merged == full && merged.nonEmpty)
+  }
+
+  test("refreshPrefixCrossIndex == full rebuild on the union") {
+    val eraA = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "pack my box with five dozen liquor jugs now"))
+      .toDF("doc_id", "text")
+    val eraB = Seq(
+      (12L, "the quick brown fox jumps over the lazy cat today"),
+      (13L, "sphinx of black quartz judge my vow right here"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val refreshed = Dedup.refreshPrefixCrossIndex(
+      Dedup.prefixCrossIndex(eraA, "doc_id", "text", k = 3, theta = 0.3),
+      eraB, "doc_id", "text")
+    def pairs(idx: Dedup.PrefixCrossIndex) =
+      Dedup.prefixCrossJaccardAgainst(incoming, idx, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val full = Dedup.prefixCrossIndex(eraA.unionByName(eraB),
+      "doc_id", "text", k = 3, theta = 0.3)
+    assert(pairs(refreshed) == pairs(full) && pairs(full).nonEmpty)
+  }
 }

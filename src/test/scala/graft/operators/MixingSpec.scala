@@ -275,4 +275,23 @@ class MixingSpec extends SparkSpec {
         (r.getDouble(2), r.getDouble(3))).toMap
     assert(id.values.forall { case (p, q) => p == q })
   }
+
+  test("temperatureMixture keeps sub-microshare tail strata in the mix") {
+    import spark.implicits._
+    // regression: p^alpha was taken on p already rounded to 6 dp, so a
+    // stratum with natural share < 5e-7 got q = boost = 0 — the tail
+    // temperature sampling exists to up-weight was silently dropped.
+    // Here xx's share is 1e-13: reported p rounds to 0, but q must be
+    // positive (the 1-micro floor) and boost > 1.
+    val df = Seq(("en", 10000000000000L), ("xx", 1L)).toDF("lang", "toks")
+    val out = Mixing.temperatureMixture(df, "lang", "toks", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (pXx, qXx, bXx) = out("xx")
+    assert(pXx == 0.0)           // reported share rounds to zero...
+    assert(qXx > 0.0, s"tail stratum dropped: q = $qXx")  // ...but stays
+    assert(bXx > 1.0, s"tail boost must up-weight: $bXx")
+    val (_, qEn, bEn) = out("en")
+    assert(qEn > 0.99 && bEn <= 1.0)
+  }
 }

@@ -175,4 +175,44 @@ class QuantizationSpec extends SparkSpec {
     // extremes hit exactly ±127
     assert(got(0L)(0) == -127 && got(2L)(1) == 127)
   }
+
+  test("persistIvfPqIndex: load round-trips, layout is cell-pruned") {
+    val built = Quantization.ivfPqIndex(vecs, "vec_id", "embedding",
+      nlist = 2, coarseIters = 2, m = 2, ksub = 2, pqIters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_persist").toString
+    try {
+      Quantization.persistIvfPqIndex(built, dir)
+      val loaded = Quantization.loadIvfPqIndex(spark, dir)
+      // codebooks survive byte-for-byte
+      assert(loaded.cells.map { case (c, cv) => (c, cv.toSeq) } ==
+        built.cells.map { case (c, cv) => (c, cv.toSeq) })
+      assert(loaded.pq.m == built.pq.m && loaded.dsub == built.dsub)
+      // serving from the loaded layout equals serving from memory
+      def serve(idx: Quantization.IvfPqIndex) =
+        Quantization.ivfPqSearch(vecs.filter(col("vec_id") < 2),
+            "vec_id", "embedding", idx, nprobe = 1, topK = 3)
+          .collect().map(_.toSeq).toSet
+      assert(serve(loaded) == serve(built) && serve(built).nonEmpty)
+      // hive layout: one cell=N directory per coarse cell, and a
+      // static cell filter prunes to exactly that partition's rows
+      val dirs = new java.io.File(s"$dir/codes").list()
+        .filter(_.startsWith("cell=")).sorted
+      assert(dirs.length == built.cells.length, dirs.mkString(","))
+      val onecell = built.cells.head._1
+      val pruned = loaded.codes.filter(col("cell") === onecell)
+      assert(pruned.count() ==
+        built.codes.filter(col("cell") === onecell).count())
+      val scanned = pruned.queryExecution.executedPlan.toString
+      assert(scanned.contains("PartitionFilters"),
+        s"cell filter must prune at listing time:\n$scanned")
+    } finally {
+      org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(built.codes)
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
 }
