@@ -69,10 +69,17 @@ object ScaleProbe {
     * for one persisted [[graft.operators.Quantization.ivfPqIndex]] —
     * the number an operator of this engine actually tunes by: how
     * much recall each extra probed cell buys, and what it costs per
-    * query at the margin. The corpus is CLUSTER-STRUCTURED (16
-    * planted centers + noise, the regime IVF exists for — under a
-    * uniform cloud every cell is equidistant and the sweep only
-    * restates the corpus-share bound); recall is measured by
+    * query at the margin. The corpus is a LOW-INTRINSIC-DIMENSION
+    * manifold (64-dim vectors spanned by a 4-dim latent + small
+    * ambient noise — the shape real embedding spaces have, and the
+    * regime quantizers exist for): cell boundaries cut through the
+    * latent space, so a query near a boundary has true neighbors in
+    * ADJACENT cells and each extra probe recovers a measurable
+    * recall slice. The two degenerate fixtures bracket it — a
+    * cluster-aligned corpus is flat-high in nprobe (home cell holds
+    * every neighbor) and a full-rank uniform cloud is flat-LOW (the
+    * PQ ceiling dominates); both were measured while cutting this
+    * probe, and neither exposes the knob. Recall is measured by
     * [[graft.operators.Similarity.annRecallAtK]] against the exact
     * L2 baseline on the same integer-micro metric, and marginal cost
     * uses the ivfpq probe's difference-quotient discipline ((t₈−t₁)/
@@ -85,13 +92,16 @@ object ScaleProbe {
     import org.apache.spark.sql.functions.{avg, col}
     import graft.operators.{Quantization, Similarity}
     val rnd = new scala.util.Random(7L)
-    val centers = Array.fill(16)(Array.fill(64)(rnd.nextFloat()))
+    val basis = Array.fill(4)(Array.fill(64)(rnd.nextFloat() - 0.5f))
     val corpus = (0 until n).map { i =>
-      val c = centers(i % 16)
-      (i.toLong, c.map(x => x + 0.15f * (rnd.nextFloat() - 0.5f)))
+      val z = Array.fill(4)(rnd.nextFloat())
+      val v = Array.tabulate(64)(j =>
+        (0 until 4).map(k => z(k) * basis(k)(j)).sum
+          + 0.02f * (rnd.nextFloat() - 0.5f))
+      (i.toLong, v)
     }.toDF("vec_id", "embedding").localCheckpoint(true)
     val idx = Quantization.ivfPqIndex(corpus, "vec_id", "embedding",
-      nlist = 16, coarseIters = 2, m = 4, ksub = 16, pqIters = 2)
+      nlist = 64, coarseIters = 2, m = 16, ksub = 64, pqIters = 2)
     def queries(q: Int) = corpus.filter(col("vec_id") < q)
     val exact = Similarity.bruteForceTopKL2(corpus, "vec_id",
         "embedding", k = 10, queryFilter = col("id") < nq)
@@ -105,14 +115,18 @@ object ScaleProbe {
       def search(q: Int) = Quantization.ivfPqSearch(queries(q),
         "vec_id", "embedding", idx, nprobe, topK = 10)
       time(search(nq)) // codegen warm-up per plan shape
-      val t1 = time(search(nq))
-      val t8 = time(search(8 * nq))
-      val marginalMs = (t8 - t1) / (7 * nq) * 1e3
+      // min of two difference quotients — a single GC pause on one
+      // run otherwise lands in the artifact as a fake cost spike
+      val marginalMs = Seq.fill(2) {
+        val t1 = time(search(nq))
+        val t8 = time(search(8 * nq))
+        (t8 - t1) / (7 * nq) * 1e3
+      }.min
       val recall = Similarity.annRecallAtK(search(nq), exact, k = 10)
         .agg(avg("recall")).collect()(0).getDouble(0)
       s"""{"nprobe":$nprobe,"recall_at_10":${f(recall)},"marginal_ms":${f(marginalMs)}}"""
     }
-    println(s"""{"metric":"ivfpq_recall_cost_frontier","unit":"recall x ms/query","n":$n,"nq":$nq,"nlist":16,"sweep":[${rows.mkString(",")}]}""")
+    println(s"""{"metric":"ivfpq_recall_cost_frontier","unit":"recall x ms/query","n":$n,"nq":$nq,"nlist":64,"sweep":[${rows.mkString(",")}]}""")
     spark.stop()
   }
 
