@@ -126,7 +126,24 @@ object ScaleProbe {
         .agg(avg("recall")).collect()(0).getDouble(0)
       s"""{"nprobe":$nprobe,"recall_at_10":${f(recall)},"marginal_ms":${f(marginalMs)}}"""
     }
-    println(s"""{"metric":"ivfpq_recall_cost_frontier","unit":"recall x ms/query","n":$n,"nq":$nq,"nlist":64,"sweep":[${rows.mkString(",")}]}""")
+    // the IVFADC-R refine at the frontier's knee: exact rescore of the
+    // ADC top-R — the lever that buys back the PQ ceiling (more
+    // probes cannot; the sweep above shows recall flat past the knee)
+    val rescoreRows = Seq(20, 40).map { topR =>
+      def search(q: Int) = Quantization.ivfPqSearchRescore(queries(q),
+        "vec_id", "embedding", idx, corpus, "vec_id", "embedding",
+        nprobe = 2, topR = topR, topK = 10)
+      time(search(nq)) // codegen warm-up per plan shape
+      val marginalMs = Seq.fill(2) {
+        val t1 = time(search(nq))
+        val t8 = time(search(8 * nq))
+        (t8 - t1) / (7 * nq) * 1e3
+      }.min
+      val recall = Similarity.annRecallAtK(search(nq), exact, k = 10)
+        .agg(avg("recall")).collect()(0).getDouble(0)
+      s"""{"mode":"rescore","nprobe":2,"topR":$topR,"recall_at_10":${f(recall)},"marginal_ms":${f(marginalMs)}}"""
+    }
+    println(s"""{"metric":"ivfpq_recall_cost_frontier","unit":"recall x ms/query","n":$n,"nq":$nq,"nlist":64,"sweep":[${(rows ++ rescoreRows).mkString(",")}]}""")
     spark.stop()
   }
 

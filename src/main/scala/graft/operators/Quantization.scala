@@ -368,6 +368,47 @@ object Quantization {
       .select("qid", "rank", "nid", "dist_micros")
   }
 
+  /** IVFADC-R (Jégou et al. 2011 §III-D; FAISS's refine stage): ADC
+    * ranks the probed cells to `topR` CANDIDATES per query, then the
+    * candidates — and only they — rescore EXACTLY against the
+    * original vectors and re-rank to `topK`. This removes the PQ
+    * quantization ceiling from the final ranking (the flat-recall
+    * regime the ivfpq_recall_cost_frontier probe measures) at the
+    * price of one keyed join reading |Q|·topR original vectors — a
+    * bounded refine, not a scan: at a billion vectors the exact
+    * stage touches topR rows per query no matter how big the corpus
+    * or how coarse the codebooks.
+    *
+    * Determinism: the exact distance is the ordered left-to-right
+    * fold over (q_i − n_i)² rounded to micros once — the
+    * bruteForceTopKL2 discipline, so per-pair longs are
+    * engine-exact.
+    *
+    * @return (qid, rank, nid, dist_micros) with the EXACT distance. */
+  def ivfPqSearchRescore(queries: DataFrame, idCol: String,
+                         vecCol: String, idx: IvfPqIndex,
+                         corpus: DataFrame, corpusIdCol: String,
+                         corpusVecCol: String, nprobe: Int, topR: Int,
+                         topK: Int): DataFrame = {
+    require(topR >= topK, s"topR ($topR) must be >= topK ($topK)")
+    val cand = ivfPqSearch(queries, idCol, vecCol, idx, nprobe, topR)
+      .select("qid", "nid")
+    val qv = queries.select(col(idCol).as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val nv = corpus.select(col(corpusIdCol).as("nid"),
+      transform(col(corpusVecCol), x => x.cast("double")).as("nv"))
+    val ex = cand.join(qv, Seq("qid")).join(nv, Seq("nid"))
+      .withColumn("dist_micros",
+        round(aggregate(zip_with(col("qv"), col("nv"),
+          (x, y) => (x - y) * (x - y)), lit(0d), (acc, e) => acc + e)
+          * 1e6).cast("long"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("dist_micros").asc, col("nid").asc)
+    ex.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("qid", "rank", "nid", "dist_micros")
+  }
+
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
                 nlist: Int, coarseIters: Int, m: Int, ksub: Int,
                 pqIters: Int, nprobe: Int, topK: Int,

@@ -723,6 +723,25 @@ object LlmQueries {
           nprobe = 2, topK = 3, queryFilter = col("id") % 10 === 0)
         .orderBy("qid", "rank")),
 
+    // IVFADC-R refine: ADC ranks the d51 probed cells to 8 candidates
+    // per query, which then rescore EXACTLY against the original
+    // vectors and re-rank to top-3 — the bounded refine that removes
+    // the PQ ceiling from the final ranking (|Q|·topR original rows
+    // touched, corpus-size-independent).
+    "d66_ivfpq_rescore" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val idx = Quantization.ivfPqIndex(emb, "vec_id", "embedding",
+        nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
+      try Quantization.ivfPqSearchRescore(
+          emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          idx, emb, "vec_id", "embedding", nprobe = 2, topR = 8,
+          topK = 3)
+        .orderBy("qid", "rank")
+        .localCheckpoint(true)
+      finally org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(idx.codes)
+    }),
+
     // The PERSISTED serving topology end-to-end: train the d51 index,
     // write it cell-partitioned to disk, LOAD it, and serve the d51
     // query batch from the pruned layout — a real-file round-trip
@@ -1444,6 +1463,24 @@ object LlmQueries {
   private val D51IvfPqSql: String =
     D51Prefix + """
       |SELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros FROM r
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** d66: the d51 ADC chain ranked to topR = 8 candidates, then the
+    * exact-L2 refine — (q−n)² folded in list order, rounded to micros
+    * once per pair (the bruteForceTopKL2 discipline) — re-ranked to
+    * top-3. */
+  private val D66IvfPqRescoreSql: String =
+    D51Prefix + """,
+      |cand AS (SELECT qid, nid FROM r WHERE rank <= 8),
+      |ex AS (SELECT c.qid AS qid, c.nid AS nid,
+      |  CAST(ROUND(list_sum([(qv.vv[i]-nv.vv[i])*(qv.vv[i]-nv.vv[i])
+      |    FOR i IN range(1, len(qv.vv)+1)]) * 1000000) AS BIGINT)
+      |    AS dist_micros
+      |  FROM cand c JOIN v qv ON c.qid = qv.id
+      |  JOIN v nv ON c.nid = nv.id),
+      |rr AS (SELECT qid, nid, dist_micros, ROW_NUMBER() OVER (
+      |  PARTITION BY qid ORDER BY dist_micros, nid) AS rank FROM ex)
+      |SELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros FROM rr
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   /** d57 oracle: recall@3 of the d51 IVF-PQ ranking against an exact
@@ -2206,6 +2243,7 @@ object LlmQueries {
     // persisted round-trip serves the SAME index the d51 chain
     // trains, so the oracle is d51's verbatim
     "d65_ivfpq_persist" -> D51IvfPqSql,
+    "d66_ivfpq_rescore" -> D66IvfPqRescoreSql,
     "d57_ann_recall" -> D57AnnRecallSql,
     "d60_sq8_pq_ladder" -> D60LadderSql,
     // the d4 shingle idiom; bucket = binary-digit count - 1 (exact

@@ -176,6 +176,29 @@ class QuantizationSpec extends SparkSpec {
     assert(got(0L)(0) == -127 && got(2L)(1) == 127)
   }
 
+  test("ivfPqSearchRescore: full-coverage refine equals the exact baseline") {
+    // nprobe = nlist and topR = corpus size make the candidate set
+    // exhaustive, so the exact rescore must reproduce bruteForceTopKL2
+    // verbatim — the IVFADC-R contract: the PQ stage only SELECTS
+    // candidates, the ranking is exact
+    val idx = Quantization.ivfPqIndex(vecs, "vec_id", "embedding",
+      nlist = 2, coarseIters = 2, m = 2, ksub = 2, pqIters = 2)
+    try {
+      val got = Quantization.ivfPqSearchRescore(
+          vecs.filter(col("vec_id") < 2), "vec_id", "embedding",
+          idx, vecs, "vec_id", "embedding",
+          nprobe = 2, topR = 8, topK = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val exact = Similarity.bruteForceTopKL2(vecs, "vec_id",
+          "embedding", k = 3, queryFilter = col("id") < 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == exact && got.nonEmpty)
+    } finally org.apache.spark.sql.graftshim.Shims
+      .unpersistLocalCheckpoint(idx.codes)
+  }
+
   test("persistIvfPqIndex: load round-trips, layout is cell-pruned") {
     val built = Quantization.ivfPqIndex(vecs, "vec_id", "embedding",
       nlist = 2, coarseIters = 2, m = 2, ksub = 2, pqIters = 2)
