@@ -588,6 +588,14 @@ object Graft {
                    specs: Seq[(String, String)]): DataFrame =
     graft.operators.Incremental.mergeRollups(partials, keys, specs)
 
+  /** Concat-and-cut sequence packing: map each doc to its
+    * budget-token training sequences (seq_start..seq_end + offset)
+    * via a distributed two-level prefix sum over id order. */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
+                    budget: Long, idStride: Long = 8192L): DataFrame =
+    graft.operators.Mixing.packSequences(docs, idCol, tokensCol,
+      budget, idStride)
+
   /** Per-batch line-count partial of the boilerplate screen (no
     * threshold); merge with [[mergeLineCounts]], threshold with
     * [[boilerplateFromCounts]] — the refresh path a production ingest

@@ -276,6 +276,64 @@ object Mixing {
         greatest(lit(0L), col("desired_tokens") - col("available_tokens")))
   }
 
+  /** Concat-and-cut sequence packing — the GPT-pretraining shard map
+    * (Brown et al. 2020 §2.1 train on contiguous `budget`-token
+    * windows of the concatenated corpus; every open pretraining
+    * pipeline cuts the same way): documents concatenate in ascending
+    * id order and the stream cuts into fixed `budget`-token
+    * sequences, so each doc's token range [start_tok, start_tok +
+    * n_tokens) maps to sequences seq_start..seq_end with offset
+    * `offset_tok` inside the first — the per-doc placement table a
+    * batch assembler and a shard writer both key on.
+    *
+    * Everything derives from ONE global exclusive prefix sum over id
+    * order, and THAT is the scale problem this operator actually
+    * solves: the naive `Window.orderBy(id)` computes it on a single
+    * partition (the whole corpus through one task — the classic
+    * global-window scale-killer). Instead the standard two-level
+    * scan runs distributed: per-BUCKET sums (one skinny map-side
+    * aggregation, bucket = id div `idStride`), an exclusive prefix
+    * over the bucket TABLE (config-sized by the stride contract —
+    * 10¹⁰ docs at the default stride is ~1.2M 16-byte rows, and only
+    * that table passes through a single-partition window), offsets
+    * broadcast-joined back, and a per-bucket window (bounded
+    * partitions) finishing the sum. The result is IDENTICAL for any
+    * stride — associativity of addition — which the spec asserts at
+    * strides {1, 3, 1000}.
+    *
+    * `idCol` must be numeric (the stride bucketing divides it);
+    * zero-token docs occupy no range and report seq_end = seq_start.
+    *
+    * @return (idCol, n_tokens, start_tok, seq_start, seq_end,
+    *         offset_tok), integer-exact. */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
+                    budget: Long, idStride: Long = 8192L): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(idStride > 0, s"idStride must be positive: $idStride")
+    val base = docs.select(col(idCol),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("__b",
+        (col(idCol).cast("long") / idStride).cast("long"))
+    val wb = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = base.groupBy("__b").agg(sum("n_tokens").as("__bs"))
+      .withColumn("__off", coalesce(sum("__bs").over(wb), lit(0L)))
+      .select("__b", "__off")
+    val wi = Window.partitionBy("__b").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(boff), Seq("__b"))
+      .withColumn("start_tok",
+        col("__off") + coalesce(sum("n_tokens").over(wi), lit(0L)))
+      .withColumn("seq_start",
+        expr(s"start_tok div ${budget}L"))
+      .withColumn("seq_end",
+        when(col("n_tokens") === 0L, col("seq_start"))
+          .otherwise(expr(s"(start_tok + n_tokens - 1) div ${budget}L")))
+      .withColumn("offset_tok", col("start_tok") % budget)
+      .select(idCol, "n_tokens", "start_tok", "seq_start", "seq_end",
+        "offset_tok")
+  }
+
   /** Temperature-scaled mixture shares — the multilingual sampling
     * formula of mT5 / XLM-R (Xue et al. 2021 §3.1; Conneau et al.
     * 2020 §3): q_i = p_i^α / Σ_j p_j^α flattens the natural

@@ -354,6 +354,15 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // Concat-and-cut sequence packing: the per-doc placement table of
+    // GPT-style budget-token windows over the id-ordered corpus — one
+    // distributed two-level prefix sum (the oracle states the global
+    // cumsum it must equal).
+    "d67_pack_sequences" -> ((s, d) =>
+      Mixing.packSequences(T.documents(s, d), "doc_id", "n_chars",
+          budget = 4096)
+        .orderBy("doc_id")),
+
     // Temperature-scaled mixture shares (mT5/XLM-R sampling): α = 0.5
     // is the IEEE-exact (sqrt) temperature, pinned for the hash gate.
     "d56_temp_mixture" -> ((s, d) =>
@@ -2244,6 +2253,22 @@ object LlmQueries {
     // trains, so the oracle is d51's verbatim
     "d65_ivfpq_persist" -> D51IvfPqSql,
     "d66_ivfpq_rescore" -> D66IvfPqRescoreSql,
+    // the GLOBAL exclusive cumsum the two-level distributed scan must
+    // equal — associativity of addition is the operator's claim
+    "d67_pack_sequences" ->
+      """WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start_tok FROM b)
+        |SELECT doc_id, n_tokens, start_tok,
+        |CAST(start_tok // 4096 AS BIGINT) AS seq_start,
+        |CAST(CASE WHEN n_tokens = 0 THEN start_tok // 4096
+        |  ELSE (start_tok + n_tokens - 1) // 4096 END AS BIGINT)
+        |  AS seq_end,
+        |CAST(start_tok % 4096 AS BIGINT) AS offset_tok
+        |FROM c ORDER BY doc_id""".stripMargin,
     "d57_ann_recall" -> D57AnnRecallSql,
     "d60_sq8_pq_ladder" -> D60LadderSql,
     // the d4 shingle idiom; bucket = binary-digit count - 1 (exact

@@ -276,6 +276,31 @@ class MixingSpec extends SparkSpec {
     assert(id.values.forall { case (p, q) => p == q })
   }
 
+  test("packSequences: hand-computed placement, stride-invariant") {
+    import spark.implicits._
+    // budget 10; docs (id, tokens): 1→4, 2→9, 5→0, 7→10, 9→3
+    // concat stream: 1 at [0,4), 2 at [4,13), 5 empty at 13,
+    // 7 at [13,23), 9 at [23,26)
+    val docs = Seq((1L, 4L), (2L, 9L), (5L, 0L), (7L, 10L), (9L, 3L))
+      .toDF("doc_id", "toks")
+    def run(stride: Long) =
+      Mixing.packSequences(docs, "doc_id", "toks", budget = 10,
+          idStride = stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val expected = Set(
+      (1L, 4L, 0L, 0L, 0L, 0L),    // [0,4) in seq 0
+      (2L, 9L, 4L, 0L, 1L, 4L),    // [4,13) straddles 0→1
+      (5L, 0L, 13L, 1L, 1L, 3L),   // empty doc: occupies nothing
+      (7L, 10L, 13L, 1L, 2L, 3L),  // [13,23) straddles 1→2
+      (9L, 3L, 23L, 2L, 2L, 3L))   // [23,26) in seq 2
+    assert(run(8192) == expected)
+    // the two-level scan equals the global cumsum for ANY bucketing —
+    // associativity of addition, the distributed-correctness claim
+    assert(run(1) == expected && run(3) == expected
+      && run(1000) == expected)
+  }
+
   test("temperatureMixture keeps sub-microshare tail strata in the mix") {
     import spark.implicits._
     // regression: p^alpha was taken on p already rounded to 6 dp, so a
