@@ -254,11 +254,29 @@ object PlanDump {
       ("BPE merge-loop training: the corpus collapses to the " +
         "word-count VOCABULARY once (Heaps-law sublinear), then every " +
         "merge round is one vocab-sized pair aggregation + a one-row " +
-        "driver collect + a literal-driven scan-side replace, with " +
-        "the vocab localCheckpointed per round so the plan stays " +
-        "constant-size at any merge count. Measured at 10× text " +
+        "driver collect + a scan-side boundary-correct symbol fold " +
+        "(applyMerge — a pair never fuses where the next symbol " +
+        "merely starts with its right element), with the vocab " +
+        "localCheckpointed per round so the plan stays constant-size " +
+        "at any merge count. Measured at 10× text " +
         "(BENCH_SF1_r10.json): 4.6 → 5.8 s — ratio 1.26, the " +
-        "vocab-bound shape doing exactly what it promises."),
+        "vocab-bound shape doing exactly what it promises; the " +
+        "round-11 fold lands at the same 4.57 s sf0.1 cost as the " +
+        "replaced literal replace."),
+    "d67_pack_sequences" ->
+      ("Concat-and-cut sequence packing: the per-doc placement table " +
+        "of budget-token training windows needs ONE global exclusive " +
+        "prefix sum over id order — the naive Window.orderBy(id) is " +
+        "the classic single-partition scale-killer, so the operator " +
+        "runs the two-level scan instead: per-bucket sums (map-side " +
+        "combinable aggregation on id div stride), an exclusive " +
+        "prefix window over the config-sized bucket TABLE (the only " +
+        "unpartitioned window, over ~corpus/stride skinny rows), " +
+        "broadcast offsets joined back, and a per-bucket PARTITIONED " +
+        "window finishing the sum over bounded partitions. " +
+        "Stride-invariance (spec-asserted at 1/3/1000/8192) is the " +
+        "distributed-correctness proof: any bucketing yields the " +
+        "global cumsum."),
     "d54_quality_lr" ->
       ("Hashed-BoW logistic quality classifier: one tokenize+hash " +
         "pass builds the checkpointed (id, bucket, x) feature table; " +

@@ -316,4 +316,17 @@ class PlanSpec extends SparkSpec {
     assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
       "codec should add no shuffle beyond the output sort")
   }
+
+  test("sequence packing: partitioned row window, broadcast offsets") {
+    // the global-cumsum scale-killer would show as a corpus-sized
+    // Window with an empty partition spec; the two-level scan instead
+    // partitions the row-level window by the id bucket and broadcasts
+    // the config-sized bucket-offset table
+    val p = plan("d67_pack_sequences")
+    assert(p.contains("hashpartitioning(__b"),
+      s"row-level window must partition by the id bucket:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      "bucket offsets must attach as a broadcast, not a shuffle join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
