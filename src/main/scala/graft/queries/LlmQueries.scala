@@ -479,6 +479,26 @@ object LlmQueries {
           label = col("lang") === "en", dims = 64, steps = 2, eta = 0.5)
         .orderBy("doc_id")),
 
+    // Calibration harness for the quality classifier — the d57
+    // evaluation-pattern applied to d54 (every model-shaped component
+    // gets an eval row): predicted-probability deciles vs observed
+    // positive rate, the reliability table a filter operator reads
+    // before trusting a threshold. Integer-exact bucket stats; one
+    // skinny aggregation over the scored table.
+    "d68_lr_calibration" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      QualityModel.lrQualityScores(docs, "doc_id", "text",
+          label = col("lang") === "en", dims = 64, steps = 2, eta = 0.5)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("__y")), "doc_id")
+        .groupBy(expr("prob_micros div 100000").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+          expr("sum(prob_micros) div count(1)").as("mean_prob_micros"))
+        .withColumn("obs_rate", round(col("n_pos") / col("n_docs"), 6))
+        .orderBy("bucket")
+    }),
+
     // Corpus-unigram LM quality score (perplexity-proxy filter):
     // per-term log-probs in integer micros, per-doc sums integer-exact.
     "d28_unigram_lm" -> ((s, d) =>
@@ -2316,6 +2336,22 @@ object LlmQueries {
         |SELECT src_id, dst_id, containment FROM dir
         |WHERE containment >= 0.6 ORDER BY src_id, dst_id""".stripMargin,
     "d54_quality_lr" -> D54QualityLrSql,
+    // the d54 chain wrapped as a subquery, bucketed to the
+    // reliability table — integer-exact deciles and means
+    "d68_lr_calibration" ->
+      (s"""WITH q AS (SELECT * FROM (
+         |$D54QualityLrSql
+         |) t),
+         |y AS (SELECT doc_id, (lang = 'en') AS yy FROM documents)
+         |SELECT CAST(prob_micros // 100000 AS BIGINT) AS bucket,
+         |COUNT(*) AS n_docs,
+         |CAST(SUM(CASE WHEN yy THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |CAST(SUM(prob_micros) // COUNT(*) AS BIGINT)
+         |  AS mean_prob_micros,
+         |ROUND(SUM(CASE WHEN yy THEN 1 ELSE 0 END) / COUNT(*), 6)
+         |  AS obs_rate
+         |FROM q JOIN y USING (doc_id)
+         |GROUP BY 1 ORDER BY bucket""".stripMargin),
     // the d52 rule expressions verbatim (rounded ratios, identical
     // thresholds), the d1 fingerprint, and the d19 md5 bucket —
     // composed in one statement

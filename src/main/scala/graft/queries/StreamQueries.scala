@@ -343,6 +343,70 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // The GRAM-set screen refreshed between catch-up runs — the
+    // st_inc_boiler pattern on the exact-span table: era A's distinct
+    // gram set screens the first incoming run; era B's partial
+    // distinct-unions in (mergeGramSets — idempotent/associative/
+    // commutative, so the merged set IS the full recompute) before
+    // the second.
+    "st_inc_grams" -> ((s, d) => {
+      lazy val exist = T.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+      lazy val setA = graft.operators.Dedup.existingGramSet(
+        exist.filter(col("doc_id") % 2 === 0), "text")
+        .localCheckpoint(true)
+      lazy val setM = graft.operators.Dedup.mergeGramSets(Seq(setA,
+        graft.operators.Dedup.existingGramSet(
+          exist.filter(col("doc_id") % 2 =!= 0), "text")))
+        .localCheckpoint(true)
+      def screen(set: => DataFrame, era: Int)(batch: DataFrame) =
+        graft.operators.Dedup.crossDupSpansAgainst(
+          batch.filter(col("doc_id") % 5 === 0
+            && col("doc_id") % 2 === era), set, "doc_id", "text")
+      val run1 = materializedStream(s, d, "incgramA", "documents.parquet",
+        transform = screen(setA, era = 0)) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      val run2 = materializedStream(s, d, "incgramB", "documents.parquet",
+        transform = screen(setM, era = 1)) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      s.read.parquet(run1).unionByName(s.read.parquet(run2))
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // The PREFIX-cross index refreshed between catch-up runs: built
+    // on era A, refreshed with era B (refreshPrefixCrossIndex — df
+    // counts merge, prefixes re-derive, no text rescanned) before
+    // the second incoming run. The prefix filter is LOSSLESS, so the
+    // oracle states the pairwise truth per era directly.
+    "st_inc_prefix" -> ((s, d) => {
+      lazy val exist = T.documents(s, d).filter(col("doc_id") % 7 =!= 0)
+      lazy val idxA = graft.operators.Dedup.prefixCrossIndex(
+        exist.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        k = 5, theta = 0.5)
+      lazy val idxM = graft.operators.Dedup.refreshPrefixCrossIndex(
+        idxA, exist.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      def screen(idx: => graft.operators.Dedup.PrefixCrossIndex,
+                 era: Int)(batch: DataFrame) =
+        graft.operators.Dedup.prefixCrossJaccardAgainst(
+          batch.filter(col("doc_id") % 7 === 0
+            && col("doc_id") % 2 === era), idx, "doc_id", "text")
+      val run1 = materializedStream(s, d, "incprefA", "documents.parquet",
+        transform = screen(idxA, era = 0)) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      val run2 = materializedStream(s, d, "incprefB", "documents.parquet",
+        transform = screen(idxM, era = 1)) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      s.read.parquet(run1).unionByName(s.read.parquet(run2))
+        .orderBy("in_id", "ex_id")
+    }),
+
     // Benchmark decontamination as a streaming twin — the other screen
     // a continuous ingest pipeline runs on every arriving batch: the
     // bench-gram set is tiny and static (broadcast inside
@@ -589,6 +653,67 @@ object StreamQueries {
         |  FILTER (WHERE keep), '') AS text,
         |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the era-split gram screen stated directly: even incoming docs
+    // probe era A's distinct gram set, odd ones the full set (merged
+    // partials == full recompute by distinct-union idempotence)
+    "st_inc_grams" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+        |  string_split_regex(text, '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |gi AS (SELECT doc_id, u.s AS s, u.h AS h FROM (
+        |  SELECT doc_id, unnest(CASE WHEN len(ws) < 8 THEN []
+        |    ELSE [{'s': x, 'h': md5(array_to_string(ws[x:x+7], chr(1)))}
+        |          FOR x IN range(1, len(ws) - 6)] END) AS u
+        |  FROM w WHERE doc_id % 5 = 0)),
+        |geA AS (SELECT DISTINCT h FROM (
+        |  SELECT unnest(CASE WHEN len(ws) < 8 THEN []
+        |    ELSE [md5(array_to_string(ws[x:x+7], chr(1)))
+        |          FOR x IN range(1, len(ws) - 6)] END) AS h
+        |  FROM w WHERE doc_id % 5 <> 0 AND doc_id % 2 = 0)),
+        |geM AS (SELECT DISTINCT h FROM (
+        |  SELECT unnest(CASE WHEN len(ws) < 8 THEN []
+        |    ELSE [md5(array_to_string(ws[x:x+7], chr(1)))
+        |          FOR x IN range(1, len(ws) - 6)] END) AS h
+        |  FROM w WHERE doc_id % 5 <> 0)),
+        |r AS (SELECT doc_id, s, s + 7 AS e FROM gi JOIN geA USING (h)
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, s, s + 7 AS e FROM gi JOIN geM USING (h)
+        |  WHERE doc_id % 2 <> 0),
+        |m AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id
+        |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  AS pe FROM r),
+        |x AS (SELECT doc_id, s, e, SUM(CASE WHEN pe IS NULL OR s > pe + 1
+        |  THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        |  FROM m)
+        |SELECT doc_id, CAST(MIN(s) AS INT) AS span_start,
+        |CAST(MAX(e) AS INT) AS span_end,
+        |CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_tokens
+        |FROM x GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // the era-split pairwise truth directly (prefix filtering is
+    // lossless, so index internals never appear): even incoming pairs
+    // against era-A existing only, odd against all existing
+    "st_inc_prefix" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |  ELSE [array_to_string(ws[x:x+4], ' ')
+        |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM w),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS in_id, b.doc_id AS ex_id,
+        |  COUNT(*) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        |  AND (a.doc_id % 2 <> 0 OR b.doc_id % 2 = 0)
+        |  GROUP BY 1, 2)
+        |SELECT in_id, ex_id,
+        |ROUND(shared*1.0/(ca.n + cb.n - shared), 6) AS jac
+        |FROM pairs JOIN cnt ca ON in_id = ca.doc_id
+        |JOIN cnt cb ON ex_id = cb.doc_id
+        |WHERE shared*1.0/(ca.n + cb.n - shared) >= 0.5
+        |ORDER BY in_id, ex_id""".stripMargin,
     // the exact distinct count plus the two always-true properties the
     // sketch composition guarantees (union exactness; 5% error bound)
     "inc_hll_distinct" ->
