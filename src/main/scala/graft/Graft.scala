@@ -164,6 +164,13 @@ object Graft {
                       textCol: String): DataFrame =
     TextAnalysis.repetitionStats(docs, idCol, textCol)
 
+  /** Within-doc line-repetition stats (Gopher A1.2 at line
+    * granularity): duplicate-line and duplicate-line-character
+    * fractions — the per-doc templated-page filter signal. */
+  def lineRepetitionStats(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    TextAnalysis.lineRepetitionStats(docs, idCol, textCol)
+
   /** Flag corpus docs sharing any word n-gram with a benchmark set. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,

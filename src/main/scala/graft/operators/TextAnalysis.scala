@@ -494,6 +494,43 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Within-document LINE-repetition stats — Gopher's repetition
+    * screen at line granularity (Rae et al. 2021 A1.2: documents
+    * with a high duplicate-line fraction are templated/boilerplate
+    * pages; the paper cuts on both the duplicate-LINE fraction and
+    * the duplicate-line CHARACTER fraction, so both are emitted).
+    * Complements [[repetitionStats]] (word/bigram level) and
+    * [[graft.operators.Dedup.lineDedup]] (corpus-wide): this is the
+    * per-doc filter signal, computed entirely within each row's own
+    * lines. Blank/whitespace-only lines are structure and don't
+    * count; docs with no non-blank lines don't appear (no evidence).
+    *
+    * Scale shape: one explode + two keyed aggregations per doc — the
+    * doc key rides through both, so partial aggregation applies and
+    * nothing ever shuffles beyond (doc, line-hash) rows.
+    *
+    * @return (idCol, n_lines, n_dup_lines, dup_line_frac,
+    *         dup_line_char_frac), fractions at 6 dp. */
+  def lineRepetitionStats(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("ln"))
+      .withColumn("__t", trim(col("ln")))
+      .filter(col("__t") =!= "")
+    val counts = lines.groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__len", length(col("__t")))
+    counts.groupBy(idCol)
+      .agg(
+        sum("__c").as("n_lines"),
+        sum(col("__c") - 1).as("n_dup_lines"),
+        round(sum(col("__c") - 1) / sum("__c").cast("double"), 6)
+          .as("dup_line_frac"),
+        round(sum((col("__c") - 1) * col("__len"))
+          / sum(col("__c") * col("__len")).cast("double"), 6)
+          .as("dup_line_char_frac"))
+  }
+
   /** PII patterns for training-data scrubbing, ordered most- to
     * least-specific so sequential redaction never double-matches
     * (a credit card would otherwise match the looser phone shape).

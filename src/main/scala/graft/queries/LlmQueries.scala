@@ -479,6 +479,20 @@ object LlmQueries {
           label = col("lang") === "en", dims = 64, steps = 2, eta = 0.5)
         .orderBy("doc_id")),
 
+    // Within-doc line repetition (Gopher A1.2 at line granularity):
+    // the fixture is single-line, so the query PLANTS a twice-repeated
+    // boilerplate line on every 6th doc (the d55 precedent, mirrored
+    // in the oracle) — those docs must report exactly one duplicate.
+    "d69_line_repetition" -> ((s, d) => {
+      val boiler = "click here to accept cookies and continue"
+      val src = T.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          concat(col("text"), lit("\n" + boiler + "\n" + boiler)))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.lineRepetitionStats(src, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Calibration harness for the quality classifier — the d57
     // evaluation-pattern applied to d54 (every model-shaped component
     // gets an eval row): predicted-probability deciles vs observed
@@ -2336,6 +2350,26 @@ object LlmQueries {
         |SELECT src_id, dst_id, containment FROM dir
         |WHERE containment >= 0.6 ORDER BY src_id, dst_id""".stripMargin,
     "d54_quality_lr" -> D54QualityLrSql,
+    // string-keyed restatement of the per-doc line-count rollup; the
+    // planted repeat mirrors the query
+    "d69_line_repetition" ->
+      """WITH src AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0
+        |  THEN text || chr(10) ||
+        |    'click here to accept cookies and continue' || chr(10) ||
+        |    'click here to accept cookies and continue'
+        |  ELSE text END AS text FROM documents),
+        |l AS (SELECT doc_id, trim(ln) AS t FROM (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+        |  FROM src) WHERE trim(ln) <> ''),
+        |c AS (SELECT doc_id, t, COUNT(*) AS c, len(t) AS ln FROM l
+        |  GROUP BY doc_id, t)
+        |SELECT doc_id,
+        |CAST(SUM(c) AS BIGINT) AS n_lines,
+        |CAST(SUM(c - 1) AS BIGINT) AS n_dup_lines,
+        |ROUND(SUM(c - 1) / SUM(c), 6) AS dup_line_frac,
+        |ROUND(SUM((c - 1) * ln) / SUM(c * ln), 6)
+        |  AS dup_line_char_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the d54 chain wrapped as a subquery, bucketed to the
     // reliability table — integer-exact deciles and means
     "d68_lr_calibration" ->

@@ -238,6 +238,25 @@ class TextAnalysisSpec extends SparkSpec {
       (1, "s", "t", 5L), (2, "e", "s", 2L), (3, "e", "st", 1L)))
   }
 
+  test("lineRepetitionStats: hand-computed fractions, blanks ignored") {
+    import spark.implicits._
+    // NB trim() strips SPACES only (Spark and DuckDB agree) — a
+    // tab-only line counts as content, same as in lineDedup
+    val docs = Seq(
+      (1L, "aaaa\nbb\n  \naaaa\ncc"),  // aaaa x2 (4 chars), bb, cc
+      (2L, "unique line"),
+      (3L, "   \n "))                    // space-only: no evidence row
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lineRepetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // doc 1: 4 non-blank lines, 1 extra 'aaaa'; char frac = 4/(8+2+2)
+    assert(got(1L) == ((4L, 1L, 0.25, math.rint(4.0 / 12 * 1e6) / 1e6)))
+    assert(got(2L) == ((1L, 0L, 0.0, 0.0)))
+    assert(!got.contains(3L))
+  }
+
   test("token metrics") {
     val r = Seq("ab cd  ef ab").toDF("t").select(
       TextAnalysis.tokenCount(col("t")),
