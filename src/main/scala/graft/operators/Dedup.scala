@@ -1063,7 +1063,10 @@ object Dedup {
     * headers), and every occurrence is cut EXCEPT one canonical
     * survivor — the lowest (doc, position) — so the content itself
     * survives exactly once. Whitespace-only lines are structure, not
-    * boilerplate candidates; they always stay.
+    * boilerplate candidates; they always stay. `delimiter` sets the
+    * granularity: "\n" (default) is the line screen, "\n\n" the
+    * PARAGRAPH screen Dolma/RefinedWeb run — the unit both splits
+    * and rejoins on.
     *
     * Scale shape: lines explode map-side with their positions; the
     * corpus-count aggregation and the occurrence join both key on the
@@ -1079,10 +1082,13 @@ object Dedup {
     *         joined with `\n`; empty string if everything was cut)
     *         and how many lines were removed. */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-                minCount: Int = 3): DataFrame = {
+                minCount: Int = 3,
+                delimiter: String = "\n"): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val delim = java.util.regex.Pattern.quote(delimiter)
     val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+      .select(col(idCol), posexplode(split(col(textCol), delim))
         .as(Seq("pos", "ln")))
       .withColumn("key",
         when(trim(col("ln")) === "", lit(null))
@@ -1099,7 +1105,7 @@ object Dedup {
             || struct(col(idCol), col("pos")) === col("ck"))
       flagged.groupBy(idCol)
         .agg(
-          concat_ws("\n", transform(
+          concat_ws(delimiter, transform(
             filter(array_sort(collect_list(struct(col("pos"), col("ln"),
               col("keep")))), e => e.getField("keep")),
             e => e.getField("ln"))).as("text"),

@@ -370,6 +370,39 @@ object LlmQueries {
           alpha = 0.5)
         .orderBy("lang")),
 
+    // The temperature shares turned into the ACTIONABLE recipe table:
+    // target tokens per stratum under a fixed budget and the epoch
+    // count (passes over the stratum's natural data) the sampler runs
+    // — the number mT5 Table 2 reports per language. Composition of
+    // the d56 kernel + scan math.
+    "d70_temp_plan" -> ((s, d) =>
+      Mixing.temperatureMixture(T.documents(s, d), "lang", "n_chars",
+          alpha = 0.5)
+        .withColumn("target_tokens",
+          floor(col("q") * 1000000d).cast("long"))
+        .withColumn("epochs",
+          when(col("n_tokens") === 0L, lit(0d))
+            .otherwise(round(col("target_tokens")
+              / col("n_tokens").cast("double"), 6)))
+        .select("lang", "n_tokens", "q", "target_tokens", "epochs")
+        .orderBy("lang")),
+
+    // Corpus-wide PARAGRAPH dedup — the d55 screen at "\n\n"
+    // granularity (Dolma/RefinedWeb's unit): the fixture is
+    // single-paragraph, so the query plants a shared boilerplate
+    // paragraph on every 12th doc; every copy but the lowest
+    // (doc, pos) must be cut and the rebuild rejoins on "\n\n".
+    "d71_paragraph_dedup" -> ((s, d) => {
+      val boiler = "about us\ncontact our sales team for a quote"
+      val src = T.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 12 === 0,
+          concat(col("text"), lit("\n\n" + boiler)))
+          .otherwise(col("text")).as("text"))
+      Dedup.lineDedup(src, "doc_id", "text", minCount = 3,
+          delimiter = "\n\n")
+        .orderBy("doc_id")
+    }),
+
     // C4-style corpus-wide line dedup: the fixture is single-line, so
     // the query PLANTS a shared boilerplate line on every 20th doc
     // (the d33 planting precedent, mirrored in the oracle) — the
@@ -2441,6 +2474,47 @@ object LlmQueries {
     // counts built as three merged batch partials — merged partials ==
     // full recompute is the oracle's claim, so the SQL is d64 verbatim
     "inc_boilerplate" -> D64CrossLineSql,
+    // the d56 CTEs extended with the budget/epoch scan math
+    "d70_temp_plan" ->
+      """WITH s AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM s),
+        |p AS (SELECT lang, n_tokens,
+        |  CASE WHEN n_tokens > 0 THEN GREATEST(1,
+        |    CAST(ROUND(sqrt(n_tokens / tt) * 1000000) AS BIGINT))
+        |  ELSE 0 END AS sp
+        |  FROM s CROSS JOIN t),
+        |qt AS (SELECT CAST(SUM(sp) AS BIGINT) AS qt FROM p)
+        |SELECT lang, n_tokens, ROUND(sp / qt, 6) AS q,
+        |CAST(FLOOR(ROUND(sp / qt, 6) * 1000000) AS BIGINT)
+        |  AS target_tokens,
+        |CASE WHEN n_tokens = 0 THEN 0.0
+        |  ELSE ROUND(CAST(FLOOR(ROUND(sp / qt, 6) * 1000000) AS BIGINT)
+        |    / n_tokens, 6) END AS epochs
+        |FROM p CROSS JOIN qt ORDER BY lang""".stripMargin,
+    // the d55 idiom at paragraph (chr(10)chr(10)) granularity
+    "d71_paragraph_dedup" ->
+      """WITH src AS (SELECT doc_id, CASE WHEN doc_id % 12 = 0
+        |  THEN text || chr(10) || chr(10) || 'about us' || chr(10) ||
+        |    'contact our sales team for a quote'
+        |  ELSE text END AS text FROM documents),
+        |ls AS (SELECT doc_id,
+        |  string_split(text, chr(10) || chr(10)) AS a FROM src),
+        |l AS (SELECT doc_id, u.i AS pos, u.ln AS ln FROM (
+        |  SELECT doc_id, unnest([{'i': x, 'ln': a[x+1]}
+        |    FOR x IN range(0, len(a))]) AS u FROM ls)),
+        |c AS (SELECT trim(ln) AS k, COUNT(*) AS cnt,
+        |  MIN(doc_id*1000000 + pos) AS ck
+        |  FROM l WHERE trim(ln) <> '' GROUP BY trim(ln)),
+        |k AS (SELECT doc_id, pos, ln,
+        |  (trim(ln) = '' OR cnt IS NULL OR cnt < 3
+        |   OR doc_id*1000000 + pos = ck) AS keep
+        |  FROM l LEFT JOIN c ON trim(ln) = c.k)
+        |SELECT doc_id,
+        |COALESCE(string_agg(ln, chr(10) || chr(10) ORDER BY pos)
+        |  FILTER (WHERE keep), '') AS text,
+        |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // string-keyed restatement of the xxhash64-keyed count/join
     // (hashing is operator-internal, equal w.h.p. — d4/d38 precedent)
     "d55_line_dedup" ->

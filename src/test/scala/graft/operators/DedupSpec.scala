@@ -444,6 +444,25 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == (("twice\ntail", 0L)))
   }
 
+  test("lineDedup at paragraph granularity splits and rejoins on \\n\\n") {
+    // the PARA paragraph (itself containing a newline) repeats 3×
+    // across docs: lowest (doc, pos) survives, rebuild rejoins with
+    // the paragraph delimiter — inner newlines untouched
+    val para = "about us\ncall sales"
+    val docs = Seq(
+      (1L, s"keep\n\n$para"),
+      (2L, s"$para\n\nbody two"),
+      (3L, s"intro\n\n$para\n\ntail"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", minCount = 3,
+        delimiter = "\n\n")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == ((s"keep\n\n$para", 0L)))
+    assert(out(2L) == (("body two", 1L)))
+    assert(out(3L) == (("intro\n\ntail", 1L)))
+  }
+
   test("lineDedup: STRING doc ids keep a canonical survivor") {
     // regression: the survivor key was id*1e6+pos, which is null for a
     // string id — every boilerplate occurrence was cut with no
