@@ -229,6 +229,17 @@ class QuantizationSpec extends SparkSpec {
       val scanned = pruned.queryExecution.executedPlan.toString
       assert(scanned.contains("PartitionFilters"),
         s"cell filter must prune at listing time:\n$scanned")
+      // the serving claim: probing the loaded index triggers DYNAMIC
+      // partition pruning — the codes scan is restricted to the
+      // probed cells' directories at runtime via the broadcast LUT
+      val probed = Quantization.ivfPqSearch(
+        vecs.filter(col("vec_id") < 2), "vec_id", "embedding",
+        loaded, nprobe = 1, topK = 3)
+      probed.collect()
+      val servePlan = probed.queryExecution.executedPlan.toString
+      assert(servePlan.toLowerCase.contains("dynamicpruning"),
+        s"loaded-index search must dynamic-prune the codes scan:\n" +
+          servePlan)
     } finally {
       org.apache.spark.sql.graftshim.Shims
         .unpersistLocalCheckpoint(built.codes)
