@@ -27,6 +27,35 @@ object LlmQueries {
   private val D8Planes: Array[Array[Float]] =
     Similarity.rademacherPlanes(nbits = 8, dim = 64, seed = 42L)
 
+  /** The d51-family IVF-PQ index (nlist=4, m=4, ksub=4, 2+2 Lloyd
+    * rounds over the embeddings fixture) trained ONCE per (session,
+    * fixture) and PERSISTED to the cell-partitioned layout; every
+    * family member (d51, d57, d65, d66, st_ann_probe) loads and
+    * serves from it — the train-once / serve-many production
+    * topology, and the streamMemo precedent applied to the batch
+    * side. Training is deterministic and the persisted round-trip is
+    * exact (QuantizationSpec), so sharing cannot change any result;
+    * backing the memo with the on-disk layout (not a checkpoint)
+    * keeps it valid across Verify's per-query unpersist sweeps. */
+  private val ivfPqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def sharedIvfPqIndex(
+      s: SparkSession, d: String): Quantization.IvfPqIndex = {
+    val dir = ivfPqMemo.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + d, _ => {
+        val out = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+          s"ivfpq51_${java.lang.Integer.toHexString(d.hashCode)}"
+        val built = Quantization.ivfPqIndex(T.embeddings(s, d),
+          "vec_id", "embedding", nlist = 4, coarseIters = 2, m = 4,
+          ksub = 4, pqIters = 2)
+        Quantization.persistIvfPqIndex(built, out)
+        org.apache.spark.sql.graftshim.Shims
+          .unpersistLocalCheckpoint(built.codes)
+        out
+      })
+    Quantization.loadIvfPqIndex(s, dir)
+  }
+
   val defs: Map[String, Q] = Map(
     // Exact dedup: one hash-partitioned aggregation on the fingerprint.
     "d1_exact_dedup" -> ((s, d) =>
@@ -793,10 +822,14 @@ object LlmQueries {
     // cells + PQ residual codes + nprobe-bounded ADC L2 scoring — the
     // billion-vector composition of d30's partitioner and d41's
     // compressed-domain kernel; the oracle replays the whole chain.
+    // Serves from the shared persisted index (train-once topology);
+    // result identical to the inline ivfPqTopK chain by persisted
+    // round-trip exactness (QuantizationSpec).
     "d51_ivfpq" -> ((s, d) =>
-      Quantization.ivfPqTopK(T.embeddings(s, d), "vec_id", "embedding",
-          nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2,
-          nprobe = 2, topK = 3, queryFilter = col("id") % 10 === 0)
+      Quantization.ivfPqSearch(
+          T.embeddings(s, d).filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", sharedIvfPqIndex(s, d),
+          nprobe = 2, topK = 3)
         .orderBy("qid", "rank")),
 
     // IVFADC-R refine: ADC ranks the d51 probed cells to 8 candidates
@@ -806,16 +839,11 @@ object LlmQueries {
     // touched, corpus-size-independent).
     "d66_ivfpq_rescore" -> ((s, d) => {
       val emb = T.embeddings(s, d)
-      val idx = Quantization.ivfPqIndex(emb, "vec_id", "embedding",
-        nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
-      try Quantization.ivfPqSearchRescore(
+      Quantization.ivfPqSearchRescore(
           emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
-          idx, emb, "vec_id", "embedding", nprobe = 2, topR = 8,
-          topK = 3)
+          sharedIvfPqIndex(s, d), emb, "vec_id", "embedding",
+          nprobe = 2, topR = 8, topK = 3)
         .orderBy("qid", "rank")
-        .localCheckpoint(true)
-      finally org.apache.spark.sql.graftshim.Shims
-        .unpersistLocalCheckpoint(idx.codes)
     }),
 
     // The PERSISTED serving topology end-to-end: train the d51 index,
@@ -827,17 +855,15 @@ object LlmQueries {
     // (cell, s, c) join), so a batch reads ~nprobe/nlist of the
     // corpus from disk.
     "d65_ivfpq_persist" -> ((s, d) => {
-      val emb = T.embeddings(s, d)
-      val built = Quantization.ivfPqIndex(emb, "vec_id", "embedding",
-        nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
-      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/ivfpq_" +
-        java.lang.Integer.toHexString(d.hashCode)
-      Quantization.persistIvfPqIndex(built, dir)
-      org.apache.spark.sql.graftshim.Shims
-        .unpersistLocalCheckpoint(built.codes)
-      val idx = Quantization.loadIvfPqIndex(s, dir)
-      Quantization.ivfPqSearch(emb.filter(col("vec_id") % 10 === 0),
-          "vec_id", "embedding", idx, nprobe = 2, topK = 3)
+      // sharedIvfPqIndex IS the persisted round-trip: the first
+      // family member to run trains and writes the cell-partitioned
+      // layout; this query (like every other member) loads and serves
+      // from disk — the real-file round-trip the s10/s12 precedent
+      // checks, now also the family's only training site.
+      Quantization.ivfPqSearch(
+          T.embeddings(s, d).filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", sharedIvfPqIndex(s, d),
+          nprobe = 2, topK = 3)
         .orderBy("qid", "rank")
     }),
 
@@ -878,9 +904,9 @@ object LlmQueries {
     // oracle replays BOTH rankings and the recall join.
     "d57_ann_recall" -> ((s, d) => {
       val emb = T.embeddings(s, d)
-      val approx = Quantization.ivfPqTopK(emb, "vec_id", "embedding",
-        nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2,
-        nprobe = 2, topK = 3, queryFilter = col("id") % 10 === 0)
+      val approx = Quantization.ivfPqSearch(
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        sharedIvfPqIndex(s, d), nprobe = 2, topK = 3)
       val exact = Similarity.bruteForceTopKL2(emb, "vec_id", "embedding",
         k = 3, queryFilter = col("id") % 10 === 0)
       Similarity.annRecallAtK(approx, exact, k = 3).orderBy("qid")

@@ -257,9 +257,7 @@ object StreamQueries {
     // splits cannot change results. Hashed against the BATCH d51
     // oracle verbatim.
     "st_ann_probe" -> ((s, d) => {
-      lazy val idx = graft.operators.Quantization.ivfPqIndex(
-        T.embeddings(s, d), "vec_id", "embedding",
-        nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
+      lazy val idx = LlmQueries.sharedIvfPqIndex(s, d)
       val out = materializedStream(s, d, "annprobe", "embeddings.parquet",
         transform = batch => graft.operators.Quantization.ivfPqSearch(
           batch.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
