@@ -43,6 +43,14 @@ object Graft {
   def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.exactDedup(df, idCol, textCol)
 
+  /** Source-precedence exact dedup: the preferred source's copy of
+    * duplicated content survives (Dolma multi-dump rule); unlisted
+    * sources rank last, lowest id breaks ties. */
+  def dedupByPriority(df: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String,
+                      priority: Map[String, Int]): DataFrame =
+    Dedup.priorityDedup(df, idCol, textCol, sourceCol, priority)
+
   /** Near-dup survivors: cluster Jaccard pairs ≥ theta, keep the
     * min-id member of each cluster plus everything unclustered. */
   def dedupNearExact(df: DataFrame, idCol: String, textCol: String,

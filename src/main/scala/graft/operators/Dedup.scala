@@ -44,6 +44,37 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup with SOURCE PRECEDENCE — the multi-dump curation rule
+    * (Dolma §2.1 / RefinedWeb keep docs from the preferred dump when
+    * the same content appears in several crawls/sources): the
+    * canonical survivor of each content fingerprint is the copy from
+    * the highest-priority source (lowest rank in `priority`; sources
+    * not listed rank after every listed one), with the lowest id
+    * breaking ties — `min(struct(rank, id))`, the [[lineDedup]]
+    * survivor idiom. Same single fingerprint-keyed shuffle as
+    * [[exactDedup]]; the priority table is a literal map, scan-side.
+    *
+    * @return (fp, keeper, keeper_source, n_copies, n_sources). */
+  def priorityDedup(df: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String,
+                    priority: Map[String, Int]): DataFrame = {
+    require(priority.nonEmpty, "need at least one source priority")
+    val rank = coalesce(
+      try_element_at(typedlit(priority), col(sourceCol)),
+      lit(Int.MaxValue))
+    df.select(col(idCol), col(sourceCol),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        rank.as("__rk"))
+      .groupBy("fp")
+      .agg(
+        min(struct(col("__rk"), col(idCol), col(sourceCol))).as("__w"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col(sourceCol)).as("n_sources"))
+      .select(col("fp"), col("__w").getField(idCol).as("keeper"),
+        col("__w").getField(sourceCol).as("keeper_source"),
+        col("n_copies"), col("n_sources"))
+  }
+
   /** Candidate pairs sharing ≥1 k-shingle (lossless blocking), with
     * exact Jaccard ≥ `theta`. Output: (id_a, id_b, jac) with id_a<id_b.
     *

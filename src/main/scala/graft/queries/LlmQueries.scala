@@ -98,6 +98,21 @@ object LlmQueries {
       Dedup.exactDedup(T.documents(s, d), "doc_id", "text")
         .orderBy("fp")),
 
+    // Source-precedence exact dedup (the Dolma multi-dump rule): the
+    // fixture has no source column, so the query derives one from
+    // doc_id % 3 (mirrored in the oracle) with curated > books > cc
+    // priority — when the same content sits in several sources, the
+    // preferred source's copy survives, not the lowest id.
+    "d72_priority_dedup" -> ((s, d) => {
+      val src = T.documents(s, d).withColumn("src",
+        when(col("doc_id") % 3 === 0, lit("cc"))
+          .when(col("doc_id") % 3 === 1, lit("curated"))
+          .otherwise(lit("books")))
+      Dedup.priorityDedup(src, "doc_id", "text", "src",
+          Map("curated" -> 0, "books" -> 1, "cc" -> 2))
+        .orderBy("fp")
+    }),
+
     // Text quality stats (length / token / stopword features) — one
     // fused tokenize pass; CSE under codegen keeps it single-eval.
     "d2_text_stats" -> ((s, d) => {
@@ -2305,6 +2320,23 @@ object LlmQueries {
       """SELECT md5(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
         |MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+    // the derived source + precedence rank restated; survivor = first
+    // row of the (rank, id) order per fingerprint
+    "d72_priority_dedup" ->
+      """WITH r AS (SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'cc' WHEN 1 THEN 'curated'
+        |    ELSE 'books' END AS src,
+        |  md5(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |  CASE doc_id % 3 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS rk
+        |  FROM documents),
+        |g AS (SELECT fp, COUNT(*) AS n_copies,
+        |  CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources
+        |  FROM r GROUP BY fp),
+        |k AS (SELECT fp, doc_id AS keeper, src AS keeper_source FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+        |    ORDER BY rk, doc_id) AS rn FROM r) WHERE rn = 1)
+        |SELECT k.fp AS fp, keeper, keeper_source, n_copies, n_sources
+        |FROM k JOIN g ON k.fp = g.fp ORDER BY fp""".stripMargin,
     "d2_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars_m,
         |CAST(len(ws) AS INT) AS n_toks,

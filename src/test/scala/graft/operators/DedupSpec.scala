@@ -444,6 +444,25 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == (("twice\ntail", 0L)))
   }
 
+  test("priorityDedup: preferred source survives over lower id") {
+    val docs = Seq(
+      (1L, "same   text", "cc"),       // ws-normalized dup of 4, 7
+      (4L, "same text", "curated"),    // preferred source wins...
+      (7L, "same text", "curated"),    // ...lowest id among curated
+      (9L, "other", "cc"),
+      (11L, "third", "unknown_src"))   // unlisted ranks last, still kept
+      .toDF("doc_id", "text", "src")
+    val out = Dedup.priorityDedup(docs, "doc_id", "text", "src",
+        Map("curated" -> 0, "books" -> 1, "cc" -> 2))
+      .collect().map(r => r.getLong(1) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    // id 1 is LOWEST but cc-sourced: the curated copy (id 4) survives
+    assert(out(4L) == (("curated", 3L, 2L)))
+    assert(out(9L) == (("cc", 1L, 1L)))
+    assert(out(11L) == (("unknown_src", 1L, 1L)))
+    assert(!out.contains(1L) && !out.contains(7L))
+  }
+
   test("lineDedup at paragraph granularity splits and rejoins on \\n\\n") {
     // the PARA paragraph (itself containing a newline) repeats 3×
     // across docs: lowest (doc, pos) survives, rebuild rejoins with
