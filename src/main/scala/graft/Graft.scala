@@ -167,6 +167,15 @@ object Graft {
   /** Redact emails / IPs / card numbers / phones to typed markers. */
   def piiRedact(c: Column): Column = TextAnalysis.piiRedact(c)
 
+  /** Canonicalize a URL for dedup/blocklist matching (fragment and
+    * utm_* stripped, lowercased head, default ports dropped). */
+  def urlCanonicalize(c: Column): Column =
+    TextAnalysis.urlCanonicalize(c)
+
+  /** Registered domain (two-label rule, www.-stripped). */
+  def registeredDomain(c: Column): Column =
+    TextAnalysis.registeredDomain(c)
+
   /** Gopher-style repetition quality stats per document. */
   def repetitionStats(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame =

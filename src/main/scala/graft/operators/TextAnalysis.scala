@@ -494,6 +494,43 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** URL canonicalization for web-corpus curation — the
+    * normalization C4/RefinedWeb run before URL-level dedup and
+    * blocklist matching (Raffel et al. 2020 §2.2; Penedo et al. 2023
+    * §3.1 dedupe on normalized URLs): strip the fragment, drop
+    * `utm_*` tracking parameters (re-anchoring the first surviving
+    * parameter to `?`), lowercase the scheme://host head, drop
+    * default ports :80/:443, and drop a bare trailing-slash path.
+    * Every step is an RE2-safe regex or string op, so the DuckDB
+    * oracle restates the identical pipeline. Pure scan-side Column
+    * math — the cheapest possible full-corpus pass. */
+  def urlCanonicalize(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val noUtm = regexp_replace(noFrag, "[?&]utm_[^&]*", "")
+    val fixedQ = regexp_replace(noUtm, "^([^?]*)&", "$1?")
+    val headPat = "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?]*)"
+    val head = regexp_extract(fixedQ, headPat, 1)
+    val tail = substring(fixedQ, length(head) + 1, lit(1000000))
+    val canonHead = regexp_replace(lower(head), ":(80|443)$", "")
+    when(head === "", fixedQ)
+      .when(tail === "/", canonHead)
+      .otherwise(concat(canonHead, tail))
+  }
+
+  /** Registered domain of a URL (last two host labels, `www.`
+    * stripped) — the grouping key for per-site quality/blocklist
+    * stats. A public-suffix list would refine multi-label TLDs
+    * (co.uk); the two-label rule is the deterministic in-engine
+    * approximation and is documented as such. */
+  def registeredDomain(u: Column): Column = {
+    val host = regexp_extract(lower(u),
+      "^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]*)", 1)
+    val stripped = regexp_replace(host, "^www\\.", "")
+    when(stripped.rlike("[^.]+\\.[^.]+"),
+      regexp_extract(stripped, "([^.]+\\.[^.]+)$", 1))
+      .otherwise(stripped)
+  }
+
   /** Within-document LINE-repetition stats — Gopher's repetition
     * screen at line granularity (Rae et al. 2021 A1.2: documents
     * with a high duplicate-line fraction are templated/boilerplate

@@ -113,6 +113,25 @@ object LlmQueries {
         .orderBy("fp")
     }),
 
+    // URL canonicalization + registered domain: the fixture has no
+    // URL column, so the query SYNTHESIZES one per doc (mixed case,
+    // default ports, utm params, fragments — mirrored in the oracle)
+    // and the operator must normalize every variant.
+    "d73_url_canon" -> ((s, d) => {
+      val url = concat(lit("HTTPS://WWW.Site"),
+        (col("doc_id") % 7).cast("string"), lit(".COM"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/path/"), (col("doc_id") % 5).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=x&ref=1"))
+          .when(col("doc_id") % 4 === 1, lit("?a=1#frag"))
+          .when(col("doc_id") % 4 === 2, lit("/"))
+          .otherwise(lit("")))
+      T.documents(s, d).select(col("doc_id"),
+          TextAnalysis.urlCanonicalize(url).as("url_canon"),
+          TextAnalysis.registeredDomain(url).as("domain"))
+        .orderBy("doc_id")
+    }),
+
     // Text quality stats (length / token / stopword features) — one
     // fused tokenize pass; CSE under codegen keeps it single-eval.
     "d2_text_stats" -> ((s, d) => {
@@ -2320,6 +2339,40 @@ object LlmQueries {
       """SELECT md5(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
         |MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+    // the synthesized URL variants + the identical normalization
+    // pipeline step by step (DuckDB regexp_replace needs the 'g' flag
+    // where Spark is global by default; backrefs are \1 not $1)
+    "d73_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://WWW.Site' || (doc_id % 7) || '.COM' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
+        |  '/path/' || (doc_id % 5) ||
+        |  (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&ref=1'
+        |   WHEN 1 THEN '?a=1#frag' WHEN 2 THEN '/' ELSE '' END)
+        |  AS url FROM documents),
+        |c1 AS (SELECT doc_id, url,
+        |  regexp_replace(url, '#.*', '') AS s FROM u),
+        |c2 AS (SELECT doc_id, url,
+        |  regexp_replace(s, '[?&]utm_[^&]*', '', 'g') AS s FROM c1),
+        |c3 AS (SELECT doc_id, url,
+        |  regexp_replace(s, '^([^?]*)&', '\1?') AS s FROM c2),
+        |c4 AS (SELECT doc_id, url, s, regexp_extract(s,
+        |  '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]*)', 1) AS head FROM c3),
+        |c5 AS (SELECT doc_id, url, s, head,
+        |  substr(s, length(head) + 1) AS tail,
+        |  regexp_replace(lower(head), ':(80|443)$', '') AS chead
+        |  FROM c4),
+        |h AS (SELECT doc_id, regexp_replace(regexp_extract(lower(url),
+        |  '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]*)', 1),
+        |  '^www\.', '') AS hh FROM u)
+        |SELECT c5.doc_id AS doc_id,
+        |CASE WHEN head = '' THEN s WHEN tail = '/' THEN chead
+        |  ELSE chead || tail END AS url_canon,
+        |CASE WHEN regexp_matches(hh, '[^.]+\.[^.]+')
+        |  THEN regexp_extract(hh, '([^.]+\.[^.]+)$', 1)
+        |  ELSE hh END AS domain
+        |FROM c5 JOIN h ON c5.doc_id = h.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // the derived source + precedence rank restated; survivor = first
     // row of the (rank, id) order per fingerprint
     "d72_priority_dedup" ->

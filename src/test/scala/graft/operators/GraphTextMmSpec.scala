@@ -238,6 +238,28 @@ class TextAnalysisSpec extends SparkSpec {
       (1, "s", "t", 5L), (2, "e", "s", 2L), (3, "e", "st", 1L)))
   }
 
+  test("urlCanonicalize + registeredDomain: the variant table by hand") {
+    import spark.implicits._
+    val got = Seq(
+      "HTTPS://WWW.Example.COM:443/path?utm_source=a&b=2#frag",
+      "http://site.org:80/",
+      "https://Sub.Domain.Co/x?utm_a=1",
+      "no-scheme-text",
+      "https://bare.io")
+      .toDF("u")
+      .select(TextAnalysis.urlCanonicalize(col("u")),
+        TextAnalysis.registeredDomain(col("u")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got(0) == (("https://www.example.com/path?b=2", "example.com")))
+    // bare "/" path drops with the default port
+    assert(got(1) == (("http://site.org", "site.org")))
+    // utm-only query disappears entirely; two-label rule on the host
+    assert(got(2) == (("https://sub.domain.co/x", "domain.co")))
+    // non-URLs pass through the head-missing branch unharmed
+    assert(got(3) == (("no-scheme-text", "")))
+    assert(got(4) == (("https://bare.io", "bare.io")))
+  }
+
   test("lineRepetitionStats: hand-computed fractions, blanks ignored") {
     import spark.implicits._
     // NB trim() strips SPACES only (Spark and DuckDB agree) — a
