@@ -334,6 +334,30 @@ object Mixing {
         "offset_tok")
   }
 
+  /** Write the corpus as TRAINING SHARDS: each doc lands (with its
+    * [[packSequences]] placement columns) in the hive partition of
+    * the shard its first sequence belongs to — shard = seq_start div
+    * `seqsPerShard` — so a trainer streams one shard directory per
+    * worker and the batch assembler has start/seq/offset in-row. The
+    * composition IS the point: the placement table comes from the
+    * distributed prefix sum, and the layout from the same
+    * partitionBy discipline as [[graft.sources.Bucketed
+    * .writePartitioned]]; a `repartition(shard)` before the write
+    * gives one task per shard, so a 100 TB corpus writes N contiguous
+    * shard files instead of tasks × shards fragments. */
+  def writeShards(docs: DataFrame, idCol: String, tokensCol: String,
+                  budget: Long, seqsPerShard: Long, dir: String,
+                  idStride: Long = 8192L): Unit = {
+    require(seqsPerShard > 0,
+      s"seqsPerShard must be positive: $seqsPerShard")
+    val packed = packSequences(docs, idCol, tokensCol, budget, idStride)
+      .withColumn("shard", expr(s"seq_start div ${seqsPerShard}L"))
+      .drop("n_tokens")
+    docs.join(packed, Seq(idCol))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
+
   /** Temperature-scaled mixture shares — the multilingual sampling
     * formula of mT5 / XLM-R (Xue et al. 2021 §3.1; Conneau et al.
     * 2020 §3): q_i = p_i^α / Σ_j p_j^α flattens the natural

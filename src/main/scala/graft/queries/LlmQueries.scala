@@ -458,6 +458,26 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // Training-shard writer end-to-end: pack the corpus, write one
+    // hive partition per 16-sequence shard (real files — the s10/s12
+    // precedent), read the layout back and roll it up per shard; the
+    // oracle derives the same rollup from the global cumsum alone, so
+    // the round-trip (placement + layout + payload) is what's gated.
+    "s20_shard_write" -> ((s, d) => {
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/shards_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Mixing.writeShards(
+        T.documents(s, d).select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", budget = 4096, seqsPerShard = 16, dir)
+      s.read.parquet(dir)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_tokens"),
+          min("seq_start").as("first_seq"),
+          max("seq_end").as("last_seq"))
+        .orderBy("shard")
+    }),
+
     // Concat-and-cut sequence packing: the per-doc placement table of
     // GPT-style budget-token windows over the id-ordered corpus — one
     // distributed two-level prefix sum (the oracle states the global
@@ -2467,6 +2487,25 @@ object LlmQueries {
     // trains, so the oracle is d51's verbatim
     "d65_ivfpq_persist" -> D51IvfPqSql,
     "d66_ivfpq_rescore" -> D66IvfPqRescoreSql,
+    // the per-shard rollup derived from the global cumsum alone
+    "s20_shard_write" ->
+      """WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start_tok FROM b),
+        |p AS (SELECT doc_id, n_tokens, start_tok,
+        |  start_tok // 4096 AS seq_start,
+        |  CASE WHEN n_tokens = 0 THEN start_tok // 4096
+        |    ELSE (start_tok + n_tokens - 1) // 4096 END AS seq_end
+        |  FROM c)
+        |SELECT CAST(seq_start // 16 AS BIGINT) AS shard,
+        |COUNT(*) AS n_docs,
+        |CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |CAST(MIN(seq_start) AS BIGINT) AS first_seq,
+        |CAST(MAX(seq_end) AS BIGINT) AS last_seq
+        |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
     // the GLOBAL exclusive cumsum the two-level distributed scan must
     // equal — associativity of addition is the operator's claim
     "d67_pack_sequences" ->
