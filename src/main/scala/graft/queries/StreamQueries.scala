@@ -518,6 +518,39 @@ object StreamQueries {
     // oracle states the two checkable truths — the exact distinct
     // count, that merged == single-pass, and that the estimate lands
     // within 5% of exact (lgK=12's ~1.6% typical error, with margin).
+    // Mergeable HEAVY-HITTER maintenance via Count-Min sketches
+    // (Cormode & Muthukrishnan 2005): per-batch sketches merge by
+    // counter addition, which — same width/depth/seed — is EXACTLY
+    // the single-pass sketch, so the boilerplate/hot-token watchlist
+    // a continuous ingest feeds never rescans. The oracle states the
+    // exact top-20 counts plus the two always-true properties: merge
+    // exactness (deterministic counter addition) and the CMS
+    // no-underestimate guarantee. The probed key set is the exact
+    // top-20 (driver-sized by construction, the MLlib-shape
+    // exception); the sketches are driver-held KB-scale arrays.
+    "inc_cms_heavyhitters" -> ((s, d) => {
+      import s.implicits._
+      val toks = T.documents(s, d).select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.wordTokens(
+          lower(col("text")))).as("t"))
+      def sk(f: org.apache.spark.sql.Column) = toks.filter(f)
+        .stat.countMinSketch("t", eps = 0.001, confidence = 0.99,
+          seed = 42)
+      val merged = sk(col("doc_id") % 10 < 8)
+      merged.mergeInPlace(sk(col("doc_id") % 10 >= 8))
+      val full = toks.stat.countMinSketch("t", eps = 0.001,
+        confidence = 0.99, seed = 42)
+      val top = toks.groupBy("t").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t")).limit(20).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      top.map { case (t, n) =>
+        (t, n, merged.estimateCount(t) == full.estimateCount(t),
+          merged.estimateCount(t) >= n)
+      }.toSeq.toDF("token", "exact_n", "merge_exact",
+        "no_underestimate")
+        .orderBy(col("exact_n").desc, col("token"))
+    }),
+
     "inc_hll_distinct" -> ((s, d) => {
       val ev = T.events(s, d)
       def sk(f: org.apache.spark.sql.Column) = ev.filter(f)
@@ -712,6 +745,17 @@ object StreamQueries {
         |JOIN cnt cb ON ex_id = cb.doc_id
         |WHERE shared*1.0/(ca.n + cb.n - shared) >= 0.5
         |ORDER BY in_id, ex_id""".stripMargin,
+    // the exact top-20 token counts plus the two always-true CMS
+    // properties (merge exactness; no underestimation)
+    "inc_cms_heavyhitters" ->
+      """WITH t AS (SELECT unnest(list_filter(
+        |  string_split_regex(lower(text), '\s+'), v -> v <> '')) AS t
+        |  FROM documents),
+        |c AS (SELECT t, COUNT(*) AS n FROM t GROUP BY t
+        |  ORDER BY n DESC, t LIMIT 20)
+        |SELECT t AS token, CAST(n AS BIGINT) AS exact_n,
+        |TRUE AS merge_exact, TRUE AS no_underestimate
+        |FROM c ORDER BY exact_n DESC, token""".stripMargin,
     // the exact distinct count plus the two always-true properties the
     // sketch composition guarantees (union exactness; 5% error bound)
     "inc_hll_distinct" ->
