@@ -518,6 +518,60 @@ object StreamQueries {
     // oracle states the two checkable truths — the exact distinct
     // count, that merged == single-pass, and that the estimate lands
     // within 5% of exact (lgK=12's ~1.6% typical error, with margin).
+    // Mergeable MEMBERSHIP maintenance via Bloom filters — the third
+    // sketch family (HLL distinct, CMS frequency, Bloom membership),
+    // closing the maintained-screen set: per-era bit arrays OR into
+    // BIT-IDENTICAL the single-pass filter (same size/seeds), asserted
+    // by byte equality of the serialized sketches; the screen itself
+    // probes incoming lines with the codegen'd BloomFilterMightContain
+    // and the no-false-negative guarantee is asserted per doc against
+    // the exact membership join (which is also what the oracle can
+    // see — flagged counts include fpp noise and stay sketch-side).
+    "inc_bloom_screen" -> ((s, d) => {
+      val boiler = "subscribe to our newsletter for updates today"
+      val src = T.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit("\n" + boiler)))
+          .otherwise(col("text")).as("text"))
+      def lines(df: DataFrame) = df
+        .select(col("doc_id"),
+          explode(split(col("text"), "\n")).as("ln"))
+        .select(col("doc_id"), trim(col("ln")).as("k"))
+        .filter(col("k") =!= "")
+      val exist = lines(src.filter(col("doc_id") % 5 =!= 0))
+      import graft.operators.RuntimeFilter
+      def bytesOf(df: DataFrame) =
+        RuntimeFilter.bloomFilterFor(df, "k", expectedItems = 200000L)
+      def read(b: Array[Byte]) =
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b))
+      val mergedSketch = read(bytesOf(
+        exist.filter(col("doc_id") % 2 === 0)))
+      mergedSketch.mergeInPlace(read(bytesOf(
+        exist.filter(col("doc_id") % 2 =!= 0))))
+      val mergedBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        mergedSketch.writeTo(bos); bos.toByteArray
+      }
+      val mergeExact =
+        java.util.Arrays.equals(mergedBytes, bytesOf(exist))
+      val exSet = exist.select(col("k")).distinct()
+        .withColumn("__in", lit(true))
+      lines(src.filter(col("doc_id") % 5 === 0))
+        .join(exSet, Seq("k"), "left")
+        .withColumn("__hit",
+          RuntimeFilter.mightContain(mergedBytes, col("k")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("__in"), 1L).otherwise(0L)).as("n_in_existing"),
+          min(when(col("__in") && !col("__hit"), 0)
+            .otherwise(1)).equalTo(1).as("no_false_negatives"))
+        .withColumn("merge_exact", lit(mergeExact))
+        .select("doc_id", "n_lines", "n_in_existing", "merge_exact",
+          "no_false_negatives")
+        .orderBy("doc_id")
+    }),
+
     // Mergeable HEAVY-HITTER maintenance via Count-Min sketches
     // (Cormode & Muthukrishnan 2005): per-batch sketches merge by
     // counter addition, which — same width/depth/seed — is EXACTLY
@@ -745,6 +799,25 @@ object StreamQueries {
         |JOIN cnt cb ON ex_id = cb.doc_id
         |WHERE shared*1.0/(ca.n + cb.n - shared) >= 0.5
         |ORDER BY in_id, ex_id""".stripMargin,
+    // per-doc exact line counts and membership plus the two
+    // always-true Bloom properties (bit-identical merge; no false
+    // negatives) — flagged counts stay sketch-side by design
+    "inc_bloom_screen" ->
+      """WITH src AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |  THEN text || chr(10) ||
+        |    'subscribe to our newsletter for updates today'
+        |  ELSE text END AS text FROM documents),
+        |l AS (SELECT doc_id, trim(ln) AS k FROM (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+        |  FROM src) WHERE trim(ln) <> ''),
+        |ex AS (SELECT DISTINCT k FROM l WHERE doc_id % 5 <> 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |CAST(SUM(CASE WHEN ex.k IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_in_existing,
+        |TRUE AS merge_exact, TRUE AS no_false_negatives
+        |FROM l LEFT JOIN ex ON l.k = ex.k
+        |WHERE doc_id % 5 = 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the exact top-20 token counts plus the two always-true CMS
     // properties (merge exactness; no underestimation)
     "inc_cms_heavyhitters" ->
