@@ -597,6 +597,14 @@ object Graft {
                 minCount: Int = 3): DataFrame =
     graft.operators.Dedup.lineDedup(docs, idCol, textCol, minCount)
 
+  /** Per-group (per-site) line dedup: a line is boilerplate only if
+    * it repeats within its own group — the surgical site-template
+    * screen. Returns (id, group, rebuilt text, n_removed). */
+  def groupedLineDedup(docs: DataFrame, idCol: String, groupCol: String,
+                       textCol: String, minCount: Int = 3): DataFrame =
+    graft.operators.Dedup.groupedLineDedup(docs, idCol, groupCol,
+      textCol, minCount)
+
   /** Model-based quality scoring (fastText-filter shape): hashed-BoW
     * logistic regression trained in-engine with deterministic unrolled
     * GD, scoring every doc with a keep probability in micros. */

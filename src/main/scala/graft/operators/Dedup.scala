@@ -186,6 +186,49 @@ object Dedup {
     out
   }
 
+  /** PER-GROUP line dedup — the surgical form of [[lineDedup]]: a
+    * line is boilerplate only if it repeats ≥ `minCount` times WITHIN
+    * the same group (site/domain/source), which is how site-template
+    * text actually repeats — every site has its own nav/footer lines,
+    * and a global threshold either misses them (count spread across
+    * the corpus is per-site) or over-cuts legitimately common text.
+    * The count and occurrence joins key on (group, line-hash), so
+    * group cardinality only widens the key space — same two skinny
+    * shuffles as the global screen; the canonical survivor is the
+    * min(struct(doc, pos)) occurrence WITHIN the group.
+    *
+    * @return (idCol, groupCol, text, n_removed). */
+  def groupedLineDedup(docs: DataFrame, idCol: String,
+                       groupCol: String, textCol: String,
+                       minCount: Int = 3): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    val lines = docs
+      .select(col(idCol), col(groupCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "ln")))
+      .withColumn("key",
+        when(trim(col("ln")) === "", lit(null))
+          .otherwise(xxhash64(trim(col("ln")))))
+      .localCheckpoint(true)
+    try {
+      val counts = lines.filter(col("key").isNotNull)
+        .groupBy(groupCol, "key")
+        .agg(count(lit(1)).as("cnt"),
+          min(struct(col(idCol), col("pos"))).as("ck"))
+      val flagged = lines.join(counts, Seq(groupCol, "key"), "left")
+        .withColumn("keep",
+          col("key").isNull || col("cnt") < minCount
+            || struct(col(idCol), col("pos")) === col("ck"))
+      flagged.groupBy(idCol, groupCol)
+        .agg(
+          concat_ws("\n", transform(
+            filter(array_sort(collect_list(struct(col("pos"), col("ln"),
+              col("keep")))), e => e.getField("keep")),
+            e => e.getField("ln"))).as("text"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+        .localCheckpoint(true)
+    } finally Shims.unpersistLocalCheckpoint(lines)
+  }
+
   /** The EXISTING side of cross-corpus line dedup, materialized once:
     * the xxhash64 keys of trimmed lines occurring ≥ `minCount` times
     * in the existing corpus — the "boilerplate table" a production

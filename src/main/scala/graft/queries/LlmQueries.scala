@@ -551,6 +551,22 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // PER-GROUP line dedup: the same planted boilerplate line lands
+    // on every 8th doc, but the screen groups by lang — the line only
+    // crosses minCount within languages that have ≥3 planted docs, so
+    // per-group and global thresholds genuinely diverge on this
+    // fixture (the operator's reason to exist).
+    "d74_grouped_line_dedup" -> ((s, d) => {
+      val boiler = "copyright example site all rights reserved"
+      val src = T.documents(s, d).select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 8 === 0,
+          concat(col("text"), lit("\n" + boiler)))
+          .otherwise(col("text")).as("text"))
+      Dedup.groupedLineDedup(src, "doc_id", "lang", "text",
+          minCount = 3)
+        .orderBy("doc_id")
+    }),
+
     // Cross-corpus line dedup: incoming docs (doc_id % 5 = 0) lose any
     // line in the EXISTING corpus's boilerplate table (planted shared
     // line on every 4th doc, so both sides carry it — the existing
@@ -2678,6 +2694,29 @@ object LlmQueries {
         |  ELSE ROUND(CAST(FLOOR(ROUND(sp / qt, 6) * 1000000) AS BIGINT)
         |    / n_tokens, 6) END AS epochs
         |FROM p CROSS JOIN qt ORDER BY lang""".stripMargin,
+    // the d55 idiom with (lang, line) keys and a per-group survivor
+    "d74_grouped_line_dedup" ->
+      """WITH src AS (SELECT doc_id, lang, CASE WHEN doc_id % 8 = 0
+        |  THEN text || chr(10) ||
+        |    'copyright example site all rights reserved'
+        |  ELSE text END AS text FROM documents),
+        |ls AS (SELECT doc_id, lang, string_split(text, chr(10)) AS a
+        |  FROM src),
+        |l AS (SELECT doc_id, lang, u.i AS pos, u.ln AS ln FROM (
+        |  SELECT doc_id, lang, unnest([{'i': x, 'ln': a[x+1]}
+        |    FOR x IN range(0, len(a))]) AS u FROM ls)),
+        |c AS (SELECT lang, trim(ln) AS k, COUNT(*) AS cnt,
+        |  MIN(doc_id*1000000 + pos) AS ck
+        |  FROM l WHERE trim(ln) <> '' GROUP BY lang, trim(ln)),
+        |k AS (SELECT doc_id, l.lang AS lang, pos, ln,
+        |  (trim(ln) = '' OR cnt IS NULL OR cnt < 3
+        |   OR doc_id*1000000 + pos = ck) AS keep
+        |  FROM l LEFT JOIN c ON l.lang = c.lang AND trim(ln) = c.k)
+        |SELECT doc_id, lang,
+        |COALESCE(string_agg(ln, chr(10) ORDER BY pos)
+        |  FILTER (WHERE keep), '') AS text,
+        |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM k GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     // the d55 idiom at paragraph (chr(10)chr(10)) granularity
     "d71_paragraph_dedup" ->
       """WITH src AS (SELECT doc_id, CASE WHEN doc_id % 12 = 0

@@ -444,6 +444,31 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == (("twice\ntail", 0L)))
   }
 
+  test("groupedLineDedup: per-site threshold diverges from global") {
+    // NAV repeats 3x on site-a (boilerplate there) but only 1x on
+    // site-b — a global screen at minCount=3 would cut site-b's copy
+    // too (count 4 corpus-wide); the grouped screen must keep it
+    val docs = Seq(
+      (1L, "a", "NAV\ncontent one"),
+      (2L, "a", "NAV\ncontent two"),
+      (3L, "a", "NAV\ncontent three"),
+      (4L, "b", "NAV\nunrelated post"))
+      .toDF("doc_id", "site", "text")
+    val out = Dedup.groupedLineDedup(docs, "doc_id", "site", "text",
+        minCount = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(out(1L) == (("a", "NAV\ncontent one", 0L)))  // survivor
+    assert(out(2L) == (("a", "content two", 1L)))
+    assert(out(3L) == (("a", "content three", 1L)))
+    assert(out(4L) == (("b", "NAV\nunrelated post", 0L)))  // kept!
+    // the GLOBAL screen on the same input cuts site-b's copy
+    val global = Dedup.lineDedup(docs.select("doc_id", "text"),
+        "doc_id", "text", minCount = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(global(4L) == 1L)
+  }
+
   test("priorityDedup: preferred source survives over lower id") {
     val docs = Seq(
       (1L, "same   text", "cc"),       // ws-normalized dup of 4, 7
