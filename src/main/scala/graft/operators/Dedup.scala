@@ -846,6 +846,38 @@ object Dedup {
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Decontamination against MULTIPLE benchmark suites at once — the
+    * operational report a release review reads: which suite does each
+    * contaminated doc overlap, and by how many grams. Real pipelines
+    * screen against dozens of benchmarks and must attribute hits per
+    * suite (dropping a doc for MMLU overlap is a different decision
+    * than for a dev-set leak); running [[decontaminate]] once per
+    * suite would rescan the corpus per benchmark, while this keys the
+    * ONE broadcast gram table by (gram, bench) and pays a single
+    * corpus pass for the whole battery. Bench sides are
+    * broadcast-bounded by the [[decontaminate]] contract (eval suites
+    * don't scale with the crawl).
+    *
+    * @param benches (benchIdCol, benchTextCol) rows — one row per
+    *                bench document, benchIdCol naming the suite.
+    * @return (idCol, bench_id, n_hits) — docs × suites they overlap;
+    *         clean docs appear in no row. */
+  def decontaminateMulti(corpus: DataFrame, idCol: String,
+                         textCol: String, benches: DataFrame,
+                         benchIdCol: String, benchTextCol: String,
+                         n: Int = 8): DataFrame = {
+    import graft.functions.NativeExpressions.hashedNgrams
+    val corpusGrams = corpus
+      .select(col(idCol), explode(hashedNgrams(col(textCol), n)).as("__h"))
+    val benchGrams = broadcast(benches
+      .select(col(benchIdCol).as("bench_id"),
+        explode(hashedNgrams(col(benchTextCol), n)).as("__h"))
+      .distinct())
+    corpusGrams.join(benchGrams, Seq("__h"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Incremental (cross-corpus) exact dedup: keep the incoming rows
     * whose normalized-text fingerprint appears nowhere in the existing
     * corpus, then keep one row per surviving fingerprint (min id — the

@@ -827,6 +827,23 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Multi-benchmark decontamination: TWO synthetic suites (the d18
+    // %37 fixture plus a %41 twelve-word suite) screened in one
+    // corpus pass with (gram, bench) broadcast keys — the per-suite
+    // attribution report a release review reads.
+    "d75_multi_decontam" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      def suite(name: String, modulo: Int, words: Int) =
+        docs.filter(col("doc_id") % modulo === 0)
+          .select(lit(name).as("bench_id"), concat_ws(" ",
+            slice(split(col("text"), "\\s+"), 1, words)).as("btext"))
+      val benches = suite("suite_a", 37, 15)
+        .unionByName(suite("suite_b", 41, 12))
+      Dedup.decontaminateMulti(docs, "doc_id", "text", benches,
+          "bench_id", "btext")
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // Repetition quality stats (Gopher-style): duplicate-word fraction
     // and top-bigram dominance per document; explode -> combine-heavy
     // agg -> one window per doc.
@@ -2236,6 +2253,33 @@ object LlmQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
         |FROM tg JOIN bg USING (h) GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // d18's gram restatement with (bench_id, gram) keys over the
+    // two-suite union
+    "d75_multi_decontam" ->
+      """WITH tr AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |ben AS (SELECT 'suite_a' AS bench_id, array_to_string(
+        |    string_split_regex(text, '\s+')[1:15], ' ') AS btext
+        |  FROM documents WHERE doc_id % 37 = 0
+        |  UNION ALL
+        |  SELECT 'suite_b', array_to_string(
+        |    string_split_regex(text, '\s+')[1:12], ' ')
+        |  FROM documents WHERE doc_id % 41 = 0),
+        |bw AS (SELECT bench_id, list_filter(
+        |    string_split_regex(btext, '\s+'), t -> t <> '') AS ws
+        |  FROM ben),
+        |bg AS (SELECT DISTINCT bench_id, h FROM (SELECT bench_id,
+        |    unnest([md5(array_to_string(ws[i:i+7], ' '))
+        |      FOR i IN range(1, len(ws) - 6)]) AS h
+        |    FROM bw WHERE len(ws) >= 8)),
+        |tg AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id,
+        |    unnest([md5(array_to_string(ws[i:i+7], ' '))
+        |      FOR i IN range(1, len(ws) - 6)]) AS h
+        |    FROM tr WHERE len(ws) >= 8))
+        |SELECT doc_id, bench_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM tg JOIN bg USING (h) GROUP BY doc_id, bench_id
+        |ORDER BY doc_id, bench_id""".stripMargin,
     // d18's gram keys + d34's interval merge: positions ride the gram
     // comprehension as structs, bench membership replaces the count
     "d35_decontam_spans" ->
