@@ -301,6 +301,29 @@ class MixingSpec extends SparkSpec {
       && run(1000) == expected)
   }
 
+  test("packSequences: conservation and contiguity on 200 random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 200).map(i =>
+      (i * 10L + rnd.nextInt(9), rnd.nextInt(50).toLong))
+    val out = Mixing.packSequences(rows.toDF("doc_id", "toks"),
+        "doc_id", "toks", budget = 64, idStride = 37)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // the concat stream is gapless: doc k+1 starts where doc k ended,
+    // the first doc starts at 0, and the derived fields are pure
+    // functions of (start, n) — the full distributed-cumsum contract
+    assert(out.head._3 == 0L)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._2, s"gap between ${a._1} and ${b._1}")
+    }
+    out.foreach { case (id, n, start, s0, s1, off) =>
+      assert(s0 == start / 64 && off == start % 64, s"doc $id")
+      assert(s1 == (if (n == 0) s0 else (start + n - 1) / 64), s"doc $id")
+    }
+  }
+
   test("temperatureMixture keeps sub-microshare tail strata in the mix") {
     import spark.implicits._
     // regression: p^alpha was taken on p already rounded to 6 dp, so a
