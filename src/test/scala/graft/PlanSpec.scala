@@ -317,6 +317,23 @@ class PlanSpec extends SparkSpec {
       "codec should add no shuffle beyond the output sort")
   }
 
+  test("priority dedup: one fingerprint aggregation, literal ranks") {
+    val p = plan("d72_priority_dedup")
+    // the priority table rides as a literal map — no join for ranks,
+    // no UDF, no nested loop; the only joins/exchanges serve the agg
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"))
+    // struct-min survivors aren't hash-aggregable — Spark plans a
+    // SortAggregate, still one fingerprint-keyed exchange
+    assert(p.contains("SortAggregate") || p.contains("HashAggregate"))
+  }
+
+  test("grouped line dedup: keyed joins only, no cartesian") {
+    val p = plan("d74_grouped_line_dedup")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("sequence packing: partitioned row window, broadcast offsets") {
     // the global-cumsum scale-killer would show as a corpus-sized
     // Window with an empty partition spec; the two-level scan instead
