@@ -620,6 +620,12 @@ object Graft {
                    specs: Seq[(String, String)]): DataFrame =
     graft.operators.Incremental.mergeRollups(partials, keys, specs)
 
+  /** Deterministic train/valid/test split by md5 basis-point ranges
+    * — stable as the corpus grows (docs never migrate splits). */
+  def assignSplit(df: DataFrame, idCol: String,
+                  ratiosBp: Seq[(String, Int)]): DataFrame =
+    Mixing.assignSplit(df, idCol, ratiosBp)
+
   /** Concat-and-cut sequence packing: map each doc to its
     * budget-token training sequences (seq_start..seq_end + offset)
     * via a distributed two-level prefix sum over id order. */

@@ -334,6 +334,38 @@ object Mixing {
         "offset_tok")
   }
 
+  /** Deterministic train/validation/test SPLIT assignment: each doc's
+    * [[bucket]] (md5-based basis points, engine-portable) falls into
+    * the half-open cumulative range of exactly one split, so the
+    * assignment is a pure function of the id — stable across runs,
+    * cluster sizes, and engines, and docs never migrate between
+    * splits when the corpus grows (the property a random split
+    * lacks, and the reason eval leakage audits demand hash splits).
+    * Ratios are basis points in the given order and must sum to
+    * 10000. One scan-side expression; no shuffle, no RNG.
+    *
+    * @return input columns + `split`. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  ratiosBp: Seq[(String, Int)]): DataFrame = {
+    require(ratiosBp.nonEmpty, "need at least one split")
+    require(ratiosBp.map(_._2).sum == 10000,
+      s"ratios must sum to 10000 bp: ${ratiosBp.map(_._2).sum}")
+    require(ratiosBp.forall(_._2 >= 0), "ratios must be non-negative")
+    val b = bucket(col(idCol))
+    val cuts = ratiosBp.scanLeft(0) { case (acc, (_, bp)) => acc + bp }
+    val expr0: Column = ratiosBp.zip(cuts.tail).init
+      .foldLeft(None: Option[Column]) { case (acc, ((name, _), hi)) =>
+        Some(acc match {
+          case None    => when(b < hi, lit(name))
+          case Some(c) => c.when(b < hi, lit(name))
+        })
+      } match {
+        case Some(c) => c.otherwise(lit(ratiosBp.last._1))
+        case None    => lit(ratiosBp.last._1)
+      }
+    df.withColumn("split", expr0)
+  }
+
   /** Write the corpus as TRAINING SHARDS: each doc lands (with its
     * [[packSequences]] placement columns) in the hive partition of
     * the shard its first sequence belongs to — shard = seq_start div

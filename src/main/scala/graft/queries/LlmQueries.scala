@@ -356,6 +356,18 @@ object LlmQueries {
     // Stratified mixing: per-language keep rates in basis points;
     // deterministic md5 bucket, so the kept set is stable across runs
     // and engines.
+    // Deterministic hash split (98/1/1): per-doc assignment plus the
+    // per-split rollup — stable under corpus growth, the anti-leakage
+    // property a random split lacks.
+    "d76_split_assign" -> ((s, d) =>
+      Mixing.assignSplit(T.documents(s, d).select("doc_id", "n_chars"),
+          "doc_id", Seq("train" -> 9800, "valid" -> 100, "test" -> 100))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("split")),
+
     "d19_mix_sample" -> ((s, d) =>
       Mixing.stratifiedSample(T.documents(s, d), "doc_id", "lang",
         Map("en" -> 1000, "de" -> 5000, "es" -> 2500, "zh" -> 0),
@@ -1975,6 +1987,19 @@ object LlmQueries {
     "d6_simhash" -> SimHashSql,
     // md5-hex bucket parsed the cross-engine way (conv base-16 vs
     // '0x'-cast); integer basis-point compare, no floats anywhere
+    // the md5 bucket restated with cumulative 98/1/1 cut points
+    "d76_split_assign" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 10000 AS bucket FROM documents),
+        |s AS (SELECT doc_id, n_chars, CASE
+        |  WHEN bucket < 9800 THEN 'train'
+        |  WHEN bucket < 9900 THEN 'valid'
+        |  ELSE 'test' END AS split FROM b)
+        |SELECT split, COUNT(*) AS n_docs,
+        |CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "d19_mix_sample" ->
       """WITH b AS (SELECT doc_id, lang,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -301,6 +301,27 @@ class MixingSpec extends SparkSpec {
       && run(1000) == expected)
   }
 
+  test("assignSplit: total, disjoint, and growth-stable") {
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("id")
+    val ratios = Seq("train" -> 9000, "valid" -> 500, "test" -> 500)
+    val full = Mixing.assignSplit(ids, "id", ratios)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // total: every doc gets exactly one split
+    assert(full.size == 500 && full.values.toSet.subsetOf(
+      Set("train", "valid", "test")))
+    // growth-stability: assignments computed on a PREFIX of the
+    // corpus agree with the full corpus — docs never migrate splits
+    val prefix = Mixing.assignSplit(ids.filter(col("id") < 100), "id",
+        ratios)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prefix.forall { case (id, s) => full(id) == s })
+    // ratios must account for every basis point
+    intercept[IllegalArgumentException] {
+      Mixing.assignSplit(ids, "id", Seq("a" -> 5000, "b" -> 4000))
+    }
+  }
+
   test("packSequences: conservation and contiguity on 200 random docs") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
