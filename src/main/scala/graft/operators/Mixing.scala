@@ -301,8 +301,11 @@ object Mixing {
     * stride — associativity of addition — which the spec asserts at
     * strides {1, 3, 1000}.
     *
-    * `idCol` must be numeric (the stride bucketing divides it);
-    * zero-token docs occupy no range and report seq_end = seq_start.
+    * `idCol` must be numeric (the stride bucketing divides it) and
+    * UNIQUE — the concat order is the id order, and duplicate ids
+    * would make the within-bucket window's tie order, and therefore
+    * the placement, partitioning-dependent. Zero-token docs occupy
+    * no range and report seq_end = seq_start.
     *
     * @return (idCol, n_tokens, start_tok, seq_start, seq_end,
     *         offset_tok), integer-exact. */
