@@ -87,6 +87,11 @@ object ScaleProbe {
     * The index is built ONCE and every nprobe probes the same codes
     * table, exactly the serving topology. */
   private def recallSweepProbe(n: Int, nq: Int): Unit = {
+    // the difference quotient assumes search(8*nq) really runs 8x the
+    // queries — the vec_id < q filter clamps at n, which would
+    // silently understate marginal_ms in the emitted artifact
+    require(8L * nq <= n,
+      s"need 8*nq <= n for the difference quotient: n=$n nq=$nq")
     val spark = session()
     import spark.implicits._
     import org.apache.spark.sql.functions.{avg, col}

@@ -200,27 +200,47 @@ object Dedup {
     * @return (idCol, groupCol, text, n_removed). */
   def groupedLineDedup(docs: DataFrame, idCol: String,
                        groupCol: String, textCol: String,
-                       minCount: Int = 3): DataFrame = {
+                       minCount: Int = 3,
+                       delimiter: String = "\n"): DataFrame =
+    lineDedupImpl(docs, idCol, Some(groupCol), textCol, minCount,
+      delimiter)
+
+  /** Shared body of [[lineDedup]] (no group key) and
+    * [[groupedLineDedup]] (count scope = the group): split on
+    * `delimiter`, count trimmed-unit hashes within the scope, keep
+    * everything below `minCount` plus one canonical
+    * min(struct(doc, pos)) survivor per scope, rebuild in order
+    * joined with the same delimiter. One implementation so the
+    * survivor policy, blank-unit rule, and delimiter semantics can
+    * never diverge between the two screens. */
+  private def lineDedupImpl(docs: DataFrame, idCol: String,
+                            groupCol: Option[String], textCol: String,
+                            minCount: Int,
+                            delimiter: String): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val delim = java.util.regex.Pattern.quote(delimiter)
+    val gcols = groupCol.toSeq
     val lines = docs
-      .select(col(idCol), col(groupCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "ln")))
+      .select((col(idCol) +: gcols.map(col)) :+
+        posexplode(split(col(textCol), delim)).as(Seq("pos", "ln")): _*)
       .withColumn("key",
         when(trim(col("ln")) === "", lit(null))
           .otherwise(xxhash64(trim(col("ln")))))
       .localCheckpoint(true)
     try {
+      val countKeys = gcols :+ "key"
       val counts = lines.filter(col("key").isNotNull)
-        .groupBy(groupCol, "key")
+        .groupBy(countKeys.map(col): _*)
         .agg(count(lit(1)).as("cnt"),
           min(struct(col(idCol), col("pos"))).as("ck"))
-      val flagged = lines.join(counts, Seq(groupCol, "key"), "left")
+      val flagged = lines.join(counts, countKeys, "left")
         .withColumn("keep",
           col("key").isNull || col("cnt") < minCount
             || struct(col(idCol), col("pos")) === col("ck"))
-      flagged.groupBy(idCol, groupCol)
+      flagged.groupBy((idCol +: gcols).map(col): _*)
         .agg(
-          concat_ws("\n", transform(
+          concat_ws(delimiter, transform(
             filter(array_sort(collect_list(struct(col("pos"), col("ln"),
               col("keep")))), e => e.getField("keep")),
             e => e.getField("ln"))).as("text"),
@@ -1189,34 +1209,6 @@ object Dedup {
     *         and how many lines were removed. */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 minCount: Int = 3,
-                delimiter: String = "\n"): DataFrame = {
-    require(minCount >= 2, s"minCount must be >= 2: $minCount")
-    require(delimiter.nonEmpty, "delimiter must be non-empty")
-    val delim = java.util.regex.Pattern.quote(delimiter)
-    val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol), delim))
-        .as(Seq("pos", "ln")))
-      .withColumn("key",
-        when(trim(col("ln")) === "", lit(null))
-          .otherwise(xxhash64(trim(col("ln")))))
-      .localCheckpoint(true)
-    try {
-      val counts = lines.filter(col("key").isNotNull)
-        .groupBy("key")
-        .agg(count(lit(1)).as("cnt"),
-          min(struct(col(idCol), col("pos"))).as("ck"))
-      val flagged = lines.join(counts, Seq("key"), "left")
-        .withColumn("keep",
-          col("key").isNull || col("cnt") < minCount
-            || struct(col(idCol), col("pos")) === col("ck"))
-      flagged.groupBy(idCol)
-        .agg(
-          concat_ws(delimiter, transform(
-            filter(array_sort(collect_list(struct(col("pos"), col("ln"),
-              col("keep")))), e => e.getField("keep")),
-            e => e.getField("ln"))).as("text"),
-          sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
-        .localCheckpoint(true)
-    } finally Shims.unpersistLocalCheckpoint(lines)
-  }
+                delimiter: String = "\n"): DataFrame =
+    lineDedupImpl(docs, idCol, None, textCol, minCount, delimiter)
 }

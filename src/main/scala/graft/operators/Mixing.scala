@@ -443,7 +443,14 @@ object Mixing {
           .otherwise(lit(0L)))
     val qtot = broadcast(withP.agg(sum("__sp").as("__qt")))
     withP.crossJoin(qtot)
-      .withColumn("q", round(col("__sp") / col("__qt"), 6))
+      // the REPORTED q is floored at 1 micro too: with many strata
+      // the normalizer exceeds 1e6 micros and round(1/qt, 6) falls
+      // back to 0 — the tail would vanish from the report even
+      // though its weight survived the sum
+      .withColumn("q",
+        when(col("n_tokens") === 0L, lit(0d))
+          .otherwise(greatest(round(col("__sp") / col("__qt"), 6),
+            lit(1e-6))))
       .withColumn("boost",
         when(col("n_tokens") === 0L, lit(0d))
           .otherwise(round(col("q") / col("__praw"), 6)))

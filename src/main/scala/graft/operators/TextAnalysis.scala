@@ -507,11 +507,24 @@ object TextAnalysis {
   def urlCanonicalize(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
     val noUtm = regexp_replace(noFrag, "[?&]utm_[^&]*", "")
-    val fixedQ = regexp_replace(noUtm, "^([^?]*)&", "$1?")
+    // re-anchor the FIRST surviving parameter: [^?&]* (not [^?]*)
+    // keeps the group from greedily swallowing later '&'s — with two
+    // surviving params a greedy group would rewrite the LAST
+    // ampersand and corrupt the query string
+    val fixedQ = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
     val headPat = "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?]*)"
     val head = regexp_extract(fixedQ, headPat, 1)
     val tail = substring(fixedQ, length(head) + 1, lit(1000000))
-    val canonHead = regexp_replace(lower(head), ":(80|443)$", "")
+    // default ports are SCHEME-conditional: http://host:443 is a
+    // genuinely different endpoint from http://host and must not
+    // collide with it in dedup keys
+    val lowHead = lower(head)
+    val canonHead =
+      when(lowHead.startsWith("http://"),
+        regexp_replace(lowHead, ":80$", ""))
+        .when(lowHead.startsWith("https://"),
+          regexp_replace(lowHead, ":443$", ""))
+        .otherwise(lowHead)
     when(head === "", fixedQ)
       .when(tail === "/", canonHead)
       .otherwise(concat(canonHead, tail))
@@ -525,8 +538,11 @@ object TextAnalysis {
   def registeredDomain(u: Column): Column = {
     val host = regexp_extract(lower(u),
       "^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]*)", 1)
-    val stripped = regexp_replace(host, "^www\\.", "")
-    when(stripped.rlike("[^.]+\\.[^.]+"),
+    // a trailing dot (valid FQDN form) would defeat the anchored
+    // two-label extract and yield '' — strip it first
+    val stripped = regexp_replace(
+      regexp_replace(host, "\\.$", ""), "^www\\.", "")
+    when(stripped.rlike("[^.]+\\.[^.]+$"),
       regexp_extract(stripped, "([^.]+\\.[^.]+)$", 1))
       .otherwise(stripped)
   }

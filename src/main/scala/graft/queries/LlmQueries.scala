@@ -118,11 +118,17 @@ object LlmQueries {
     // default ports, utm params, fragments — mirrored in the oracle)
     // and the operator must normalize every variant.
     "d73_url_canon" -> ((s, d) => {
-      val url = concat(lit("HTTPS://WWW.Site"),
+      // variants exercise the sharp edges: mixed scheme (the :443
+      // drop must be https-only), TWO surviving params after the utm
+      // strip (the ?-re-anchor must hit the FIRST ampersand), and a
+      // fragment behind a query
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Site"))
+          .otherwise(lit("http://WWW.Site")),
         (col("doc_id") % 7).cast("string"), lit(".COM"),
         when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
         lit("/path/"), (col("doc_id") % 5).cast("string"),
-        when(col("doc_id") % 4 === 0, lit("?utm_source=x&ref=1"))
+        when(col("doc_id") % 4 === 0, lit("?utm_source=x&a=1&b=2"))
           .when(col("doc_id") % 4 === 1, lit("?a=1#frag"))
           .when(col("doc_id") % 4 === 2, lit("/"))
           .otherwise(lit("")))
@@ -957,14 +963,15 @@ object LlmQueries {
     // cells + PQ residual codes + nprobe-bounded ADC L2 scoring — the
     // billion-vector composition of d30's partitioner and d41's
     // compressed-domain kernel; the oracle replays the whole chain.
-    // Serves from the shared persisted index (train-once topology);
-    // result identical to the inline ivfPqTopK chain by persisted
-    // round-trip exactness (QuantizationSpec).
+    // The INLINE train+search chain, kept independent of the shared
+    // persisted index on purpose: d65/d66/st_ann_probe all serve from
+    // sharedIvfPqIndex, so this row is the gate's only coverage of
+    // the in-memory ivfPqTopK path — folding it into the memo would
+    // let a regression there slip past every query.
     "d51_ivfpq" -> ((s, d) =>
-      Quantization.ivfPqSearch(
-          T.embeddings(s, d).filter(col("vec_id") % 10 === 0),
-          "vec_id", "embedding", sharedIvfPqIndex(s, d),
-          nprobe = 2, topK = 3)
+      Quantization.ivfPqTopK(T.embeddings(s, d), "vec_id", "embedding",
+          nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2,
+          nprobe = 2, topK = 3, queryFilter = col("id") % 10 === 0)
         .orderBy("qid", "rank")),
 
     // IVFADC-R refine: ADC ranks the d51 probed cells to 8 candidates
@@ -2449,10 +2456,11 @@ object LlmQueries {
     // where Spark is global by default; backrefs are \1 not $1)
     "d73_url_canon" ->
       """WITH u AS (SELECT doc_id,
-        |  'HTTPS://WWW.Site' || (doc_id % 7) || '.COM' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site'
+        |   ELSE 'http://WWW.Site' END) || (doc_id % 7) || '.COM' ||
         |  (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
         |  '/path/' || (doc_id % 5) ||
-        |  (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&ref=1'
+        |  (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&a=1&b=2'
         |   WHEN 1 THEN '?a=1#frag' WHEN 2 THEN '/' ELSE '' END)
         |  AS url FROM documents),
         |c1 AS (SELECT doc_id, url,
@@ -2460,20 +2468,25 @@ object LlmQueries {
         |c2 AS (SELECT doc_id, url,
         |  regexp_replace(s, '[?&]utm_[^&]*', '', 'g') AS s FROM c1),
         |c3 AS (SELECT doc_id, url,
-        |  regexp_replace(s, '^([^?]*)&', '\1?') AS s FROM c2),
+        |  regexp_replace(s, '^([^?&]*)&', '\1?') AS s FROM c2),
         |c4 AS (SELECT doc_id, url, s, regexp_extract(s,
         |  '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]*)', 1) AS head FROM c3),
         |c5 AS (SELECT doc_id, url, s, head,
         |  substr(s, length(head) + 1) AS tail,
-        |  regexp_replace(lower(head), ':(80|443)$', '') AS chead
+        |  CASE WHEN lower(head) LIKE 'http://%'
+        |    THEN regexp_replace(lower(head), ':80$', '')
+        |  WHEN lower(head) LIKE 'https://%'
+        |    THEN regexp_replace(lower(head), ':443$', '')
+        |  ELSE lower(head) END AS chead
         |  FROM c4),
-        |h AS (SELECT doc_id, regexp_replace(regexp_extract(lower(url),
+        |h AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |  regexp_extract(lower(url),
         |  '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]*)', 1),
-        |  '^www\.', '') AS hh FROM u)
+        |  '\.$', ''), '^www\.', '') AS hh FROM u)
         |SELECT c5.doc_id AS doc_id,
         |CASE WHEN head = '' THEN s WHEN tail = '/' THEN chead
         |  ELSE chead || tail END AS url_canon,
-        |CASE WHEN regexp_matches(hh, '[^.]+\.[^.]+')
+        |CASE WHEN regexp_matches(hh, '[^.]+\.[^.]+$')
         |  THEN regexp_extract(hh, '([^.]+\.[^.]+)$', 1)
         |  ELSE hh END AS domain
         |FROM c5 JOIN h ON c5.doc_id = h.doc_id
@@ -2733,9 +2746,12 @@ object LlmQueries {
         |  ELSE 0 END AS sp
         |  FROM s CROSS JOIN t),
         |qt AS (SELECT CAST(SUM(sp) AS BIGINT) AS qt FROM p)
-        |SELECT lang, n_tokens, p, ROUND(sp / qt, 6) AS q,
+        |SELECT lang, n_tokens, p,
         |CASE WHEN n_tokens = 0 THEN 0.0
-        |  ELSE ROUND(ROUND(sp / qt, 6) / praw, 6) END AS boost
+        |  ELSE GREATEST(ROUND(sp / qt, 6), 0.000001) END AS q,
+        |CASE WHEN n_tokens = 0 THEN 0.0
+        |  ELSE ROUND(GREATEST(ROUND(sp / qt, 6), 0.000001) / praw, 6)
+        |  END AS boost
         |FROM p CROSS JOIN qt ORDER BY lang""".stripMargin,
     // the d55 idiom split across the %5 partition: the existing side's
     // boilerplate set (string-keyed restatement of the xxhash64 keys),
@@ -2755,14 +2771,17 @@ object LlmQueries {
         |    CAST(ROUND(sqrt(n_tokens / tt) * 1000000) AS BIGINT))
         |  ELSE 0 END AS sp
         |  FROM s CROSS JOIN t),
-        |qt AS (SELECT CAST(SUM(sp) AS BIGINT) AS qt FROM p)
-        |SELECT lang, n_tokens, ROUND(sp / qt, 6) AS q,
-        |CAST(FLOOR(ROUND(sp / qt, 6) * 1000000) AS BIGINT)
-        |  AS target_tokens,
+        |qt AS (SELECT CAST(SUM(sp) AS BIGINT) AS qt FROM p),
+        |qq AS (SELECT lang, n_tokens,
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |  ELSE GREATEST(ROUND(sp / qt, 6), 0.000001) END AS q
+        |  FROM p CROSS JOIN qt)
+        |SELECT lang, n_tokens, q,
+        |CAST(FLOOR(q * 1000000) AS BIGINT) AS target_tokens,
         |CASE WHEN n_tokens = 0 THEN 0.0
-        |  ELSE ROUND(CAST(FLOOR(ROUND(sp / qt, 6) * 1000000) AS BIGINT)
+        |  ELSE ROUND(CAST(FLOOR(q * 1000000) AS BIGINT)
         |    / n_tokens, 6) END AS epochs
-        |FROM p CROSS JOIN qt ORDER BY lang""".stripMargin,
+        |FROM qq ORDER BY lang""".stripMargin,
     // the d55 idiom with (lang, line) keys and a per-group survivor
     "d74_grouped_line_dedup" ->
       """WITH src AS (SELECT doc_id, lang, CASE WHEN doc_id % 8 = 0

@@ -245,7 +245,10 @@ class TextAnalysisSpec extends SparkSpec {
       "http://site.org:80/",
       "https://Sub.Domain.Co/x?utm_a=1",
       "no-scheme-text",
-      "https://bare.io")
+      "https://bare.io",
+      "https://x.com/p?utm_s=1&a=1&b=2", // TWO surviving params
+      "http://x.com:443/a",              // NOT a default port for http
+      "https://example.com./x")          // trailing-dot FQDN
       .toDF("u")
       .select(TextAnalysis.urlCanonicalize(col("u")),
         TextAnalysis.registeredDomain(col("u")))
@@ -258,6 +261,13 @@ class TextAnalysisSpec extends SparkSpec {
     // non-URLs pass through the head-missing branch unharmed
     assert(got(3) == (("no-scheme-text", "")))
     assert(got(4) == (("https://bare.io", "bare.io")))
+    // the ?-re-anchor must hit the FIRST ampersand (a greedy group
+    // would produce "...p&a=1?b=2")
+    assert(got(5) == (("https://x.com/p?a=1&b=2", "x.com")))
+    // :443 is only a default port for https
+    assert(got(6) == (("http://x.com:443/a", "x.com")))
+    // trailing dot stripped before the two-label extract
+    assert(got(7) == (("https://example.com./x", "example.com")))
   }
 
   test("lineRepetitionStats: hand-computed fractions, blanks ignored") {

@@ -362,5 +362,18 @@ class MixingSpec extends SparkSpec {
     assert(bXx > 1.0, s"tail boost must up-weight: $bXx")
     val (_, qEn, bEn) = out("en")
     assert(qEn > 0.99 && bEn <= 1.0)
+
+    // the second regression regime: with 5+ heads the micro
+    // normalizer exceeds 1e6, so round(1 micro / qt, 6) = 0 — the
+    // REPORTED q needs its own floor, not just the summed weight
+    val many = (Seq.tabulate(5)(i => (s"h$i", 2000000000000L))
+      :+ (("yy", 1L))).toDF("lang", "toks")
+    val tail = Mixing.temperatureMixture(many, "lang", "toks",
+        alpha = 0.5)
+      .filter(col("lang") === "yy")
+      .select("q", "boost").collect()(0)
+    assert(tail.getDouble(0) > 0.0,
+      s"5-strata tail q dropped: ${tail.getDouble(0)}")
+    assert(tail.getDouble(1) > 1.0)
   }
 }
