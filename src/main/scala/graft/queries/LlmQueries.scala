@@ -362,6 +362,51 @@ object LlmQueries {
     // Stratified mixing: per-language keep rates in basis points;
     // deterministic md5 bucket, so the kept set is stable across runs
     // and engines.
+    // The one-row corpus-health dashboard a data lead reads before a
+    // training run — every number from a gate-green kernel: exact-dup
+    // share (d1's fingerprint), the d58 Gopher gate's pass rate,
+    // benchmark contamination (d18's screen), token volume, and
+    // top-language concentration. All scalar attaches are one-row
+    // crossJoins (the established pattern).
+    "rp_corpus_health" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val dup = docs
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L))
+          .as("n_dup_docs"))
+      val g = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("r_word_count") && col("r_mean_len")
+            && col("r_symbol") && col("r_alpha"), 1L).otherwise(0L))
+            .as("n_gopher_pass"))
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+        .select(concat_ws(" ",
+          slice(split(col("text"), "\\s+"), 1, 15)).as("btext"))
+      val cont = Dedup.decontaminate(docs, "doc_id", "text", bench,
+          "btext")
+        .agg(count(lit(1)).as("n_contaminated"))
+      val toks = docs.agg(
+        sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+      val lang = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("lang")).limit(1)
+        .select(col("lang").as("top_lang"),
+          col("c").as("top_lang_docs"))
+      g.crossJoin(dup).crossJoin(cont).crossJoin(toks).crossJoin(lang)
+        .select(col("n_docs"), col("n_tokens"), col("n_dup_docs"),
+          round(col("n_dup_docs") / col("n_docs"), 6).as("dup_rate"),
+          col("n_gopher_pass"),
+          round(col("n_gopher_pass") / col("n_docs"), 6)
+            .as("gopher_pass_rate"),
+          col("n_contaminated"),
+          round(col("n_contaminated") / col("n_docs"), 6)
+            .as("contamination_rate"),
+          col("top_lang"), col("top_lang_docs"),
+          round(col("top_lang_docs") / col("n_docs"), 6)
+            .as("top_lang_share"))
+    }),
+
     // Deterministic hash split (98/1/1): per-doc assignment plus the
     // per-split rollup — stable under corpus growth, the anti-leakage
     // property a random split lacks.
@@ -1994,6 +2039,65 @@ object LlmQueries {
     "d6_simhash" -> SimHashSql,
     // md5-hex bucket parsed the cross-engine way (conv base-16 vs
     // '0x'-cast); integer basis-point compare, no floats anywhere
+    // each number restated from its kernel's oracle fragment: d1's
+    // fingerprint, d52's four-rule gate, d18's gram screen
+    "rp_corpus_health" ->
+      """WITH fp AS (SELECT
+        |  md5(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |dup AS (SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c
+        |  ELSE 0 END), 0) AS BIGINT) AS n_dup_docs FROM (
+        |  SELECT fp, COUNT(*) AS c FROM fp GROUP BY fp)),
+        |b AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws,
+        |  len(regexp_extract_all(text, '#'))
+        |    + len(regexp_extract_all(text, '\.\.\.'))
+        |    + len(regexp_extract_all(text, '…')) AS n_sym
+        |  FROM documents),
+        |f AS (SELECT doc_id, len(ws) AS n_words,
+        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+        |    / len(ws), 6) END AS mwl,
+        |  CASE WHEN len(ws) = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_sym AS DOUBLE) / len(ws), 6) END AS swr,
+        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '\p{L}')))
+        |      AS DOUBLE) / len(ws), 6) END AS awf
+        |  FROM b),
+        |g AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND mwl >= 3.0 AND mwl <= 10.0 AND swr <= 0.1
+        |    AND awf >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gopher_pass FROM f),
+        |tk AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS n_tokens FROM b),
+        |bench AS (SELECT array_to_string(
+        |    string_split_regex(text, '\s+')[1:15], ' ') AS btext
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |bw AS (SELECT list_filter(string_split_regex(btext, '\s+'),
+        |    t -> t <> '') AS ws FROM bench),
+        |bg AS (SELECT DISTINCT h FROM (SELECT
+        |    unnest([md5(array_to_string(ws[i:i+7], ' '))
+        |      FOR i IN range(1, len(ws) - 6)]) AS h
+        |    FROM bw WHERE len(ws) >= 8)),
+        |tg AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id,
+        |    unnest([md5(array_to_string(ws[i:i+7], ' '))
+        |      FOR i IN range(1, len(ws) - 6)]) AS h
+        |    FROM b WHERE len(ws) >= 8)),
+        |cont AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        |  FROM (SELECT DISTINCT doc_id FROM tg JOIN bg USING (h))),
+        |lng AS (SELECT lang AS top_lang,
+        |  CAST(COUNT(*) AS BIGINT) AS top_lang_docs FROM documents
+        |  GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1)
+        |SELECT n_docs, n_tokens, n_dup_docs,
+        |ROUND(n_dup_docs / n_docs, 6) AS dup_rate,
+        |n_gopher_pass,
+        |ROUND(n_gopher_pass / n_docs, 6) AS gopher_pass_rate,
+        |n_contaminated,
+        |ROUND(n_contaminated / n_docs, 6) AS contamination_rate,
+        |top_lang, top_lang_docs,
+        |ROUND(top_lang_docs / n_docs, 6) AS top_lang_share
+        |FROM g CROSS JOIN dup CROSS JOIN tk CROSS JOIN cont
+        |CROSS JOIN lng""".stripMargin,
     // the md5 bucket restated with cumulative 98/1/1 cut points
     "d76_split_assign" ->
       """WITH b AS (SELECT doc_id, n_chars,
