@@ -221,15 +221,22 @@ object Dedup {
     require(delimiter.nonEmpty, "delimiter must be non-empty")
     val delim = java.util.regex.Pattern.quote(delimiter)
     val gcols = groupCol.toSeq
+    // the count/occurrence join key must be NULL-SAFE on the group:
+    // a plain equi-join would never match rows whose group is null,
+    // silently deleting every line of a null-group doc (no count ⇒
+    // keep = null ⇒ filtered). A (isNull, value) struct is exact —
+    // no sentinel value can collide with real data.
+    val gkey = groupCol.map(g => struct(col(g).isNull.as("n"),
+      coalesce(col(g).cast("string"), lit("")).as("v")).as("__g")).toSeq
     val lines = docs
-      .select((col(idCol) +: gcols.map(col)) :+
+      .select((col(idCol) +: gcols.map(col)) ++ gkey :+
         posexplode(split(col(textCol), delim)).as(Seq("pos", "ln")): _*)
       .withColumn("key",
         when(trim(col("ln")) === "", lit(null))
           .otherwise(xxhash64(trim(col("ln")))))
       .localCheckpoint(true)
     try {
-      val countKeys = gcols :+ "key"
+      val countKeys = groupCol.map(_ => "__g").toSeq :+ "key"
       val counts = lines.filter(col("key").isNotNull)
         .groupBy(countKeys.map(col): _*)
         .agg(count(lit(1)).as("cnt"),
@@ -542,15 +549,23 @@ object Dedup {
     val shNew = batch.select(col(idCol).as("id"),
         hashedShingles(col(textCol), idx.k).as("hs"))
       .localCheckpoint(true)
-    val shEx = idx.shEx.unionByName(shNew).localCheckpoint(true)
-    val dfNew = crossPost(shNew).groupBy("s")
-      .agg(count(lit(1)).as("df"))
-    val dfreq = Incremental.mergeRollups(Seq(idx.dfreq, dfNew),
-        Seq("s"), Seq("df" -> "sum"))
-      .localCheckpoint(true)
-    val prefEx = crossPrefix(crossPost(shEx), dfreq, idx.theta)
-      .localCheckpoint(true)
-    PrefixCrossIndex(shEx, dfreq, prefEx, idx.k, idx.theta)
+    try {
+      val shEx = idx.shEx.unionByName(shNew).localCheckpoint(true)
+      val dfNew = crossPost(shNew).groupBy("s")
+        .agg(count(lit(1)).as("df"))
+      val dfreq = Incremental.mergeRollups(Seq(idx.dfreq, dfNew),
+          Seq("s"), Seq("df" -> "sum"))
+        .localCheckpoint(true)
+      val prefEx = crossPrefix(crossPost(shEx), dfreq, idx.theta)
+        .localCheckpoint(true)
+      PrefixCrossIndex(shEx, dfreq, prefEx, idx.k, idx.theta)
+    } finally
+      // the batch shingle table is internal — everything downstream
+      // is re-checkpointed, so holding it would pin one orphaned
+      // batch-sized block set per refresh cycle on a long-running
+      // driver. The SUPERSEDED index (idx.shEx/dfreq/prefEx) stays
+      // the caller's to free: it may still be serving queries.
+      Shims.unpersistLocalCheckpoint(shNew)
   }
 
   /** [[prefixCrossJaccard]] against a pre-built [[prefixCrossIndex]].

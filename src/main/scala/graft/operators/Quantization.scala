@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shims
 
+import graft.operators.Similarity
+
 /** Product quantization (Jégou, Douze, Schmid 2011, "Product
   * Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)) — the
   * standard memory-compression path for billion-vector ANN: split each
@@ -379,12 +381,13 @@ object Quantization {
     * stage touches topR rows per query no matter how big the corpus
     * or how coarse the codebooks.
     *
-    * Determinism: the exact distance is the ordered left-to-right
-    * fold over (q_i − n_i)² rounded to micros once — the
-    * bruteForceTopKL2 discipline, so per-pair longs are
-    * engine-exact.
-    *
-    * @return (qid, rank, nid, dist_micros) with the EXACT distance. */
+    * Determinism: the exact distance is |q|² + |n|² − 2·q·n rounded
+    * to micros once — the SAME floating-point formulation as
+    * [[graft.operators.Similarity.bruteForceTopKL2]], not the
+    * algebraically-equal Σ(q−n)² fold: the two round differently
+    * near 0.5-micro boundaries, and full-coverage equality with the
+    * brute-force baseline (the QuantizationSpec contract) must hold
+    * by construction, not by fixture luck. */
   def ivfPqSearchRescore(queries: DataFrame, idCol: String,
                          vecCol: String, idx: IvfPqIndex,
                          corpus: DataFrame, corpusIdCol: String,
@@ -399,8 +402,9 @@ object Quantization {
       transform(col(corpusVecCol), x => x.cast("double")).as("nv"))
     val ex = cand.join(qv, Seq("qid")).join(nv, Seq("nid"))
       .withColumn("dist_micros",
-        round(aggregate(zip_with(col("qv"), col("nv"),
-          (x, y) => (x - y) * (x - y)), lit(0d), (acc, e) => acc + e)
+        round((Similarity.dot(col("qv"), col("qv"))
+          + Similarity.dot(col("nv"), col("nv"))
+          - lit(2d) * Similarity.dot(col("qv"), col("nv")))
           * 1e6).cast("long"))
     val w = Window.partitionBy("qid")
       .orderBy(col("dist_micros").asc, col("nid").asc)

@@ -506,12 +506,20 @@ object TextAnalysis {
     * math — the cheapest possible full-corpus pass. */
   def urlCanonicalize(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
-    val noUtm = regexp_replace(noFrag, "[?&]utm_[^&]*", "")
-    // re-anchor the FIRST surviving parameter: [^?&]* (not [^?]*)
-    // keeps the group from greedily swallowing later '&'s — with two
-    // surviving params a greedy group would rewrite the LAST
-    // ampersand and corrupt the query string
-    val fixedQ = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
+    // utm stripping in three position-aware passes, so the '?' stays
+    // attached to the first SURVIVING parameter and a literal '&' in
+    // the PATH is never touched (a blanket [?&]utm_ strip followed by
+    // a '?' re-anchor would rewrite path ampersands and corrupt
+    // non-URL strings): (1) a leading run of utm params followed by a
+    // survivor collapses onto the survivor's '?', (2) an all-utm
+    // query drops entirely, (3) non-leading utm params drop with
+    // their own '&'. All RE2-safe.
+    val fixedQ = regexp_replace(
+      regexp_replace(
+        regexp_replace(noFrag,
+          "\\?utm_[^&]*(&utm_[^&]*)*&", "?"),
+        "\\?utm_[^&]*(&utm_[^&]*)*$", ""),
+      "&utm_[^&]*", "")
     val headPat = "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?]*)"
     val head = regexp_extract(fixedQ, headPat, 1)
     val tail = substring(fixedQ, length(head) + 1, lit(1000000))
@@ -559,8 +567,10 @@ object TextAnalysis {
     * count; docs with no non-blank lines don't appear (no evidence).
     *
     * Scale shape: one explode + two keyed aggregations per doc — the
-    * doc key rides through both, so partial aggregation applies and
-    * nothing ever shuffles beyond (doc, line-hash) rows.
+    * doc key rides through both, and the line collapses to its
+    * xxhash64 plus a map-side length BEFORE the first exchange (the
+    * lineDedup idiom), so nothing ever shuffles beyond
+    * (doc, line-hash, length) rows — never the line text.
     *
     * @return (idCol, n_lines, n_dup_lines, dup_line_frac,
     *         dup_line_char_frac), fractions at 6 dp. */
@@ -570,9 +580,10 @@ object TextAnalysis {
       .select(col(idCol), explode(split(col(textCol), "\n")).as("ln"))
       .withColumn("__t", trim(col("ln")))
       .filter(col("__t") =!= "")
-    val counts = lines.groupBy(col(idCol), col("__t"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__len", length(col("__t")))
+      .select(col(idCol), xxhash64(col("__t")).as("__k"),
+        length(col("__t")).as("__len"))
+    val counts = lines.groupBy(col(idCol), col("__k"))
+      .agg(count(lit(1)).as("__c"), max(col("__len")).as("__len"))
     counts.groupBy(idCol)
       .agg(
         sum("__c").as("n_lines"),

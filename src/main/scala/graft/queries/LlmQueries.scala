@@ -1755,18 +1755,21 @@ object LlmQueries {
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   /** d66: the d51 ADC chain ranked to topR = 8 candidates, then the
-    * exact-L2 refine — (q−n)² folded in list order, rounded to micros
-    * once per pair (the bruteForceTopKL2 discipline) — re-ranked to
-    * top-3. */
+    * exact-L2 refine — |q|² + |n|² − 2·q·n rounded to micros once
+    * per pair, the SAME formulation as bruteForceTopKL2 and the d57
+    * exact baseline (the algebraically-equal Σ(q−n)² fold rounds
+    * differently near 0.5-micro boundaries) — re-ranked to top-3. */
   private val D66IvfPqRescoreSql: String =
     D51Prefix + """,
       |cand AS (SELECT qid, nid FROM r WHERE rank <= 8),
+      |sq AS (SELECT id, vv, list_sum([vv[i]*vv[i]
+      |  FOR i IN range(1, len(vv)+1)]) AS ss FROM v),
       |ex AS (SELECT c.qid AS qid, c.nid AS nid,
-      |  CAST(ROUND(list_sum([(qv.vv[i]-nv.vv[i])*(qv.vv[i]-nv.vv[i])
-      |    FOR i IN range(1, len(qv.vv)+1)]) * 1000000) AS BIGINT)
+      |  CAST(ROUND((qv.ss + nv.ss - 2*list_sum([qv.vv[i]*nv.vv[i]
+      |    FOR i IN range(1, len(qv.vv)+1)])) * 1000000) AS BIGINT)
       |    AS dist_micros
-      |  FROM cand c JOIN v qv ON c.qid = qv.id
-      |  JOIN v nv ON c.nid = nv.id),
+      |  FROM cand c JOIN sq qv ON c.qid = qv.id
+      |  JOIN sq nv ON c.nid = nv.id),
       |rr AS (SELECT qid, nid, dist_micros, ROW_NUMBER() OVER (
       |  PARTITION BY qid ORDER BY dist_micros, nid) AS rank FROM ex)
       |SELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros FROM rr
@@ -2569,10 +2572,12 @@ object LlmQueries {
         |  AS url FROM documents),
         |c1 AS (SELECT doc_id, url,
         |  regexp_replace(url, '#.*', '') AS s FROM u),
-        |c2 AS (SELECT doc_id, url,
-        |  regexp_replace(s, '[?&]utm_[^&]*', '', 'g') AS s FROM c1),
+        |c2 AS (SELECT doc_id, url, regexp_replace(s,
+        |  '\?utm_[^&]*(&utm_[^&]*)*&', '?') AS s FROM c1),
+        |c25 AS (SELECT doc_id, url, regexp_replace(s,
+        |  '\?utm_[^&]*(&utm_[^&]*)*$', '') AS s FROM c2),
         |c3 AS (SELECT doc_id, url,
-        |  regexp_replace(s, '^([^?&]*)&', '\1?') AS s FROM c2),
+        |  regexp_replace(s, '&utm_[^&]*', '', 'g') AS s FROM c25),
         |c4 AS (SELECT doc_id, url, s, regexp_extract(s,
         |  '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]*)', 1) AS head FROM c3),
         |c5 AS (SELECT doc_id, url, s, head,

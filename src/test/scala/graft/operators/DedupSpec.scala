@@ -469,6 +469,31 @@ class DedupSpec extends SparkSpec {
     assert(global(4L) == 1L)
   }
 
+  test("groupedLineDedup: a NULL group keeps its content") {
+    // regression: a plain equi-join on the group key never matches
+    // null-group rows, so keep evaluated to null and every line of a
+    // null-group doc was silently deleted
+    val docs = Seq(
+      (1L, Option("a"), "NAV\none"), (2L, Option("a"), "NAV\ntwo"),
+      (3L, Option("a"), "NAV\nthree"),
+      (4L, None: Option[String], "solo line\nmore"),
+      (5L, None: Option[String], "NULLDUP\nx"),
+      (6L, None: Option[String], "NULLDUP\ny"),
+      (7L, None: Option[String], "NULLDUP\nz"))
+      .toDF("doc_id", "site", "text")
+    val out = Dedup.groupedLineDedup(docs, "doc_id", "site", "text",
+        minCount = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    // null-group docs keep unrepeated content...
+    assert(out(4L) == (("solo line\nmore", 0L)))
+    // ...and dedupe within the null group like any other group
+    assert(out(5L) == (("NULLDUP\nx", 0L)))
+    assert(out(6L) == (("y", 1L)))
+    assert(out(7L) == (("z", 1L)))
+    assert(out(2L) == (("two", 1L)))
+  }
+
   test("priorityDedup: preferred source survives over lower id") {
     val docs = Seq(
       (1L, "same   text", "cc"),       // ws-normalized dup of 4, 7

@@ -248,7 +248,9 @@ class TextAnalysisSpec extends SparkSpec {
       "https://bare.io",
       "https://x.com/p?utm_s=1&a=1&b=2", // TWO surviving params
       "http://x.com:443/a",              // NOT a default port for http
-      "https://example.com./x")          // trailing-dot FQDN
+      "https://example.com./x",          // trailing-dot FQDN
+      "http://x.com/a&b?utm_s=1&c=2",    // literal '&' in the PATH
+      "a&b")                             // non-URL with '&'
       .toDF("u")
       .select(TextAnalysis.urlCanonicalize(col("u")),
         TextAnalysis.registeredDomain(col("u")))
@@ -268,6 +270,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(6) == (("http://x.com:443/a", "x.com")))
     // trailing dot stripped before the two-label extract
     assert(got(7) == (("https://example.com./x", "example.com")))
+    // the utm strip is position-aware: a path ampersand is never
+    // rewritten into a query separator
+    assert(got(8) == (("http://x.com/a&b?c=2", "x.com")))
+    // non-URLs with '&' pass through byte-identical
+    assert(got(9) == (("a&b", "")))
   }
 
   test("lineRepetitionStats: hand-computed fractions, blanks ignored") {
