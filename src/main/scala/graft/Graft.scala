@@ -188,6 +188,12 @@ object Graft {
                           textCol: String): DataFrame =
     TextAnalysis.lineRepetitionStats(docs, idCol, textCol)
 
+  /** Kneser-Ney bigram LM score per document (D = 0.75) — the
+    * smoothing real perplexity filters use. */
+  def knBigramScore(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    TextAnalysis.knBigramScore(docs, idCol, textCol)
+
   /** Flag corpus docs sharing any word n-gram with a benchmark set. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,

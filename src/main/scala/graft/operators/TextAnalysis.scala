@@ -238,6 +238,82 @@ object TextAnalysis {
         sum("c").as("n_words"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM score per document (Kneser &
+    * Ney 1995; Chen & Goodman 1999 §2.7) — the smoothing the real
+    * perplexity filters use (CCNet scores with a KenLM model, which
+    * is modified-KN), one rung above [[bigramLmScore]]'s add-one:
+    *
+    *   p_kn(w2 | w1) = max(c(w1 w2) − D, 0) / c(w1 ·)
+    *                 + D · N1+(w1 ·)/c(w1 ·) · N1+(· w2)/N1+(· ·)
+    *
+    * with the canonical discount D = 0.75 (exact in binary — the
+    * quarters argument, like α = 0.5 in temperature mixing). The
+    * continuation probability N1+(· w2)/T is KN's whole point: "how
+    * many contexts does w2 follow", not "how often does w2 occur" —
+    * the San-Francisco test. Scoring the SAME corpus the stats come
+    * from means every scored bigram has c ≥ 1, so probabilities are
+    * strictly positive and no unigram backoff path is needed.
+    *
+    * Determinism: the probability expression is evaluated in one
+    * fixed IEEE operation order (mirrored token-for-token in the
+    * oracle) and log p rounds to integer MICROS once per distinct
+    * bigram — the d28/d38 discipline — so per-doc sums are
+    * order-independent longs.
+    *
+    * Scale shape: the corpus collapses to (h1, h2)-keyed bigram
+    * counts (8-byte hashes, never token text); the context rollup,
+    * both fertility tables, and the one-row type total all derive
+    * from that table; docs re-join their bigrams' log-probs on the
+    * hash pair. Same shuffle count as [[bigramLmScore]] plus two
+    * skinny fertility aggregations.
+    *
+    * @return (idCol, n_bigrams, sum_logp_micros, mean_logp_micros) —
+    *         docs with < 2 tokens don't appear. */
+  def knBigramScore(docs: DataFrame, idCol: String, textCol: String,
+                    materialize: Boolean = true): DataFrame = {
+    import graft.functions.NativeExpressions.positionalNgramHashes
+    val d = lit(0.75d)
+    val base = docs
+      .select(col(idCol), positionalNgramHashes(col(textCol), 1).as("__th"))
+      .select(col(idCol), explode(zip_with(
+          slice(col("__th"), lit(1),
+            greatest(size(col("__th")) - 1, lit(0))),
+          slice(col("__th"), lit(2),
+            greatest(size(col("__th")) - 1, lit(0))),
+          (a, b) => struct(a.as("h1"), b.as("h2")))).as("__p"))
+      .select(col(idCol), col("__p.h1").as("__h1"),
+        col("__p.h2").as("__h2"))
+      .groupBy(idCol, "__h1", "__h2").agg(count(lit(1)).as("__bf"))
+    val postings = if (materialize) base.localCheckpoint(true) else base
+    val bigCounts = postings.groupBy("__h1", "__h2")
+      .agg(sum("__bf").as("__bc"))
+    val ctxCounts = bigCounts.groupBy("__h1").agg(sum("__bc").as("__cc"))
+    val fwdFert = bigCounts.groupBy("__h1").agg(count(lit(1)).as("__nf"))
+    val bwdFert = bigCounts.groupBy("__h2").agg(count(lit(1)).as("__nb"))
+    val types = broadcast(bigCounts.agg(count(lit(1)).as("__tt")))
+    val lp = bigCounts
+      .join(ctxCounts, Seq("__h1")).join(fwdFert, Seq("__h1"))
+      .join(bwdFert, Seq("__h2")).crossJoin(types)
+      .select(col("__h1"), col("__h2"),
+        round(log(
+          greatest(col("__bc") - d, lit(0d)) / col("__cc")
+            + d * col("__nf") / col("__cc")
+            * (col("__nb") / col("__tt"))) * 1e6)
+          .cast("long").as("__lpm"))
+    val out = postings.join(lp, Seq("__h1", "__h2"))
+      .groupBy(idCol)
+      .agg(sum("__bf").as("n_bigrams"),
+        sum(col("__bf") * col("__lpm")).as("sum_logp_micros"))
+      .withColumn("mean_logp_micros",
+        col("sum_logp_micros").cast("double") / col("n_bigrams"))
+    if (!materialize) out
+    else {
+      val ck = out.localCheckpoint(true)
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(postings)
+      ck
+    }
+  }
+
   /** Polynomial (Rabin-Karp-style) rolling-hash fingerprint: an ordered
     * integer fold `h = (h*31 + code) mod 1e9+7` over the character
     * codes. Pure integer math in a fixed order → bit-identical in any

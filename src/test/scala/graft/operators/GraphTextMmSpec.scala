@@ -296,6 +296,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("knBigramScore: hand-computed Kneser-Ney on a 3-type corpus") {
+    import spark.implicits._
+    // bigrams: (a,b)x2, (b,a)x1 from doc 1; (b,c)x1 from doc 2
+    // cc: a->2, b->2; N1+(a.)=1, N1+(b.)=2; N1+(.b)=1, N1+(.a)=1,
+    // N1+(.c)=1; T=3
+    // p(b|a) = (2-.75)/2 + .75*1/2*(1/3) = 0.75   -> ln = -287682 µ
+    // p(a|b) = (1-.75)/2 + .75*2/2*(1/3) = 0.375  -> ln = -980829 µ
+    // p(c|b) = same 0.375                          -> ln = -980829 µ
+    val docs = Seq((1L, "a b a b"), (2L, "b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == ((3L, 2L * -287682L + -980829L)))
+    assert(got(2L) == ((1L, -980829L)))
+    assert(!got.contains(3L))  // < 2 tokens: no evidence
+  }
+
   test("token metrics") {
     val r = Seq("ab cd  ef ab").toDF("t").select(
       TextAnalysis.tokenCount(col("t")),
