@@ -483,6 +483,24 @@ object TextAnalysis {
         col("sum_logp_micros"), col("mean_logp_micros"), col("bucket"))
   }
 
+  /** [[perplexityBuckets]] with the [[knBigramScore]] fluency signal —
+    * the CCNet cut over the smoothing CCNet actually uses: per-language
+    * rank-exact NTILE tiers of the Kneser-Ney mean log-prob (bucket 1 =
+    * head, most fluent). Same window discipline as the add-one variant;
+    * id tie-break keeps the cut total and engine-portable. */
+  def knPerplexityBuckets(docs: DataFrame, idCol: String,
+                          textCol: String, langCol: String,
+                          buckets: Int = 3): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
+      .orderBy(col("mean_logp_micros").desc, col(idCol))
+    knBigramScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("bucket", ntile(buckets).over(w))
+      .select(col(idCol), col(langCol), col("n_bigrams"),
+        col("sum_logp_micros"), col("mean_logp_micros"), col("bucket"))
+  }
+
   /** Sliding token-window document chunking — the "split long documents
     * into model-context-sized pieces" step every pretraining pipeline
     * runs before packing. Chunks are `chunkTokens` words; consecutive

@@ -760,6 +760,13 @@ object LlmQueries {
       TextAnalysis.knBigramScore(T.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // The CCNet cut over the CCNet smoothing: per-language NTILE
+    // tiers of the KN mean log-prob (bucket 1 = head).
+    "d78_kn_ppl_buckets" -> ((s, d) =>
+      TextAnalysis.knPerplexityBuckets(T.documents(s, d), "doc_id",
+          "text", "lang")
+        .orderBy("doc_id")),
+
     "d38_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScore(T.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1356,6 +1363,35 @@ object LlmQueries {
   /** d38/d39 shared LM body: Laplace-smoothed bigram log-probs in
     * integer micros, summed per doc into the `lm` relation
     * (doc_id, n_bigrams, sum_logp_micros, mean_logp_micros). */
+  private val D77KnLmPrefix: String =
+    """WITH w AS (SELECT doc_id, list_filter(
+      |  string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |b0 AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []
+      |  ELSE [{'w1': ws[i], 'w2': ws[i+1]}
+      |        FOR i IN range(1, len(ws))] END) AS u FROM w),
+      |p AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, COUNT(*) AS bf
+      |  FROM b0 GROUP BY 1, 2, 3),
+      |bc AS (SELECT w1, w2, CAST(SUM(bf) AS BIGINT) AS c
+      |  FROM p GROUP BY 1, 2),
+      |cc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cnt FROM bc
+      |  GROUP BY w1),
+      |nf AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1f FROM bc
+      |  GROUP BY w1),
+      |nb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bc
+      |  GROUP BY w2),
+      |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bc),
+      |lp AS (SELECT bc.w1, bc.w2, CAST(ROUND(
+      |    ln(GREATEST(bc.c - 0.75, 0.0) / cc.cnt
+      |       + 0.75 * nf.n1f / cc.cnt * (nb.n1b / tt.t)) * 1e6)
+      |    AS BIGINT) AS lpm
+      |  FROM bc JOIN cc USING (w1) JOIN nf USING (w1)
+      |  JOIN nb USING (w2), tt),
+      |lm AS (SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+      |CAST(SUM(bf * lpm) AS BIGINT) AS sum_logp_micros,
+      |CAST(SUM(bf * lpm) AS DOUBLE) / SUM(bf) AS mean_logp_micros
+      |FROM p JOIN lp USING (w1, w2) GROUP BY doc_id)""".stripMargin
+
   private val D38LmPrefix: String =
     """WITH w AS (SELECT doc_id, list_filter(
       |  string_split_regex(text, '\s+'), x -> x <> '') AS ws
@@ -2191,34 +2227,19 @@ object LlmQueries {
     // BOTH fertilities, the type total, and the interpolated
     // probability in the identical IEEE operation order
     "d77_kn_bigram_lm" ->
-      """WITH w AS (SELECT doc_id, list_filter(
-        |  string_split_regex(text, '\s+'), x -> x <> '') AS ws
-        |  FROM documents),
-        |b0 AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []
-        |  ELSE [{'w1': ws[i], 'w2': ws[i+1]}
-        |        FOR i IN range(1, len(ws))] END) AS u FROM w),
-        |p AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, COUNT(*) AS bf
-        |  FROM b0 GROUP BY 1, 2, 3),
-        |bc AS (SELECT w1, w2, CAST(SUM(bf) AS BIGINT) AS c
-        |  FROM p GROUP BY 1, 2),
-        |cc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cnt FROM bc
-        |  GROUP BY w1),
-        |nf AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1f FROM bc
-        |  GROUP BY w1),
-        |nb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bc
-        |  GROUP BY w2),
-        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bc),
-        |lp AS (SELECT bc.w1, bc.w2, CAST(ROUND(
-        |    ln(GREATEST(bc.c - 0.75, 0.0) / cc.cnt
-        |       + 0.75 * nf.n1f / cc.cnt * (nb.n1b / tt.t)) * 1e6)
-        |    AS BIGINT) AS lpm
-        |  FROM bc JOIN cc USING (w1) JOIN nf USING (w1)
-        |  JOIN nb USING (w2), tt)
-        |SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
-        |CAST(SUM(bf * lpm) AS BIGINT) AS sum_logp_micros,
-        |CAST(SUM(bf * lpm) AS DOUBLE) / SUM(bf) AS mean_logp_micros
-        |FROM p JOIN lp USING (w1, w2) GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+      (D77KnLmPrefix + """
+        |SELECT doc_id, n_bigrams, sum_logp_micros, mean_logp_micros
+        |FROM lm ORDER BY doc_id""".stripMargin),
+    // the KN LM verbatim, then the d39 rank-exact NTILE cut
+    "d78_kn_ppl_buckets" ->
+      (D77KnLmPrefix + """
+        |SELECT lm.doc_id, d.lang, lm.n_bigrams, lm.sum_logp_micros,
+        |lm.mean_logp_micros,
+        |CAST(NTILE(3) OVER (PARTITION BY d.lang
+        |  ORDER BY lm.mean_logp_micros DESC, lm.doc_id) AS INT) AS bucket
+        |FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+        |ORDER BY lm.doc_id""".stripMargin),
+
 
     // d38's LM verbatim, then the rank-exact NTILE cut per language —
     // DESC mean log-prob = ascending perplexity, id tie-break mirrors
