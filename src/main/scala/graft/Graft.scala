@@ -194,6 +194,15 @@ object Graft {
                     textCol: String): DataFrame =
     TextAnalysis.knBigramScore(docs, idCol, textCol)
 
+  /** The CCNet per-language head/middle/tail cut over the KN score —
+    * the companion of [[knBigramScore]], as `perplexityBuckets`
+    * pairs the add-one score. */
+  def knPerplexityBuckets(docs: DataFrame, idCol: String,
+                          textCol: String, langCol: String,
+                          buckets: Int = 3): DataFrame =
+    TextAnalysis.knPerplexityBuckets(docs, idCol, textCol, langCol,
+      buckets)
+
   /** Flag corpus docs sharing any word n-gram with a benchmark set. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,

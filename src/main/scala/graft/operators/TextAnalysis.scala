@@ -287,12 +287,14 @@ object TextAnalysis {
     val postings = if (materialize) base.localCheckpoint(true) else base
     val bigCounts = postings.groupBy("__h1", "__h2")
       .agg(sum("__bf").as("__bc"))
-    val ctxCounts = bigCounts.groupBy("__h1").agg(sum("__bc").as("__cc"))
-    val fwdFert = bigCounts.groupBy("__h1").agg(count(lit(1)).as("__nf"))
+    // c(w1·) and N1+(w1·) share the __h1 key — one aggregation and
+    // one join carries both
+    val ctxStats = bigCounts.groupBy("__h1")
+      .agg(sum("__bc").as("__cc"), count(lit(1)).as("__nf"))
     val bwdFert = bigCounts.groupBy("__h2").agg(count(lit(1)).as("__nb"))
     val types = broadcast(bigCounts.agg(count(lit(1)).as("__tt")))
     val lp = bigCounts
-      .join(ctxCounts, Seq("__h1")).join(fwdFert, Seq("__h1"))
+      .join(ctxStats, Seq("__h1"))
       .join(bwdFert, Seq("__h2")).crossJoin(types)
       .select(col("__h1"), col("__h2"),
         round(log(
@@ -472,11 +474,22 @@ object TextAnalysis {
     *         transition evidence and are absent, as in
     *         [[bigramLmScore]]. */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
-                        langCol: String, buckets: Int = 3): DataFrame = {
+                        langCol: String, buckets: Int = 3): DataFrame =
+    bucketizeLm(bigramLmScore(docs, idCol, textCol), docs, idCol,
+      langCol, buckets)
+
+  /** The shared CCNet cut: per-language rank-exact NTILE tiers over a
+    * scored (idCol, n_bigrams, sum_logp_micros, mean_logp_micros)
+    * frame — ONE implementation of the window/tie-break/column
+    * discipline so [[perplexityBuckets]] (add-one) and
+    * [[knPerplexityBuckets]] (Kneser-Ney) can never diverge. */
+  private def bucketizeLm(scored: DataFrame, docs: DataFrame,
+                          idCol: String, langCol: String,
+                          buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
       .orderBy(col("mean_logp_micros").desc, col(idCol))
-    bigramLmScore(docs, idCol, textCol)
+    scored
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
       .withColumn("bucket", ntile(buckets).over(w))
       .select(col(idCol), col(langCol), col("n_bigrams"),
@@ -490,16 +503,9 @@ object TextAnalysis {
     * id tie-break keeps the cut total and engine-portable. */
   def knPerplexityBuckets(docs: DataFrame, idCol: String,
                           textCol: String, langCol: String,
-                          buckets: Int = 3): DataFrame = {
-    require(buckets > 0, s"buckets must be positive: $buckets")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
-      .orderBy(col("mean_logp_micros").desc, col(idCol))
-    knBigramScore(docs, idCol, textCol)
-      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
-      .withColumn("bucket", ntile(buckets).over(w))
-      .select(col(idCol), col(langCol), col("n_bigrams"),
-        col("sum_logp_micros"), col("mean_logp_micros"), col("bucket"))
-  }
+                          buckets: Int = 3): DataFrame =
+    bucketizeLm(knBigramScore(docs, idCol, textCol), docs, idCol,
+      langCol, buckets)
 
   /** Sliding token-window document chunking — the "split long documents
     * into model-context-sized pieces" step every pretraining pipeline

@@ -750,8 +750,6 @@ object LlmQueries {
       TextAnalysis.unigramLmScore(T.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // Bigram LM quality score (Laplace-smoothed transitions) — the
-    // CCNet-style step past d28's unigram proxy; integer-micro exact.
     // Kneser-Ney-smoothed bigram LM — the real perplexity-filter
     // smoothing (CCNet's KenLM is modified-KN), D = 0.75 exact; the
     // oracle replays counts, both fertilities, the type total, and
@@ -767,6 +765,8 @@ object LlmQueries {
           "text", "lang")
         .orderBy("doc_id")),
 
+    // Bigram LM quality score (Laplace-smoothed transitions) — the
+    // CCNet-style step past d28's unigram proxy; integer-micro exact.
     "d38_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScore(T.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1360,9 +1360,10 @@ object LlmQueries {
     * their own CTEs (d33 prepends a planted-clone union). `a2` keeps
     * the winning similarity `s` (= 6-dp cosine to the final centroid),
     * which d33 ranks on; d29/d30 select named columns and ignore it. */
-  /** d38/d39 shared LM body: Laplace-smoothed bigram log-probs in
-    * integer micros, summed per doc into the `lm` relation
-    * (doc_id, n_bigrams, sum_logp_micros, mean_logp_micros). */
+  /** d77/d78 shared LM body: interpolated Kneser-Ney bigram
+    * log-probs (D = 0.75) in integer micros, summed per doc into the
+    * `lm` relation (doc_id, n_bigrams, sum_logp_micros,
+    * mean_logp_micros). */
   private val D77KnLmPrefix: String =
     """WITH w AS (SELECT doc_id, list_filter(
       |  string_split_regex(text, '\s+'), x -> x <> '') AS ws
@@ -1392,6 +1393,9 @@ object LlmQueries {
       |CAST(SUM(bf * lpm) AS DOUBLE) / SUM(bf) AS mean_logp_micros
       |FROM p JOIN lp USING (w1, w2) GROUP BY doc_id)""".stripMargin
 
+  /** d38/d39 shared LM body: Laplace-smoothed bigram log-probs in
+    * integer micros, summed per doc into the `lm` relation
+    * (doc_id, n_bigrams, sum_logp_micros, mean_logp_micros). */
   private val D38LmPrefix: String =
     """WITH w AS (SELECT doc_id, list_filter(
       |  string_split_regex(text, '\s+'), x -> x <> '') AS ws
