@@ -168,11 +168,17 @@ object Graft {
   def piiRedact(c: Column): Column = TextAnalysis.piiRedact(c)
 
   /** Canonicalize a URL for dedup/blocklist matching (fragment and
-    * utm_* stripped, lowercased head, default ports dropped). */
+    * utm_* stripped — query substring only, the path is never
+    * touched — lowercased head, default ports dropped). */
   def urlCanonicalize(c: Column): Column =
     TextAnalysis.urlCanonicalize(c)
 
-  /** Registered domain (two-label rule, www.-stripped). */
+  /** Registered domain (two-label rule, www.-stripped). IP-literal
+    * hosts pass through whole, and a ~30-entry embedded multi-label
+    * public-suffix table keeps three labels under co.uk/com.au/co.jp
+    * etc. (bbc.co.uk stays bbc.co.uk); suffixes OUTSIDE that table
+    * still collapse to two labels — an approximation of the full
+    * Mozilla public-suffix list. */
   def registeredDomain(c: Column): Column =
     TextAnalysis.registeredDomain(c)
 

@@ -59,6 +59,12 @@ object Dedup {
                     sourceCol: String,
                     priority: Map[String, Int]): DataFrame = {
     require(priority.nonEmpty, "need at least one source priority")
+    // Int.MaxValue is the unlisted-source sentinel: a listed source
+    // carrying it would TIE with unlisted ones, breaking the
+    // documented 'unlisted sources rank after every listed one'
+    // contract — reject rather than silently reorder
+    require(priority.values.forall(_ < Int.MaxValue),
+      "priority ranks must be < Int.MaxValue (reserved for unlisted)")
     val rank = coalesce(
       try_element_at(typedlit(priority), col(sourceCol)),
       lit(Int.MaxValue))
@@ -293,6 +299,89 @@ object Dedup {
                             minCount: Int = 3): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2: $minCount")
     counts.filter(col("cnt") >= minCount).select("key")
+  }
+
+  /** Null-safe group key shared by the grouped screen tables and
+    * [[groupedLineDedupAgainst]] — the [[lineDedupImpl]] struct
+    * idiom: a plain equi-join would never match null groups,
+    * silently keeping every line of a null-group doc unscreened; the
+    * (isNull, value) struct is exact and collision-free. */
+  private def lineGroupKey(groupCol: String): Column =
+    struct(col(groupCol).isNull.as("n"),
+      coalesce(col(groupCol).cast("string"), lit("")).as("v"))
+
+  /** Per-batch PARTIAL of the PER-GROUP boilerplate screen —
+    * [[lineCountPartial]] keyed by (group, line): trimmed-line
+    * xxhash64 counts within each group, NO threshold. Sum-mergeable
+    * exactly like the global partial, so per-site templates arriving
+    * incrementally (the production shape — each crawl batch brings
+    * its own sites' boilerplate) refresh the screen by merge instead
+    * of corpus rescan. */
+  def groupedLineCountPartial(batch: DataFrame, groupCol: String,
+                              textCol: String): DataFrame =
+    batch
+      .select(lineGroupKey(groupCol).as("grp"),
+        explode(split(col(textCol), "\n")).as("ln"))
+      .filter(trim(col("ln")) =!= "")
+      .select(col("grp"), xxhash64(trim(col("ln"))).as("key"))
+      .groupBy("grp", "key").agg(count(lit(1)).as("cnt"))
+
+  /** Merge [[groupedLineCountPartial]] tables (group, line)-key-wise
+    * — [[mergeLineCounts]] with the group in the key; same
+    * associativity/commutativity argument, so merged partials equal
+    * the full recompute for ANY batch partition of the corpus. */
+  def mergeGroupedLineCounts(partials: Seq[DataFrame]): DataFrame =
+    Incremental.mergeRollups(partials, Seq("grp", "key"),
+      Seq("cnt" -> "sum"))
+
+  /** Threshold a (merged) grouped line-count table into the
+    * per-group boilerplate set [[groupedLineDedupAgainst]] probes. */
+  def groupedBoilerplateFromCounts(counts: DataFrame,
+                                   minCount: Int = 3): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    counts.filter(col("cnt") >= minCount).select("grp", "key")
+  }
+
+  /** The EXISTING side of PER-GROUP cross-corpus line dedup in one
+    * call — [[boilerplateLineSet]] with a (group, line) key. */
+  def groupedBoilerplateLineSet(existing: DataFrame, groupCol: String,
+                                textCol: String,
+                                minCount: Int = 3): DataFrame =
+    groupedBoilerplateFromCounts(
+      groupedLineCountPartial(existing, groupCol, textCol), minCount)
+
+  /** Cut every line of `incoming` that appears in ITS OWN GROUP's
+    * boilerplate set — the ingest-time form of [[groupedLineDedup]]
+    * (per-site templates screen per-site: "breaking news" is
+    * boilerplate on a news site, content elsewhere). The join keys
+    * on (group, line-hash), so group cardinality only widens the key
+    * space — same single skinny shuffle as [[lineDedupAgainst]], and
+    * the same per-row-independence argument makes it micro-batch-
+    * split-safe. The set is corpus-derived/unbounded → no broadcast
+    * hint (AQE decides), as in the global screen.
+    *
+    * @return (idCol, groupCol, text, n_removed). */
+  def groupedLineDedupAgainst(incoming: DataFrame,
+                              boilerplate: DataFrame, idCol: String,
+                              groupCol: String,
+                              textCol: String): DataFrame = {
+    val lines = incoming
+      .select(col(idCol), col(groupCol),
+        lineGroupKey(groupCol).as("grp"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "ln")))
+      .withColumn("key",
+        when(trim(col("ln")) === "", lit(null))
+          .otherwise(xxhash64(trim(col("ln")))))
+    lines.join(boilerplate.withColumn("__hit", lit(1)),
+        Seq("grp", "key"), "left")
+      .withColumn("keep", col("__hit").isNull)
+      .groupBy(col(idCol), col(groupCol))
+      .agg(
+        concat_ws("\n", transform(
+          filter(array_sort(collect_list(struct(col("pos"), col("ln"),
+            col("keep")))), e => e.getField("keep")),
+          e => e.getField("ln"))).as("text"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
   }
 
   /** Cut every line of `incoming` that appears in the existing

@@ -316,7 +316,11 @@ object Mixing {
     val base = docs.select(col(idCol),
         col(tokensCol).cast("long").as("n_tokens"))
       .withColumn("__b",
-        (col(idCol).cast("long") / idStride).cast("long"))
+        // exact integer division (the scaladoc's 'id div idStride'):
+        // a double-precision quotient is inexact past ~2^53 and
+        // truncates toward zero for negative ids, where floor is the
+        // monotone bucketing the two-level scan needs
+        expr(s"cast(`$idCol` as bigint) div ${idStride}L"))
     val wb = Window.orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val boff = base.groupBy("__b").agg(sum("n_tokens").as("__bs"))

@@ -322,6 +322,57 @@ object Quantization {
       spark.read.parquet(s"$dir/codes"), dsub)
   }
 
+  /** Encode (id, vec) rows against the FROZEN codebooks of an
+    * existing index — coarse-assign, residual, per-subspace
+    * PQ-assign, all in one narrow scan-side pass (exactly the encode
+    * half of [[ivfPqIndex]], minus the training). Codes are a pure
+    * per-row function of (vector, codebooks), so encoding a batch
+    * now is bit-identical to having encoded it in the original
+    * build. */
+  private def encodeAgainst(idx: IvfPqIndex, emb: DataFrame,
+                            idCol: String, vecCol: String): DataFrame = {
+    val cells = idx.cells
+    def centFor(cell: Column): Column =
+      cells.tail.foldLeft(when(cell === cells.head._1,
+        lit(cells.head._2))) { case (acc, (c, cv)) =>
+        acc.when(cell === c, lit(cv))
+      }
+    val d0 = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val cellCol = assignExpr(col("v"), cells)
+    d0.select(col("id"), cellCol.as("cell"),
+        zip_with(col("v"), centFor(cellCol), (x, y) => x - y).as("v"))
+      .select(col("id").as("nid"), col("cell"),
+        posexplode(array((0 until idx.pq.m).map(s =>
+          assignExpr(subvec(col("v"), s, idx.dsub), idx.pq.cents(s))): _*))
+          .as(Seq("s", "c")))
+  }
+
+  /** FAISS-style `add` for a [[persistIvfPqIndex]] layout: encode a
+    * batch of NEW vectors against the index's FROZEN coarse + PQ
+    * codebooks and APPEND their codes to the hive cell partitions —
+    * the maintenance path for a growing corpus (the screens'
+    * incremental-refresh story applied to the ANN index). Because
+    * the codebooks are frozen, add-then-search over the appended
+    * layout is EXACTLY search over an index whose original build had
+    * encoded the union — codes are a deterministic per-row function
+    * of (vector, codebooks), proven by the `inc_ivfpq_add` oracle
+    * row. What add does NOT do is re-train: coarse centroids drift
+    * as the corpus grows, and the periodic re-train/compact is a
+    * separate (rarer) full [[ivfPqIndex]] pass, as in FAISS.
+    *
+    * Scale shape: one scan-side encode pass over ONLY the new batch
+    * + an append that touches only the cell directories the batch
+    * lands in — corpus-size-independent, no shuffle, no read of the
+    * existing codes. */
+  def ivfPqAddBatch(newEmb: DataFrame, idCol: String, vecCol: String,
+                    dir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val idx = loadIvfPqIndex(spark, dir)
+    encodeAgainst(idx, newEmb, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
   /** Probe a trained [[IvfPqIndex]] with a batch of full-precision
     * queries — the serving half of [[ivfPqTopK]]. Per-query work
     * depends only on that query's vector and the (static) index, so

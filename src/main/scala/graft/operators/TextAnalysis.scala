@@ -606,20 +606,28 @@ object TextAnalysis {
     * math — the cheapest possible full-corpus pass. */
   def urlCanonicalize(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
-    // utm stripping in three position-aware passes, so the '?' stays
-    // attached to the first SURVIVING parameter and a literal '&' in
-    // the PATH is never touched (a blanket [?&]utm_ strip followed by
-    // a '?' re-anchor would rewrite path ampersands and corrupt
-    // non-URL strings): (1) a leading run of utm params followed by a
-    // survivor collapses onto the survivor's '?', (2) an all-utm
+    // The utm passes run on the QUERY substring only (everything from
+    // the first '?'), so a literal '&utm_' in the PATH is never
+    // touched — splitting first is what makes that guarantee hold for
+    // query-less URLs too, where an unanchored '&utm_[^&]*' strip
+    // would silently eat path text. Within the query, three
+    // position-aware passes keep the '?' attached to the first
+    // SURVIVING parameter: (1) a leading run of utm params followed
+    // by a survivor collapses onto the survivor's '?', (2) an all-utm
     // query drops entirely, (3) non-leading utm params drop with
     // their own '&'. All RE2-safe.
-    val fixedQ = regexp_replace(
+    val qPos = instr(noFrag, "?")
+    val prePath = when(qPos === 0, noFrag)
+      .otherwise(noFrag.substr(lit(1), qPos - 1))
+    val query = when(qPos === 0, lit(""))
+      .otherwise(noFrag.substr(qPos, length(noFrag)))
+    val fixedQ = concat(prePath,
       regexp_replace(
-        regexp_replace(noFrag,
-          "\\?utm_[^&]*(&utm_[^&]*)*&", "?"),
-        "\\?utm_[^&]*(&utm_[^&]*)*$", ""),
-      "&utm_[^&]*", "")
+        regexp_replace(
+          regexp_replace(query,
+            "^\\?utm_[^&]*(&utm_[^&]*)*&", "?"),
+          "^\\?utm_[^&]*(&utm_[^&]*)*$", ""),
+        "&utm_[^&]*", ""))
     val headPat = "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?]*)"
     val head = regexp_extract(fixedQ, headPat, 1)
     val tail = substring(fixedQ, length(head) + 1, lit(1000000))
@@ -638,20 +646,49 @@ object TextAnalysis {
       .otherwise(concat(canonHead, tail))
   }
 
-  /** Registered domain of a URL (last two host labels, `www.`
-    * stripped) — the grouping key for per-site quality/blocklist
-    * stats. A public-suffix list would refine multi-label TLDs
-    * (co.uk); the two-label rule is the deterministic in-engine
-    * approximation and is documented as such. */
+  /** The common multi-label public suffixes (co.uk, com.au, ...):
+    * under these the registered domain is THREE labels, not two —
+    * without the exception every .co.uk site would collapse onto the
+    * single key 'co.uk'. A deterministic embedded subset of the
+    * Mozilla public-suffix list covering the frequent ccTLD
+    * second-level registries; rarer suffixes fall back to the
+    * documented two-label rule. */
+  private[graft] val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "co.id", "co.th", "co.kr", "co.za",
+    "com.br", "com.cn", "com.mx", "com.ar", "com.tr",
+    "com.sg", "com.hk", "com.tw")
+
+  /** Registered domain of a URL — the grouping key for per-site
+    * quality/blocklist stats: last two host labels (`www.`
+    * stripped), except under a known multi-label public suffix
+    * ([[MultiLabelSuffixes]]: bbc.co.uk stays bbc.co.uk, not co.uk)
+    * where three labels are kept, and IP-literal hosts (IPv4 dotted
+    * quads, bracketed IPv6) which pass through whole — label rules
+    * don't apply to addresses. Suffixes outside the embedded table
+    * still fall back to the two-label approximation; see
+    * [[graft.Graft]] facade scaladoc for the same caveat. */
   def registeredDomain(u: Column): Column = {
+    // a bracketed IPv6 host contains ':' — capture it whole (the
+    // alternation tries the bracket form first) so the IP guard sees
+    // '[2001:db8::1]', not the '[2001' a bare [^/:?#]* cut would give
     val host = regexp_extract(lower(u),
-      "^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]*)", 1)
+      "^[a-zA-Z][a-zA-Z0-9+.\\-]*://(\\[[^\\]]*\\]|[^/:?#]*)", 1)
     // a trailing dot (valid FQDN form) would defeat the anchored
     // two-label extract and yield '' — strip it first
     val stripped = regexp_replace(
       regexp_replace(host, "\\.$", ""), "^www\\.", "")
-    when(stripped.rlike("[^.]+\\.[^.]+$"),
-      regexp_extract(stripped, "([^.]+\\.[^.]+)$", 1))
+    val multiAlt = MultiLabelSuffixes
+      .map(_.replace(".", "\\.")).mkString("|")
+    when(stripped.rlike("^[0-9.]+$") || stripped.startsWith("["),
+      stripped)
+      .when(stripped.rlike("[^.]+\\.(" + multiAlt + ")$"),
+        regexp_extract(stripped, "([^.]+\\.(" + multiAlt + "))$", 1))
+      .when(stripped.rlike("[^.]+\\.[^.]+$"),
+        regexp_extract(stripped, "([^.]+\\.[^.]+)$", 1))
       .otherwise(stripped)
   }
 

@@ -63,7 +63,7 @@ object LlmQueries {
     val dir = lrMemo.computeIfAbsent(
       s.sparkContext.applicationId + "|" + d, _ => {
         val out = s"/tmp/graft_${s.sparkContext.applicationId}/" +
-          s"lr54_${java.lang.Integer.toHexString(d.hashCode)}"
+          s"lr54_${pathDigest(d)}"
         QualityModel.lrQualityScores(T.documents(s, d), "doc_id",
             "text", label = col("lang") === "en", dims = 64, steps = 2,
             eta = 0.5)
@@ -80,7 +80,7 @@ object LlmQueries {
     val dir = ivfPqMemo.computeIfAbsent(
       s.sparkContext.applicationId + "|" + d, _ => {
         val out = s"/tmp/graft_${s.sparkContext.applicationId}/" +
-          s"ivfpq51_${java.lang.Integer.toHexString(d.hashCode)}"
+          s"ivfpq51_${pathDigest(d)}"
         val built = Quantization.ivfPqIndex(T.embeddings(s, d),
           "vec_id", "embedding", nlist = 4, coarseIters = 2, m = 4,
           ksub = 4, pqIters = 2)
@@ -120,18 +120,26 @@ object LlmQueries {
     "d73_url_canon" -> ((s, d) => {
       // variants exercise the sharp edges: mixed scheme (the :443
       // drop must be https-only), TWO surviving params after the utm
-      // strip (the ?-re-anchor must hit the FIRST ampersand), and a
-      // fragment behind a query
+      // strip (the ?-re-anchor must hit the FIRST ampersand), a
+      // fragment behind a query, an IP-literal host (no label rule),
+      // a multi-label public suffix (bbc.co.uk must NOT collapse to
+      // co.uk), and a literal '&utm_' in the PATH of a query-less URL
+      // (must survive byte-identical — the utm strip is query-only)
+      val hostPart =
+        when(col("doc_id") % 11 === 0, lit("10.1.2.3"))
+          .when(col("doc_id") % 11 === 1, lit("News.BBC.CO.UK"))
+          .otherwise(concat(lit("WWW.Site"),
+            (col("doc_id") % 7).cast("string"), lit(".COM")))
       val url = concat(
-        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Site"))
-          .otherwise(lit("http://WWW.Site")),
-        (col("doc_id") % 7).cast("string"), lit(".COM"),
+        when(col("doc_id") % 2 === 0, lit("HTTPS://"))
+          .otherwise(lit("http://")),
+        hostPart,
         when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
         lit("/path/"), (col("doc_id") % 5).cast("string"),
         when(col("doc_id") % 4 === 0, lit("?utm_source=x&a=1&b=2"))
           .when(col("doc_id") % 4 === 1, lit("?a=1#frag"))
           .when(col("doc_id") % 4 === 2, lit("/"))
-          .otherwise(lit("")))
+          .otherwise(lit("/x&utm_z/tail")))
       T.documents(s, d).select(col("doc_id"),
           TextAnalysis.urlCanonicalize(url).as("url_canon"),
           TextAnalysis.registeredDomain(url).as("domain"))
@@ -528,7 +536,7 @@ object LlmQueries {
     // the round-trip (placement + layout + payload) is what's gated.
     "s20_shard_write" -> ((s, d) => {
       val dir = s"/tmp/graft_${s.sparkContext.applicationId}/shards_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        pathDigest(d)
       Mixing.writeShards(
         T.documents(s, d).select("doc_id", "lang", "n_chars"),
         "doc_id", "n_chars", budget = 4096, seqsPerShard = 16, dir)
@@ -538,6 +546,50 @@ object LlmQueries {
           sum("n_chars").as("sum_tokens"),
           min("seq_start").as("first_seq"),
           max("seq_end").as("last_seq"))
+        .orderBy("shard")
+    }),
+
+    // The training-data ENDGAME composed end-to-end: recipe →
+    // per-stratum sampled corpus → split → packed placements → shard
+    // layout on disk — the path a pretraining run actually executes
+    // (d70 stops at the plan, s20 packs the unsampled corpus). The
+    // recipe's boost column converts to per-stratum KEEP RATES by
+    // integer-micro math (boost/maxBoost in basis points — sample
+    // down relative to the most-boosted stratum; cross-engine-exact
+    // because micros are longs and the cut is integer division), the
+    // rate table is config-sized (collect = #strata rows, the
+    // MLlib-shape exception), and everything downstream is the
+    // gate-green d76/d67/s20 kernel chain. The oracle replays recipe
+    // math, sampling buckets, split cut, global cumsum, and
+    // per-shard rollup from the documents table alone, so the
+    // real-file round-trip (placement + layout + payload + sampled
+    // doc SET via id_checksum) is what's hashed.
+    "d79_recipe_to_shards" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val boostRows = Mixing.temperatureMixture(docs, "lang",
+          "n_chars", alpha = 0.5)
+        .select("lang", "boost").collect()
+        .map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e6))
+      val maxMicros = boostRows.map(_._2).max
+      val ratesBp = boostRows.map { case (l, m) =>
+        l -> ((m * 10000L) / maxMicros).toInt }.toMap
+      val sampled = Mixing.stratifiedSample(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id", "lang", ratesBp, defaultBp = 0)
+      val train = Mixing.assignSplit(sampled, "doc_id",
+          Seq(("train", 9800), ("valid", 100), ("test", 100)))
+        .filter(col("split") === "train").drop("split")
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"recipeshards_${pathDigest(d)}"
+      Mixing.writeShards(train, "doc_id", "n_chars", budget = 4096,
+        seqsPerShard = 16, dir)
+      s.read.parquet(dir)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_tokens"),
+          min("seq_start").as("first_seq"),
+          max("seq_end").as("last_seq"),
+          sum("doc_id").as("id_checksum"))
         .orderBy("shard")
     }),
 
@@ -666,6 +718,30 @@ object LlmQueries {
         Dedup.mergeLineCounts(partials), minCount = 3)
       Dedup.lineDedupAgainst(src.filter(col("doc_id") % 5 === 0), set,
           "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // The PER-SITE boilerplate screen maintained incrementally — the
+    // production shape of d74: per-group templates arrive batch by
+    // batch, three era partials keyed by (group, line) merge into the
+    // screen (merged == full recompute by sum associativity), and
+    // incoming docs lose lines boilerplate IN THEIR OWN GROUP only.
+    // The oracle recomputes the (lang, line) counts from scratch, so
+    // both the grouping and the partial-merge are what's gated.
+    "inc_grouped_boiler" -> ((s, d) => {
+      val boiler = "copyright example site all rights reserved"
+      val src = T.documents(s, d).select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit("\n" + boiler)))
+          .otherwise(col("text")).as("text"))
+      val existing = src.filter(col("doc_id") % 5 =!= 0)
+      val partials = (0 to 2).map(b =>
+        Dedup.groupedLineCountPartial(
+          existing.filter(col("doc_id") % 3 === b), "lang", "text"))
+      val screen = Dedup.groupedBoilerplateFromCounts(
+        Dedup.mergeGroupedLineCounts(partials), minCount = 3)
+      Dedup.groupedLineDedupAgainst(src.filter(col("doc_id") % 5 === 0),
+          screen, "doc_id", "lang", "text")
         .orderBy("doc_id")
     }),
 
@@ -1069,6 +1145,33 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Incremental ADD for the persisted ANN index — the FAISS `add`
+    // path: persist the shared index's layout with codes for the
+    // BASE corpus only (every-10th-plus-3 held out), ivfPqAddBatch
+    // the held-out vectors against the FROZEN codebooks, and serve
+    // the d51 query batch from the appended layout. Codes are a pure
+    // per-row function of (vector, codebooks), so add-then-search is
+    // BIT-IDENTICAL to the original build that encoded the union —
+    // hashed against the d51 oracle verbatim, which IS the
+    // train-on-union search. (The held-out slice is disjoint from
+    // the query slice, so added vectors prove themselves by
+    // appearing among neighbors.)
+    "inc_ivfpq_add" -> ((s, d) => {
+      val idx = sharedIvfPqIndex(s, d)
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"ivfpqadd_${pathDigest(d)}"
+      Quantization.persistIvfPqIndex(
+        idx.copy(codes = idx.codes.filter(col("nid") % 10 =!= 3)), dir)
+      Quantization.ivfPqAddBatch(
+        T.embeddings(s, d).filter(col("vec_id") % 10 === 3),
+        "vec_id", "embedding", dir)
+      Quantization.ivfPqSearch(
+          T.embeddings(s, d).filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", Quantization.loadIvfPqIndex(s, dir),
+          nprobe = 2, topK = 3)
+        .orderBy("qid", "rank")
+    }),
+
     // Shingle df histogram — the dfCap / prefix-path tuning
     // diagnostic for the near-dup family (candidate volume through a
     // shingle is ~df^2/2; a heavy top bucket = the prefix regime).
@@ -1241,7 +1344,7 @@ object LlmQueries {
     * two dataset dirs colliding in one application would silently share
     * a scratch path, the second write clobbering the first dataset's
     * table while its memo entry still points there. */
-  private def pathDigest(d: String): String =
+  private[queries] def pathDigest(d: String): String =
     java.security.MessageDigest.getInstance("SHA-1")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
@@ -1726,7 +1829,17 @@ object LlmQueries {
     * integer-micro ADC L2 scoring. Distances decompose per subspace,
     * so each LUT term rounds to micros once and the per-(qid, nid)
     * sums are order-independent BIGINTs. */
-  private val D51Prefix: String = {
+  /** The d51 IVF-PQ replay, parameterized for the incremental-add
+    * twins: `queryPred` restricts the query batch (default = d51's
+    * every-10th), `corpusPred` restricts which ENCODED corpus rows
+    * are visible to the scorer (default = all) — the base-only
+    * layout before an [[graft.operators.Quantization.ivfPqAddBatch]]
+    * is exactly 'codebooks trained on the union, codes present for
+    * the base', which in the replay is the full train chain with a
+    * `corpusPred` filter at the scoring join. */
+  private[queries] def d51PrefixWith(
+      queryPred: String = "id % 10 = 0",
+      corpusPred: String = "TRUE"): String = {
     // 6-dp L2 argmin against a (c, cv) codebook relation, full vectors
     def cassign(n: Int, rel: String): String =
       s"""cq$n AS (SELECT id, vv, c, ROUND(list_sum([(vv[i]-cv[i])*(vv[i]-cv[i])
@@ -1772,7 +1885,7 @@ object LlmQueries {
        |  SELECT s, c, i, ROUND(avg(x), 6) AS m FROM pex
        |  GROUP BY s, c, i) GROUP BY s, c),
        |${passign(2, "pc1")},
-       |q AS (SELECT id AS qid, vv AS qv FROM v WHERE id % 10 = 0),
+       |q AS (SELECT id AS qid, vv AS qv FROM v WHERE $queryPred),
        |pr AS (SELECT qid, cell, qr FROM (SELECT qid, cc1.c AS cell,
        |  ROUND(list_sum([(qv[i]-cv[i])*(qv[i]-cv[i])
        |    FOR i IN range(1, len(qv)+1)]), 6) AS cd,
@@ -1792,10 +1905,12 @@ object LlmQueries {
        |  pa2.c AS c FROM pa2 JOIN res ON pa2.id = res.id),
        |sc AS (SELECT qid, nid, CAST(SUM(tm) AS BIGINT) AS dist_micros
        |  FROM cdz JOIN lut USING (cell, s, c)
-       |  WHERE nid <> qid GROUP BY qid, nid),
+       |  WHERE nid <> qid AND ($corpusPred) GROUP BY qid, nid),
        |r AS (SELECT qid, nid, dist_micros, ROW_NUMBER() OVER (
        |  PARTITION BY qid ORDER BY dist_micros, nid) AS rank FROM sc)""".stripMargin
   }
+
+  private val D51Prefix: String = d51PrefixWith()
 
   private val D51IvfPqSql: String =
     D51Prefix + """
@@ -2625,24 +2740,37 @@ object LlmQueries {
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
     // the synthesized URL variants + the identical normalization
     // pipeline step by step (DuckDB regexp_replace needs the 'g' flag
-    // where Spark is global by default; backrefs are \1 not $1)
+    // where Spark is global by default; backrefs are \1 not $1). The
+    // utm passes split at the first '?' and run on the query
+    // substring only, exactly as urlCanonicalize does; the domain
+    // CASE embeds the SAME multi-label suffix alternation via
+    // TextAnalysis.MultiLabelSuffixes so the two stay lock-step.
     "d73_url_canon" ->
-      """WITH u AS (SELECT doc_id,
-        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site'
-        |   ELSE 'http://WWW.Site' END) || (doc_id % 7) || '.COM' ||
+      ("""WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+        |   ELSE 'http://' END) ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN '10.1.2.3'
+        |   WHEN doc_id % 11 = 1 THEN 'News.BBC.CO.UK'
+        |   ELSE 'WWW.Site' || (doc_id % 7) || '.COM' END) ||
         |  (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) ||
         |  '/path/' || (doc_id % 5) ||
         |  (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&a=1&b=2'
-        |   WHEN 1 THEN '?a=1#frag' WHEN 2 THEN '/' ELSE '' END)
+        |   WHEN 1 THEN '?a=1#frag' WHEN 2 THEN '/'
+        |   ELSE '/x&utm_z/tail' END)
         |  AS url FROM documents),
         |c1 AS (SELECT doc_id, url,
         |  regexp_replace(url, '#.*', '') AS s FROM u),
-        |c2 AS (SELECT doc_id, url, regexp_replace(s,
-        |  '\?utm_[^&]*(&utm_[^&]*)*&', '?') AS s FROM c1),
-        |c25 AS (SELECT doc_id, url, regexp_replace(s,
-        |  '\?utm_[^&]*(&utm_[^&]*)*$', '') AS s FROM c2),
-        |c3 AS (SELECT doc_id, url,
-        |  regexp_replace(s, '&utm_[^&]*', '', 'g') AS s FROM c25),
+        |cq AS (SELECT doc_id, url,
+        |  CASE WHEN instr(s, '?') = 0 THEN s
+        |    ELSE substr(s, 1, instr(s, '?') - 1) END AS pp,
+        |  CASE WHEN instr(s, '?') = 0 THEN ''
+        |    ELSE substr(s, instr(s, '?')) END AS qq FROM c1),
+        |c2 AS (SELECT doc_id, url, pp, regexp_replace(qq,
+        |  '^\?utm_[^&]*(&utm_[^&]*)*&', '?') AS qq FROM cq),
+        |c25 AS (SELECT doc_id, url, pp, regexp_replace(qq,
+        |  '^\?utm_[^&]*(&utm_[^&]*)*$', '') AS qq FROM c2),
+        |c3 AS (SELECT doc_id, url, pp ||
+        |  regexp_replace(qq, '&utm_[^&]*', '', 'g') AS s FROM c25),
         |c4 AS (SELECT doc_id, url, s, regexp_extract(s,
         |  '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]*)', 1) AS head FROM c3),
         |c5 AS (SELECT doc_id, url, s, head,
@@ -2655,16 +2783,23 @@ object LlmQueries {
         |  FROM c4),
         |h AS (SELECT doc_id, regexp_replace(regexp_replace(
         |  regexp_extract(lower(url),
-        |  '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]*)', 1),
+        |  '^[a-zA-Z][a-zA-Z0-9+.\-]*://(\[[^\]]*\]|[^/:?#]*)', 1),
         |  '\.$', ''), '^www\.', '') AS hh FROM u)
         |SELECT c5.doc_id AS doc_id,
         |CASE WHEN head = '' THEN s WHEN tail = '/' THEN chead
         |  ELSE chead || tail END AS url_canon,
-        |CASE WHEN regexp_matches(hh, '[^.]+\.[^.]+$')
+        |CASE WHEN regexp_matches(hh, '^[0-9.]+$')
+        |    OR hh LIKE '[%' THEN hh
+        |  WHEN regexp_matches(hh, '[^.]+\.(MULTIALT)$')
+        |  THEN regexp_extract(hh, '([^.]+\.(MULTIALT))$', 1)
+        |  WHEN regexp_matches(hh, '[^.]+\.[^.]+$')
         |  THEN regexp_extract(hh, '([^.]+\.[^.]+)$', 1)
         |  ELSE hh END AS domain
         |FROM c5 JOIN h ON c5.doc_id = h.doc_id
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin
+        .replace("MULTIALT",
+          graft.operators.TextAnalysis.MultiLabelSuffixes
+            .map(_.replace(".", "\\.")).mkString("|"))),
     // the derived source + precedence rank restated; survivor = first
     // row of the (rank, id) order per fingerprint
     "d72_priority_dedup" ->
@@ -2758,6 +2893,10 @@ object LlmQueries {
     // persisted round-trip serves the SAME index the d51 chain
     // trains, so the oracle is d51's verbatim
     "d65_ivfpq_persist" -> D51IvfPqSql,
+    // add-then-search == train-on-union search: frozen codebooks make
+    // the appended codes bit-identical to the original build's, so
+    // the d51 oracle gates the add path verbatim
+    "inc_ivfpq_add" -> D51IvfPqSql,
     "d66_ivfpq_rescore" -> D66IvfPqRescoreSql,
     // the per-shard rollup derived from the global cumsum alone
     "s20_shard_write" ->
@@ -2778,6 +2917,50 @@ object LlmQueries {
         |CAST(MIN(seq_start) AS BIGINT) AS first_seq,
         |CAST(MAX(seq_end) AS BIGINT) AS last_seq
         |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
+    // recipe → rates → sample → split → cumsum → shard rollup, all
+    // restated from the documents table: the d70 plan math feeds an
+    // integer-micro boost→basis-points cut, the d76 md5 bucket gates
+    // both the per-stratum keep and the train split, and the s20
+    // cumsum/rollup runs over the surviving rows
+    "d79_recipe_to_shards" ->
+      """WITH s AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM s),
+        |p AS (SELECT lang, n_tokens, n_tokens / tt AS praw,
+        |  CASE WHEN n_tokens > 0 THEN GREATEST(1,
+        |    CAST(ROUND(sqrt(n_tokens / tt) * 1000000) AS BIGINT))
+        |  ELSE 0 END AS sp
+        |  FROM s CROSS JOIN t),
+        |qt AS (SELECT CAST(SUM(sp) AS BIGINT) AS qt FROM p),
+        |bo AS (SELECT lang, CASE WHEN n_tokens = 0 THEN 0
+        |  ELSE CAST(ROUND(ROUND(
+        |    GREATEST(ROUND(sp / qt, 6), 0.000001) / praw, 6)
+        |    * 1000000) AS BIGINT) END AS bm
+        |  FROM p CROSS JOIN qt),
+        |mx AS (SELECT MAX(bm) AS mb FROM bo),
+        |rt AS (SELECT lang, (bm * 10000) // mb AS rate
+        |  FROM bo CROSS JOIN mx),
+        |samp AS (SELECT d.doc_id AS doc_id,
+        |  CAST(d.n_chars AS BIGINT) AS n_tokens
+        |  FROM documents d JOIN rt ON d.lang = rt.lang
+        |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |    ::BIGINT % 10000 < LEAST(rate, 9800)),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start_tok FROM samp),
+        |p2 AS (SELECT doc_id, n_tokens, start_tok,
+        |  start_tok // 4096 AS seq_start,
+        |  CASE WHEN n_tokens = 0 THEN start_tok // 4096
+        |    ELSE (start_tok + n_tokens - 1) // 4096 END AS seq_end
+        |  FROM c)
+        |SELECT CAST(seq_start // 16 AS BIGINT) AS shard,
+        |COUNT(*) AS n_docs,
+        |CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |CAST(MIN(seq_start) AS BIGINT) AS first_seq,
+        |CAST(MAX(seq_end) AS BIGINT) AS last_seq,
+        |CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM p2 GROUP BY 1 ORDER BY shard""".stripMargin,
     // the GLOBAL exclusive cumsum the two-level distributed scan must
     // equal — associativity of addition is the operator's claim
     "d67_pack_sequences" ->
@@ -2935,6 +3118,33 @@ object LlmQueries {
     // counts built as three merged batch partials — merged partials ==
     // full recompute is the oracle's claim, so the SQL is d64 verbatim
     "inc_boilerplate" -> D64CrossLineSql,
+    // the d74 (lang, line) count scope applied cross-corpus: existing
+    // rows (%5 <> 0) build the per-lang screen, incoming rows probe
+    // it — the full recompute the merged partials must equal
+    "inc_grouped_boiler" ->
+      """WITH src AS (SELECT doc_id, lang, CASE WHEN doc_id % 4 = 0
+        |  THEN text || chr(10) ||
+        |    'copyright example site all rights reserved'
+        |  ELSE text END AS text FROM documents),
+        |ls AS (SELECT doc_id, lang, string_split(text, chr(10)) AS a
+        |  FROM src),
+        |l AS (SELECT doc_id, lang, u.i AS pos, u.ln AS ln FROM (
+        |  SELECT doc_id, lang, unnest([{'i': x, 'ln': a[x+1]}
+        |    FOR x IN range(0, len(a))]) AS u FROM ls)),
+        |c AS (SELECT lang, trim(ln) AS k FROM l
+        |  WHERE trim(ln) <> '' AND doc_id % 5 <> 0
+        |  GROUP BY lang, trim(ln) HAVING COUNT(*) >= 3),
+        |inc AS (SELECT * FROM l WHERE doc_id % 5 = 0),
+        |k AS (SELECT doc_id, inc.lang AS lang, pos, ln,
+        |  (trim(ln) = '' OR c.k IS NULL) AS keep
+        |  FROM inc LEFT JOIN c ON inc.lang = c.lang
+        |    AND trim(inc.ln) = c.k)
+        |SELECT doc_id, lang,
+        |COALESCE(string_agg(ln, chr(10) ORDER BY pos)
+        |  FILTER (WHERE keep), '') AS text,
+        |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |  AS n_removed
+        |FROM k GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     // the d56 CTEs extended with the budget/epoch scan math
     "d70_temp_plan" ->
       """WITH s AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens

@@ -405,6 +405,52 @@ object StreamQueries {
         .orderBy("in_id", "ex_id")
     }),
 
+    // The persisted ANN index APPENDED between catch-up runs — the
+    // st_inc_prefix pattern applied to the index artifact: era A of
+    // the query stream serves from the base-only layout, then
+    // ivfPqAddBatch appends the held-out vectors' codes (FROZEN
+    // codebooks — the FAISS `add` path), and era B serves from the
+    // appended layout. Per-query results depend only on (query
+    // vector, layout), so micro-batch splits cannot change them; the
+    // oracle states each era's truth via the d51 replay with the
+    // corpus restricted to what that era's layout had encoded.
+    "st_inc_ivfpq_add" -> ((s, d) => {
+      val Q = graft.operators.Quantization
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"stivfadd_${LlmQueries.pathDigest(d)}"
+      lazy val layoutReady: Boolean = {
+        val idx = LlmQueries.sharedIvfPqIndex(s, d)
+        Q.persistIvfPqIndex(
+          idx.copy(codes = idx.codes.filter(col("nid") % 10 =!= 3)),
+          dir)
+        true
+      }
+      def serve(era: Int)(batch: DataFrame): DataFrame =
+        Q.ivfPqSearch(
+          batch.filter(col("vec_id") % 20 === era * 10),
+          "vec_id", "embedding",
+          Q.loadIvfPqIndex(batch.sparkSession, dir),
+          nprobe = 2, topK = 3)
+      val run1 = materializedStream(s, d, "ivfaddA",
+        "embeddings.parquet",
+        transform = { b => layoutReady; serve(0)(b) }) { in =>
+        val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      // between the runs: the add — encode-only, append-only, reads
+      // none of the existing codes
+      Q.ivfPqAddBatch(
+        T.embeddings(s, d).filter(col("vec_id") % 10 === 3),
+        "vec_id", "embedding", dir)
+      val run2 = materializedStream(s, d, "ivfaddB",
+        "embeddings.parquet", transform = serve(1)) { in =>
+        val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      s.read.parquet(run1).unionByName(s.read.parquet(run2))
+        .orderBy("qid", "rank")
+    }),
+
     // Benchmark decontamination as a streaming twin — the other screen
     // a continuous ingest pipeline runs on every arriving batch: the
     // bench-gram set is tiny and static (broadcast inside
@@ -776,6 +822,20 @@ object StreamQueries {
         |CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_tokens
         |FROM x GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+    // the era-split IVF-PQ truth via the parameterized d51 replay:
+    // era A queries (every 20th) against the base-only layout (codes
+    // absent for the %10=3 held-out slice), era B queries (every
+    // 20th + 10) against the appended union layout — frozen
+    // codebooks make the replay's train chain identical in both
+    "st_inc_ivfpq_add" ->
+      ("SELECT * FROM (" +
+        LlmQueries.d51PrefixWith(queryPred = "id % 20 = 0",
+          corpusPred = "nid % 10 <> 3") +
+        "\nSELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros" +
+        " FROM r WHERE rank <= 3)\nUNION ALL\nSELECT * FROM (" +
+        LlmQueries.d51PrefixWith(queryPred = "id % 20 = 10") +
+        "\nSELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros" +
+        " FROM r WHERE rank <= 3)\nORDER BY qid, rank"),
     // the era-split pairwise truth directly (prefix filtering is
     // lossless, so index internals never appear): even incoming pairs
     // against era-A existing only, odd against all existing

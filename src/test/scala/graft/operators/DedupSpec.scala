@@ -572,4 +572,44 @@ class DedupSpec extends SparkSpec {
         s"boilerplate set must not be force-broadcast:\n$plan")
     } finally spark.conf.set(thresholdKey, prior)
   }
+
+  test("groupedLineDedupAgainst: per-group scope, null group, " +
+    "merged partials == full recompute") {
+    // "promo line" is boilerplate on site-a's existing side (3
+    // occurrences) but appears once on site-b: incoming a-docs lose
+    // it, incoming b-docs keep it. The null-group site's own
+    // boilerplate (3 "nullish" lines) must screen null-group
+    // incoming docs — the (isNull, value) struct key, not a
+    // never-matching equi-join.
+    val existing = Seq(
+      (1L, "a", "promo line\nkeep a1"),
+      (2L, "a", "promo line\nkeep a2"),
+      (3L, "a", "promo line\nkeep a3"),
+      (4L, "b", "promo line\nkeep b1"),
+      (5L, null.asInstanceOf[String], "nullish\nnullish\nnullish"))
+      .toDF("doc_id", "site", "text")
+    val incoming = Seq(
+      (10L, "a", "promo line\nfresh a"),
+      (11L, "b", "promo line\nfresh b"),
+      (12L, null.asInstanceOf[String], "nullish\nfresh n"))
+      .toDF("doc_id", "site", "text")
+    val full = Dedup.groupedBoilerplateLineSet(existing, "site",
+      "text", minCount = 3)
+    val merged = Dedup.groupedBoilerplateFromCounts(
+      Dedup.mergeGroupedLineCounts(Seq(
+        Dedup.groupedLineCountPartial(
+          existing.filter(col("doc_id") <= 2), "site", "text"),
+        Dedup.groupedLineCountPartial(
+          existing.filter(col("doc_id") > 2), "site", "text"))),
+      minCount = 3)
+    assert(merged.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet)
+    val got = Dedup.groupedLineDedupAgainst(incoming, merged,
+        "doc_id", "site", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getString(2), r.getLong(3))).toMap
+    assert(got(10L) == ((Some("a"), "fresh a", 1L)))
+    assert(got(11L) == ((Some("b"), "promo line\nfresh b", 0L)))
+    assert(got(12L) == ((None, "fresh n", 1L)))
+  }
 }

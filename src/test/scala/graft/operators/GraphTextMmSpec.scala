@@ -250,7 +250,12 @@ class TextAnalysisSpec extends SparkSpec {
       "http://x.com:443/a",              // NOT a default port for http
       "https://example.com./x",          // trailing-dot FQDN
       "http://x.com/a&b?utm_s=1&c=2",    // literal '&' in the PATH
-      "a&b")                             // non-URL with '&'
+      "a&b",                             // non-URL with '&'
+      "http://x.com/a&utm_x/b",          // '&utm_' in the PATH, no query
+      "http://x.com/a&utm_x/b?r=1&utm_t=2", // path '&utm_' AND a query
+      "http://10.1.2.3/x",               // IPv4-literal host
+      "https://News.BBC.CO.UK/x",        // multi-label public suffix
+      "http://[2001:db8::1]/x")          // bracketed IPv6 host
       .toDF("u")
       .select(TextAnalysis.urlCanonicalize(col("u")),
         TextAnalysis.registeredDomain(col("u")))
@@ -275,6 +280,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(8) == (("http://x.com/a&b?c=2", "x.com")))
     // non-URLs with '&' pass through byte-identical
     assert(got(9) == (("a&b", "")))
+    // the utm strip is query-only: a literal '&utm_' in the PATH of a
+    // query-less URL survives byte-identical (the old unanchored pass
+    // 3 stripped '&utm_x/b' here — silent dedup-key corruption)
+    assert(got(10) == (("http://x.com/a&utm_x/b", "x.com")))
+    // ... and with a query present, the path still survives while the
+    // query's real utm param drops
+    assert(got(11) == (("http://x.com/a&utm_x/b?r=1", "x.com")))
+    // IP-literal hosts pass through whole — no label rule
+    assert(got(12) == (("http://10.1.2.3/x", "10.1.2.3")))
+    // multi-label public suffix: bbc.co.uk, NOT co.uk
+    assert(got(13) == (("https://news.bbc.co.uk/x", "bbc.co.uk")))
+    // bracketed IPv6 captured whole by the host extract, guard holds
+    assert(got(14) == (("http://[2001:db8::1]/x", "[2001:db8::1]")))
   }
 
   test("lineRepetitionStats: hand-computed fractions, blanks ignored") {

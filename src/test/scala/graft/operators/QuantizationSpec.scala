@@ -249,4 +249,41 @@ class QuantizationSpec extends SparkSpec {
         .forEach(f => java.nio.file.Files.delete(f))
     }
   }
+
+  test("ivfPqAddBatch: appended codes are bit-identical to the full " +
+    "build's, and add-then-search equals the union search") {
+    val built = Quantization.ivfPqIndex(vecs, "vec_id", "embedding",
+      nlist = 2, coarseIters = 2, m = 2, ksub = 2, pqIters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_add").toString
+    try {
+      // persist with the odd-id half held out, then add it back
+      Quantization.persistIvfPqIndex(
+        built.copy(codes = built.codes.filter(col("nid") % 2 === 0)),
+        dir)
+      Quantization.ivfPqAddBatch(vecs.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", dir)
+      val loaded = Quantization.loadIvfPqIndex(spark, dir)
+      // frozen codebooks ⇒ the appended rows reproduce the original
+      // build's codes exactly, row for row
+      def codeSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("nid", "cell", "s", "c").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+            r.getInt(3))).toSet
+      assert(codeSet(loaded.codes) == codeSet(built.codes))
+      // and the served result equals serving the original full build
+      def serve(idx: Quantization.IvfPqIndex) =
+        Quantization.ivfPqSearch(vecs.filter(col("vec_id") < 2),
+            "vec_id", "embedding", idx, nprobe = 1, topK = 3)
+          .collect().map(_.toSeq).toSet
+      assert(serve(loaded) == serve(built) && serve(built).nonEmpty)
+    } finally {
+      org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(built.codes)
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
 }
