@@ -375,46 +375,35 @@ object LlmQueries {
     // share (d1's fingerprint), the d58 Gopher gate's pass rate,
     // benchmark contamination (d18's screen), token volume, and
     // top-language concentration. All scalar attaches are one-row
-    // crossJoins (the established pattern).
-    "rp_corpus_health" -> ((s, d) => {
-      val docs = T.documents(s, d)
-      val dup = docs
-        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
-        .groupBy("fp").agg(count(lit(1)).as("c"))
-        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L))
-          .as("n_dup_docs"))
-      val g = TextAnalysis.gopherRules(docs, "doc_id", "text")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("r_word_count") && col("r_mean_len")
-            && col("r_symbol") && col("r_alpha"), 1L).otherwise(0L))
-            .as("n_gopher_pass"))
-      val bench = docs.filter(col("doc_id") % 37 === 0)
-        .select(concat_ws(" ",
-          slice(split(col("text"), "\\s+"), 1, 15)).as("btext"))
-      val cont = Dedup.decontaminate(docs, "doc_id", "text", bench,
-          "btext")
-        .agg(count(lit(1)).as("n_contaminated"))
-      val toks = docs.agg(
-        sum(TextAnalysis.tokenCount(col("text")).cast("long"))
-          .as("n_tokens"))
-      val lang = docs.groupBy("lang").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("lang")).limit(1)
-        .select(col("lang").as("top_lang"),
-          col("c").as("top_lang_docs"))
-      g.crossJoin(dup).crossJoin(cont).crossJoin(toks).crossJoin(lang)
-        .select(col("n_docs"), col("n_tokens"), col("n_dup_docs"),
-          round(col("n_dup_docs") / col("n_docs"), 6).as("dup_rate"),
-          col("n_gopher_pass"),
-          round(col("n_gopher_pass") / col("n_docs"), 6)
-            .as("gopher_pass_rate"),
-          col("n_contaminated"),
-          round(col("n_contaminated") / col("n_docs"), 6)
-            .as("contamination_rate"),
-          col("top_lang"), col("top_lang_docs"),
-          round(col("top_lang_docs") / col("n_docs"), 6)
-            .as("top_lang_share"))
-    }),
+    // crossJoins (the established pattern). The body is the shared
+    // [[corpusHealth]] kernel so rp_health_delta diffs the SAME
+    // aggregate-only capture.
+    "rp_corpus_health" -> ((s, d) => corpusHealth(T.documents(s, d))),
 
+    // The corpus-health DELTA — the tm_snapshots 90/91 before/after
+    // compare applied to the LLM surface: health now vs health at the
+    // last snapshot, metric by metric. The two one-row frames ARE the
+    // snapshot tables (aggregate-only captures — in production
+    // persisted between crawls and diffed without recompute); the
+    // "last snapshot" state here is the pre-crawl corpus (every 10th
+    // doc plus 9 not yet ingested), so every delta is non-trivially
+    // exercised. This is the regression signal a data lead watches
+    // between crawls: dup_rate or contamination_rate drifting UP on
+    // a crawl is the stop-the-line number.
+    "rp_health_delta" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val before = corpusHealth(docs.filter(col("doc_id") % 10 =!= 9))
+      val after = corpusHealth(docs)
+      def longForm(h: DataFrame, v: String) = h.select(explode(array(
+          HealthMetrics.map(m => struct(lit(m).as("metric"),
+            col(m).cast("double").as(v))): _*)).as("kv"))
+        .select(col("kv.metric").as("metric"), col(s"kv.$v").as(v))
+      longForm(before, "prev_value")
+        .join(longForm(after, "new_value"), Seq("metric"))
+        .withColumn("delta",
+          round(col("new_value") - col("prev_value"), 6))
+        .orderBy("metric")
+    }),
     // Deterministic hash split (98/1/1): per-doc assignment plus the
     // per-split rollup — stable under corpus growth, the anti-leakage
     // property a random split lacks.
@@ -1339,6 +1328,123 @@ object LlmQueries {
         .orderBy("node")),
   )
 
+  /** The one-row corpus-health snapshot SQL — shared verbatim by
+    * rp_corpus_health and (via a shadowing `documents` CTE, twice)
+    * rp_health_delta. */
+  private val HealthSnapshotSql: String =
+    """WITH fp AS (SELECT
+        |  md5(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |dup AS (SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c
+        |  ELSE 0 END), 0) AS BIGINT) AS n_dup_docs FROM (
+        |  SELECT fp, COUNT(*) AS c FROM fp GROUP BY fp)),
+        |b AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws,
+        |  len(regexp_extract_all(text, '#'))
+        |    + len(regexp_extract_all(text, '\.\.\.'))
+        |    + len(regexp_extract_all(text, '…')) AS n_sym
+        |  FROM documents),
+        |f AS (SELECT doc_id, len(ws) AS n_words,
+        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+        |    / len(ws), 6) END AS mwl,
+        |  CASE WHEN len(ws) = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_sym AS DOUBLE) / len(ws), 6) END AS swr,
+        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '\p{L}')))
+        |      AS DOUBLE) / len(ws), 6) END AS awf
+        |  FROM b),
+        |g AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND mwl >= 3.0 AND mwl <= 10.0 AND swr <= 0.1
+        |    AND awf >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gopher_pass FROM f),
+        |tk AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS n_tokens FROM b),
+        |bench AS (SELECT array_to_string(
+        |    string_split_regex(text, '\s+')[1:15], ' ') AS btext
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |bw AS (SELECT list_filter(string_split_regex(btext, '\s+'),
+        |    t -> t <> '') AS ws FROM bench),
+        |bg AS (SELECT DISTINCT h FROM (SELECT
+        |    unnest([md5(array_to_string(ws[i:i+7], ' '))
+        |      FOR i IN range(1, len(ws) - 6)]) AS h
+        |    FROM bw WHERE len(ws) >= 8)),
+        |tg AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id,
+        |    unnest([md5(array_to_string(ws[i:i+7], ' '))
+        |      FOR i IN range(1, len(ws) - 6)]) AS h
+        |    FROM b WHERE len(ws) >= 8)),
+        |cont AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        |  FROM (SELECT DISTINCT doc_id FROM tg JOIN bg USING (h))),
+        |lng AS (SELECT lang AS top_lang,
+        |  CAST(COUNT(*) AS BIGINT) AS top_lang_docs FROM documents
+        |  GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1)
+        |SELECT n_docs, n_tokens, n_dup_docs,
+        |ROUND(n_dup_docs / n_docs, 6) AS dup_rate,
+        |n_gopher_pass,
+        |ROUND(n_gopher_pass / n_docs, 6) AS gopher_pass_rate,
+        |n_contaminated,
+        |ROUND(n_contaminated / n_docs, 6) AS contamination_rate,
+        |top_lang, top_lang_docs,
+        |ROUND(top_lang_docs / n_docs, 6) AS top_lang_share
+        |FROM g CROSS JOIN dup CROSS JOIN tk CROSS JOIN cont
+        |CROSS JOIN lng""".stripMargin
+
+  /** The numeric metrics of the one-row corpus-health snapshot, in
+    * the order the delta row reports them — shared by the Spark
+    * unpivot and the oracle's generated UNION ALL so the two can
+    * never diverge. (`top_lang` is a string and diffs don't apply;
+    * its concentration is covered by top_lang_docs/top_lang_share.) */
+  private val HealthMetrics: Seq[String] = Seq(
+    "n_docs", "n_tokens", "n_dup_docs", "dup_rate",
+    "n_gopher_pass", "gopher_pass_rate",
+    "n_contaminated", "contamination_rate",
+    "top_lang_docs", "top_lang_share")
+
+  /** The one-row corpus-health snapshot kernel shared by
+    * rp_corpus_health and rp_health_delta: every number from a
+    * gate-green kernel (d1 fingerprint dup share, d58 Gopher pass
+    * rate, d18 contamination screen, token volume, top-language
+    * concentration); aggregate-only — the tm_snapshots capture
+    * discipline, never row copies. All scalar attaches are one-row
+    * crossJoins. */
+  private def corpusHealth(docs: DataFrame): DataFrame = {
+    val dup = docs
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L))
+        .as("n_dup_docs"))
+    val g = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r_word_count") && col("r_mean_len")
+          && col("r_symbol") && col("r_alpha"), 1L).otherwise(0L))
+          .as("n_gopher_pass"))
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(concat_ws(" ",
+        slice(split(col("text"), "\\s+"), 1, 15)).as("btext"))
+    val cont = Dedup.decontaminate(docs, "doc_id", "text", bench,
+        "btext")
+      .agg(count(lit(1)).as("n_contaminated"))
+    val toks = docs.agg(
+      sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+        .as("n_tokens"))
+    val lang = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("lang")).limit(1)
+      .select(col("lang").as("top_lang"),
+        col("c").as("top_lang_docs"))
+    g.crossJoin(dup).crossJoin(cont).crossJoin(toks).crossJoin(lang)
+      .select(col("n_docs"), col("n_tokens"), col("n_dup_docs"),
+        round(col("n_dup_docs") / col("n_docs"), 6).as("dup_rate"),
+        col("n_gopher_pass"),
+        round(col("n_gopher_pass") / col("n_docs"), 6)
+          .as("gopher_pass_rate"),
+        col("n_contaminated"),
+        round(col("n_contaminated") / col("n_docs"), 6)
+          .as("contamination_rate"),
+        col("top_lang"), col("top_lang_docs"),
+        round(col("top_lang_docs") / col("n_docs"), 6)
+          .as("top_lang_share"))
+  }
+
   /** Collision-free scratch-path suffix for a dataset dir: SHA-1 hex of
     * the path string. `String.hashCode` (the previous key) is 32-bit —
     * two dataset dirs colliding in one application would silently share
@@ -2207,63 +2313,25 @@ object LlmQueries {
     // '0x'-cast); integer basis-point compare, no floats anywhere
     // each number restated from its kernel's oracle fragment: d1's
     // fingerprint, d52's four-rule gate, d18's gram screen
-    "rp_corpus_health" ->
-      """WITH fp AS (SELECT
-        |  md5(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
-        |  FROM documents),
-        |dup AS (SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c
-        |  ELSE 0 END), 0) AS BIGINT) AS n_dup_docs FROM (
-        |  SELECT fp, COUNT(*) AS c FROM fp GROUP BY fp)),
-        |b AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws,
-        |  len(regexp_extract_all(text, '#'))
-        |    + len(regexp_extract_all(text, '\.\.\.'))
-        |    + len(regexp_extract_all(text, '…')) AS n_sym
-        |  FROM documents),
-        |f AS (SELECT doc_id, len(ws) AS n_words,
-        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
-        |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
-        |    / len(ws), 6) END AS mwl,
-        |  CASE WHEN len(ws) = 0 THEN 0.0
-        |    ELSE ROUND(CAST(n_sym AS DOUBLE) / len(ws), 6) END AS swr,
-        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
-        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '\p{L}')))
-        |      AS DOUBLE) / len(ws), 6) END AS awf
-        |  FROM b),
-        |g AS (SELECT COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN n_words >= 50 AND n_words <= 100000
-        |    AND mwl >= 3.0 AND mwl <= 10.0 AND swr <= 0.1
-        |    AND awf >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_gopher_pass FROM f),
-        |tk AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS n_tokens FROM b),
-        |bench AS (SELECT array_to_string(
-        |    string_split_regex(text, '\s+')[1:15], ' ') AS btext
-        |  FROM documents WHERE doc_id % 37 = 0),
-        |bw AS (SELECT list_filter(string_split_regex(btext, '\s+'),
-        |    t -> t <> '') AS ws FROM bench),
-        |bg AS (SELECT DISTINCT h FROM (SELECT
-        |    unnest([md5(array_to_string(ws[i:i+7], ' '))
-        |      FOR i IN range(1, len(ws) - 6)]) AS h
-        |    FROM bw WHERE len(ws) >= 8)),
-        |tg AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id,
-        |    unnest([md5(array_to_string(ws[i:i+7], ' '))
-        |      FOR i IN range(1, len(ws) - 6)]) AS h
-        |    FROM b WHERE len(ws) >= 8)),
-        |cont AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_contaminated
-        |  FROM (SELECT DISTINCT doc_id FROM tg JOIN bg USING (h))),
-        |lng AS (SELECT lang AS top_lang,
-        |  CAST(COUNT(*) AS BIGINT) AS top_lang_docs FROM documents
-        |  GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1)
-        |SELECT n_docs, n_tokens, n_dup_docs,
-        |ROUND(n_dup_docs / n_docs, 6) AS dup_rate,
-        |n_gopher_pass,
-        |ROUND(n_gopher_pass / n_docs, 6) AS gopher_pass_rate,
-        |n_contaminated,
-        |ROUND(n_contaminated / n_docs, 6) AS contamination_rate,
-        |top_lang, top_lang_docs,
-        |ROUND(top_lang_docs / n_docs, 6) AS top_lang_share
-        |FROM g CROSS JOIN dup CROSS JOIN tk CROSS JOIN cont
-        |CROSS JOIN lng""".stripMargin,
+    "rp_corpus_health" -> HealthSnapshotSql,
+    // the snapshot SQL replayed twice — "last snapshot" = the
+    // pre-crawl corpus (doc_id % 10 <> 9) via a shadowing CTE — and
+    // diffed metric by metric; the UNION ALL rows generate from the
+    // SAME HealthMetrics list the Spark unpivot uses
+    "rp_health_delta" -> {
+      def snap(pred: String) =
+        "(WITH docsrc AS (SELECT * FROM documents WHERE " + pred +
+          "),\n" + HealthSnapshotSql.stripPrefix("WITH ")
+            .replace("FROM documents", "FROM docsrc") + ")"
+      val rows = HealthMetrics.map(m =>
+        s"SELECT '$m' AS metric, CAST(hb.$m AS DOUBLE) AS prev_value," +
+          s" CAST(ha.$m AS DOUBLE) AS new_value," +
+          s" ROUND(CAST(ha.$m AS DOUBLE) - CAST(hb.$m AS DOUBLE), 6)" +
+          s" AS delta FROM hb CROSS JOIN ha")
+      "WITH hb AS (SELECT * FROM " + snap("doc_id % 10 <> 9") +
+        " t),\nha AS (SELECT * FROM " + snap("TRUE") + " t)\n" +
+        rows.mkString("", "\nUNION ALL\n", "\nORDER BY metric")
+    },
     // the md5 bucket restated with cumulative 98/1/1 cut points
     "d76_split_assign" ->
       """WITH b AS (SELECT doc_id, n_chars,
