@@ -677,6 +677,42 @@ object Graft {
   def mergeGramSets(sets: Seq[DataFrame]): DataFrame =
     graft.operators.Dedup.mergeGramSets(sets)
 
+  /** Per-batch (group, line)-keyed count partial of the PER-SITE
+    * boilerplate screen; merge with [[mergeGroupedLineCounts]],
+    * threshold with [[groupedBoilerplateFromCounts]]. */
+  def groupedLineCountPartial(batch: DataFrame, groupCol: String,
+                              textCol: String): DataFrame =
+    graft.operators.Dedup.groupedLineCountPartial(batch, groupCol,
+      textCol)
+
+  /** Merge [[groupedLineCountPartial]] tables (group, line)-key-wise. */
+  def mergeGroupedLineCounts(partials: Seq[DataFrame]): DataFrame =
+    graft.operators.Dedup.mergeGroupedLineCounts(partials)
+
+  /** Threshold a (merged) grouped line-count table into the per-group
+    * boilerplate set [[groupedLineDedupAgainst]] probes. */
+  def groupedBoilerplateFromCounts(counts: DataFrame,
+                                   minCount: Int = 3): DataFrame =
+    graft.operators.Dedup.groupedBoilerplateFromCounts(counts, minCount)
+
+  /** Cut incoming lines that are boilerplate IN THEIR OWN GROUP —
+    * the ingest-time per-site screen (null-safe group key). */
+  def groupedLineDedupAgainst(incoming: DataFrame,
+                              boilerplate: DataFrame, idCol: String,
+                              groupCol: String,
+                              textCol: String): DataFrame =
+    graft.operators.Dedup.groupedLineDedupAgainst(incoming,
+      boilerplate, idCol, groupCol, textCol)
+
+  /** FAISS-style `add` for a persisted IVF-PQ index: encode a new
+    * batch against the FROZEN codebooks and append to the cell
+    * partitions — add-then-search equals the build that encoded the
+    * union; periodic re-train is the separate compaction step. */
+  def ivfPqAddBatch(newEmb: DataFrame, idCol: String, vecCol: String,
+                    dir: String): Unit =
+    graft.operators.Quantization.ivfPqAddBatch(newEmb, idCol, vecCol,
+      dir)
+
   /** Refresh a prefix-cross index with a newly committed batch:
     * shingles append, df counts merge key-wise, only the prefix
     * postings re-derive — no existing text rescanned. */

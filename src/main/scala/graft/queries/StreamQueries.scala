@@ -341,6 +341,53 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // The PER-SITE boilerplate screen refreshed between catch-up runs
+    // — the st_inc_boiler pattern with (group, line) keys: era A's
+    // per-lang partial (thresholded alone) screens the first incoming
+    // run; era B's partial sum-merges in before the second. Per-site
+    // templates arriving incrementally is the production ingest shape
+    // inc_grouped_boiler batch-gates; this is its streaming twin.
+    "st_inc_grouped_boiler" -> ((s, d) => {
+      val boiler = "copyright example site all rights reserved"
+      def planted(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit("\n" + boiler)))
+          .otherwise(col("text")).as("text"))
+      lazy val partA = graft.operators.Dedup.groupedLineCountPartial(
+        planted(T.documents(s, d)
+          .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 0)),
+        "lang", "text").localCheckpoint(true)
+      lazy val partB = graft.operators.Dedup.groupedLineCountPartial(
+        planted(T.documents(s, d)
+          .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 =!= 0)),
+        "lang", "text").localCheckpoint(true)
+      lazy val setA = graft.operators.Dedup
+        .groupedBoilerplateFromCounts(partA, minCount = 3)
+        .localCheckpoint(true)
+      lazy val setAB = graft.operators.Dedup
+        .groupedBoilerplateFromCounts(
+          graft.operators.Dedup.mergeGroupedLineCounts(
+            Seq(partA, partB)), minCount = 3)
+        .localCheckpoint(true)
+      def screen(set: => DataFrame, era: Int)(batch: DataFrame) =
+        graft.operators.Dedup.groupedLineDedupAgainst(
+          planted(batch.filter(col("doc_id") % 5 === 0
+            && col("doc_id") % 2 === era)), set, "doc_id", "lang",
+          "text")
+      val run1 = materializedStream(s, d, "incgboilA",
+        "documents.parquet", transform = screen(setA, era = 0)) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      val run2 = materializedStream(s, d, "incgboilB",
+        "documents.parquet", transform = screen(setAB, era = 1)) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      s.read.parquet(run1).unionByName(s.read.parquet(run2))
+        .orderBy("doc_id")
+    }),
+
     // The GRAM-set screen refreshed between catch-up runs — the
     // st_inc_boiler pattern on the exact-span table: era A's distinct
     // gram set screens the first incoming run; era B's partial
@@ -822,6 +869,40 @@ object StreamQueries {
         |CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_tokens
         |FROM x GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+    // the era-split per-(lang, line) truth: even incoming docs probe
+    // era A's per-lang screen, odd ones the merged (= full) screen
+    "st_inc_grouped_boiler" ->
+      """WITH src AS (SELECT doc_id, lang, CASE WHEN doc_id % 4 = 0
+        |  THEN text || chr(10) ||
+        |    'copyright example site all rights reserved'
+        |  ELSE text END AS text FROM documents),
+        |ls AS (SELECT doc_id, lang, string_split(text, chr(10)) AS a
+        |  FROM src),
+        |l AS (SELECT doc_id, lang, u.i AS pos, u.ln AS ln FROM (
+        |  SELECT doc_id, lang, unnest([{'i': x, 'ln': a[x+1]}
+        |    FOR x IN range(0, len(a))]) AS u FROM ls)),
+        |cA AS (SELECT lang, trim(ln) AS k FROM l
+        |  WHERE trim(ln) <> '' AND doc_id % 5 <> 0 AND doc_id % 2 = 0
+        |  GROUP BY lang, trim(ln) HAVING COUNT(*) >= 3),
+        |cM AS (SELECT lang, trim(ln) AS k FROM l
+        |  WHERE trim(ln) <> '' AND doc_id % 5 <> 0
+        |  GROUP BY lang, trim(ln) HAVING COUNT(*) >= 3),
+        |inc AS (SELECT * FROM l WHERE doc_id % 5 = 0),
+        |kA AS (SELECT doc_id, inc.lang AS lang, pos, ln,
+        |  (trim(ln) = '' OR cA.k IS NULL) AS keep
+        |  FROM inc LEFT JOIN cA ON inc.lang = cA.lang
+        |    AND trim(inc.ln) = cA.k WHERE doc_id % 2 = 0),
+        |kB AS (SELECT doc_id, inc.lang AS lang, pos, ln,
+        |  (trim(ln) = '' OR cM.k IS NULL) AS keep
+        |  FROM inc LEFT JOIN cM ON inc.lang = cM.lang
+        |    AND trim(inc.ln) = cM.k WHERE doc_id % 2 <> 0),
+        |k AS (SELECT * FROM kA UNION ALL SELECT * FROM kB)
+        |SELECT doc_id, lang,
+        |COALESCE(string_agg(ln, chr(10) ORDER BY pos)
+        |  FILTER (WHERE keep), '') AS text,
+        |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |  AS n_removed
+        |FROM k GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     // the era-split IVF-PQ truth via the parameterized d51 replay:
     // era A queries (every 20th) against the base-only layout (codes
     // absent for the %10=3 held-out slice), era B queries (every
