@@ -230,10 +230,10 @@ object Dedup {
     // the count/occurrence join key must be NULL-SAFE on the group:
     // a plain equi-join would never match rows whose group is null,
     // silently deleting every line of a null-group doc (no count ⇒
-    // keep = null ⇒ filtered). A (isNull, value) struct is exact —
-    // no sentinel value can collide with real data.
-    val gkey = groupCol.map(g => struct(col(g).isNull.as("n"),
-      coalesce(col(g).cast("string"), lit("")).as("v")).as("__g")).toSeq
+    // keep = null ⇒ filtered). [[lineGroupKey]] is the ONE encoding
+    // of that (isNull, value) struct, shared with the grouped
+    // cross-corpus screen tables.
+    val gkey = groupCol.map(g => lineGroupKey(g).as("__g")).toSeq
     val lines = docs
       .select((col(idCol) +: gcols.map(col)) ++ gkey :+
         posexplode(split(col(textCol), delim)).as(Seq("pos", "ln")): _*)
@@ -364,25 +364,9 @@ object Dedup {
   def groupedLineDedupAgainst(incoming: DataFrame,
                               boilerplate: DataFrame, idCol: String,
                               groupCol: String,
-                              textCol: String): DataFrame = {
-    val lines = incoming
-      .select(col(idCol), col(groupCol),
-        lineGroupKey(groupCol).as("grp"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "ln")))
-      .withColumn("key",
-        when(trim(col("ln")) === "", lit(null))
-          .otherwise(xxhash64(trim(col("ln")))))
-    lines.join(boilerplate.withColumn("__hit", lit(1)),
-        Seq("grp", "key"), "left")
-      .withColumn("keep", col("__hit").isNull)
-      .groupBy(col(idCol), col(groupCol))
-      .agg(
-        concat_ws("\n", transform(
-          filter(array_sort(collect_list(struct(col("pos"), col("ln"),
-            col("keep")))), e => e.getField("keep")),
-          e => e.getField("ln"))).as("text"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
-  }
+                              textCol: String): DataFrame =
+    lineDedupAgainstImpl(incoming, boilerplate, idCol, Some(groupCol),
+      textCol)
 
   /** Cut every line of `incoming` that appears in the existing
     * corpus's [[boilerplateLineSet]] — the ingest-time form of
@@ -402,17 +386,33 @@ object Dedup {
     *
     * @return (idCol, text, n_removed) as in [[lineDedup]]. */
   def lineDedupAgainst(incoming: DataFrame, boilerplate: DataFrame,
-                       idCol: String, textCol: String): DataFrame = {
+                       idCol: String, textCol: String): DataFrame =
+    lineDedupAgainstImpl(incoming, boilerplate, idCol, None, textCol)
+
+  /** Shared body of [[lineDedupAgainst]] (global set, key = line
+    * hash) and [[groupedLineDedupAgainst]] (per-group set, key =
+    * (group, line hash)) — ONE implementation so the blank-line
+    * rule, join semantics, and rebuild aggregation can never diverge
+    * between the two screens (the [[lineDedupImpl]] discipline
+    * applied to the cross-corpus pair). */
+  private def lineDedupAgainstImpl(incoming: DataFrame,
+                                   boilerplate: DataFrame,
+                                   idCol: String,
+                                   groupCol: Option[String],
+                                   textCol: String): DataFrame = {
+    val gcols = groupCol.toSeq
+    val gkey = groupCol.map(g => lineGroupKey(g).as("grp")).toSeq
     val lines = incoming
-      .select(col(idCol), posexplode(split(col(textCol), "\n"))
-        .as(Seq("pos", "ln")))
+      .select((col(idCol) +: gcols.map(col)) ++ gkey :+
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "ln")): _*)
       .withColumn("key",
         when(trim(col("ln")) === "", lit(null))
           .otherwise(xxhash64(trim(col("ln")))))
+    val joinKeys = groupCol.map(_ => "grp").toSeq :+ "key"
     lines.join(boilerplate.withColumn("__hit", lit(1)),
-        Seq("key"), "left")
+        joinKeys, "left")
       .withColumn("keep", col("__hit").isNull)
-      .groupBy(idCol)
+      .groupBy((idCol +: gcols).map(col): _*)
       .agg(
         concat_ws("\n", transform(
           filter(array_sort(collect_list(struct(col("pos"), col("ln"),

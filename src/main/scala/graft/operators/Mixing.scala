@@ -317,9 +317,11 @@ object Mixing {
         col(tokensCol).cast("long").as("n_tokens"))
       .withColumn("__b",
         // exact integer division (the scaladoc's 'id div idStride'):
-        // a double-precision quotient is inexact past ~2^53 and
-        // truncates toward zero for negative ids, where floor is the
-        // monotone bucketing the two-level scan needs
+        // the double-precision quotient was inexact past ~2^53. Like
+        // the old cast, `div` truncates toward zero (NOT floor) for
+        // negative ids — fine for the two-level scan, which needs
+        // only that the bucketing be monotone in id, and truncation
+        // is monotone
         expr(s"cast(`$idCol` as bigint) div ${idStride}L"))
     val wb = Window.orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)

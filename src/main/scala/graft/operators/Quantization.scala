@@ -251,27 +251,42 @@ object Quantization {
     var rd: DataFrame = null
     try {
       val cells = train(d0, 1, nlist, coarseIters, dim).cents(0)
-      def centFor(cell: Column): Column =
-        cells.tail.foldLeft(when(cell === cells.head._1,
-          lit(cells.head._2))) { case (acc, (c, cv)) =>
-          acc.when(cell === c, lit(cv))
-        }
-      val cellCol = assignExpr(col("v"), cells)
-      rd = d0.select(col("id"), cellCol.as("cell"),
-          zip_with(col("v"), centFor(cellCol), (x, y) => x - y).as("v"))
-        .localCheckpoint(true)
+      rd = cellResiduals(d0, cells).localCheckpoint(true)
       val pq = train(rd.select("id", "v"), m, ksub, pqIters, dsub)
-      val codes = rd.select(col("id").as("nid"), col("cell"),
-          posexplode(array((0 until m).map(s =>
-            assignExpr(subvec(col("v"), s, dsub), pq.cents(s))): _*))
-            .as(Seq("s", "c")))
-        .localCheckpoint(true)
+      val codes = subCodes(rd, pq, dsub).localCheckpoint(true)
       IvfPqIndex(cells, pq, codes, dsub)
     } finally {
       Seq(Option(rd), Some(d0)).flatten
         .foreach(Shims.unpersistLocalCheckpoint)
     }
   }
+
+  /** Coarse-assign + residual over normalized (id, v) rows — the
+    * FIRST half of the encode, shared by [[ivfPqIndex]] (build) and
+    * [[encodeAgainst]] (add) so the two can never diverge: the
+    * add path's 'bit-identical to the original build' claim holds by
+    * construction, not by parallel maintenance. */
+  private def cellResiduals(d0: DataFrame,
+                            cells: Seq[(Int, Array[Double])])
+      : DataFrame = {
+    def centFor(cell: Column): Column =
+      cells.tail.foldLeft(when(cell === cells.head._1,
+        lit(cells.head._2))) { case (acc, (c, cv)) =>
+        acc.when(cell === c, lit(cv))
+      }
+    val cellCol = assignExpr(col("v"), cells)
+    d0.select(col("id"), cellCol.as("cell"),
+      zip_with(col("v"), centFor(cellCol), (x, y) => x - y).as("v"))
+  }
+
+  /** Per-subspace PQ assign over residual rows → (nid, cell, s, c) —
+    * the SECOND half of the encode, shared by build and add. */
+  private def subCodes(rd: DataFrame, pq: PqModel,
+                       dsub: Int): DataFrame =
+    rd.select(col("id").as("nid"), col("cell"),
+      posexplode(array((0 until pq.m).map(s =>
+        assignExpr(subvec(col("v"), s, dsub), pq.cents(s))): _*))
+        .as(Seq("s", "c")))
 
   /** Persist a trained [[IvfPqIndex]] as the production serving
     * layout: the corpus-sized code table lands HIVE-PARTITIONED BY
@@ -331,21 +346,15 @@ object Quantization {
     * build. */
   private def encodeAgainst(idx: IvfPqIndex, emb: DataFrame,
                             idCol: String, vecCol: String): DataFrame = {
-    val cells = idx.cells
-    def centFor(cell: Column): Column =
-      cells.tail.foldLeft(when(cell === cells.head._1,
-        lit(cells.head._2))) { case (acc, (c, cv)) =>
-        acc.when(cell === c, lit(cv))
-      }
+    // a dimension mismatch would otherwise null-pad the residual
+    // zip_with, aggregate sqDist to null, and land null cells in the
+    // default hive partition — silent corruption; fail fast instead
+    val dim = subDim(emb, vecCol, 1)
+    require(dim == idx.pq.m * idx.dsub,
+      s"batch vector dim $dim != index dim ${idx.pq.m * idx.dsub}")
     val d0 = emb.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-    val cellCol = assignExpr(col("v"), cells)
-    d0.select(col("id"), cellCol.as("cell"),
-        zip_with(col("v"), centFor(cellCol), (x, y) => x - y).as("v"))
-      .select(col("id").as("nid"), col("cell"),
-        posexplode(array((0 until idx.pq.m).map(s =>
-          assignExpr(subvec(col("v"), s, idx.dsub), idx.pq.cents(s))): _*))
-          .as(Seq("s", "c")))
+    subCodes(cellResiduals(d0, idx.cells), idx.pq, idx.dsub)
   }
 
   /** FAISS-style `add` for a [[persistIvfPqIndex]] layout: encode a
@@ -364,7 +373,12 @@ object Quantization {
     * Scale shape: one scan-side encode pass over ONLY the new batch
     * + an append that touches only the cell directories the batch
     * lands in — corpus-size-independent, no shuffle, no read of the
-    * existing codes. */
+    * existing codes. That no-read property is also why id uniqueness
+    * is a CALLER contract (as in FAISS `add`): re-adding an id
+    * already in the layout appends a second code row set for it, and
+    * the ADC sum over (qid, nid) would double-count — dedupe the
+    * batch against the corpus id space upstream. Vector dimension IS
+    * checked (a mismatch would corrupt silently). */
   def ivfPqAddBatch(newEmb: DataFrame, idCol: String, vecCol: String,
                     dir: String): Unit = {
     val spark = newEmb.sparkSession

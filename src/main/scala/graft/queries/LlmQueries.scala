@@ -565,9 +565,15 @@ object LlmQueries {
       val sampled = Mixing.stratifiedSample(
         docs.select("doc_id", "lang", "n_chars"),
         "doc_id", "lang", ratesBp, defaultBp = 0)
-      val train = Mixing.assignSplit(sampled, "doc_id",
-          Seq(("train", 9800), ("valid", 100), ("test", 100)))
-        .filter(col("split") === "train").drop("split")
+      // the split keys on a SALTED id so its hash is independent of
+      // the sampling hash — on the raw id, every stratum sampled
+      // below 98% would land entirely in 'train' (survivors all have
+      // bucket < rate <= 9800) and valid/test would starve
+      val train = Mixing.assignSplit(
+          sampled.withColumn("__sid",
+            concat(col("doc_id").cast("string"), lit("#split"))),
+          "__sid", Seq(("train", 9800), ("valid", 100), ("test", 100)))
+        .filter(col("split") === "train").drop("split", "__sid")
       val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
         s"recipeshards_${pathDigest(d)}"
       Mixing.writeShards(train, "doc_id", "n_chars", budget = 4096,
@@ -3012,7 +3018,9 @@ object LlmQueries {
         |  CAST(d.n_chars AS BIGINT) AS n_tokens
         |  FROM documents d JOIN rt ON d.lang = rt.lang
         |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
-        |    ::BIGINT % 10000 < LEAST(rate, 9800)),
+        |    ::BIGINT % 10000 < rate
+        |  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+        |    || '#split'), 1, 8))::BIGINT % 10000 < 9800),
         |c AS (SELECT doc_id, n_tokens,
         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
