@@ -298,7 +298,31 @@ object PlanDump {
         "solo attribution band, not a plan regression. Whole-stage " +
         "codegen's subexpression elimination collapses the repeated " +
         "suffix regexp_extract across branches at runtime, which the " +
-        "0.93 s warm number reflects."))
+        "0.93 s warm number reflects."),
+    "inc_ivfpq_add" ->
+      ("FAISS-style add for the persisted IVF-PQ index: the query's " +
+        "final serve is what the plan shows — the probe LUT " +
+        "broadcast-joins the (cell, s, c) codes scan, and dynamic " +
+        "partition pruning restricts the scan to the probed cell " +
+        "directories of the APPENDED layout. The add itself is one " +
+        "scan-side encode pass over only the new batch (coarse " +
+        "assign → residual → m sub-assigns, all in one Project) plus " +
+        "a partitioned append touching only the landed cells — " +
+        "corpus-size-independent, no shuffle, no read of existing " +
+        "codes. The encode halves (cellResiduals/subCodes) are the " +
+        "SAME code the build runs, so add-then-search equals the " +
+        "union build bit-for-bit (oracle-gated vs d51 verbatim)."),
+    "d79_recipe_to_shards" ->
+      ("The recipe→shards endgame: a config-sized temperature-plan " +
+        "collect feeds per-stratum keep rates as a literal map " +
+        "(scan-side filter — no shuffle for sampling), the salted " +
+        "split cut is a second scan-side md5 predicate, then the d67 " +
+        "two-level prefix sum places sequences and the s20 " +
+        "repartition(shard)+partitionBy write lands one task per " +
+        "shard. Corpus text is read once for the plan math " +
+        "(aggregate-only) and once for the pack+write; at 100 TB " +
+        "every stage is either config-sized or the d67/s20 " +
+        "shapes already audited."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
