@@ -1167,6 +1167,32 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // The RETRAIN TRIGGER for the maintained index — FAISS's
+    // imbalance_factor (nlist * sum(n_c^2) / N^2; 1.0 = perfectly
+    // balanced cells) plus the per-cell occupancy it summarizes:
+    // ivfPqAddBatch encodes against FROZEN centroids, so as the
+    // corpus drifts the cells skew, probe cost concentrates, and
+    // this number climbing is exactly when the periodic full
+    // re-train pays for itself. Two skinny aggregations over the
+    // (nid, cell) projection of the codes table; the scalar attaches
+    // as a one-row crossJoin (the a18 pattern).
+    "d80_ivfpq_cell_stats" -> ((s, d) => {
+      val perCell = sharedIvfPqIndex(s, d).codes
+        .select("nid", "cell").distinct()
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val tot = broadcast(perCell.agg(
+        count(lit(1)).as("__nc"),
+        sum("n_vecs").as("__nt"),
+        sum(col("n_vecs") * col("n_vecs")).as("__ss")))
+      perCell.crossJoin(tot)
+        .select(col("cell"), col("n_vecs"),
+          round(col("n_vecs") / col("__nt"), 6).as("share"),
+          round(col("__nc").cast("double") * col("__ss")
+            / (col("__nt").cast("double") * col("__nt")), 6)
+            .as("imbalance"))
+        .orderBy("cell")
+    }),
+
     // Shingle df histogram — the dfCap / prefix-path tuning
     // diagnostic for the near-dup family (candidate volume through a
     // shingle is ~df^2/2; a heavy top bucket = the prefix regime).
@@ -2971,6 +2997,20 @@ object LlmQueries {
     // the appended codes bit-identical to the original build's, so
     // the d51 oracle gates the add path verbatim
     "inc_ivfpq_add" -> D51IvfPqSql,
+    // per-cell occupancy + FAISS imbalance factor from the replay's
+    // res CTE (one row per corpus vector with its coarse cell)
+    "d80_ivfpq_cell_stats" ->
+      (D51Prefix + """
+        |SELECT cell, n_vecs, ROUND(n_vecs / nt, 6) AS share,
+        |ROUND(CAST(nc AS DOUBLE) * ss
+        |  / (CAST(nt AS DOUBLE) * nt), 6) AS imbalance
+        |FROM (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |  FROM res GROUP BY cell) p
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+        |  CAST(SUM(n) AS BIGINT) AS nt,
+        |  CAST(SUM(n*n) AS BIGINT) AS ss
+        |  FROM (SELECT COUNT(*) AS n FROM res GROUP BY cell)) t
+        |ORDER BY cell""".stripMargin),
     "d66_ivfpq_rescore" -> D66IvfPqRescoreSql,
     // the per-shard rollup derived from the global cumsum alone
     "s20_shard_write" ->
