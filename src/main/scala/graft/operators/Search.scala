@@ -59,6 +59,24 @@ object Search {
         lit("").as("t"), lit(0L).as("tf")))
   }
 
+  /** Merge [[tfSnapshot]] partials from DISJOINT doc batches — the
+    * append-only maintenance path of the inverted index: every row
+    * of a snapshot (the tf cells and the zero-token markers) derives
+    * from its OWN doc's text alone, so for any doc-partition of the
+    * corpus the unioned partials are row-for-row the full snapshot —
+    * no counts to reconcile, postings simply append as crawls
+    * commit. df, dl, and the corpus scalars all derive DOWNSTREAM of
+    * the snapshot (perPostFrom), so a refreshed snapshot serves
+    * [[bm25TopKIndexed]] / [[bm25TopKMaxScoreIndexed]] with no other
+    * state to rebuild — the inc_boilerplate refresh story applied to
+    * the search index. Caller contract: batches must be doc-disjoint
+    * (a doc id present in two batches would duplicate its marker and
+    * tf rows, inflating N and df). */
+  def mergeTfSnapshots(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "need at least one snapshot partial")
+    parts.reduce(_.unionByName(_))
+  }
+
   /** Shared index build: the snapshot plus the per-posting BM25
     * impact (query-independent: idf depends on the term alone,
     * saturation on (tf, dl)).

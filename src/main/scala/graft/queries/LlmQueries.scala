@@ -946,6 +946,34 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // The BM25 index maintained incrementally — the round's refresh
+    // theme applied to the search surface: two era tfSnapshot
+    // partials union-merge (per-doc independence makes the merged
+    // snapshot row-for-row the full one; df/dl/scalars derive
+    // downstream), and the d24 query batch serves from the merged
+    // snapshot via the indexed path — hashed against the d24 oracle
+    // VERBATIM, so both the merge claim and the snapshot/indexed
+    // serving boundary are gated.
+    "inc_bm25_refresh" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val queries = docs
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
+            t => t =!= ""), 1, 6)).as("qtext"),
+          md5(col("doc_id").cast("string").cast("binary")).as("__rk"))
+        .orderBy(col("__rk"), col("qid")).limit(128).drop("__rk")
+      val tf = Search.mergeTfSnapshots(Seq(
+          Search.tfSnapshot(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text"),
+          Search.tfSnapshot(docs.filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text")))
+        .localCheckpoint(true)
+      try Search.bm25TopKIndexed(tf, queries, "qid", "qtext", k = 5)
+        .orderBy("qid", "rank")
+      finally org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(tf)
+    }),
+
     // Impact-ordered BM25 (max-score/WAND family): champion-list
     // candidates + per-query exactness certificate, falling back to
     // the exact probe where unproven — same probe set and k as d24,
@@ -2646,6 +2674,9 @@ object LlmQueries {
     // the same association order as Search.bm25TopK), per-term micros
     // rounded before the integer sum
     "d24_bm25_search" -> Bm25Sql,
+    // merged era snapshots == the full index (per-doc independence),
+    // so the d24 oracle gates the refresh path verbatim
+    "inc_bm25_refresh" -> Bm25Sql,
     // the same SQL verbatim: the max-score path must be result-
     // invisible relative to the exact path
     "d32_bm25_maxscore" -> Bm25Sql,
