@@ -647,6 +647,13 @@ object Graft {
                   ratiosBp: Seq[(String, Int)]): DataFrame =
     Mixing.assignSplit(df, idCol, ratiosBp)
 
+  /** Turn a temperature-plan boost column (integer micros) into the
+    * per-stratum keep rates a [[stratifiedSample]] consumes — rates
+    * scale down vs the most-boosted stratum; exact integer cut. */
+  def boostKeepRatesBp(boostMicros: Seq[(String, Long)])
+      : Map[String, Int] =
+    Mixing.boostKeepRatesBp(boostMicros)
+
   /** Concat-and-cut sequence packing: map each doc to its
     * budget-token training sequences (seq_start..seq_end + offset)
     * via a distributed two-level prefix sum over id order. */

@@ -399,6 +399,33 @@ object Mixing {
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
   }
 
+  /** Convert a [[temperatureMixture]] boost column (as integer
+    * MICROS) into per-stratum KEEP RATES in basis points — the step
+    * that turns a mixing recipe into a [[stratifiedSample]] config:
+    * rates scale down relative to the most-boosted stratum (which
+    * keeps everything — a deterministic hash sampler can only
+    * sub-sample, so the recipe's up-weighting of tails is realized
+    * by down-weighting heads). Integer-micro input and integer
+    * division make the cut engine-exact: an oracle restating
+    * `(boost_micros * 10000) div max_micros` lands on the same
+    * integer on every engine, where a double ratio could fall either
+    * side of a basis-point boundary.
+    *
+    * @param boostMicros (stratum, round(boost * 1e6)) rows — a
+    *        config-table-sized driver-side list, the MLlib-shape
+    *        exception. */
+  def boostKeepRatesBp(boostMicros: Seq[(String, Long)])
+      : Map[String, Int] = {
+    require(boostMicros.nonEmpty, "need at least one stratum boost")
+    require(boostMicros.forall(_._2 >= 0L),
+      "boost micros must be non-negative")
+    val mx = boostMicros.map(_._2).max
+    require(mx > 0L, "at least one stratum must have a positive boost")
+    boostMicros.map { case (s, m) =>
+      s -> ((m * 10000L) / mx).toInt
+    }.toMap
+  }
+
   /** Temperature-scaled mixture shares — the multilingual sampling
     * formula of mT5 / XLM-R (Xue et al. 2021 §3.1; Conneau et al.
     * 2020 §3): q_i = p_i^α / Σ_j p_j^α flattens the natural

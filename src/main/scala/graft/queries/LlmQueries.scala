@@ -555,13 +555,11 @@ object LlmQueries {
     // doc SET via id_checksum) is what's hashed.
     "d79_recipe_to_shards" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val boostRows = Mixing.temperatureMixture(docs, "lang",
-          "n_chars", alpha = 0.5)
-        .select("lang", "boost").collect()
-        .map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e6))
-      val maxMicros = boostRows.map(_._2).max
-      val ratesBp = boostRows.map { case (l, m) =>
-        l -> ((m * 10000L) / maxMicros).toInt }.toMap
+      val ratesBp = Mixing.boostKeepRatesBp(
+        Mixing.temperatureMixture(docs, "lang", "n_chars", alpha = 0.5)
+          .select("lang", "boost").collect()
+          .map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e6))
+          .toSeq)
       val sampled = Mixing.stratifiedSample(
         docs.select("doc_id", "lang", "n_chars"),
         "doc_id", "lang", ratesBp, defaultBp = 0)

@@ -376,4 +376,24 @@ class MixingSpec extends SparkSpec {
       s"5-strata tail q dropped: ${tail.getDouble(0)}")
     assert(tail.getDouble(1) > 1.0)
   }
+
+  test("boostKeepRatesBp: head samples down, max keeps all, " +
+    "integer cut") {
+    // boosts 0.5 / 1.0 / 2.0 (in micros): the 2.0 stratum keeps
+    // everything, the others scale down proportionally by exact
+    // integer division — 0.5/2.0 -> 2500 bp, 1.0/2.0 -> 5000 bp
+    val rates = Mixing.boostKeepRatesBp(Seq(
+      "head" -> 500000L, "mid" -> 1000000L, "tail" -> 2000000L))
+    assert(rates == Map("head" -> 2500, "mid" -> 5000, "tail" -> 10000))
+    // truncation, not rounding: 333333/1000000 -> 3333 bp exactly
+    val r2 = Mixing.boostKeepRatesBp(Seq(
+      "a" -> 333333L, "b" -> 1000000L))
+    assert(r2("a") == 3333 && r2("b") == 10000)
+    // a zero-boost (empty) stratum keeps nothing
+    assert(Mixing.boostKeepRatesBp(
+      Seq("x" -> 0L, "y" -> 1L))("x") == 0)
+    intercept[IllegalArgumentException] {
+      Mixing.boostKeepRatesBp(Seq("x" -> 0L))
+    }
+  }
 }
