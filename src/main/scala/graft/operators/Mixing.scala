@@ -417,6 +417,11 @@ object Mixing {
   def boostKeepRatesBp(boostMicros: Seq[(String, Long)])
       : Map[String, Int] = {
     require(boostMicros.nonEmpty, "need at least one stratum boost")
+    // .toMap would silently keep the LAST duplicate while the max
+    // still saw the dropped one — a vanished dominant boost with no
+    // error; reject instead
+    require(boostMicros.map(_._1).distinct.size == boostMicros.size,
+      "duplicate stratum keys in boost table")
     require(boostMicros.forall(_._2 >= 0L),
       "boost micros must be non-negative")
     val mx = boostMicros.map(_._2).max

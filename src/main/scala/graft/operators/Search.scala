@@ -77,6 +77,26 @@ object Search {
     parts.reduce(_.unionByName(_))
   }
 
+  /** Assert a (merged) [[tfSnapshot]] is well-formed: exactly one
+    * zero-token marker per distinct doc id. This is the cheap
+    * detector for the [[mergeTfSnapshots]] caller contract — a doc
+    * id present in two merged batches (a re-crawled doc slipping
+    * into a second partial) duplicates its marker, silently
+    * inflating N, df, and dl and shifting every idf in the index;
+    * one skinny two-count aggregation turns that silent corruption
+    * into a loud failure. Run it after a merge whose batch
+    * provenance isn't airtight; it costs one pass over the
+    * (doc_id, t) rows. */
+  def validateTfSnapshot(tfAll: DataFrame): Unit = {
+    val r = tfAll.agg(
+      sum(when(col("t") === "", 1L).otherwise(0L)).as("markers"),
+      countDistinct("doc_id").as("docs")).head
+    require(r.getLong(0) == r.getLong(1),
+      s"tf snapshot corrupt: ${r.getLong(0)} zero-token markers for " +
+        s"${r.getLong(1)} distinct docs — merged batches were not " +
+        "doc-disjoint")
+  }
+
   /** Shared index build: the snapshot plus the per-posting BM25
     * impact (query-independent: idf depends on the term alone,
     * saturation on (tf, dl)).

@@ -924,15 +924,7 @@ object LlmQueries {
     // before the group sum so addition order cannot perturb the hash.
     "d24_bm25_search" -> ((s, d) => {
       val docs = T.documents(s, d)
-      // slice the empty-FILTERED token list — the oracle's ws[1:6] is
-      // over filtered tokens, and a raw slice would admit a leading
-      // empty token on whitespace-prefixed text
-      val queries = docs
-        .select(col("doc_id").as("qid"),
-          concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
-            t => t =!= ""), 1, 6)).as("qtext"),
-          md5(col("doc_id").cast("string").cast("binary")).as("__rk"))
-        .orderBy(col("__rk"), col("qid")).limit(128).drop("__rk")
+      val queries = bm25QueryBatch(docs)
       // direct (in-memory) index build: a parquet-memoized snapshot
       // shared with d32 was measured ~1.5 s SLOWER for this two-query
       // pair (the round-trip doesn't amortize over two consumers);
@@ -954,18 +946,16 @@ object LlmQueries {
     // serving boundary are gated.
     "inc_bm25_refresh" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val queries = docs
-        .select(col("doc_id").as("qid"),
-          concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
-            t => t =!= ""), 1, 6)).as("qtext"),
-          md5(col("doc_id").cast("string").cast("binary")).as("__rk"))
-        .orderBy(col("__rk"), col("qid")).limit(128).drop("__rk")
+      val queries = bm25QueryBatch(docs)
       val tf = Search.mergeTfSnapshots(Seq(
           Search.tfSnapshot(docs.filter(col("doc_id") % 2 === 0),
             "doc_id", "text"),
           Search.tfSnapshot(docs.filter(col("doc_id") % 2 =!= 0),
             "doc_id", "text")))
         .localCheckpoint(true)
+      // the disjointness detector runs as part of the refresh path —
+      // one skinny aggregation over the checkpointed snapshot
+      Search.validateTfSnapshot(tf)
       try Search.bm25TopKIndexed(tf, queries, "qid", "qtext", k = 5)
         .orderBy("qid", "rank")
       finally org.apache.spark.sql.graftshim.Shims
@@ -979,14 +969,8 @@ object LlmQueries {
     // result.
     "d32_bm25_maxscore" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val queries = docs
-        .select(col("doc_id").as("qid"),
-          concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
-            t => t =!= ""), 1, 6)).as("qtext"),
-          md5(col("doc_id").cast("string").cast("binary")).as("__rk"))
-        .orderBy(col("__rk"), col("qid")).limit(128).drop("__rk")
-      Search.bm25TopKMaxScore(docs, "doc_id", "text", queries, "qid",
-          "qtext", k = 5, m = 64)
+      Search.bm25TopKMaxScore(docs, "doc_id", "text",
+          bm25QueryBatch(docs), "qid", "qtext", k = 5, m = 64)
         .orderBy("qid", "rank")
     }),
 
@@ -1203,17 +1187,26 @@ object LlmQueries {
     // (nid, cell) projection of the codes table; the scalar attaches
     // as a one-row crossJoin (the a18 pattern).
     "d80_ivfpq_cell_stats" -> ((s, d) => {
-      val perCell = sharedIvfPqIndex(s, d).codes
-        .select("nid", "cell").distinct()
+      import s.implicits._
+      val idx = sharedIvfPqIndex(s, d)
+      // the factor multiplies by NLIST (the codebook size), not the
+      // count of non-empty cells — under the worst drift (everything
+      // in one cell, the rest empty) nlist·Σn²/N² reads nlist
+      // (maximal skew) where a non-empty-cell count would read 1.0
+      // ("perfectly balanced"); empty cells also emit an explicit
+      // zero-occupancy row so starved cells are visible
+      val allCells = idx.cells.map(_._1).toDF("cell")
+      val occ = idx.codes.select("nid", "cell").distinct()
         .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val perCell = allCells.join(occ, Seq("cell"), "left")
+        .na.fill(0L, Seq("n_vecs"))
       val tot = broadcast(perCell.agg(
-        count(lit(1)).as("__nc"),
         sum("n_vecs").as("__nt"),
         sum(col("n_vecs") * col("n_vecs")).as("__ss")))
       perCell.crossJoin(tot)
         .select(col("cell"), col("n_vecs"),
           round(col("n_vecs") / col("__nt"), 6).as("share"),
-          round(col("__nc").cast("double") * col("__ss")
+          round(lit(idx.cells.length).cast("double") * col("__ss")
             / (col("__nt").cast("double") * col("__nt")), 6)
             .as("imbalance"))
         .orderBy("cell")
@@ -1502,6 +1495,21 @@ object LlmQueries {
         round(col("top_lang_docs") / col("n_docs"), 6)
           .as("top_lang_share"))
   }
+
+  /** The d24/d32/inc_bm25 probe batch: 128 (qid, qtext) rows, qtext
+    * = the doc's first 6 FILTERED tokens (the oracle's ws[1:6] is
+    * over filtered tokens — a raw slice would admit a leading empty
+    * token on whitespace-prefixed text), ranked by md5(doc_id) with
+    * a doc_id tie-break so bench ratios measure per-query cost at
+    * constant query count. ONE definition because every consumer is
+    * pinned to the same Bm25Sql oracle — an edit here cannot
+    * desynchronize one copy from the others. */
+  private def bm25QueryBatch(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
+          t => t =!= ""), 1, 6)).as("qtext"),
+        md5(col("doc_id").cast("string").cast("binary")).as("__rk"))
+      .orderBy(col("__rk"), col("qid")).limit(128).drop("__rk")
 
   /** Collision-free scratch-path suffix for a dataset dir: SHA-1 hex of
     * the path string. `String.hashCode` (the previous key) is 32-bit —
@@ -2365,6 +2373,20 @@ object LlmQueries {
       |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score_micros
       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** The d24 replay re-targeted for the st_inc_bm25 era runs: the
+    * corpus (tok CTE) restricts to what that era's snapshot had
+    * indexed, and the probe batch becomes a PER-ROW predicate
+    * (micro-batch-split-safe, unlike the md5-rank LIMIT) — string
+    * surgery on the one Bm25Sql so the scoring math can never
+    * diverge from the batch oracle. */
+  private[queries] def bm25SqlEra(corpusPred: String,
+                                  probePred: String): String =
+    Bm25Sql
+      .replace("FROM documents)",
+        s"FROM documents WHERE $corpusPred)")
+      .replace("ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 128",
+        s"WHERE $probePred")
+
   val sql: Map[String, String] = Map(
     "d6_simhash" -> SimHashSql,
     // md5-hex bucket parsed the cross-engine way (conv base-16 vs
@@ -3027,18 +3049,24 @@ object LlmQueries {
     // the d51 oracle gates the add path verbatim
     "inc_ivfpq_add" -> D51IvfPqSql,
     // per-cell occupancy + FAISS imbalance factor from the replay's
-    // res CTE (one row per corpus vector with its coarse cell)
+    // res CTE (one row per corpus vector with its coarse cell); the
+    // cell universe and NLIST come from the codebook CTE cc1, so
+    // empty cells appear with zero occupancy and the factor uses
+    // nlist — not the non-empty count — exactly as the query does
     "d80_ivfpq_cell_stats" ->
-      (D51Prefix + """
+      (D51Prefix + """,
+        |occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |  FROM res GROUP BY cell),
+        |pc AS (SELECT cc1.c AS cell,
+        |  CAST(COALESCE(occ.n_vecs, 0) AS BIGINT) AS n_vecs
+        |  FROM cc1 LEFT JOIN occ ON cc1.c = occ.cell),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl,
+        |  CAST(SUM(n_vecs) AS BIGINT) AS nt,
+        |  CAST(SUM(n_vecs*n_vecs) AS BIGINT) AS ss FROM pc)
         |SELECT cell, n_vecs, ROUND(n_vecs / nt, 6) AS share,
-        |ROUND(CAST(nc AS DOUBLE) * ss
+        |ROUND(CAST(nl AS DOUBLE) * ss
         |  / (CAST(nt AS DOUBLE) * nt), 6) AS imbalance
-        |FROM (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
-        |  FROM res GROUP BY cell) p
-        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
-        |  CAST(SUM(n) AS BIGINT) AS nt,
-        |  CAST(SUM(n*n) AS BIGINT) AS ss
-        |  FROM (SELECT COUNT(*) AS n FROM res GROUP BY cell)) t
+        |FROM pc CROSS JOIN tt
         |ORDER BY cell""".stripMargin),
     "d66_ivfpq_rescore" -> D66IvfPqRescoreSql,
     // the per-shard rollup derived from the global cumsum alone

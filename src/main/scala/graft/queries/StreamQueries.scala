@@ -341,6 +341,49 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // The BM25 index refreshed between catch-up runs — the
+    // append-only postings maintenance (inc_bm25_refresh) in its
+    // streaming shape: era A of the query stream serves from the
+    // era-A tf snapshot, the era-B partial union-merges in
+    // (mergeTfSnapshots — per-doc independence, validated), and era
+    // B serves from the merged snapshot. The probe set is a PER-ROW
+    // predicate (every 80th doc per era), so per-query results
+    // depend only on (own qtext, static snapshot) and micro-batch
+    // splits cannot change them.
+    "st_inc_bm25" -> ((s, d) => {
+      val S = graft.operators.Search
+      lazy val tfA = S.tfSnapshot(
+        T.documents(s, d).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text").localCheckpoint(true)
+      lazy val tfAB = {
+        val merged = S.mergeTfSnapshots(Seq(tfA,
+          S.tfSnapshot(
+            T.documents(s, d).filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text"))).localCheckpoint(true)
+        S.validateTfSnapshot(merged)
+        merged
+      }
+      def serve(tf: => DataFrame, era: Int)(batch: DataFrame) =
+        S.bm25TopKIndexed(tf,
+          batch.filter(col("doc_id") % 80 === era * 40)
+            .select(col("doc_id").as("qid"),
+              concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
+                t => t =!= ""), 1, 6)).as("qtext")),
+          "qid", "qtext", k = 5)
+      val run1 = materializedStream(s, d, "incbm25A",
+        "documents.parquet", transform = serve(tfA, 0)) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      val run2 = materializedStream(s, d, "incbm25B",
+        "documents.parquet", transform = serve(tfAB, 1)) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      s.read.parquet(run1).unionByName(s.read.parquet(run2))
+        .orderBy("qid", "rank")
+    }),
+
     // The PER-SITE boilerplate screen refreshed between catch-up runs
     // — the st_inc_boiler pattern with (group, line) keys: era A's
     // per-lang partial (thresholded alone) screens the first incoming
@@ -875,6 +918,16 @@ object StreamQueries {
         |CAST(MAX(e) - MIN(s) + 1 AS INT) AS span_tokens
         |FROM x GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+    // the era-split BM25 truth via the surgically re-targeted d24
+    // replay: era A queries (every 80th doc) score against the even
+    // half's index, era B queries (every 80th + 40) against the full
+    // merged index
+    "st_inc_bm25" ->
+      ("SELECT * FROM (" +
+        LlmQueries.bm25SqlEra("doc_id % 2 = 0", "doc_id % 80 = 0") +
+        ")\nUNION ALL\nSELECT * FROM (" +
+        LlmQueries.bm25SqlEra("TRUE", "doc_id % 80 = 40") +
+        ")\nORDER BY qid, rank"),
     // the era-split per-(lang, line) truth: even incoming docs probe
     // era A's per-lang screen, odd ones the merged (= full) screen
     "st_inc_grouped_boiler" ->

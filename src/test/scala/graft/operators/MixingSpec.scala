@@ -395,5 +395,10 @@ class MixingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Mixing.boostKeepRatesBp(Seq("x" -> 0L))
     }
+    // duplicate stratum keys reject rather than silently dropping one
+    intercept[IllegalArgumentException] {
+      Mixing.boostKeepRatesBp(Seq(
+        "en" -> 2000000L, "en" -> 500000L, "fr" -> 1000000L))
+    }
   }
 }

@@ -129,4 +129,25 @@ class SearchSpec extends SparkSpec {
       k = 4, dfCap = 2)
     assert(r.count() == 0L)
   }
+
+  test("mergeTfSnapshots: disjoint era partials equal the full " +
+    "snapshot; overlap trips the validator") {
+    val full = Search.tfSnapshot(docs, "doc_id", "text")
+    val merged = Search.mergeTfSnapshots(Seq(
+      Search.tfSnapshot(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text"),
+      Search.tfSnapshot(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text")))
+    // row-for-row the full snapshot (per-doc independence)
+    assert(merged.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet)
+    Search.validateTfSnapshot(merged) // must not throw
+    // a re-crawled doc landing in BOTH batches duplicates its marker
+    val overlap = Search.mergeTfSnapshots(Seq(full,
+      Search.tfSnapshot(docs.filter(col("doc_id") === 1L),
+        "doc_id", "text")))
+    intercept[IllegalArgumentException] {
+      Search.validateTfSnapshot(overlap)
+    }
+  }
 }
