@@ -325,6 +325,30 @@ object Graft {
     graft.operators.Search.bm25MaxScoreCertificates(docs, idCol, textCol,
       queries, qidCol, qTextCol, k, m, dfCap = dfCap)
 
+  /** Build the BM25 index snapshot once (materialize it yourself)
+    * and serve many query batches via [[searchTopKIndexed]]. */
+  def searchSnapshot(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    graft.operators.Search.tfSnapshot(docs, idCol, textCol)
+
+  /** Merge [[searchSnapshot]] partials from doc-disjoint batches —
+    * append-only postings maintenance; check a merge of uncertain
+    * provenance with [[validateSearchSnapshot]]. */
+  def mergeSearchSnapshots(parts: Seq[DataFrame]): DataFrame =
+    graft.operators.Search.mergeTfSnapshots(parts)
+
+  /** Fail loudly if a (merged) snapshot has duplicate doc ids —
+    * silent N/df inflation otherwise. */
+  def validateSearchSnapshot(tfAll: DataFrame): Unit =
+    graft.operators.Search.validateTfSnapshot(tfAll)
+
+  /** [[searchTopK]] against a pre-built [[searchSnapshot]]. */
+  def searchTopKIndexed(tfAll: DataFrame, queries: DataFrame,
+                        qidCol: String, qTextCol: String, k: Int,
+                        dfCap: Int = 0): DataFrame =
+    graft.operators.Search.bm25TopKIndexed(tfAll, queries, qidCol,
+      qTextCol, k, dfCap = dfCap)
+
   /** Left as-of join: latest build-side state at or before each probe
     * row's timestamp (one keyed shuffle, no join node). */
   def asofJoin(probe: DataFrame, build: DataFrame, key: String,
