@@ -426,6 +426,11 @@ object Mixing {
       "boost micros must be non-negative")
     val mx = boostMicros.map(_._2).max
     require(mx > 0L, "at least one stratum must have a positive boost")
+    // m * 10000 must not wrap: a wrapped negative quotient would read
+    // as keep-nothing — a silently vanished stratum (m <= mx, so
+    // bounding the max bounds every product)
+    require(mx <= Long.MaxValue / 10000L,
+      s"boost micros too large to scale without overflow: $mx")
     boostMicros.map { case (s, m) =>
       s -> ((m * 10000L) / mx).toInt
     }.toMap

@@ -88,8 +88,11 @@ object Search {
     * provenance isn't airtight; it costs one pass over the
     * (doc_id, t) rows. */
   def validateTfSnapshot(tfAll: DataFrame): Unit = {
+    // coalesce: over an EMPTY snapshot (a crawl era that committed
+    // zero docs) sum() is null — vacuously well-formed, not an NPE
     val r = tfAll.agg(
-      sum(when(col("t") === "", 1L).otherwise(0L)).as("markers"),
+      coalesce(sum(when(col("t") === "", 1L).otherwise(0L)), lit(0L))
+        .as("markers"),
       countDistinct("doc_id").as("docs")).head
     require(r.getLong(0) == r.getLong(1),
       s"tf snapshot corrupt: ${r.getLong(0)} zero-token markers for " +

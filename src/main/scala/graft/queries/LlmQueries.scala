@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
@@ -953,12 +953,13 @@ object LlmQueries {
           Search.tfSnapshot(docs.filter(col("doc_id") % 2 =!= 0),
             "doc_id", "text")))
         .localCheckpoint(true)
-      // the disjointness detector runs as part of the refresh path —
-      // one skinny aggregation over the checkpointed snapshot
-      Search.validateTfSnapshot(tf)
-      try Search.bm25TopKIndexed(tf, queries, "qid", "qtext", k = 5)
-        .orderBy("qid", "rank")
-      finally org.apache.spark.sql.graftshim.Shims
+      // validate INSIDE the try: a tripped disjointness detector must
+      // still release the checkpointed snapshot on its way out
+      try {
+        Search.validateTfSnapshot(tf)
+        Search.bm25TopKIndexed(tf, queries, "qid", "qtext", k = 5)
+          .orderBy("qid", "rank")
+      } finally org.apache.spark.sql.graftshim.Shims
         .unpersistLocalCheckpoint(tf)
     }),
 
@@ -1504,10 +1505,17 @@ object LlmQueries {
     * constant query count. ONE definition because every consumer is
     * pinned to the same Bm25Sql oracle — an edit here cannot
     * desynchronize one copy from the others. */
+  /** The probe text rule alone — first 6 FILTERED tokens — shared
+    * with the st_inc_bm25 streaming twin, whose probe SET is a
+    * per-row predicate instead of the md5 rank but whose qtext must
+    * stay byte-identical to the batch oracle's ws[1:6]. */
+  private[queries] def bm25Qtext(text: Column): Column =
+    concat_ws(" ", slice(filter(split(text, "\\s+"),
+      t => t =!= ""), 1, 6))
+
   private def bm25QueryBatch(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("qid"),
-        concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
-          t => t =!= ""), 1, 6)).as("qtext"),
+        bm25Qtext(col("text")).as("qtext"),
         md5(col("doc_id").cast("string").cast("binary")).as("__rk"))
       .orderBy(col("__rk"), col("qid")).limit(128).drop("__rk")
 

@@ -363,13 +363,17 @@ object StreamQueries {
         S.validateTfSnapshot(merged)
         merged
       }
+      // materialize = false: the sink write consumes the result once
+      // — an output localCheckpoint per micro-batch would leak a
+      // storage block per batch for the JVM lifetime (the st_ann
+      // pattern); qtext comes from the ONE shared rule so the twin
+      // can never drift from the batch oracle's ws[1:6]
       def serve(tf: => DataFrame, era: Int)(batch: DataFrame) =
         S.bm25TopKIndexed(tf,
           batch.filter(col("doc_id") % 80 === era * 40)
             .select(col("doc_id").as("qid"),
-              concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
-                t => t =!= ""), 1, 6)).as("qtext")),
-          "qid", "qtext", k = 5)
+              LlmQueries.bm25Qtext(col("text")).as("qtext")),
+          "qid", "qtext", k = 5, materialize = false)
       val run1 = materializedStream(s, d, "incbm25A",
         "documents.parquet", transform = serve(tfA, 0)) { in =>
         val schema = s.read.parquet(s"$d/documents.parquet").schema

@@ -400,5 +400,10 @@ class MixingSpec extends SparkSpec {
       Mixing.boostKeepRatesBp(Seq(
         "en" -> 2000000L, "en" -> 500000L, "fr" -> 1000000L))
     }
+    // micros big enough to wrap m*10000 reject rather than emitting a
+    // negative (= keep-nothing) rate
+    intercept[IllegalArgumentException] {
+      Mixing.boostKeepRatesBp(Seq("x" -> (Long.MaxValue / 10000L + 1)))
+    }
   }
 }

@@ -149,5 +149,10 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Search.validateTfSnapshot(overlap)
     }
+    // an EMPTY snapshot (a crawl era with zero docs) is vacuously
+    // well-formed — 0 markers for 0 docs, not an NPE
+    Search.validateTfSnapshot(
+      Search.tfSnapshot(docs.filter(col("doc_id") < 0L),
+        "doc_id", "text"))
   }
 }
