@@ -182,6 +182,20 @@ object Graft {
   def registeredDomain(c: Column): Column =
     TextAnalysis.registeredDomain(c)
 
+  /** C4's line/page cleanup rules (terminal punctuation, >= 5 words,
+    * no javascript; page needs >= 3 kept lines and no lorem-ipsum /
+    * brace) — all docs emitted with flags + rebuilt text. */
+  def c4LineRules(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    TextAnalysis.c4LineRules(docs, idCol, textCol)
+
+  /** Gopher's full n-gram repetition battery: top-{2,3,4}-gram char
+    * fractions + duplicate-{5..10}-gram char fractions (overlaps
+    * counted once). */
+  def gopherNgramStats(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    TextAnalysis.gopherNgramStats(docs, idCol, textCol)
+
   /** Gopher-style repetition quality stats per document. */
   def repetitionStats(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame =

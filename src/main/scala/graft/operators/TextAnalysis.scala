@@ -732,6 +732,130 @@ object TextAnalysis {
           .as("dup_line_char_frac"))
   }
 
+  /** C4's line- and page-level cleanup rules (Raffel et al. 2020
+    * §2.2) — the pass the C4 corpus ran before everything else: a
+    * line survives only if it ends in a terminal punctuation mark,
+    * carries at least 5 words, and does not mention "javascript";
+    * the page is dropped when fewer than 3 lines survive or the raw
+    * text carries "lorem ipsum" or a curly brace (code). Every rule
+    * is a scan-side regex/array op on the row's own lines — no
+    * shuffle, the cheapest possible full-corpus pass (the sibling of
+    * the markup strip). ALL docs are emitted with flags plus the
+    * rebuilt text, so callers compose the filter; whitespace-only
+    * lines are structure and fail the word rule anyway.
+    *
+    * @return (idCol, n_lines, n_kept, page_kept, text) — text = the
+    *         retained lines joined with \n ('' when none). */
+  def c4LineRules(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    def keepLine(l: Column): Column =
+      trim(l).rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), "\\s+"), w => w =!= "")) >= 5 &&
+        !lower(l).contains("javascript")
+    val kept = filter(lines, l => keepLine(l))
+    docs.select(col(idCol),
+      size(filter(lines, l => trim(l) =!= "")).as("n_lines"),
+      size(kept).as("n_kept"),
+      (size(kept) >= 3 && !lower(t).contains("lorem ipsum")
+        && !t.contains("{")).as("page_kept"),
+      concat_ws("\n", kept).as("text"))
+  }
+
+  /** Gopher's full n-gram repetition battery (Rae et al. 2021,
+    * Table A1): the top-{2,3,4}-gram CHARACTER fractions (characters
+    * covered by every occurrence of the single most frequent n-gram)
+    * and the duplicate-{5..10}-gram character fractions (characters
+    * covered by ANY n-gram occurring more than once, overlapping
+    * occurrences counted ONCE — an interval union over token
+    * positions, the within-doc form of the span-merge idiom).
+    * Character accounting is over WORD characters (whitespace
+    * excluded): a joined gram's chars = length(gram) − (n−1), and
+    * coverage maps token positions to their word lengths — both
+    * restate exactly in the oracle. Complements [[gopherRules]]
+    * (word/line shape rules) and [[repetitionStats]] (word + top
+    * bigram): together they are the paper's full repetition table.
+    *
+    * Scale shape: per n, one exploded (doc, gram) aggregation and —
+    * for the dup family — one skinny (doc, position) distinct + a
+    * token-length join; everything keys on the doc id, nothing wider
+    * than a token index shuffles, and the 9 passes are token-linear
+    * each (documented cost: ~9× the tokenize pass, still scan-
+    * dominated; a fused single-explode variant would trade clarity
+    * for one pass and is not needed until profiles say so).
+    *
+    * @return (idCol, top2_frac, top3_frac, top4_frac, dup5_frac ..
+    *         dup10_frac), 6 dp; a doc with fewer than n words scores
+    *         0 for that n. */
+  def gopherNgramStats(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol), wordTokens(col(textCol)).as("__ws"))
+      .withColumn("__totc",
+        aggregate(col("__ws"), lit(0L), (a, w) => a + length(w)))
+      .localCheckpoint(true)
+    try {
+      val lens = base.select(col(idCol),
+        posexplode(transform(col("__ws"), w => length(w)))
+          .as(Seq("__p0", "__len")))
+        .select(col(idCol), (col("__p0") + 1).as("__j"), col("__len"))
+      def gramRows(n: Int) = base
+        .filter(size(col("__ws")) >= n && col("__totc") > 0L)
+        .select(col(idCol), col("__totc"),
+          posexplode(transform(
+            sequence(lit(1), size(col("__ws")) - (n - 1)),
+            i => array_join(slice(col("__ws"), i, lit(n)), " ")))
+            .as(Seq("__p0", "__gr")))
+      val tops = Seq(2, 3, 4).map { n =>
+        val counts = gramRows(n)
+          .groupBy(col(idCol), col("__totc"), col("__gr"))
+          .agg(count(lit(1)).as("__c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol)
+          .orderBy(col("__c").desc, col("__gr").asc)
+        counts.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col(idCol), lit(s"top$n").as("__m"),
+            ((col("__c") * (length(col("__gr")) - (n - 1)))
+              .cast("double") / col("__totc")).as("__f"))
+      }
+      val dups = (5 to 10).map { n =>
+        val g = gramRows(n)
+        val dupGrams = g.groupBy(col(idCol), col("__gr"))
+          .agg(count(lit(1)).as("__c"))
+          .filter(col("__c") >= 2).drop("__c")
+        val covered = g.join(dupGrams, Seq(idCol, "__gr"))
+          .select(col(idCol), col("__totc"),
+            explode(sequence(col("__p0") + 1, col("__p0") + n))
+              .as("__j"))
+          .distinct()
+        covered.join(lens, Seq(idCol, "__j"))
+          .groupBy(col(idCol), col("__totc"))
+          .agg(sum("__len").as("__dc"))
+          .select(col(idCol), lit(s"dup$n").as("__m"),
+            (col("__dc").cast("double") / col("__totc")).as("__f"))
+      }
+      val long = (tops ++ dups).reduce(_ unionByName _)
+      def metric(m: String) = round(coalesce(
+        max(when(col("__m") === m, col("__f"))), lit(0.0)), 6)
+      base.select(col(idCol))
+        .join(long, Seq(idCol), "left")
+        .groupBy(idCol)
+        .agg(metric("top2").as("top2_frac"),
+          metric("top3").as("top3_frac"),
+          metric("top4").as("top4_frac"),
+          metric("dup5").as("dup5_frac"),
+          metric("dup6").as("dup6_frac"),
+          metric("dup7").as("dup7_frac"),
+          metric("dup8").as("dup8_frac"),
+          metric("dup9").as("dup9_frac"),
+          metric("dup10").as("dup10_frac"))
+        .localCheckpoint(true)
+    } finally org.apache.spark.sql.graftshim.Shims
+      .unpersistLocalCheckpoint(base)
+  }
+
   /** PII patterns for training-data scrubbing, ordered most- to
     * least-specific so sequential redaction never double-matches
     * (a credit card would otherwise match the looser phone shape).

@@ -780,6 +780,48 @@ object LlmQueries {
     "d54_quality_lr" -> ((s, d) =>
       sharedLrScores(s, d).orderBy("doc_id")),
 
+    // C4's line- and page-level cleanup rules (Raffel §2.2): the
+    // fixture is single-line, so the query PLANTS the rule-exercising
+    // lines (two retainable sentences on every 2nd doc, a short line
+    // on every 3rd, a javascript mention on every 5th, one more
+    // retainable sentence on every 7th, a curly-brace code line on
+    // every 11th) — each rule and the 3-kept-lines page cut all fire
+    // across the id lattice, mirrored in the oracle.
+    "d81_c4_line_rules" -> ((s, d) => {
+      val src = T.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("\nthe first planted sentence is long enough to " +
+              "retain.\nthe second planted sentence is also long " +
+              "enough to retain.")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("\nshort line"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nthis line mentions javascript in passing " +
+              "somewhere.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nhere is one more proper retained sentence for " +
+              "the filter.")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("\nconfig { code }"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.c4LineRules(src, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher's FULL n-gram repetition battery (Rae Table A1):
+    // top-{2,3,4}-gram char fractions + duplicate-{5..10}-gram char
+    // fractions with overlap counted once. Every 4th doc's text is
+    // DOUBLED (text + ' ' + text) so the dup family fires hard; the
+    // rest carry natural top-gram signals.
+    "d82_gopher_ngrams" -> ((s, d) => {
+      val src = T.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.gopherNgramStats(src, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Within-doc line repetition (Gopher A1.2 at line granularity):
     // the fixture is single-line, so the query PLANTS a twice-repeated
     // boilerplate line on every 6th doc (the d55 precedent, mirrored
@@ -3205,6 +3247,109 @@ object LlmQueries {
         |SELECT src_id, dst_id, containment FROM dir
         |WHERE containment >= 0.6 ORDER BY src_id, dst_id""".stripMargin,
     "d54_quality_lr" -> D54QualityLrSql,
+    // the planted lines + the identical rule battery: a line keeps
+    // iff terminal punct AND >= 5 words AND no 'javascript'; the
+    // page keeps iff >= 3 kept lines AND the RAW text has neither
+    // 'lorem ipsum' nor '{'
+    "d81_c4_line_rules" ->
+      """WITH src AS (SELECT doc_id, text ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+        |    'the first planted sentence is long enough to retain.'
+        |    || chr(10) ||
+        |    'the second planted sentence is also long enough to retain.'
+        |   ELSE '' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'short line'
+        |   ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+        |    'this line mentions javascript in passing somewhere.'
+        |   ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+        |    'here is one more proper retained sentence for the filter.'
+        |   ELSE '' END) ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'config { code }'
+        |   ELSE '' END) AS text FROM documents),
+        |ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS a
+        |  FROM src),
+        |k AS (SELECT doc_id, text,
+        |  len(list_filter(a, l -> trim(l) <> '')) AS n_lines,
+        |  list_filter(a, l -> regexp_matches(trim(l), '[.!?"]$')
+        |    AND len(list_filter(string_split_regex(trim(l), '\s+'),
+        |      w -> w <> '')) >= 5
+        |    AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM ls)
+        |SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+        |CAST(len(kept) AS INT) AS n_kept,
+        |(len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |  AND NOT contains(text, '{')) AS page_kept,
+        |COALESCE(array_to_string(kept, chr(10)), '') AS text
+        |FROM k ORDER BY doc_id""".stripMargin,
+    // the doubled-text fixture + the battery restated: per n the top
+    // gram by (count desc, gram asc), chars = length(gram) - (n-1);
+    // dup coverage = DISTINCT token positions inside any duplicated
+    // n-gram window, mapped to word lengths
+    "d82_gopher_ngrams" ->
+      """WITH src AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |  THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents),
+        |b AS (SELECT doc_id, list_filter(
+        |  string_split_regex(text, '\s+'), w -> w <> '') AS ws
+        |  FROM src),
+        |b2 AS (SELECT doc_id, ws, CAST(list_sum(
+        |  [length(w) FOR w IN ws]) AS BIGINT) AS totc FROM b),
+        |nt AS (SELECT unnest([2, 3, 4]) AS n),
+        |t0 AS (SELECT doc_id, n, totc, ws,
+        |  unnest(range(1, len(ws) - n + 2)) AS i
+        |  FROM b2 CROSS JOIN nt WHERE len(ws) >= n AND totc > 0),
+        |tg AS (SELECT doc_id, n, totc,
+        |  array_to_string(ws[i:i+n-1], ' ') AS gr FROM t0),
+        |tc AS (SELECT doc_id, n, totc, gr, COUNT(*) AS c
+        |  FROM tg GROUP BY 1, 2, 3, 4),
+        |tp AS (SELECT doc_id, 'top' || n AS m,
+        |  CAST(c * (length(gr) - (n - 1)) AS DOUBLE) / totc AS f,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id, n
+        |    ORDER BY c DESC, gr ASC) AS rn FROM tc),
+        |topv AS (SELECT doc_id, m, f FROM tp WHERE rn = 1),
+        |nd AS (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n),
+        |d0 AS (SELECT doc_id, n, totc, ws,
+        |  unnest(range(1, len(ws) - n + 2)) AS i
+        |  FROM b2 CROSS JOIN nd WHERE len(ws) >= n AND totc > 0),
+        |dg AS (SELECT doc_id, n, totc, i,
+        |  array_to_string(ws[i:i+n-1], ' ') AS gr FROM d0),
+        |dd AS (SELECT doc_id, n, gr FROM dg
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+        |cv0 AS (SELECT dg.doc_id AS doc_id, dg.n AS n,
+        |  unnest(range(dg.i, dg.i + dg.n)) AS j
+        |  FROM dg JOIN dd ON dg.doc_id = dd.doc_id
+        |    AND dg.n = dd.n AND dg.gr = dd.gr),
+        |cv AS (SELECT DISTINCT doc_id, n, j FROM cv0),
+        |dv AS (SELECT cv.doc_id AS doc_id, cv.n AS n,
+        |  CAST(SUM(length(b2.ws[cv.j])) AS BIGINT) AS dc
+        |  FROM cv JOIN b2 ON cv.doc_id = b2.doc_id GROUP BY 1, 2),
+        |dupv AS (SELECT dv.doc_id AS doc_id, 'dup' || dv.n AS m,
+        |  CAST(dc AS DOUBLE) / totc AS f
+        |  FROM dv JOIN b2 ON dv.doc_id = b2.doc_id),
+        |u AS (SELECT * FROM topv UNION ALL SELECT * FROM dupv)
+        |SELECT b2.doc_id AS doc_id,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'top2' THEN f END), 0), 6)
+        |  AS top2_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'top3' THEN f END), 0), 6)
+        |  AS top3_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'top4' THEN f END), 0), 6)
+        |  AS top4_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup5' THEN f END), 0), 6)
+        |  AS dup5_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup6' THEN f END), 0), 6)
+        |  AS dup6_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup7' THEN f END), 0), 6)
+        |  AS dup7_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup8' THEN f END), 0), 6)
+        |  AS dup8_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup9' THEN f END), 0), 6)
+        |  AS dup9_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup10' THEN f END), 0), 6)
+        |  AS dup10_frac
+        |FROM b2 LEFT JOIN u ON b2.doc_id = u.doc_id
+        |GROUP BY b2.doc_id ORDER BY doc_id""".stripMargin,
     // string-keyed restatement of the per-doc line-count rollup; the
     // planted repeat mirrors the query
     "d69_line_repetition" ->

@@ -295,6 +295,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(14) == (("http://[2001:db8::1]/x", "[2001:db8::1]")))
   }
 
+  test("c4LineRules: the rule table by hand") {
+    import spark.implicits._
+    val good = Seq(
+      "One decent sentence with plenty of words here.",
+      "Two decent sentences with plenty of words here.",
+      "Three decent sentences with plenty of words here.")
+    val docs = Seq(
+      (1L, "This sentence has more than five words total.\n" +
+        "short one.\n" +                      // < 5 words
+        "too few words here.\n" +             // < 5 words
+        "this line mentions javascript somewhere fine.\n" + // banned
+        "Another proper sentence with enough words here!\n" +
+        "no terminal punctuation in this line with words"),
+      (2L, good.mkString("\n")),              // 3 kept -> page kept
+      (3L, good.mkString("\n") + "\ncode { block"),   // brace kills
+      (4L, good.mkString("\n") +
+        "\nLorem Ipsum dolor sit amet consectetur adipiscing elit."))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.c4LineRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getBoolean(3), r.getString(4)))
+      .toMap
+    assert(got(1L) == ((6, 2, false,
+      "This sentence has more than five words total.\n" +
+        "Another proper sentence with enough words here!")))
+    assert(got(2L) == ((3, 3, true, good.mkString("\n"))))
+    // the brace rule reads the RAW text, not the surviving lines
+    assert(got(3L) == ((4, 3, false, good.mkString("\n"))))
+    // lorem ipsum matches case-insensitively even in a passing line
+    assert(got(4L)._2 == 4 && !got(4L)._3)
+  }
+
+  test("gopherNgramStats: hand-computed top and dup fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"),
+      // "p q r s t" repeats at positions 1 and 6: dup5 covers tokens
+      // 1..10 of 11 single-char tokens
+      (2L, "p q r s t p q r s t u"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherNgramStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 9).map(r.getDouble).toList).toMap
+    // doc 1: totc=5; top2 "a b" x2 * 2 chars / 5; top3 "a b a"
+    // (lexicographic tie-break) 3/5; top4 "a b a b" 4/5; no dup>=5
+    assert(got(1L) == List(0.8, 0.6, 0.8, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    // doc 2: totc=11; top2 "p q" 2*2/11; top3 "p q r" 2*3/11; top4
+    // "p q r s" 2*4/11; dup5 covers positions 1..10 -> 10/11; no
+    // duplicated 6..10-grams
+    assert(got(2L) == List(0.363636, 0.545455, 0.727273, 0.909091,
+      0.0, 0.0, 0.0, 0.0, 0.0))
+  }
+
   test("lineRepetitionStats: hand-computed fractions, blanks ignored") {
     import spark.implicits._
     // NB trim() strips SPACES only (Spark and DuckDB agree) — a
