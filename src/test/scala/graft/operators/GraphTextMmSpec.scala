@@ -348,6 +348,61 @@ class TextAnalysisSpec extends SparkSpec {
       0.0, 0.0, 0.0, 0.0, 0.0))
   }
 
+  test("gopherNgramStats: 40 seeded-random docs equal an independent " +
+    "imperative replay") {
+    import spark.implicits._
+    // small vocab + short docs force heavy gram collisions, so every
+    // branch (ties, overlapping dup windows, length < n, empty doc)
+    // is exercised; the replay shares NO code with the operator —
+    // the DuckDB-oracle discipline, Scala flavor
+    val rnd = new scala.util.Random(42L)
+    val vocab = Vector("aa", "b", "ccc", "dd", "e", "fff", "g", "hh")
+    val docs = (0 until 40).map { i =>
+      val len = rnd.nextInt(31)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def replay(text: String): List[Double] = {
+      val ws = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val totc = ws.map(_.length).sum
+      val tops = (2 to 4).map { n =>
+        if (ws.size < n || totc == 0) 0.0
+        else {
+          val cnt = ws.sliding(n).filter(_.size == n)
+            .map(_.mkString(" ")).toSeq
+            .groupBy(identity).map { case (g, o) => (g, o.size) }
+          val (g, c) = cnt.toSeq.minBy { case (gr, k) => (-k, gr) }
+          r6(c.toDouble * (g.length - (n - 1)) / totc)
+        }
+      }
+      val dups = (5 to 10).map { n =>
+        if (ws.size < n || totc == 0) 0.0
+        else {
+          val gs = ws.sliding(n).filter(_.size == n)
+            .map(_.mkString(" ")).toSeq.zipWithIndex
+            .map { case (g, i0) => (g, i0 + 1) }
+          val cnt = gs.groupBy(_._1).map { case (g, o) => (g, o.size) }
+          val covered = gs.filter(p => cnt(p._1) >= 2)
+            .flatMap { case (_, i) => i until (i + n) }.toSet
+          r6(covered.toSeq.map(j => ws(j - 1).length).sum.toDouble
+            / totc)
+        }
+      }
+      (tops ++ dups).toList
+    }
+    val got = TextAnalysis.gopherNgramStats(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 9).map(r.getDouble).toList).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == replay(text),
+        s"doc $id '$text': ${got(id)} vs ${replay(text)}")
+    }
+  }
+
   test("lineRepetitionStats: hand-computed fractions, blanks ignored") {
     import spark.implicits._
     // NB trim() strips SPACES only (Spark and DuckDB agree) — a
