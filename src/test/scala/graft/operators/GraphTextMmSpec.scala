@@ -295,6 +295,121 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(14) == (("http://[2001:db8::1]/x", "[2001:db8::1]")))
   }
 
+  test("urlCanonicalize + registeredDomain: 240 seeded-random URLs " +
+    "equal an independent imperative replay") {
+    import spark.implicits._
+    // the replay is PARAM-LIST + char-scan based — no serial regex
+    // passes — so a formulation bug in the operator's regex chain
+    // (the class the d73 oracle is structurally blind to, since it
+    // replays the same regexes) cannot hide in both
+    def replayCanon(u: String): String = {
+      val noFrag = u.takeWhile(_ != '#')
+      val qi = noFrag.indexOf('?')
+      val (path, query) =
+        if (qi < 0) (noFrag, "") else (noFrag.take(qi), noFrag.drop(qi))
+      val fixedQ =
+        if (query.isEmpty) ""
+        else {
+          val kept = query.drop(1).split("&", -1).toSeq
+            .filterNot(_.startsWith("utm_"))
+          if (kept.isEmpty) "" else "?" + kept.mkString("&")
+        }
+      val fixed = path + fixedQ
+      val si = fixed.indexOf("://")
+      val schemeOk = si > 0 &&
+        fixed(0).toString.matches("[a-zA-Z]") &&
+        fixed.substring(1, si).forall(c =>
+          c.toString.matches("[a-zA-Z0-9+.\\-]"))
+      if (!schemeOk) fixed
+      else {
+        val afterScheme = fixed.drop(si + 3)
+        val hostLen = afterScheme.indexWhere(c => c == '/' || c == '?')
+        val host = if (hostLen < 0) afterScheme
+                   else afterScheme.take(hostLen)
+        val head = fixed.take(si + 3) + host
+        val tail = fixed.drop(head.length)
+        val lowHead = head.toLowerCase
+        val canonHead =
+          if (lowHead.startsWith("http://") &&
+            lowHead.endsWith(":80")) lowHead.dropRight(3)
+          else if (lowHead.startsWith("https://") &&
+            lowHead.endsWith(":443")) lowHead.dropRight(4)
+          else lowHead
+        if (tail == "/") canonHead else canonHead + tail
+      }
+    }
+    def replayDomain(u: String): String = {
+      val lu = u.toLowerCase
+      val si = lu.indexOf("://")
+      val schemeOk = si > 0 && lu(0).toString.matches("[a-z]") &&
+        lu.substring(1, si).forall(c =>
+          c.toString.matches("[a-z0-9+.\\-]"))
+      if (!schemeOk) ""
+      else {
+        val after = lu.drop(si + 3)
+        val host =
+          if (after.startsWith("[")) {
+            val e = after.indexOf(']')
+            if (e < 0) {
+              val cut = after.indexWhere(c => "/:?#".contains(c))
+              if (cut < 0) after else after.take(cut)
+            } else after.take(e + 1)
+          } else {
+            val cut = after.indexWhere(c => "/:?#".contains(c))
+            if (cut < 0) after else after.take(cut)
+          }
+        val stripped = {
+          val noDot = if (host.endsWith(".")) host.dropRight(1) else host
+          if (noDot.startsWith("www.")) noDot.drop(4) else noDot
+        }
+        if (stripped.startsWith("[") ||
+          (stripped.nonEmpty && stripped.forall(c =>
+            c.isDigit || c == '.'))) stripped
+        else {
+          val labels = stripped.split("\\.", -1)
+          val multi = TextAnalysis.MultiLabelSuffixes.toSet
+          if (labels.length >= 3 &&
+            multi.contains(labels.takeRight(2).mkString(".")) &&
+            labels.takeRight(3).head.nonEmpty &&
+            labels.takeRight(2).forall(_.nonEmpty))
+            labels.takeRight(3).mkString(".")
+          else if (labels.length >= 2 && labels.takeRight(2)
+            .forall(_.nonEmpty)) labels.takeRight(2).mkString(".")
+          else stripped
+        }
+      }
+    }
+    val rnd = new scala.util.Random(7L)
+    val schemes = Vector("http://", "HTTPS://", "ftp://", "")
+    val hosts = Vector("WWW.Example.COM", "News.BBC.co.uk", "x.com",
+      "10.1.2.3", "[2001:db8::1]", "bare", "sub.dom.co.jp",
+      "example.com.", "a-b.io")
+    val ports = Vector("", ":80", ":443", ":8080")
+    val paths = Vector("", "/", "/a", "/a&b", "/x&utm_z/t", "/p/q")
+    val queries = Vector("", "?a=1", "?utm_s=1", "?utm_s=1&a=1",
+      "?a=1&utm_s=2", "?utm_a&utm_b", "?a=1&b=2&utm_c=3", "?a=1&&utm_x")
+    val frags = Vector("", "#f", "#x?y")
+    val urls = (0 until 240).map { _ =>
+      schemes(rnd.nextInt(schemes.size)) +
+        hosts(rnd.nextInt(hosts.size)) +
+        ports(rnd.nextInt(ports.size)) +
+        paths(rnd.nextInt(paths.size)) +
+        queries(rnd.nextInt(queries.size)) +
+        frags(rnd.nextInt(frags.size))
+    }
+    val got = urls.toDF("u")
+      .select(col("u"), TextAnalysis.urlCanonicalize(col("u")),
+        TextAnalysis.registeredDomain(col("u")))
+      .collect().map(r => (r.getString(0),
+        (r.getString(1), r.getString(2))))
+    got.foreach { case (u, (canon, dom)) =>
+      assert(canon == replayCanon(u), s"canon '$u': got '$canon' " +
+        s"want '${replayCanon(u)}'")
+      assert(dom == replayDomain(u), s"domain '$u': got '$dom' " +
+        s"want '${replayDomain(u)}'")
+    }
+  }
+
   test("c4LineRules: the rule table by hand") {
     import spark.implicits._
     val good = Seq(
