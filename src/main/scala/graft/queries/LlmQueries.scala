@@ -822,6 +822,29 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-language tokenizer FERTILITY (subword tokens per word) —
+    // the multilingual-tokenizer diagnostic mT5/BLOOM report per
+    // language: a language whose fertility runs high pays more
+    // sequence budget per word, which feeds directly into the d70
+    // temperature plan's token accounting. Subword proxy = the d13
+    // BPE-ish regex (letter/digit runs + single punctuation), whose
+    // cross-engine semantics the d13 gate already pins. One
+    // aggregation over the corpus, config-sized output.
+    "d83_fertility" -> ((s, d) => {
+      val ws = filter(split(col("text"), "\\s+"), t => t =!= "")
+      val subw = regexp_extract_all(col("text"),
+        lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N} ]"), lit(0))
+      T.documents(s, d).groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(ws).cast("long")).as("n_words"),
+          sum(size(subw).cast("long")).as("n_subwords"))
+        .withColumn("fertility",
+          when(col("n_words") === 0L, lit(0.0))
+            .otherwise(round(
+              col("n_subwords").cast("double") / col("n_words"), 6)))
+        .orderBy("lang")
+    }),
+
     // Within-doc line repetition (Gopher A1.2 at line granularity):
     // the fixture is single-line, so the query PLANTS a twice-repeated
     // boilerplate line on every 6th doc (the d55 precedent, mirrored
@@ -3247,6 +3270,20 @@ object LlmQueries {
         |SELECT src_id, dst_id, containment FROM dir
         |WHERE containment >= 0.6 ORDER BY src_id, dst_id""".stripMargin,
     "d54_quality_lr" -> D54QualityLrSql,
+    // the d13 subword regex rolled up per language
+    "d83_fertility" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+        |  t -> t <> ''))) AS BIGINT) AS n_words,
+        |CAST(SUM(len(regexp_extract_all(text,
+        |  '[\p{L}\p{N}]+|[^\p{L}\p{N} ]'))) AS BIGINT) AS n_subwords,
+        |CASE WHEN SUM(len(list_filter(string_split_regex(text, '\s+'),
+        |  t -> t <> ''))) = 0 THEN 0.0
+        |ELSE ROUND(CAST(SUM(len(regexp_extract_all(text,
+        |  '[\p{L}\p{N}]+|[^\p{L}\p{N} ]'))) AS DOUBLE) /
+        |  SUM(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t <> ''))), 6) END AS fertility
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // the planted lines + the identical rule battery: a line keeps
     // iff terminal punct AND >= 5 words AND no 'javascript'; the
     // page keeps iff >= 3 kept lines AND the RAW text has neither
