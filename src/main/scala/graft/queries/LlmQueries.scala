@@ -822,6 +822,35 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The COMPLETE Gopher quality gate (Rae Table A1 end to end):
+    // the d52 shape rules conjoined with the d82 repetition battery
+    // at the paper's thresholds (top-{2,3,4}-gram char fraction <=
+    // 0.20/0.18/0.16; dup-{5..10}-gram char fraction <= 0.15 down to
+    // 0.10) — the per-doc keep decision a Gopher-style pipeline
+    // actually applies. Pure composition of two gate-green kernels;
+    // the join keys on the doc id.
+    "d84_gopher_full_gate" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val shape = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("pass").as("shape_pass"))
+      val repThresh = Seq(
+        "top2_frac" -> 0.20, "top3_frac" -> 0.18, "top4_frac" -> 0.16,
+        "dup5_frac" -> 0.15, "dup6_frac" -> 0.14, "dup7_frac" -> 0.13,
+        "dup8_frac" -> 0.12, "dup9_frac" -> 0.11, "dup10_frac" -> 0.10)
+      val rep = repThresh.foldLeft(
+          TextAnalysis.gopherNgramStats(docs, "doc_id", "text")) {
+          case (df, (c, th)) =>
+            df.withColumn("r_" + c.stripSuffix("_frac"), col(c) <= th)
+        }
+        .withColumn("rep_pass", repThresh.map { case (c, _) =>
+          col("r_" + c.stripSuffix("_frac")) }.reduce(_ && _))
+        .select(col("doc_id") +: repThresh.map { case (c, _) =>
+          col("r_" + c.stripSuffix("_frac")) } :+ col("rep_pass"): _*)
+      shape.join(rep, Seq("doc_id"))
+        .withColumn("full_pass", col("shape_pass") && col("rep_pass"))
+        .orderBy("doc_id")
+    }),
+
     // Per-language tokenizer FERTILITY (subword tokens per word) —
     // the multilingual-tokenizer diagnostic mT5/BLOOM report per
     // language: a language whose fertility runs high pays more
@@ -1570,6 +1599,115 @@ object LlmQueries {
     * constant query count. ONE definition because every consumer is
     * pinned to the same Bm25Sql oracle — an edit here cannot
     * desynchronize one copy from the others. */
+  private val D52GopherRulesSql: String =
+      """WITH b AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws,
+        |  list_filter(list_transform(string_split(text, chr(10)),
+        |    l -> trim(l)), l -> l <> '') AS ls,
+        |  len(regexp_extract_all(text, '#'))
+        |    + len(regexp_extract_all(text, '\.\.\.'))
+        |    + len(regexp_extract_all(text, '…')) AS n_sym,
+        |  len(list_intersect(list_distinct(list_filter(
+        |    string_split_regex(lower(text), '\s+'), t -> t <> '')),
+        |    ['the','be','to','of','and','that','have','with'])) AS n_stop
+        |  FROM documents),
+        |f AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+        |    / len(ws), 6) END AS mean_word_len,
+        |  CASE WHEN len(ws) = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_sym AS DOUBLE) / len(ws), 6)
+        |    END AS symbol_word_ratio,
+        |  CASE WHEN len(ls) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))
+        |      AS DOUBLE) / len(ls), 6) END AS bullet_line_frac,
+        |  CASE WHEN len(ls) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$')))
+        |      AS DOUBLE) / len(ls), 6) END AS ellipsis_line_frac,
+        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '\p{L}')))
+        |      AS DOUBLE) / len(ws), 6) END AS alpha_word_frac,
+        |  CAST(n_stop AS INT) AS n_stop_hits FROM b)
+        |SELECT *,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |   AND n_stop_hits >= 2) AS pass
+        |FROM (SELECT *,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_len,
+        |  (symbol_word_ratio <= 0.1) AS r_symbol,
+        |  (bullet_line_frac <= 0.9) AS r_bullet,
+        |  (ellipsis_line_frac <= 0.3) AS r_ellipsis,
+        |  (alpha_word_frac >= 0.8) AS r_alpha,
+        |  (n_stop_hits >= 2) AS r_stop FROM f)
+        |ORDER BY doc_id""".stripMargin
+
+  private val D82GopherNgramsSql: String =
+      """WITH src AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |  THEN text || ' ' || text ELSE text END AS text
+        |  FROM documents),
+        |b AS (SELECT doc_id, list_filter(
+        |  string_split_regex(text, '\s+'), w -> w <> '') AS ws
+        |  FROM src),
+        |b2 AS (SELECT doc_id, ws, CAST(list_sum(
+        |  [length(w) FOR w IN ws]) AS BIGINT) AS totc FROM b),
+        |nt AS (SELECT unnest([2, 3, 4]) AS n),
+        |t0 AS (SELECT doc_id, n, totc, ws,
+        |  unnest(range(1, len(ws) - n + 2)) AS i
+        |  FROM b2 CROSS JOIN nt WHERE len(ws) >= n AND totc > 0),
+        |tg AS (SELECT doc_id, n, totc,
+        |  array_to_string(ws[i:i+n-1], ' ') AS gr FROM t0),
+        |tc AS (SELECT doc_id, n, totc, gr, COUNT(*) AS c
+        |  FROM tg GROUP BY 1, 2, 3, 4),
+        |tp AS (SELECT doc_id, 'top' || n AS m,
+        |  CAST(c * (length(gr) - (n - 1)) AS DOUBLE) / totc AS f,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id, n
+        |    ORDER BY c DESC, gr ASC) AS rn FROM tc),
+        |topv AS (SELECT doc_id, m, f FROM tp WHERE rn = 1),
+        |nd AS (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n),
+        |d0 AS (SELECT doc_id, n, totc, ws,
+        |  unnest(range(1, len(ws) - n + 2)) AS i
+        |  FROM b2 CROSS JOIN nd WHERE len(ws) >= n AND totc > 0),
+        |dg AS (SELECT doc_id, n, totc, i,
+        |  array_to_string(ws[i:i+n-1], ' ') AS gr FROM d0),
+        |dd AS (SELECT doc_id, n, gr FROM dg
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+        |cv0 AS (SELECT dg.doc_id AS doc_id, dg.n AS n,
+        |  unnest(range(dg.i, dg.i + dg.n)) AS j
+        |  FROM dg JOIN dd ON dg.doc_id = dd.doc_id
+        |    AND dg.n = dd.n AND dg.gr = dd.gr),
+        |cv AS (SELECT DISTINCT doc_id, n, j FROM cv0),
+        |dv AS (SELECT cv.doc_id AS doc_id, cv.n AS n,
+        |  CAST(SUM(length(b2.ws[cv.j])) AS BIGINT) AS dc
+        |  FROM cv JOIN b2 ON cv.doc_id = b2.doc_id GROUP BY 1, 2),
+        |dupv AS (SELECT dv.doc_id AS doc_id, 'dup' || dv.n AS m,
+        |  CAST(dc AS DOUBLE) / totc AS f
+        |  FROM dv JOIN b2 ON dv.doc_id = b2.doc_id),
+        |u AS (SELECT * FROM topv UNION ALL SELECT * FROM dupv)
+        |SELECT b2.doc_id AS doc_id,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'top2' THEN f END), 0), 6)
+        |  AS top2_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'top3' THEN f END), 0), 6)
+        |  AS top3_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'top4' THEN f END), 0), 6)
+        |  AS top4_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup5' THEN f END), 0), 6)
+        |  AS dup5_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup6' THEN f END), 0), 6)
+        |  AS dup6_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup7' THEN f END), 0), 6)
+        |  AS dup7_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup8' THEN f END), 0), 6)
+        |  AS dup8_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup9' THEN f END), 0), 6)
+        |  AS dup9_frac,
+        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup10' THEN f END), 0), 6)
+        |  AS dup10_frac
+        |FROM b2 LEFT JOIN u ON b2.doc_id = u.doc_id
+        |GROUP BY b2.doc_id ORDER BY doc_id""".stripMargin
+
   /** The probe text rule alone — first 6 FILTERED tokens — shared
     * with the st_inc_bm25 streaming twin, whose probe SET is a
     * per-row predicate instead of the md5 rank but whose qtext must
@@ -2628,50 +2766,7 @@ object LlmQueries {
     // same tokenizer/line-split/regexp-count definitions as the Spark
     // side; ratios round to 6 dp once so the rule flags are
     // threshold-exact; empty denominators ground to 0.0
-    "d52_gopher_rules" ->
-      """WITH b AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws,
-        |  list_filter(list_transform(string_split(text, chr(10)),
-        |    l -> trim(l)), l -> l <> '') AS ls,
-        |  len(regexp_extract_all(text, '#'))
-        |    + len(regexp_extract_all(text, '\.\.\.'))
-        |    + len(regexp_extract_all(text, '…')) AS n_sym,
-        |  len(list_intersect(list_distinct(list_filter(
-        |    string_split_regex(lower(text), '\s+'), t -> t <> '')),
-        |    ['the','be','to','of','and','that','have','with'])) AS n_stop
-        |  FROM documents),
-        |f AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
-        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
-        |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
-        |    / len(ws), 6) END AS mean_word_len,
-        |  CASE WHEN len(ws) = 0 THEN 0.0
-        |    ELSE ROUND(CAST(n_sym AS DOUBLE) / len(ws), 6)
-        |    END AS symbol_word_ratio,
-        |  CASE WHEN len(ls) = 0 THEN 0.0 ELSE ROUND(
-        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]')))
-        |      AS DOUBLE) / len(ls), 6) END AS bullet_line_frac,
-        |  CASE WHEN len(ls) = 0 THEN 0.0 ELSE ROUND(
-        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$')))
-        |      AS DOUBLE) / len(ls), 6) END AS ellipsis_line_frac,
-        |  CASE WHEN len(ws) = 0 THEN 0.0 ELSE ROUND(
-        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '\p{L}')))
-        |      AS DOUBLE) / len(ws), 6) END AS alpha_word_frac,
-        |  CAST(n_stop AS INT) AS n_stop_hits FROM b)
-        |SELECT *,
-        |  (n_words >= 50 AND n_words <= 100000
-        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        |   AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
-        |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
-        |   AND n_stop_hits >= 2) AS pass
-        |FROM (SELECT *,
-        |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_len,
-        |  (symbol_word_ratio <= 0.1) AS r_symbol,
-        |  (bullet_line_frac <= 0.9) AS r_bullet,
-        |  (ellipsis_line_frac <= 0.3) AS r_ellipsis,
-        |  (alpha_word_frac >= 0.8) AS r_alpha,
-        |  (n_stop_hits >= 2) AS r_stop FROM f)
-        |ORDER BY doc_id""".stripMargin,
+    "d52_gopher_rules" -> D52GopherRulesSql,
     "d50_bpe_train" -> D50BpeTrainSql,
     "d59_bpe_encode" -> D59BpeEncodeSql,
     // d47 is output-identical to d26 by the cross-corpus prefix lemma
@@ -3324,69 +3419,40 @@ object LlmQueries {
     // gram by (count desc, gram asc), chars = length(gram) - (n-1);
     // dup coverage = DISTINCT token positions inside any duplicated
     // n-gram window, mapped to word lengths
-    "d82_gopher_ngrams" ->
-      """WITH src AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
-        |  THEN text || ' ' || text ELSE text END AS text
-        |  FROM documents),
-        |b AS (SELECT doc_id, list_filter(
-        |  string_split_regex(text, '\s+'), w -> w <> '') AS ws
-        |  FROM src),
-        |b2 AS (SELECT doc_id, ws, CAST(list_sum(
-        |  [length(w) FOR w IN ws]) AS BIGINT) AS totc FROM b),
-        |nt AS (SELECT unnest([2, 3, 4]) AS n),
-        |t0 AS (SELECT doc_id, n, totc, ws,
-        |  unnest(range(1, len(ws) - n + 2)) AS i
-        |  FROM b2 CROSS JOIN nt WHERE len(ws) >= n AND totc > 0),
-        |tg AS (SELECT doc_id, n, totc,
-        |  array_to_string(ws[i:i+n-1], ' ') AS gr FROM t0),
-        |tc AS (SELECT doc_id, n, totc, gr, COUNT(*) AS c
-        |  FROM tg GROUP BY 1, 2, 3, 4),
-        |tp AS (SELECT doc_id, 'top' || n AS m,
-        |  CAST(c * (length(gr) - (n - 1)) AS DOUBLE) / totc AS f,
-        |  ROW_NUMBER() OVER (PARTITION BY doc_id, n
-        |    ORDER BY c DESC, gr ASC) AS rn FROM tc),
-        |topv AS (SELECT doc_id, m, f FROM tp WHERE rn = 1),
-        |nd AS (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n),
-        |d0 AS (SELECT doc_id, n, totc, ws,
-        |  unnest(range(1, len(ws) - n + 2)) AS i
-        |  FROM b2 CROSS JOIN nd WHERE len(ws) >= n AND totc > 0),
-        |dg AS (SELECT doc_id, n, totc, i,
-        |  array_to_string(ws[i:i+n-1], ' ') AS gr FROM d0),
-        |dd AS (SELECT doc_id, n, gr FROM dg
-        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
-        |cv0 AS (SELECT dg.doc_id AS doc_id, dg.n AS n,
-        |  unnest(range(dg.i, dg.i + dg.n)) AS j
-        |  FROM dg JOIN dd ON dg.doc_id = dd.doc_id
-        |    AND dg.n = dd.n AND dg.gr = dd.gr),
-        |cv AS (SELECT DISTINCT doc_id, n, j FROM cv0),
-        |dv AS (SELECT cv.doc_id AS doc_id, cv.n AS n,
-        |  CAST(SUM(length(b2.ws[cv.j])) AS BIGINT) AS dc
-        |  FROM cv JOIN b2 ON cv.doc_id = b2.doc_id GROUP BY 1, 2),
-        |dupv AS (SELECT dv.doc_id AS doc_id, 'dup' || dv.n AS m,
-        |  CAST(dc AS DOUBLE) / totc AS f
-        |  FROM dv JOIN b2 ON dv.doc_id = b2.doc_id),
-        |u AS (SELECT * FROM topv UNION ALL SELECT * FROM dupv)
-        |SELECT b2.doc_id AS doc_id,
-        |ROUND(COALESCE(MAX(CASE WHEN m = 'top2' THEN f END), 0), 6)
-        |  AS top2_frac,
-        |ROUND(COALESCE(MAX(CASE WHEN m = 'top3' THEN f END), 0), 6)
-        |  AS top3_frac,
-        |ROUND(COALESCE(MAX(CASE WHEN m = 'top4' THEN f END), 0), 6)
-        |  AS top4_frac,
-        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup5' THEN f END), 0), 6)
-        |  AS dup5_frac,
-        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup6' THEN f END), 0), 6)
-        |  AS dup6_frac,
-        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup7' THEN f END), 0), 6)
-        |  AS dup7_frac,
-        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup8' THEN f END), 0), 6)
-        |  AS dup8_frac,
-        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup9' THEN f END), 0), 6)
-        |  AS dup9_frac,
-        |ROUND(COALESCE(MAX(CASE WHEN m = 'dup10' THEN f END), 0), 6)
-        |  AS dup10_frac
-        |FROM b2 LEFT JOIN u ON b2.doc_id = u.doc_id
-        |GROUP BY b2.doc_id ORDER BY doc_id""".stripMargin,
+    "d82_gopher_ngrams" -> D82GopherNgramsSql,
+    // the two oracles composed verbatim as subqueries + the paper's
+    // thresholds — both sides compare the same 6-dp doubles. The d82
+    // replay's doubled-text PLANTING is neutralized (CASE WHEN FALSE)
+    // because the gate runs on the raw corpus.
+    "d84_gopher_full_gate" ->
+      ("""WITH a AS (SELECT doc_id, pass FROM (""" +
+        D52GopherRulesSql + """) t),
+        |b AS (SELECT * FROM (""".stripMargin +
+        D82GopherNgramsSql
+          .replace("CASE WHEN doc_id % 4 = 0", "CASE WHEN FALSE") +
+        """) t)
+        |SELECT a.doc_id AS doc_id, a.pass AS shape_pass,
+        |(b.top2_frac <= 0.20) AS r_top2,
+        |(b.top3_frac <= 0.18) AS r_top3,
+        |(b.top4_frac <= 0.16) AS r_top4,
+        |(b.dup5_frac <= 0.15) AS r_dup5,
+        |(b.dup6_frac <= 0.14) AS r_dup6,
+        |(b.dup7_frac <= 0.13) AS r_dup7,
+        |(b.dup8_frac <= 0.12) AS r_dup8,
+        |(b.dup9_frac <= 0.11) AS r_dup9,
+        |(b.dup10_frac <= 0.10) AS r_dup10,
+        |(b.top2_frac <= 0.20 AND b.top3_frac <= 0.18
+        |  AND b.top4_frac <= 0.16 AND b.dup5_frac <= 0.15
+        |  AND b.dup6_frac <= 0.14 AND b.dup7_frac <= 0.13
+        |  AND b.dup8_frac <= 0.12 AND b.dup9_frac <= 0.11
+        |  AND b.dup10_frac <= 0.10) AS rep_pass,
+        |(a.pass AND b.top2_frac <= 0.20 AND b.top3_frac <= 0.18
+        |  AND b.top4_frac <= 0.16 AND b.dup5_frac <= 0.15
+        |  AND b.dup6_frac <= 0.14 AND b.dup7_frac <= 0.13
+        |  AND b.dup8_frac <= 0.12 AND b.dup9_frac <= 0.11
+        |  AND b.dup10_frac <= 0.10) AS full_pass
+        |FROM a JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin),
     // string-keyed restatement of the per-doc line-count rollup; the
     // planted repeat mirrors the query
     "d69_line_repetition" ->
