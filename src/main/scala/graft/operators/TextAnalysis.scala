@@ -825,11 +825,17 @@ object TextAnalysis {
               .cast("double") / col("__totc")).as("__f"))
       }
       val dups = (5 to 10).map { n =>
-        // the dup count rides a WINDOW on the (doc, gram) key the
-        // exploded rows shuffle on anyway — one pass, no join back
+        // the dup count rides a WINDOW on the (doc, gram-HASH) key —
+        // one pass, no join back, and the shuffle carries an 8-byte
+        // xxhash64 instead of the gram string (the lineDedup "never
+        // shuffle the text" idiom; dup membership needs identity
+        // only — no tie-break — so the w.h.p. hash argument of the
+        // d4/d34 family applies)
         val wc = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol), col("__gr"))
+          .partitionBy(col(idCol), col("__gh"))
         val covered = gramRows(n)
+          .select(col(idCol), col("__totc"), col("__p0"),
+            xxhash64(col("__gr")).as("__gh"))
           .withColumn("__c", count(lit(1)).over(wc))
           .filter(col("__c") >= 2)
           .select(col(idCol), col("__totc"),
