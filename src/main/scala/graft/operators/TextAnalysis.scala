@@ -750,9 +750,14 @@ object TextAnalysis {
                   textCol: String): DataFrame = {
     val t = col(textCol)
     val lines = split(t, "\n")
+    // \z, not $: Java's $ also matches BEFORE a final \r (CRLF text
+    // would keep a line Spark-side that RE2's end-of-string $ drops
+    // oracle-side); \z is end-of-input in both, so a CRLF corpus
+    // fails the rule consistently — normalize line endings upstream.
+    // The word count reuses the module's ONE tokenizer definition.
     def keepLine(l: Column): Column =
-      trim(l).rlike("[.!?\"]$") &&
-        size(filter(split(trim(l), "\\s+"), w => w =!= "")) >= 5 &&
+      trim(l).rlike("[.!?\"]\\z") &&
+        size(wordTokens(trim(l))) >= 5 &&
         !lower(l).contains("javascript")
     val kept = filter(lines, l => keepLine(l))
     docs.select(col(idCol),

@@ -860,9 +860,11 @@ object LlmQueries {
     // cross-engine semantics the d13 gate already pins. One
     // aggregation over the corpus, config-sized output.
     "d83_fertility" -> ((s, d) => {
-      val ws = filter(split(col("text"), "\\s+"), t => t =!= "")
-      val subw = regexp_extract_all(col("text"),
-        lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N} ]"), lit(0))
+      // the module's ONE word/subword tokenizer pair — the d13 gate
+      // pins subwordTokens' cross-engine semantics, and reusing it
+      // (not a copy) is what keeps that pinning transitive
+      val ws = TextAnalysis.wordTokens(col("text"))
+      val subw = TextAnalysis.subwordTokens(col("text"))
       T.documents(s, d).groupBy("lang").agg(
           count(lit(1)).as("n_docs"),
           sum(size(ws).cast("long")).as("n_words"),

@@ -440,6 +440,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((4, 3, false, good.mkString("\n"))))
     // lorem ipsum matches case-insensitively even in a passing line
     assert(got(4L)._2 == 4 && !got(4L)._3)
+    // CRLF: a trailing \r defeats the terminal-punct rule on BOTH
+    // engines (\z anchor — Java's $ would have matched before the \r
+    // while RE2's would not, a silent gate divergence)
+    val crlf = Seq((9L,
+      "A proper sentence with enough words here.\r\nplain tail"))
+      .toDF("doc_id", "text")
+    val g9 = TextAnalysis.c4LineRules(crlf, "doc_id", "text")
+      .collect()(0)
+    assert(g9.getInt(2) == 0 && g9.getString(4) == "")
   }
 
   test("gopherNgramStats: hand-computed top and dup fractions") {
