@@ -1151,6 +1151,19 @@ object LlmQueries {
         k = 8, iters = 2)
         .orderBy("vec_id")),
 
+    // Cluster-BALANCED selection (the DCLM/DataComp topic-balancing
+    // step): k-means cells over the embedding space + a deterministic
+    // md5-ranked quota per cluster — a dominant topic can't crowd the
+    // sample, tail clusters keep their share. Pure composition of the
+    // d29 kernel and the d20 sampler; the per-cluster rank window
+    // rides the same key the assignment shuffle produced.
+    "d85_cluster_balanced_sample" -> ((s, d) =>
+      Mixing.sampleN(
+          Clustering.kMeans(T.embeddings(s, d), "vec_id", "embedding",
+            k = 8, iters = 2),
+          "vec_id", "cluster", nPer = 50)
+        .orderBy("vec_id")),
+
     // End-to-end trained IVF: k-means cells (d29) feed ivfTopK as the
     // coarse quantizer — the composition a real ANN deployment runs,
     // where d9's label-cell variant stands in for externally-given
@@ -3185,6 +3198,14 @@ object LlmQueries {
          |FROM (SELECT DISTINCT qid FROM ex) b LEFT JOIN h USING (qid)
          |ORDER BY qid""".stripMargin,
     "d29_kmeans" -> D29KmeansSql,
+    // the d29 assignment replay + the d20 md5-rank quota per cluster
+    "d85_cluster_balanced_sample" ->
+      (D29Prefix + """,
+        |rk AS (SELECT id, cluster, ROW_NUMBER() OVER (
+        |  PARTITION BY cluster
+        |  ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn FROM a2)
+        |SELECT id AS vec_id, CAST(cluster AS INT) AS cluster FROM rk
+        |WHERE rn <= 50 ORDER BY vec_id""".stripMargin),
     // same planted bench (dim0-zeroed every-25th), same per-pair
     // round-then-MAX; -2.0 sentinel on zero norms
     "d48_sem_decontam" ->
