@@ -18,13 +18,13 @@ object Exprs {
     * (hyphens stripped) — tm_polars.py:38-50. */
   def md5Valid(c: Column): Column = {
     val s = regexp_replace(coalesce(c, lit("")), "-", "")
-    !(s === "" || s.rlike("^0+$"))
+    !(s === "" || s.rlike("^0+\\z"))
   }
 
   /** dirname: everything before the last '/' (≙ rsplit("/",1),
     * tm_album.py:34-46). */
   def dirname(path: Column): Column =
-    when(path.contains("/"), regexp_extract(path, "^(.*)/[^/]*$", 1))
+    when(path.contains("/"), regexp_extract(path, "^(.*)/[^/]*\\z", 1))
       .otherwise(lit(""))
 
   /** basename: everything after the last '/' (tm_changelog.py:85-94). */
@@ -37,7 +37,7 @@ object Exprs {
     * Pure expression; the reference needed both a Python UDF and a Polars
     * expr for this — Spark needs neither. */
   def albumRoot(dirpath: Column): Column =
-    regexp_replace(dirpath, "(?i)/(?:cd|disc)\\s*0*\\d{1,3}$", "")
+    regexp_replace(dirpath, "(?i)/(?:cd|disc)\\s*0*\\d{1,3}\\z", "")
 
   /** Money column → exact integer cents. Double sums of 2-decimal values
     * carry order-dependent ulp noise at scale; rounding to integral cents

@@ -32,5 +32,5 @@ object TextNorm {
 
   /** Strip wrapping single/double quotes. */
   def stripQuotes(c: Column): Column =
-    regexp_replace(c, "^[\"']+|[\"']+$", "")
+    regexp_replace(c, "^[\"']+|[\"']+\\z", "")
 }

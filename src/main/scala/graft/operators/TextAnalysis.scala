@@ -146,7 +146,7 @@ object TextAnalysis {
     require(merges > 0, s"merges must be positive: $merges")
     var cur = docs
       .select(explode(wordTokens(lower(col(textCol)))).as("w"))
-      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .filter(col("w").rlike("^[a-z0-9]+\\z"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .select(col("wc"),
         regexp_replace(col("w"), "(.)", "\\|$1").as("symstr"))
@@ -224,7 +224,7 @@ object TextAnalysis {
                      merges: Seq[(String, String)]): DataFrame = {
     val perDoc = docs
       .select(col(idCol), explode(wordTokens(lower(col(textCol)))).as("w"))
-      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .filter(col("w").rlike("^[a-z0-9]+\\z"))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
     val symstr = merges.foldLeft(
       regexp_replace(col("w"), "(.)", "\\|$1")) { case (acc, (a, b)) =>
@@ -626,7 +626,7 @@ object TextAnalysis {
         regexp_replace(
           regexp_replace(query,
             "^\\?utm_[^&]*(&utm_[^&]*)*&", "?"),
-          "^\\?utm_[^&]*(&utm_[^&]*)*$", ""),
+          "^\\?utm_[^&]*(&utm_[^&]*)*\\z", ""),
         "&utm_[^&]*", ""))
     val headPat = "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?]*)"
     val head = regexp_extract(fixedQ, headPat, 1)
@@ -637,9 +637,9 @@ object TextAnalysis {
     val lowHead = lower(head)
     val canonHead =
       when(lowHead.startsWith("http://"),
-        regexp_replace(lowHead, ":80$", ""))
+        regexp_replace(lowHead, ":80\\z", ""))
         .when(lowHead.startsWith("https://"),
-          regexp_replace(lowHead, ":443$", ""))
+          regexp_replace(lowHead, ":443\\z", ""))
         .otherwise(lowHead)
     when(head === "", fixedQ)
       .when(tail === "/", canonHead)
@@ -680,15 +680,15 @@ object TextAnalysis {
     // a trailing dot (valid FQDN form) would defeat the anchored
     // two-label extract and yield '' — strip it first
     val stripped = regexp_replace(
-      regexp_replace(host, "\\.$", ""), "^www\\.", "")
+      regexp_replace(host, "\\.\\z", ""), "^www\\.", "")
     val multiAlt = MultiLabelSuffixes
       .map(_.replace(".", "\\.")).mkString("|")
-    when(stripped.rlike("^[0-9.]+$") || stripped.startsWith("["),
+    when(stripped.rlike("^[0-9.]+\\z") || stripped.startsWith("["),
       stripped)
-      .when(stripped.rlike("[^.]+\\.(" + multiAlt + ")$"),
-        regexp_extract(stripped, "([^.]+\\.(" + multiAlt + "))$", 1))
-      .when(stripped.rlike("[^.]+\\.[^.]+$"),
-        regexp_extract(stripped, "([^.]+\\.[^.]+)$", 1))
+      .when(stripped.rlike("[^.]+\\.(" + multiAlt + ")\\z"),
+        regexp_extract(stripped, "([^.]+\\.(" + multiAlt + "))\\z", 1))
+      .when(stripped.rlike("[^.]+\\.[^.]+\\z"),
+        regexp_extract(stripped, "([^.]+\\.[^.]+)\\z", 1))
       .otherwise(stripped)
   }
 
@@ -982,7 +982,7 @@ object TextAnalysis {
     val bulletFrac = frac(
       size(filter(lines, l => l.rlike("^[-*•]"))), nL)
     val ellipsisFrac = frac(
-      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))), nL)
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\z"))), nL)
     val alphaFrac = frac(
       size(filter(ws, w => w.rlike("\\p{L}"))), nW)
     val stopHits = size(array_intersect(

@@ -56,7 +56,7 @@ object Steps {
   def canonDates(cols: Seq[String]): Transform =
     onCols("20_canon_dates", cols) { c =>
       val dashed = regexp_replace(c,
-        "^(\\d{4})[./](\\d{2})[./](\\d{2})$", "$1-$2-$3")
+        "^(\\d{4})[./](\\d{2})[./](\\d{2})\\z", "$1-$2-$3")
       when(c.isNull, c).otherwise(dashed)
     }
 
@@ -262,7 +262,7 @@ object Steps {
                          liveCol: String = "live"): Transform =
     Transform("03_title_suffix",
       Seq(titleCol, subtitleCol, artistCol, liveCol), { df =>
-        val bracketRe = "(?i)\\s*[\\(\\[\\{<]([^\\)\\]\\}>]+)[\\)\\]\\}>]\\s*$"
+        val bracketRe = "(?i)\\s*[\\(\\[\\{<]([^\\)\\]\\}>]+)[\\)\\]\\}>]\\s*\\z"
         val content = trim(regexp_extract(col(titleCol), bracketRe, 1))
         val words = filter(split(content, "\\s+"), w => w =!= "")
         // single-word variant normalization (ref WORD_NORMALIZATION);
@@ -282,13 +282,13 @@ object Steps {
           "acoustic", "electric", "akoesties", "orchestral", "piano", "dj")
         val lastClean = regexp_replace(
           lower(get(words, size(words) - 1)),
-          "^[^a-z0-9]+|[^a-z0-9]+$", "")
+          "^[^a-z0-9]+|[^a-z0-9]+\\z", "")
         val trailing = lastClean.isin("mix", "session", "demos",
           "remaster", "remastered", "remix", "version")
         val rest = when(isFeature,
           trim(array_join(slice(words, 2, 10000), " "))).otherwise(content)
         val restClean = trim(regexp_replace(rest,
-          "^[\\[\\]\\(\\)\\{\\}<>]+|[\\[\\]\\(\\)\\{\\}<>]+$", ""))
+          "^[\\[\\]\\(\\)\\{\\}<>]+|[\\[\\]\\(\\)\\{\\}<>]+\\z", ""))
         val restWrapped = concat(lit("["), restClean, lit("]"))
         val stripped = trim(regexp_replace(col(titleCol), bracketRe, ""))
 
@@ -376,7 +376,7 @@ object Steps {
                   liveCol: String = "live"): Transform =
     Transform("09_live_markers",
       Seq(titleCol, subtitleCol, albumCol, liveCol), { df =>
-        val liveRe = "(?i)(?:[\\(\\[\\{<]\\s*live\\s*[\\)\\]\\}>]|- live)\\s*$"
+        val liveRe = "(?i)(?:[\\(\\[\\{<]\\s*live\\s*[\\)\\]\\}>]|- live)\\s*\\z"
         val nt = trim(regexp_replace(col(titleCol), liveRe, ""))
         val na = trim(regexp_replace(col(albumCol), liveRe, ""))
         val gated = (col(titleCol).isNotNull && nt =!= col(titleCol)) ||

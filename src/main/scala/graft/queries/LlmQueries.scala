@@ -1155,7 +1155,7 @@ object LlmQueries {
     // step): k-means cells over the embedding space + a deterministic
     // md5-ranked quota per cluster — a dominant topic can't crowd the
     // sample, tail clusters keep their share. Pure composition of the
-    // d29 kernel and the d20 sampler; the per-cluster rank window
+    // d29 kernel and the d25 sampler; the per-cluster rank window
     // rides the same key the assignment shuffle produced.
     "d85_cluster_balanced_sample" -> ((s, d) =>
       Mixing.sampleN(
@@ -3198,7 +3198,7 @@ object LlmQueries {
          |FROM (SELECT DISTINCT qid FROM ex) b LEFT JOIN h USING (qid)
          |ORDER BY qid""".stripMargin,
     "d29_kmeans" -> D29KmeansSql,
-    // the d29 assignment replay + the d20 md5-rank quota per cluster
+    // the d29 assignment replay + the d25 md5-rank quota per cluster
     "d85_cluster_balanced_sample" ->
       (D29Prefix + """,
         |rk AS (SELECT id, cluster, ROW_NUMBER() OVER (

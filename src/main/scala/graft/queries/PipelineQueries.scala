@@ -124,7 +124,7 @@ object PipelineQueries {
       state.select(col("doc_id"),
         (!(col("track_uuid") <=> col("__orig"))).as("assigned"),
         col("track_uuid").rlike(
-          "^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+          "^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}\\z")
           .as("is_v7"))
         .orderBy("doc_id")
     }),
@@ -450,7 +450,7 @@ object PipelineQueries {
         Steps.canonDates(Seq("year"))))
       state.select(col("c_custkey"), col("title"), col("composer"),
         col("track_uuid").rlike(
-          "^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+          "^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}\\z")
           .as("uuid_v7"),
         col("year")).orderBy("c_custkey")
     }),

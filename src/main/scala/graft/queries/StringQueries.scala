@@ -87,7 +87,7 @@ object StringQueries {
     "f_date_canon" -> ((s, d) => {
       val raw = date_format(col("o_orderdate"), "yyyy/MM/dd")
       T.orders(s, d).select(col("o_orderkey"), raw.as("raw"),
-        regexp_replace(raw, "^(\\d{4})/(\\d{2})/(\\d{2})$", "$1-$2-$3")
+        regexp_replace(raw, "^(\\d{4})/(\\d{2})/(\\d{2})\\z", "$1-$2-$3")
           .as("canon"),
         substring(raw, 1, 4).as("yr"))
         .orderBy("o_orderkey")

@@ -573,7 +573,7 @@ object Insights {
       .filter(anyMissing)
       .select(
         Seq(col("album_dirpath"),
-          regexp_replace(regexp_replace(col("album_dirpath"), "/$", ""),
+          regexp_replace(regexp_replace(col("album_dirpath"), "/\\z", ""),
             "^.*/", "").as("album_dirname"),
           col("total_tracks")) ++
         criticalCols.map(c =>

@@ -39,7 +39,7 @@ object DelimitedSources {
     raw
       .withColumn("key", regexp_extract(col("value"), "^([^|]+)\\|", 1))
       .withColumn("dr",
-        regexp_extract(col("value"), "\\|DR(\\d{1,2})$", 1))
+        regexp_extract(col("value"), "\\|DR(\\d{1,2})\\z", 1))
       .withColumn("valid", col("key") =!= "" && col("dr") =!= "")
       .select(
         when(col("valid"), col("key")).as("key"),
