@@ -183,8 +183,9 @@ object Graft {
     TextAnalysis.registeredDomain(c)
 
   /** C4's line/page cleanup rules (terminal punctuation, >= 5 words,
-    * no javascript; page needs >= 3 kept lines and no lorem-ipsum /
-    * brace) — all docs emitted with flags + rebuilt text. */
+    * no javascript; page needs >= 5 kept lines — the c4_utils
+    * sentence floor — and no lorem-ipsum / brace) — all docs emitted
+    * with flags + rebuilt text. */
   def c4LineRules(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame =
     TextAnalysis.c4LineRules(docs, idCol, textCol)

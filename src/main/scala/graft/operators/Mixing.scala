@@ -409,7 +409,14 @@ object Mixing {
     * division make the cut engine-exact: an oracle restating
     * `(boost_micros * 10000) div max_micros` lands on the same
     * integer on every engine, where a double ratio could fall either
-    * side of a basis-point boundary.
+    * side of a basis-point boundary. A POSITIVE boost floors at
+    * 1 bp rather than truncating to 0: under a heavily skewed
+    * recipe (boost below max/10000) floor division would otherwise
+    * drop the stratum entirely from [[stratifiedSample]] — the same
+    * silently-vanished-stratum outcome the duplicate/overflow guards
+    * exist to prevent, and the opposite of temperature sampling's
+    * keep-the-tails intent (the [[temperatureMixture]] 1-micro tail
+    * floor, restated in basis points).
     *
     * @param boostMicros (stratum, round(boost * 1e6)) rows — a
     *        config-table-sized driver-side list, the MLlib-shape
@@ -432,7 +439,8 @@ object Mixing {
     require(mx <= Long.MaxValue / 10000L,
       s"boost micros too large to scale without overflow: $mx")
     boostMicros.map { case (s, m) =>
-      s -> ((m * 10000L) / mx).toInt
+      s -> (if (m > 0L) math.max(1L, (m * 10000L) / mx).toInt
+            else 0)
     }.toMap
   }
 

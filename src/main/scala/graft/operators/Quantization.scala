@@ -377,14 +377,41 @@ object Quantization {
     * is a CALLER contract (as in FAISS `add`): re-adding an id
     * already in the layout appends a second code row set for it, and
     * the ADC sum over (qid, nid) would double-count — dedupe the
-    * batch against the corpus id space upstream. Vector dimension IS
-    * checked (a mismatch would corrupt silently). */
+    * batch against the corpus id space upstream — and
+    * [[validateIvfPqCodes]] is the cheap post-add detector when the
+    * batch provenance isn't airtight. Vector dimension IS checked (a
+    * mismatch would corrupt silently). */
   def ivfPqAddBatch(newEmb: DataFrame, idCol: String, vecCol: String,
                     dir: String): Unit = {
     val spark = newEmb.sparkSession
     val idx = loadIvfPqIndex(spark, dir)
     encodeAgainst(idx, newEmb, idCol, vecCol)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Assert a [[persistIvfPqIndex]] layout's code table is
+    * well-formed: every encoded id carries EXACTLY m code rows, one
+    * per subspace. This is the detector for the [[ivfPqAddBatch]]
+    * caller contract — re-adding an id already in the layout appends
+    * a second m-row code set, and the ADC sum over (qid, nid) would
+    * silently double-count that neighbor's distance (the
+    * [[graft.operators.Search.validateTfSnapshot]] discipline
+    * applied to the ANN index). One skinny three-count aggregation
+    * over the codes projection turns that into a loud failure; run
+    * it after adds whose batch provenance isn't airtight. */
+  def validateIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Unit = {
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+      .getInt(0).toLong
+    val r = spark.read.parquet(s"$dir/codes").agg(
+      count(lit(1)).as("rows"),
+      countDistinct(col("nid")).as("ids"),
+      countDistinct(col("nid"), col("s")).as("id_subs")).head
+    val (rows, ids, idSubs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    require(rows == m * ids && idSubs == m * ids,
+      s"ivf-pq codes corrupt: $rows rows / $idSubs (id,subspace) " +
+        s"pairs for $ids distinct ids with m=$m - an id was added " +
+        "twice or a code set is torn")
   }
 
   /** Probe a trained [[IvfPqIndex]] with a batch of full-precision

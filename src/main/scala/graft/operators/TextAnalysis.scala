@@ -736,8 +736,15 @@ object TextAnalysis {
     * §2.2) — the pass the C4 corpus ran before everything else: a
     * line survives only if it ends in a terminal punctuation mark,
     * carries at least 5 words, and does not mention "javascript";
-    * the page is dropped when fewer than 3 lines survive or the raw
-    * text carries "lorem ipsum" or a curly brace (code). Every rule
+    * the page is dropped when fewer than 5 lines survive or the raw
+    * text carries "lorem ipsum" or a curly brace (code). Constant
+    * provenance: the 5-SENTENCE page floor is in both the paper and
+    * the official `c4_utils` implementation (this operator counts
+    * KEPT LINES as the sentence proxy — it never runs a sentence
+    * splitter); the 5-WORD line floor follows the official c4_utils
+    * code (`_MIN_WORDS_PER_LINE = 5`), which is stricter than the
+    * paper text's "at least 3 words" — we match the code, i.e. the
+    * filter that actually produced the released corpus. Every rule
     * is a scan-side regex/array op on the row's own lines — no
     * shuffle, the cheapest possible full-corpus pass (the sibling of
     * the markup strip). ALL docs are emitted with flags plus the
@@ -763,7 +770,7 @@ object TextAnalysis {
     docs.select(col(idCol),
       size(filter(lines, l => trim(l) =!= "")).as("n_lines"),
       size(kept).as("n_kept"),
-      (size(kept) >= 3 && !lower(t).contains("lorem ipsum")
+      (size(kept) >= 5 && !lower(t).contains("lorem ipsum")
         && !t.contains("{")).as("page_kept"),
       concat_ws("\n", kept).as("text"))
   }

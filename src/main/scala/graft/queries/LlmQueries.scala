@@ -780,20 +780,24 @@ object LlmQueries {
     "d54_quality_lr" -> ((s, d) =>
       sharedLrScores(s, d).orderBy("doc_id")),
 
-    // C4's line- and page-level cleanup rules (Raffel §2.2): the
-    // fixture is single-line, so the query PLANTS the rule-exercising
-    // lines (two retainable sentences on every 2nd doc, a short line
-    // on every 3rd, a javascript mention on every 5th, one more
-    // retainable sentence on every 7th, a curly-brace code line on
-    // every 11th) — each rule and the 3-kept-lines page cut all fire
-    // across the id lattice, mirrored in the oracle.
+    // C4's line- and page-level cleanup rules (Raffel §2.2 + the
+    // official c4_utils constants): the fixture is single-line, so
+    // the query PLANTS the rule-exercising lines (three retainable
+    // sentences on every 2nd doc, a short line on every 3rd, a
+    // javascript mention on every 5th, two more retainable sentences
+    // on every 7th, a curly-brace code line on every 11th) — each
+    // rule and the 5-kept-lines page cut fire BOTH ways across the
+    // id lattice (%14 docs clear 5 kept lines, %2-only docs stall at
+    // 3-4, and %154 docs clear the line floor but die on the brace),
+    // mirrored in the oracle.
     "d81_c4_line_rules" -> ((s, d) => {
       val src = T.documents(s, d).select(col("doc_id"),
         concat(col("text"),
           when(col("doc_id") % 2 === 0,
             lit("\nthe first planted sentence is long enough to " +
               "retain.\nthe second planted sentence is also long " +
-              "enough to retain.")).otherwise(lit("")),
+              "enough to retain.\nthe third planted sentence is " +
+              "likewise long enough to retain.")).otherwise(lit("")),
           when(col("doc_id") % 3 === 0, lit("\nshort line"))
             .otherwise(lit("")),
           when(col("doc_id") % 5 === 0,
@@ -801,7 +805,8 @@ object LlmQueries {
               "somewhere.")).otherwise(lit("")),
           when(col("doc_id") % 7 === 0,
             lit("\nhere is one more proper retained sentence for " +
-              "the filter.")).otherwise(lit("")),
+              "the filter.\nand a second proper retained sentence " +
+              "closes the plant.")).otherwise(lit("")),
           when(col("doc_id") % 11 === 0, lit("\nconfig { code }"))
             .otherwise(lit(""))).as("text"))
       TextAnalysis.c4LineRules(src, "doc_id", "text")
@@ -2599,19 +2604,33 @@ object LlmQueries {
       |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score_micros
       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** `String.replace` that FAILS LOUDLY unless the pattern occurs
+    * exactly once: every oracle built by post-hoc surgery on another
+    * oracle's SQL rides on the matched substring staying verbatim —
+    * a plain replace() would silently no-op after an upstream edit
+    * and the era oracle would degrade to the unrestricted query. */
+  private[queries] def replaceOnce(sql: String, pattern: String,
+                                   replacement: String): String = {
+    val n = sql.sliding(pattern.length).count(_ == pattern)
+    require(n == 1,
+      s"oracle surgery expects exactly one occurrence of " +
+        s"'$pattern' (found $n) - the donor SQL changed")
+    sql.replace(pattern, replacement)
+  }
+
   /** The d24 replay re-targeted for the st_inc_bm25 era runs: the
     * corpus (tok CTE) restricts to what that era's snapshot had
     * indexed, and the probe batch becomes a PER-ROW predicate
     * (micro-batch-split-safe, unlike the md5-rank LIMIT) — string
-    * surgery on the one Bm25Sql so the scoring math can never
-    * diverge from the batch oracle. */
+    * surgery (occurrence-checked) on the one Bm25Sql so the scoring
+    * math can never diverge from the batch oracle. */
   private[queries] def bm25SqlEra(corpusPred: String,
                                   probePred: String): String =
-    Bm25Sql
-      .replace("FROM documents)",
-        s"FROM documents WHERE $corpusPred)")
-      .replace("ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 128",
-        s"WHERE $probePred")
+    replaceOnce(
+      replaceOnce(Bm25Sql, "FROM documents)",
+        s"FROM documents WHERE $corpusPred)"),
+      "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 128",
+      s"WHERE $probePred")
 
   val sql: Map[String, String] = Map(
     "d6_simhash" -> SimHashSql,
@@ -2625,10 +2644,13 @@ object LlmQueries {
     // diffed metric by metric; the UNION ALL rows generate from the
     // SAME HealthMetrics list the Spark unpivot uses
     "rp_health_delta" -> {
-      def snap(pred: String) =
+      def snap(pred: String) = {
+        val body = HealthSnapshotSql.stripPrefix("WITH ")
+        require(body.contains("FROM documents"),
+          "HealthSnapshotSql lost its FROM documents anchor")
         "(WITH docsrc AS (SELECT * FROM documents WHERE " + pred +
-          "),\n" + HealthSnapshotSql.stripPrefix("WITH ")
-            .replace("FROM documents", "FROM docsrc") + ")"
+          "),\n" + body.replace("FROM documents", "FROM docsrc") + ")"
+      }
       val rows = HealthMetrics.map(m =>
         s"SELECT '$m' AS metric, CAST(hb.$m AS DOUBLE) AS prev_value," +
           s" CAST(ha.$m AS DOUBLE) AS new_value," +
@@ -3300,7 +3322,8 @@ object LlmQueries {
         |    * 1000000) AS BIGINT) END AS bm
         |  FROM p CROSS JOIN qt),
         |mx AS (SELECT MAX(bm) AS mb FROM bo),
-        |rt AS (SELECT lang, (bm * 10000) // mb AS rate
+        |rt AS (SELECT lang, CASE WHEN bm > 0
+        |    THEN GREATEST(1, (bm * 10000) // mb) ELSE 0 END AS rate
         |  FROM bo CROSS JOIN mx),
         |samp AS (SELECT d.doc_id AS doc_id,
         |  CAST(d.n_chars AS BIGINT) AS n_tokens
@@ -3404,7 +3427,8 @@ object LlmQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // the planted lines + the identical rule battery: a line keeps
     // iff terminal punct AND >= 5 words AND no 'javascript'; the
-    // page keeps iff >= 3 kept lines AND the RAW text has neither
+    // page keeps iff >= 5 kept lines (the c4_utils sentence floor,
+    // kept lines as the proxy) AND the RAW text has neither
     // 'lorem ipsum' nor '{'
     "d81_c4_line_rules" ->
       """WITH src AS (SELECT doc_id, text ||
@@ -3412,6 +3436,8 @@ object LlmQueries {
         |    'the first planted sentence is long enough to retain.'
         |    || chr(10) ||
         |    'the second planted sentence is also long enough to retain.'
+        |    || chr(10) ||
+        |    'the third planted sentence is likewise long enough to retain.'
         |   ELSE '' END) ||
         |  (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'short line'
         |   ELSE '' END) ||
@@ -3420,6 +3446,8 @@ object LlmQueries {
         |   ELSE '' END) ||
         |  (CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
         |    'here is one more proper retained sentence for the filter.'
+        |    || chr(10) ||
+        |    'and a second proper retained sentence closes the plant.'
         |   ELSE '' END) ||
         |  (CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'config { code }'
         |   ELSE '' END) AS text FROM documents),
@@ -3434,7 +3462,7 @@ object LlmQueries {
         |  FROM ls)
         |SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
         |CAST(len(kept) AS INT) AS n_kept,
-        |(len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |(len(kept) >= 5 AND NOT contains(lower(text), 'lorem ipsum')
         |  AND NOT contains(text, '{')) AS page_kept,
         |COALESCE(array_to_string(kept, chr(10)), '') AS text
         |FROM k ORDER BY doc_id""".stripMargin,
@@ -3451,8 +3479,8 @@ object LlmQueries {
       ("""WITH a AS (SELECT doc_id, pass FROM (""" +
         D52GopherRulesSql + """) t),
         |b AS (SELECT * FROM (""".stripMargin +
-        D82GopherNgramsSql
-          .replace("CASE WHEN doc_id % 4 = 0", "CASE WHEN FALSE") +
+        replaceOnce(D82GopherNgramsSql,
+          "CASE WHEN doc_id % 4 = 0", "CASE WHEN FALSE") +
         """) t)
         |SELECT a.doc_id AS doc_id, a.pass AS shape_pass,
         |(b.top2_frac <= 0.20) AS r_top2,

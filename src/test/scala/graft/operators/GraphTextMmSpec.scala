@@ -415,7 +415,9 @@ class TextAnalysisSpec extends SparkSpec {
     val good = Seq(
       "One decent sentence with plenty of words here.",
       "Two decent sentences with plenty of words here.",
-      "Three decent sentences with plenty of words here.")
+      "Three decent sentences with plenty of words here.",
+      "Four decent sentences with plenty of words here.",
+      "Five decent sentences with plenty of words here.")
     val docs = Seq(
       (1L, "This sentence has more than five words total.\n" +
         "short one.\n" +                      // < 5 words
@@ -423,10 +425,12 @@ class TextAnalysisSpec extends SparkSpec {
         "this line mentions javascript somewhere fine.\n" + // banned
         "Another proper sentence with enough words here!\n" +
         "no terminal punctuation in this line with words"),
-      (2L, good.mkString("\n")),              // 3 kept -> page kept
+      (2L, good.mkString("\n")),              // 5 kept -> page kept
       (3L, good.mkString("\n") + "\ncode { block"),   // brace kills
       (4L, good.mkString("\n") +
-        "\nLorem Ipsum dolor sit amet consectetur adipiscing elit."))
+        "\nLorem Ipsum dolor sit amet consectetur adipiscing elit."),
+      // 4 kept lines miss the c4_utils 5-sentence page floor
+      (5L, good.take(4).mkString("\n")))
       .toDF("doc_id", "text")
     val got = TextAnalysis.c4LineRules(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
@@ -435,11 +439,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == ((6, 2, false,
       "This sentence has more than five words total.\n" +
         "Another proper sentence with enough words here!")))
-    assert(got(2L) == ((3, 3, true, good.mkString("\n"))))
+    assert(got(2L) == ((5, 5, true, good.mkString("\n"))))
     // the brace rule reads the RAW text, not the surviving lines
-    assert(got(3L) == ((4, 3, false, good.mkString("\n"))))
+    assert(got(3L) == ((6, 5, false, good.mkString("\n"))))
     // lorem ipsum matches case-insensitively even in a passing line
-    assert(got(4L)._2 == 4 && !got(4L)._3)
+    assert(got(4L)._2 == 6 && !got(4L)._3)
+    // one short of the page floor: lines keep, the page does not
+    assert(got(5L) == ((4, 4, false, good.take(4).mkString("\n"))))
     // CRLF: a trailing \r defeats the terminal-punct rule on BOTH
     // engines (\z anchor — Java's $ would have matched before the \r
     // while RE2's would not, a silent gate divergence)

@@ -392,6 +392,12 @@ class MixingSpec extends SparkSpec {
     // a zero-boost (empty) stratum keeps nothing
     assert(Mixing.boostKeepRatesBp(
       Seq("x" -> 0L, "y" -> 1L))("x") == 0)
+    // but a POSITIVE boost below max/10000 floors at 1 bp instead of
+    // truncating to 0 — a skewed recipe must not silently vanish a
+    // living stratum (the 1-micro tail-floor discipline in bp)
+    val r3 = Mixing.boostKeepRatesBp(Seq(
+      "tiny" -> 3L, "huge" -> 900000000L))
+    assert(r3("tiny") == 1 && r3("huge") == 10000)
     intercept[IllegalArgumentException] {
       Mixing.boostKeepRatesBp(Seq("x" -> 0L))
     }

@@ -277,6 +277,16 @@ class QuantizationSpec extends SparkSpec {
             "vec_id", "embedding", idx, nprobe = 1, topK = 3)
           .collect().map(_.toSeq).toSet
       assert(serve(loaded) == serve(built) && serve(built).nonEmpty)
+      // the well-formedness detector: clean after a disjoint add...
+      Quantization.validateIvfPqCodes(spark, dir)
+      // ...and LOUD after violating the caller contract (re-adding
+      // ids already in the layout doubles their code row sets)
+      Quantization.ivfPqAddBatch(vecs.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", dir)
+      val e = intercept[IllegalArgumentException] {
+        Quantization.validateIvfPqCodes(spark, dir)
+      }
+      assert(e.getMessage.contains("ivf-pq codes corrupt"))
     } finally {
       org.apache.spark.sql.graftshim.Shims
         .unpersistLocalCheckpoint(built.codes)
