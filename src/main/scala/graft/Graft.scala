@@ -215,6 +215,27 @@ object Graft {
                     textCol: String): DataFrame =
     TextAnalysis.knBigramScore(docs, idCol, textCol)
 
+  /** The KN LM's maintained state: per-doc bigram-count rows plus a
+    * per-doc marker — doc-disjoint partials union-merge exactly. */
+  def knSnapshot(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame =
+    TextAnalysis.knSnapshot(docs, idCol, textCol)
+
+  /** Union-merge doc-disjoint [[knSnapshot]] partials — the LM's
+    * incremental refresh; merged == full recompute by construction. */
+  def mergeKnSnapshots(parts: Seq[DataFrame]): DataFrame =
+    TextAnalysis.mergeKnSnapshots(parts)
+
+  /** Loud detector for the [[mergeKnSnapshots]] disjointness
+    * contract: one marker per distinct doc or it throws. */
+  def validateKnSnapshot(snap: DataFrame): Unit =
+    TextAnalysis.validateKnSnapshot(snap)
+
+  /** Score a (fresh or merged) [[knSnapshot]] — the scoring tail
+    * shared with [[knBigramScore]]. */
+  def knScoreFromSnapshot(snap: DataFrame): DataFrame =
+    TextAnalysis.knScoreFromSnapshot(snap)
+
   /** The CCNet per-language head/middle/tail cut over the KN score —
     * the companion of [[knBigramScore]], as `perplexityBuckets`
     * pairs the add-one score. */

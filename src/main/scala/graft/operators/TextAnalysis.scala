@@ -267,23 +267,99 @@ object TextAnalysis {
     * hash pair. Same shuffle count as [[bigramLmScore]] plus two
     * skinny fertility aggregations.
     *
+    * The LM's only state is the per-doc bigram-count snapshot
+    * ([[knSnapshot]]); this method is knSnapshot piped into
+    * [[knScoreFromSnapshot]], so the batch build and the
+    * [[mergeKnSnapshots]] incremental-refresh path can never
+    * diverge (the tfSnapshot/bm25TopKIndexed factoring applied to
+    * the LM surface).
+    *
     * @return (idCol, n_bigrams, sum_logp_micros, mean_logp_micros) —
     *         docs with < 2 tokens don't appear. */
   def knBigramScore(docs: DataFrame, idCol: String, textCol: String,
                     materialize: Boolean = true): DataFrame = {
+    val out = knScoreFromSnapshot(knSnapshot(docs, idCol, textCol),
+      materialize)
+    if (idCol == "doc_id") out
+    else out.withColumnRenamed("doc_id", idCol)
+  }
+
+  /** The KN bigram LM's maintained state: per-doc (h1, h2) bigram
+    * counts keyed by the fused positional-hash pairs, plus one
+    * ZERO-COUNT MARKER row (0, 0, 0) per input doc — the
+    * [[graft.operators.Search.tfSnapshot]] discipline applied to the
+    * LM. Every row derives from its own doc's text alone, so
+    * doc-disjoint partials union-merge exactly ([[mergeKnSnapshots]])
+    * and the marker gives [[validateKnSnapshot]] its per-doc
+    * uniqueness signal even for docs with < 2 tokens (which carry no
+    * bigram rows). Markers are inert for scoring — real rows always
+    * have bf >= 1 and [[knScoreFromSnapshot]] filters bf > 0.
+    *
+    * @return (doc_id, h1, h2, bf) */
+  def knSnapshot(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
     import graft.functions.NativeExpressions.positionalNgramHashes
-    val d = lit(0.75d)
-    val base = docs
-      .select(col(idCol), positionalNgramHashes(col(textCol), 1).as("__th"))
-      .select(col(idCol), explode(zip_with(
+    docs
+      .select(col(idCol).as("doc_id"),
+        positionalNgramHashes(col(textCol), 1).as("__th"))
+      .select(col("doc_id"), explode(zip_with(
           slice(col("__th"), lit(1),
             greatest(size(col("__th")) - 1, lit(0))),
           slice(col("__th"), lit(2),
             greatest(size(col("__th")) - 1, lit(0))),
           (a, b) => struct(a.as("h1"), b.as("h2")))).as("__p"))
-      .select(col(idCol), col("__p.h1").as("__h1"),
-        col("__p.h2").as("__h2"))
-      .groupBy(idCol, "__h1", "__h2").agg(count(lit(1)).as("__bf"))
+      .select(col("doc_id"), col("__p.h1").as("h1"),
+        col("__p.h2").as("h2"))
+      .groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("bf"))
+      .unionByName(docs.select(col(idCol).as("doc_id"),
+        lit(0L).as("h1"), lit(0L).as("h2"), lit(0L).as("bf")))
+  }
+
+  /** Merge [[knSnapshot]] partials from DISJOINT doc batches — the
+    * incremental-refresh path of the LM: bigram counts (and markers)
+    * are per-doc facts, so for any doc-partition of the corpus the
+    * unioned partials are row-for-row the full snapshot; the corpus
+    * rollups (c(w1·), both fertilities, the type total) all derive
+    * DOWNSTREAM in [[knScoreFromSnapshot]], so nothing else needs
+    * rebuilding as crawls commit. Caller contract: batches must be
+    * doc-disjoint — a re-crawled doc in two batches duplicates its
+    * marker and bigram rows, silently shifting every continuation
+    * probability; [[validateKnSnapshot]] is the cheap detector. */
+  def mergeKnSnapshots(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "need at least one snapshot partial")
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Assert a (merged) [[knSnapshot]] is well-formed: exactly one
+    * zero-count marker per distinct doc id — one skinny two-count
+    * aggregation that turns a violated [[mergeKnSnapshots]]
+    * disjointness contract into a loud failure (the
+    * validateTfSnapshot discipline). */
+  def validateKnSnapshot(snap: DataFrame): Unit = {
+    val r = snap.agg(
+      coalesce(sum(when(col("bf") === 0L, 1L).otherwise(0L)), lit(0L))
+        .as("markers"),
+      countDistinct("doc_id").as("docs")).head
+    require(r.getLong(0) == r.getLong(1),
+      s"kn snapshot corrupt: ${r.getLong(0)} zero-count markers for " +
+        s"${r.getLong(1)} distinct docs - merged batches were not " +
+        "doc-disjoint")
+  }
+
+  /** Score a [[knSnapshot]] (fresh or [[mergeKnSnapshots]]-merged):
+    * the corpus bigram table, context rollup, both fertilities and
+    * the type total derive from the snapshot, and docs re-join their
+    * bigrams' integer-micro log-probs on the hash pair — the scoring
+    * tail of [[knBigramScore]], shared by the batch build and the
+    * incremental refresh so the two can never diverge.
+    *
+    * @return (doc_id, n_bigrams, sum_logp_micros, mean_logp_micros) */
+  def knScoreFromSnapshot(snap: DataFrame,
+                          materialize: Boolean = true): DataFrame = {
+    val d = lit(0.75d)
+    val base = snap.filter(col("bf") > 0L)
+      .select(col("doc_id"), col("h1").as("__h1"),
+        col("h2").as("__h2"), col("bf").as("__bf"))
     val postings = if (materialize) base.localCheckpoint(true) else base
     val bigCounts = postings.groupBy("__h1", "__h2")
       .agg(sum("__bf").as("__bc"))
@@ -303,7 +379,7 @@ object TextAnalysis {
             * (col("__nb") / col("__tt"))) * 1e6)
           .cast("long").as("__lpm"))
     val out = postings.join(lp, Seq("__h1", "__h2"))
-      .groupBy(idCol)
+      .groupBy("doc_id")
       .agg(sum("__bf").as("n_bigrams"),
         sum(col("__bf") * col("__lpm")).as("sum_logp_micros"))
       .withColumn("mean_logp_micros",

@@ -1064,6 +1064,32 @@ object LlmQueries {
         .unpersistLocalCheckpoint(tf)
     }),
 
+    // The KN bigram LM maintained incrementally — the last maintained
+    // artifact to get its merge path: three doc-disjoint knSnapshot
+    // partials union-merge (bigram counts and markers are per-doc
+    // facts; the corpus rollups derive downstream in the scorer), the
+    // disjointness validator runs on the merged snapshot, and the
+    // scoring tail is the SAME knScoreFromSnapshot the batch build
+    // pipes through — hashed against the d77 oracle VERBATIM, so both
+    // the merge claim (merged == full recompute) and the
+    // snapshot/scorer boundary are gated.
+    "inc_kn_refresh" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val snap = TextAnalysis.mergeKnSnapshots(Seq(
+          TextAnalysis.knSnapshot(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text"),
+          TextAnalysis.knSnapshot(docs.filter(col("doc_id") % 3 === 1),
+            "doc_id", "text"),
+          TextAnalysis.knSnapshot(docs.filter(col("doc_id") % 3 === 2),
+            "doc_id", "text")))
+        .localCheckpoint(true)
+      try {
+        TextAnalysis.validateKnSnapshot(snap)
+        TextAnalysis.knScoreFromSnapshot(snap).orderBy("doc_id")
+      } finally org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(snap)
+    }),
+
     // Impact-ordered BM25 (max-score/WAND family): champion-list
     // candidates + per-query exactness certificate, falling back to
     // the exact probe where unproven — same probe set and k as d24,
@@ -2632,6 +2658,18 @@ object LlmQueries {
       "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 128",
       s"WHERE $probePred")
 
+  /** The d77 replay re-targeted for the st_inc_kn era runs: the
+    * corpus (w CTE) restricts to what that era's snapshot had
+    * counted, and the probe predicate picks the served docs —
+    * occurrence-checked surgery on the one D77KnLmPrefix so the
+    * smoothing math can never diverge from the batch oracle. */
+  private[queries] def knLmSqlEra(corpusPred: String,
+                                  probePred: String): String =
+    replaceOnce(D77KnLmPrefix, "FROM documents)",
+      s"FROM documents WHERE $corpusPred)") +
+      s"\nSELECT doc_id, n_bigrams, sum_logp_micros, " +
+      s"mean_logp_micros FROM lm WHERE $probePred"
+
   val sql: Map[String, String] = Map(
     "d6_simhash" -> SimHashSql,
     // md5-hex bucket parsed the cross-engine way (conv base-16 vs
@@ -2742,6 +2780,11 @@ object LlmQueries {
     // BOTH fertilities, the type total, and the interpolated
     // probability in the identical IEEE operation order
     "d77_kn_bigram_lm" ->
+      (D77KnLmPrefix + """
+        |SELECT doc_id, n_bigrams, sum_logp_micros, mean_logp_micros
+        |FROM lm ORDER BY doc_id""".stripMargin),
+    // merged partials == full recompute: the d77 replay VERBATIM
+    "inc_kn_refresh" ->
       (D77KnLmPrefix + """
         |SELECT doc_id, n_bigrams, sum_logp_micros, mean_logp_micros
         |FROM lm ORDER BY doc_id""".stripMargin),

@@ -388,6 +388,51 @@ object StreamQueries {
         .orderBy("qid", "rank")
     }),
 
+    // The KN bigram LM refreshed between catch-up runs — the
+    // inc_kn_refresh maintenance in its streaming shape: era A's
+    // probe docs (every 16th, even — docs the era-A snapshot
+    // counted) read their scores from the even-half LM, the odd-half
+    // knSnapshot partial union-merges in (mergeKnSnapshots,
+    // validated), and era B's probes (16k+5, odd — scoreable only
+    // after the merge) read from the merged LM. Each era's score
+    // table is a frozen localCheckpoint, so a probe row's result
+    // depends only on (own doc_id, static era LM) and micro-batch
+    // splits cannot change it.
+    "st_inc_kn" -> ((s, d) => {
+      val TA = graft.operators.TextAnalysis
+      lazy val snapA = TA.knSnapshot(
+        T.documents(s, d).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text").localCheckpoint(true)
+      lazy val scoresA = TA.knScoreFromSnapshot(snapA)
+      lazy val scoresAB = {
+        val merged = TA.mergeKnSnapshots(Seq(snapA,
+          TA.knSnapshot(
+            T.documents(s, d).filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text"))).localCheckpoint(true)
+        TA.validateKnSnapshot(merged)
+        val sc = TA.knScoreFromSnapshot(merged)
+        org.apache.spark.sql.graftshim.Shims
+          .unpersistLocalCheckpoint(merged)
+        sc
+      }
+      def serve(scores: => DataFrame, era: Int)(batch: DataFrame) =
+        batch.filter(col("doc_id") % 16 === era * 5)
+          .select("doc_id")
+          .join(scores, Seq("doc_id"))
+      val run1 = materializedStream(s, d, "incknA",
+        "documents.parquet", transform = serve(scoresA, 0)) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      val run2 = materializedStream(s, d, "incknB",
+        "documents.parquet", transform = serve(scoresAB, 1)) { in =>
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      s.read.parquet(run1).unionByName(s.read.parquet(run2))
+        .orderBy("doc_id")
+    }),
+
     // The PER-SITE boilerplate screen refreshed between catch-up runs
     // — the st_inc_boiler pattern with (group, line) keys: era A's
     // per-lang partial (thresholded alone) screens the first incoming
@@ -932,6 +977,16 @@ object StreamQueries {
         ")\nUNION ALL\nSELECT * FROM (" +
         LlmQueries.bm25SqlEra("TRUE", "doc_id % 80 = 40") +
         ")\nORDER BY qid, rank"),
+    // the era-split KN truth via the surgically re-targeted d77
+    // replay: era A probes (every 16th doc, even) score under the
+    // even-half LM, era B probes (16k+5, odd) under the full merged
+    // LM — disjoint probe sets, one global doc order
+    "st_inc_kn" ->
+      ("SELECT * FROM (" +
+        LlmQueries.knLmSqlEra("doc_id % 2 = 0", "doc_id % 16 = 0") +
+        ")\nUNION ALL\nSELECT * FROM (" +
+        LlmQueries.knLmSqlEra("TRUE", "doc_id % 16 = 5") +
+        ")\nORDER BY doc_id"),
     // the era-split per-(lang, line) truth: even incoming docs probe
     // era A's per-lang screen, odd ones the merged (= full) screen
     "st_inc_grouped_boiler" ->

@@ -570,6 +570,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.contains(3L))  // < 2 tokens: no evidence
   }
 
+  test("knSnapshot merge: disjoint partials validate and score as " +
+    "the full build; a duplicated doc trips the detector") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val merged = TextAnalysis.mergeKnSnapshots(Seq(
+      TextAnalysis.knSnapshot(docs.filter(col("doc_id") <= 1),
+        "doc_id", "text"),
+      TextAnalysis.knSnapshot(docs.filter(col("doc_id") > 1),
+        "doc_id", "text")))
+    // a marker per doc — including doc 3, which has no bigram rows
+    TextAnalysis.validateKnSnapshot(merged)
+    assert(merged.filter(col("bf") === 0L).count() == 3)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.knScoreFromSnapshot(df, materialize = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2))).toSet
+    assert(scores(merged) ==
+      scores(TextAnalysis.knSnapshot(docs, "doc_id", "text")))
+    // doc 2 re-crawled into both batches: loud, not silent drift
+    val dup = TextAnalysis.mergeKnSnapshots(Seq(
+      TextAnalysis.knSnapshot(docs, "doc_id", "text"),
+      TextAnalysis.knSnapshot(docs.filter(col("doc_id") === 2),
+        "doc_id", "text")))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.validateKnSnapshot(dup)
+    }
+    assert(e.getMessage.contains("kn snapshot corrupt"))
+  }
+
   test("token metrics") {
     val r = Seq("ab cd  ef ab").toDF("t").select(
       TextAnalysis.tokenCount(col("t")),
