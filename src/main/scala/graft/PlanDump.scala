@@ -322,7 +322,48 @@ object PlanDump {
         "shard. Corpus text is read once for the plan math " +
         "(aggregate-only) and once for the pack+write; at 100 TB " +
         "every stage is either config-sized or the d67/s20 " +
-        "shapes already audited."))
+        "shapes already audited."),
+    "d82_gopher_ngrams" ->
+      ("Gopher's full Table-A1 n-gram repetition battery — the " +
+        "suite's heaviest text kernel, with its tuning story " +
+        "measured, not guessed: a fused all-n single-explode variant " +
+        "benched 2.4× SLOWER at sf0.1 (per-row 9-long struct arrays " +
+        "defeat parquet scan streaming), so the shape is per-n " +
+        "streamed passes over ONE localCheckpointed token table; the " +
+        "dup counts ride a WINDOW on the (doc, gram-hash) key the " +
+        "rows already shuffle on (replacing a join-back took the 10× " +
+        "ratio 4.16 → 2.88), and the shuffle carries 8-byte xxhash64 " +
+        "gram keys, never the gram text (2.88 → 2.83, and the " +
+        "exchange width is what matters at 100 TB). Hash identity is " +
+        "operator-internal w.h.p. (the d4/d34 precedent) so the " +
+        "string-keyed oracle is unchanged. Solo pins: cold 7.61 / " +
+        "warm 4.56 s at sf0.1 (BENCH_SOLO_r12.json)."),
+    "d84_gopher_full_gate" ->
+      ("The COMPLETE Gopher gate: the d52 shape rules conjoined with " +
+        "d82's repetition battery at the paper's thresholds — a " +
+        "doc-keyed join of two gate-green kernels, so the plan is " +
+        "exactly their plans plus one keyed join; no new exchange " +
+        "shapes. The cost is the battery's (see d82); the gate adds " +
+        "~0.4 s in-suite. This is the per-doc keep decision a " +
+        "Gopher-style pipeline actually applies, and the d86 " +
+        "curation flagship composes THIS def (not a copy)."),
+    "d86_curation_e2e" ->
+      ("The full curation DAG as one query: markup strip (line-" +
+        "preserving) → C4 line/page rules → the d84 Gopher gate → " +
+        "PII redaction → source-priority exact dedup → the " +
+        "boilerplate line screen → 8-gram decontamination → the d79 " +
+        "recipe→shards tail, with a funnel row per stage and the " +
+        "last row read back from the real shard files. Every stage " +
+        "is the shared gate-green kernel; each stage output " +
+        "localCheckpoints once (freed on exit), so the funnel " +
+        "aggregation reads checkpoint blocks instead of re-deriving " +
+        "the chain 10×, and downstream stages scan a flat lineage — " +
+        "the scan/filter stages are scan-side projections, the " +
+        "dedup/screen stages are the d72/d64 keyed-aggregation " +
+        "shapes, and the tail is d79's config-sized plan. At 100 TB " +
+        "this is N sequential passes with nothing wider than the " +
+        "per-stage kernels already audited; the funnel rows are " +
+        "one-row aggregates riding the same checkpoints."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

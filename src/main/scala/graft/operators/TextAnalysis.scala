@@ -999,7 +999,28 @@ object TextAnalysis {
     * (no lookarounds, `(?s)` for cross-line blocks) so the same
     * patterns run verbatim in SQL oracles; scan-side projection, no
     * shuffle, codegen-friendly. */
-  def stripMarkup(c: Column): Column = {
+  def stripMarkup(c: Column): Column =
+    trim(regexp_replace(stripChain(c), "\\s+", " "))
+
+  /** [[stripMarkup]]'s line-preserving form: the same
+    * block-strip/tag-strip/entity-decode chain, but whitespace
+    * collapses PER LINE (each line trimmed, inner runs to one space)
+    * and the newlines survive — the shape a curation pipeline needs
+    * when line-level rules ([[c4LineRules]], the boilerplate
+    * screens) run downstream of the markup pass: the global
+    * `\s+ -> ' '` collapse of stripMarkup would erase exactly the
+    * line structure those rules read. Block tags spanning lines
+    * still strip whole ((?s) dotall); a line left empty by the strip
+    * stays as an empty line (line rules ignore blanks). Scan-side
+    * projection like the parent — no shuffle, codegen-friendly. */
+  def stripMarkupKeepLines(c: Column): Column =
+    array_join(transform(split(stripChain(c), "\n"),
+      l => trim(regexp_replace(l, "\\s+", " "))), "\n")
+
+  /** Shared strip chain of [[stripMarkup]] / [[stripMarkupKeepLines]]
+    * — everything but the whitespace policy, ONE implementation so
+    * the two can never diverge. */
+  private def stripChain(c: Column): Column = {
     // one pass per block tag — RE2 has no backreferences, and a
     // (script|style) alternation on both ends would cross-match
     // `<script>…</style>`
@@ -1007,10 +1028,9 @@ object TextAnalysis {
       regexp_replace(acc, s"(?is)<$t[^>]*>.*?</$t>", " ")
     }
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
-    val decoded = MarkupEntities.foldLeft(noTags) { case (acc, (e, r)) =>
+    MarkupEntities.foldLeft(noTags) { case (acc, (e, r)) =>
       replace(acc, lit(e), lit(r))
     }
-    trim(regexp_replace(decoded, "\\s+", " "))
   }
 
   /** Gopher's "required stop words" set (Rae et al. 2021, appendix

@@ -92,6 +92,59 @@ object LlmQueries {
     Quantization.loadIvfPqIndex(s, dir)
   }
 
+  /** The COMPLETE Gopher gate (shape rules + the Table-A1 repetition
+    * battery at the paper's thresholds) — shared by `d84` and the
+    * `d86` curation flagship so the two can never diverge. */
+  private def gopherFullGate(docs: DataFrame): DataFrame = {
+    val shape = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select(col("doc_id"), col("pass").as("shape_pass"))
+    val repThresh = Seq(
+      "top2_frac" -> 0.20, "top3_frac" -> 0.18, "top4_frac" -> 0.16,
+      "dup5_frac" -> 0.15, "dup6_frac" -> 0.14, "dup7_frac" -> 0.13,
+      "dup8_frac" -> 0.12, "dup9_frac" -> 0.11, "dup10_frac" -> 0.10)
+    val rep = repThresh.foldLeft(
+        TextAnalysis.gopherNgramStats(docs, "doc_id", "text")) {
+        case (df, (c, th)) =>
+          df.withColumn("r_" + c.stripSuffix("_frac"), col(c) <= th)
+      }
+      .withColumn("rep_pass", repThresh.map { case (c, _) =>
+        col("r_" + c.stripSuffix("_frac")) }.reduce(_ && _))
+      .select(col("doc_id") +: repThresh.map { case (c, _) =>
+        col("r_" + c.stripSuffix("_frac")) } :+ col("rep_pass"): _*)
+    shape.join(rep, Seq("doc_id"))
+      .withColumn("full_pass", col("shape_pass") && col("rep_pass"))
+  }
+
+  /** d86 fixture constants — ONE definition each, interpolated into
+    * both the Spark page builder and the DuckDB oracle so the planted
+    * corpus cannot drift between the two sides. The page: an HTML
+    * shell (markup-strip fodder), the doc's own words re-chunked into
+    * 12-word '.'-terminated sentences (c4/gopher fodder that carries
+    * the real text through the funnel), and one planted line per rule
+    * family on an id lattice. */
+  private val D86Pre = "<html><head><style>body{margin:0}</style>" +
+    "<script>if (1 < 2) { x = 1; }</script></head><body>"
+  private val D86Js =
+    "this line mentions javascript in passing somewhere."
+  private val D86Ent = "rows &amp; columns stay joined to the table here."
+  private val D86Boiler =
+    "subscribe to our newsletter for the updates today."
+  private val D86Lorem = "Lorem ipsum dolor sit amet in this line."
+  private val D86Close = "</body></html>"
+  /** The exact-dup class page (doc_id % 34 == 2): a FIXED page —
+    * identical fingerprints survive every gate, so the priority-dedup
+    * stage has a real cluster to collapse. */
+  private val D86CanonLines: Seq[String] = Seq(D86Pre,
+    "the canonical page body opens with a steady row of tables.",
+    "every column in the canonical page keeps the same order.",
+    "a fixed set of rows makes the fingerprint identical.",
+    "the scan reads each line and finds the same words.",
+    "sorting the canonical page changes nothing in the output.",
+    "one more sentence keeps the word count over fifty here.",
+    D86Ent,
+    "please contact bob@mailhub.com about the joined tables soon.",
+    D86Close)
+
   val defs: Map[String, Q] = Map(
     // Exact dedup: one hash-partitioned aggregation on the fingerprint.
     "d1_exact_dedup" -> ((s, d) =>
@@ -834,26 +887,145 @@ object LlmQueries {
     // 0.10) — the per-doc keep decision a Gopher-style pipeline
     // actually applies. Pure composition of two gate-green kernels;
     // the join keys on the doc id.
-    "d84_gopher_full_gate" -> ((s, d) => {
-      val docs = T.documents(s, d)
-      val shape = TextAnalysis.gopherRules(docs, "doc_id", "text")
-        .select(col("doc_id"), col("pass").as("shape_pass"))
-      val repThresh = Seq(
-        "top2_frac" -> 0.20, "top3_frac" -> 0.18, "top4_frac" -> 0.16,
-        "dup5_frac" -> 0.15, "dup6_frac" -> 0.14, "dup7_frac" -> 0.13,
-        "dup8_frac" -> 0.12, "dup9_frac" -> 0.11, "dup10_frac" -> 0.10)
-      val rep = repThresh.foldLeft(
-          TextAnalysis.gopherNgramStats(docs, "doc_id", "text")) {
-          case (df, (c, th)) =>
-            df.withColumn("r_" + c.stripSuffix("_frac"), col(c) <= th)
-        }
-        .withColumn("rep_pass", repThresh.map { case (c, _) =>
-          col("r_" + c.stripSuffix("_frac")) }.reduce(_ && _))
-        .select(col("doc_id") +: repThresh.map { case (c, _) =>
-          col("r_" + c.stripSuffix("_frac")) } :+ col("rep_pass"): _*)
-      shape.join(rep, Seq("doc_id"))
-        .withColumn("full_pass", col("shape_pass") && col("rep_pass"))
-        .orderBy("doc_id")
+    "d84_gopher_full_gate" -> ((s, d) =>
+      gopherFullGate(T.documents(s, d)).orderBy("doc_id")),
+
+    // The FULL curation DAG as ONE flagship query — the run a
+    // pretraining data lead actually launches: markup strip (line
+    // preserving) -> C4 line/page rules -> the complete Gopher gate
+    // -> PII redaction -> source-priority exact dedup -> the
+    // cross-corpus boilerplate line screen -> 8-gram benchmark
+    // decontamination -> the d79 recipe->shards tail (temperature
+    // plan, 1bp-floored keep rates, salted 98/1/1 split, 1024-token
+    // packing, 4-seq shards) — with one funnel row per stage
+    // (n_docs, n_chars, id_checksum) so the survivor curve is
+    // visible, and the last row read back from the REAL shard files.
+    // Every stage is the gate-green kernel itself (shared defs, not
+    // copies); the fixture re-chunks each doc's own words into
+    // 12-word sentences (carrying the real text through the line
+    // rules) and plants one line per rule family on an id lattice,
+    // plus a fixed canonical page on doc_id % 34 == 2 so the dedup
+    // stage has a real cluster to collapse — all mirrored from the
+    // same Scala constants the oracle interpolates.
+    "d86_curation_e2e" -> ((s, d) => {
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def ck(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(true); cps += c; c
+      }
+      try {
+        val raw = T.documents(s, d)
+        val ws = TextAnalysis.wordTokens(col("text"))
+        val nChunks = greatest(ceil(size(ws) / lit(12.0)).cast("int"),
+          lit(1))
+        val chunks = transform(sequence(lit(1), nChunks), i =>
+          concat(array_join(slice(ws, (i - 1) * 12 + 1, lit(12)), " "),
+            lit(".")))
+        val empty = typedlit(Seq.empty[String])
+        def mLine(cond: Column, line: Column) =
+          when(cond, array(line)).otherwise(empty)
+        val emailLine = concat(lit("please contact bob"),
+          col("doc_id").cast("string"), lit("@mail"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".com about the joined tables soon."))
+        val pageLines = concat(
+          array(lit(D86Pre)),
+          when(col("doc_id") % 7 === 0, concat(chunks, chunks))
+            .otherwise(chunks),
+          mLine(col("doc_id") % 3 === 0, lit("short line")),
+          mLine(col("doc_id") % 5 === 0, lit(D86Js)),
+          array(lit(D86Ent)),
+          mLine(col("doc_id") % 2 === 0, emailLine),
+          mLine(col("doc_id") % 2 === 0, lit(D86Boiler)),
+          mLine(col("doc_id") % 11 === 0, lit("config { code }")),
+          mLine(col("doc_id") % 13 === 0, lit(D86Lorem)),
+          array(lit(D86Close)))
+        val s0 = ck(raw.select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 34 === 2,
+            lit(D86CanonLines.mkString("\n")))
+            .otherwise(array_join(pageLines, "\n")).as("text")))
+        val s1 = ck(s0.select(col("doc_id"), col("lang"),
+          TextAnalysis.stripMarkupKeepLines(col("text")).as("text")))
+        val s2 = ck(TextAnalysis.c4LineRules(s1, "doc_id", "text")
+          .filter(col("page_kept"))
+          .select(col("doc_id"), col("text"))
+          .join(s1.select("doc_id", "lang"), Seq("doc_id")))
+        val s3 = ck(s2.join(
+          gopherFullGate(s2).filter(col("full_pass")).select("doc_id"),
+          Seq("doc_id")))
+        val s4 = ck(s3.select(col("doc_id"), col("lang"),
+          TextAnalysis.piiRedact(col("text")).as("text")))
+        val keepers = Dedup.priorityDedup(
+          s4.withColumn("src",
+            when(col("doc_id") % 3 === 0, lit("cc"))
+              .when(col("doc_id") % 3 === 1, lit("curated"))
+              .otherwise(lit("books"))),
+          "doc_id", "text", "src",
+          Map("curated" -> 0, "books" -> 1, "cc" -> 2))
+          .select(col("keeper").as("doc_id"))
+        val s5 = ck(s4.join(keepers, Seq("doc_id")))
+        val screen = Dedup.boilerplateLineSet(s5, "text", minCount = 3)
+        val s6 = ck(Dedup.lineDedupAgainst(s5, screen, "doc_id", "text")
+          .select(col("doc_id"), col("text"))
+          .join(s5.select("doc_id", "lang"), Seq("doc_id")))
+        val bench = s6.filter(col("doc_id") % 37 === 0)
+          .select(concat_ws(" ",
+            slice(split(col("text"), "\\s+"), 1, 15)).as("btext"))
+        val hits = Dedup.decontaminate(s6, "doc_id", "text", bench,
+          "btext").select("doc_id")
+        val s7 = ck(s6.join(hits, Seq("doc_id"), "left_anti"))
+        val withN = s7.withColumn("n_chars",
+          length(col("text")).cast("long"))
+        val ratesBp = Mixing.boostKeepRatesBp(
+          Mixing.temperatureMixture(withN, "lang", "n_chars",
+            alpha = 0.5)
+            .select("lang", "boost").collect()
+            .map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e6))
+            .toSeq)
+        val sampled = Mixing.stratifiedSample(
+          withN.select("doc_id", "lang", "n_chars"),
+          "doc_id", "lang", ratesBp, defaultBp = 0)
+        val s8 = ck(Mixing.assignSplit(
+            sampled.withColumn("__sid",
+              concat(col("doc_id").cast("string"), lit("#split"))),
+            "__sid", Seq(("train", 9800), ("valid", 100), ("test", 100)))
+          .filter(col("split") === "train").drop("split", "__sid"))
+        val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+          s"curation86_${pathDigest(d)}"
+        Mixing.writeShards(s8, "doc_id", "n_chars", budget = 1024,
+          seqsPerShard = 4, dir)
+        val shards = s.read.parquet(dir)
+        val tchars = length(col("text")).cast("long")
+        def row(idx: Int, name: String, df: DataFrame, chars: Column) =
+          df.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(chars), lit(0L)).cast("long").as("n_chars"),
+              coalesce(sum(col("doc_id")), lit(0L)).cast("long")
+                .as("id_checksum"))
+            .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+              col("n_docs"), col("n_chars"), col("id_checksum"),
+              lit(0L).as("n_shards"))
+        val funnel = Seq(
+          row(0, "0_raw", s0, tchars),
+          row(1, "1_markup", s1, tchars),
+          row(2, "2_c4", s2, tchars),
+          row(3, "3_gopher", s3, tchars),
+          row(4, "4_pii", s4, tchars),
+          row(5, "5_dedup", s5, tchars),
+          row(6, "6_screen", s6, tchars),
+          row(7, "7_decontam", s7, tchars),
+          row(8, "8_sampled", s8, col("n_chars")),
+          shards.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("n_chars")), lit(0L)).cast("long")
+                .as("n_chars"),
+              coalesce(sum(col("doc_id")), lit(0L)).cast("long")
+                .as("id_checksum"),
+              countDistinct(col("shard")).as("n_shards"))
+            .select(lit(9).as("stage_idx"), lit("9_shards").as("stage"),
+              col("n_docs"), col("n_chars"), col("id_checksum"),
+              col("n_shards")))
+          .reduce(_ unionByName _).orderBy("stage_idx")
+        funnel.localCheckpoint(true)
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
     }),
 
     // Per-language tokenizer FERTILITY (subword tokens per word) —
@@ -3547,6 +3719,195 @@ object LlmQueries {
         |  AND b.dup10_frac <= 0.10) AS full_pass
         |FROM a JOIN b ON a.doc_id = b.doc_id
         |ORDER BY doc_id""".stripMargin),
+    // the full curation DAG replayed end to end: the planted page
+    // interpolates the SAME Scala constants the Spark fixture uses,
+    // each stage CTE restates its donor oracle's rule body (d21 strip
+    // chain per line, d81's battery at the 5-line floor, d52+d82
+    // surgically re-targeted to the c4 output, d16's redaction chain,
+    // d72's priority keeper, d64's screen shape, d18's 8-gram probe,
+    // d79's recipe/split/pack math), and the funnel rows aggregate
+    // each stage — MATERIALIZED hints keep the 10-branch union from
+    // re-deriving the chain
+    "d86_curation_e2e" -> {
+      val canonSql = D86CanonLines.map(l => s"'$l'")
+        .mkString(" || chr(10) || ")
+      val d52s = replaceOnce(D52GopherRulesSql,
+        "FROM documents", "FROM t2")
+      val d82s = replaceOnce(replaceOnce(D82GopherNgramsSql,
+        "CASE WHEN doc_id % 4 = 0", "CASE WHEN FALSE"),
+        "FROM documents", "FROM t2")
+      s"""WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |chnk AS (SELECT doc_id, lang,
+        |  [array_to_string(ws[(i-1)*12+1:(i-1)*12+12], ' ') || '.'
+        |   FOR i IN range(1, CAST(greatest(ceil(len(ws)/12.0), 1) AS BIGINT) + 1)] AS chunks
+        |  FROM base),
+        |pg AS MATERIALIZED (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 34 = 2 THEN $canonSql
+        |  ELSE array_to_string(
+        |    ['$D86Pre'] ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN chunks || chunks ELSE chunks END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ['short line'] ELSE []::VARCHAR[] END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ['$D86Js'] ELSE []::VARCHAR[] END) ||
+        |    ['$D86Ent'] ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ['please contact bob' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.com about the joined tables soon.'] ELSE []::VARCHAR[] END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ['$D86Boiler'] ELSE []::VARCHAR[] END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN ['config { code }'] ELSE []::VARCHAR[] END) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN ['$D86Lorem'] ELSE []::VARCHAR[] END) ||
+        |    ['$D86Close'], chr(10))
+        |  END AS text FROM chnk),
+        |t1 AS MATERIALIZED (SELECT doc_id, lang, array_to_string(list_transform(
+        |  string_split(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(text,
+        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&amp;', '&'), chr(10)),
+        |  l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))), chr(10)) AS text
+        |  FROM pg),
+        |c4k AS (SELECT doc_id, lang, text AS raw,
+        |  list_filter(string_split(text, chr(10)),
+        |    l -> regexp_matches(trim(l), '[.!?"]$$')
+        |     AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w <> '')) >= 5
+        |     AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM t1),
+        |t2 AS MATERIALIZED (SELECT doc_id, lang,
+        |  array_to_string(kept, chr(10)) AS text
+        |  FROM c4k
+        |  WHERE len(kept) >= 5 AND NOT contains(lower(raw), 'lorem ipsum')
+        |    AND NOT contains(raw, '{')),
+        |g1 AS MATERIALIZED (SELECT doc_id, pass FROM ($d52s) s),
+        |g2 AS MATERIALIZED (SELECT * FROM ($d82s) s),
+        |t3 AS MATERIALIZED (SELECT t2.doc_id AS doc_id, t2.lang AS lang,
+        |  t2.text AS text FROM t2
+        |  JOIN g1 ON t2.doc_id = g1.doc_id
+        |  JOIN g2 ON t2.doc_id = g2.doc_id
+        |  WHERE g1.pass AND g2.top2_frac <= 0.20 AND g2.top3_frac <= 0.18
+        |    AND g2.top4_frac <= 0.16 AND g2.dup5_frac <= 0.15
+        |    AND g2.dup6_frac <= 0.14 AND g2.dup7_frac <= 0.13
+        |    AND g2.dup8_frac <= 0.12 AND g2.dup9_frac <= 0.11
+        |    AND g2.dup10_frac <= 0.10),
+        |t4 AS MATERIALIZED (SELECT doc_id, lang,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+        |    '\\b[0-9]{4}(?:[ -][0-9]{4}){3}\\b', '<CC>', 'g'),
+        |    '\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,7}\\b', '<PHONE>', 'g') AS text
+        |  FROM t3),
+        |d5 AS (SELECT doc_id, lang, text,
+        |  md5(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+        |  CASE doc_id % 3 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS rk
+        |  FROM t4),
+        |k5 AS (SELECT fp, doc_id AS keeper FROM (
+        |  SELECT fp, doc_id, ROW_NUMBER() OVER (PARTITION BY fp
+        |    ORDER BY rk, doc_id) AS rn FROM d5) WHERE rn = 1),
+        |t5 AS MATERIALIZED (SELECT d5.doc_id AS doc_id, d5.lang AS lang,
+        |  d5.text AS text
+        |  FROM d5 JOIN k5 ON d5.fp = k5.fp AND d5.doc_id = k5.keeper),
+        |exl AS (SELECT trim(ln) AS k FROM (
+        |  SELECT unnest(string_split(text, chr(10))) AS ln FROM t5)
+        |  WHERE trim(ln) <> '' GROUP BY trim(ln) HAVING COUNT(*) >= 3),
+        |l6 AS (SELECT doc_id, lang, u.i AS pos, u.ln AS ln FROM (
+        |  SELECT doc_id, lang, unnest([{'i': x, 'ln': a[x+1]}
+        |    FOR x IN range(0, len(a))]) AS u
+        |  FROM (SELECT doc_id, lang, string_split(text, chr(10)) AS a FROM t5) q)),
+        |k6 AS (SELECT doc_id, lang, pos, ln,
+        |  (trim(ln) = '' OR exl.k IS NULL) AS keep
+        |  FROM l6 LEFT JOIN exl ON trim(l6.ln) = exl.k),
+        |t6 AS MATERIALIZED (SELECT doc_id, ANY_VALUE(lang) AS lang,
+        |  COALESCE(string_agg(ln, chr(10) ORDER BY pos) FILTER (WHERE keep), '')
+        |    AS text
+        |  FROM k6 GROUP BY doc_id),
+        |tw AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ws
+        |  FROM t6),
+        |ben AS (SELECT array_to_string(string_split_regex(text, '\\s+')[1:15], ' ')
+        |  AS btext FROM t6 WHERE doc_id % 37 = 0),
+        |bw7 AS (SELECT list_filter(string_split_regex(btext, '\\s+'), t -> t <> '')
+        |  AS ws FROM ben),
+        |bg7 AS (SELECT DISTINCT h FROM (SELECT
+        |  unnest([md5(array_to_string(ws[i:i+7], ' '))
+        |    FOR i IN range(1, len(ws) - 6)]) AS h FROM bw7 WHERE len(ws) >= 8)),
+        |tg7 AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id,
+        |  unnest([md5(array_to_string(ws[i:i+7], ' '))
+        |    FOR i IN range(1, len(ws) - 6)]) AS h FROM tw WHERE len(ws) >= 8)),
+        |hit7 AS (SELECT DISTINCT doc_id FROM tg7 JOIN bg7 USING (h)),
+        |t7 AS MATERIALIZED (SELECT t6.doc_id AS doc_id, t6.lang AS lang,
+        |  t6.text AS text
+        |  FROM t6 LEFT JOIN hit7 ON t6.doc_id = hit7.doc_id
+        |  WHERE hit7.doc_id IS NULL),
+        |r0 AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars FROM t7),
+        |s8 AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens FROM r0
+        |  GROUP BY lang),
+        |t8t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM s8),
+        |p8 AS (SELECT lang, n_tokens, n_tokens / tt AS praw,
+        |  CASE WHEN n_tokens > 0 THEN GREATEST(1,
+        |    CAST(ROUND(sqrt(n_tokens / tt) * 1000000) AS BIGINT)) ELSE 0 END AS sp
+        |  FROM s8 CROSS JOIN t8t),
+        |q8 AS (SELECT CAST(SUM(sp) AS BIGINT) AS qt FROM p8),
+        |bo8 AS (SELECT lang, CASE WHEN n_tokens = 0 THEN 0
+        |  ELSE CAST(ROUND(ROUND(GREATEST(ROUND(sp / qt, 6), 0.000001) / praw, 6)
+        |    * 1000000) AS BIGINT) END AS bm FROM p8 CROSS JOIN q8),
+        |mx8 AS (SELECT MAX(bm) AS mb FROM bo8),
+        |rt8 AS (SELECT lang, CASE WHEN bm > 0
+        |  THEN GREATEST(1, (bm * 10000) // mb) ELSE 0 END AS rate
+        |  FROM bo8 CROSS JOIN mx8),
+        |t8 AS MATERIALIZED (SELECT r0.doc_id AS doc_id, r0.lang AS lang,
+        |  r0.n_chars AS n_chars
+        |  FROM r0 JOIN rt8 ON r0.lang = rt8.lang
+        |  WHERE ('0x' || substr(md5(CAST(r0.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 10000 < rate
+        |    AND ('0x' || substr(md5(CAST(r0.doc_id AS VARCHAR) || '#split'), 1, 8))
+        |      ::BIGINT % 10000 < 9800),
+        |c9 AS (SELECT doc_id, n_chars, CAST(COALESCE(SUM(n_chars) OVER (
+        |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS BIGINT) AS start_tok FROM t8),
+        |p9 AS (SELECT doc_id, n_chars, start_tok // 1024 AS seq_start,
+        |  CASE WHEN n_chars = 0 THEN start_tok // 1024
+        |    ELSE (start_tok + n_chars - 1) // 1024 END AS seq_end FROM c9),
+        |sh9 AS (SELECT seq_start // 4 AS shard, doc_id, n_chars FROM p9)
+        |SELECT * FROM (
+        |SELECT CAST(0 AS INT) AS stage_idx, '0_raw' AS stage,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS id_checksum,
+        |  CAST(0 AS BIGINT) AS n_shards FROM pg
+        |UNION ALL SELECT 1, '1_markup', COUNT(*),
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t1
+        |UNION ALL SELECT 2, '2_c4', COUNT(*),
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t2
+        |UNION ALL SELECT 3, '3_gopher', COUNT(*),
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t3
+        |UNION ALL SELECT 4, '4_pii', COUNT(*),
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t4
+        |UNION ALL SELECT 5, '5_dedup', COUNT(*),
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t5
+        |UNION ALL SELECT 6, '6_screen', COUNT(*),
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t6
+        |UNION ALL SELECT 7, '7_decontam', COUNT(*),
+        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t7
+        |UNION ALL SELECT 8, '8_sampled', COUNT(*),
+        |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t8
+        |UNION ALL SELECT 9, '9_shards', COUNT(*),
+        |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
+        |  CAST(COUNT(DISTINCT shard) AS BIGINT) FROM sh9
+        |) ORDER BY stage_idx""".stripMargin
+    },
     // string-keyed restatement of the per-doc line-count rollup; the
     // planted repeat mirrors the query
     "d69_line_repetition" ->

@@ -821,6 +821,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5) == "plain text stays")
   }
 
+  test("stripMarkupKeepLines: newlines survive, per-line collapse, " +
+    "cross-line blocks still strip whole") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // line structure kept; inner runs collapse per line
+      ("<p>first   line.</p>\n<p>second  line.</p>", 1),
+      // a block spanning lines strips whole, leaving ONE line (the
+      // block's newlines vanish with its contents)
+      ("x<script>\nvar y = 2\n</script>y", 2),
+      // a tags-only line becomes an EMPTY line, not a deleted one
+      ("<div>\nbody stays &amp; holds.\n</div>", 3))
+      .toDF("text", "id")
+    val out = docs.select(col("id"),
+        TextAnalysis.stripMarkupKeepLines(col("text")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "first line.\nsecond line.")
+    assert(out(2) == "x y")
+    assert(out(3) == "\nbody stays & holds.\n")
+    // and the parent's single-line contract is unchanged: same chain,
+    // global collapse
+    val flat = docs.select(col("id"),
+        TextAnalysis.stripMarkup(col("text")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(flat(1) == "first line. second line.")
+    assert(flat(3) == "body stays & holds.")
+  }
+
   test("gopherRules: hand-computed features and rule flags") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
