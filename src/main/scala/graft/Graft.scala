@@ -606,6 +606,38 @@ object Graft {
     graft.operators.Quantization.ivfPqSearch(queries, idCol, vecCol,
       idx, nprobe, topK)
 
+  /** Persist a trained [[ivfPqIndex]] as the cell-partitioned
+    * serving layout (codes hive-partitioned by cell, codebooks +
+    * meta beside them). */
+  def persistIvfPqIndex(idx: graft.operators.Quantization.IvfPqIndex,
+                        dir: String): Unit =
+    graft.operators.Quantization.persistIvfPqIndex(idx, dir)
+
+  /** Load a [[persistIvfPqIndex]] layout — codebooks to the driver,
+    * the code table as a lazy cell-pruned scan. */
+  def loadIvfPqIndex(spark: SparkSession, dir: String)
+      : graft.operators.Quantization.IvfPqIndex =
+    graft.operators.Quantization.loadIvfPqIndex(spark, dir)
+
+  /** Loud detector for the add path's id-uniqueness contract:
+    * m code rows per id or it throws. */
+  def validateIvfPqCodes(spark: SparkSession, dir: String): Unit =
+    graft.operators.Quantization.validateIvfPqCodes(spark, dir)
+
+  /** FAISS `imbalance_factor` + per-cell occupancy — the retrain
+    * trigger for a drifting maintained index. */
+  def ivfPqImbalance(idx: graft.operators.Quantization.IvfPqIndex)
+      : DataFrame =
+    graft.operators.Quantization.ivfPqImbalance(idx)
+
+  /** The periodic retrain/compact the imbalance number schedules:
+    * fresh codebooks on the union corpus, re-encode, overwrite. */
+  def ivfPqRetrain(emb: DataFrame, idCol: String, vecCol: String,
+                   dir: String, nlist: Int, coarseIters: Int, m: Int,
+                   ksub: Int, pqIters: Int): Unit =
+    graft.operators.Quantization.ivfPqRetrain(emb, idCol, vecCol, dir,
+      nlist, coarseIters, m, ksub, pqIters)
+
   /** Symmetric per-dim int8 scalar quantization (absmax SQ8). */
   def sq8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     graft.operators.Quantization.sq8Codes(emb, idCol, vecCol)

@@ -389,6 +389,60 @@ object Quantization {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
+  /** FAISS's `imbalance_factor` with the per-cell occupancy it
+    * summarizes: nlist · Σ n_c² / N², 1.0 = perfectly balanced
+    * cells. The factor multiplies by NLIST (the codebook size), not
+    * the count of non-empty cells — under total collapse (everything
+    * in one cell) it reads nlist (maximal skew) where a
+    * non-empty-cell count would read 1.0 ("perfectly balanced");
+    * empty cells emit explicit zero-occupancy rows so starved cells
+    * are visible. [[ivfPqAddBatch]] encodes against FROZEN
+    * centroids, so as the corpus drifts this number climbs — which
+    * is exactly when [[ivfPqRetrain]] pays for itself. Two skinny
+    * aggregations over the (nid, cell) codes projection; the scalar
+    * attaches as a one-row crossJoin.
+    *
+    * @return (cell, n_vecs, share, imbalance) — imbalance constant
+    *         across rows, 6 dp. */
+  def ivfPqImbalance(idx: IvfPqIndex): DataFrame = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    val allCells = idx.cells.map(_._1).toDF("cell")
+    val occ = idx.codes.select("nid", "cell").distinct()
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val perCell = allCells.join(occ, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_vecs"))
+    val tot = broadcast(perCell.agg(
+      sum("n_vecs").as("__nt"),
+      sum(col("n_vecs") * col("n_vecs")).as("__ss")))
+    perCell.crossJoin(tot)
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs") / col("__nt"), 6).as("share"),
+        round(lit(idx.cells.length).cast("double") * col("__ss")
+          / (col("__nt").cast("double") * col("__nt")), 6)
+          .as("imbalance"))
+  }
+
+  /** The periodic RETRAIN/COMPACT that closes the maintained-index
+    * lifecycle (FAISS: re-train and re-add when `imbalance_factor`
+    * climbs): train FRESH coarse + PQ codebooks on the given corpus
+    * (the union of everything added so far), re-encode it, and
+    * OVERWRITE the persisted layout — the appended cell directories
+    * are rewritten from scratch, so the layout is also compacted.
+    * Unlike [[ivfPqAddBatch]] this reads and re-encodes the whole
+    * corpus — the rarer full pass [[ivfPqImbalance]]'s number tells
+    * you to schedule, amortized across the many cheap adds between
+    * retrains. */
+  def ivfPqRetrain(emb: DataFrame, idCol: String, vecCol: String,
+                   dir: String, nlist: Int, coarseIters: Int,
+                   m: Int, ksub: Int, pqIters: Int): Unit = {
+    val idx = ivfPqIndex(emb, idCol, vecCol, nlist, coarseIters, m,
+      ksub, pqIters)
+    try persistIvfPqIndex(idx, dir)
+    finally org.apache.spark.sql.graftshim.Shims
+      .unpersistLocalCheckpoint(idx.codes)
+  }
+
   /** Assert a [[persistIvfPqIndex]] layout's code table is
     * well-formed: every encoded id carries EXACTLY m code rows, one
     * per subspace. This is the detector for the [[ivfPqAddBatch]]

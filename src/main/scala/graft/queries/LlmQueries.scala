@@ -1499,30 +1499,59 @@ object LlmQueries {
     // re-train pays for itself. Two skinny aggregations over the
     // (nid, cell) projection of the codes table; the scalar attaches
     // as a one-row crossJoin (the a18 pattern).
-    "d80_ivfpq_cell_stats" -> ((s, d) => {
-      import s.implicits._
-      val idx = sharedIvfPqIndex(s, d)
-      // the factor multiplies by NLIST (the codebook size), not the
-      // count of non-empty cells — under the worst drift (everything
-      // in one cell, the rest empty) nlist·Σn²/N² reads nlist
-      // (maximal skew) where a non-empty-cell count would read 1.0
-      // ("perfectly balanced"); empty cells also emit an explicit
-      // zero-occupancy row so starved cells are visible
-      val allCells = idx.cells.map(_._1).toDF("cell")
-      val occ = idx.codes.select("nid", "cell").distinct()
-        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
-      val perCell = allCells.join(occ, Seq("cell"), "left")
-        .na.fill(0L, Seq("n_vecs"))
-      val tot = broadcast(perCell.agg(
-        sum("n_vecs").as("__nt"),
-        sum(col("n_vecs") * col("n_vecs")).as("__ss")))
-      perCell.crossJoin(tot)
-        .select(col("cell"), col("n_vecs"),
-          round(col("n_vecs") / col("__nt"), 6).as("share"),
-          round(lit(idx.cells.length).cast("double") * col("__ss")
-            / (col("__nt").cast("double") * col("__nt")), 6)
-            .as("imbalance"))
-        .orderBy("cell")
+    "d80_ivfpq_cell_stats" -> ((s, d) =>
+      // the factor rides the codebook's nlist, not the non-empty
+      // count (total collapse must read nlist, not 1.0); the shared
+      // ivfPqImbalance kernel is also the d87 before/after probe
+      Quantization.ivfPqImbalance(sharedIvfPqIndex(s, d))
+        .orderBy("cell")),
+
+    // The retrain/compact step d80's number points at — the operator
+    // an admin runs when the imbalance climbs: a drifted batch
+    // (every 5th vector shifted into a far blob at id + 1e6,
+    // mirrored in the oracle) lands via the FAISS add against the
+    // FROZEN base codebooks and piles into one cell; ivfPqRetrain
+    // then re-trains coarse + PQ on the union, re-encodes, and
+    // overwrites the layout. Output = the d80 kernel evaluated on
+    // the SAME layout before and after, long-format by phase — the
+    // oracle replays both coarse trainings (the d51 Lloyd recipe)
+    // and both occupancy rollups.
+    "d87_ivfpq_retrain" -> ((s, d) => {
+      val base = T.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double"))
+          .as("embedding"))
+      val drift = base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * 0.1 + 2.0)
+            .as("embedding"))
+      val union = base.unionByName(drift)
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"ivfpq87_${pathDigest(d)}"
+      val baseIdx = Quantization.ivfPqIndex(base, "vec_id",
+        "embedding", nlist = 4, coarseIters = 2, m = 4, ksub = 4,
+        pqIters = 2)
+      try Quantization.persistIvfPqIndex(baseIdx, dir)
+      finally org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(baseIdx.codes)
+      Quantization.ivfPqAddBatch(drift, "vec_id", "embedding", dir)
+      // EAGER checkpoint: the retrain below OVERWRITES the layout
+      // this lazy plan reads — materialize the before-row first
+      val before = Quantization
+        .ivfPqImbalance(Quantization.loadIvfPqIndex(s, dir))
+        .select(lit("before").as("phase"), col("cell"), col("n_vecs"),
+          col("share"), col("imbalance"))
+        .localCheckpoint(true)
+      try {
+        Quantization.ivfPqRetrain(union, "vec_id", "embedding", dir,
+          nlist = 4, coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
+        val after = Quantization
+          .ivfPqImbalance(Quantization.loadIvfPqIndex(s, dir))
+          .select(lit("after").as("phase"), col("cell"),
+            col("n_vecs"), col("share"), col("imbalance"))
+        before.unionByName(after).orderBy("phase", "cell")
+          .localCheckpoint(true)
+      } finally org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(before)
     }),
 
     // Shingle df histogram — the dfCap / prefix-path tuning
@@ -3497,6 +3526,77 @@ object LlmQueries {
         |FROM pc CROSS JOIN tt
         |ORDER BY cell""".stripMargin),
     "d66_ivfpq_rescore" -> D66IvfPqRescoreSql,
+    // both coarse trainings replayed with the d51 Lloyd recipe
+    // (init = first nlist by id, 6-dp means, 6-dp distance argmin
+    // with cell tie-break): BEFORE assigns the union to the FROZEN
+    // base centroids (what add-then-serve occupancy reads), AFTER
+    // re-trains on the union and re-assigns — the d80 imbalance
+    // formula evaluated on each
+    "d87_ivfpq_retrain" ->
+      """WITH v AS (SELECT vec_id AS id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |  FROM embeddings),
+        |dr AS (SELECT id + 1000000 AS id,
+        |  [vv[i]*0.1 + 2.0 FOR i IN range(1, len(vv)+1)] AS vv
+        |  FROM v WHERE id % 5 = 0),
+        |uu AS (SELECT * FROM v UNION ALL SELECT * FROM dr),
+        |cinit AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS c,
+        |  vv AS cv FROM (SELECT id, vv FROM v ORDER BY id LIMIT 4)),
+        |cq1 AS (SELECT id, vv, c, ROUND(list_sum([(vv[i]-cv[i])*(vv[i]-cv[i])
+        |  FOR i IN range(1, len(vv)+1)]), 6) AS dd FROM v CROSS JOIN cinit),
+        |ca1 AS (SELECT id, vv, c FROM (SELECT *, ROW_NUMBER() OVER
+        |  (PARTITION BY id ORDER BY dd, c) AS rn FROM cq1) WHERE rn = 1),
+        |cex AS (SELECT c, unnest(range(1, len(vv)+1)) AS i,
+        |  unnest(vv) AS x FROM ca1),
+        |cc1 AS (SELECT c, list(m ORDER BY i) AS cv FROM (
+        |  SELECT c, i, ROUND(avg(x), 6) AS m FROM cex
+        |  GROUP BY c, i) GROUP BY c),
+        |abq AS (SELECT uu.id AS id, cc1.c AS c,
+        |  ROUND(list_sum([(vv[i]-cv[i])*(vv[i]-cv[i])
+        |    FOR i IN range(1, len(vv)+1)]), 6) AS dd FROM uu CROSS JOIN cc1),
+        |ab AS (SELECT id, c FROM (SELECT *, ROW_NUMBER() OVER
+        |  (PARTITION BY id ORDER BY dd, c) AS rn FROM abq) WHERE rn = 1),
+        |occB AS (SELECT c AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |  FROM ab GROUP BY c),
+        |pcB AS (SELECT cc1.c AS cell,
+        |  CAST(COALESCE(occB.n_vecs, 0) AS BIGINT) AS n_vecs
+        |  FROM cc1 LEFT JOIN occB ON cc1.c = occB.cell),
+        |ttB AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl,
+        |  CAST(SUM(n_vecs) AS BIGINT) AS nt,
+        |  CAST(SUM(n_vecs*n_vecs) AS BIGINT) AS ss FROM pcB),
+        |uq1 AS (SELECT uu.id AS id, vv, c,
+        |  ROUND(list_sum([(vv[i]-cv[i])*(vv[i]-cv[i])
+        |    FOR i IN range(1, len(vv)+1)]), 6) AS dd FROM uu CROSS JOIN cinit),
+        |ua1 AS (SELECT id, vv, c FROM (SELECT *, ROW_NUMBER() OVER
+        |  (PARTITION BY id ORDER BY dd, c) AS rn FROM uq1) WHERE rn = 1),
+        |uex AS (SELECT c, unnest(range(1, len(vv)+1)) AS i,
+        |  unnest(vv) AS x FROM ua1),
+        |cc1u AS (SELECT c, list(m ORDER BY i) AS cv FROM (
+        |  SELECT c, i, ROUND(avg(x), 6) AS m FROM uex
+        |  GROUP BY c, i) GROUP BY c),
+        |aaq AS (SELECT uu.id AS id, cc1u.c AS c,
+        |  ROUND(list_sum([(vv[i]-cv[i])*(vv[i]-cv[i])
+        |    FOR i IN range(1, len(vv)+1)]), 6) AS dd FROM uu CROSS JOIN cc1u),
+        |aa AS (SELECT id, c FROM (SELECT *, ROW_NUMBER() OVER
+        |  (PARTITION BY id ORDER BY dd, c) AS rn FROM aaq) WHERE rn = 1),
+        |occA AS (SELECT c AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |  FROM aa GROUP BY c),
+        |pcA AS (SELECT cc1u.c AS cell,
+        |  CAST(COALESCE(occA.n_vecs, 0) AS BIGINT) AS n_vecs
+        |  FROM cc1u LEFT JOIN occA ON cc1u.c = occA.cell),
+        |ttA AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl,
+        |  CAST(SUM(n_vecs) AS BIGINT) AS nt,
+        |  CAST(SUM(n_vecs*n_vecs) AS BIGINT) AS ss FROM pcA)
+        |SELECT * FROM (
+        |SELECT 'before' AS phase, cell, n_vecs,
+        |ROUND(n_vecs / nt, 6) AS share,
+        |ROUND(CAST(nl AS DOUBLE) * ss / (CAST(nt AS DOUBLE) * nt), 6)
+        |  AS imbalance FROM pcB CROSS JOIN ttB
+        |UNION ALL
+        |SELECT 'after', cell, n_vecs, ROUND(n_vecs / nt, 6),
+        |ROUND(CAST(nl AS DOUBLE) * ss / (CAST(nt AS DOUBLE) * nt), 6)
+        |FROM pcA CROSS JOIN ttA
+        |) ORDER BY phase, cell""".stripMargin,
     // the per-shard rollup derived from the global cumsum alone
     "s20_shard_write" ->
       """WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens

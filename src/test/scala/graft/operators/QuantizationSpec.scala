@@ -296,4 +296,47 @@ class QuantizationSpec extends SparkSpec {
         .forEach(f => java.nio.file.Files.delete(f))
     }
   }
+
+  test("ivfPqRetrain: a drifted add skews the cells, the retrain " +
+    "un-skews them (post imbalance <= pre)") {
+    // base: the two-direction fixture; drift: a TIGHT far blob that
+    // the frozen base centroids pile into one cell
+    val drift = Seq(
+      (100L, v(5f, 5f, 5f, 5f)), (101L, v(5.1f, 5f, 5f, 5f)),
+      (102L, v(5f, 5.1f, 5f, 5f)), (103L, v(5f, 5f, 5.1f, 5f)),
+      (104L, v(5f, 5f, 5f, 5.1f)), (105L, v(5.1f, 5.1f, 5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val union = vecs.unionByName(drift)
+    val built = Quantization.ivfPqIndex(vecs, "vec_id", "embedding",
+      nlist = 2, coarseIters = 2, m = 2, ksub = 2, pqIters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_retrain").toString
+    try {
+      Quantization.persistIvfPqIndex(built, dir)
+      Quantization.ivfPqAddBatch(drift, "vec_id", "embedding", dir)
+      def imb() = {
+        val df = Quantization.ivfPqImbalance(
+          Quantization.loadIvfPqIndex(spark, dir))
+        (df.collect().map(_.getDouble(3)).head,
+          df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+      }
+      val (pre, preCells) = imb()
+      // all 6 drifted vectors landed in ONE frozen cell
+      assert(preCells.values.max >= 6 + 2, preCells.toString)
+      Quantization.ivfPqRetrain(union, "vec_id", "embedding", dir,
+        nlist = 2, coarseIters = 2, m = 2, ksub = 2, pqIters = 2)
+      val (post, postCells) = imb()
+      assert(postCells.values.sum == 14)
+      assert(post <= pre, s"retrain must not worsen skew: $pre -> $post")
+      // and the validator still likes the rewritten layout
+      Quantization.validateIvfPqCodes(spark, dir)
+    } finally {
+      org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(built.codes)
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
 }
