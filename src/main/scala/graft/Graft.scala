@@ -385,6 +385,19 @@ object Graft {
     graft.operators.Search.bm25TopKIndexed(tfAll, queries, qidCol,
       qTextCol, k, dfCap = dfCap)
 
+  /** Append an aggregate-only snapshot to a run-keyed store (the
+    * `_SNAP_runs` discipline, ref tm_snapshots.py:56-83): compare
+    * dashboards then diff STORED rows — one snapshot pass per run,
+    * the "before" side read from disk, never recomputed. */
+  def snapshotAppendRun(snap: DataFrame, runId: String, runSeq: Int,
+                        dir: String, overwrite: Boolean = false): Unit =
+    graft.core.Snapshots.appendRun(snap, runId, runSeq, dir, overwrite)
+
+  /** The latest and previous runs of a [[snapshotAppendRun]] store,
+    * as (before, after) — the 90/91 compare inputs. */
+  def snapshotLastTwoRuns(store: DataFrame): (DataFrame, DataFrame) =
+    graft.core.Snapshots.lastTwoRuns(store)
+
   /** Left as-of join: latest build-side state at or before each probe
     * row's timestamp (one keyed shuffle, no join node). */
   def asofJoin(probe: DataFrame, build: DataFrame, key: String,

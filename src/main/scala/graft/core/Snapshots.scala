@@ -58,4 +58,36 @@ object Snapshots {
         Seq("column"), "full_outer")
       .withColumn("delta",
         coalesce(col("after"), lit(0L)) - coalesce(col("before"), lit(0L)))
+
+  /** Run-keyed snapshot store (ref `tm_snapshots.py:56-83` — the
+    * `_SNAP_runs` discipline): each pipeline run APPENDS its
+    * aggregate-only capture under a monotone `run_seq`, so the
+    * compare dashboards diff STORED rows instead of recomputing
+    * history — one snapshot pass per crawl, however long the history
+    * grows. The store is run-count-sized (one row per run per
+    * snapshot shape), config-class by construction; `overwrite = true`
+    * resets it (the first run of a rebuilt store). */
+  def appendRun(snap: DataFrame, runId: String, runSeq: Int, dir: String,
+      overwrite: Boolean = false): Unit = {
+    require(!snap.columns.contains("run_id") &&
+      !snap.columns.contains("run_seq"),
+      "appendRun(): snapshot already carries run_id/run_seq; " +
+        "pass the bare capture and let the store key it")
+    snap.withColumn("run_id", lit(runId))
+      .withColumn("run_seq", lit(runSeq))
+      .write.mode(if (overwrite) "overwrite" else "append").parquet(dir)
+  }
+
+  /** The latest and previous runs of a store, as (before, after) —
+    * the 90/91 compare inputs read from DISK. The max-seq attach is
+    * a one-row crossJoin (the scalar-attach pattern), not a global
+    * window; the store itself is run-count-sized so both sides are
+    * single-row config-class frames. */
+  def lastTwoRuns(store: DataFrame): (DataFrame, DataFrame) = {
+    val mx = store.agg(max("run_seq").as("__graft_mx"))
+    def at(off: Int) = store.crossJoin(mx)
+      .filter(col("run_seq") === col("__graft_mx") - off)
+      .drop("__graft_mx")
+    (at(1), at(0))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Tables => T}
+import graft.core.{Snapshots, Tables => T}
 import graft.operators.{Clustering, Dedup, GraphOps, Mixing, Multimodal, QualityModel, Quantization, Search, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators: dedup (exact / n-gram Jaccard /
@@ -456,6 +456,28 @@ object LlmQueries {
         .withColumn("delta",
           round(col("new_value") - col("prev_value"), 6))
         .orderBy("metric")
+    }),
+
+    // The PRODUCTION shape of the delta above — the `_SNAP_runs`
+    // store (ref tm_snapshots.py:56-83): each crawl APPENDS its
+    // one-row aggregate capture under a monotone run_seq, and the
+    // compare diffs the two latest STORED rows, so history costs one
+    // snapshot pass per crawl — the "before" side is read back from
+    // disk, never recomputed. Two runs land here (the pre-crawl
+    // corpus, then the full one) and the delta must equal
+    // rp_health_delta's recompute-both-sides answer with the run
+    // keys attached: stored-then-diffed == recomputed-twice is the
+    // gate's contract. Idempotent per app: run 0 overwrites the
+    // store, run 1 appends.
+    "rp_health_runs" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"healthruns_${pathDigest(d)}"
+      Snapshots.appendRun(
+        corpusHealth(docs.filter(col("doc_id") % 10 =!= 9)),
+        "crawl_000", 0, dir, overwrite = true)
+      Snapshots.appendRun(corpusHealth(docs), "crawl_001", 1, dir)
+      healthRunsDelta(s.read.parquet(dir))
     }),
     // Deterministic hash split (98/1/1): per-doc assignment plus the
     // per-split rollup — stable under corpus growth, the anti-leakage
@@ -1782,6 +1804,39 @@ object LlmQueries {
         |FROM g CROSS JOIN dup CROSS JOIN tk CROSS JOIN cont
         |CROSS JOIN lng""".stripMargin
 
+  /** The rp_health_delta oracle — the snapshot SQL replayed twice
+    * ("last snapshot" = the pre-crawl corpus via a shadowing CTE)
+    * and diffed metric by metric; the UNION ALL rows generate from
+    * the SAME [[HealthMetrics]] list the Spark unpivot uses. Named
+    * so rp_health_runs can wrap it verbatim with the store's run
+    * keys. */
+  private lazy val HealthDeltaSql: String = {
+    def snap(pred: String) = {
+      val body = HealthSnapshotSql.stripPrefix("WITH ")
+      require(body.contains("FROM documents"),
+        "HealthSnapshotSql lost its FROM documents anchor")
+      "(WITH docsrc AS (SELECT * FROM documents WHERE " + pred +
+        "),\n" + body.replace("FROM documents", "FROM docsrc") + ")"
+    }
+    val rows = HealthMetrics.map(m =>
+      s"SELECT '$m' AS metric, CAST(hb.$m AS DOUBLE) AS prev_value," +
+        s" CAST(ha.$m AS DOUBLE) AS new_value," +
+        s" ROUND(CAST(ha.$m AS DOUBLE) - CAST(hb.$m AS DOUBLE), 6)" +
+        s" AS delta FROM hb CROSS JOIN ha")
+    "WITH hb AS (SELECT * FROM " + snap("doc_id % 10 <> 9") +
+      " t),\nha AS (SELECT * FROM " + snap("TRUE") + " t)\n" +
+      rows.mkString("", "\nUNION ALL\n", "\nORDER BY metric")
+  }
+
+  /** The rp_health_runs oracle — [[HealthDeltaSql]] with the store's
+    * run keys attached; shared verbatim by the streaming twin (the
+    * stream ingests the same two crawls, so stored-then-diffed must
+    * equal this replay either way). */
+  private[queries] lazy val HealthRunsSql: String =
+    "SELECT q.metric, 'crawl_000' AS prev_run, q.prev_value, " +
+      "'crawl_001' AS new_run, q.new_value, q.delta FROM (" +
+      HealthDeltaSql + ") q ORDER BY q.metric"
+
   /** The numeric metrics of the one-row corpus-health snapshot, in
     * the order the delta row reports them — shared by the Spark
     * unpivot and the oracle's generated UNION ALL so the two can
@@ -1793,6 +1848,26 @@ object LlmQueries {
     "n_contaminated", "contamination_rate",
     "top_lang_docs", "top_lang_share")
 
+  /** The stored-runs delta tail shared by rp_health_runs and its
+    * streaming twin: unpivot the two latest stored captures (run
+    * keys carried through) and diff metric by metric. */
+  private[queries] def healthRunsDelta(store: DataFrame): DataFrame = {
+    val (before, after) = Snapshots.lastTwoRuns(store)
+    def longForm(h: DataFrame, run: String, v: String) = h.select(
+        col("run_id").as(run), explode(array(
+          HealthMetrics.map(m => struct(lit(m).as("metric"),
+            col(m).cast("double").as(v))): _*)).as("kv"))
+      .select(col(run), col("kv.metric").as("metric"),
+        col(s"kv.$v").as(v))
+    longForm(before, "prev_run", "prev_value")
+      .join(longForm(after, "new_run", "new_value"), Seq("metric"))
+      .withColumn("delta",
+        round(col("new_value") - col("prev_value"), 6))
+      .select(col("metric"), col("prev_run"), col("prev_value"),
+        col("new_run"), col("new_value"), col("delta"))
+      .orderBy("metric")
+  }
+
   /** The one-row corpus-health snapshot kernel shared by
     * rp_corpus_health and rp_health_delta: every number from a
     * gate-green kernel (d1 fingerprint dup share, d58 Gopher pass
@@ -1800,7 +1875,7 @@ object LlmQueries {
     * concentration); aggregate-only — the tm_snapshots capture
     * discipline, never row copies. All scalar attaches are one-row
     * crossJoins. */
-  private def corpusHealth(docs: DataFrame): DataFrame = {
+  private[queries] def corpusHealth(docs: DataFrame): DataFrame = {
     val dup = docs
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
       .groupBy("fp").agg(count(lit(1)).as("c"))
@@ -2882,23 +2957,10 @@ object LlmQueries {
     // pre-crawl corpus (doc_id % 10 <> 9) via a shadowing CTE — and
     // diffed metric by metric; the UNION ALL rows generate from the
     // SAME HealthMetrics list the Spark unpivot uses
-    "rp_health_delta" -> {
-      def snap(pred: String) = {
-        val body = HealthSnapshotSql.stripPrefix("WITH ")
-        require(body.contains("FROM documents"),
-          "HealthSnapshotSql lost its FROM documents anchor")
-        "(WITH docsrc AS (SELECT * FROM documents WHERE " + pred +
-          "),\n" + body.replace("FROM documents", "FROM docsrc") + ")"
-      }
-      val rows = HealthMetrics.map(m =>
-        s"SELECT '$m' AS metric, CAST(hb.$m AS DOUBLE) AS prev_value," +
-          s" CAST(ha.$m AS DOUBLE) AS new_value," +
-          s" ROUND(CAST(ha.$m AS DOUBLE) - CAST(hb.$m AS DOUBLE), 6)" +
-          s" AS delta FROM hb CROSS JOIN ha")
-      "WITH hb AS (SELECT * FROM " + snap("doc_id % 10 <> 9") +
-        " t),\nha AS (SELECT * FROM " + snap("TRUE") + " t)\n" +
-        rows.mkString("", "\nUNION ALL\n", "\nORDER BY metric")
-    },
+    "rp_health_delta" -> HealthDeltaSql,
+    // the SAME delta replay with the store's run keys attached:
+    // stored-then-diffed == recomputed-twice is the proven contract
+    "rp_health_runs" -> HealthRunsSql,
     // the md5 bucket restated with cumulative 98/1/1 cut points
     "d76_split_assign" ->
       """WITH b AS (SELECT doc_id, n_chars,

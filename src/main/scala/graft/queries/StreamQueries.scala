@@ -388,6 +388,37 @@ object StreamQueries {
         .orderBy("qid", "rank")
     }),
 
+    // The health run store fed by the stream — rp_health_runs in its
+    // streaming shape: the pre-crawl corpus lands via the first
+    // AvailableNow run and its aggregate-only capture is APPENDED to
+    // the `_SNAP_runs` store (run 0, resetting the store); the new
+    // crawl lands via the second run and the full-corpus capture
+    // appends as run 1; the delta then diffs the two STORED rows.
+    // Each snapshot is a pure aggregate of the rows landed so far,
+    // so micro-batch splits inside a run cannot change it, and the
+    // result must hash-match the batch rp_health_runs replay.
+    "st_health_runs" -> ((s, d) => {
+      def ingest(name: String, pred: org.apache.spark.sql.Column) =
+        materializedStream(s, d, name, "documents.parquet",
+          transform = _.filter(pred)
+            .select("doc_id", "text", "lang")) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+      val runA = ingest("healthA", col("doc_id") % 10 =!= 9)
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"healthruns_st_${LlmQueries.pathDigest(d)}"
+      graft.core.Snapshots.appendRun(
+        LlmQueries.corpusHealth(s.read.parquet(runA)),
+        "crawl_000", 0, dir, overwrite = true)
+      val runB = ingest("healthB", col("doc_id") % 10 === 9)
+      graft.core.Snapshots.appendRun(
+        LlmQueries.corpusHealth(
+          s.read.parquet(runA).unionByName(s.read.parquet(runB))),
+        "crawl_001", 1, dir)
+      LlmQueries.healthRunsDelta(s.read.parquet(dir))
+    }),
+
     // The KN bigram LM refreshed between catch-up runs — the
     // inc_kn_refresh maintenance in its streaming shape: era A's
     // probe docs (every 16th, even — docs the era-A snapshot
@@ -977,6 +1008,9 @@ object StreamQueries {
         ")\nUNION ALL\nSELECT * FROM (" +
         LlmQueries.bm25SqlEra("TRUE", "doc_id % 80 = 40") +
         ")\nORDER BY qid, rank"),
+    // the stream lands the same two crawls the batch query snapshots,
+    // so the stored-runs delta is the SAME replay verbatim
+    "st_health_runs" -> LlmQueries.HealthRunsSql,
     // the era-split KN truth via the surgically re-targeted d77
     // replay: era A probes (every 16th doc, even) score under the
     // even-half LM, era B probes (16k+5, odd) under the full merged

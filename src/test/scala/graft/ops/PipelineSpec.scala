@@ -56,4 +56,23 @@ class SnapshotsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(deltas == Map("s" -> 1L, "n" -> 0L))
   }
+
+  test("run store: lastTwoRuns reads the two latest stored captures") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapruns").toString + "/store"
+    def snap(n: Long) = Seq(n).toDF("n_docs")
+    Snapshots.appendRun(snap(10), "r0", 0, dir, overwrite = true)
+    Snapshots.appendRun(snap(12), "r1", 1, dir)
+    Snapshots.appendRun(snap(15), "r2", 2, dir)
+    val (before, after) = Snapshots.lastTwoRuns(spark.read.parquet(dir))
+    assert(before.select("run_id", "n_docs").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq == Seq(("r1", 12L)))
+    assert(after.select("run_id", "n_docs").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq == Seq(("r2", 15L)))
+    // a keyed snapshot is rejected: the store owns the run columns
+    intercept[IllegalArgumentException] {
+      Snapshots.appendRun(snap(1).withColumn("run_id", lit("x")),
+        "r3", 3, dir)
+    }
+  }
 }
