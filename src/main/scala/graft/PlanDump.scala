@@ -363,7 +363,50 @@ object PlanDump {
         "shapes, and the tail is d79's config-sized plan. At 100 TB " +
         "this is N sequential passes with nothing wider than the " +
         "per-stage kernels already audited; the funnel rows are " +
-        "one-row aggregates riding the same checkpoints."))
+        "one-row aggregates riding the same checkpoints."),
+    "d87_ivfpq_retrain" ->
+      ("The IVF-PQ lifecycle's RARE amortized pass (FAISS retrain " +
+        "semantics): the query proves before/after in one row set, " +
+        "so it deliberately runs TWO full Lloyd trainings plus two " +
+        "index builds — each the d29/d51 shapes (centroids as " +
+        "driver-held literals or codegen reference objects, one " +
+        "(cluster, dim) aggregation per round, per-call checkpoints " +
+        "freed on exit). The full re-encode is one scan-side pass " +
+        "over (cell, m codes) rows — never raw vectors — and the " +
+        "layout overwrite compacts appended cell dirs as a side " +
+        "effect. At 100 TB this runs once per drift threshold " +
+        "(d80's imbalance factor schedules it), amortized across " +
+        "every serve in between; the plan below is the final " +
+        "imbalance comparison reading checkpointed cell stats. Solo " +
+        "pins + 10× row: BENCH_SOLO_r14.json / BENCH_SF1_r14.json."),
+    "inc_kn_refresh" ->
+      ("The KN bigram LM's maintenance path: per-doc (h1, h2) count " +
+        "partials union-merge exactly (doc-disjoint batches — " +
+        "mergeKnSnapshots is a unionByName, ZERO recompute of landed " +
+        "batches), the disjointness validator is one skinny " +
+        "two-count aggregation, and every corpus rollup (context " +
+        "counts, both fertilities, the type total) derives " +
+        "DOWNSTREAM in the shared scorer — so an incremental crawl " +
+        "pays only its own batch's tokenize + the rollup " +
+        "re-aggregation over 8-byte hash pairs, never a corpus " +
+        "re-read. The plan is the d77 scoring tail over a LogicalRDD " +
+        "(the merged snapshot checkpoint): postings aggregation, two " +
+        "skinny fertility rollups, a one-row type-total broadcast, " +
+        "and the per-doc re-join on the hash pair."),
+    "rp_health_runs" ->
+      ("The persisted `_SNAP_runs` discipline (ref tm_snapshots.py): " +
+        "each crawl APPENDS a one-row aggregate-only health capture " +
+        "under a monotone run_seq; the delta dashboard diffs the two " +
+        "latest STORED rows read from DISK — the \"before\" side is " +
+        "never recomputed, so the dashboard's cost is " +
+        "history-independent however many crawls accumulate. The " +
+        "store is run-count-sized; the max-seq pick is a one-row " +
+        "scalar attach (crossJoin of a 1-row aggregate), and both " +
+        "compare sides are single rows. lastTwoRuns guards the two " +
+        "silent-corruption paths loudly: a single-run store (empty " +
+        "delta) and a crashed-crawl re-appended run_seq (fanned-out " +
+        "join) both fail with a message, the validateKnSnapshot " +
+        "discipline."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -82,8 +82,30 @@ object Snapshots {
     * the 90/91 compare inputs read from DISK. The max-seq attach is
     * a one-row crossJoin (the scalar-attach pattern), not a global
     * window; the store itself is run-count-sized so both sides are
-    * single-row config-class frames. */
+    * single-row config-class frames.
+    *
+    * Guards (one skinny aggregation over the run-count-sized store,
+    * the validateKnSnapshot discipline — contract violations fail
+    * LOUDLY instead of corrupting the diff downstream):
+    *  - a store holding fewer than two runs would otherwise return an
+    *    empty "before" side and the caller's metric join would
+    *    silently yield zero delta rows (a first-crawl dashboard must
+    *    say "need two runs", not "nothing changed");
+    *  - a duplicated `run_seq` (a crashed crawl re-appending without
+    *    `overwrite` — the reference store's `run_id PRIMARY KEY`,
+    *    ref `tm_snapshots.py:56-83`) would make `at(0)` return
+    *    multiple rows and fan the compare join out into cross-joined
+    *    delta rows. */
   def lastTwoRuns(store: DataFrame): (DataFrame, DataFrame) = {
+    val g = store.agg(count(lit(1)).as("rows"),
+      countDistinct("run_seq").as("runs")).head
+    require(g.getLong(1) >= 2L,
+      s"run store holds ${g.getLong(1)} run(s) - need at least two " +
+        "appended runs before a delta can be computed")
+    require(g.getLong(0) == g.getLong(1),
+      s"run store corrupt: ${g.getLong(0)} rows for ${g.getLong(1)} " +
+        "distinct run_seq values - a crashed crawl re-appended a " +
+        "run_seq (appendRun with overwrite=true resets the store)")
     val mx = store.agg(max("run_seq").as("__graft_mx"))
     def at(off: Int) = store.crossJoin(mx)
       .filter(col("run_seq") === col("__graft_mx") - off)

@@ -929,126 +929,24 @@ object LlmQueries {
     // plus a fixed canonical page on doc_id % 34 == 2 so the dedup
     // stage has a real cluster to collapse — all mirrored from the
     // same Scala constants the oracle interpolates.
-    "d86_curation_e2e" -> ((s, d) => {
-      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
-      def ck(df: DataFrame): DataFrame = {
-        val c = df.localCheckpoint(true); cps += c; c
-      }
-      try {
-        val raw = T.documents(s, d)
-        val ws = TextAnalysis.wordTokens(col("text"))
-        val nChunks = greatest(ceil(size(ws) / lit(12.0)).cast("int"),
-          lit(1))
-        val chunks = transform(sequence(lit(1), nChunks), i =>
-          concat(array_join(slice(ws, (i - 1) * 12 + 1, lit(12)), " "),
-            lit(".")))
-        val empty = typedlit(Seq.empty[String])
-        def mLine(cond: Column, line: Column) =
-          when(cond, array(line)).otherwise(empty)
-        val emailLine = concat(lit("please contact bob"),
-          col("doc_id").cast("string"), lit("@mail"),
-          (col("doc_id") % 7).cast("string"),
-          lit(".com about the joined tables soon."))
-        val pageLines = concat(
-          array(lit(D86Pre)),
-          when(col("doc_id") % 7 === 0, concat(chunks, chunks))
-            .otherwise(chunks),
-          mLine(col("doc_id") % 3 === 0, lit("short line")),
-          mLine(col("doc_id") % 5 === 0, lit(D86Js)),
-          array(lit(D86Ent)),
-          mLine(col("doc_id") % 2 === 0, emailLine),
-          mLine(col("doc_id") % 2 === 0, lit(D86Boiler)),
-          mLine(col("doc_id") % 11 === 0, lit("config { code }")),
-          mLine(col("doc_id") % 13 === 0, lit(D86Lorem)),
-          array(lit(D86Close)))
-        val s0 = ck(raw.select(col("doc_id"), col("lang"),
-          when(col("doc_id") % 34 === 2,
-            lit(D86CanonLines.mkString("\n")))
-            .otherwise(array_join(pageLines, "\n")).as("text")))
-        val s1 = ck(s0.select(col("doc_id"), col("lang"),
-          TextAnalysis.stripMarkupKeepLines(col("text")).as("text")))
-        val s2 = ck(TextAnalysis.c4LineRules(s1, "doc_id", "text")
-          .filter(col("page_kept"))
-          .select(col("doc_id"), col("text"))
-          .join(s1.select("doc_id", "lang"), Seq("doc_id")))
-        val s3 = ck(s2.join(
-          gopherFullGate(s2).filter(col("full_pass")).select("doc_id"),
-          Seq("doc_id")))
-        val s4 = ck(s3.select(col("doc_id"), col("lang"),
-          TextAnalysis.piiRedact(col("text")).as("text")))
-        val keepers = Dedup.priorityDedup(
-          s4.withColumn("src",
-            when(col("doc_id") % 3 === 0, lit("cc"))
-              .when(col("doc_id") % 3 === 1, lit("curated"))
-              .otherwise(lit("books"))),
-          "doc_id", "text", "src",
-          Map("curated" -> 0, "books" -> 1, "cc" -> 2))
-          .select(col("keeper").as("doc_id"))
-        val s5 = ck(s4.join(keepers, Seq("doc_id")))
-        val screen = Dedup.boilerplateLineSet(s5, "text", minCount = 3)
-        val s6 = ck(Dedup.lineDedupAgainst(s5, screen, "doc_id", "text")
-          .select(col("doc_id"), col("text"))
-          .join(s5.select("doc_id", "lang"), Seq("doc_id")))
-        val bench = s6.filter(col("doc_id") % 37 === 0)
-          .select(concat_ws(" ",
-            slice(split(col("text"), "\\s+"), 1, 15)).as("btext"))
-        val hits = Dedup.decontaminate(s6, "doc_id", "text", bench,
-          "btext").select("doc_id")
-        val s7 = ck(s6.join(hits, Seq("doc_id"), "left_anti"))
-        val withN = s7.withColumn("n_chars",
-          length(col("text")).cast("long"))
-        val ratesBp = Mixing.boostKeepRatesBp(
-          Mixing.temperatureMixture(withN, "lang", "n_chars",
-            alpha = 0.5)
-            .select("lang", "boost").collect()
-            .map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e6))
-            .toSeq)
-        val sampled = Mixing.stratifiedSample(
-          withN.select("doc_id", "lang", "n_chars"),
-          "doc_id", "lang", ratesBp, defaultBp = 0)
-        val s8 = ck(Mixing.assignSplit(
-            sampled.withColumn("__sid",
-              concat(col("doc_id").cast("string"), lit("#split"))),
-            "__sid", Seq(("train", 9800), ("valid", 100), ("test", 100)))
-          .filter(col("split") === "train").drop("split", "__sid"))
-        val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
-          s"curation86_${pathDigest(d)}"
-        Mixing.writeShards(s8, "doc_id", "n_chars", budget = 1024,
-          seqsPerShard = 4, dir)
-        val shards = s.read.parquet(dir)
-        val tchars = length(col("text")).cast("long")
-        def row(idx: Int, name: String, df: DataFrame, chars: Column) =
-          df.agg(count(lit(1)).as("n_docs"),
-              coalesce(sum(chars), lit(0L)).cast("long").as("n_chars"),
-              coalesce(sum(col("doc_id")), lit(0L)).cast("long")
-                .as("id_checksum"))
-            .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
-              col("n_docs"), col("n_chars"), col("id_checksum"),
-              lit(0L).as("n_shards"))
-        val funnel = Seq(
-          row(0, "0_raw", s0, tchars),
-          row(1, "1_markup", s1, tchars),
-          row(2, "2_c4", s2, tchars),
-          row(3, "3_gopher", s3, tchars),
-          row(4, "4_pii", s4, tchars),
-          row(5, "5_dedup", s5, tchars),
-          row(6, "6_screen", s6, tchars),
-          row(7, "7_decontam", s7, tchars),
-          row(8, "8_sampled", s8, col("n_chars")),
-          shards.agg(count(lit(1)).as("n_docs"),
-              coalesce(sum(col("n_chars")), lit(0L)).cast("long")
-                .as("n_chars"),
-              coalesce(sum(col("doc_id")), lit(0L)).cast("long")
-                .as("id_checksum"),
-              countDistinct(col("shard")).as("n_shards"))
-            .select(lit(9).as("stage_idx"), lit("9_shards").as("stage"),
-              col("n_docs"), col("n_chars"), col("id_checksum"),
-              col("n_shards")))
-          .reduce(_ unionByName _).orderBy("stage_idx")
-        funnel.localCheckpoint(true)
-      } finally cps.foreach(
-        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
-    }),
+    "d86_curation_e2e" -> ((s, d) =>
+      curationDag(s, d, nearDup = false,
+        healthRunsDir = Some(s"/tmp/graft_${s.sparkContext.applicationId}/" +
+          s"curhealth86_${pathDigest(d)}"))),
+
+    // The curation DAG with the MinHash NEAR-dedup stage every
+    // published pipeline (Gopher, RefinedWeb, FineWeb) runs after
+    // exact dedup: the gate-green d5 MinHash-LSH kernel composed
+    // between the priority dedup and the boilerplate screen, cutting
+    // every doc that has a >= 0.7-Jaccard near-duplicate with a
+    // smaller id (the min-id survivor rule). The fixture splits the
+    // d86 canonical lattice in two: doc_id % 68 == 2 keeps the FIXED
+    // page (exact dups — collapsed at stage 5 as in d86), while
+    // doc_id % 68 == 36 appends a per-doc variant sentence (distinct
+    // fingerprints SURVIVE exact dedup, Jaccard ~0.89 — cut at stage
+    // 6), so the funnel shows both dedup stages doing real work.
+    "d88_curation_neardup" -> ((s, d) =>
+      curationDag(s, d, nearDup = true)),
 
     // Per-language tokenizer FERTILITY (subword tokens per word) —
     // the multilingual-tokenizer diagnostic mT5/BLOOM report per
@@ -1742,6 +1640,423 @@ object LlmQueries {
       GraphOps.pageRank(cooccurEdges(s, d).filter(col("weight") >= 3L))
         .orderBy("node")),
   )
+
+  /** Shared body of the d86/d88 curation flagships — the FULL
+    * curation DAG as one query: markup strip (line preserving) ->
+    * C4 line/page rules -> the complete Gopher gate -> PII redaction
+    * -> source-priority exact dedup -> (optionally, `nearDup`) the
+    * d5 MinHash-LSH near-dedup with the min-id survivor rule -> the
+    * cross-corpus boilerplate line screen -> 8-gram benchmark
+    * decontamination -> the d79 recipe->shards tail, with one funnel
+    * row per stage and the last row read back from the REAL shard
+    * files. Every stage is the gate-green kernel itself (shared
+    * defs, not copies).
+    *
+    * Staging: by default each stage output `localCheckpoint(true)`s
+    * once (freed on exit) — the single-machine shape: the funnel
+    * aggregation reads checkpoint blocks instead of re-deriving the
+    * chain N times, and downstream stages scan flat lineage. At
+    * CLUSTER scale executor-local checkpoint blocks die with their
+    * executor and Spark cannot recompute truncated lineage, so a
+    * lost executor mid-DAG kills the run — pass `stageDir` and each
+    * stage instead writes job-dir parquet and reads it back (the
+    * pattern the shard stage already uses): restartable, durable,
+    * at the cost of one disk round-trip per stage. Same rows either
+    * way (spec-asserted).
+    *
+    * `healthRunsDir`: when set, the flagship's last act APPENDS two
+    * aggregate-only [[corpusHealth]] captures to the run-keyed
+    * `_SNAP_runs` store ([[graft.core.Snapshots.appendRun]], the
+    * rp_health_runs discipline): run 0 = the raw planted corpus
+    * (overwrite — resets the store, so the query stays idempotent
+    * across re-invocations), run 1 = the curated survivors — one
+    * query both curates and records the before/after health signal
+    * a data lead watches ([[healthRunsDelta]] reads it back). */
+  private[queries] def curationDag(s: SparkSession, d: String,
+      nearDup: Boolean,
+      stageDir: Option[String] = None,
+      healthRunsDir: Option[String] = None): DataFrame = {
+    val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def ck(df: DataFrame, stage: String): DataFrame = stageDir match {
+      case Some(dir) =>
+        df.write.mode("overwrite").parquet(s"$dir/$stage")
+        s.read.parquet(s"$dir/$stage")
+      case None =>
+        val c = df.localCheckpoint(true); cps += c; c
+    }
+    try {
+      val raw = T.documents(s, d)
+      val ws = TextAnalysis.wordTokens(col("text"))
+      val nChunks = greatest(ceil(size(ws) / lit(12.0)).cast("int"),
+        lit(1))
+      val chunks = transform(sequence(lit(1), nChunks), i =>
+        concat(array_join(slice(ws, (i - 1) * 12 + 1, lit(12)), " "),
+          lit(".")))
+      val empty = typedlit(Seq.empty[String])
+      def mLine(cond: Column, line: Column) =
+        when(cond, array(line)).otherwise(empty)
+      val emailLine = concat(lit("please contact bob"),
+        col("doc_id").cast("string"), lit("@mail"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".com about the joined tables soon."))
+      val pageLines = concat(
+        array(lit(D86Pre)),
+        when(col("doc_id") % 7 === 0, concat(chunks, chunks))
+          .otherwise(chunks),
+        mLine(col("doc_id") % 3 === 0, lit("short line")),
+        mLine(col("doc_id") % 5 === 0, lit(D86Js)),
+        array(lit(D86Ent)),
+        mLine(col("doc_id") % 2 === 0, emailLine),
+        mLine(col("doc_id") % 2 === 0, lit(D86Boiler)),
+        mLine(col("doc_id") % 11 === 0, lit("config { code }")),
+        mLine(col("doc_id") % 13 === 0, lit(D86Lorem)),
+        array(lit(D86Close)))
+      val canonText = lit(D86CanonLines.mkString("\n"))
+      // the near-dup member page: the canonical page with ONE
+      // per-doc variant sentence before the close — distinct
+      // fingerprints (survives exact dedup) but a single differing
+      // token, so pairwise Jaccard stays ~0.89 (cut at the near
+      // stage); the variant line passes the C4 keep rules (ends
+      // '.', >= 5 words) so it rides through to stage 5 intact
+      val nearText = concat(
+        lit(D86CanonLines.init.mkString("\n") +
+          "\nvariant sentence number "),
+        col("doc_id").cast("string"),
+        lit(" distinguishes this near duplicate copy.\n" +
+          D86CanonLines.last))
+      val planted =
+        if (nearDup)
+          when(col("doc_id") % 68 === 2, canonText)
+            .when(col("doc_id") % 68 === 36, nearText)
+        else when(col("doc_id") % 34 === 2, canonText)
+      val s0 = ck(raw.select(col("doc_id"), col("lang"),
+        planted.otherwise(array_join(pageLines, "\n")).as("text")),
+        "s0_raw")
+      val s1 = ck(s0.select(col("doc_id"), col("lang"),
+        TextAnalysis.stripMarkupKeepLines(col("text")).as("text")),
+        "s1_markup")
+      val s2 = ck(TextAnalysis.c4LineRules(s1, "doc_id", "text")
+        .filter(col("page_kept"))
+        .select(col("doc_id"), col("text"))
+        .join(s1.select("doc_id", "lang"), Seq("doc_id")), "s2_c4")
+      val s3 = ck(s2.join(
+        gopherFullGate(s2).filter(col("full_pass")).select("doc_id"),
+        Seq("doc_id")), "s3_gopher")
+      val s4 = ck(s3.select(col("doc_id"), col("lang"),
+        TextAnalysis.piiRedact(col("text")).as("text")), "s4_pii")
+      val keepers = Dedup.priorityDedup(
+        s4.withColumn("src",
+          when(col("doc_id") % 3 === 0, lit("cc"))
+            .when(col("doc_id") % 3 === 1, lit("curated"))
+            .otherwise(lit("books"))),
+        "doc_id", "text", "src",
+        Map("curated" -> 0, "books" -> 1, "cc" -> 2))
+        .select(col("keeper").as("doc_id"))
+      val s5 = ck(s4.join(keepers, Seq("doc_id")), "s5_dedup")
+      val s5n = if (!nearDup) s5 else {
+        // the gate-green d5 kernel on the stage-5 survivors; drop
+        // every doc with a >= theta near-dup of smaller id (id_a <
+        // id_b by construction, so the drop set is the id_b side)
+        val pairs = Dedup.minHashLshPairs(s5, "doc_id", "text",
+          k = 5, theta = 0.7)
+        cps += pairs
+        ck(s5.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"), "s6_neardup")
+      }
+      val screen = Dedup.boilerplateLineSet(s5n, "text", minCount = 3)
+      val s6 = ck(Dedup.lineDedupAgainst(s5n, screen, "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+        .join(s5n.select("doc_id", "lang"), Seq("doc_id")), "s6_screen")
+      val bench = s6.filter(col("doc_id") % 37 === 0)
+        .select(concat_ws(" ",
+          slice(split(col("text"), "\\s+"), 1, 15)).as("btext"))
+      val hits = Dedup.decontaminate(s6, "doc_id", "text", bench,
+        "btext").select("doc_id")
+      val s7 = ck(s6.join(hits, Seq("doc_id"), "left_anti"),
+        "s7_decontam")
+      val withN = s7.withColumn("n_chars",
+        length(col("text")).cast("long"))
+      val ratesBp = Mixing.boostKeepRatesBp(
+        Mixing.temperatureMixture(withN, "lang", "n_chars",
+          alpha = 0.5)
+          .select("lang", "boost").collect()
+          .map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e6))
+          .toSeq)
+      val sampled = Mixing.stratifiedSample(
+        withN.select("doc_id", "lang", "n_chars"),
+        "doc_id", "lang", ratesBp, defaultBp = 0)
+      val s8 = ck(Mixing.assignSplit(
+          sampled.withColumn("__sid",
+            concat(col("doc_id").cast("string"), lit("#split"))),
+          "__sid", Seq(("train", 9800), ("valid", 100), ("test", 100)))
+        .filter(col("split") === "train").drop("split", "__sid"),
+        "s8_sampled")
+      val tag = if (nearDup) "curation88" else "curation86"
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"${tag}_${pathDigest(d)}"
+      Mixing.writeShards(s8, "doc_id", "n_chars", budget = 1024,
+        seqsPerShard = 4, dir)
+      val shards = s.read.parquet(dir)
+      healthRunsDir.foreach { hdir =>
+        Snapshots.appendRun(corpusHealth(s0), "raw", 0, hdir,
+          overwrite = true)
+        Snapshots.appendRun(corpusHealth(s7), "curated", 1, hdir)
+      }
+      val tchars = length(col("text")).cast("long")
+      def row(idx: Int, name: String, df: DataFrame, chars: Column) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(chars), lit(0L)).cast("long").as("n_chars"),
+            coalesce(sum(col("doc_id")), lit(0L)).cast("long")
+              .as("id_checksum"))
+          .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_chars"), col("id_checksum"),
+            lit(0L).as("n_shards"))
+      val off = if (nearDup) 1 else 0
+      val funnel = (Seq(
+        row(0, "0_raw", s0, tchars),
+        row(1, "1_markup", s1, tchars),
+        row(2, "2_c4", s2, tchars),
+        row(3, "3_gopher", s3, tchars),
+        row(4, "4_pii", s4, tchars),
+        row(5, "5_dedup", s5, tchars)) ++
+        (if (nearDup) Seq(row(6, "6_neardup", s5n, tchars)) else Nil) ++
+        Seq(
+          row(6 + off, s"${6 + off}_screen", s6, tchars),
+          row(7 + off, s"${7 + off}_decontam", s7, tchars),
+          row(8 + off, s"${8 + off}_sampled", s8, col("n_chars")),
+          shards.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("n_chars")), lit(0L)).cast("long")
+                .as("n_chars"),
+              coalesce(sum(col("doc_id")), lit(0L)).cast("long")
+                .as("id_checksum"),
+              countDistinct(col("shard")).as("n_shards"))
+            .select(lit(9 + off).as("stage_idx"),
+              lit(s"${9 + off}_shards").as("stage"),
+              col("n_docs"), col("n_chars"), col("id_checksum"),
+              col("n_shards"))))
+        .reduce(_ unionByName _).orderBy("stage_idx")
+      funnel.localCheckpoint(true)
+    } finally cps.foreach(
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+  }
+
+
+  /** The d86/d88 oracle, generated from one builder so the two
+    * replays cannot drift: the full curation DAG replayed end to end
+    * — the planted page interpolates the SAME Scala constants the
+    * Spark fixture uses, each stage CTE restates its donor oracle's
+    * rule body (d21 strip chain per line, d81's battery at the
+    * 5-line floor, d52+d82 surgically re-targeted to the c4 output,
+    * d16's redaction chain, d72's priority keeper, d64's screen
+    * shape, d18's 8-gram probe, d79's recipe/split/pack math), and
+    * the funnel rows aggregate each stage — MATERIALIZED hints keep
+    * the N-branch union from re-deriving the chain. With `nearDup`
+    * the d5/ShingleSql pairwise-Jaccard replay splices between t5
+    * and the screen (min-id survivor rule) and the funnel indices
+    * shift by one. */
+  private def curationDagSql(nearDup: Boolean): String = {
+    val canonSql = D86CanonLines.map(l => s"'$l'")
+      .mkString(" || chr(10) || ")
+    val nearSql = (D86CanonLines.init.map(l => s"'$l'") ++ Seq(
+      "'variant sentence number ' || CAST(doc_id AS VARCHAR) || " +
+        "' distinguishes this near duplicate copy.'",
+      s"'${D86CanonLines.last}'")).mkString(" || chr(10) || ")
+    val plantedCase =
+      if (nearDup)
+        s"""CASE WHEN doc_id % 68 = 2 THEN $canonSql
+           |  WHEN doc_id % 68 = 36 THEN $nearSql""".stripMargin
+      else s"CASE WHEN doc_id % 34 = 2 THEN $canonSql"
+    val postDedup = if (nearDup) "t5n" else "t5"
+    val nearCtes = if (!nearDup) "" else
+      """nw AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |  t -> t <> '') AS ws FROM t5),
+        |nsh AS (SELECT doc_id, unnest(list_distinct(
+        |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |  ELSE [array_to_string(ws[x:x+4], ' ')
+        |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM nw),
+        |ncnt AS (SELECT doc_id, COUNT(*) AS n FROM nsh GROUP BY doc_id),
+        |ndrop AS (SELECT DISTINCT id_b AS doc_id FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        |  FROM nsh a JOIN nsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2) p
+        |  JOIN ncnt ca ON p.id_a = ca.doc_id
+        |  JOIN ncnt cb ON p.id_b = cb.doc_id
+        |  WHERE shared*1.0/(ca.n + cb.n - shared) >= 0.7),
+        |t5n AS MATERIALIZED (SELECT t5.doc_id AS doc_id,
+        |  t5.lang AS lang, t5.text AS text FROM t5
+        |  LEFT JOIN ndrop ON t5.doc_id = ndrop.doc_id
+        |  WHERE ndrop.doc_id IS NULL),
+        |""".stripMargin
+    val funnelStages = Seq(
+      ("pg", "raw", "length(text)"),
+      ("t1", "markup", "length(text)"),
+      ("t2", "c4", "length(text)"),
+      ("t3", "gopher", "length(text)"),
+      ("t4", "pii", "length(text)"),
+      ("t5", "dedup", "length(text)")) ++
+      (if (nearDup) Seq(("t5n", "neardup", "length(text)")) else Nil) ++
+      Seq(("t6", "screen", "length(text)"),
+        ("t7", "decontam", "length(text)"),
+        ("t8", "sampled", "n_chars"))
+    val rows = funnelStages.zipWithIndex.map { case ((cte, nm, ce), i) =>
+      s"""SELECT CAST($i AS INT) AS stage_idx, '${i}_$nm' AS stage,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(SUM($ce), 0) AS BIGINT) AS n_chars,
+         |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS id_checksum,
+         |  CAST(0 AS BIGINT) AS n_shards FROM $cte""".stripMargin
+    }
+    val si = funnelStages.size
+    val shardRow =
+      s"""SELECT CAST($si AS INT), '${si}_shards', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+         |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
+         |  CAST(COUNT(DISTINCT shard) AS BIGINT) FROM sh9""".stripMargin
+    val funnelSql = (rows :+ shardRow).mkString("\nUNION ALL ")
+      val d52s = replaceOnce(D52GopherRulesSql,
+        "FROM documents", "FROM t2")
+      val d82s = replaceOnce(replaceOnce(D82GopherNgramsSql,
+        "CASE WHEN doc_id % 4 = 0", "CASE WHEN FALSE"),
+        "FROM documents", "FROM t2")
+      s"""WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |chnk AS (SELECT doc_id, lang,
+        |  [array_to_string(ws[(i-1)*12+1:(i-1)*12+12], ' ') || '.'
+        |   FOR i IN range(1, CAST(greatest(ceil(len(ws)/12.0), 1) AS BIGINT) + 1)] AS chunks
+        |  FROM base),
+        |pg AS MATERIALIZED (SELECT doc_id, lang,
+        |  $plantedCase
+        |  ELSE array_to_string(
+        |    ['$D86Pre'] ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN chunks || chunks ELSE chunks END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ['short line'] ELSE []::VARCHAR[] END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ['$D86Js'] ELSE []::VARCHAR[] END) ||
+        |    ['$D86Ent'] ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ['please contact bob' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.com about the joined tables soon.'] ELSE []::VARCHAR[] END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ['$D86Boiler'] ELSE []::VARCHAR[] END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN ['config { code }'] ELSE []::VARCHAR[] END) ||
+        |    (CASE WHEN doc_id % 13 = 0 THEN ['$D86Lorem'] ELSE []::VARCHAR[] END) ||
+        |    ['$D86Close'], chr(10))
+        |  END AS text FROM chnk),
+        |t1 AS MATERIALIZED (SELECT doc_id, lang, array_to_string(list_transform(
+        |  string_split(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(text,
+        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&amp;', '&'), chr(10)),
+        |  l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))), chr(10)) AS text
+        |  FROM pg),
+        |c4k AS (SELECT doc_id, lang, text AS raw,
+        |  list_filter(string_split(text, chr(10)),
+        |    l -> regexp_matches(trim(l), '[.!?"]$$')
+        |     AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w <> '')) >= 5
+        |     AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM t1),
+        |t2 AS MATERIALIZED (SELECT doc_id, lang,
+        |  array_to_string(kept, chr(10)) AS text
+        |  FROM c4k
+        |  WHERE len(kept) >= 5 AND NOT contains(lower(raw), 'lorem ipsum')
+        |    AND NOT contains(raw, '{')),
+        |g1 AS MATERIALIZED (SELECT doc_id, pass FROM ($d52s) s),
+        |g2 AS MATERIALIZED (SELECT * FROM ($d82s) s),
+        |t3 AS MATERIALIZED (SELECT t2.doc_id AS doc_id, t2.lang AS lang,
+        |  t2.text AS text FROM t2
+        |  JOIN g1 ON t2.doc_id = g1.doc_id
+        |  JOIN g2 ON t2.doc_id = g2.doc_id
+        |  WHERE g1.pass AND g2.top2_frac <= 0.20 AND g2.top3_frac <= 0.18
+        |    AND g2.top4_frac <= 0.16 AND g2.dup5_frac <= 0.15
+        |    AND g2.dup6_frac <= 0.14 AND g2.dup7_frac <= 0.13
+        |    AND g2.dup8_frac <= 0.12 AND g2.dup9_frac <= 0.11
+        |    AND g2.dup10_frac <= 0.10),
+        |t4 AS MATERIALIZED (SELECT doc_id, lang,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+        |    '\\b[0-9]{4}(?:[ -][0-9]{4}){3}\\b', '<CC>', 'g'),
+        |    '\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,7}\\b', '<PHONE>', 'g') AS text
+        |  FROM t3),
+        |d5 AS (SELECT doc_id, lang, text,
+        |  md5(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+        |  CASE doc_id % 3 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS rk
+        |  FROM t4),
+        |k5 AS (SELECT fp, doc_id AS keeper FROM (
+        |  SELECT fp, doc_id, ROW_NUMBER() OVER (PARTITION BY fp
+        |    ORDER BY rk, doc_id) AS rn FROM d5) WHERE rn = 1),
+        |t5 AS MATERIALIZED (SELECT d5.doc_id AS doc_id, d5.lang AS lang,
+        |  d5.text AS text
+        |  FROM d5 JOIN k5 ON d5.fp = k5.fp AND d5.doc_id = k5.keeper),
+        |${nearCtes}exl AS (SELECT trim(ln) AS k FROM (
+        |  SELECT unnest(string_split(text, chr(10))) AS ln FROM $postDedup)
+        |  WHERE trim(ln) <> '' GROUP BY trim(ln) HAVING COUNT(*) >= 3),
+        |l6 AS (SELECT doc_id, lang, u.i AS pos, u.ln AS ln FROM (
+        |  SELECT doc_id, lang, unnest([{'i': x, 'ln': a[x+1]}
+        |    FOR x IN range(0, len(a))]) AS u
+        |  FROM (SELECT doc_id, lang, string_split(text, chr(10)) AS a FROM $postDedup) q)),
+        |k6 AS (SELECT doc_id, lang, pos, ln,
+        |  (trim(ln) = '' OR exl.k IS NULL) AS keep
+        |  FROM l6 LEFT JOIN exl ON trim(l6.ln) = exl.k),
+        |t6 AS MATERIALIZED (SELECT doc_id, ANY_VALUE(lang) AS lang,
+        |  COALESCE(string_agg(ln, chr(10) ORDER BY pos) FILTER (WHERE keep), '')
+        |    AS text
+        |  FROM k6 GROUP BY doc_id),
+        |tw AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ws
+        |  FROM t6),
+        |ben AS (SELECT array_to_string(string_split_regex(text, '\\s+')[1:15], ' ')
+        |  AS btext FROM t6 WHERE doc_id % 37 = 0),
+        |bw7 AS (SELECT list_filter(string_split_regex(btext, '\\s+'), t -> t <> '')
+        |  AS ws FROM ben),
+        |bg7 AS (SELECT DISTINCT h FROM (SELECT
+        |  unnest([md5(array_to_string(ws[i:i+7], ' '))
+        |    FOR i IN range(1, len(ws) - 6)]) AS h FROM bw7 WHERE len(ws) >= 8)),
+        |tg7 AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id,
+        |  unnest([md5(array_to_string(ws[i:i+7], ' '))
+        |    FOR i IN range(1, len(ws) - 6)]) AS h FROM tw WHERE len(ws) >= 8)),
+        |hit7 AS (SELECT DISTINCT doc_id FROM tg7 JOIN bg7 USING (h)),
+        |t7 AS MATERIALIZED (SELECT t6.doc_id AS doc_id, t6.lang AS lang,
+        |  t6.text AS text
+        |  FROM t6 LEFT JOIN hit7 ON t6.doc_id = hit7.doc_id
+        |  WHERE hit7.doc_id IS NULL),
+        |r0 AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars FROM t7),
+        |s8 AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens FROM r0
+        |  GROUP BY lang),
+        |t8t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM s8),
+        |p8 AS (SELECT lang, n_tokens, n_tokens / tt AS praw,
+        |  CASE WHEN n_tokens > 0 THEN GREATEST(1,
+        |    CAST(ROUND(sqrt(n_tokens / tt) * 1000000) AS BIGINT)) ELSE 0 END AS sp
+        |  FROM s8 CROSS JOIN t8t),
+        |q8 AS (SELECT CAST(SUM(sp) AS BIGINT) AS qt FROM p8),
+        |bo8 AS (SELECT lang, CASE WHEN n_tokens = 0 THEN 0
+        |  ELSE CAST(ROUND(ROUND(GREATEST(ROUND(sp / qt, 6), 0.000001) / praw, 6)
+        |    * 1000000) AS BIGINT) END AS bm FROM p8 CROSS JOIN q8),
+        |mx8 AS (SELECT MAX(bm) AS mb FROM bo8),
+        |rt8 AS (SELECT lang, CASE WHEN bm > 0
+        |  THEN GREATEST(1, (bm * 10000) // mb) ELSE 0 END AS rate
+        |  FROM bo8 CROSS JOIN mx8),
+        |t8 AS MATERIALIZED (SELECT r0.doc_id AS doc_id, r0.lang AS lang,
+        |  r0.n_chars AS n_chars
+        |  FROM r0 JOIN rt8 ON r0.lang = rt8.lang
+        |  WHERE ('0x' || substr(md5(CAST(r0.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 10000 < rate
+        |    AND ('0x' || substr(md5(CAST(r0.doc_id AS VARCHAR) || '#split'), 1, 8))
+        |      ::BIGINT % 10000 < 9800),
+        |c9 AS (SELECT doc_id, n_chars, CAST(COALESCE(SUM(n_chars) OVER (
+        |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS BIGINT) AS start_tok FROM t8),
+        |p9 AS (SELECT doc_id, n_chars, start_tok // 1024 AS seq_start,
+        |  CASE WHEN n_chars = 0 THEN start_tok // 1024
+        |    ELSE (start_tok + n_chars - 1) // 1024 END AS seq_end FROM c9),
+        |sh9 AS (SELECT seq_start // 4 AS shard, doc_id, n_chars FROM p9)
+        |SELECT * FROM (
+        |$funnelSql
+        |) ORDER BY stage_idx""".stripMargin
+  }
 
   /** The one-row corpus-health snapshot SQL — shared verbatim by
     * rp_corpus_health and (via a shadowing `documents` CTE, twice)
@@ -3890,186 +4205,12 @@ object LlmQueries {
     // d79's recipe/split/pack math), and the funnel rows aggregate
     // each stage — MATERIALIZED hints keep the 10-branch union from
     // re-deriving the chain
-    "d86_curation_e2e" -> {
-      val canonSql = D86CanonLines.map(l => s"'$l'")
-        .mkString(" || chr(10) || ")
-      val d52s = replaceOnce(D52GopherRulesSql,
-        "FROM documents", "FROM t2")
-      val d82s = replaceOnce(replaceOnce(D82GopherNgramsSql,
-        "CASE WHEN doc_id % 4 = 0", "CASE WHEN FALSE"),
-        "FROM documents", "FROM t2")
-      s"""WITH base AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ws
-        |  FROM documents),
-        |chnk AS (SELECT doc_id, lang,
-        |  [array_to_string(ws[(i-1)*12+1:(i-1)*12+12], ' ') || '.'
-        |   FOR i IN range(1, CAST(greatest(ceil(len(ws)/12.0), 1) AS BIGINT) + 1)] AS chunks
-        |  FROM base),
-        |pg AS MATERIALIZED (SELECT doc_id, lang,
-        |  CASE WHEN doc_id % 34 = 2 THEN $canonSql
-        |  ELSE array_to_string(
-        |    ['$D86Pre'] ||
-        |    (CASE WHEN doc_id % 7 = 0 THEN chunks || chunks ELSE chunks END) ||
-        |    (CASE WHEN doc_id % 3 = 0 THEN ['short line'] ELSE []::VARCHAR[] END) ||
-        |    (CASE WHEN doc_id % 5 = 0 THEN ['$D86Js'] ELSE []::VARCHAR[] END) ||
-        |    ['$D86Ent'] ||
-        |    (CASE WHEN doc_id % 2 = 0 THEN ['please contact bob' || CAST(doc_id AS VARCHAR)
-        |      || '@mail' || CAST(doc_id % 7 AS VARCHAR)
-        |      || '.com about the joined tables soon.'] ELSE []::VARCHAR[] END) ||
-        |    (CASE WHEN doc_id % 2 = 0 THEN ['$D86Boiler'] ELSE []::VARCHAR[] END) ||
-        |    (CASE WHEN doc_id % 11 = 0 THEN ['config { code }'] ELSE []::VARCHAR[] END) ||
-        |    (CASE WHEN doc_id % 13 = 0 THEN ['$D86Lorem'] ELSE []::VARCHAR[] END) ||
-        |    ['$D86Close'], chr(10))
-        |  END AS text FROM chnk),
-        |t1 AS MATERIALIZED (SELECT doc_id, lang, array_to_string(list_transform(
-        |  string_split(
-        |    replace(replace(replace(replace(replace(replace(
-        |      regexp_replace(regexp_replace(regexp_replace(text,
-        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |      '<[^>]*>', ' ', 'g'),
-        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |    '&#39;', ''''), '&amp;', '&'), chr(10)),
-        |  l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))), chr(10)) AS text
-        |  FROM pg),
-        |c4k AS (SELECT doc_id, lang, text AS raw,
-        |  list_filter(string_split(text, chr(10)),
-        |    l -> regexp_matches(trim(l), '[.!?"]$$')
-        |     AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w <> '')) >= 5
-        |     AND NOT contains(lower(l), 'javascript')) AS kept
-        |  FROM t1),
-        |t2 AS MATERIALIZED (SELECT doc_id, lang,
-        |  array_to_string(kept, chr(10)) AS text
-        |  FROM c4k
-        |  WHERE len(kept) >= 5 AND NOT contains(lower(raw), 'lorem ipsum')
-        |    AND NOT contains(raw, '{')),
-        |g1 AS MATERIALIZED (SELECT doc_id, pass FROM ($d52s) s),
-        |g2 AS MATERIALIZED (SELECT * FROM ($d82s) s),
-        |t3 AS MATERIALIZED (SELECT t2.doc_id AS doc_id, t2.lang AS lang,
-        |  t2.text AS text FROM t2
-        |  JOIN g1 ON t2.doc_id = g1.doc_id
-        |  JOIN g2 ON t2.doc_id = g2.doc_id
-        |  WHERE g1.pass AND g2.top2_frac <= 0.20 AND g2.top3_frac <= 0.18
-        |    AND g2.top4_frac <= 0.16 AND g2.dup5_frac <= 0.15
-        |    AND g2.dup6_frac <= 0.14 AND g2.dup7_frac <= 0.13
-        |    AND g2.dup8_frac <= 0.12 AND g2.dup9_frac <= 0.11
-        |    AND g2.dup10_frac <= 0.10),
-        |t4 AS MATERIALIZED (SELECT doc_id, lang,
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
-        |    '\\b[0-9]{4}(?:[ -][0-9]{4}){3}\\b', '<CC>', 'g'),
-        |    '\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4,7}\\b', '<PHONE>', 'g') AS text
-        |  FROM t3),
-        |d5 AS (SELECT doc_id, lang, text,
-        |  md5(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
-        |  CASE doc_id % 3 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS rk
-        |  FROM t4),
-        |k5 AS (SELECT fp, doc_id AS keeper FROM (
-        |  SELECT fp, doc_id, ROW_NUMBER() OVER (PARTITION BY fp
-        |    ORDER BY rk, doc_id) AS rn FROM d5) WHERE rn = 1),
-        |t5 AS MATERIALIZED (SELECT d5.doc_id AS doc_id, d5.lang AS lang,
-        |  d5.text AS text
-        |  FROM d5 JOIN k5 ON d5.fp = k5.fp AND d5.doc_id = k5.keeper),
-        |exl AS (SELECT trim(ln) AS k FROM (
-        |  SELECT unnest(string_split(text, chr(10))) AS ln FROM t5)
-        |  WHERE trim(ln) <> '' GROUP BY trim(ln) HAVING COUNT(*) >= 3),
-        |l6 AS (SELECT doc_id, lang, u.i AS pos, u.ln AS ln FROM (
-        |  SELECT doc_id, lang, unnest([{'i': x, 'ln': a[x+1]}
-        |    FOR x IN range(0, len(a))]) AS u
-        |  FROM (SELECT doc_id, lang, string_split(text, chr(10)) AS a FROM t5) q)),
-        |k6 AS (SELECT doc_id, lang, pos, ln,
-        |  (trim(ln) = '' OR exl.k IS NULL) AS keep
-        |  FROM l6 LEFT JOIN exl ON trim(l6.ln) = exl.k),
-        |t6 AS MATERIALIZED (SELECT doc_id, ANY_VALUE(lang) AS lang,
-        |  COALESCE(string_agg(ln, chr(10) ORDER BY pos) FILTER (WHERE keep), '')
-        |    AS text
-        |  FROM k6 GROUP BY doc_id),
-        |tw AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ws
-        |  FROM t6),
-        |ben AS (SELECT array_to_string(string_split_regex(text, '\\s+')[1:15], ' ')
-        |  AS btext FROM t6 WHERE doc_id % 37 = 0),
-        |bw7 AS (SELECT list_filter(string_split_regex(btext, '\\s+'), t -> t <> '')
-        |  AS ws FROM ben),
-        |bg7 AS (SELECT DISTINCT h FROM (SELECT
-        |  unnest([md5(array_to_string(ws[i:i+7], ' '))
-        |    FOR i IN range(1, len(ws) - 6)]) AS h FROM bw7 WHERE len(ws) >= 8)),
-        |tg7 AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id,
-        |  unnest([md5(array_to_string(ws[i:i+7], ' '))
-        |    FOR i IN range(1, len(ws) - 6)]) AS h FROM tw WHERE len(ws) >= 8)),
-        |hit7 AS (SELECT DISTINCT doc_id FROM tg7 JOIN bg7 USING (h)),
-        |t7 AS MATERIALIZED (SELECT t6.doc_id AS doc_id, t6.lang AS lang,
-        |  t6.text AS text
-        |  FROM t6 LEFT JOIN hit7 ON t6.doc_id = hit7.doc_id
-        |  WHERE hit7.doc_id IS NULL),
-        |r0 AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars FROM t7),
-        |s8 AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens FROM r0
-        |  GROUP BY lang),
-        |t8t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM s8),
-        |p8 AS (SELECT lang, n_tokens, n_tokens / tt AS praw,
-        |  CASE WHEN n_tokens > 0 THEN GREATEST(1,
-        |    CAST(ROUND(sqrt(n_tokens / tt) * 1000000) AS BIGINT)) ELSE 0 END AS sp
-        |  FROM s8 CROSS JOIN t8t),
-        |q8 AS (SELECT CAST(SUM(sp) AS BIGINT) AS qt FROM p8),
-        |bo8 AS (SELECT lang, CASE WHEN n_tokens = 0 THEN 0
-        |  ELSE CAST(ROUND(ROUND(GREATEST(ROUND(sp / qt, 6), 0.000001) / praw, 6)
-        |    * 1000000) AS BIGINT) END AS bm FROM p8 CROSS JOIN q8),
-        |mx8 AS (SELECT MAX(bm) AS mb FROM bo8),
-        |rt8 AS (SELECT lang, CASE WHEN bm > 0
-        |  THEN GREATEST(1, (bm * 10000) // mb) ELSE 0 END AS rate
-        |  FROM bo8 CROSS JOIN mx8),
-        |t8 AS MATERIALIZED (SELECT r0.doc_id AS doc_id, r0.lang AS lang,
-        |  r0.n_chars AS n_chars
-        |  FROM r0 JOIN rt8 ON r0.lang = rt8.lang
-        |  WHERE ('0x' || substr(md5(CAST(r0.doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |      % 10000 < rate
-        |    AND ('0x' || substr(md5(CAST(r0.doc_id AS VARCHAR) || '#split'), 1, 8))
-        |      ::BIGINT % 10000 < 9800),
-        |c9 AS (SELECT doc_id, n_chars, CAST(COALESCE(SUM(n_chars) OVER (
-        |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |  AS BIGINT) AS start_tok FROM t8),
-        |p9 AS (SELECT doc_id, n_chars, start_tok // 1024 AS seq_start,
-        |  CASE WHEN n_chars = 0 THEN start_tok // 1024
-        |    ELSE (start_tok + n_chars - 1) // 1024 END AS seq_end FROM c9),
-        |sh9 AS (SELECT seq_start // 4 AS shard, doc_id, n_chars FROM p9)
-        |SELECT * FROM (
-        |SELECT CAST(0 AS INT) AS stage_idx, '0_raw' AS stage,
-        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars,
-        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS id_checksum,
-        |  CAST(0 AS BIGINT) AS n_shards FROM pg
-        |UNION ALL SELECT 1, '1_markup', COUNT(*),
-        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
-        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t1
-        |UNION ALL SELECT 2, '2_c4', COUNT(*),
-        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
-        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t2
-        |UNION ALL SELECT 3, '3_gopher', COUNT(*),
-        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
-        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t3
-        |UNION ALL SELECT 4, '4_pii', COUNT(*),
-        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
-        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t4
-        |UNION ALL SELECT 5, '5_dedup', COUNT(*),
-        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
-        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t5
-        |UNION ALL SELECT 6, '6_screen', COUNT(*),
-        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
-        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t6
-        |UNION ALL SELECT 7, '7_decontam', COUNT(*),
-        |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
-        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t7
-        |UNION ALL SELECT 8, '8_sampled', COUNT(*),
-        |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
-        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT), 0 FROM t8
-        |UNION ALL SELECT 9, '9_shards', COUNT(*),
-        |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
-        |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
-        |  CAST(COUNT(DISTINCT shard) AS BIGINT) FROM sh9
-        |) ORDER BY stage_idx""".stripMargin
-    },
+    "d86_curation_e2e" -> curationDagSql(nearDup = false),
+    // the same replay with the near-dedup CTEs spliced between t5 and
+    // the screen: pairwise exact Jaccard over the t5 survivors'
+    // 5-word shingle sets (the d5/ShingleSql shape), min-id survivor
+    // rule, funnel indices shifted by one
+    "d88_curation_neardup" -> curationDagSql(nearDup = true),
     // string-keyed restatement of the per-doc line-count rollup; the
     // planted repeat mirrors the query
     "d69_line_repetition" ->

@@ -431,17 +431,23 @@ object StreamQueries {
     // splits cannot change it.
     "st_inc_kn" -> ((s, d) => {
       val TA = graft.operators.TextAnalysis
-      lazy val snapA = TA.knSnapshot(
+      // every block this query pins is registered here and freed in
+      // the finally (the d86/d87/inc_kn_refresh cleanup discipline);
+      // registration happens inside the lazy initializers so a run
+      // that fails early frees only what was actually materialized
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def reg(df: DataFrame): DataFrame = { cps += df; df }
+      lazy val snapA = reg(TA.knSnapshot(
         T.documents(s, d).filter(col("doc_id") % 2 === 0),
-        "doc_id", "text").localCheckpoint(true)
-      lazy val scoresA = TA.knScoreFromSnapshot(snapA)
+        "doc_id", "text").localCheckpoint(true))
+      lazy val scoresA = reg(TA.knScoreFromSnapshot(snapA))
       lazy val scoresAB = {
         val merged = TA.mergeKnSnapshots(Seq(snapA,
           TA.knSnapshot(
             T.documents(s, d).filter(col("doc_id") % 2 =!= 0),
             "doc_id", "text"))).localCheckpoint(true)
         TA.validateKnSnapshot(merged)
-        val sc = TA.knScoreFromSnapshot(merged)
+        val sc = reg(TA.knScoreFromSnapshot(merged))
         org.apache.spark.sql.graftshim.Shims
           .unpersistLocalCheckpoint(merged)
         sc
@@ -450,18 +456,27 @@ object StreamQueries {
         batch.filter(col("doc_id") % 16 === era * 5)
           .select("doc_id")
           .join(scores, Seq("doc_id"))
-      val run1 = materializedStream(s, d, "incknA",
-        "documents.parquet", transform = serve(scoresA, 0)) { in =>
-        val schema = s.read.parquet(s"$d/documents.parquet").schema
-        s.readStream.schema(schema).parquet(in)
+      try {
+        val run1 = materializedStream(s, d, "incknA",
+          "documents.parquet", transform = serve(scoresA, 0)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        val run2 = materializedStream(s, d, "incknB",
+          "documents.parquet", transform = serve(scoresAB, 1)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        s.read.parquet(run1).unionByName(s.read.parquet(run2))
+          .orderBy("doc_id")
+      } finally {
+        // both era outputs are parquet on disk by now, so the era-A
+        // snapshot and both score-table checkpoints can go
+        // (knScoreFromSnapshot frees its internal postings blocks on
+        // its own exit)
+        cps.foreach(
+          org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
       }
-      val run2 = materializedStream(s, d, "incknB",
-        "documents.parquet", transform = serve(scoresAB, 1)) { in =>
-        val schema = s.read.parquet(s"$d/documents.parquet").schema
-        s.readStream.schema(schema).parquet(in)
-      }
-      s.read.parquet(run1).unionByName(s.read.parquet(run2))
-        .orderBy("doc_id")
     }),
 
     // The PER-SITE boilerplate screen refreshed between catch-up runs

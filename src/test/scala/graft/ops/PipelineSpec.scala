@@ -75,4 +75,29 @@ class SnapshotsSpec extends SparkSpec {
         "r3", 3, dir)
     }
   }
+
+  test("run store: a single-run store fails loudly, not empty-delta") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapruns1").toString + "/store"
+    Snapshots.appendRun(Seq(10L).toDF("n_docs"), "r0", 0, dir,
+      overwrite = true)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.lastTwoRuns(spark.read.parquet(dir))
+    }
+    assert(e.getMessage.contains("need at least two"))
+  }
+
+  test("run store: a re-appended run_seq fails loudly, not fanned out") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapruns2").toString + "/store"
+    def snap(n: Long) = Seq(n).toDF("n_docs")
+    Snapshots.appendRun(snap(10), "r0", 0, dir, overwrite = true)
+    Snapshots.appendRun(snap(12), "r1", 1, dir)
+    // the crashed-crawl re-append the reference's PRIMARY KEY rejects
+    Snapshots.appendRun(snap(13), "r1b", 1, dir)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.lastTwoRuns(spark.read.parquet(dir))
+    }
+    assert(e.getMessage.contains("re-appended"))
+  }
 }
