@@ -79,37 +79,47 @@ object Snapshots {
   }
 
   /** The latest and previous runs of a store, as (before, after) —
-    * the 90/91 compare inputs read from DISK. The max-seq attach is
-    * a one-row crossJoin (the scalar-attach pattern), not a global
-    * window; the store itself is run-count-sized so both sides are
-    * single-row config-class frames.
+    * the 90/91 compare inputs read from DISK. The run roster (one
+    * aggregate row per `run_seq`) is collected to the driver: the
+    * store is run-count-sized by the [[appendRun]] contract
+    * (aggregate-only captures, one capture per crawl), so the roster
+    * is config-class — the same license as a literal rate map. The
+    * two LATEST DISTINCT seqs are selected, so a gap in the sequence
+    * (a crawl that crashed before appending) shifts the "before"
+    * side to the newest run that actually landed instead of silently
+    * matching nothing.
     *
-    * Guards (one skinny aggregation over the run-count-sized store,
-    * the validateKnSnapshot discipline — contract violations fail
-    * LOUDLY instead of corrupting the diff downstream):
+    * Guards (the validateKnSnapshot discipline — contract violations
+    * fail LOUDLY instead of corrupting the diff downstream):
     *  - a store holding fewer than two runs would otherwise return an
     *    empty "before" side and the caller's metric join would
     *    silently yield zero delta rows (a first-crawl dashboard must
     *    say "need two runs", not "nothing changed");
-    *  - a duplicated `run_seq` (a crashed crawl re-appending without
+    *  - a re-appended `run_seq` (a crashed crawl retrying without
     *    `overwrite` — the reference store's `run_id PRIMARY KEY`,
-    *    ref `tm_snapshots.py:56-83`) would make `at(0)` return
-    *    multiple rows and fan the compare join out into cross-joined
-    *    delta rows. */
+    *    ref `tm_snapshots.py:56-83`) would fan the compare join out
+    *    into duplicated delta rows: detected as either several
+    *    run_ids sharing one seq, or unequal capture row counts
+    *    across seqs (a same-run_id re-append doubles its run's rows;
+    *    legitimate captures of one store shape are uniform — both
+    *    the one-row wide and the row-per-column long form). */
   def lastTwoRuns(store: DataFrame): (DataFrame, DataFrame) = {
-    val g = store.agg(count(lit(1)).as("rows"),
-      countDistinct("run_seq").as("runs")).head
-    require(g.getLong(1) >= 2L,
-      s"run store holds ${g.getLong(1)} run(s) - need at least two " +
+    val runs = store.groupBy("run_seq")
+      .agg(count(lit(1)).as("n"), countDistinct("run_id").as("ids"))
+      .orderBy(col("run_seq").desc)
+      .collect()
+    require(runs.length >= 2,
+      s"run store holds ${runs.length} run(s) - need at least two " +
         "appended runs before a delta can be computed")
-    require(g.getLong(0) == g.getLong(1),
-      s"run store corrupt: ${g.getLong(0)} rows for ${g.getLong(1)} " +
-        "distinct run_seq values - a crashed crawl re-appended a " +
-        "run_seq (appendRun with overwrite=true resets the store)")
-    val mx = store.agg(max("run_seq").as("__graft_mx"))
-    def at(off: Int) = store.crossJoin(mx)
-      .filter(col("run_seq") === col("__graft_mx") - off)
-      .drop("__graft_mx")
-    (at(1), at(0))
+    require(runs.forall(_.getLong(2) == 1L),
+      "run store corrupt: several run_ids share one run_seq - a " +
+        "crashed crawl re-appended a run_seq (appendRun with " +
+        "overwrite=true resets the store)")
+    require(runs.map(_.getLong(1)).distinct.length == 1,
+      "run store corrupt: unequal capture sizes across run_seq " +
+        "values - a crashed crawl re-appended a run_seq (appendRun " +
+        "with overwrite=true resets the store)")
+    (store.filter(col("run_seq") === runs(1).get(0)),
+      store.filter(col("run_seq") === runs(0).get(0)))
   }
 }

@@ -1660,9 +1660,17 @@ object LlmQueries {
     * executor and Spark cannot recompute truncated lineage, so a
     * lost executor mid-DAG kills the run — pass `stageDir` and each
     * stage instead writes job-dir parquet and reads it back (the
-    * pattern the shard stage already uses): restartable, durable,
-    * at the cost of one disk round-trip per stage. Same rows either
-    * way (spec-asserted).
+    * pattern the shard stage already uses), at the cost of one disk
+    * round-trip per stage. Scope of the durable mode: every STAGE
+    * BOUNDARY is durable (downstream scans and the funnel read
+    * job-dir parquet, and a production restart can resume from the
+    * last landed stage directory), while work IN FLIGHT inside a
+    * stage still recomputes from the previous stage's parquet on
+    * executor loss — with one caveat: the near-dup stage's candidate
+    * kernel ([[graft.operators.Dedup.minHashLshPairs]]) keeps its
+    * own internal checkpoint barriers, so that single stage retains
+    * the executor-loss exposure until its output parquet lands.
+    * Same rows either way (spec-asserted in both DAG shapes).
     *
     * `healthRunsDir`: when set, the flagship's last act APPENDS two
     * aggregate-only [[corpusHealth]] captures to the run-keyed
@@ -1835,7 +1843,9 @@ object LlmQueries {
               col("n_docs"), col("n_chars"), col("id_checksum"),
               col("n_shards"))))
         .reduce(_ unionByName _).orderBy("stage_idx")
-      funnel.localCheckpoint(true)
+      // durable mode keeps even the returned funnel off executor-local
+      // blocks: its branches scan the landed stage parquet directly
+      if (stageDir.isDefined) funnel else funnel.localCheckpoint(true)
     } finally cps.foreach(
       org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
   }

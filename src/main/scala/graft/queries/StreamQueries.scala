@@ -442,10 +442,13 @@ object StreamQueries {
         "doc_id", "text").localCheckpoint(true))
       lazy val scoresA = reg(TA.knScoreFromSnapshot(snapA))
       lazy val scoresAB = {
-        val merged = TA.mergeKnSnapshots(Seq(snapA,
+        // merged is ALSO registered: if the validator or the scorer
+        // throws, the finally still frees it (the early inline
+        // unpersist stays — re-unpersisting a freed block is a no-op)
+        val merged = reg(TA.mergeKnSnapshots(Seq(snapA,
           TA.knSnapshot(
             T.documents(s, d).filter(col("doc_id") % 2 =!= 0),
-            "doc_id", "text"))).localCheckpoint(true)
+            "doc_id", "text"))).localCheckpoint(true))
         TA.validateKnSnapshot(merged)
         val sc = reg(TA.knScoreFromSnapshot(merged))
         org.apache.spark.sql.graftshim.Shims

@@ -87,6 +87,19 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("need at least two"))
   }
 
+  test("run store: a seq GAP (crashed crawl) still diffs the two " +
+    "latest landed runs") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapruns3").toString + "/store"
+    def snap(n: Long) = Seq(n).toDF("n_docs")
+    Snapshots.appendRun(snap(10), "r0", 0, dir, overwrite = true)
+    Snapshots.appendRun(snap(12), "r2", 2, dir) // seq 1 never landed
+    Snapshots.appendRun(snap(15), "r5", 5, dir) // nor 3-4
+    val (before, after) = Snapshots.lastTwoRuns(spark.read.parquet(dir))
+    assert(before.select("run_id").head.getString(0) == "r2")
+    assert(after.select("run_id").head.getString(0) == "r5")
+  }
+
   test("run store: a re-appended run_seq fails loudly, not fanned out") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_snapruns2").toString + "/store"

@@ -25,9 +25,15 @@ class CurationDagSpec extends SparkSpec {
   }
 
   test("curation DAG: the near-dup stage cuts survivors exact dedup " +
-    "cannot") {
+    "cannot (and stages durably the same)") {
     val funnel = LlmQueries.curationDag(spark, sf0001, nearDup = true)
       .collect()
+    // the near branch mixes the two staging regimes (the LSH kernel's
+    // internal checkpoints alongside parquet stage writes) - assert
+    // the durable form of THIS shape too, not just the exact-only DAG
+    val durable = LlmQueries.curationDag(spark, sf0001, nearDup = true,
+      stageDir = Some(s"$tmp/stages88")).collect()
+    assert(funnel.toSeq == durable.toSeq)
     val byStage = funnel.map(r =>
       r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
     // the variant members carry DISTINCT fingerprints, so they ride
