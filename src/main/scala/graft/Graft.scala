@@ -825,6 +825,24 @@ object Graft {
     graft.operators.Quantization.ivfPqAddBatch(newEmb, idCol, vecCol,
       dir)
 
+  /** FAISS-style `remove_ids` for a persisted IVF-PQ layout — the
+    * retraction path (takedowns, right-to-be-forgotten): rewrites
+    * only the cell directories holding the removed ids, deletes
+    * emptied cells; remove-then-search equals a build that never
+    * encoded the vectors (codebooks stay frozen — retrain is the
+    * separate step the imbalance factor schedules). */
+  def ivfPqRemoveBatch(removeIds: DataFrame, idCol: String,
+                       dir: String): Unit =
+    graft.operators.Quantization.ivfPqRemoveBatch(removeIds, idCol, dir)
+
+  /** Retract documents from a per-doc fact snapshot (BM25 tf /
+    * KN bigram): one anti-join IS the complete removal — every
+    * corpus rollup derives downstream in the shared scorer, so the
+    * result is row-for-row a fresh build on the remaining docs. */
+  def retractDocs(snapshot: DataFrame, removeIds: DataFrame,
+                  idCol: String = "doc_id"): DataFrame =
+    graft.operators.Incremental.retractDocs(snapshot, removeIds, idCol)
+
   /** Refresh a prefix-cross index with a newly committed batch:
     * shingles append, df counts merge key-wise, only the prefix
     * postings re-derive — no existing text rescanned. */

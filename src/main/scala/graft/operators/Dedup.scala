@@ -301,6 +301,43 @@ object Dedup {
     counts.filter(col("cnt") >= minCount).select("key")
   }
 
+  /** Subtract a retracted batch's [[lineCountPartial]] from a
+    * maintained line-count table — the REMOVAL side of the screen
+    * maintenance (a quarantined source, a takedown): counts are
+    * sums, so the subtraction is exact — the result is key-for-key
+    * the count table a fresh pass over the remaining corpus builds,
+    * and a line whose count falls below the threshold stops being
+    * boilerplate, exactly as if its docs had never been counted.
+    * Keys whose count reaches zero drop; the full-outer join keeps
+    * NEGATIVE rows (a batch retracted twice, or one never merged in)
+    * visible for [[validateLineCounts]] instead of silently
+    * swallowing the contract violation. One key-wise merge over the
+    * two skinny count tables, no text rescanned. */
+  def subtractLineCounts(total: DataFrame, removed: DataFrame)
+      : DataFrame =
+    total.join(removed.withColumnRenamed("cnt", "__graft_rm"),
+        Seq("key"), "full_outer")
+      .select(col("key"),
+        (coalesce(col("cnt"), lit(0L))
+          - coalesce(col("__graft_rm"), lit(0L))).as("cnt"))
+      .filter(col("cnt") =!= 0L)
+
+  /** Assert a (subtracted) line-count table is well-formed: no
+    * negative counts — the loud detector for the
+    * [[subtractLineCounts]] caller contract (the retracted batch
+    * must be a sub-multiset of what the table counted; retracting
+    * twice, or retracting a batch that was never merged in, drives
+    * counts negative). One skinny aggregation, the
+    * validateTfSnapshot discipline. */
+  def validateLineCounts(counts: DataFrame): Unit = {
+    val bad = counts.agg(coalesce(
+      sum(when(col("cnt") < 0L, 1L).otherwise(0L)), lit(0L))).head
+      .getLong(0)
+    require(bad == 0L,
+      s"line-count table corrupt: $bad negative counts - a batch " +
+        "was retracted twice or was never merged in")
+  }
+
   /** Null-safe group key shared by the grouped screen tables and
     * [[groupedLineDedupAgainst]] — the [[lineDedupImpl]] struct
     * idiom: a plain equi-join would never match null groups,

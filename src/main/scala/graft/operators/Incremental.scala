@@ -22,6 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
+  /** Retract documents from a per-doc fact snapshot — the REMOVAL
+    * side of the maintenance story ([[graft.operators.Search
+    * .mergeTfSnapshots]] / [[graft.operators.TextAnalysis
+    * .mergeKnSnapshots]] grow an index; this shrinks it for data
+    * takedowns, right-to-be-forgotten requests, or a quarantined
+    * source). Both snapshot families consist ONLY of rows that
+    * derive from their own doc's text (tf cells / bigram counts plus
+    * the per-doc marker), and every corpus rollup (N, df, dl, idf,
+    * context counts, fertilities, type totals) derives DOWNSTREAM in
+    * the shared scorer — so one anti-join IS the complete
+    * retraction: the result is row-for-row the snapshot a fresh
+    * build over the remaining docs would produce, and the
+    * family's validator still holds (one marker per surviving doc).
+    * One shuffle-on-id pass over the snapshot, no text rescanned;
+    * ids absent from the snapshot retract vacuously. */
+  def retractDocs(snapshot: DataFrame, removeIds: DataFrame,
+                  idCol: String = "doc_id"): DataFrame =
+    snapshot.join(removeIds.select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Merge mergeable partial rollups: union all partials and
     * re-aggregate with each column's merge function.
     *

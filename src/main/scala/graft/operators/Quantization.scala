@@ -389,6 +389,64 @@ object Quantization {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
+  /** FAISS-style `remove_ids` for a [[persistIvfPqIndex]] layout:
+    * delete the code rows of the given ids by REWRITING ONLY the
+    * cell directories that contain them — the retraction path (data
+    * takedowns, right-to-be-forgotten requests, a quarantined
+    * source) of the maintained index, closing the lifecycle
+    * alongside [[ivfPqAddBatch]] (grow) and [[ivfPqRetrain]]
+    * (drift). Codes are a pure per-row function of (vector,
+    * codebooks), so removing rows leaves every other code
+    * bit-identical: remove-then-search over the layout EQUALS search
+    * over an index whose original build never encoded the removed
+    * vectors against the SAME codebooks — proven by the
+    * `inc_ivfpq_remove` oracle row (frozen full-corpus training,
+    * scoring restricted to the survivors). What remove does NOT do
+    * is re-train: the codebooks keep reflecting the corpus that
+    * included the removed vectors, and a shrinking/drifting corpus
+    * eventually shows up in [[ivfPqImbalance]], whose number
+    * schedules the full [[ivfPqRetrain]] — exactly FAISS's split.
+    *
+    * Scale shape: one column-pruned pass over the skinny (nid, cell)
+    * projection finds the AFFECTED cells (collected — at most nlist
+    * values, config-class); the survivors of only those cells are
+    * barriered once and rewritten via dynamic partition overwrite,
+    * and cells the removal emptied entirely have their directories
+    * deleted (dynamic overwrite writes nothing for them, which would
+    * otherwise leave the stale rows serving). Untouched cell
+    * directories are never rewritten; worst case (every cell
+    * affected) degenerates to the retrain-shaped full rewrite, which
+    * doubles as compaction. The barrier is required because the
+    * rewrite reads the same directories it overwrites. */
+  def ivfPqRemoveBatch(removeIds: DataFrame, idCol: String,
+                       dir: String): Unit = {
+    val spark = removeIds.sparkSession
+    val ids = removeIds.select(col(idCol).cast("long").as("nid"))
+      .distinct()
+    val codes = spark.read.parquet(s"$dir/codes")
+    val affected = codes.select("nid", "cell")
+      .join(ids, Seq("nid"), "left_semi")
+      .select("cell").distinct().collect().map(_.get(0))
+    if (affected.isEmpty) return
+    val survivors = codes
+      .filter(col("cell").isin(affected: _*))
+      .join(ids, Seq("nid"), "left_anti")
+      .localCheckpoint(true)
+    try {
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(s"$dir/codes")
+      val still = survivors.select("cell").distinct().collect()
+        .map(_.get(0)).toSet
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      (affected.toSet -- still).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$dir/codes/cell=$c"), true)
+      }
+    } finally Shims.unpersistLocalCheckpoint(survivors)
+  }
+
   /** FAISS's `imbalance_factor` with the per-cell occupancy it
     * summarizes: nlist · Σ n_c² / N², 1.0 = perfectly balanced
     * cells. The factor multiplies by NLIST (the codebook size), not

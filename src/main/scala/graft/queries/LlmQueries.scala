@@ -789,6 +789,47 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // RETRACTION for the boilerplate screen — the removal side of
+    // inc_boilerplate (a quarantined source's docs leave the count
+    // table): counts are sums, so subtracting the retracted slice's
+    // partial is EXACT — the screen equals a fresh count over the
+    // remaining corpus (the oracle restricts the ex CTE to the
+    // survivors). The fixture makes the retraction MATTER: a banner
+    // line planted mostly on the quarantined %7==1 docs (plus two
+    // innocents and half the incoming probes) screens as boilerplate
+    // before the retraction but falls to count 2 < 3 after, so the
+    // incoming docs KEEP it — a takedown must also un-learn what the
+    // taken-down docs taught the screen.
+    "inc_boiler_remove" -> ((s, d) => {
+      val boiler = "subscribe to our newsletter for updates today"
+      val banner =
+        "temporary campaign banner from the quarantined source"
+      val plant = col("doc_id") % 7 === 1 || col("doc_id") === 2 ||
+        col("doc_id") === 9 || col("doc_id") % 10 === 0
+      val src = T.documents(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit("\n" + boiler)))
+            .otherwise(col("text")),
+          when(plant, lit("\n" + banner)).otherwise(lit("")))
+          .as("text"))
+      val existing = src.filter(col("doc_id") % 5 =!= 0)
+      // no barrier: the count table is skinny (16-byte rows over the
+      // distinct repeated lines), so the validator's pass and the
+      // screen's pass just recompute it - a checkpoint freed in a
+      // finally would truncate the RETURNED plan's lineage before
+      // the caller materializes it
+      val counts = Dedup.subtractLineCounts(
+        Dedup.lineCountPartial(existing, "text"),
+        Dedup.lineCountPartial(
+          existing.filter(col("doc_id") % 7 === 1), "text"))
+      Dedup.validateLineCounts(counts)
+      Dedup.lineDedupAgainst(src.filter(col("doc_id") % 5 === 0),
+          Dedup.boilerplateFromCounts(counts, minCount = 3),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // The PER-SITE boilerplate screen maintained incrementally — the
     // production shape of d74: per-group templates arrive batch by
     // batch, three era partials keyed by (group, line) merge into the
@@ -1180,6 +1221,83 @@ object LlmQueries {
         TextAnalysis.knScoreFromSnapshot(snap).orderBy("doc_id")
       } finally org.apache.spark.sql.graftshim.Shims
         .unpersistLocalCheckpoint(snap)
+    }),
+
+    // RETRACTION for the BM25 index — the removal side of the
+    // maintenance story (data takedowns / right-to-be-forgotten /
+    // a quarantined source): every 10th-plus-3 doc is retracted from
+    // the full tf snapshot by one anti-join (Incremental.retractDocs
+    // — tf cells and markers are per-doc facts; N, df, dl, idf all
+    // derive DOWNSTREAM in the shared scorer), the disjointness
+    // validator still holds on the survivors, and the serve is the
+    // SAME bm25TopKIndexed tail. Oracle = the Bm25Sql replay with
+    // the corpus CTE restricted to the survivors (bm25SqlEra):
+    // retract-then-serve == an index that never saw the docs. The
+    // probe batch stays UNFILTERED — a retracted doc can still be
+    // queried FOR; it just can't be a hit.
+    "inc_bm25_remove" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val tf = graft.operators.Incremental.retractDocs(
+          Search.tfSnapshot(docs, "doc_id", "text"),
+          docs.filter(col("doc_id") % 10 === 3).select("doc_id"))
+        .localCheckpoint(true)
+      try {
+        Search.validateTfSnapshot(tf)
+        Search.bm25TopKIndexed(tf,
+            docs.filter(col("doc_id") % 16 === 0)
+              .select(col("doc_id").as("qid"),
+                bm25Qtext(col("text")).as("qtext")),
+            "qid", "qtext", k = 5)
+          .orderBy("qid", "rank")
+      } finally org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(tf)
+    }),
+
+    // RETRACTION for the KN bigram LM — the same one-anti-join
+    // removal applied to the knSnapshot (bigram counts + markers are
+    // per-doc facts; context counts, both fertilities and the type
+    // total derive downstream in knScoreFromSnapshot), gated by the
+    // era-parameterized d77 replay: the smoothed LM after retraction
+    // IS the LM a fresh build over the remaining docs produces.
+    "inc_kn_remove" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val snap = graft.operators.Incremental.retractDocs(
+          TextAnalysis.knSnapshot(docs, "doc_id", "text"),
+          docs.filter(col("doc_id") % 5 === 4).select("doc_id"))
+        .localCheckpoint(true)
+      try {
+        TextAnalysis.validateKnSnapshot(snap)
+        TextAnalysis.knScoreFromSnapshot(snap).orderBy("doc_id")
+      } finally org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(snap)
+    }),
+
+    // RETRACTION for the persisted ANN index — FAISS `remove_ids`:
+    // the full shared layout is persisted fresh, every 10th-plus-3
+    // vector's codes are removed (only their cell directories are
+    // rewritten; an emptied cell's directory is deleted), the m-rows-
+    // per-id validator re-certifies the layout, and the d51 query
+    // batch serves from it. Codes are per-row functions of (vector,
+    // frozen codebooks), so remove-then-search == search over an
+    // index that never encoded the removed vectors — the oracle is
+    // the parameterized d51 replay: full-corpus TRAINING (the
+    // codebooks still reflect the pre-removal corpus, as in FAISS),
+    // survivor-only scoring.
+    "inc_ivfpq_remove" -> ((s, d) => {
+      val idx = sharedIvfPqIndex(s, d)
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"ivfpqrm_${pathDigest(d)}"
+      Quantization.persistIvfPqIndex(idx, dir)
+      Quantization.ivfPqRemoveBatch(
+        T.embeddings(s, d).filter(col("vec_id") % 10 === 3)
+          .select("vec_id"),
+        "vec_id", dir)
+      Quantization.validateIvfPqCodes(s, dir)
+      Quantization.ivfPqSearch(
+          T.embeddings(s, d).filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", Quantization.loadIvfPqIndex(s, dir),
+          nprobe = 2, topK = 3)
+        .orderBy("qid", "rank")
     }),
 
     // Impact-ordered BM25 (max-score/WAND family): champion-list
@@ -3533,6 +3651,24 @@ object LlmQueries {
     // merged era snapshots == the full index (per-doc independence),
     // so the d24 oracle gates the refresh path verbatim
     "inc_bm25_refresh" -> Bm25Sql,
+    // retract-then-serve == an index that never saw the docs: the
+    // same replay with the corpus CTE restricted to the survivors
+    // and the probe batch switched to the unfiltered %16 lattice (a
+    // retracted doc can still be queried FOR)
+    "inc_bm25_remove" ->
+      bm25SqlEra("doc_id % 10 <> 3", "doc_id % 16 = 0"),
+    // the era-parameterized d77 replay over the surviving corpus:
+    // the retracted LM == a fresh build on the remaining docs
+    "inc_kn_remove" ->
+      (knLmSqlEra("doc_id % 5 <> 4", "TRUE") + "\nORDER BY doc_id"),
+    // frozen full-corpus TRAINING (remove does not retrain, as in
+    // FAISS), survivor-only scoring: remove-then-search == a build
+    // that never encoded the removed vectors
+    "inc_ivfpq_remove" ->
+      (d51PrefixWith(queryPred = "id % 10 = 0",
+        corpusPred = "nid % 10 <> 3") + """
+        |SELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
     // the same SQL verbatim: the max-score path must be result-
     // invisible relative to the exact path
     "d32_bm25_maxscore" -> Bm25Sql,
@@ -4315,6 +4451,17 @@ object LlmQueries {
     // counts built as three merged batch partials — merged partials ==
     // full recompute is the oracle's claim, so the SQL is d64 verbatim
     "inc_boilerplate" -> D64CrossLineSql,
+    // the d64 replay with (1) the banner plant mirrored and (2) the
+    // ex CTE restricted to the surviving corpus: subtracted counts
+    // == a fresh count over the remainder is the claim
+    "inc_boiler_remove" -> replaceOnce(replaceOnce(D64CrossLineSql,
+      "ELSE text END AS text FROM documents),",
+      "ELSE text END || CASE WHEN doc_id % 7 = 1 OR doc_id = 2 " +
+        "OR doc_id = 9 OR doc_id % 10 = 0 THEN chr(10) || " +
+        "'temporary campaign banner from the quarantined source' " +
+        "ELSE '' END AS text FROM documents),"),
+      "WHERE doc_id % 5 <> 0)",
+      "WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 1)"),
     // the d74 (lang, line) count scope applied cross-corpus: existing
     // rows (%5 <> 0) build the per-lang screen, incoming rows probe
     // it — the full recompute the merged partials must equal

@@ -645,6 +645,54 @@ object StreamQueries {
         .orderBy("qid", "rank")
     }),
 
+    // The REMOVAL between catch-up runs — inc_ivfpq_remove in its
+    // streaming shape (the retraction twin of st_inc_ivfpq_add): era
+    // A's query slice serves the FULL layout, the FAISS-style
+    // remove_ids lands between the AvailableNow runs (only the
+    // affected cell dirs rewritten, layout re-validated), and era
+    // B's slice serves the reduced layout. One index load per era
+    // (idxB's file-listing snapshot is first forced inside run2's
+    // transform — AFTER the removal); per-query work is index-static
+    // so micro-batch splits cannot change results. Oracle = the
+    // parameterized d51 replay per era: frozen full-corpus training
+    // in BOTH eras (remove does not retrain), survivor-only scoring
+    // in era B.
+    "st_inc_ivfpq_remove" -> ((s, d) => {
+      val Q = graft.operators.Quantization
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"stivfrm_${LlmQueries.pathDigest(d)}"
+      // the full layout persists UNCONDITIONALLY before run1: the
+      // overwrite resets any removed state a prior invocation left,
+      // so the removal below lands exactly once on a fresh layout
+      Q.persistIvfPqIndex(LlmQueries.sharedIvfPqIndex(s, d), dir)
+      lazy val idxA = Q.loadIvfPqIndex(s, dir)
+      lazy val idxB = Q.loadIvfPqIndex(s, dir)
+      def serve(idx: => graft.operators.Quantization.IvfPqIndex,
+                era: Int)(batch: DataFrame): DataFrame =
+        Q.ivfPqSearch(
+          batch.filter(col("vec_id") % 20 === era * 10),
+          "vec_id", "embedding", idx, nprobe = 2, topK = 3)
+      val run1 = materializedStream(s, d, "ivfrmA",
+        "embeddings.parquet", transform = serve(idxA, 0)) { in =>
+        val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      // between the runs: the retraction — rewrites only the
+      // affected cell directories, then re-certifies the layout
+      Q.ivfPqRemoveBatch(
+        T.embeddings(s, d).filter(col("vec_id") % 10 === 3)
+          .select("vec_id"),
+        "vec_id", dir)
+      Q.validateIvfPqCodes(s, dir)
+      val run2 = materializedStream(s, d, "ivfrmB",
+        "embeddings.parquet", transform = serve(idxB, 1)) { in =>
+        val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+        s.readStream.schema(schema).parquet(in)
+      }
+      s.read.parquet(run1).unionByName(s.read.parquet(run2))
+        .orderBy("qid", "rank")
+    }),
+
     // Benchmark decontamination as a streaming twin — the other screen
     // a continuous ingest pipeline runs on every arriving batch: the
     // bench-gram set is tiny and static (broadcast inside
@@ -1085,6 +1133,18 @@ object StreamQueries {
         "\nSELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros" +
         " FROM r WHERE rank <= 3)\nUNION ALL\nSELECT * FROM (" +
         LlmQueries.d51PrefixWith(queryPred = "id % 20 = 10") +
+        "\nSELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros" +
+        " FROM r WHERE rank <= 3)\nORDER BY qid, rank"),
+    // the retraction twin: era A against the FULL layout, era B
+    // against the survivors — training identical in both (frozen
+    // codebooks; remove does not retrain)
+    "st_inc_ivfpq_remove" ->
+      ("SELECT * FROM (" +
+        LlmQueries.d51PrefixWith(queryPred = "id % 20 = 0") +
+        "\nSELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros" +
+        " FROM r WHERE rank <= 3)\nUNION ALL\nSELECT * FROM (" +
+        LlmQueries.d51PrefixWith(queryPred = "id % 20 = 10",
+          corpusPred = "nid % 10 <> 3") +
         "\nSELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros" +
         " FROM r WHERE rank <= 3)\nORDER BY qid, rank"),
     // the era-split pairwise truth directly (prefix filtering is

@@ -27,6 +27,63 @@ class IncrementalSpec extends SparkSpec {
     assert(merged == full)
   }
 
+  test("retractDocs: the retracted snapshot is row-for-row a fresh " +
+    "build on the remaining docs, and the validators still hold") {
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"), (2L, "beta beta"),
+      (3L, "gamma delta alpha"), (4L, ""), (5L, "alpha alpha"))
+      .toDF("doc_id", "text")
+    val remove = Seq(2L, 4L, 99L).toDF("doc_id") // 99 retracts vacuously
+    val remaining = docs.filter(!col("doc_id").isin(2L, 4L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // BM25 tf snapshot: retract == never-indexed (markers included)
+    val tfRetracted = Incremental.retractDocs(
+      Search.tfSnapshot(docs, "doc_id", "text"), remove)
+    assert(rows(tfRetracted) ==
+      rows(Search.tfSnapshot(remaining, "doc_id", "text")))
+    Search.validateTfSnapshot(tfRetracted)
+    // KN snapshot: same one-anti-join retraction, same equality
+    val knRetracted = Incremental.retractDocs(
+      TextAnalysis.knSnapshot(docs, "doc_id", "text"), remove)
+    assert(rows(knRetracted) ==
+      rows(TextAnalysis.knSnapshot(remaining, "doc_id", "text")))
+    TextAnalysis.validateKnSnapshot(knRetracted)
+  }
+
+  test("subtractLineCounts: exact un-count, zeros drop, negatives " +
+    "are caught loudly") {
+    val docs = Seq(
+      (1L, "nav bar\nbody one"), (2L, "nav bar\nbody two"),
+      (3L, "nav bar\nbanner"), (4L, "banner\nbody four"))
+      .toDF("doc_id", "text")
+    val total = Dedup.lineCountPartial(docs, "text")
+    val retracted = Dedup.lineCountPartial(
+      docs.filter(col("doc_id") >= 3), "text")
+    val after = Dedup.subtractLineCounts(total, retracted)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // exact: == a fresh count over the remaining docs ("banner"
+    // reaches zero and DROPS; "nav bar" falls 3 -> 2)
+    assert(rows(after) ==
+      rows(Dedup.lineCountPartial(docs.filter(col("doc_id") < 3),
+        "text")))
+    Dedup.validateLineCounts(after)
+    // retracting the same batch twice drives counts negative - loud
+    val twice = Dedup.subtractLineCounts(after, retracted)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.validateLineCounts(twice)
+    }
+    assert(e.getMessage.contains("negative"))
+    // ...and so does retracting a batch that was never merged in
+    // (keys absent from the table surface via the full-outer join)
+    val alien = Dedup.lineCountPartial(
+      Seq((9L, "never seen line")).toDF("doc_id", "text"), "text")
+    intercept[IllegalArgumentException] {
+      Dedup.validateLineCounts(Dedup.subtractLineCounts(after, alien))
+    }
+  }
+
   test("mergeRollups rejects non-mergeable aggregate names") {
     val p = Seq(("a", 1L)).toDF("k", "n")
     intercept[IllegalArgumentException] {

@@ -297,6 +297,70 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRemoveBatch: rewrites only affected cells, deletes " +
+    "emptied cells, remove == never-encoded") {
+    val built = Quantization.ivfPqIndex(vecs, "vec_id", "embedding",
+      nlist = 2, coarseIters = 2, m = 2, ksub = 2, pqIters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_rm").toString
+    try {
+      Quantization.persistIvfPqIndex(built, dir)
+      val cellOf = built.codes.select("nid", "cell").distinct()
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // the fixture's two direction-groups land in different cells
+      assert(cellOf(2L) != cellOf(1L))
+      def files(cell: Int) = {
+        val d0 = new java.io.File(s"$dir/codes/cell=$cell")
+        d0.listFiles().map(f =>
+          (f.getName, f.lastModified(), f.length())).toSet
+      }
+      val untouchedBefore = files(cellOf(1L))
+      Quantization.ivfPqRemoveBatch(Seq(2L).toDF("vec_id"),
+        "vec_id", dir)
+      // the other group's cell directory was never rewritten
+      assert(files(cellOf(1L)) == untouchedBefore)
+      // the layout is row-for-row the build that never encoded id 2
+      def codeSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("nid", "cell", "s", "c").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+            r.getInt(3))).toSet
+      val loaded = Quantization.loadIvfPqIndex(spark, dir)
+      assert(codeSet(loaded.codes) ==
+        codeSet(built.codes).filterNot(_._1 == 2L))
+      Quantization.validateIvfPqCodes(spark, dir)
+      // serve equality vs an index whose codes never held id 2
+      def serve(idx: Quantization.IvfPqIndex) =
+        Quantization.ivfPqSearch(vecs.filter(col("vec_id") === 4L),
+            "vec_id", "embedding", idx, nprobe = 2, topK = 3)
+          .collect().map(_.toSeq).toSet
+      assert(serve(loaded) ==
+        serve(built.copy(codes =
+          built.codes.filter(col("nid") =!= 2L))) && serve(loaded).nonEmpty)
+      // removing every remaining member of a cell deletes its dir -
+      // a stale directory would silently keep serving the rows
+      val cellA = cellOf(2L)
+      val rest = cellOf.collect {
+        case (id, c) if c == cellA => id }.toSeq
+      Quantization.ivfPqRemoveBatch(rest.toDF("vec_id"), "vec_id", dir)
+      assert(!new java.io.File(s"$dir/codes/cell=$cellA").exists())
+      Quantization.validateIvfPqCodes(spark, dir)
+      // vacuous remove: ids absent from the layout change nothing
+      val beforeVacuous = codeSet(
+        Quantization.loadIvfPqIndex(spark, dir).codes)
+      Quantization.ivfPqRemoveBatch(Seq(999L).toDF("vec_id"),
+        "vec_id", dir)
+      assert(codeSet(Quantization.loadIvfPqIndex(spark, dir).codes)
+        == beforeVacuous)
+    } finally {
+      org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(built.codes)
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+  }
+
   test("ivfPqRetrain: a drifted add skews the cells, the retrain " +
     "un-skews them (post imbalance <= pre)") {
     // base: the two-direction fixture; drift: a TIGHT far blob that
