@@ -375,6 +375,26 @@ object PlanDump {
         "13.4 s. Round 14 also adds a durable parquet staging mode " +
         "(stageDir) and the d88 near-dup variant; this entry's plan " +
         "is the default checkpoint-staged exact-dedup shape."),
+    "inc_ivfpq_remove" ->
+      ("FAISS-style remove_ids for the persisted layout — the " +
+        "RETRACTION path (takedowns, right-to-be-forgotten) closing " +
+        "the index lifecycle alongside add and retrain. The plan " +
+        "below is the post-removal serve: identical to inc_ivfpq_add" +
+        "'s (broadcast LUT join + DPP-pruned cell scan) because the " +
+        "layout shape is unchanged — which is the point. The remove " +
+        "itself is one column-pruned (nid, cell) pass to find " +
+        "affected cells (collected — at most nlist values), then a " +
+        "barriered dynamic-partition-overwrite of ONLY those cells " +
+        "(emptied cells' directories deleted; emptying the whole " +
+        "layout is refused loudly — that is a rebuild). Untouched " +
+        "cells are never read or rewritten, so the rewrite cost " +
+        "scales with the removed share's cell footprint, not the " +
+        "corpus. Codebooks stay frozen (as in FAISS); a shrinking " +
+        "corpus surfaces in d80's imbalance number, which schedules " +
+        "the retrain. Remove-then-search == a build that never " +
+        "encoded the vectors (oracle: full-corpus training, " +
+        "survivor-only scoring). Measured: BENCH_SOLO_r14.json / " +
+        "BENCH_SF1_r14.json."),
     "d87_ivfpq_retrain" ->
       ("The IVF-PQ lifecycle's RARE amortized pass (FAISS retrain " +
         "semantics): the query proves before/after in one row set, " +

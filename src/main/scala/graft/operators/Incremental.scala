@@ -39,8 +39,9 @@ object Incremental {
     * ids absent from the snapshot retract vacuously. */
   def retractDocs(snapshot: DataFrame, removeIds: DataFrame,
                   idCol: String = "doc_id"): DataFrame =
-    snapshot.join(removeIds.select(col(idCol)).distinct(),
-      Seq(idCol), "left_anti")
+    // no distinct(): an anti-join is unaffected by duplicate
+    // right-side keys, and the dedup would be a wasted shuffle
+    snapshot.join(removeIds.select(col(idCol)), Seq(idCol), "left_anti")
 
   /** Merge mergeable partial rollups: union all partials and
     * re-aggregate with each column's merge function.

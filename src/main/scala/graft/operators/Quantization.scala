@@ -421,9 +421,14 @@ object Quantization {
   def ivfPqRemoveBatch(removeIds: DataFrame, idCol: String,
                        dir: String): Unit = {
     val spark = removeIds.sparkSession
-    val ids = removeIds.select(col(idCol).cast("long").as("nid"))
-      .distinct()
     val codes = spark.read.parquet(s"$dir/codes")
+    // align the remove ids to the LAYOUT's own id type — a blind
+    // cast (or none) would make a type mismatch silently match
+    // nothing, and a takedown that reports success while the rows
+    // keep serving is the exact failure this operator exists to
+    // prevent
+    val ids = removeIds
+      .select(col(idCol).cast(codes.schema("nid").dataType).as("nid"))
     val affected = codes.select("nid", "cell")
       .join(ids, Seq("nid"), "left_semi")
       .select("cell").distinct().collect().map(_.get(0))
@@ -433,16 +438,24 @@ object Quantization {
       .join(ids, Seq("nid"), "left_anti")
       .localCheckpoint(true)
     try {
+      // a layout emptied to zero rows is unrepresentable (a hive
+      // table with no partitions has no schema to read) — that state
+      // means the index is gone, which is a rebuild, not a remove
+      require(codes.filter(!col("cell").isin(affected: _*)).limit(1)
+          .count() > 0 || survivors.limit(1).count() > 0,
+        "removing every remaining vector would empty the layout - " +
+          "rebuild it (persistIvfPqIndex of a fresh build) instead")
       survivors.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell").parquet(s"$dir/codes")
       val still = survivors.select("cell").distinct().collect()
         .map(_.get(0)).toSet
-      val fs = org.apache.hadoop.fs.FileSystem.get(
+      val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
+      val fs = codesPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       (affected.toSet -- still).foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$dir/codes/cell=$c"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(codesPath,
+          s"cell=$c"), true)
       }
     } finally Shims.unpersistLocalCheckpoint(survivors)
   }

@@ -725,18 +725,76 @@ object TextAnalysis {
   /** The common multi-label public suffixes (co.uk, com.au, ...):
     * under these the registered domain is THREE labels, not two —
     * without the exception every .co.uk site would collapse onto the
-    * single key 'co.uk'. A deterministic embedded subset of the
-    * Mozilla public-suffix list covering the frequent ccTLD
-    * second-level registries; rarer suffixes fall back to the
-    * documented two-label rule. */
+    * single key 'co.uk'. A deterministic embedded subset (~190
+    * entries) of the Mozilla public-suffix list covering the active
+    * ccTLD second-level registries across every major region; rarer
+    * suffixes still fall back to the documented two-label rule. The
+    * list is the SINGLE source for the operator, the d73 oracle's
+    * alternation, and the spec's independent replay — extending it
+    * keeps all three lock-step by construction. */
   private[graft] val MultiLabelSuffixes: Seq[String] = Seq(
+    // .uk / .il / .ie
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.nz", "net.nz", "org.nz",
-    "co.in", "co.id", "co.th", "co.kr", "co.za",
-    "com.br", "com.cn", "com.mx", "com.ar", "com.tr",
-    "com.sg", "com.hk", "com.tw")
+    "ltd.uk", "plc.uk", "sch.uk", "nhs.uk",
+    "co.il", "org.il", "ac.il", "gov.il", "net.il", "muni.il",
+    // East Asia
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    // Oceania
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au",
+    "id.au",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz",
+    "gen.nz", "geek.nz", "maori.nz",
+    // South / Southeast Asia
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "ac.in", "edu.in", "gov.in", "res.in", "nic.in",
+    "co.id", "or.id", "ac.id", "web.id", "sch.id", "go.id",
+    "net.id", "my.id", "biz.id",
+    "co.th", "ac.th", "go.th", "or.th", "net.th", "in.th",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn", "ac.vn",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk",
+    "com.bd", "net.bd", "org.bd", "gov.bd", "edu.bd", "ac.bd",
+    // Türkiye / Middle East / Africa
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "gen.tr",
+    "web.tr", "av.tr", "bel.tr",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "co.ke", "or.ke", "ac.ke", "go.ke", "ne.ke",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng",
+    // Latin America
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar",
+    "com.co", "net.co", "org.co", "gov.co", "edu.co",
+    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe",
+    "com.ve", "net.ve", "org.ve", "gob.ve", "edu.ve", "co.ve",
+    "com.ec", "net.ec", "org.ec", "gob.ec", "edu.ec",
+    "com.uy", "net.uy", "org.uy", "gub.uy", "edu.uy",
+    "com.bo", "net.bo", "org.bo", "gob.bo", "edu.bo",
+    "com.py", "net.py", "org.py", "gov.py", "edu.py",
+    "com.do", "net.do", "org.do", "gob.do", "edu.do",
+    "com.gt", "net.gt", "org.gt", "gob.gt", "edu.gt",
+    "com.sv", "org.sv", "gob.sv", "edu.sv",
+    "com.hn", "net.hn", "org.hn", "gob.hn", "edu.hn",
+    "com.ni", "net.ni", "org.ni", "gob.ni", "edu.ni",
+    "com.pa", "net.pa", "org.pa", "gob.pa", "edu.pa",
+    // Europe (ccTLDs with active second-level registries)
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ru", "net.ru", "org.ru", "spb.ru", "msk.ru",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.pt", "net.pt", "org.pt", "gov.pt", "edu.pt",
+    "co.at", "or.at", "ac.at", "gv.at",
+    "co.hu", "org.hu", "info.hu", "priv.hu")
 
   /** Registered domain of a URL — the grouping key for per-site
     * quality/blocklist stats: last two host labels (`www.`

@@ -1233,8 +1233,11 @@ object LlmQueries {
     // SAME bm25TopKIndexed tail. Oracle = the Bm25Sql replay with
     // the corpus CTE restricted to the survivors (bm25SqlEra):
     // retract-then-serve == an index that never saw the docs. The
-    // probe batch stays UNFILTERED — a retracted doc can still be
-    // queried FOR; it just can't be a hit.
+    // probe batch stays UNFILTERED, on a %16 lattice that
+    // INTERSECTS the retracted set (docs 3, 83, 163, ... are both
+    // probed and retracted) — a retracted doc can still be queried
+    // FOR, it just can't be a hit, and the oracle proves the probe
+    // side was not filtered along with the index.
     "inc_bm25_remove" -> ((s, d) => {
       val docs = T.documents(s, d)
       val tf = graft.operators.Incremental.retractDocs(
@@ -1244,7 +1247,7 @@ object LlmQueries {
       try {
         Search.validateTfSnapshot(tf)
         Search.bm25TopKIndexed(tf,
-            docs.filter(col("doc_id") % 16 === 0)
+            docs.filter(col("doc_id") % 16 === 3)
               .select(col("doc_id").as("qid"),
                 bm25Qtext(col("text")).as("qtext")),
             "qid", "qtext", k = 5)
@@ -3655,8 +3658,21 @@ object LlmQueries {
     // same replay with the corpus CTE restricted to the survivors
     // and the probe batch switched to the unfiltered %16 lattice (a
     // retracted doc can still be queried FOR)
-    "inc_bm25_remove" ->
-      bm25SqlEra("doc_id % 10 <> 3", "doc_id % 16 = 0"),
+    // NOT bm25SqlEra: that helper restricts `tok`, which the probe
+    // CTE also reads — it would silently drop retracted docs from
+    // the PROBE side too. Here the index-side CTEs (tf, dl — and
+    // through them scal/dft) restrict to the survivors while the
+    // probe keeps reading the unfiltered tok, so docs 3, 83, ...
+    // are probed-but-retracted: queried FOR, never a hit.
+    "inc_bm25_remove" -> replaceOnce(replaceOnce(replaceOnce(Bm25Sql,
+      "(SELECT doc_id, unnest(ws) AS t FROM tok) GROUP BY 1, 2),",
+      "(SELECT doc_id, unnest(ws) AS t FROM tok " +
+        "WHERE doc_id % 10 <> 3) GROUP BY 1, 2),"),
+      "CAST(len(ws) AS BIGINT) AS dl FROM tok),",
+      "CAST(len(ws) AS BIGINT) AS dl FROM tok " +
+        "WHERE doc_id % 10 <> 3),"),
+      "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 128",
+      "WHERE doc_id % 16 = 3"),
     // the era-parameterized d77 replay over the surviving corpus:
     // the retracted LM == a fresh build on the remaining docs
     "inc_kn_remove" ->

@@ -87,6 +87,49 @@ object StreamQueries {
     * maintained rollup), and the FINAL state is what materializes.
     * The state localCheckpoints every batch so the plan never chains
     * across batches. */
+  /** Shared body of the IVF-PQ lifecycle twins (st_inc_ivfpq_add /
+    * st_inc_ivfpq_remove): persist a starting layout, serve era A's
+    * query slice (every 20th vector) from it via an AvailableNow
+    * run, apply the lifecycle mutation (add / remove) between the
+    * runs, then serve era B (every 20th + 10) from the mutated
+    * layout. One index load per ERA, not per micro-batch (the
+    * codebook collects and the file listing snapshots at load time);
+    * idxB is first forced inside run2's transform — AFTER the
+    * mutation. The starting layout persists UNCONDITIONALLY before
+    * run1, so a prior invocation's mutated state resets and the
+    * mutation lands exactly once — idempotent even though the
+    * streams memoize. Per-query work is index-static, so micro-batch
+    * splits cannot change results. */
+  private def ivfPqLifecycleTwin(s: SparkSession, d: String,
+      scratch: String,
+      startCodes: DataFrame => DataFrame,
+      mutateBetweenRuns: String => Unit): DataFrame = {
+    val Q = graft.operators.Quantization
+    val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+      s"st${scratch}_${LlmQueries.pathDigest(d)}"
+    val idx0 = LlmQueries.sharedIvfPqIndex(s, d)
+    Q.persistIvfPqIndex(idx0.copy(codes = startCodes(idx0.codes)), dir)
+    lazy val idxA = Q.loadIvfPqIndex(s, dir)
+    lazy val idxB = Q.loadIvfPqIndex(s, dir)
+    def serve(idx: => graft.operators.Quantization.IvfPqIndex,
+              era: Int)(batch: DataFrame): DataFrame =
+      Q.ivfPqSearch(batch.filter(col("vec_id") % 20 === era * 10),
+        "vec_id", "embedding", idx, nprobe = 2, topK = 3)
+    val run1 = materializedStream(s, d, scratch + "A",
+      "embeddings.parquet", transform = serve(idxA, 0)) { in =>
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      s.readStream.schema(schema).parquet(in)
+    }
+    mutateBetweenRuns(dir)
+    val run2 = materializedStream(s, d, scratch + "B",
+      "embeddings.parquet", transform = serve(idxB, 1)) { in =>
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      s.readStream.schema(schema).parquet(in)
+    }
+    s.read.parquet(run1).unionByName(s.read.parquet(run2))
+      .orderBy("qid", "rank")
+  }
+
   private def materializedFold(s: SparkSession, d: String, name: String,
       srcFile: String, step: (Option[DataFrame], DataFrame) => DataFrame)(
       build: String => DataFrame): String =
@@ -602,48 +645,16 @@ object StreamQueries {
     // vector, layout), so micro-batch splits cannot change them; the
     // oracle states each era's truth via the d51 replay with the
     // corpus restricted to what that era's layout had encoded.
-    "st_inc_ivfpq_add" -> ((s, d) => {
-      val Q = graft.operators.Quantization
-      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
-        s"stivfadd_${LlmQueries.pathDigest(d)}"
-      // the base-only layout persists UNCONDITIONALLY before run1:
-      // the overwrite resets any appended state a prior invocation in
-      // this JVM left behind (the streams memoize, the add below does
-      // not), so the query is idempotent — add always lands exactly
-      // once on a fresh base
-      val idx0 = LlmQueries.sharedIvfPqIndex(s, d)
-      Q.persistIvfPqIndex(
-        idx0.copy(codes = idx0.codes.filter(col("nid") % 10 =!= 3)),
-        dir)
-      // one load per ERA, not per micro-batch (the codebook collects
-      // and the file listing snapshot at load time): idxA lists the
-      // base layout; idxB is first forced inside run2's transform —
-      // AFTER the add appended
-      lazy val idxA = Q.loadIvfPqIndex(s, dir)
-      lazy val idxB = Q.loadIvfPqIndex(s, dir)
-      def serve(idx: => graft.operators.Quantization.IvfPqIndex,
-                era: Int)(batch: DataFrame): DataFrame =
-        Q.ivfPqSearch(
-          batch.filter(col("vec_id") % 20 === era * 10),
-          "vec_id", "embedding", idx, nprobe = 2, topK = 3)
-      val run1 = materializedStream(s, d, "ivfaddA",
-        "embeddings.parquet", transform = serve(idxA, 0)) { in =>
-        val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-        s.readStream.schema(schema).parquet(in)
-      }
-      // between the runs: the add — encode-only, append-only, reads
-      // none of the existing codes
-      Q.ivfPqAddBatch(
-        T.embeddings(s, d).filter(col("vec_id") % 10 === 3),
-        "vec_id", "embedding", dir)
-      val run2 = materializedStream(s, d, "ivfaddB",
-        "embeddings.parquet", transform = serve(idxB, 1)) { in =>
-        val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-        s.readStream.schema(schema).parquet(in)
-      }
-      s.read.parquet(run1).unionByName(s.read.parquet(run2))
-        .orderBy("qid", "rank")
-    }),
+    "st_inc_ivfpq_add" -> ((s, d) =>
+      // the base-only layout persists before run1 (idempotent reset);
+      // the add — encode-only, append-only, reading none of the
+      // existing codes — lands between the AvailableNow runs
+      ivfPqLifecycleTwin(s, d, "ivfadd",
+        startCodes = _.filter(col("nid") % 10 =!= 3),
+        mutateBetweenRuns = dir =>
+          graft.operators.Quantization.ivfPqAddBatch(
+            T.embeddings(s, d).filter(col("vec_id") % 10 === 3),
+            "vec_id", "embedding", dir))),
 
     // The REMOVAL between catch-up runs — inc_ivfpq_remove in its
     // streaming shape (the retraction twin of st_inc_ivfpq_add): era
@@ -657,41 +668,19 @@ object StreamQueries {
     // parameterized d51 replay per era: frozen full-corpus training
     // in BOTH eras (remove does not retrain), survivor-only scoring
     // in era B.
-    "st_inc_ivfpq_remove" -> ((s, d) => {
-      val Q = graft.operators.Quantization
-      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
-        s"stivfrm_${LlmQueries.pathDigest(d)}"
-      // the full layout persists UNCONDITIONALLY before run1: the
-      // overwrite resets any removed state a prior invocation left,
-      // so the removal below lands exactly once on a fresh layout
-      Q.persistIvfPqIndex(LlmQueries.sharedIvfPqIndex(s, d), dir)
-      lazy val idxA = Q.loadIvfPqIndex(s, dir)
-      lazy val idxB = Q.loadIvfPqIndex(s, dir)
-      def serve(idx: => graft.operators.Quantization.IvfPqIndex,
-                era: Int)(batch: DataFrame): DataFrame =
-        Q.ivfPqSearch(
-          batch.filter(col("vec_id") % 20 === era * 10),
-          "vec_id", "embedding", idx, nprobe = 2, topK = 3)
-      val run1 = materializedStream(s, d, "ivfrmA",
-        "embeddings.parquet", transform = serve(idxA, 0)) { in =>
-        val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-        s.readStream.schema(schema).parquet(in)
-      }
-      // between the runs: the retraction — rewrites only the
-      // affected cell directories, then re-certifies the layout
-      Q.ivfPqRemoveBatch(
-        T.embeddings(s, d).filter(col("vec_id") % 10 === 3)
-          .select("vec_id"),
-        "vec_id", dir)
-      Q.validateIvfPqCodes(s, dir)
-      val run2 = materializedStream(s, d, "ivfrmB",
-        "embeddings.parquet", transform = serve(idxB, 1)) { in =>
-        val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-        s.readStream.schema(schema).parquet(in)
-      }
-      s.read.parquet(run1).unionByName(s.read.parquet(run2))
-        .orderBy("qid", "rank")
-    }),
+    "st_inc_ivfpq_remove" -> ((s, d) =>
+      // the FULL layout persists before run1 (idempotent reset); the
+      // retraction — only the affected cell dirs rewritten, layout
+      // re-certified — lands between the AvailableNow runs
+      ivfPqLifecycleTwin(s, d, "ivfrm",
+        startCodes = identity,
+        mutateBetweenRuns = { dir =>
+          graft.operators.Quantization.ivfPqRemoveBatch(
+            T.embeddings(s, d).filter(col("vec_id") % 10 === 3)
+              .select("vec_id"),
+            "vec_id", dir)
+          graft.operators.Quantization.validateIvfPqCodes(s, dir)
+        })),
 
     // Benchmark decontamination as a streaming twin — the other screen
     // a continuous ingest pipeline runs on every arriving batch: the

@@ -351,6 +351,18 @@ class QuantizationSpec extends SparkSpec {
         "vec_id", dir)
       assert(codeSet(Quantization.loadIvfPqIndex(spark, dir).codes)
         == beforeVacuous)
+      // emptying the layout entirely is refused loudly (a hive
+      // table with zero partitions is unreadable - that state is a
+      // rebuild, not a remove) and leaves the layout intact
+      val bIds = cellOf.collect {
+        case (id, c) if c == cellOf(1L) => id }.toSeq
+      val er = intercept[IllegalArgumentException] {
+        Quantization.ivfPqRemoveBatch(bIds.toDF("vec_id"),
+          "vec_id", dir)
+      }
+      assert(er.getMessage.contains("rebuild"))
+      assert(codeSet(Quantization.loadIvfPqIndex(spark, dir).codes)
+        == beforeVacuous)
     } finally {
       org.apache.spark.sql.graftshim.Shims
         .unpersistLocalCheckpoint(built.codes)
