@@ -384,6 +384,158 @@ object StreamQueries {
         .orderBy("doc_id")
     }),
 
+    // The boilerplate screen RETRACTED between catch-up runs —
+    // inc_boiler_remove in its streaming shape: era A's incoming
+    // docs (evens) are screened with the FULL existing counts, the
+    // quarantined %7==1 slice's partial subtracts between the runs
+    // (subtractLineCounts, validated), and era B's incoming (odds)
+    // probe the reduced set. The banner is planted on the
+    // quarantined docs, two innocents, and ALL incoming docs — so
+    // era A cuts it (count >= 3) while era B KEEPS it (count falls
+    // to 2): the un-learning lands mid-stream, and each era's result
+    // depends only on (own doc, static era set).
+    "st_inc_boiler_remove" -> ((s, d) => {
+      val D = graft.operators.Dedup
+      val boiler = "subscribe to our newsletter for updates today"
+      val banner =
+        "temporary campaign banner from the quarantined source"
+      def planted(df: DataFrame) = df.select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit("\n" + boiler)))
+            .otherwise(col("text")),
+          when(col("doc_id") % 7 === 1 || col("doc_id") === 2 ||
+            col("doc_id") === 9 || col("doc_id") % 5 === 0,
+            lit("\n" + banner)).otherwise(lit(""))).as("text"))
+      // checkpoints register as they materialize, so a run that
+      // fails early frees only what actually exists (the st_inc_kn
+      // cleanup discipline)
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def reg(df: DataFrame): DataFrame = { cps += df; df }
+      lazy val countsFull = reg(D.lineCountPartial(
+        planted(T.documents(s, d).filter(col("doc_id") % 5 =!= 0)),
+        "text").localCheckpoint(true))
+      lazy val setFull = reg(D.boilerplateFromCounts(countsFull,
+        minCount = 3).localCheckpoint(true))
+      lazy val setRet = {
+        val sub = D.subtractLineCounts(countsFull,
+          D.lineCountPartial(
+            planted(T.documents(s, d)
+              .filter(col("doc_id") % 5 =!= 0
+                && col("doc_id") % 7 === 1)), "text"))
+        D.validateLineCounts(sub)
+        reg(D.boilerplateFromCounts(sub, minCount = 3)
+          .localCheckpoint(true))
+      }
+      def screen(set: DataFrame, era: Int)(batch: DataFrame) =
+        D.lineDedupAgainst(
+          planted(batch.filter(col("doc_id") % 5 === 0
+            && col("doc_id") % 2 === era)), set, "doc_id", "text")
+      try {
+        val run1 = materializedStream(s, d, "boilrmA",
+          "documents.parquet", transform = screen(setFull, 0)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        val run2 = materializedStream(s, d, "boilrmB",
+          "documents.parquet", transform = screen(setRet, 1)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        s.read.parquet(run1).unionByName(s.read.parquet(run2))
+          .orderBy("doc_id")
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+    }),
+
+    // The KN LM RETRACTED between catch-up runs — inc_kn_remove in
+    // its streaming shape: era A's probes (every 16th) score from
+    // the full-corpus LM, the %5==4 docs retract between the runs
+    // (retractDocs, validated), and era B's probes (16k+8) score
+    // from the reduced LM — probes that are themselves retracted
+    // (24, 104, ...) vanish from era B, the takedown visible
+    // mid-stream. Frozen era score tables, so micro-batch splits
+    // cannot change a row.
+    "st_inc_kn_remove" -> ((s, d) => {
+      val TA = graft.operators.TextAnalysis
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def reg(df: DataFrame): DataFrame = { cps += df; df }
+      lazy val snapFull = reg(TA.knSnapshot(
+        T.documents(s, d), "doc_id", "text").localCheckpoint(true))
+      lazy val scoresFull = reg(TA.knScoreFromSnapshot(snapFull))
+      lazy val scoresRet = {
+        val ret = reg(graft.operators.Incremental.retractDocs(
+          snapFull,
+          T.documents(s, d).filter(col("doc_id") % 5 === 4)
+            .select("doc_id")).localCheckpoint(true))
+        TA.validateKnSnapshot(ret)
+        reg(TA.knScoreFromSnapshot(ret))
+      }
+      def serve(scores: => DataFrame, era: Int)(batch: DataFrame) =
+        batch.filter(col("doc_id") % 16 === era * 8)
+          .select("doc_id")
+          .join(scores, Seq("doc_id"))
+      try {
+        val run1 = materializedStream(s, d, "knrmA",
+          "documents.parquet", transform = serve(scoresFull, 0)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        val run2 = materializedStream(s, d, "knrmB",
+          "documents.parquet", transform = serve(scoresRet, 1)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        s.read.parquet(run1).unionByName(s.read.parquet(run2))
+          .orderBy("doc_id")
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+    }),
+
+    // The BM25 index RETRACTED between catch-up runs —
+    // inc_bm25_remove in its streaming shape: era A's query slice
+    // (every 80th doc) serves from the full tf snapshot, the %10==3
+    // docs retract between the runs (retractDocs, validated), and
+    // era B's slice (80k+40 — all %10==0, so the probe pool itself
+    // never shrinks) serves from the reduced index. The batch
+    // inc_bm25_remove row pins the probed-but-retracted property;
+    // this twin pins the mid-stream landing.
+    "st_inc_bm25_remove" -> ((s, d) => {
+      val S = graft.operators.Search
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def reg(df: DataFrame): DataFrame = { cps += df; df }
+      lazy val tfFull = reg(S.tfSnapshot(
+        T.documents(s, d), "doc_id", "text").localCheckpoint(true))
+      lazy val tfRet = {
+        val r = reg(graft.operators.Incremental.retractDocs(tfFull,
+          T.documents(s, d).filter(col("doc_id") % 10 === 3)
+            .select("doc_id")).localCheckpoint(true))
+        S.validateTfSnapshot(r)
+        r
+      }
+      def serve(tf: => DataFrame, era: Int)(batch: DataFrame) =
+        S.bm25TopKIndexed(tf,
+          batch.filter(col("doc_id") % 80 === era * 40)
+            .select(col("doc_id").as("qid"),
+              LlmQueries.bm25Qtext(col("text")).as("qtext")),
+          "qid", "qtext", k = 5, materialize = false)
+      try {
+        val run1 = materializedStream(s, d, "bm25rmA",
+          "documents.parquet", transform = serve(tfFull, 0)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        val run2 = materializedStream(s, d, "bm25rmB",
+          "documents.parquet", transform = serve(tfRet, 1)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        s.read.parquet(run1).unionByName(s.read.parquet(run2))
+          .orderBy("qid", "rank")
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+    }),
+
     // The BM25 index refreshed between catch-up runs — the
     // append-only postings maintenance (inc_bm25_refresh) in its
     // streaming shape: era A of the query stream serves from the
@@ -1015,6 +1167,65 @@ object StreamQueries {
         |  FILTER (WHERE keep), '') AS text,
         |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the retraction twin of st_inc_boiler: evens probe the FULL
+    // existing screen, odds the screen recounted over the surviving
+    // corpus (subtracted counts == fresh recount is the claim); the
+    // banner plant mirrors the Spark side — on all incoming docs,
+    // the quarantined slice, and two innocents
+    "st_inc_boiler_remove" ->
+      """WITH src AS (SELECT doc_id, (CASE WHEN doc_id % 4 = 0
+        |  THEN text || chr(10) ||
+        |    'subscribe to our newsletter for updates today'
+        |  ELSE text END) ||
+        |  (CASE WHEN doc_id % 7 = 1 OR doc_id = 2 OR doc_id = 9
+        |      OR doc_id % 5 = 0
+        |   THEN chr(10) ||
+        |     'temporary campaign banner from the quarantined source'
+        |   ELSE '' END) AS text FROM documents),
+        |exF AS (SELECT trim(ln) AS k FROM (
+        |  SELECT unnest(string_split(text, chr(10))) AS ln FROM src
+        |  WHERE doc_id % 5 <> 0)
+        |  WHERE trim(ln) <> '' GROUP BY trim(ln)
+        |  HAVING COUNT(*) >= 3),
+        |exR AS (SELECT trim(ln) AS k FROM (
+        |  SELECT unnest(string_split(text, chr(10))) AS ln FROM src
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 1)
+        |  WHERE trim(ln) <> '' GROUP BY trim(ln)
+        |  HAVING COUNT(*) >= 3),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM src
+        |  WHERE doc_id % 5 = 0),
+        |l AS (SELECT doc_id, u.i AS pos, u.ln AS ln FROM (
+        |  SELECT doc_id, unnest([{'i': x, 'ln': a[x+1]}
+        |    FOR x IN range(0, len(a))]) AS u FROM ls)),
+        |k AS (SELECT doc_id, pos, ln,
+        |  (trim(ln) = '' OR CASE WHEN doc_id % 2 = 0
+        |    THEN f.k IS NULL ELSE r.k IS NULL END) AS keep
+        |  FROM l LEFT JOIN exF f ON trim(ln) = f.k
+        |  LEFT JOIN exR r ON trim(ln) = r.k)
+        |SELECT doc_id,
+        |COALESCE(string_agg(ln, chr(10) ORDER BY pos)
+        |  FILTER (WHERE keep), '') AS text,
+        |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the retraction twin of st_inc_kn: era A scores from the
+    // full-corpus LM, era B from the LM over the surviving docs —
+    // probes that are themselves retracted vanish from era B
+    "st_inc_kn_remove" ->
+      ("SELECT * FROM (" +
+        LlmQueries.knLmSqlEra("TRUE", "doc_id % 16 = 0") +
+        ")\nUNION ALL\nSELECT * FROM (" +
+        LlmQueries.knLmSqlEra("doc_id % 5 <> 4", "doc_id % 16 = 8") +
+        ")\nORDER BY doc_id"),
+    // the retraction twin of st_inc_bm25: era A against the full
+    // index, era B (probes 80k+40 — all %10==0, outside the
+    // retracted set, so the era replay's probe pool is unaffected)
+    // against the survivors
+    "st_inc_bm25_remove" ->
+      ("SELECT * FROM (" +
+        LlmQueries.bm25SqlEra("TRUE", "doc_id % 80 = 0") +
+        ")\nUNION ALL\nSELECT * FROM (" +
+        LlmQueries.bm25SqlEra("doc_id % 10 <> 3", "doc_id % 80 = 40") +
+        ")\nORDER BY qid, rank"),
     // the era-split gram screen stated directly: even incoming docs
     // probe era A's distinct gram set, odd ones the full set (merged
     // partials == full recompute by distinct-union idempotence)
