@@ -853,6 +853,39 @@ object Graft {
     graft.operators.Dedup.refreshPrefixCrossIndex(idx, batch, idCol,
       textCol)
 
+  /** Retract documents from a prefix-cross index — the removal
+    * mirror of the refresh, also with no text rescanned: shingle
+    * rows come from the index itself, df counts subtract key-wise,
+    * only the prefix postings re-derive. */
+  def retractPrefixCrossIndex(idx: graft.operators.Dedup.PrefixCrossIndex,
+                              removeIds: DataFrame, idCol: String)
+      : graft.operators.Dedup.PrefixCrossIndex =
+    graft.operators.Dedup.retractPrefixCrossIndex(idx, removeIds, idCol)
+
+  /** Subtract a retracted batch's line-count partial from a
+    * maintained (optionally per-group) count table — exact un-count;
+    * zeros drop, negatives stay visible for [[validateLineCounts]]. */
+  def subtractLineCounts(total: DataFrame, removed: DataFrame): DataFrame =
+    graft.operators.Dedup.subtractLineCounts(total, removed)
+
+  /** Per-site variant of [[subtractLineCounts]] ((grp, key) keys). */
+  def subtractGroupedLineCounts(total: DataFrame,
+                                removed: DataFrame): DataFrame =
+    graft.operators.Dedup.subtractGroupedLineCounts(total, removed)
+
+  /** Loud detector for count-table retraction contract violations
+    * (negative counts: a batch retracted twice or never merged in). */
+  def validateLineCounts(counts: DataFrame): Unit =
+    graft.operators.Dedup.validateLineCounts(counts)
+
+  /** Generic sum-rollup subtraction — the inverse of [[mergeRollups]]
+    * for sum-mergeable state (min/max and distinct-set sketches are
+    * NOT invertible; see the operator scaladoc). */
+  def subtractRollups(total: DataFrame, removed: DataFrame,
+                      keys: Seq[String], sums: Seq[String]): DataFrame =
+    graft.operators.Incremental.subtractRollups(total, removed, keys,
+      sums)
+
   /** Register graft's SQL functions (`uuid5`, `title_case`) and the
     * codec-collapse optimizer rule on a session. */
   def install(spark: SparkSession): Unit = {

@@ -315,12 +315,19 @@ object Dedup {
     * two skinny count tables, no text rescanned. */
   def subtractLineCounts(total: DataFrame, removed: DataFrame)
       : DataFrame =
-    total.join(removed.withColumnRenamed("cnt", "__graft_rm"),
-        Seq("key"), "full_outer")
-      .select(col("key"),
-        (coalesce(col("cnt"), lit(0L))
-          - coalesce(col("__graft_rm"), lit(0L))).as("cnt"))
-      .filter(col("cnt") =!= 0L)
+    Incremental.subtractRollups(total, removed, Seq("key"), Seq("cnt"))
+
+  /** [[subtractLineCounts]] with the group in the key — the removal
+    * side of the PER-SITE screen ([[mergeGroupedLineCounts]]'s
+    * inverse): a quarantined source's docs leave each (group, line)
+    * count exactly, so a line stops being that group's template the
+    * moment its surviving count falls below the threshold.
+    * [[validateLineCounts]] detects contract violations the same way
+    * (negative counts kept visible). */
+  def subtractGroupedLineCounts(total: DataFrame,
+                                removed: DataFrame): DataFrame =
+    Incremental.subtractRollups(total, removed, Seq("grp", "key"),
+      Seq("cnt"))
 
   /** Assert a (subtracted) line-count table is well-formed: no
     * negative counts — the loud detector for the
@@ -699,6 +706,35 @@ object Dedup {
     * index (the prefix order keys on the EXISTING side's df), so
     * micro-batch splits of the incoming side cannot change the result
     * — the property the st_cross_near streaming twin asserts. */
+  /** Retract documents from a [[PrefixCrossIndex]] WITHOUT rescanning
+    * any text — the removal mirror of [[refreshPrefixCrossIndex]]
+    * (a quarantined source leaves the near-dup screen): the
+    * retracted docs' already-hashed shingle rows come from the index
+    * ITSELF (`shEx` semi-join — no text read), their per-shingle df
+    * counts subtract key-wise ([[Incremental.subtractRollups]]; the
+    * removed side derives from the index, so counts cannot go
+    * negative on a well-formed call), and only the prefix postings
+    * re-derive — they depend on the global df order, the same window
+    * the refresh pays. Equals `prefixCrossIndex(existing minus
+    * removed)` by construction; ids absent from the index retract
+    * vacuously. The SUPERSEDED index stays the caller's to free, as
+    * with refresh. */
+  def retractPrefixCrossIndex(idx: PrefixCrossIndex,
+                              removeIds: DataFrame,
+                              idCol: String): PrefixCrossIndex = {
+    val ids = removeIds.select(col(idCol).as("id"))
+    val shRm = idx.shEx.join(ids, Seq("id"), "left_semi")
+    val shEx = idx.shEx.join(ids, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val dfreq = Incremental.subtractRollups(idx.dfreq,
+        crossPost(shRm).groupBy("s").agg(count(lit(1)).as("df")),
+        Seq("s"), Seq("df"))
+      .localCheckpoint(true)
+    val prefEx = crossPrefix(crossPost(shEx), dfreq, idx.theta)
+      .localCheckpoint(true)
+    PrefixCrossIndex(shEx, dfreq, prefEx, idx.k, idx.theta)
+  }
+
   def prefixCrossJaccardAgainst(incoming: DataFrame,
                                 idx: PrefixCrossIndex, idCol: String,
                                 textCol: String): DataFrame = {

@@ -43,6 +43,37 @@ object Incremental {
     // right-side keys, and the dedup would be a wasted shuffle
     snapshot.join(removeIds.select(col(idCol)), Seq(idCol), "left_anti")
 
+  /** Subtract a retracted batch's partial from a maintained rollup —
+    * the INVERSE of [[mergeRollups]], defined only for SUM-mergeable
+    * state: sums form a group (every count has an inverse), so
+    * subtracting the retracted slice's partial is exact — key-for-key
+    * the rollup a fresh pass over the remaining corpus builds. Keys
+    * full-outer join; rows whose every sum reaches zero drop;
+    * NEGATIVE sums (a batch retracted twice, or never merged in)
+    * stay visible for the caller's validator rather than being
+    * silently swallowed.
+    *
+    * What is NOT retractable this way — and not by any other
+    * one-pass trick: min/max state (the retracted row might BE the
+    * min, and the runner-up was never kept) and the distinct-set /
+    * sketch family (gram sets, HLL, Bloom — membership carries no
+    * multiplicity, so deletion needs counting state, the standard
+    * sketch-theory caveat). Those artifacts retract by recount over
+    * the survivors, or by switching to their counted variants (the
+    * line-count tables here, a counting Bloom filter in general). */
+  def subtractRollups(total: DataFrame, removed: DataFrame,
+                      keys: Seq[String],
+                      sums: Seq[String]): DataFrame = {
+    require(sums.nonEmpty, "need at least one sum column")
+    val rm = sums.foldLeft(removed)((df, c) =>
+      df.withColumnRenamed(c, s"__graft_rm_$c"))
+    total.join(rm, keys, "full_outer")
+      .select(keys.map(col) ++ sums.map(c =>
+        (coalesce(col(c), lit(0L))
+          - coalesce(col(s"__graft_rm_$c"), lit(0L))).as(c)): _*)
+      .filter(sums.map(c => col(c) =!= 0L).reduce(_ || _))
+  }
+
   /** Merge mergeable partial rollups: union all partials and
     * re-aggregate with each column's merge function.
     *

@@ -854,6 +854,60 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // RETRACTION for the PER-SITE screen — inc_boiler_remove's
+    // un-learning applied at (group, line) scope: the quarantined
+    // %7==1 docs leave each language's count table exactly
+    // (subtractGroupedLineCounts — sums form a group), so the banner
+    // they taught every language's screen falls below threshold and
+    // the incoming docs KEEP it; the per-language copyright plant
+    // stays above threshold and keeps screening.
+    "inc_grouped_boiler_remove" -> ((s, d) => {
+      val boiler = "copyright example site all rights reserved"
+      val banner =
+        "temporary campaign banner from the quarantined source"
+      val plant = col("doc_id") % 7 === 1 || col("doc_id") === 2 ||
+        col("doc_id") === 9 || col("doc_id") % 5 === 0
+      val src = T.documents(s, d).select(col("doc_id"), col("lang"),
+        concat(
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit("\n" + boiler)))
+            .otherwise(col("text")),
+          when(plant, lit("\n" + banner)).otherwise(lit("")))
+          .as("text"))
+      val existing = src.filter(col("doc_id") % 5 =!= 0)
+      val counts = Dedup.subtractGroupedLineCounts(
+        Dedup.groupedLineCountPartial(existing, "lang", "text"),
+        Dedup.groupedLineCountPartial(
+          existing.filter(col("doc_id") % 7 === 1), "lang", "text"))
+      Dedup.validateLineCounts(counts)
+      Dedup.groupedLineDedupAgainst(src.filter(col("doc_id") % 5 === 0),
+          Dedup.groupedBoilerplateFromCounts(counts, minCount = 3),
+          "doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
+    // RETRACTION for the prefix-cross near-dup index — the removal
+    // mirror of inc_prefix_refresh, and the proof that retraction
+    // needs NO text rescan: the retracted docs' shingle rows come
+    // from the index itself, their df counts subtract key-wise, and
+    // only the prefix postings re-derive (the global-df-order window
+    // the refresh already pays). Probing the incoming slice against
+    // the retracted index == probing against an index built on the
+    // surviving existing docs — the d47 replay with the existing
+    // side restricted.
+    "inc_prefix_remove" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val existing = docs.filter(col("doc_id") % 7 =!= 0)
+      val idx0 = Dedup.prefixCrossIndex(existing, "doc_id", "text",
+        k = 5, theta = 0.5)
+      val idx = Dedup.retractPrefixCrossIndex(idx0,
+        existing.filter(col("doc_id") % 3 === 1).select("doc_id"),
+        "doc_id")
+      Dedup.prefixCrossJaccardAgainst(
+          docs.filter(col("doc_id") % 7 === 0), idx, "doc_id", "text")
+        .orderBy("in_id", "ex_id")
+    }),
+
     // Incremental maintenance of the cross-corpus GRAM set: two era
     // partials distinct-unioned must equal d37's single-pass set;
     // incoming spans probe the merged set, hashed against the d37
@@ -3392,6 +3446,31 @@ object LlmQueries {
       s"\nSELECT doc_id, n_bigrams, sum_logp_micros, " +
       s"mean_logp_micros FROM lm WHERE $probePred"
 
+  private val IncGroupedBoilerSql: String =
+    """WITH src AS (SELECT doc_id, lang, CASE WHEN doc_id % 4 = 0
+        |  THEN text || chr(10) ||
+        |    'copyright example site all rights reserved'
+        |  ELSE text END AS text FROM documents),
+        |ls AS (SELECT doc_id, lang, string_split(text, chr(10)) AS a
+        |  FROM src),
+        |l AS (SELECT doc_id, lang, u.i AS pos, u.ln AS ln FROM (
+        |  SELECT doc_id, lang, unnest([{'i': x, 'ln': a[x+1]}
+        |    FOR x IN range(0, len(a))]) AS u FROM ls)),
+        |c AS (SELECT lang, trim(ln) AS k FROM l
+        |  WHERE trim(ln) <> '' AND doc_id % 5 <> 0
+        |  GROUP BY lang, trim(ln) HAVING COUNT(*) >= 3),
+        |inc AS (SELECT * FROM l WHERE doc_id % 5 = 0),
+        |k AS (SELECT doc_id, inc.lang AS lang, pos, ln,
+        |  (trim(ln) = '' OR c.k IS NULL) AS keep
+        |  FROM inc LEFT JOIN c ON inc.lang = c.lang
+        |    AND trim(inc.ln) = c.k)
+        |SELECT doc_id, lang,
+        |COALESCE(string_agg(ln, chr(10) ORDER BY pos)
+        |  FILTER (WHERE keep), '') AS text,
+        |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |  AS n_removed
+        |FROM k GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "d6_simhash" -> SimHashSql,
     // md5-hex bucket parsed the cross-engine way (conv base-16 vs
@@ -4481,30 +4560,25 @@ object LlmQueries {
     // the d74 (lang, line) count scope applied cross-corpus: existing
     // rows (%5 <> 0) build the per-lang screen, incoming rows probe
     // it — the full recompute the merged partials must equal
-    "inc_grouped_boiler" ->
-      """WITH src AS (SELECT doc_id, lang, CASE WHEN doc_id % 4 = 0
-        |  THEN text || chr(10) ||
-        |    'copyright example site all rights reserved'
-        |  ELSE text END AS text FROM documents),
-        |ls AS (SELECT doc_id, lang, string_split(text, chr(10)) AS a
-        |  FROM src),
-        |l AS (SELECT doc_id, lang, u.i AS pos, u.ln AS ln FROM (
-        |  SELECT doc_id, lang, unnest([{'i': x, 'ln': a[x+1]}
-        |    FOR x IN range(0, len(a))]) AS u FROM ls)),
-        |c AS (SELECT lang, trim(ln) AS k FROM l
-        |  WHERE trim(ln) <> '' AND doc_id % 5 <> 0
-        |  GROUP BY lang, trim(ln) HAVING COUNT(*) >= 3),
-        |inc AS (SELECT * FROM l WHERE doc_id % 5 = 0),
-        |k AS (SELECT doc_id, inc.lang AS lang, pos, ln,
-        |  (trim(ln) = '' OR c.k IS NULL) AS keep
-        |  FROM inc LEFT JOIN c ON inc.lang = c.lang
-        |    AND trim(inc.ln) = c.k)
-        |SELECT doc_id, lang,
-        |COALESCE(string_agg(ln, chr(10) ORDER BY pos)
-        |  FILTER (WHERE keep), '') AS text,
-        |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
-        |  AS n_removed
-        |FROM k GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    "inc_grouped_boiler" -> IncGroupedBoilerSql,
+    // the grouped replay with the banner plant mirrored and the c
+    // CTE (the per-lang screen) restricted to the surviving corpus:
+    // grouped subtracted counts == a fresh per-lang recount
+    "inc_grouped_boiler_remove" -> replaceOnce(replaceOnce(
+      IncGroupedBoilerSql,
+      "ELSE text END AS text FROM documents),",
+      "ELSE text END || CASE WHEN doc_id % 7 = 1 OR doc_id = 2 " +
+        "OR doc_id = 9 OR doc_id % 5 = 0 THEN chr(10) || " +
+        "'temporary campaign banner from the quarantined source' " +
+        "ELSE '' END AS text FROM documents),"),
+      "AND doc_id % 5 <> 0",
+      "AND doc_id % 5 <> 0 AND doc_id % 7 <> 1"),
+    // the d47 replay with the existing side restricted to the
+    // survivors: retract-then-probe == an index built without them
+    "inc_prefix_remove" -> replaceOnce(CrossNearSql,
+      "AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0",
+      "AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0 " +
+        "AND b.doc_id % 3 <> 1"),
     // the d56 CTEs extended with the budget/epoch scan math
     "d70_temp_plan" ->
       """WITH s AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens

@@ -84,6 +84,60 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("subtractGroupedLineCounts: per-group un-count == fresh " +
+    "grouped recount") {
+    val docs = Seq(
+      (1L, "en", "nav\nbody"), (2L, "en", "nav\nmore"),
+      (3L, "en", "nav\nx"), (4L, "de", "nav\ny"), (5L, "de", "nav\nz"))
+      .toDF("doc_id", "lang", "text")
+    val total = Dedup.groupedLineCountPartial(docs, "lang", "text")
+    val removed = Dedup.groupedLineCountPartial(
+      docs.filter(col("doc_id") === 3), "lang", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // en's 'nav' falls 3 -> 2; de's 'nav' untouched at 2 - the group
+    // scope is what the grouped variant buys
+    assert(rows(Dedup.subtractGroupedLineCounts(total, removed)) ==
+      rows(Dedup.groupedLineCountPartial(
+        docs.filter(col("doc_id") =!= 3), "lang", "text")))
+  }
+
+  test("retractPrefixCrossIndex == full rebuild on the remaining " +
+    "docs, no text rescanned") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "alpha beta gamma delta epsilon zeta theta"),
+      (4L, "one two three four five six"),
+      (5L, "one two three four five seven"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta iota"),
+      (11L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val full = Dedup.prefixCrossIndex(docs, "doc_id", "text",
+      k = 5, theta = 0.4)
+    val retracted = Dedup.retractPrefixCrossIndex(full,
+      Seq(3L, 99L).toDF("doc_id"), "doc_id") // 99 retracts vacuously
+    val rebuilt = Dedup.prefixCrossIndex(
+      docs.filter(col("doc_id") =!= 3L), "doc_id", "text",
+      k = 5, theta = 0.4)
+    def probe(idx: Dedup.PrefixCrossIndex) =
+      Dedup.prefixCrossJaccardAgainst(incoming, idx, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(retracted.shEx) == rows(rebuilt.shEx))
+    assert(rows(retracted.dfreq) == rows(rebuilt.dfreq))
+    assert(probe(retracted) == probe(rebuilt))
+    // doc 3's near-dup pair really left the screen
+    assert(probe(full) != probe(retracted))
+    Seq(full, retracted, rebuilt).foreach { i =>
+      Seq(i.shEx, i.dfreq, i.prefEx).foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+    }
+  }
+
   test("mergeRollups rejects non-mergeable aggregate names") {
     val p = Seq(("a", 1L)).toDF("k", "n")
     intercept[IllegalArgumentException] {
