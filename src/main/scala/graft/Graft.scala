@@ -863,8 +863,11 @@ object Graft {
     graft.operators.Dedup.retractPrefixCrossIndex(idx, removeIds, idCol)
 
   /** Subtract a retracted batch's line-count partial from a
-    * maintained (optionally per-group) count table — exact un-count;
-    * zeros drop, negatives stay visible for [[validateLineCounts]]. */
+    * maintained UNGROUPED count table — exact un-count; zeros drop,
+    * negatives stay visible for [[validateLineCounts]]. Grouped
+    * (grp, key) tables must go through
+    * [[subtractGroupedLineCounts]]: this join keys on `key` alone,
+    * and a line hash shared across groups would cross-multiply. */
   def subtractLineCounts(total: DataFrame, removed: DataFrame): DataFrame =
     graft.operators.Dedup.subtractLineCounts(total, removed)
 

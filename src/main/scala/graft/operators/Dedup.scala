@@ -706,35 +706,6 @@ object Dedup {
     * index (the prefix order keys on the EXISTING side's df), so
     * micro-batch splits of the incoming side cannot change the result
     * — the property the st_cross_near streaming twin asserts. */
-  /** Retract documents from a [[PrefixCrossIndex]] WITHOUT rescanning
-    * any text — the removal mirror of [[refreshPrefixCrossIndex]]
-    * (a quarantined source leaves the near-dup screen): the
-    * retracted docs' already-hashed shingle rows come from the index
-    * ITSELF (`shEx` semi-join — no text read), their per-shingle df
-    * counts subtract key-wise ([[Incremental.subtractRollups]]; the
-    * removed side derives from the index, so counts cannot go
-    * negative on a well-formed call), and only the prefix postings
-    * re-derive — they depend on the global df order, the same window
-    * the refresh pays. Equals `prefixCrossIndex(existing minus
-    * removed)` by construction; ids absent from the index retract
-    * vacuously. The SUPERSEDED index stays the caller's to free, as
-    * with refresh. */
-  def retractPrefixCrossIndex(idx: PrefixCrossIndex,
-                              removeIds: DataFrame,
-                              idCol: String): PrefixCrossIndex = {
-    val ids = removeIds.select(col(idCol).as("id"))
-    val shRm = idx.shEx.join(ids, Seq("id"), "left_semi")
-    val shEx = idx.shEx.join(ids, Seq("id"), "left_anti")
-      .localCheckpoint(true)
-    val dfreq = Incremental.subtractRollups(idx.dfreq,
-        crossPost(shRm).groupBy("s").agg(count(lit(1)).as("df")),
-        Seq("s"), Seq("df"))
-      .localCheckpoint(true)
-    val prefEx = crossPrefix(crossPost(shEx), dfreq, idx.theta)
-      .localCheckpoint(true)
-    PrefixCrossIndex(shEx, dfreq, prefEx, idx.k, idx.theta)
-  }
-
   def prefixCrossJaccardAgainst(incoming: DataFrame,
                                 idx: PrefixCrossIndex, idCol: String,
                                 textCol: String): DataFrame = {
@@ -762,6 +733,35 @@ object Dedup {
       .localCheckpoint(true)
     Shims.unpersistLocalCheckpoint(shIn)
     out
+  }
+
+  /** Retract documents from a [[PrefixCrossIndex]] WITHOUT rescanning
+    * any text — the removal mirror of [[refreshPrefixCrossIndex]]
+    * (a quarantined source leaves the near-dup screen): the
+    * retracted docs' already-hashed shingle rows come from the index
+    * ITSELF (`shEx` semi-join — no text read), their per-shingle df
+    * counts subtract key-wise ([[Incremental.subtractRollups]]; the
+    * removed side derives from the index, so counts cannot go
+    * negative on a well-formed call), and only the prefix postings
+    * re-derive — they depend on the global df order, the same window
+    * the refresh pays. Equals `prefixCrossIndex(existing minus
+    * removed)` by construction; ids absent from the index retract
+    * vacuously. The SUPERSEDED index stays the caller's to free, as
+    * with refresh. */
+  def retractPrefixCrossIndex(idx: PrefixCrossIndex,
+                              removeIds: DataFrame,
+                              idCol: String): PrefixCrossIndex = {
+    val ids = removeIds.select(col(idCol).as("id"))
+    val shRm = idx.shEx.join(ids, Seq("id"), "left_semi")
+    val shEx = idx.shEx.join(ids, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val dfreq = Incremental.subtractRollups(idx.dfreq,
+        crossPost(shRm).groupBy("s").agg(count(lit(1)).as("df")),
+        Seq("s"), Seq("df"))
+      .localCheckpoint(true)
+    val prefEx = crossPrefix(crossPost(shEx), dfreq, idx.theta)
+      .localCheckpoint(true)
+    PrefixCrossIndex(shEx, dfreq, prefEx, idx.k, idx.theta)
   }
 
   def prefixCrossJaccard(incoming: DataFrame, existing: DataFrame,

@@ -427,7 +427,11 @@ object StreamQueries {
         reg(D.boilerplateFromCounts(sub, minCount = 3)
           .localCheckpoint(true))
       }
-      def screen(set: DataFrame, era: Int)(batch: DataFrame) =
+      // set taken BY NAME: on a warm (memoized-stream) re-invocation
+      // the transforms never run, so the count/subtract/validate
+      // chain must not be forced either — the by-name + lazy-val
+      // pairing the sibling twins use
+      def screen(set: => DataFrame, era: Int)(batch: DataFrame) =
         D.lineDedupAgainst(
           planted(batch.filter(col("doc_id") % 5 === 0
             && col("doc_id") % 2 === era)), set, "doc_id", "text")
