@@ -375,6 +375,23 @@ object PlanDump {
         "13.4 s. Round 14 also adds a durable parquet staging mode " +
         "(stageDir) and the d88 near-dup variant; this entry's plan " +
         "is the default checkpoint-staged exact-dedup shape."),
+    "d89_takedown_sweep" ->
+      ("The retraction surface composed as ONE compliance operation: " +
+        "a quarantined source leaves every maintained artifact in a " +
+        "single query — each family through its own gate-green " +
+        "remove path with its validator run, one audit row per " +
+        "artifact (rows + mass, before/after). Every stage is the " +
+        "shared kernel (retractDocs anti-joins, count-table " +
+        "subtractions, the prefix re-derivation, the cell-scoped " +
+        "layout rewrite); the audit rows are one-row aggregates " +
+        "riding the per-family snapshots, checkpointed once and " +
+        "freed on exit (the d86 funnel discipline). At 100 TB the " +
+        "sweep's cost is the SUM of the family retraction costs " +
+        "already measured individually (BENCH_SF1_r14.json) — " +
+        "nothing here is wider than its own family's shape, and the " +
+        "one-query form is what makes the audit trail atomic: either " +
+        "every artifact forgot the source and the row set says so, " +
+        "or the query failed loudly."),
     "inc_ivfpq_remove" ->
       ("FAISS-style remove_ids for the persisted layout — the " +
         "RETRACTION path (takedowns, right-to-be-forgotten) closing " +

@@ -1649,6 +1649,93 @@ object LlmQueries {
         .unpersistLocalCheckpoint(before)
     }),
 
+    // THE TAKEDOWN SWEEP — the retraction paths composed as ONE
+    // compliance operation: a quarantined source (doc_id / vec_id %
+    // 13 == 7) retracts from EVERY maintained artifact in a single
+    // query — the BM25 tf snapshot, the KN bigram snapshot, the
+    // boilerplate count table and its per-site variant, the
+    // prefix-cross near-dup index, and the persisted IVF-PQ layout —
+    // each through its own gate-green remove path WITH its validator
+    // run, and one AUDIT row per artifact (physical rows + artifact
+    // mass, before and after) — the per-artifact trail a takedown
+    // request actually requires. Retracted state equals a fresh
+    // build on the survivors in every family (each family's own
+    // oracle row proves it); THIS oracle replays the audit counts
+    // from both corpus states.
+    "d89_takedown_sweep" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val emb = T.embeddings(s, d)
+      val docIds = docs.filter(col("doc_id") % 13 === 7)
+        .select("doc_id")
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def ck(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(true); cps += c; c
+      }
+      try {
+        def audit(name: String, before: DataFrame, after: DataFrame,
+                  massAgg: Column): DataFrame = {
+          def one(df: DataFrame, suf: String) =
+            df.agg(count(lit(1)).as("rows_" + suf),
+              massAgg.cast("long").as("mass_" + suf))
+          one(before, "before").crossJoin(one(after, "after"))
+            .select(lit(name).as("artifact"),
+              col("rows_before"), col("rows_after"),
+              col("mass_before"), col("mass_after"))
+        }
+        val tf = ck(Search.tfSnapshot(docs, "doc_id", "text"))
+        val tfAfter = graft.operators.Incremental
+          .retractDocs(tf, docIds)
+        Search.validateTfSnapshot(tfAfter)
+        val kn = ck(TextAnalysis.knSnapshot(docs, "doc_id", "text"))
+        val knAfter = graft.operators.Incremental
+          .retractDocs(kn, docIds)
+        TextAnalysis.validateKnSnapshot(knAfter)
+        val lc = ck(Dedup.lineCountPartial(docs, "text"))
+        val lcAfter = Dedup.subtractLineCounts(lc,
+          Dedup.lineCountPartial(
+            docs.filter(col("doc_id") % 13 === 7), "text"))
+        Dedup.validateLineCounts(lcAfter)
+        val glc = ck(Dedup.groupedLineCountPartial(docs, "lang",
+          "text"))
+        val glcAfter = Dedup.subtractGroupedLineCounts(glc,
+          Dedup.groupedLineCountPartial(
+            docs.filter(col("doc_id") % 13 === 7), "lang", "text"))
+        Dedup.validateLineCounts(glcAfter)
+        val pidx = Dedup.prefixCrossIndex(docs, "doc_id", "text",
+          k = 5, theta = 0.5)
+        Seq(pidx.shEx, pidx.dfreq, pidx.prefEx).foreach(cps += _)
+        val pret = Dedup.retractPrefixCrossIndex(pidx, docIds,
+          "doc_id")
+        Seq(pret.shEx, pret.dfreq, pret.prefEx).foreach(cps += _)
+        val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+          s"takedown89_${pathDigest(d)}"
+        Quantization.persistIvfPqIndex(sharedIvfPqIndex(s, d), dir)
+        val codesBefore = ck(s.read.parquet(dir + "/codes")
+          .select("nid"))
+        Quantization.ivfPqRemoveBatch(
+          emb.filter(col("vec_id") % 13 === 7).select("vec_id"),
+          "vec_id", dir)
+        Quantization.validateIvfPqCodes(s, dir)
+        val codesAfter = s.read.parquet(dir + "/codes").select("nid")
+        Seq(
+          audit("bm25_tf", tf, tfAfter,
+            coalesce(sum(col("tf")), lit(0L))),
+          audit("boiler_counts", lc, lcAfter,
+            coalesce(sum(col("cnt")), lit(0L))),
+          audit("grouped_counts", glc, glcAfter,
+            coalesce(sum(col("cnt")), lit(0L))),
+          audit("ivfpq_codes", codesBefore, codesAfter,
+            countDistinct(col("nid"))),
+          audit("kn_lm", kn, knAfter,
+            coalesce(sum(col("bf")), lit(0L))),
+          audit("prefix_index", pidx.dfreq, pret.dfreq,
+            coalesce(sum(col("df")), lit(0L))))
+          .reduce(_ unionByName _).orderBy("artifact")
+          .localCheckpoint(true)
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+    }),
+
     // Shingle df histogram — the dfCap / prefix-path tuning
     // diagnostic for the near-dup family (candidate volume through a
     // shingle is ~df^2/2; a heavy top bucket = the prefix regime).
@@ -4573,6 +4660,86 @@ object LlmQueries {
         "ELSE '' END AS text FROM documents),"),
       "AND doc_id % 5 <> 0",
       "AND doc_id % 5 <> 0 AND doc_id % 7 <> 1"),
+    // the takedown sweep's audit replayed from both corpus states:
+    // every per-artifact (rows, mass) pair restated from first
+    // principles — tf postings + markers, distinct word bigrams +
+    // markers (hash-pair identity w.h.p., the d4/d34 precedent),
+    // distinct trimmed lines / (lang, line) pairs with occurrence
+    // mass, the ShingleSql distinct-shingle postings, and m=4 code
+    // rows per surviving vector
+    "d89_takedown_sweep" ->
+      """WITH t AS (SELECT doc_id, lang, text, list_filter(
+        |  string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |tp AS (SELECT doc_id, unnest(ws) AS tok FROM t),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []
+        |  ELSE [{'w1': ws[i], 'w2': ws[i+1]}
+        |        FOR i IN range(1, len(ws))] END) AS u FROM t),
+        |ln0 AS (SELECT doc_id, trim(ln) AS k FROM (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+        |  FROM t) WHERE trim(ln) <> ''),
+        |gl0 AS (SELECT doc_id, lang, trim(ln) AS k FROM (
+        |  SELECT doc_id, lang, unnest(string_split(text, chr(10)))
+        |    AS ln FROM t) WHERE trim(ln) <> ''),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |  ELSE [array_to_string(ws[x:x+4], ' ')
+        |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM t)
+        |SELECT * FROM (
+        |SELECT 'bm25_tf' AS artifact,
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, tok
+        |    FROM tp)) + (SELECT COUNT(*) FROM t) AS BIGINT)
+        |    AS rows_before,
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, tok
+        |    FROM tp WHERE doc_id % 13 <> 7))
+        |    + (SELECT COUNT(*) FROM t WHERE doc_id % 13 <> 7)
+        |    AS BIGINT) AS rows_after,
+        |  CAST((SELECT COALESCE(SUM(len(ws)), 0) FROM t) AS BIGINT)
+        |    AS mass_before,
+        |  CAST((SELECT COALESCE(SUM(len(ws)), 0) FROM t
+        |    WHERE doc_id % 13 <> 7) AS BIGINT) AS mass_after
+        |UNION ALL SELECT 'boiler_counts',
+        |  CAST((SELECT COUNT(DISTINCT k) FROM ln0) AS BIGINT),
+        |  CAST((SELECT COUNT(DISTINCT k) FROM ln0
+        |    WHERE doc_id % 13 <> 7) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM ln0) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM ln0 WHERE doc_id % 13 <> 7)
+        |    AS BIGINT)
+        |UNION ALL SELECT 'grouped_counts',
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT lang, k
+        |    FROM gl0)) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT lang, k
+        |    FROM gl0 WHERE doc_id % 13 <> 7)) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM gl0) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM gl0 WHERE doc_id % 13 <> 7)
+        |    AS BIGINT)
+        |UNION ALL SELECT 'ivfpq_codes',
+        |  CAST(4 * (SELECT COUNT(*) FROM embeddings) AS BIGINT),
+        |  CAST(4 * (SELECT COUNT(*) FROM embeddings
+        |    WHERE vec_id % 13 <> 7) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM embeddings
+        |    WHERE vec_id % 13 <> 7) AS BIGINT)
+        |UNION ALL SELECT 'kn_lm',
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, u.w1,
+        |    u.w2 FROM bg)) + (SELECT COUNT(*) FROM t) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, u.w1,
+        |    u.w2 FROM bg WHERE doc_id % 13 <> 7))
+        |    + (SELECT COUNT(*) FROM t WHERE doc_id % 13 <> 7)
+        |    AS BIGINT),
+        |  CAST((SELECT COALESCE(SUM(CASE WHEN len(ws) >= 2
+        |    THEN len(ws) - 1 ELSE 0 END), 0) FROM t) AS BIGINT),
+        |  CAST((SELECT COALESCE(SUM(CASE WHEN len(ws) >= 2
+        |    THEN len(ws) - 1 ELSE 0 END), 0) FROM t
+        |    WHERE doc_id % 13 <> 7) AS BIGINT)
+        |UNION ALL SELECT 'prefix_index',
+        |  CAST((SELECT COUNT(DISTINCT s) FROM sh) AS BIGINT),
+        |  CAST((SELECT COUNT(DISTINCT s) FROM sh
+        |    WHERE doc_id % 13 <> 7) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM sh) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM sh WHERE doc_id % 13 <> 7)
+        |    AS BIGINT)
+        |) ORDER BY artifact""".stripMargin,
     // the d47 replay with the existing side restricted to the
     // survivors: retract-then-probe == an index built without them
     "inc_prefix_remove" -> replaceOnce(CrossNearSql,
