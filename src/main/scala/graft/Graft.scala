@@ -881,6 +881,12 @@ object Graft {
   def validateLineCounts(counts: DataFrame): Unit =
     graft.operators.Dedup.validateLineCounts(counts)
 
+  /** Loud detector for prefix-cross-index df corruption (non-positive
+    * dfs from doubly-subtracted or overlapping-partial state). */
+  def validatePrefixCrossIndex(idx: graft.operators.Dedup.PrefixCrossIndex)
+      : Unit =
+    graft.operators.Dedup.validatePrefixCrossIndex(idx)
+
   /** Generic sum-rollup subtraction — the inverse of [[mergeRollups]]
     * for sum-mergeable state (min/max and distinct-set sketches are
     * NOT invertible; see the operator scaladoc). */

@@ -764,6 +764,23 @@ object Dedup {
     PrefixCrossIndex(shEx, dfreq, prefEx, idx.k, idx.theta)
   }
 
+  /** Assert a [[PrefixCrossIndex]]'s df table is well-formed: no
+    * non-positive dfs — the loud detector for externally-assembled
+    * or doubly-subtracted df state ([[retractPrefixCrossIndex]]
+    * itself derives its removals from the index, so a well-formed
+    * call cannot go negative; this guards the manual-assembly paths
+    * — the validateLineCounts discipline on the shingle axis). One
+    * skinny aggregation over the config-shaped df table. */
+  def validatePrefixCrossIndex(idx: PrefixCrossIndex): Unit = {
+    val bad = idx.dfreq.agg(coalesce(
+      sum(when(col("df") <= 0L, 1L).otherwise(0L)), lit(0L))).head
+      .getLong(0)
+    require(bad == 0L,
+      s"prefix-cross index corrupt: $bad non-positive dfs - df " +
+        "state was subtracted twice or assembled from overlapping " +
+        "partials")
+  }
+
   def prefixCrossJaccard(incoming: DataFrame, existing: DataFrame,
                          idCol: String, textCol: String,
                          k: Int, theta: Double,

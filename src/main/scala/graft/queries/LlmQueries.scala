@@ -903,6 +903,7 @@ object LlmQueries {
       val idx = Dedup.retractPrefixCrossIndex(idx0,
         existing.filter(col("doc_id") % 3 === 1).select("doc_id"),
         "doc_id")
+      Dedup.validatePrefixCrossIndex(idx)
       Dedup.prefixCrossJaccardAgainst(
           docs.filter(col("doc_id") % 7 === 0), idx, "doc_id", "text")
         .orderBy("in_id", "ex_id")
@@ -1665,8 +1666,11 @@ object LlmQueries {
     "d89_takedown_sweep" -> ((s, d) => {
       val docs = T.documents(s, d)
       val emb = T.embeddings(s, d)
-      val docIds = docs.filter(col("doc_id") % 13 === 7)
-        .select("doc_id")
+      // ONE definition of the quarantined slice - every artifact's
+      // retraction and the audit derive from it, so the sets cannot
+      // drift per-artifact
+      val quarantined = docs.filter(col("doc_id") % 13 === 7)
+      val docIds = quarantined.select("doc_id")
       val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
       def ck(df: DataFrame): DataFrame = {
         val c = df.localCheckpoint(true); cps += c; c
@@ -1682,24 +1686,25 @@ object LlmQueries {
               col("rows_before"), col("rows_after"),
               col("mass_before"), col("mass_after"))
         }
+        // after-states checkpoint too: the validator pass and the
+        // audit aggregation read the SAME materialization instead of
+        // re-running each retraction twice
         val tf = ck(Search.tfSnapshot(docs, "doc_id", "text"))
-        val tfAfter = graft.operators.Incremental
-          .retractDocs(tf, docIds)
+        val tfAfter = ck(graft.operators.Incremental
+          .retractDocs(tf, docIds))
         Search.validateTfSnapshot(tfAfter)
         val kn = ck(TextAnalysis.knSnapshot(docs, "doc_id", "text"))
-        val knAfter = graft.operators.Incremental
-          .retractDocs(kn, docIds)
+        val knAfter = ck(graft.operators.Incremental
+          .retractDocs(kn, docIds))
         TextAnalysis.validateKnSnapshot(knAfter)
         val lc = ck(Dedup.lineCountPartial(docs, "text"))
-        val lcAfter = Dedup.subtractLineCounts(lc,
-          Dedup.lineCountPartial(
-            docs.filter(col("doc_id") % 13 === 7), "text"))
+        val lcAfter = ck(Dedup.subtractLineCounts(lc,
+          Dedup.lineCountPartial(quarantined, "text")))
         Dedup.validateLineCounts(lcAfter)
         val glc = ck(Dedup.groupedLineCountPartial(docs, "lang",
           "text"))
-        val glcAfter = Dedup.subtractGroupedLineCounts(glc,
-          Dedup.groupedLineCountPartial(
-            docs.filter(col("doc_id") % 13 === 7), "lang", "text"))
+        val glcAfter = ck(Dedup.subtractGroupedLineCounts(glc,
+          Dedup.groupedLineCountPartial(quarantined, "lang", "text")))
         Dedup.validateLineCounts(glcAfter)
         val pidx = Dedup.prefixCrossIndex(docs, "doc_id", "text",
           k = 5, theta = 0.5)
@@ -1707,6 +1712,7 @@ object LlmQueries {
         val pret = Dedup.retractPrefixCrossIndex(pidx, docIds,
           "doc_id")
         Seq(pret.shEx, pret.dfreq, pret.prefEx).foreach(cps += _)
+        Dedup.validatePrefixCrossIndex(pret)
         val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
           s"takedown89_${pathDigest(d)}"
         Quantization.persistIvfPqIndex(sharedIvfPqIndex(s, d), dir)

@@ -132,6 +132,15 @@ class IncrementalSpec extends SparkSpec {
     assert(probe(retracted) == probe(rebuilt))
     // doc 3's near-dup pair really left the screen
     assert(probe(full) != probe(retracted))
+    // the validator: clean on a well-formed retraction, loud on
+    // doubly-subtracted df state
+    Dedup.validatePrefixCrossIndex(retracted)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.validatePrefixCrossIndex(retracted.copy(
+        dfreq = retracted.dfreq
+          .withColumn("df", col("df") - lit(100L))))
+    }
+    assert(e.getMessage.contains("non-positive"))
     Seq(full, retracted, rebuilt).foreach { i =>
       Seq(i.shEx, i.dfreq, i.prefEx).foreach(
         org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
