@@ -895,6 +895,36 @@ object Graft {
     graft.operators.Incremental.subtractRollups(total, removed, keys,
       sums)
 
+  /** Initialize (or reset) a DURABLE snapshot store: a per-doc fact
+    * snapshot (tf / KN rows) persisted as a batch-partitioned
+    * parquet layout, `dir/batch=<n>/` — the ivfPq persistence
+    * discipline applied to the text-index families. */
+  def initSnapshotStore(snap: DataFrame, dir: String): Unit =
+    graft.operators.Incremental.initSnapshotStore(snap, dir)
+
+  /** Land a crawl batch's snapshot partial as its OWN partition
+    * directory (landed data never rewritten); a duplicate batch id
+    * refuses loudly — re-committing would duplicate markers. */
+  def commitSnapshotBatch(snap: DataFrame, dir: String,
+                          batch: Long): Unit =
+    graft.operators.Incremental.commitSnapshotBatch(snap, dir, batch)
+
+  /** Reload the full snapshot from a store, ready for the shared
+    * scorers ([[bm25TopKIndexed]] / [[knScoreFromSnapshot]]) — no
+    * other state to rebuild after a restart. */
+  def loadSnapshotStore(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Incremental.loadSnapshotStore(spark, dir)
+
+  /** File-level retraction from a snapshot store: only the batch
+    * partitions holding the retracted ids rewrite (dynamic
+    * overwrite); a retraction that would EMPTY a partition refuses
+    * — see the operator scaladoc. */
+  def retractFromSnapshotStore(spark: SparkSession, dir: String,
+                               removeIds: DataFrame,
+                               idCol: String = "doc_id"): Unit =
+    graft.operators.Incremental.retractFromSnapshotStore(spark, dir,
+      removeIds, idCol)
+
   /** Register graft's SQL functions (`uuid5`, `title_case`) and the
     * codec-collapse optimizer rule on a session. */
   def install(spark: SparkSession): Unit = {

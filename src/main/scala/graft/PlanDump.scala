@@ -392,6 +392,25 @@ object PlanDump {
         "one-query form is what makes the audit trail atomic: either " +
         "every artifact forgot the source and the row set says so, " +
         "or the query failed loudly."),
+    "d90_crawl_commit" ->
+      ("d89's add-side mirror: a newly crawled batch commits into " +
+        "every maintained artifact in one query — mergeTfSnapshots, " +
+        "mergeKnSnapshots, mergeLineCounts (global + per-site), " +
+        "refreshPrefixCrossIndex, ivfPqAddBatch — each with its " +
+        "validator run and one audit row per artifact (rows + mass, " +
+        "before/after), plus the delta_screen row: the incoming " +
+        "batch re-screened against the boilerplate table the commit " +
+        "JUST refreshed, so a banner crossing the threshold only " +
+        "after the merge drops from the batch that brought it. At " +
+        "100 TB the commit's cost is the SUM of the family merge " +
+        "costs measured individually: the merges are key-wise " +
+        "rollup unions over skinny partials (no text rescanned), " +
+        "the prefix refresh re-derives only the postings window, " +
+        "the FAISS add encodes the batch against frozen codebooks " +
+        "and appends landed cells only, and the screen join keys on " +
+        "8-byte line hashes. Together with d89 the maintained-" +
+        "corpus lifecycle closes at the composed level in both " +
+        "directions."),
     "inc_ivfpq_remove" ->
       ("FAISS-style remove_ids for the persisted layout — the " +
         "RETRACTION path (takedowns, right-to-be-forgotten) closing " +

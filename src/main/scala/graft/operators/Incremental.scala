@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Incremental aggregate maintenance — the pattern that keeps a
   * 100 TB pipeline's rollups fresh WITHOUT rescanning the corpus:
@@ -95,5 +97,103 @@ object Incremental {
     partials.reduce(_ unionByName _)
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Durable snapshot store: the per-doc fact snapshots (tfSnapshot /
+  // knSnapshot rows) persisted as a BATCH-PARTITIONED parquet layout,
+  // dir/batch=<n>/ — the ivfPq persistence discipline applied to the
+  // text-index families. The merge story becomes durable: each crawl
+  // batch lands as its OWN partition directory (a commit never
+  // rewrites landed data — append-only at the file level, the
+  // production contract), a restart reloads the full index from disk
+  // with no state to rebuild (every corpus rollup derives downstream
+  // in the shared scorers), and the batch column keeps per-crawl
+  // provenance for audits and for partition-scoped retraction.
+  // ------------------------------------------------------------------
+
+  /** Read a store with the batch partition column pinned to LONG:
+    * partition-value inference would type small batch ids as INT and
+    * long-literal pruning predicates would then cast the COLUMN,
+    * defeating partition pruning on exactly the path built for it. */
+  private def readStore(spark: SparkSession, dir: String): DataFrame = {
+    val inferred = spark.read.parquet(dir)
+    val sch = StructType(inferred.schema.map(f =>
+      if (f.name == "batch") f.copy(dataType = LongType) else f))
+    spark.read.schema(sch).parquet(dir)
+  }
+
+  /** Initialize (or RESET — static overwrite deletes the whole
+    * layout) a snapshot store with the first batch as partition 0.
+    * The snapshot must be nonempty: a zero-partition parquet layout
+    * is unreadable, the same refusal [[graft.operators.Quantization
+    * .ivfPqRemoveBatch]] makes for its layout. */
+  def initSnapshotStore(snap: DataFrame, dir: String): Unit = {
+    require(!snap.isEmpty,
+      s"refusing to init $dir from an empty snapshot - a " +
+        "zero-partition layout is unreadable")
+    snap.withColumn("batch", lit(0L))
+      .write.partitionBy("batch").mode("overwrite").parquet(dir)
+  }
+
+  /** Append a crawl batch's snapshot partial as its own partition
+    * directory — landed batches are never rewritten. The batch id
+    * must be FRESH: re-committing an id would duplicate its docs'
+    * markers and counts (the exact corruption
+    * [[graft.operators.Search.validateTfSnapshot]] detects), so the
+    * store refuses loudly; the check reads partition VALUES only
+    * (directory listing, no data scan). */
+  def commitSnapshotBatch(snap: DataFrame, dir: String,
+                          batch: Long): Unit = {
+    val spark = snap.sparkSession
+    val landed = readStore(spark, dir).select("batch").distinct()
+      .collect().map(_.getLong(0)).toSet
+    require(!landed.contains(batch),
+      s"batch $batch already committed to $dir - re-committing " +
+        "would duplicate markers and counts")
+    snap.withColumn("batch", lit(batch))
+      .write.partitionBy("batch").mode("append").parquet(dir)
+  }
+
+  /** Load the full snapshot from a store — row-for-row the
+    * [[mergeRollups]]-free union-merge of every committed batch
+    * (per-doc facts never reconcile, they append), ready for the
+    * shared scorers ([[graft.operators.Search.bm25TopKIndexed]] /
+    * [[graft.operators.TextAnalysis.knScoreFromSnapshot]]). */
+  def loadSnapshotStore(spark: SparkSession, dir: String): DataFrame =
+    readStore(spark, dir).drop("batch")
+
+  /** Retract documents from a store at the FILE level — [[retractDocs]]
+    * with the rewrite scoped to the batch partitions that actually
+    * hold the retracted ids: untouched batch directories are not
+    * read, not rewritten (dynamic partition overwrite, the
+    * [[graft.operators.Quantization.ivfPqRemoveBatch]] pattern). The
+    * survivors materialize BEFORE the overwrite (the rewrite reads
+    * the directories it replaces), and a retraction that would EMPTY
+    * a batch directory is refused — dynamic overwrite cannot delete
+    * a partition it writes no rows for, so the stale directory would
+    * silently survive; rebuild the store ([[initSnapshotStore]])
+    * when a whole batch must go. Ids absent from the store retract
+    * vacuously. */
+  def retractFromSnapshotStore(spark: SparkSession, dir: String,
+                               removeIds: DataFrame,
+                               idCol: String = "doc_id"): Unit = {
+    val cur = readStore(spark, dir)
+    val ids = removeIds.select(col(idCol))
+    val touched = cur.join(ids, Seq(idCol), "left_semi")
+      .select("batch").distinct().collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val survivors = cur.filter(col("batch").isin(touched: _*))
+      .join(ids, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    try {
+      val remaining = survivors.select("batch").distinct().count()
+      require(remaining == touched.length,
+        s"retraction would empty ${touched.length - remaining} batch " +
+          s"partition(s) of $dir - dynamic overwrite cannot delete " +
+          "them; rebuild the store without the batch instead")
+      survivors.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").mode("overwrite").parquet(dir)
+    } finally Shims.unpersistLocalCheckpoint(survivors)
   }
 }

@@ -1330,6 +1330,91 @@ object LlmQueries {
         .unpersistLocalCheckpoint(snap)
     }),
 
+    // DURABLE STORE for the BM25 index — the tf snapshot persisted
+    // as a batch-partitioned parquet layout (Incremental
+    // .initSnapshotStore: dir/batch=<n>/, the ivfPq persistence
+    // discipline applied to the text-index family): crawl 0 lands at
+    // init, crawl 1 commits as its OWN partition directory (landed
+    // data never rewritten — append-only at the file level), and the
+    // disk round-trip must be result-invisible: the reloaded index
+    // serves the md5-ranked d24 probe ('committed' phase == the
+    // Bm25Sql replay VERBATIM). Then a takedown retracts the
+    // %10-plus-3 docs at the FILE level — only the partitions
+    // holding them rewrite (dynamic overwrite) — and the reloaded
+    // survivors serve the %16 probe ('retracted' phase == the
+    // inc_bm25_remove replay: probed-but-retracted docs are queried
+    // FOR, never a hit). Both validator passes run on the LOADED
+    // store, so what is certified is what is on disk.
+    "inc_bm25_store" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"tfstore_${pathDigest(d)}"
+      graft.operators.Incremental.initSnapshotStore(
+        Search.tfSnapshot(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text"), dir)
+      graft.operators.Incremental.commitSnapshotBatch(
+        Search.tfSnapshot(docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text"), dir, 1L)
+      val full = graft.operators.Incremental.loadSnapshotStore(s, dir)
+      Search.validateTfSnapshot(full)
+      // materialize=true: the committed-phase result is checkpointed
+      // EAGERLY before the retraction below rewrites the partition
+      // directories its plan scanned
+      val committed = Search.bm25TopKIndexed(full, bm25QueryBatch(docs),
+          "qid", "qtext", k = 5)
+        .select(lit("committed").as("phase"), col("qid"), col("rank"),
+          col("doc_id"), col("score_micros"))
+      graft.operators.Incremental.retractFromSnapshotStore(s, dir,
+        docs.filter(col("doc_id") % 10 === 3).select("doc_id"))
+      val after = graft.operators.Incremental.loadSnapshotStore(s, dir)
+      Search.validateTfSnapshot(after)
+      val retracted = Search.bm25TopKIndexed(after,
+          docs.filter(col("doc_id") % 16 === 3)
+            .select(col("doc_id").as("qid"),
+              bm25Qtext(col("text")).as("qtext")),
+          "qid", "qtext", k = 5)
+        .select(lit("retracted").as("phase"), col("qid"), col("rank"),
+          col("doc_id"), col("score_micros"))
+      committed.unionByName(retracted).orderBy("phase", "qid", "rank")
+    }),
+
+    // DURABLE STORE for the KN bigram LM — the same batch-partitioned
+    // layout over knSnapshot rows: init + file-level commit, the
+    // reloaded snapshot scores through the SAME knScoreFromSnapshot
+    // tail ('committed' phase == the d77 replay VERBATIM — the disk
+    // round-trip is result-invisible), then the %5-plus-4 docs
+    // retract at the file level and the reloaded survivors re-score
+    // ('retracted' phase == the era-parameterized d77 replay). Both
+    // validators certify the LOADED store.
+    "inc_kn_store" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"knstore_${pathDigest(d)}"
+      graft.operators.Incremental.initSnapshotStore(
+        TextAnalysis.knSnapshot(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text"), dir)
+      graft.operators.Incremental.commitSnapshotBatch(
+        TextAnalysis.knSnapshot(docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text"), dir, 1L)
+      val full = graft.operators.Incremental.loadSnapshotStore(s, dir)
+      TextAnalysis.validateKnSnapshot(full)
+      // materialize=true checkpoints the committed scores before the
+      // retraction rewrites the directories they were scanned from
+      val committed = TextAnalysis.knScoreFromSnapshot(full)
+        .select(lit("committed").as("phase"), col("doc_id"),
+          col("n_bigrams"), col("sum_logp_micros"),
+          col("mean_logp_micros"))
+      graft.operators.Incremental.retractFromSnapshotStore(s, dir,
+        docs.filter(col("doc_id") % 5 === 4).select("doc_id"))
+      val after = graft.operators.Incremental.loadSnapshotStore(s, dir)
+      TextAnalysis.validateKnSnapshot(after)
+      val retracted = TextAnalysis.knScoreFromSnapshot(after)
+        .select(lit("retracted").as("phase"), col("doc_id"),
+          col("n_bigrams"), col("sum_logp_micros"),
+          col("mean_logp_micros"))
+      committed.unionByName(retracted).orderBy("phase", "doc_id")
+    }),
+
     // RETRACTION for the persisted ANN index — FAISS `remove_ids`:
     // the full shared layout is persisted fresh, every 10th-plus-3
     // vector's codes are removed (only their cell directories are
@@ -1735,6 +1820,122 @@ object LlmQueries {
           audit("kn_lm", kn, knAfter,
             coalesce(sum(col("bf")), lit(0L))),
           audit("prefix_index", pidx.dfreq, pret.dfreq,
+            coalesce(sum(col("df")), lit(0L))))
+          .reduce(_ unionByName _).orderBy("artifact")
+          .localCheckpoint(true)
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+    }),
+
+    // THE CRAWL-COMMIT SWEEP — d89's add-side mirror: a newly
+    // crawled batch (doc_id / vec_id % 10 >= 8) commits into EVERY
+    // maintained artifact in one query, each through its gate-green
+    // merge/add path WITH its validator run — mergeTfSnapshots,
+    // mergeKnSnapshots, mergeLineCounts, mergeGroupedLineCounts,
+    // refreshPrefixCrossIndex, ivfPqAddBatch — and the same audit
+    // schema (artifact, rows/mass before and after). The row that
+    // makes a commit more than bookkeeping: 'delta_screen'
+    // re-screens the INCOMING batch against the boilerplate table it
+    // JUST refreshed — a banner seeded across the batch plus exactly
+    // two existing docs (ids 1 and 11) crosses the minCount=3
+    // threshold only AFTER the merge, so the batch's own banner
+    // lines survive the pre-commit screen and drop under the
+    // post-commit one (rows_after < rows_before): the screen
+    // consumes the state the commit just built. Together with d89
+    // the maintained-corpus lifecycle is closed at the composed
+    // level in BOTH directions — one query commits a crawl, one
+    // retracts a source.
+    "d90_crawl_commit" -> ((s, d) => {
+      val banner =
+        "seasonal promotion banner from the newly committed crawl"
+      // ONE definition of the planted corpus and the split — every
+      // artifact's partials derive from it, so the batch boundaries
+      // cannot drift per-artifact (the d89 discipline)
+      val docs = T.documents(s, d).select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 10 === 8 || col("doc_id") === 1
+            || col("doc_id") === 11,
+          concat(col("text"), lit("\n" + banner)))
+          .otherwise(col("text")).as("text"))
+      val existing = docs.filter(col("doc_id") % 10 < 8)
+      val delta = docs.filter(col("doc_id") % 10 >= 8)
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def ck(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(true); cps += c; c
+      }
+      try {
+        def audit(name: String, before: DataFrame, after: DataFrame,
+                  massAgg: Column): DataFrame = {
+          def one(df: DataFrame, suf: String) =
+            df.agg(count(lit(1)).as("rows_" + suf),
+              massAgg.cast("long").as("mass_" + suf))
+          one(before, "before").crossJoin(one(after, "after"))
+            .select(lit(name).as("artifact"),
+              col("rows_before"), col("rows_after"),
+              col("mass_before"), col("mass_after"))
+        }
+        val tfA = ck(Search.tfSnapshot(existing, "doc_id", "text"))
+        val tfM = ck(Search.mergeTfSnapshots(Seq(tfA,
+          Search.tfSnapshot(delta, "doc_id", "text"))))
+        Search.validateTfSnapshot(tfM)
+        val knA = ck(TextAnalysis.knSnapshot(existing, "doc_id",
+          "text"))
+        val knM = ck(TextAnalysis.mergeKnSnapshots(Seq(knA,
+          TextAnalysis.knSnapshot(delta, "doc_id", "text"))))
+        TextAnalysis.validateKnSnapshot(knM)
+        val lcA = ck(Dedup.lineCountPartial(existing, "text"))
+        val lcM = ck(Dedup.mergeLineCounts(Seq(lcA,
+          Dedup.lineCountPartial(delta, "text"))))
+        Dedup.validateLineCounts(lcM)
+        val glcA = ck(Dedup.groupedLineCountPartial(existing, "lang",
+          "text"))
+        val glcM = ck(Dedup.mergeGroupedLineCounts(Seq(glcA,
+          Dedup.groupedLineCountPartial(delta, "lang", "text"))))
+        Dedup.validateLineCounts(glcM)
+        val pidx = Dedup.prefixCrossIndex(existing, "doc_id", "text",
+          k = 5, theta = 0.5)
+        Seq(pidx.shEx, pidx.dfreq, pidx.prefEx).foreach(cps += _)
+        val pref = Dedup.refreshPrefixCrossIndex(pidx, delta,
+          "doc_id", "text")
+        Seq(pref.shEx, pref.dfreq, pref.prefEx).foreach(cps += _)
+        Dedup.validatePrefixCrossIndex(pref)
+        val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+          s"crawl90_${pathDigest(d)}"
+        val idx = sharedIvfPqIndex(s, d)
+        Quantization.persistIvfPqIndex(
+          idx.copy(codes = idx.codes.filter(col("nid") % 10 < 8)),
+          dir)
+        val codesBefore = ck(s.read.parquet(dir + "/codes")
+          .select("nid"))
+        Quantization.ivfPqAddBatch(
+          T.embeddings(s, d).filter(col("vec_id") % 10 >= 8),
+          "vec_id", "embedding", dir)
+        Quantization.validateIvfPqCodes(s, dir)
+        val codesAfter = s.read.parquet(dir + "/codes").select("nid")
+        // the committed screen applied to the batch that brought it:
+        // kept nonblank lines (count + trimmed char mass) under the
+        // pre-commit screen vs the just-merged one
+        def keptLines(screened: DataFrame) = screened
+          .select(explode(split(col("text"), "\n")).as("ln"))
+          .filter(trim(col("ln")) =!= "")
+          .select(length(trim(col("ln"))).cast("long").as("n"))
+        val scrA = keptLines(Dedup.lineDedupAgainst(delta,
+          Dedup.boilerplateFromCounts(lcA), "doc_id", "text"))
+        val scrM = keptLines(Dedup.lineDedupAgainst(delta,
+          Dedup.boilerplateFromCounts(lcM), "doc_id", "text"))
+        Seq(
+          audit("bm25_tf", tfA, tfM,
+            coalesce(sum(col("tf")), lit(0L))),
+          audit("boiler_counts", lcA, lcM,
+            coalesce(sum(col("cnt")), lit(0L))),
+          audit("delta_screen", scrA, scrM,
+            coalesce(sum(col("n")), lit(0L))),
+          audit("grouped_counts", glcA, glcM,
+            coalesce(sum(col("cnt")), lit(0L))),
+          audit("ivfpq_codes", codesBefore, codesAfter,
+            countDistinct(col("nid"))),
+          audit("kn_lm", knA, knM,
+            coalesce(sum(col("bf")), lit(0L))),
+          audit("prefix_index", pidx.dfreq, pref.dfreq,
             coalesce(sum(col("df")), lit(0L))))
           .reduce(_ unionByName _).orderBy("artifact")
           .localCheckpoint(true)
@@ -3527,6 +3728,22 @@ object LlmQueries {
       "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 128",
       s"WHERE $probePred")
 
+  /** The inc_bm25_remove replay, hoisted so the durable-store oracle
+    * (inc_bm25_store) can restate its retracted phase VERBATIM: the
+    * index-side CTEs (tf, dl — and through them scal/dft) restrict
+    * to the survivors while the probe keeps reading the unfiltered
+    * tok on the %16 lattice that INTERSECTS the retracted set. */
+  private val Bm25RemoveSql: String =
+    replaceOnce(replaceOnce(replaceOnce(Bm25Sql,
+      "(SELECT doc_id, unnest(ws) AS t FROM tok) GROUP BY 1, 2),",
+      "(SELECT doc_id, unnest(ws) AS t FROM tok " +
+        "WHERE doc_id % 10 <> 3) GROUP BY 1, 2),"),
+      "CAST(len(ws) AS BIGINT) AS dl FROM tok),",
+      "CAST(len(ws) AS BIGINT) AS dl FROM tok " +
+        "WHERE doc_id % 10 <> 3),"),
+      "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 128",
+      "WHERE doc_id % 16 = 3")
+
   /** The d77 replay re-targeted for the st_inc_kn era runs: the
     * corpus (w CTE) restricts to what that era's snapshot had
     * counted, and the probe predicate picks the served docs —
@@ -3836,15 +4053,25 @@ object LlmQueries {
     // through them scal/dft) restrict to the survivors while the
     // probe keeps reading the unfiltered tok, so docs 3, 83, ...
     // are probed-but-retracted: queried FOR, never a hit.
-    "inc_bm25_remove" -> replaceOnce(replaceOnce(replaceOnce(Bm25Sql,
-      "(SELECT doc_id, unnest(ws) AS t FROM tok) GROUP BY 1, 2),",
-      "(SELECT doc_id, unnest(ws) AS t FROM tok " +
-        "WHERE doc_id % 10 <> 3) GROUP BY 1, 2),"),
-      "CAST(len(ws) AS BIGINT) AS dl FROM tok),",
-      "CAST(len(ws) AS BIGINT) AS dl FROM tok " +
-        "WHERE doc_id % 10 <> 3),"),
-      "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 128",
-      "WHERE doc_id % 16 = 3"),
+    "inc_bm25_remove" -> Bm25RemoveSql,
+    // the durable-store lifecycle gated by the two replays it must
+    // be invisible against: committed phase = the Bm25Sql replay
+    // VERBATIM (the disk round-trip changes nothing), retracted
+    // phase = the inc_bm25_remove replay VERBATIM (file-level
+    // retraction == the anti-join retraction == an index that never
+    // saw the docs)
+    "inc_bm25_store" ->
+      ("SELECT 'committed' AS phase, * FROM (\n" + Bm25Sql +
+        "\n) UNION ALL SELECT 'retracted' AS phase, * FROM (\n" +
+        Bm25RemoveSql + "\n) ORDER BY phase, qid, rank"),
+    // same claim for the KN LM store: committed = the d77 replay,
+    // retracted = the era-parameterized d77 replay over survivors
+    "inc_kn_store" ->
+      ("SELECT 'committed' AS phase, * FROM (\n" +
+        knLmSqlEra("TRUE", "TRUE") +
+        "\n) UNION ALL SELECT 'retracted' AS phase, * FROM (\n" +
+        knLmSqlEra("doc_id % 5 <> 4", "TRUE") +
+        "\n) ORDER BY phase, doc_id"),
     // the era-parameterized d77 replay over the surviving corpus:
     // the retracted LM == a fresh build on the remaining docs
     "inc_kn_remove" ->
@@ -4745,6 +4972,105 @@ object LlmQueries {
         |  CAST((SELECT COUNT(*) FROM sh) AS BIGINT),
         |  CAST((SELECT COUNT(*) FROM sh WHERE doc_id % 13 <> 7)
         |    AS BIGINT)
+        |) ORDER BY artifact""".stripMargin,
+    // the crawl-commit sweep's audit replayed from both corpus
+    // states (existing = doc_id % 10 < 8, committed = everything) —
+    // the d89 formulas with the predicate direction reversed, over
+    // the banner-planted corpus; the delta_screen pair restates the
+    // incoming batch's kept nonblank lines (count + trimmed char
+    // mass) against the count>=3 screen built from the existing
+    // corpus vs the merged one
+    "d90_crawl_commit" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 10 = 8 OR doc_id = 1 OR doc_id = 11
+        |  THEN text || chr(10) ||
+        |    'seasonal promotion banner from the newly committed crawl'
+        |  ELSE text END AS text FROM documents),
+        |tw AS (SELECT doc_id, lang, text, list_filter(
+        |  string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM t),
+        |tp AS (SELECT doc_id, unnest(ws) AS tok FROM tw),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []
+        |  ELSE [{'w1': ws[i], 'w2': ws[i+1]}
+        |        FOR i IN range(1, len(ws))] END) AS u FROM tw),
+        |ln0 AS (SELECT doc_id, trim(ln) AS k FROM (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+        |  FROM tw) WHERE trim(ln) <> ''),
+        |gl0 AS (SELECT doc_id, lang, trim(ln) AS k FROM (
+        |  SELECT doc_id, lang, unnest(string_split(text, chr(10)))
+        |    AS ln FROM tw) WHERE trim(ln) <> ''),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |  ELSE [array_to_string(ws[x:x+4], ' ')
+        |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM tw),
+        |exscr AS (SELECT k FROM ln0 WHERE doc_id % 10 < 8
+        |  GROUP BY k HAVING COUNT(*) >= 3),
+        |mgscr AS (SELECT k FROM ln0 GROUP BY k HAVING COUNT(*) >= 3)
+        |SELECT * FROM (
+        |SELECT 'bm25_tf' AS artifact,
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, tok
+        |    FROM tp WHERE doc_id % 10 < 8))
+        |    + (SELECT COUNT(*) FROM tw WHERE doc_id % 10 < 8)
+        |    AS BIGINT) AS rows_before,
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, tok
+        |    FROM tp)) + (SELECT COUNT(*) FROM tw) AS BIGINT)
+        |    AS rows_after,
+        |  CAST((SELECT COALESCE(SUM(len(ws)), 0) FROM tw
+        |    WHERE doc_id % 10 < 8) AS BIGINT) AS mass_before,
+        |  CAST((SELECT COALESCE(SUM(len(ws)), 0) FROM tw) AS BIGINT)
+        |    AS mass_after
+        |UNION ALL SELECT 'boiler_counts',
+        |  CAST((SELECT COUNT(DISTINCT k) FROM ln0
+        |    WHERE doc_id % 10 < 8) AS BIGINT),
+        |  CAST((SELECT COUNT(DISTINCT k) FROM ln0) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM ln0 WHERE doc_id % 10 < 8)
+        |    AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM ln0) AS BIGINT)
+        |UNION ALL SELECT 'delta_screen',
+        |  CAST((SELECT COUNT(*) FROM ln0 WHERE doc_id % 10 >= 8
+        |    AND k NOT IN (SELECT k FROM exscr)) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM ln0 WHERE doc_id % 10 >= 8
+        |    AND k NOT IN (SELECT k FROM mgscr)) AS BIGINT),
+        |  CAST((SELECT COALESCE(SUM(len(k)), 0) FROM ln0
+        |    WHERE doc_id % 10 >= 8
+        |    AND k NOT IN (SELECT k FROM exscr)) AS BIGINT),
+        |  CAST((SELECT COALESCE(SUM(len(k)), 0) FROM ln0
+        |    WHERE doc_id % 10 >= 8
+        |    AND k NOT IN (SELECT k FROM mgscr)) AS BIGINT)
+        |UNION ALL SELECT 'grouped_counts',
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT lang, k
+        |    FROM gl0 WHERE doc_id % 10 < 8)) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT lang, k
+        |    FROM gl0)) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM gl0 WHERE doc_id % 10 < 8)
+        |    AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM gl0) AS BIGINT)
+        |UNION ALL SELECT 'ivfpq_codes',
+        |  CAST(4 * (SELECT COUNT(*) FROM embeddings
+        |    WHERE vec_id % 10 < 8) AS BIGINT),
+        |  CAST(4 * (SELECT COUNT(*) FROM embeddings) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM embeddings
+        |    WHERE vec_id % 10 < 8) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT)
+        |UNION ALL SELECT 'kn_lm',
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, u.w1,
+        |    u.w2 FROM bg WHERE doc_id % 10 < 8))
+        |    + (SELECT COUNT(*) FROM tw WHERE doc_id % 10 < 8)
+        |    AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, u.w1,
+        |    u.w2 FROM bg)) + (SELECT COUNT(*) FROM tw) AS BIGINT),
+        |  CAST((SELECT COALESCE(SUM(CASE WHEN len(ws) >= 2
+        |    THEN len(ws) - 1 ELSE 0 END), 0) FROM tw
+        |    WHERE doc_id % 10 < 8) AS BIGINT),
+        |  CAST((SELECT COALESCE(SUM(CASE WHEN len(ws) >= 2
+        |    THEN len(ws) - 1 ELSE 0 END), 0) FROM tw) AS BIGINT)
+        |UNION ALL SELECT 'prefix_index',
+        |  CAST((SELECT COUNT(DISTINCT s) FROM sh
+        |    WHERE doc_id % 10 < 8) AS BIGINT),
+        |  CAST((SELECT COUNT(DISTINCT s) FROM sh) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM sh WHERE doc_id % 10 < 8)
+        |    AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM sh) AS BIGINT)
         |) ORDER BY artifact""".stripMargin,
     // the d47 replay with the existing side restricted to the
     // survivors: retract-then-probe == an index built without them

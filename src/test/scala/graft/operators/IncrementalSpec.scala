@@ -209,4 +209,75 @@ class IncrementalSpec extends SparkSpec {
       "doc_id", "text", k = 3, theta = 0.3)
     assert(pairs(refreshed) == pairs(full) && pairs(full).nonEmpty)
   }
+
+  private def storeDocs = Seq(
+    (1L, "alpha beta beta gamma"), (2L, "beta beta"),
+    (3L, "gamma delta alpha"), (4L, ""), (5L, "alpha alpha"))
+    .toDF("doc_id", "text")
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("snapshot store: init + commit + load is row-for-row the " +
+    "in-memory merge, and a duplicate batch id refuses") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tfstore").toString + "/s"
+    val a = Search.tfSnapshot(storeDocs.filter(col("doc_id") <= 2),
+      "doc_id", "text")
+    val b = Search.tfSnapshot(storeDocs.filter(col("doc_id") > 2),
+      "doc_id", "text")
+    Incremental.initSnapshotStore(a, dir)
+    Incremental.commitSnapshotBatch(b, dir, batch = 1L)
+    val loaded = Incremental.loadSnapshotStore(spark, dir)
+    assert(rowSet(loaded) == rowSet(Search.mergeTfSnapshots(Seq(a, b))))
+    Search.validateTfSnapshot(loaded)
+    // batch 1 is landed: re-committing it would duplicate markers
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.commitSnapshotBatch(b, dir, batch = 1L)
+    }
+    assert(ex.getMessage.contains("already committed"))
+    // a fresh batch id still lands
+    Incremental.commitSnapshotBatch(
+      Search.tfSnapshot(Seq((9L, "zeta zeta")).toDF("doc_id", "text"),
+        "doc_id", "text"), dir, batch = 2L)
+    // one tf cell (zeta, tf=2) plus the zero-token marker
+    assert(Incremental.loadSnapshotStore(spark, dir)
+      .filter(col("doc_id") === 9L).count() == 2)
+  }
+
+  test("snapshot store: file-level retraction == retractDocs, only " +
+    "touched partitions rewrite, vacuous and emptying cases guarded") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knstore").toString + "/s"
+    val a = TextAnalysis.knSnapshot(
+      storeDocs.filter(col("doc_id") <= 2), "doc_id", "text")
+    val b = TextAnalysis.knSnapshot(
+      storeDocs.filter(col("doc_id") > 2), "doc_id", "text")
+    Incremental.initSnapshotStore(a, dir)
+    Incremental.commitSnapshotBatch(b, dir, batch = 1L)
+    def files(batch: Long) = new java.io.File(s"$dir/batch=$batch")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val batch0Before = files(0L)
+    // doc 3 lives in batch 1 only: batch 0's files must not move
+    Incremental.retractFromSnapshotStore(spark, dir,
+      Seq(3L, 99L).toDF("doc_id"))
+    assert(files(0L) == batch0Before)
+    val loaded = Incremental.loadSnapshotStore(spark, dir)
+    assert(rowSet(loaded) == rowSet(Incremental.retractDocs(
+      TextAnalysis.mergeKnSnapshots(Seq(a, b)),
+      Seq(3L).toDF("doc_id"))))
+    TextAnalysis.validateKnSnapshot(loaded)
+    // absent ids retract vacuously (no touched partitions, no write)
+    Incremental.retractFromSnapshotStore(spark, dir,
+      Seq(777L).toDF("doc_id"))
+    assert(rowSet(Incremental.loadSnapshotStore(spark, dir))
+      == rowSet(loaded))
+    // retracting EVERY doc of batch 1 would empty its directory:
+    // dynamic overwrite cannot delete it, so the store refuses
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.retractFromSnapshotStore(spark, dir,
+        Seq(4L, 5L).toDF("doc_id"))
+    }
+    assert(ex.getMessage.contains("would empty"))
+  }
 }
