@@ -329,17 +329,27 @@ object Dedup {
     Incremental.subtractRollups(total, removed, Seq("grp", "key"),
       Seq("cnt"))
 
+  /** Shared body of the count-table validators: bad rows counted in
+    * one skinny aggregation (the validateTfSnapshot discipline).
+    * NULLs count as bad — `when(cond)` alone would evaluate to null
+    * on a null operand and silently fall to the clean branch, which
+    * is exactly the externally-assembled-state hole the validators
+    * exist to close. */
+  private def countBadRows(df: DataFrame, c: Column,
+                           bad: Column): Long =
+    df.agg(coalesce(
+      sum(when(bad || c.isNull, 1L).otherwise(0L)), lit(0L))).head
+      .getLong(0)
+
   /** Assert a (subtracted) line-count table is well-formed: no
-    * negative counts — the loud detector for the
+    * negative (or null) counts — the loud detector for the
     * [[subtractLineCounts]] caller contract (the retracted batch
     * must be a sub-multiset of what the table counted; retracting
     * twice, or retracting a batch that was never merged in, drives
     * counts negative). One skinny aggregation, the
     * validateTfSnapshot discipline. */
   def validateLineCounts(counts: DataFrame): Unit = {
-    val bad = counts.agg(coalesce(
-      sum(when(col("cnt") < 0L, 1L).otherwise(0L)), lit(0L))).head
-      .getLong(0)
+    val bad = countBadRows(counts, col("cnt"), col("cnt") < 0L)
     require(bad == 0L,
       s"line-count table corrupt: $bad negative counts - a batch " +
         "was retracted twice or was never merged in")
@@ -772,13 +782,11 @@ object Dedup {
     * — the validateLineCounts discipline on the shingle axis). One
     * skinny aggregation over the config-shaped df table. */
   def validatePrefixCrossIndex(idx: PrefixCrossIndex): Unit = {
-    val bad = idx.dfreq.agg(coalesce(
-      sum(when(col("df") <= 0L, 1L).otherwise(0L)), lit(0L))).head
-      .getLong(0)
+    val bad = countBadRows(idx.dfreq, col("df"), col("df") <= 0L)
     require(bad == 0L,
-      s"prefix-cross index corrupt: $bad non-positive dfs - df " +
-        "state was subtracted twice or assembled from overlapping " +
-        "partials")
+      s"prefix-cross index corrupt: $bad non-positive (or null) dfs " +
+        "- df state was subtracted twice or assembled from " +
+        "overlapping partials")
   }
 
   def prefixCrossJaccard(incoming: DataFrame, existing: DataFrame,

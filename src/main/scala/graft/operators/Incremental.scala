@@ -145,6 +145,15 @@ object Incremental {
     * (directory listing, no data scan). */
   def commitSnapshotBatch(snap: DataFrame, dir: String,
                           batch: Long): Unit = {
+    // an empty partial would write NO partition directory: the batch
+    // id would silently never land, the duplicate-id refusal below
+    // could never fire for it, and the store's per-crawl provenance
+    // would silently lose the era — refuse loudly, mirroring
+    // initSnapshotStore's empty guard
+    require(!snap.isEmpty,
+      s"refusing to commit an empty snapshot partial as batch " +
+        s"$batch of $dir - it would write no partition and the " +
+        "batch id would silently never land")
     val spark = snap.sparkSession
     val landed = readStore(spark, dir).select("batch").distinct()
       .collect().map(_.getLong(0)).toSet
@@ -164,10 +173,15 @@ object Incremental {
     readStore(spark, dir).drop("batch")
 
   /** Retract documents from a store at the FILE level — [[retractDocs]]
-    * with the rewrite scoped to the batch partitions that actually
-    * hold the retracted ids: untouched batch directories are not
-    * read, not rewritten (dynamic partition overwrite, the
-    * [[graft.operators.Quantization.ivfPqRemoveBatch]] pattern). The
+    * with the REWRITE scoped to the batch partitions that actually
+    * hold the retracted ids (dynamic partition overwrite, the
+    * [[graft.operators.Quantization.ivfPqRemoveBatch]] pattern).
+    * Scope honestly stated: discovering WHICH batches are touched
+    * reads the id column of every partition (one skinny column
+    * scan); only the rewrite — the expensive part, full rows — is
+    * partition-scoped. A store maintaining an id→batch manifest
+    * could scope the discovery too; that refinement is deliberately
+    * out of scope here. The
     * survivors materialize BEFORE the overwrite (the rewrite reads
     * the directories it replaces), and a retraction that would EMPTY
     * a batch directory is refused — dynamic overwrite cannot delete

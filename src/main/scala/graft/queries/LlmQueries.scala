@@ -1355,27 +1355,48 @@ object LlmQueries {
       graft.operators.Incremental.commitSnapshotBatch(
         Search.tfSnapshot(docs.filter(col("doc_id") % 2 =!= 0),
           "doc_id", "text"), dir, 1L)
-      val full = graft.operators.Incremental.loadSnapshotStore(s, dir)
-      Search.validateTfSnapshot(full)
-      // materialize=true: the committed-phase result is checkpointed
-      // EAGERLY before the retraction below rewrites the partition
-      // directories its plan scanned
-      val committed = Search.bm25TopKIndexed(full, bm25QueryBatch(docs),
-          "qid", "qtext", k = 5)
-        .select(lit("committed").as("phase"), col("qid"), col("rank"),
-          col("doc_id"), col("score_micros"))
-      graft.operators.Incremental.retractFromSnapshotStore(s, dir,
-        docs.filter(col("doc_id") % 10 === 3).select("doc_id"))
-      val after = graft.operators.Incremental.loadSnapshotStore(s, dir)
-      Search.validateTfSnapshot(after)
-      val retracted = Search.bm25TopKIndexed(after,
-          docs.filter(col("doc_id") % 16 === 3)
-            .select(col("doc_id").as("qid"),
-              bm25Qtext(col("text")).as("qtext")),
-          "qid", "qtext", k = 5)
-        .select(lit("retracted").as("phase"), col("qid"), col("rank"),
-          col("doc_id"), col("score_micros"))
-      committed.unionByName(retracted).orderBy("phase", "qid", "rank")
+      // each loaded snapshot pins ONCE before serving (the
+      // inc_bm25_refresh caller discipline, blessed by the
+      // tfSnapshot scaladoc): perPostFrom derives postings, dl, df
+      // and the corpus scalars from the snapshot in separate
+      // subplans, and an unpinned store scan would re-read the
+      // parquet for each; both serve results are themselves
+      // checkpointed (materialize=true), so the pins free on exit
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def ck(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(true); cps += c; c
+      }
+      try {
+        val full = ck(graft.operators.Incremental
+          .loadSnapshotStore(s, dir))
+        Search.validateTfSnapshot(full)
+        // materialize=false: both phases stay lazy plans over their
+        // PINNED snapshots (checkpoint blocks survive the store
+        // rewrite below), and the one eager checkpoint on the final
+        // union — inside the try — materializes everything before
+        // the finally frees the pins; a per-phase output checkpoint
+        // would just leak two blocks past the return
+        val committed = Search.bm25TopKIndexed(full,
+            bm25QueryBatch(docs), "qid", "qtext", k = 5,
+            materialize = false)
+          .select(lit("committed").as("phase"), col("qid"),
+            col("rank"), col("doc_id"), col("score_micros"))
+        graft.operators.Incremental.retractFromSnapshotStore(s, dir,
+          docs.filter(col("doc_id") % 10 === 3).select("doc_id"))
+        val after = ck(graft.operators.Incremental
+          .loadSnapshotStore(s, dir))
+        Search.validateTfSnapshot(after)
+        val retracted = Search.bm25TopKIndexed(after,
+            docs.filter(col("doc_id") % 16 === 3)
+              .select(col("doc_id").as("qid"),
+                bm25Qtext(col("text")).as("qtext")),
+            "qid", "qtext", k = 5, materialize = false)
+          .select(lit("retracted").as("phase"), col("qid"),
+            col("rank"), col("doc_id"), col("score_micros"))
+        committed.unionByName(retracted).orderBy("phase", "qid", "rank")
+          .localCheckpoint(true)
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
     }),
 
     // DURABLE STORE for the KN bigram LM — the same batch-partitioned
@@ -1751,26 +1772,17 @@ object LlmQueries {
     "d89_takedown_sweep" -> ((s, d) => {
       val docs = T.documents(s, d)
       val emb = T.embeddings(s, d)
-      // ONE definition of the quarantined slice - every artifact's
-      // retraction and the audit derive from it, so the sets cannot
-      // drift per-artifact
+      // ONE definition of the quarantined source - the doc and
+      // vector slices are declared TOGETHER from one modulus so the
+      // per-artifact retractions (and the audit) cannot drift
       val quarantined = docs.filter(col("doc_id") % 13 === 7)
+      val quarantinedVecs = emb.filter(col("vec_id") % 13 === 7)
       val docIds = quarantined.select("doc_id")
       val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
       def ck(df: DataFrame): DataFrame = {
         val c = df.localCheckpoint(true); cps += c; c
       }
       try {
-        def audit(name: String, before: DataFrame, after: DataFrame,
-                  massAgg: Column): DataFrame = {
-          def one(df: DataFrame, suf: String) =
-            df.agg(count(lit(1)).as("rows_" + suf),
-              massAgg.cast("long").as("mass_" + suf))
-          one(before, "before").crossJoin(one(after, "after"))
-            .select(lit(name).as("artifact"),
-              col("rows_before"), col("rows_after"),
-              col("mass_before"), col("mass_after"))
-        }
         // after-states checkpoint too: the validator pass and the
         // audit aggregation read the SAME materialization instead of
         // re-running each retraction twice
@@ -1804,8 +1816,7 @@ object LlmQueries {
         val codesBefore = ck(s.read.parquet(dir + "/codes")
           .select("nid"))
         Quantization.ivfPqRemoveBatch(
-          emb.filter(col("vec_id") % 13 === 7).select("vec_id"),
-          "vec_id", dir)
+          quarantinedVecs.select("vec_id"), "vec_id", dir)
         Quantization.validateIvfPqCodes(s, dir)
         val codesAfter = s.read.parquet(dir + "/codes").select("nid")
         Seq(
@@ -1863,16 +1874,6 @@ object LlmQueries {
         val c = df.localCheckpoint(true); cps += c; c
       }
       try {
-        def audit(name: String, before: DataFrame, after: DataFrame,
-                  massAgg: Column): DataFrame = {
-          def one(df: DataFrame, suf: String) =
-            df.agg(count(lit(1)).as("rows_" + suf),
-              massAgg.cast("long").as("mass_" + suf))
-          one(before, "before").crossJoin(one(after, "after"))
-            .select(lit(name).as("artifact"),
-              col("rows_before"), col("rows_after"),
-              col("mass_before"), col("mass_after"))
-        }
         val tfA = ck(Search.tfSnapshot(existing, "doc_id", "text"))
         val tfM = ck(Search.mergeTfSnapshots(Seq(tfA,
           Search.tfSnapshot(delta, "doc_id", "text"))))
@@ -2149,6 +2150,22 @@ object LlmQueries {
     * across re-invocations), run 1 = the curated survivors — one
     * query both curates and records the before/after health signal
     * a data lead watches ([[healthRunsDelta]] reads it back). */
+  /** One audit row shared by the two sweep flagships (d89 takedown /
+    * d90 crawl-commit — explicit mirrors with ONE row schema, so a
+    * schema change cannot drift between the add and remove sides):
+    * physical row count plus an artifact-mass aggregate, before and
+    * after, as one-row aggregates crossJoined onto each other. */
+  private def audit(name: String, before: DataFrame, after: DataFrame,
+                    massAgg: Column): DataFrame = {
+    def one(df: DataFrame, suf: String) =
+      df.agg(count(lit(1)).as("rows_" + suf),
+        massAgg.cast("long").as("mass_" + suf))
+    one(before, "before").crossJoin(one(after, "after"))
+      .select(lit(name).as("artifact"),
+        col("rows_before"), col("rows_after"),
+        col("mass_before"), col("mass_after"))
+  }
+
   private[queries] def curationDag(s: SparkSession, d: String,
       nearDup: Boolean,
       stageDir: Option[String] = None,

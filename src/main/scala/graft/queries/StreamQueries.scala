@@ -587,6 +587,82 @@ object StreamQueries {
         .orderBy("qid", "rank")
     }),
 
+    // The DURABLE tf store fed by the stream — inc_bm25_store's
+    // streaming shape, st_inc_bm25 with the in-memory merge replaced
+    // by the batch-partitioned parquet layout: crawl era A
+    // INITIALIZES the store before the first AvailableNow run's
+    // probes serve from the LOADED index, era B's partial
+    // file-commits as its own partition directory between runs, and
+    // era B's probes serve from the reloaded merged store. What
+    // serves is only ever what is ON DISK (a restart between crawls
+    // loses nothing), the validator certifies each loaded state, and
+    // the result must hash-match the st_inc_bm25 oracle VERBATIM —
+    // the disk round-trip is result-invisible under micro-batch
+    // splits too.
+    "st_inc_bm25_store" -> ((s, d) => {
+      val S = graft.operators.Search
+      val I = graft.operators.Incremental
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def reg(df: DataFrame): DataFrame = { cps += df; df }
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"st_tfstore_${LlmQueries.pathDigest(d)}"
+      // the store mutations run UNCONDITIONALLY, outside the lazy
+      // serve state (the ivfPqLifecycleTwin discipline): the streams
+      // MEMOIZE, so a retried invocation may skip run1 entirely — a
+      // commit hidden inside run2's lazy initializer against a store
+      // that a failed attempt already committed to would then refuse
+      // ('batch 1 already committed') forever in this JVM. Init
+      // resets the layout first, so the commit below always lands
+      // fresh and the query stays idempotent.
+      I.initSnapshotStore(S.tfSnapshot(
+        T.documents(s, d).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text"), dir)
+      // each era's loaded store pins ONCE (the st_inc_bm25 snapshot-
+      // checkpoint discipline): every micro-batch's serve derives
+      // postings/dl/df/scalars from the snapshot, and an unpinned
+      // load would re-read the store parquet for each subplan of
+      // each micro-batch
+      lazy val tfA = {
+        val t = reg(I.loadSnapshotStore(s, dir).localCheckpoint(true))
+        S.validateTfSnapshot(t)
+        t
+      }
+      lazy val tfAB = {
+        val t = reg(I.loadSnapshotStore(s, dir).localCheckpoint(true))
+        S.validateTfSnapshot(t)
+        t
+      }
+      // materialize = false, as in st_inc_bm25: the sink write
+      // consumes each micro-batch's result once
+      def serve(tf: => DataFrame, era: Int)(batch: DataFrame) =
+        S.bm25TopKIndexed(tf,
+          batch.filter(col("doc_id") % 80 === era * 40)
+            .select(col("doc_id").as("qid"),
+              LlmQueries.bm25Qtext(col("text")).as("qtext")),
+          "qid", "qtext", k = 5, materialize = false)
+      try {
+        val run1 = materializedStream(s, d, "incbm25storeA",
+          "documents.parquet", transform = serve(tfA, 0)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        // era B's partial file-commits BETWEEN the runs, also
+        // unconditionally — after run1's serves (tfA is forced, or
+        // run1 was memoized and never reads the store again)
+        I.commitSnapshotBatch(S.tfSnapshot(
+          T.documents(s, d).filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text"), dir, 1L)
+        val run2 = materializedStream(s, d, "incbm25storeB",
+          "documents.parquet", transform = serve(tfAB, 1)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        s.read.parquet(run1).unionByName(s.read.parquet(run2))
+          .orderBy("qid", "rank")
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+    }),
+
     // The health run store fed by the stream — rp_health_runs in its
     // streaming shape: the pre-crawl corpus lands via the first
     // AvailableNow run and its aggregate-only capture is APPENDED to
@@ -679,6 +755,62 @@ object StreamQueries {
         cps.foreach(
           org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
       }
+    }),
+
+    // The DURABLE KN store fed by the stream — inc_kn_store's
+    // streaming shape, st_inc_kn with the in-memory snapshots
+    // replaced by the batch-partitioned layout: era A initializes
+    // the store and its probes score under the LOADED even-half LM,
+    // era B's partial file-commits between runs and its probes score
+    // under the reloaded merged LM. Validators certify each loaded
+    // state; must hash-match the st_inc_kn oracle VERBATIM.
+    "st_inc_kn_store" -> ((s, d) => {
+      val TA = graft.operators.TextAnalysis
+      val I = graft.operators.Incremental
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def reg(df: DataFrame): DataFrame = { cps += df; df }
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"st_knstore_${LlmQueries.pathDigest(d)}"
+      // store mutations run UNCONDITIONALLY outside the lazy serve
+      // state (the ivfPqLifecycleTwin discipline, as in
+      // st_inc_bm25_store): memoized streams may skip a run on
+      // retry, and a commit hidden in a lazy initializer would then
+      // refuse against the leftover store forever in this JVM
+      I.initSnapshotStore(TA.knSnapshot(
+        T.documents(s, d).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text"), dir)
+      lazy val scoresA = {
+        val t = I.loadSnapshotStore(s, dir)
+        TA.validateKnSnapshot(t)
+        reg(TA.knScoreFromSnapshot(t))
+      }
+      lazy val scoresAB = {
+        val t = I.loadSnapshotStore(s, dir)
+        TA.validateKnSnapshot(t)
+        reg(TA.knScoreFromSnapshot(t))
+      }
+      def serve(scores: => DataFrame, era: Int)(batch: DataFrame) =
+        batch.filter(col("doc_id") % 16 === era * 5)
+          .select("doc_id")
+          .join(scores, Seq("doc_id"))
+      try {
+        val run1 = materializedStream(s, d, "incknstoreA",
+          "documents.parquet", transform = serve(scoresA, 0)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        I.commitSnapshotBatch(TA.knSnapshot(
+          T.documents(s, d).filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text"), dir, 1L)
+        val run2 = materializedStream(s, d, "incknstoreB",
+          "documents.parquet", transform = serve(scoresAB, 1)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        s.read.parquet(run1).unionByName(s.read.parquet(run2))
+          .orderBy("doc_id")
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
     }),
 
     // The PER-SITE boilerplate screen refreshed between catch-up runs
@@ -1278,6 +1410,22 @@ object StreamQueries {
         ")\nUNION ALL\nSELECT * FROM (" +
         LlmQueries.bm25SqlEra("TRUE", "doc_id % 80 = 40") +
         ")\nORDER BY qid, rank"),
+    // the st_inc_bm25 replay VERBATIM: serving from the durable
+    // store must be result-invisible relative to the in-memory merge
+    "st_inc_bm25_store" ->
+      ("SELECT * FROM (" +
+        LlmQueries.bm25SqlEra("doc_id % 2 = 0", "doc_id % 80 = 0") +
+        ")\nUNION ALL\nSELECT * FROM (" +
+        LlmQueries.bm25SqlEra("TRUE", "doc_id % 80 = 40") +
+        ")\nORDER BY qid, rank"),
+    // the st_inc_kn replay VERBATIM, for the same store-invisibility
+    // claim on the LM side
+    "st_inc_kn_store" ->
+      ("SELECT * FROM (" +
+        LlmQueries.knLmSqlEra("doc_id % 2 = 0", "doc_id % 16 = 0") +
+        ")\nUNION ALL\nSELECT * FROM (" +
+        LlmQueries.knLmSqlEra("TRUE", "doc_id % 16 = 5") +
+        ")\nORDER BY doc_id"),
     // the stream lands the same two crawls the batch query snapshots,
     // so the stored-runs delta is the SAME replay verbatim
     "st_health_runs" -> LlmQueries.HealthRunsSql,
