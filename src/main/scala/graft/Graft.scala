@@ -925,6 +925,30 @@ object Graft {
     graft.operators.Incremental.retractFromSnapshotStore(spark, dir,
       removeIds, idCol)
 
+  /** Fold an append-only ROLLUP store (sum-mergeable partials as
+    * batch partitions; [[initSnapshotStore]]/[[commitSnapshotBatch]]
+    * write it) to its current table — tombstones cancel key-wise,
+    * zero rows drop, negatives survive for [[validateLineCounts]]. */
+  def loadRollupStore(spark: SparkSession, dir: String,
+                      keys: Seq[String], sums: Seq[String]): DataFrame =
+    graft.operators.Incremental.loadRollupStore(spark, dir, keys, sums)
+
+  /** Retract a slice from a rollup store by APPENDING its partial
+    * negated — nothing landed is rewritten; the write path never
+    * contends with readers. */
+  def retractFromRollupStore(removedPartial: DataFrame, dir: String,
+                             keys: Seq[String], sums: Seq[String],
+                             batch: Long): Unit =
+    graft.operators.Incremental.retractFromRollupStore(removedPartial,
+      dir, keys, sums, batch)
+
+  /** Fold a rollup store's partials into a single batch-0 layout —
+    * bounds partition count on a long-lived store; reader-invisible. */
+  def compactRollupStore(spark: SparkSession, dir: String,
+                         keys: Seq[String], sums: Seq[String]): Unit =
+    graft.operators.Incremental.compactRollupStore(spark, dir, keys,
+      sums)
+
   /** Register graft's SQL functions (`uuid5`, `title_case`) and the
     * codec-collapse optimizer rule on a session. */
   def install(spark: SparkSession): Unit = {

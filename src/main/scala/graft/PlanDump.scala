@@ -411,6 +411,42 @@ object PlanDump {
         "8-byte line hashes. Together with d89 the maintained-" +
         "corpus lifecycle closes at the composed level in both " +
         "directions."),
+    "inc_bm25_store" ->
+      ("The BM25 index made restart-durable: the tf snapshot lands " +
+        "as a batch-partitioned parquet layout (dir/batch=N — each " +
+        "crawl era its own partition directory, landed data never " +
+        "rewritten), reloads with NO state to rebuild (df/dl/idf " +
+        "derive downstream in the shared scorer), and retracts at " +
+        "the FILE level: only partitions holding retracted ids " +
+        "rewrite via dynamic partition overwrite (the " +
+        "ivfPqRemoveBatch pattern), with an empty-partition refusal " +
+        "and a survivors-first materialization barrier. Both phases " +
+        "are hash-gated against the existing replays VERBATIM - the " +
+        "disk round-trip must be result-invisible. Each loaded " +
+        "snapshot pins ONCE before serving (measured: the unpinned " +
+        "cut re-read the store parquet per perPostFrom subplan, " +
+        "12.4 -> 9.5 s at sf0.1). At 100 TB: commits are pure " +
+        "appends (no reader contention), the batch column keeps " +
+        "per-crawl provenance, retraction reads every partition's " +
+        "id column once (skinny) but rewrites only touched ones."),
+    "inc_boiler_store" ->
+      ("The append-only ROLLUP store - the third storage " +
+        "discipline, completing the taxonomy (fact stores rewrite " +
+        "touched partitions, the IVF-PQ layout rewrites touched " +
+        "cells, a rollup store rewrites NOTHING): count partials " +
+        "append as batch partitions, a takedown appends the " +
+        "quarantined slice's partial NEGATED (sums form a group - " +
+        "tombstones cancel key-wise at read time), the load is one " +
+        "key-wise fold, and compaction folds the partials back to " +
+        "one batch when partial count starts to dominate planning. " +
+        "Three phases hash-gated: committed == the planted d64 " +
+        "replay, retracted AND compacted == the inc_boiler_remove " +
+        "replay verbatim twice (append-only retraction == the " +
+        "subtraction == a fresh count; compaction reader-" +
+        "invisible). At 100 TB this is the shape for high-commit-" +
+        "rate rollups: writers never contend with readers, the " +
+        "read-side fold is one shuffle over skinny 16-byte rows, " +
+        "and the compaction cadence bounds partial count."),
     "inc_ivfpq_remove" ->
       ("FAISS-style remove_ids for the persisted layout — the " +
         "RETRACTION path (takedowns, right-to-be-forgotten) closing " +

@@ -210,4 +210,73 @@ object Incremental {
         .partitionBy("batch").mode("overwrite").parquet(dir)
     } finally Shims.unpersistLocalCheckpoint(survivors)
   }
+
+  // ------------------------------------------------------------------
+  // Append-only ROLLUP store: sum-mergeable rollups (line-count
+  // tables, df tables — [[mergeRollups]] state) persisted as batch
+  // partitions of PARTIALS, merged on read. This is the THIRD storage
+  // discipline alongside the per-doc fact store above (which rewrites
+  // touched partitions on retraction) and the IVF-PQ layout (which
+  // rewrites touched cells): here NOTHING is ever rewritten — a
+  // commit appends a partial, and a RETRACTION appends the retracted
+  // slice's partial NEGATED (sums form a group, so tombstone rows
+  // cancel exactly; [[subtractRollups]] expressed as an append). The
+  // write path therefore never contends with readers, the natural
+  // fit when commit availability matters more than read cost; the
+  // read pays one key-wise fold over all partials, and
+  // [[compactRollupStore]] folds the partitions back to a single
+  // batch-0 layout when partial count starts to dominate planning.
+  // Choose the FACT store when rows must carry per-doc provenance;
+  // choose this when the state is a sum.
+  // ------------------------------------------------------------------
+
+  /** Fold a rollup store to its current table: key-wise sum over
+    * every committed partial (tombstones cancel), rows whose every
+    * sum is zero drop — exactly the table [[mergeRollups]] /
+    * [[subtractRollups]] over the same partials would build, which
+    * is the inc_boiler_store oracle's claim. Negative sums (a slice
+    * retracted twice, or one never committed) survive the fold for
+    * the caller's validator, as in [[subtractRollups]]. */
+  def loadRollupStore(spark: SparkSession, dir: String,
+                      keys: Seq[String],
+                      sums: Seq[String]): DataFrame = {
+    require(sums.nonEmpty, "need at least one sum column")
+    readStore(spark, dir).drop("batch")
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(sums.head)).as(sums.head),
+        sums.tail.map(c => sum(col(c)).as(c)): _*)
+      .filter(sums.map(c => col(c) =!= 0L).reduce(_ || _))
+  }
+
+  /** Retract a slice from a rollup store WITHOUT rewriting anything:
+    * append the slice's partial with every sum NEGATED — tombstone
+    * rows that cancel key-wise at [[loadRollupStore]] time. The
+    * caller contract is [[subtractRollups]]'s (the slice must be a
+    * sub-multiset of what the store counted; violating it drives
+    * merged sums negative for the validator to catch), plus the
+    * store's own fresh-batch-id rule. */
+  def retractFromRollupStore(removedPartial: DataFrame, dir: String,
+                             keys: Seq[String], sums: Seq[String],
+                             batch: Long): Unit = {
+    require(sums.nonEmpty, "need at least one sum column")
+    commitSnapshotBatch(
+      removedPartial.select(keys.map(col) ++
+        sums.map(c => (-col(c)).as(c)): _*),
+      dir, batch)
+  }
+
+  /** Fold all partials into a single batch-0 layout — bounds the
+    * partition count a long-lived store accumulates (reads stay
+    * one-fold cheap; planning stops paying per-partial listing).
+    * The fold materializes BEFORE the overwrite (the rewrite reads
+    * the directories it replaces); a store whose partials have
+    * fully cancelled folds to zero rows and the init refuses —
+    * rebuild from source when everything is retracted. */
+  def compactRollupStore(spark: SparkSession, dir: String,
+                         keys: Seq[String], sums: Seq[String]): Unit = {
+    val merged = loadRollupStore(spark, dir, keys, sums)
+      .localCheckpoint(true)
+    try initSnapshotStore(merged, dir)
+    finally Shims.unpersistLocalCheckpoint(merged)
+  }
 }

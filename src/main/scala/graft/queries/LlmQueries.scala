@@ -830,6 +830,80 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // APPEND-ONLY ROLLUP STORE for the boilerplate screen — the
+    // THIRD storage discipline, completing the taxonomy: per-doc
+    // fact stores rewrite touched partitions on retraction
+    // (inc_bm25_store), the IVF-PQ layout rewrites touched cells,
+    // and a ROLLUP store never rewrites ANYTHING — commits append
+    // count partials as batch partitions, a takedown appends the
+    // quarantined slice's partial NEGATED (sums form a group:
+    // tombstone rows cancel key-wise at read time), the load is one
+    // key-wise fold, and compaction folds the partials back to a
+    // single batch. Three phases screen the SAME incoming docs
+    // (the inc_boiler_remove fixture): 'committed' — two era
+    // partials folded == one full count (the banner still screens);
+    // 'retracted' — tombstones landed == the subtraction == a fresh
+    // count over survivors (the banner un-learns, the probes keep
+    // it); 'compacted' — the fold-to-one-batch changes nothing a
+    // reader can see (same replay, verbatim, twice).
+    "inc_boiler_store" -> ((s, d) => {
+      val boiler = "subscribe to our newsletter for updates today"
+      val banner =
+        "temporary campaign banner from the quarantined source"
+      val plant = col("doc_id") % 7 === 1 || col("doc_id") === 2 ||
+        col("doc_id") === 9 || col("doc_id") % 10 === 0
+      val src = T.documents(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit("\n" + boiler)))
+            .otherwise(col("text")),
+          when(plant, lit("\n" + banner)).otherwise(lit("")))
+          .as("text"))
+      val existing = src.filter(col("doc_id") % 5 =!= 0)
+      val incoming = src.filter(col("doc_id") % 5 === 0)
+      val I = graft.operators.Incremental
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"boilstore_${pathDigest(d)}"
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      try {
+        // two crawl eras commit their count partials
+        I.initSnapshotStore(Dedup.lineCountPartial(
+          existing.filter(col("doc_id") % 2 === 0), "text"), dir)
+        I.commitSnapshotBatch(Dedup.lineCountPartial(
+          existing.filter(col("doc_id") % 2 =!= 0), "text"), dir, 1L)
+        // each phase folds the store, validates the MERGED table
+        // (tombstone partials legitimately hold negative rows; the
+        // fold must not), screens, and checkpoints EAGERLY — the
+        // next phase mutates the store this plan read
+        def screen(phase: String): DataFrame = {
+          val counts = I.loadRollupStore(s, dir, Seq("key"),
+            Seq("cnt"))
+          Dedup.validateLineCounts(counts)
+          val out = Dedup.lineDedupAgainst(incoming,
+              Dedup.boilerplateFromCounts(counts, minCount = 3),
+              "doc_id", "text")
+            .select(lit(phase).as("phase"), col("doc_id"),
+              col("text"), col("n_removed"))
+            .localCheckpoint(true)
+          cps += out
+          out
+        }
+        val committed = screen("committed")
+        // the takedown lands as an APPEND: the quarantined slice's
+        // partial, negated — no landed partition is touched
+        I.retractFromRollupStore(Dedup.lineCountPartial(
+            existing.filter(col("doc_id") % 7 === 1), "text"),
+          dir, Seq("key"), Seq("cnt"), batch = 2L)
+        val retracted = screen("retracted")
+        I.compactRollupStore(s, dir, Seq("key"), Seq("cnt"))
+        val compacted = screen("compacted")
+        committed.unionByName(retracted).unionByName(compacted)
+          .orderBy("phase", "doc_id")
+          .localCheckpoint(true)
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+    }),
+
     // The PER-SITE boilerplate screen maintained incrementally — the
     // production shape of d74: per-group templates arrive batch by
     // batch, three era partials keyed by (group, line) merge into the
@@ -3239,6 +3313,24 @@ object LlmQueries {
       |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** [[D64CrossLineSql]] with the quarantined-banner plant mirrored
+    * — the committed-state replay shared by the inc_boiler_remove
+    * surgery below and the inc_boiler_store phase oracles. */
+  private val D64BannerSql: String = replaceOnce(D64CrossLineSql,
+    "ELSE text END AS text FROM documents),",
+    "ELSE text END || CASE WHEN doc_id % 7 = 1 OR doc_id = 2 " +
+      "OR doc_id = 9 OR doc_id % 10 = 0 THEN chr(10) || " +
+      "'temporary campaign banner from the quarantined source' " +
+      "ELSE '' END AS text FROM documents),")
+
+  /** [[D64BannerSql]] with the ex CTE (the screen's count source)
+    * restricted to the surviving corpus: the retracted-state replay
+    * shared by inc_boiler_remove and the inc_boiler_store
+    * retracted/compacted phases. */
+  private val BoilerRemoveSql: String = replaceOnce(D64BannerSql,
+    "WHERE doc_id % 5 <> 0)",
+    "WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 1)")
+
   /** d37 / inc_gram_refresh shared oracle: incoming (%5 = 0)
     * positional 8-grams against the existing side's DISTINCT gram
     * set, interval-merged to spans. */
@@ -4886,14 +4978,21 @@ object LlmQueries {
     // the d64 replay with (1) the banner plant mirrored and (2) the
     // ex CTE restricted to the surviving corpus: subtracted counts
     // == a fresh count over the remainder is the claim
-    "inc_boiler_remove" -> replaceOnce(replaceOnce(D64CrossLineSql,
-      "ELSE text END AS text FROM documents),",
-      "ELSE text END || CASE WHEN doc_id % 7 = 1 OR doc_id = 2 " +
-        "OR doc_id = 9 OR doc_id % 10 = 0 THEN chr(10) || " +
-        "'temporary campaign banner from the quarantined source' " +
-        "ELSE '' END AS text FROM documents),"),
-      "WHERE doc_id % 5 <> 0)",
-      "WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 1)"),
+    "inc_boiler_remove" -> BoilerRemoveSql,
+    // the rollup-store lifecycle gated by the two replays it must be
+    // invisible against: committed phase = the banner-planted d64
+    // replay (two era partials folded on read == one full count),
+    // retracted AND compacted phases = the inc_boiler_remove replay
+    // VERBATIM, twice — an appended tombstone partial cancels
+    // exactly (append-only retraction == the subtraction == a fresh
+    // count), and folding the partials into one batch changes
+    // nothing a reader can see
+    "inc_boiler_store" ->
+      ("SELECT 'committed' AS phase, * FROM (\n" + D64BannerSql +
+        "\n) UNION ALL SELECT 'retracted' AS phase, * FROM (\n" +
+        BoilerRemoveSql +
+        "\n) UNION ALL SELECT 'compacted' AS phase, * FROM (\n" +
+        BoilerRemoveSql + "\n) ORDER BY phase, doc_id"),
     // the d74 (lang, line) count scope applied cross-corpus: existing
     // rows (%5 <> 0) build the per-lang screen, incoming rows probe
     // it — the full recompute the merged partials must equal

@@ -280,4 +280,50 @@ class IncrementalSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("would empty"))
   }
+
+  test("rollup store: fold == merge, tombstone retract == subtract, " +
+    "compaction is reader-invisible and collapses the partitions") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rollstore").toString + "/s"
+    val a = Dedup.lineCountPartial(
+      storeDocs.filter(col("doc_id") <= 2)
+        .select(regexp_replace(col("text"), " ", "\n").as("text")),
+      "text")
+    val b = Dedup.lineCountPartial(
+      storeDocs.filter(col("doc_id") > 2)
+        .select(regexp_replace(col("text"), " ", "\n").as("text")),
+      "text")
+    Incremental.initSnapshotStore(a, dir)
+    Incremental.commitSnapshotBatch(b, dir, batch = 1L)
+    def fold() = Incremental.loadRollupStore(spark, dir,
+      Seq("key"), Seq("cnt"))
+    assert(rowSet(fold())
+      == rowSet(Dedup.mergeLineCounts(Seq(a, b))))
+    // the takedown is an APPEND: tombstones cancel at read time,
+    // exactly the subtraction
+    Incremental.retractFromRollupStore(b, dir, Seq("key"),
+      Seq("cnt"), batch = 2L)
+    val afterRetract = rowSet(fold())
+    assert(afterRetract
+      == rowSet(Dedup.subtractLineCounts(
+        Dedup.mergeLineCounts(Seq(a, b)), b)))
+    Dedup.validateLineCounts(fold())
+    // compaction: same folded table, one batch partition left
+    Incremental.compactRollupStore(spark, dir, Seq("key"), Seq("cnt"))
+    assert(rowSet(fold()) == afterRetract)
+    val parts = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=0"))
+    // retract the remainder too: the store folds to zero rows and
+    // compaction refuses (the init empty guard) - rebuild from
+    // source when everything is gone
+    Incremental.retractFromRollupStore(a, dir, Seq("key"),
+      Seq("cnt"), batch = 1L)
+    assert(fold().isEmpty)
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.compactRollupStore(spark, dir, Seq("key"),
+        Seq("cnt"))
+    }
+    assert(ex.getMessage.contains("empty"))
+  }
 }
