@@ -73,7 +73,9 @@ object Incremental {
       .select(keys.map(col) ++ sums.map(c =>
         (coalesce(col(c), lit(0L))
           - coalesce(col(s"__graft_rm_$c"), lit(0L))).as(c)): _*)
-      .filter(sums.map(c => col(c) =!= 0L).reduce(_ || _))
+      // the coalesced arithmetic never yields null here; the shared
+      // predicate's null arm matters for loadRollupStore's poisoning
+      .filter(anyLiveSum(sums))
   }
 
   /** Merge mergeable partial rollups: union all partials and
@@ -123,17 +125,26 @@ object Incremental {
     spark.read.schema(sch).parquet(dir)
   }
 
-  /** Initialize (or RESET — static overwrite deletes the whole
-    * layout) a snapshot store with the first batch as partition 0.
-    * The snapshot must be nonempty: a zero-partition parquet layout
-    * is unreadable, the same refusal [[graft.operators.Quantization
-    * .ivfPqRemoveBatch]] makes for its layout. */
+  /** Initialize (or RESET) a snapshot store with the first batch as
+    * partition 0. The overwrite mode is PINNED static per-write:
+    * reset semantics must not depend on the session default (a
+    * session running dynamic overwrite globally — a common ETL
+    * config — would otherwise leave stale batch partitions behind
+    * the "reset", silently double-counting every later fold). The
+    * snapshot must be nonempty: a zero-partition parquet layout is
+    * unreadable, the same refusal [[graft.operators.Quantization
+    * .ivfPqRemoveBatch]] makes for its layout. The input pins once —
+    * the emptiness probe and the write share one materialization. */
   def initSnapshotStore(snap: DataFrame, dir: String): Unit = {
-    require(!snap.isEmpty,
-      s"refusing to init $dir from an empty snapshot - a " +
-        "zero-partition layout is unreadable")
-    snap.withColumn("batch", lit(0L))
-      .write.partitionBy("batch").mode("overwrite").parquet(dir)
+    val pinned = snap.localCheckpoint(true)
+    try {
+      require(!pinned.isEmpty,
+        s"refusing to init $dir from an empty snapshot - a " +
+          "zero-partition layout is unreadable")
+      pinned.withColumn("batch", lit(0L))
+        .write.option("partitionOverwriteMode", "static")
+        .partitionBy("batch").mode("overwrite").parquet(dir)
+    } finally Shims.unpersistLocalCheckpoint(pinned)
   }
 
   /** Append a crawl batch's snapshot partial as its own partition
@@ -145,23 +156,29 @@ object Incremental {
     * (directory listing, no data scan). */
   def commitSnapshotBatch(snap: DataFrame, dir: String,
                           batch: Long): Unit = {
-    // an empty partial would write NO partition directory: the batch
-    // id would silently never land, the duplicate-id refusal below
-    // could never fire for it, and the store's per-crawl provenance
-    // would silently lose the era — refuse loudly, mirroring
-    // initSnapshotStore's empty guard
-    require(!snap.isEmpty,
-      s"refusing to commit an empty snapshot partial as batch " +
-        s"$batch of $dir - it would write no partition and the " +
-        "batch id would silently never land")
-    val spark = snap.sparkSession
-    val landed = readStore(spark, dir).select("batch").distinct()
-      .collect().map(_.getLong(0)).toSet
-    require(!landed.contains(batch),
-      s"batch $batch already committed to $dir - re-committing " +
-        "would duplicate markers and counts")
-    snap.withColumn("batch", lit(batch))
-      .write.partitionBy("batch").mode("append").parquet(dir)
+    // pin once: the emptiness probe below and the write would
+    // otherwise each execute the full snapshot aggregation — at
+    // scale the snapshot build is the dominant commit cost
+    val pinned = snap.localCheckpoint(true)
+    try {
+      // an empty partial would write NO partition directory: the
+      // batch id would silently never land, the duplicate-id refusal
+      // below could never fire for it, and the store's per-crawl
+      // provenance would silently lose the era — refuse loudly,
+      // mirroring initSnapshotStore's empty guard
+      require(!pinned.isEmpty,
+        s"refusing to commit an empty snapshot partial as batch " +
+          s"$batch of $dir - it would write no partition and the " +
+          "batch id would silently never land")
+      val spark = pinned.sparkSession
+      val landed = readStore(spark, dir).select("batch").distinct()
+        .collect().map(_.getLong(0)).toSet
+      require(!landed.contains(batch),
+        s"batch $batch already committed to $dir - re-committing " +
+          "would duplicate markers and counts")
+      pinned.withColumn("batch", lit(batch))
+        .write.partitionBy("batch").mode("append").parquet(dir)
+    } finally Shims.unpersistLocalCheckpoint(pinned)
   }
 
   /** Load the full snapshot from a store — row-for-row the
@@ -230,53 +247,96 @@ object Incremental {
   // choose this when the state is a sum.
   // ------------------------------------------------------------------
 
+  /** Row-survives-the-fold predicate shared by [[subtractRollups]]
+    * and [[loadRollupStore]]: any sum nonzero — or NULL, which must
+    * ride through to the caller's validator rather than silently
+    * falling out of a `=!= 0` filter. */
+  private def anyLiveSum(sums: Seq[String]): Column =
+    sums.map(c => col(c).isNull || col(c) =!= 0L).reduce(_ || _)
+
   /** Fold a rollup store to its current table: key-wise sum over
     * every committed partial (tombstones cancel), rows whose every
     * sum is zero drop — exactly the table [[mergeRollups]] /
     * [[subtractRollups]] over the same partials would build, which
     * is the inc_boiler_store oracle's claim. Negative sums (a slice
     * retracted twice, or one never committed) survive the fold for
-    * the caller's validator, as in [[subtractRollups]]. */
+    * the caller's validator, as in [[subtractRollups]].
+    *
+    * NOT expressed through [[mergeRollups]], deliberately: a plain
+    * `sum()` IGNORES null cells, so a corrupt externally-landed
+    * partial would silently understate (or, fully-null, vanish into
+    * the zero filter) and the validators — hardened to count nulls
+    * as bad — could never see it. This fold POISONS instead: a key
+    * with any null cell folds to a null sum, survives the filter,
+    * and trips the caller's validator loudly. */
   def loadRollupStore(spark: SparkSession, dir: String,
                       keys: Seq[String],
                       sums: Seq[String]): DataFrame = {
     require(sums.nonEmpty, "need at least one sum column")
+    def poisonedSum(c: String): Column =
+      when(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)),
+        lit(0L)) > 0L, lit(null).cast(LongType))
+        .otherwise(sum(col(c))).as(c)
     readStore(spark, dir).drop("batch")
       .groupBy(keys.map(col): _*)
-      .agg(sum(col(sums.head)).as(sums.head),
-        sums.tail.map(c => sum(col(c)).as(c)): _*)
-      .filter(sums.map(c => col(c) =!= 0L).reduce(_ || _))
+      .agg(poisonedSum(sums.head), sums.tail.map(poisonedSum): _*)
+      .filter(anyLiveSum(sums))
   }
 
   /** Retract a slice from a rollup store WITHOUT rewriting anything:
     * append the slice's partial with every sum NEGATED — tombstone
-    * rows that cancel key-wise at [[loadRollupStore]] time. The
-    * caller contract is [[subtractRollups]]'s (the slice must be a
-    * sub-multiset of what the store counted; violating it drives
-    * merged sums negative for the validator to catch), plus the
-    * store's own fresh-batch-id rule. */
+    * rows that cancel key-wise at [[loadRollupStore]] time. An EMPTY
+    * slice retracts vacuously (the [[retractDocs]] /
+    * [[retractFromSnapshotStore]] convention — a quarantined source
+    * whose docs carried no countable lines is a no-op, not a
+    * commit-guard crash), and the probe shares the negation's
+    * materialization. The caller contract is [[subtractRollups]]'s
+    * (the slice must be a sub-multiset of what the store counted;
+    * violating it drives merged sums negative for the validator to
+    * catch), plus the store's own fresh-batch-id rule. */
   def retractFromRollupStore(removedPartial: DataFrame, dir: String,
                              keys: Seq[String], sums: Seq[String],
                              batch: Long): Unit = {
     require(sums.nonEmpty, "need at least one sum column")
-    commitSnapshotBatch(
-      removedPartial.select(keys.map(col) ++
-        sums.map(c => (-col(c)).as(c)): _*),
-      dir, batch)
+    val negated = removedPartial.select(keys.map(col) ++
+        sums.map(c => (-col(c)).as(c)): _*)
+      .localCheckpoint(true)
+    try {
+      if (negated.isEmpty) return
+      commitSnapshotBatch(negated, dir, batch)
+    } finally Shims.unpersistLocalCheckpoint(negated)
   }
 
   /** Fold all partials into a single batch-0 layout — bounds the
     * partition count a long-lived store accumulates (reads stay
     * one-fold cheap; planning stops paying per-partial listing).
-    * The fold materializes BEFORE the overwrite (the rewrite reads
-    * the directories it replaces); a store whose partials have
+    * Crash-safe by a tempdir SWAP, not an in-place overwrite: the
+    * fold lands ON DISK at `<dir>__compact_tmp` while the store is
+    * still intact, and only then does the old layout delete and the
+    * tempdir rename into place — a crash before the swap loses
+    * nothing, and a crash between the delete and the rename leaves
+    * the complete folded store at the tempdir path (recover by
+    * renaming it to `dir`; the error path cannot silently lose
+    * landed state, unlike an in-place overwrite whose only copy of
+    * the fold would die with the JVM). A store whose partials have
     * fully cancelled folds to zero rows and the init refuses —
     * rebuild from source when everything is retracted. */
   def compactRollupStore(spark: SparkSession, dir: String,
                          keys: Seq[String], sums: Seq[String]): Unit = {
-    val merged = loadRollupStore(spark, dir, keys, sums)
-      .localCheckpoint(true)
-    try initSnapshotStore(merged, dir)
-    finally Shims.unpersistLocalCheckpoint(merged)
+    val tmp = dir + "__compact_tmp"
+    // the fold reads dir; the write targets tmp — no self-overwrite,
+    // so no checkpoint barrier is needed (and a leftover tmp from a
+    // crashed compaction is simply overwritten)
+    initSnapshotStore(loadRollupStore(spark, dir, keys, sums), tmp)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    // resolve the filesystem FROM the path (a FileSystem.get on the
+    // default scheme would hit the wrong FS for qualified paths)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.delete(target, true),
+      s"compaction could not delete $dir for the swap - the folded " +
+        s"store is intact at $tmp")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), target),
+      s"compaction could not rename $tmp into $dir - the folded " +
+        s"store is intact at $tmp; rename it into place to recover")
   }
 }

@@ -308,12 +308,19 @@ class IncrementalSpec extends SparkSpec {
       == rowSet(Dedup.subtractLineCounts(
         Dedup.mergeLineCounts(Seq(a, b)), b)))
     Dedup.validateLineCounts(fold())
-    // compaction: same folded table, one batch partition left
+    // an empty slice retracts vacuously (no crash, no batch landed)
+    Incremental.retractFromRollupStore(
+      a.filter(col("cnt") < 0L), dir, Seq("key"), Seq("cnt"),
+      batch = 7L)
+    assert(rowSet(fold()) == afterRetract)
+    // compaction: same folded table, one batch partition left, and
+    // the swap tempdir is gone (renamed into place)
     Incremental.compactRollupStore(spark, dir, Seq("key"), Seq("cnt"))
     assert(rowSet(fold()) == afterRetract)
     val parts = new java.io.File(dir).listFiles()
       .map(_.getName).filter(_.startsWith("batch=")).toSet
     assert(parts == Set("batch=0"))
+    assert(!new java.io.File(dir + "__compact_tmp").exists())
     // retract the remainder too: the store folds to zero rows and
     // compaction refuses (the init empty guard) - rebuild from
     // source when everything is gone
@@ -325,5 +332,29 @@ class IncrementalSpec extends SparkSpec {
         Seq("cnt"))
     }
     assert(ex.getMessage.contains("empty"))
+  }
+
+  test("rollup store: a null count cell poisons its key through the " +
+    "fold into the validator instead of vanishing") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_nullstore").toString + "/s"
+    Incremental.initSnapshotStore(
+      Seq((10L, 3L), (20L, 2L)).toDF("key", "cnt"), dir)
+    // an externally-landed corrupt partial: key 20's cell is null
+    Incremental.commitSnapshotBatch(
+      Seq((10L, Some(1L)), (20L, Option.empty[Long]))
+        .toDF("key", "cnt"), dir, batch = 1L)
+    val folded = Incremental.loadRollupStore(spark, dir,
+      Seq("key"), Seq("cnt"))
+    // the clean key sums; the poisoned key folds to NULL and
+    // SURVIVES the zero filter so the validator can see it
+    val byKey = folded.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(byKey == Map(10L -> Some(4L), 20L -> None))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.validateLineCounts(folded)
+    }
+    assert(ex.getMessage.contains("corrupt"))
   }
 }
