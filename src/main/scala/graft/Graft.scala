@@ -925,6 +925,14 @@ object Graft {
     graft.operators.Incremental.retractFromSnapshotStore(spark, dir,
       removeIds, idCol)
 
+  /** Fold a snapshot store's batch partitions into a single batch-0
+    * layout via the crash-safe tempdir swap — reader-invisible,
+    * bounds the per-partial planning cost a long-lived store
+    * accumulates, resets the batch-id space (the one sanctioned
+    * rewrite of the append-only contract). */
+  def compactSnapshotStore(spark: SparkSession, dir: String): Unit =
+    graft.operators.Incremental.compactSnapshotStore(spark, dir)
+
   /** Fold an append-only ROLLUP store (sum-mergeable partials as
     * batch partitions; [[initSnapshotStore]]/[[commitSnapshotBatch]]
     * write it) to its current table — tombstones cancel key-wise,

@@ -411,6 +411,24 @@ object PlanDump {
         "8-byte line hashes. Together with d89 the maintained-" +
         "corpus lifecycle closes at the composed level in both " +
         "directions."),
+    "d91_recrawl_update" ->
+      ("The lifecycle verb d89 (delete) and d90 (create) leave " +
+        "open: a re-crawled slice comes back with CHANGED content " +
+        "and supersedes its old rows in every maintained artifact " +
+        "in one query. No artifact has an in-place update — an " +
+        "update IS retract-old + merge-new, each side the already-" +
+        "audited kernel (anti-join retraction + partial merge for " +
+        "the tf/KN snapshots, subtract + merge for the count " +
+        "tables, retract + refresh for the prefix index, " +
+        "remove_ids + add for the IVF-PQ layout — the re-fetched " +
+        "page embeds differently, codebooks stay frozen). Cost at " +
+        "100 TB = the delete sweep + the commit sweep over ONLY " +
+        "the re-crawled slice — no artifact rescans the corpus, " +
+        "and the update_in/update_out audit rows prove the " +
+        "supersede flows through the SERVED postings in both " +
+        "directions. Oracle: every (rows, mass) pair replayed from " +
+        "TWO fresh builds — retract-then-merge == a rebuild that " +
+        "only ever saw the new content."),
     "inc_bm25_store" ->
       ("The BM25 index made restart-durable: the tf snapshot lands " +
         "as a batch-partitioned parquet layout (dir/batch=N — each " +
@@ -420,15 +438,21 @@ object PlanDump {
         "the FILE level: only partitions holding retracted ids " +
         "rewrite via dynamic partition overwrite (the " +
         "ivfPqRemoveBatch pattern), with an empty-partition refusal " +
-        "and a survivors-first materialization barrier. Both phases " +
-        "are hash-gated against the existing replays VERBATIM - the " +
-        "disk round-trip must be result-invisible. Each loaded " +
-        "snapshot pins ONCE before serving (measured: the unpinned " +
-        "cut re-read the store parquet per perPostFrom subplan, " +
-        "12.4 -> 9.5 s at sf0.1). At 100 TB: commits are pure " +
-        "appends (no reader contention), the batch column keeps " +
-        "per-crawl provenance, retraction reads every partition's " +
-        "id column once (skinny) but rewrites only touched ones."),
+        "and a survivors-first materialization barrier. Finally the " +
+        "store COMPACTS: every batch partition folds into one " +
+        "batch-0 layout via the crash-safe tempdir swap (the fold " +
+        "lands on disk before the old layout deletes — no failure " +
+        "point loses landed state). All three phases are hash-gated " +
+        "against the existing replays VERBATIM - the disk " +
+        "round-trip, the file-level retraction, AND the compaction " +
+        "must be result-invisible. Each loaded snapshot pins ONCE " +
+        "before serving (measured: the unpinned cut re-read the " +
+        "store parquet per perPostFrom subplan, 12.4 -> 9.5 s at " +
+        "sf0.1). At 100 TB: commits are pure appends (no reader " +
+        "contention), the batch column keeps per-crawl provenance, " +
+        "retraction reads every partition's id column once (skinny) " +
+        "but rewrites only touched ones, and the compaction cadence " +
+        "bounds the per-partial listing cost planning pays."),
     "inc_boiler_store" ->
       ("The append-only ROLLUP store - the third storage " +
         "discipline, completing the taxonomy (fact stores rewrite " +

@@ -189,6 +189,28 @@ object Incremental {
   def loadSnapshotStore(spark: SparkSession, dir: String): DataFrame =
     readStore(spark, dir).drop("batch")
 
+  /** Fold a fact store's batch partitions into a single batch-0
+    * layout — the same planning-cost bound [[compactRollupStore]]
+    * puts on the rollup store, for the per-doc fact families: a
+    * long-lived store accumulates one partition directory per crawl
+    * (plus one per retraction rewrite), and past some count the
+    * per-partial listing dominates read planning. Result-invisible
+    * to readers ([[loadSnapshotStore]] drops the batch column), and
+    * crash-safe by the shared tempdir swap. The ONE thing compaction
+    * discards is per-crawl provenance: every row lands in batch 0
+    * and the batch-id space resets (callers restart numbering at 1),
+    * exactly as [[graft.operators.Quantization.ivfPqRetrain]] resets
+    * the cell layout — compaction is the one sanctioned rewrite of
+    * the append-only contract. */
+  def compactSnapshotStore(spark: SparkSession, dir: String): Unit = {
+    val tmp = dir + "__compact_tmp"
+    // the union reads dir; the write targets tmp — no self-overwrite,
+    // so no checkpoint barrier is needed (and a leftover tmp from a
+    // crashed compaction is simply overwritten)
+    initSnapshotStore(loadSnapshotStore(spark, dir), tmp)
+    swapIntoPlace(spark, tmp, dir)
+  }
+
   /** Retract documents from a store at the FILE level — [[retractDocs]]
     * with the REWRITE scoped to the batch partitions that actually
     * hold the retracted ids (dynamic partition overwrite, the
@@ -328,6 +350,19 @@ object Incremental {
     // so no checkpoint barrier is needed (and a leftover tmp from a
     // crashed compaction is simply overwritten)
     initSnapshotStore(loadRollupStore(spark, dir, keys, sums), tmp)
+    swapIntoPlace(spark, tmp, dir)
+  }
+
+  /** The crash-safe tail both compactions share: delete the old
+    * layout, rename the already-landed fold into its place. A crash
+    * before the delete loses nothing (the store is untouched); a
+    * crash between the delete and the rename leaves the complete
+    * folded store at the tempdir path — recover by renaming it to
+    * `dir`. No failure point can silently lose landed state, unlike
+    * an in-place overwrite whose only copy of the fold would die
+    * with the JVM. */
+  private def swapIntoPlace(spark: SparkSession, tmp: String,
+                            dir: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(dir)
     // resolve the filesystem FROM the path (a FileSystem.get on the
     // default scheme would hit the wrong FS for qualified paths)

@@ -1417,8 +1417,14 @@ object LlmQueries {
     // holding them rewrite (dynamic overwrite) — and the reloaded
     // survivors serve the %16 probe ('retracted' phase == the
     // inc_bm25_remove replay: probed-but-retracted docs are queried
-    // FOR, never a hit). Both validator passes run on the LOADED
-    // store, so what is certified is what is on disk.
+    // FOR, never a hit). Finally the store COMPACTS — every batch
+    // partition folds into a single batch-0 layout via the
+    // crash-safe tempdir swap — and the reloaded fold serves the
+    // same probe ('compacted' phase == the retracted replay
+    // VERBATIM: compaction changes nothing a reader sees, it only
+    // bounds the partition count a long-lived store accumulates).
+    // All three validator passes run on the LOADED store, so what
+    // is certified is what is on disk.
     "inc_bm25_store" -> ((s, d) => {
       val docs = T.documents(s, d)
       val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
@@ -1460,14 +1466,23 @@ object LlmQueries {
         val after = ck(graft.operators.Incremental
           .loadSnapshotStore(s, dir))
         Search.validateTfSnapshot(after)
-        val retracted = Search.bm25TopKIndexed(after,
-            docs.filter(col("doc_id") % 16 === 3)
-              .select(col("doc_id").as("qid"),
-                bm25Qtext(col("text")).as("qtext")),
+        val probe16 = docs.filter(col("doc_id") % 16 === 3)
+          .select(col("doc_id").as("qid"),
+            bm25Qtext(col("text")).as("qtext"))
+        val retracted = Search.bm25TopKIndexed(after, probe16,
             "qid", "qtext", k = 5, materialize = false)
           .select(lit("retracted").as("phase"), col("qid"),
             col("rank"), col("doc_id"), col("score_micros"))
-        committed.unionByName(retracted).orderBy("phase", "qid", "rank")
+        graft.operators.Incremental.compactSnapshotStore(s, dir)
+        val folded = ck(graft.operators.Incremental
+          .loadSnapshotStore(s, dir))
+        Search.validateTfSnapshot(folded)
+        val compacted = Search.bm25TopKIndexed(folded, probe16,
+            "qid", "qtext", k = 5, materialize = false)
+          .select(lit("compacted").as("phase"), col("qid"),
+            col("rank"), col("doc_id"), col("score_micros"))
+        committed.unionByName(retracted).unionByName(compacted)
+          .orderBy("phase", "qid", "rank")
           .localCheckpoint(true)
       } finally cps.foreach(
         org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
@@ -2012,6 +2027,125 @@ object LlmQueries {
             coalesce(sum(col("bf")), lit(0L))),
           audit("prefix_index", pidx.dfreq, pref.dfreq,
             coalesce(sum(col("df")), lit(0L))))
+          .reduce(_ unionByName _).orderBy("artifact")
+          .localCheckpoint(true)
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+    }),
+
+    // THE RECRAWL-UPDATE SWEEP — the lifecycle verb d89 (delete) and
+    // d90 (create) leave open: a re-crawled slice (doc_id / vec_id %
+    // 10 == 4) comes back with CHANGED content and must supersede its
+    // old rows in EVERY maintained artifact. No artifact has an
+    // in-place update — an update IS retract-old + merge-new, each
+    // side through its gate-green path WITH its validator run: the
+    // anti-join retraction + partial merge for the tf and KN
+    // snapshots, subtract + merge for the count tables, retract +
+    // refresh for the prefix-cross index, remove_ids + add for the
+    // persisted IVF-PQ layout (the re-fetched page embeds
+    // differently). The fixture plants a stale banner (rev93stale)
+    // on the slice's ORIGINAL text and a fresh one (rev94signal) on
+    // its re-crawled text, and two extra audit rows prove the update
+    // flows through the SERVED artifact in both directions:
+    // 'update_out' (the stale token's postings: N docs before, zero
+    // after) and 'update_in' (the fresh token's: zero before, N
+    // after). The oracle replays every (rows, mass) pair from TWO
+    // fresh builds — the original corpus and the updated one — so
+    // hash equality proves retract-then-merge == a rebuild that only
+    // ever saw the new content, per artifact.
+    "d91_recrawl_update" -> ((s, d) => {
+      val stale = "stale pricing notice rev93stale"
+      val fresh = "fresh revision notice rev94signal"
+      // ONE definition of the updated slice — the doc and vector
+      // sides are declared from one modulus so the per-artifact
+      // updates (and the audit) cannot drift (the d89 discipline)
+      val docs0 = T.documents(s, d).select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 10 === 4,
+          concat(col("text"), lit("\n" + stale)))
+          .otherwise(col("text")).as("text"))
+      val slice0 = docs0.filter(col("doc_id") % 10 === 4)
+      val updated = T.documents(s, d)
+        .filter(col("doc_id") % 10 === 4)
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), lit("\n" + fresh)).as("text"))
+      val updIds = updated.select("doc_id")
+      val updVecs = T.embeddings(s, d)
+        .filter(col("vec_id") % 10 === 4)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x * lit(0.5f) + lit(1.0f)).as("embedding"))
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def ck(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(true); cps += c; c
+      }
+      try {
+        val tf0 = ck(Search.tfSnapshot(docs0, "doc_id", "text"))
+        val tfU = ck(Search.mergeTfSnapshots(Seq(
+          graft.operators.Incremental.retractDocs(tf0, updIds),
+          Search.tfSnapshot(updated, "doc_id", "text"))))
+        Search.validateTfSnapshot(tfU)
+        val kn0 = ck(TextAnalysis.knSnapshot(docs0, "doc_id", "text"))
+        val knU = ck(TextAnalysis.mergeKnSnapshots(Seq(
+          graft.operators.Incremental.retractDocs(kn0, updIds),
+          TextAnalysis.knSnapshot(updated, "doc_id", "text"))))
+        TextAnalysis.validateKnSnapshot(knU)
+        val lc0 = ck(Dedup.lineCountPartial(docs0, "text"))
+        val lcU = ck(Dedup.mergeLineCounts(Seq(
+          Dedup.subtractLineCounts(lc0,
+            Dedup.lineCountPartial(slice0, "text")),
+          Dedup.lineCountPartial(updated, "text"))))
+        Dedup.validateLineCounts(lcU)
+        val glc0 = ck(Dedup.groupedLineCountPartial(docs0, "lang",
+          "text"))
+        val glcU = ck(Dedup.mergeGroupedLineCounts(Seq(
+          Dedup.subtractGroupedLineCounts(glc0,
+            Dedup.groupedLineCountPartial(slice0, "lang", "text")),
+          Dedup.groupedLineCountPartial(updated, "lang", "text"))))
+        Dedup.validateLineCounts(glcU)
+        val pidx = Dedup.prefixCrossIndex(docs0, "doc_id", "text",
+          k = 5, theta = 0.5)
+        Seq(pidx.shEx, pidx.dfreq, pidx.prefEx).foreach(cps += _)
+        val pRet = Dedup.retractPrefixCrossIndex(pidx, updIds,
+          "doc_id")
+        Seq(pRet.shEx, pRet.dfreq, pRet.prefEx).foreach(cps += _)
+        val pUpd = Dedup.refreshPrefixCrossIndex(pRet, updated,
+          "doc_id", "text")
+        Seq(pUpd.shEx, pUpd.dfreq, pUpd.prefEx).foreach(cps += _)
+        Dedup.validatePrefixCrossIndex(pUpd)
+        val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+          s"recrawl91_${pathDigest(d)}"
+        // persist resets the layout, so re-invocation is idempotent
+        // (the d90 discipline); the add encodes the re-fetched
+        // vectors against the FROZEN codebooks — update does not
+        // retrain, drift is d80/d87's job
+        Quantization.persistIvfPqIndex(sharedIvfPqIndex(s, d), dir)
+        val codesBefore = ck(s.read.parquet(dir + "/codes")
+          .select("nid"))
+        Quantization.ivfPqRemoveBatch(
+          T.embeddings(s, d).filter(col("vec_id") % 10 === 4)
+            .select("vec_id"), "vec_id", dir)
+        Quantization.ivfPqAddBatch(updVecs, "vec_id", "embedding",
+          dir)
+        Quantization.validateIvfPqCodes(s, dir)
+        val codesAfter = s.read.parquet(dir + "/codes").select("nid")
+        Seq(
+          audit("bm25_tf", tf0, tfU,
+            coalesce(sum(col("tf")), lit(0L))),
+          audit("boiler_counts", lc0, lcU,
+            coalesce(sum(col("cnt")), lit(0L))),
+          audit("grouped_counts", glc0, glcU,
+            coalesce(sum(col("cnt")), lit(0L))),
+          audit("ivfpq_codes", codesBefore, codesAfter,
+            countDistinct(col("nid"))),
+          audit("kn_lm", kn0, knU,
+            coalesce(sum(col("bf")), lit(0L))),
+          audit("prefix_index", pidx.dfreq, pUpd.dfreq,
+            coalesce(sum(col("df")), lit(0L))),
+          audit("update_in", tf0.filter(col("t") === "rev94signal"),
+            tfU.filter(col("t") === "rev94signal"),
+            coalesce(sum(col("tf")), lit(0L))),
+          audit("update_out", tf0.filter(col("t") === "rev93stale"),
+            tfU.filter(col("t") === "rev93stale"),
+            coalesce(sum(col("tf")), lit(0L))))
           .reduce(_ unionByName _).orderBy("artifact")
           .localCheckpoint(true)
       } finally cps.foreach(
@@ -4163,15 +4297,19 @@ object LlmQueries {
     // probe keeps reading the unfiltered tok, so docs 3, 83, ...
     // are probed-but-retracted: queried FOR, never a hit.
     "inc_bm25_remove" -> Bm25RemoveSql,
-    // the durable-store lifecycle gated by the two replays it must
-    // be invisible against: committed phase = the Bm25Sql replay
+    // the durable-store lifecycle gated by the replays it must be
+    // invisible against: committed phase = the Bm25Sql replay
     // VERBATIM (the disk round-trip changes nothing), retracted
     // phase = the inc_bm25_remove replay VERBATIM (file-level
     // retraction == the anti-join retraction == an index that never
-    // saw the docs)
+    // saw the docs), compacted phase = the retracted replay AGAIN
+    // (folding every batch partition into batch 0 changes nothing a
+    // reader sees — compaction is result-invisible)
     "inc_bm25_store" ->
       ("SELECT 'committed' AS phase, * FROM (\n" + Bm25Sql +
         "\n) UNION ALL SELECT 'retracted' AS phase, * FROM (\n" +
+        Bm25RemoveSql +
+        "\n) UNION ALL SELECT 'compacted' AS phase, * FROM (\n" +
         Bm25RemoveSql + "\n) ORDER BY phase, qid, rank"),
     // same claim for the KN LM store: committed = the d77 replay,
     // retracted = the era-parameterized d77 replay over survivors
@@ -5187,6 +5325,119 @@ object LlmQueries {
         |  CAST((SELECT COUNT(*) FROM sh WHERE doc_id % 10 < 8)
         |    AS BIGINT),
         |  CAST((SELECT COUNT(*) FROM sh) AS BIGINT)
+        |) ORDER BY artifact""".stripMargin,
+    // the recrawl-update sweep's audit replayed from TWO fresh
+    // builds — the b-chain CTEs restate every d89 formula over the
+    // ORIGINAL corpus (the %10==4 slice carrying the stale banner),
+    // the a-chain over the UPDATED one (the slice carrying the fresh
+    // banner) — so hash equality proves retract-old + merge-new ==
+    // a rebuild that only ever saw the new content, per artifact;
+    // the update_in/update_out rows restate the two planted tokens'
+    // postings (distinct docs + total occurrences) from each chain
+    "d91_recrawl_update" ->
+      """WITH tb AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 10 = 4 THEN text || chr(10) ||
+        |    'stale pricing notice rev93stale'
+        |  ELSE text END AS text FROM documents),
+        |ta AS (SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 10 = 4 THEN text || chr(10) ||
+        |    'fresh revision notice rev94signal'
+        |  ELSE text END AS text FROM documents),
+        |wb AS (SELECT doc_id, lang, text, list_filter(
+        |  string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM tb),
+        |wa AS (SELECT doc_id, lang, text, list_filter(
+        |  string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM ta),
+        |tpb AS (SELECT doc_id, unnest(ws) AS tok FROM wb),
+        |tpa AS (SELECT doc_id, unnest(ws) AS tok FROM wa),
+        |bgb AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []
+        |  ELSE [{'w1': ws[i], 'w2': ws[i+1]}
+        |        FOR i IN range(1, len(ws))] END) AS u FROM wb),
+        |bga AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []
+        |  ELSE [{'w1': ws[i], 'w2': ws[i+1]}
+        |        FOR i IN range(1, len(ws))] END) AS u FROM wa),
+        |lnb AS (SELECT doc_id, trim(ln) AS k FROM (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+        |  FROM wb) WHERE trim(ln) <> ''),
+        |lna AS (SELECT doc_id, trim(ln) AS k FROM (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+        |  FROM wa) WHERE trim(ln) <> ''),
+        |glb AS (SELECT doc_id, lang, trim(ln) AS k FROM (
+        |  SELECT doc_id, lang, unnest(string_split(text, chr(10)))
+        |    AS ln FROM wb) WHERE trim(ln) <> ''),
+        |gla AS (SELECT doc_id, lang, trim(ln) AS k FROM (
+        |  SELECT doc_id, lang, unnest(string_split(text, chr(10)))
+        |    AS ln FROM wa) WHERE trim(ln) <> ''),
+        |shb AS (SELECT doc_id, unnest(list_distinct(
+        |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |  ELSE [array_to_string(ws[x:x+4], ' ')
+        |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM wb),
+        |sha AS (SELECT doc_id, unnest(list_distinct(
+        |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+        |  ELSE [array_to_string(ws[x:x+4], ' ')
+        |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM wa)
+        |SELECT * FROM (
+        |SELECT 'bm25_tf' AS artifact,
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, tok
+        |    FROM tpb)) + (SELECT COUNT(*) FROM wb) AS BIGINT)
+        |    AS rows_before,
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, tok
+        |    FROM tpa)) + (SELECT COUNT(*) FROM wa) AS BIGINT)
+        |    AS rows_after,
+        |  CAST((SELECT COALESCE(SUM(len(ws)), 0) FROM wb) AS BIGINT)
+        |    AS mass_before,
+        |  CAST((SELECT COALESCE(SUM(len(ws)), 0) FROM wa) AS BIGINT)
+        |    AS mass_after
+        |UNION ALL SELECT 'boiler_counts',
+        |  CAST((SELECT COUNT(DISTINCT k) FROM lnb) AS BIGINT),
+        |  CAST((SELECT COUNT(DISTINCT k) FROM lna) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM lnb) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM lna) AS BIGINT)
+        |UNION ALL SELECT 'grouped_counts',
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT lang, k
+        |    FROM glb)) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT lang, k
+        |    FROM gla)) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM glb) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM gla) AS BIGINT)
+        |UNION ALL SELECT 'ivfpq_codes',
+        |  CAST(4 * (SELECT COUNT(*) FROM embeddings) AS BIGINT),
+        |  CAST(4 * (SELECT COUNT(*) FROM embeddings) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT)
+        |UNION ALL SELECT 'kn_lm',
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, u.w1,
+        |    u.w2 FROM bgb)) + (SELECT COUNT(*) FROM wb) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, u.w1,
+        |    u.w2 FROM bga)) + (SELECT COUNT(*) FROM wa) AS BIGINT),
+        |  CAST((SELECT COALESCE(SUM(CASE WHEN len(ws) >= 2
+        |    THEN len(ws) - 1 ELSE 0 END), 0) FROM wb) AS BIGINT),
+        |  CAST((SELECT COALESCE(SUM(CASE WHEN len(ws) >= 2
+        |    THEN len(ws) - 1 ELSE 0 END), 0) FROM wa) AS BIGINT)
+        |UNION ALL SELECT 'prefix_index',
+        |  CAST((SELECT COUNT(DISTINCT s) FROM shb) AS BIGINT),
+        |  CAST((SELECT COUNT(DISTINCT s) FROM sha) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM shb) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM sha) AS BIGINT)
+        |UNION ALL SELECT 'update_in',
+        |  CAST((SELECT COUNT(DISTINCT doc_id) FROM tpb
+        |    WHERE tok = 'rev94signal') AS BIGINT),
+        |  CAST((SELECT COUNT(DISTINCT doc_id) FROM tpa
+        |    WHERE tok = 'rev94signal') AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM tpb
+        |    WHERE tok = 'rev94signal') AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM tpa
+        |    WHERE tok = 'rev94signal') AS BIGINT)
+        |UNION ALL SELECT 'update_out',
+        |  CAST((SELECT COUNT(DISTINCT doc_id) FROM tpb
+        |    WHERE tok = 'rev93stale') AS BIGINT),
+        |  CAST((SELECT COUNT(DISTINCT doc_id) FROM tpa
+        |    WHERE tok = 'rev93stale') AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM tpb
+        |    WHERE tok = 'rev93stale') AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM tpa
+        |    WHERE tok = 'rev93stale') AS BIGINT)
         |) ORDER BY artifact""".stripMargin,
     // the d47 replay with the existing side restricted to the
     // survivors: retract-then-probe == an index built without them

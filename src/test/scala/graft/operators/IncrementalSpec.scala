@@ -281,6 +281,38 @@ class IncrementalSpec extends SparkSpec {
     assert(ex.getMessage.contains("would empty"))
   }
 
+  test("snapshot store: compaction is reader-invisible, collapses " +
+    "the partitions to batch 0, and resets the batch-id space") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tfcompact").toString + "/s"
+    val a = Search.tfSnapshot(storeDocs.filter(col("doc_id") <= 2),
+      "doc_id", "text")
+    val b = Search.tfSnapshot(storeDocs.filter(col("doc_id") > 2),
+      "doc_id", "text")
+    Incremental.initSnapshotStore(a, dir)
+    Incremental.commitSnapshotBatch(b, dir, batch = 1L)
+    Incremental.retractFromSnapshotStore(spark, dir,
+      Seq(3L).toDF("doc_id"))
+    val before = rowSet(Incremental.loadSnapshotStore(spark, dir))
+    Incremental.compactSnapshotStore(spark, dir)
+    // same rows a reader sees; one partition directory left; the
+    // swap tempdir renamed into place
+    val loaded = Incremental.loadSnapshotStore(spark, dir)
+    assert(rowSet(loaded) == before)
+    Search.validateTfSnapshot(loaded)
+    val parts = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=0"))
+    assert(!new java.io.File(dir + "__compact_tmp").exists())
+    // compaction resets the id space: batch 1 is forgotten and a
+    // fresh commit under that id lands again
+    Incremental.commitSnapshotBatch(
+      Search.tfSnapshot(Seq((9L, "zeta zeta")).toDF("doc_id", "text"),
+        "doc_id", "text"), dir, batch = 1L)
+    assert(Incremental.loadSnapshotStore(spark, dir)
+      .filter(col("doc_id") === 9L).count() == 2)
+  }
+
   test("rollup store: fold == merge, tombstone retract == subtract, " +
     "compaction is reader-invisible and collapses the partitions") {
     val dir = java.nio.file.Files
