@@ -204,10 +204,21 @@ object Incremental {
     * the append-only contract. */
   def compactSnapshotStore(spark: SparkSession, dir: String): Unit = {
     val tmp = dir + "__compact_tmp"
-    // the union reads dir; the write targets tmp — no self-overwrite,
-    // so no checkpoint barrier is needed (and a leftover tmp from a
-    // crashed compaction is simply overwritten)
-    initSnapshotStore(loadSnapshotStore(spark, dir), tmp)
+    // NOT routed through initSnapshotStore: its pin-once checkpoint
+    // would materialize a corpus-sized copy before the write — here
+    // the fold is a pure scan→write stream into tmp (no
+    // self-overwrite, so no barrier; a leftover tmp from a crashed
+    // compaction is simply overwritten). The emptiness probe is one
+    // cheap limit-1 job; the store invariants (init and commit
+    // refuse empty, retraction refuses to empty a partition) make it
+    // unreachable, but a zero-partition tmp must never swap in.
+    val cur = readStore(spark, dir).drop("batch")
+    require(!cur.isEmpty,
+      s"refusing to compact $dir - the store folded to zero rows " +
+        "and a zero-partition layout is unreadable")
+    cur.withColumn("batch", lit(0L))
+      .write.option("partitionOverwriteMode", "static")
+      .partitionBy("batch").mode("overwrite").parquet(tmp)
     swapIntoPlace(spark, tmp, dir)
   }
 

@@ -2073,6 +2073,14 @@ object LlmQueries {
         .filter(col("vec_id") % 10 === 4)
         .select(col("vec_id"), transform(col("embedding"),
           x => x * lit(0.5f) + lit(1.0f)).as("embedding"))
+      // refuse an empty re-crawl loudly BEFORE any artifact mutates:
+      // the doc-side paths would all degrade vacuously, but the
+      // IVF-PQ encode would die mid-sweep on an empty batch with an
+      // error naming neither the query nor the cause
+      require(!updVecs.isEmpty,
+        "d91_recrawl_update: no re-crawled vectors (vec_id % 10 == " +
+          "4) in this dataset - an empty update sweep has nothing " +
+          "to supersede")
       val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
       def ck(df: DataFrame): DataFrame = {
         val c = df.localCheckpoint(true); cps += c; c
