@@ -898,16 +898,34 @@ object Graft {
   /** Initialize (or reset) a DURABLE snapshot store: a per-doc fact
     * snapshot (tf / KN rows) persisted as a batch-partitioned
     * parquet layout, `dir/batch=<n>/` — the ivfPq persistence
-    * discipline applied to the text-index families. */
-  def initSnapshotStore(snap: DataFrame, dir: String): Unit =
-    graft.operators.Incremental.initSnapshotStore(snap, dir)
+    * discipline applied to the text-index families. Pass
+    * `manifestIdCol` to also create the id→batch MANIFEST, which
+    * scopes [[retractFromSnapshotStore]]'s discovery to one
+    * doc-count-sized probe instead of a full-store id scan. */
+  def initSnapshotStore(snap: DataFrame, dir: String,
+                        manifestIdCol: Option[String] = None): Unit =
+    graft.operators.Incremental.initSnapshotStore(snap, dir,
+      manifestIdCol)
 
   /** Land a crawl batch's snapshot partial as its OWN partition
     * directory (landed data never rewritten); a duplicate batch id
-    * refuses loudly — re-committing would duplicate markers. */
-  def commitSnapshotBatch(snap: DataFrame, dir: String,
-                          batch: Long): Unit =
-    graft.operators.Incremental.commitSnapshotBatch(snap, dir, batch)
+    * refuses loudly — re-committing would duplicate markers. On a
+    * manifested store `manifestIdCol` is REQUIRED (and refused
+    * otherwise): a commit that skipped the manifest would silently
+    * scope future retractions past its batch. */
+  def commitSnapshotBatch(snap: DataFrame, dir: String, batch: Long,
+                          manifestIdCol: Option[String] = None): Unit =
+    graft.operators.Incremental.commitSnapshotBatch(snap, dir, batch,
+      manifestIdCol)
+
+  /** Assert a manifested store's id→batch manifest is exactly in
+    * sync with the store — the loud detector for the silent miss
+    * (an id absent from the manifest would keep serving after its
+    * retraction); [[compactSnapshotStore]]'s rebuild repairs. */
+  def validateSnapshotStoreManifest(spark: SparkSession,
+                                    dir: String): Unit =
+    graft.operators.Incremental.validateSnapshotStoreManifest(spark,
+      dir)
 
   /** Reload the full snapshot from a store, ready for the shared
     * scorers ([[bm25TopKIndexed]] / [[knScoreFromSnapshot]]) — no
@@ -929,7 +947,8 @@ object Graft {
     * layout via the crash-safe tempdir swap — reader-invisible,
     * bounds the per-partial planning cost a long-lived store
     * accumulates, resets the batch-id space (the one sanctioned
-    * rewrite of the append-only contract). */
+    * rewrite of the append-only contract), and rebuilds the id
+    * manifest exactly on a manifested store. */
   def compactSnapshotStore(spark: SparkSession, dir: String): Unit =
     graft.operators.Incremental.compactSnapshotStore(spark, dir)
 

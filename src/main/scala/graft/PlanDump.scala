@@ -450,9 +450,16 @@ object PlanDump {
         "store parquet per perPostFrom subplan, 12.4 -> 9.5 s at " +
         "sf0.1). At 100 TB: commits are pure appends (no reader " +
         "contention), the batch column keeps per-crawl provenance, " +
-        "retraction reads every partition's id column once (skinny) " +
-        "but rewrites only touched ones, and the compaction cadence " +
-        "bounds the per-partial listing cost planning pays."),
+        "retraction discovers its touched partitions from the " +
+        "id→batch MANIFEST (one doc-count-sized probe — nothing of " +
+        "the store is read outside the touched partitions; " +
+        "manifest-less stores fall back to the skinny full-store id " +
+        "scan), and the compaction cadence bounds the per-partial " +
+        "listing cost planning pays. The manifest is guarded on " +
+        "both sides (a manifested store refuses a manifest-less " +
+        "commit), its crash residue only ever over-approximates, " +
+        "and validateSnapshotStoreManifest re-certifies exact " +
+        "(id, batch) sync on every load."),
     "inc_boiler_store" ->
       ("The append-only ROLLUP store - the third storage " +
         "discipline, completing the taxonomy (fact stores rewrite " +

@@ -125,6 +125,20 @@ object Incremental {
     spark.read.schema(sch).parquet(dir)
   }
 
+  /** The optional id→batch MANIFEST living beside a fact store: one
+    * skinny (id, batch) row per doc per batch, the refinement
+    * [[retractFromSnapshotStore]]'s discovery scales on — with it, a
+    * takedown finds its touched partitions by probing a table that is
+    * doc-count-sized instead of reading the id column of EVERY store
+    * partition (at 100 TB the difference between a manifest lookup
+    * and a full-store column scan per retraction). */
+  private def manifestPath(dir: String): String = dir + "__manifest"
+
+  private def hasManifest(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(manifestPath(dir))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Initialize (or RESET) a snapshot store with the first batch as
     * partition 0. The overwrite mode is PINNED static per-write:
     * reset semantics must not depend on the session default (a
@@ -134,8 +148,19 @@ object Incremental {
     * snapshot must be nonempty: a zero-partition parquet layout is
     * unreadable, the same refusal [[graft.operators.Quantization
     * .ivfPqRemoveBatch]] makes for its layout. The input pins once —
-    * the emptiness probe and the write share one materialization. */
-  def initSnapshotStore(snap: DataFrame, dir: String): Unit = {
+    * the emptiness probe and the write share one materialization.
+    *
+    * @param manifestIdCol when set, also create the id→batch
+    *   manifest from this column's distinct values — the opt-in for
+    *   fact stores retracted by id ([[retractFromSnapshotStore]]
+    *   then scopes discovery to the manifest); leave None for
+    *   rollup-partial layouts, which retract by tombstone append and
+    *   never by id. A None init DELETES a stale manifest left beside
+    *   the dir: reset means reset, and a surviving manifest would
+    *   over-approximate forever while the commit guard refused every
+    *   subsequent manifest-less commit. */
+  def initSnapshotStore(snap: DataFrame, dir: String,
+                        manifestIdCol: Option[String] = None): Unit = {
     val pinned = snap.localCheckpoint(true)
     try {
       require(!pinned.isEmpty,
@@ -144,6 +169,19 @@ object Incremental {
       pinned.withColumn("batch", lit(0L))
         .write.option("partitionOverwriteMode", "static")
         .partitionBy("batch").mode("overwrite").parquet(dir)
+      manifestIdCol match {
+        case Some(id) =>
+          pinned.select(col(id)).distinct()
+            .withColumn("batch", lit(0L))
+            .write.option("partitionOverwriteMode", "static")
+            .partitionBy("batch").mode("overwrite")
+            .parquet(manifestPath(dir))
+        case None =>
+          val p = new org.apache.hadoop.fs.Path(manifestPath(dir))
+          val fs = p.getFileSystem(
+            pinned.sparkSession.sessionState.newHadoopConf())
+          if (fs.exists(p)) fs.delete(p, true)
+      }
     } finally Shims.unpersistLocalCheckpoint(pinned)
   }
 
@@ -154,8 +192,13 @@ object Incremental {
     * [[graft.operators.Search.validateTfSnapshot]] detects), so the
     * store refuses loudly; the check reads partition VALUES only
     * (directory listing, no data scan). */
-  def commitSnapshotBatch(snap: DataFrame, dir: String,
-                          batch: Long): Unit = {
+  /** @param manifestIdCol must be set iff the store maintains a
+    *   manifest (the guard below): a manifest missing one batch's
+    *   ids would silently scope every future retraction PAST that
+    *   batch — retracted rows would keep serving, the exact failure
+    *   class the manifest's validator exists to catch. */
+  def commitSnapshotBatch(snap: DataFrame, dir: String, batch: Long,
+                          manifestIdCol: Option[String] = None): Unit = {
     // pin once: the emptiness probe below and the write would
     // otherwise each execute the full snapshot aggregation — at
     // scale the snapshot build is the dominant commit cost
@@ -171,11 +214,42 @@ object Incremental {
           s"$batch of $dir - it would write no partition and the " +
           "batch id would silently never land")
       val spark = pinned.sparkSession
+      val manifested = hasManifest(spark, dir)
+      require(manifested == manifestIdCol.isDefined,
+        if (manifested)
+          s"$dir maintains an id manifest - pass manifestIdCol so " +
+            "this commit maintains it too; a manifest missing this " +
+            "batch's ids would silently scope future retractions " +
+            "past the batch (retracted rows would keep serving)"
+        else
+          s"manifestIdCol passed but $dir has no manifest - " +
+            "initSnapshotStore(manifestIdCol = Some(...)) creates it")
       val landed = readStore(spark, dir).select("batch").distinct()
         .collect().map(_.getLong(0)).toSet
       require(!landed.contains(batch),
         s"batch $batch already committed to $dir - re-committing " +
           "would duplicate markers and counts")
+      // MANIFEST first, store second — the crash-direction choice:
+      // dying between the two leaves the manifest claiming a batch
+      // the store never landed, which fails LOUD downstream (a
+      // retraction touching those ids refuses on the missing
+      // partition; the validator trips; compactSnapshotStore's
+      // rebuild repairs). The reverse order would leave the manifest
+      // MISSING a landed batch's ids, and a future retraction would
+      // silently scope past them — retracted rows kept serving. A
+      // retry of a crashed commit first clears the manifest residue
+      // partition so the re-append cannot duplicate rows.
+      manifestIdCol.foreach { id =>
+        val residue = new org.apache.hadoop.fs.Path(
+          s"${manifestPath(dir)}/batch=$batch")
+        val fs = residue.getFileSystem(
+          spark.sessionState.newHadoopConf())
+        if (fs.exists(residue)) fs.delete(residue, true)
+        pinned.select(col(id)).distinct()
+          .withColumn("batch", lit(batch))
+          .write.partitionBy("batch").mode("append")
+          .parquet(manifestPath(dir))
+      }
       pinned.withColumn("batch", lit(batch))
         .write.partitionBy("batch").mode("append").parquet(dir)
     } finally Shims.unpersistLocalCheckpoint(pinned)
@@ -201,7 +275,10 @@ object Incremental {
     * and the batch-id space resets (callers restart numbering at 1),
     * exactly as [[graft.operators.Quantization.ivfPqRetrain]] resets
     * the cell layout — compaction is the one sanctioned rewrite of
-    * the append-only contract. */
+    * the append-only contract. On a manifested store the id→batch
+    * manifest REBUILDS from the folded data (exact by construction —
+    * every id maps to batch 0), which doubles as the repair for any
+    * crash-residue drift [[validateSnapshotStoreManifest]] reports. */
   def compactSnapshotStore(spark: SparkSession, dir: String): Unit = {
     val tmp = dir + "__compact_tmp"
     // NOT routed through initSnapshotStore: its pin-once checkpoint
@@ -219,33 +296,65 @@ object Incremental {
     cur.withColumn("batch", lit(0L))
       .write.option("partitionOverwriteMode", "static")
       .partitionBy("batch").mode("overwrite").parquet(tmp)
+    val manifested = hasManifest(spark, dir)
+    // read the manifest's id column name BEFORE the swap deletes
+    // nothing manifest-side — the rebuild sources the FOLDED store
+    val manifestId: Option[String] =
+      if (manifested)
+        Some(readStore(spark, manifestPath(dir)).columns
+          .filterNot(_ == "batch").head)
+      else None
     swapIntoPlace(spark, tmp, dir)
+    manifestId.foreach { id =>
+      val mtmp = manifestPath(dir) + "__compact_tmp"
+      readStore(spark, dir).select(col(id)).distinct()
+        .withColumn("batch", lit(0L))
+        .write.option("partitionOverwriteMode", "static")
+        .partitionBy("batch").mode("overwrite").parquet(mtmp)
+      swapIntoPlace(spark, mtmp, manifestPath(dir))
+    }
   }
 
   /** Retract documents from a store at the FILE level — [[retractDocs]]
     * with the REWRITE scoped to the batch partitions that actually
     * hold the retracted ids (dynamic partition overwrite, the
     * [[graft.operators.Quantization.ivfPqRemoveBatch]] pattern).
-    * Scope honestly stated: discovering WHICH batches are touched
-    * reads the id column of every partition (one skinny column
-    * scan); only the rewrite — the expensive part, full rows — is
-    * partition-scoped. A store maintaining an id→batch manifest
-    * could scope the discovery too; that refinement is deliberately
-    * out of scope here. The
+    * Discovery scope: on a MANIFESTED store (see
+    * [[initSnapshotStore]]'s manifestIdCol) the touched batches come
+    * from one probe of the doc-count-sized id→batch manifest —
+    * nothing of the store itself is read outside the touched
+    * partitions; without a manifest, discovery falls back to
+    * reading the id column of every partition (one skinny column
+    * scan). Either way only the rewrite — the expensive part, full
+    * rows — touches full partitions. The manifest rewrites AFTER the
+    * store (its touched partitions drop the retracted ids): a crash
+    * between the two leaves the manifest OVER-approximating — the
+    * safe direction, a later retraction rewrites a partition
+    * needlessly and the stale rows self-heal out; never the silent
+    * miss. The
     * survivors materialize BEFORE the overwrite (the rewrite reads
     * the directories it replaces), and a retraction that would EMPTY
     * a batch directory is refused — dynamic overwrite cannot delete
     * a partition it writes no rows for, so the stale directory would
     * silently survive; rebuild the store ([[initSnapshotStore]])
-    * when a whole batch must go. Ids absent from the store retract
-    * vacuously. */
+    * when a whole batch must go. (The same refusal fires — with this
+    * message — when a crashed commit left the manifest claiming a
+    * batch the store never landed; [[compactSnapshotStore]]'s
+    * manifest rebuild repairs that.) Ids absent from the store
+    * retract vacuously. */
   def retractFromSnapshotStore(spark: SparkSession, dir: String,
                                removeIds: DataFrame,
                                idCol: String = "doc_id"): Unit = {
     val cur = readStore(spark, dir)
     val ids = removeIds.select(col(idCol))
-    val touched = cur.join(ids, Seq(idCol), "left_semi")
-      .select("batch").distinct().collect().map(_.getLong(0))
+    val manifested = hasManifest(spark, dir)
+    val touched =
+      if (manifested)
+        readStore(spark, manifestPath(dir))
+          .join(ids, Seq(idCol), "left_semi")
+          .select("batch").distinct().collect().map(_.getLong(0))
+      else cur.join(ids, Seq(idCol), "left_semi")
+        .select("batch").distinct().collect().map(_.getLong(0))
     if (touched.isEmpty) return
     val survivors = cur.filter(col("batch").isin(touched: _*))
       .join(ids, Seq(idCol), "left_anti")
@@ -258,7 +367,53 @@ object Incremental {
           "them; rebuild the store without the batch instead")
       survivors.write.option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").mode("overwrite").parquet(dir)
+      if (manifested) {
+        val mSurvivors = readStore(spark, manifestPath(dir))
+          .filter(col("batch").isin(touched: _*))
+          .join(ids, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        try mSurvivors.write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").mode("overwrite")
+          .parquet(manifestPath(dir))
+        finally Shims.unpersistLocalCheckpoint(mSurvivors)
+      }
     } finally Shims.unpersistLocalCheckpoint(survivors)
+  }
+
+  /** Assert a manifested store's id→batch manifest is exactly in
+    * sync with the store — the loud detector for the one silent
+    * corruption a manifest can carry: a MISSING (id, batch) pair
+    * scopes every future retraction past that id's partition, so the
+    * retracted rows would keep serving while the takedown reports
+    * success. One skinny pass over each side (distinct (id, batch)
+    * projections full-outer joined); run it after any crash-recovery
+    * and before trusting a long-lived store's retraction path.
+    * Repair is [[compactSnapshotStore]], whose manifest rebuild is
+    * exact by construction. */
+  def validateSnapshotStoreManifest(spark: SparkSession,
+                                    dir: String): Unit = {
+    require(hasManifest(spark, dir),
+      s"$dir has no id manifest to validate - initSnapshotStore " +
+        "with manifestIdCol creates one")
+    val m = readStore(spark, manifestPath(dir))
+    val idCol = m.columns.filterNot(_ == "batch") match {
+      case Array(one) => one
+      case other => throw new IllegalArgumentException(
+        s"manifest of $dir must hold exactly (id, batch) - found " +
+          other.mkString(", "))
+    }
+    val bad = readStore(spark, dir).select(col(idCol), col("batch"))
+      .distinct().withColumn("__graft_s", lit(1))
+      .join(m.withColumn("__graft_m", lit(1)),
+        Seq(idCol, "batch"), "full_outer")
+      .filter(col("__graft_s").isNull || col("__graft_m").isNull)
+      .count()
+    require(bad == 0,
+      s"manifest out of sync with $dir: $bad (id, batch) pair(s) " +
+        "differ - a manifest missing ids lets future retractions " +
+        "MISS their partitions (retracted rows keep serving); " +
+        "compactSnapshotStore rebuilds it exactly")
   }
 
   // ------------------------------------------------------------------

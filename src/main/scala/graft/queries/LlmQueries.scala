@@ -1429,12 +1429,18 @@ object LlmQueries {
       val docs = T.documents(s, d)
       val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
         s"tfstore_${pathDigest(d)}"
+      // manifested: init and commit maintain the id→batch manifest,
+      // so the retraction below discovers its touched partitions
+      // from one doc-count-sized probe instead of scanning every
+      // partition's id column; each validator pass below also
+      // certifies the manifest against the store on disk
       graft.operators.Incremental.initSnapshotStore(
         Search.tfSnapshot(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text"), dir)
+          "doc_id", "text"), dir, manifestIdCol = Some("doc_id"))
       graft.operators.Incremental.commitSnapshotBatch(
         Search.tfSnapshot(docs.filter(col("doc_id") % 2 =!= 0),
-          "doc_id", "text"), dir, 1L)
+          "doc_id", "text"), dir, 1L,
+        manifestIdCol = Some("doc_id"))
       // each loaded snapshot pins ONCE before serving (the
       // inc_bm25_refresh caller discipline, blessed by the
       // tfSnapshot scaladoc): perPostFrom derives postings, dl, df
@@ -1450,6 +1456,8 @@ object LlmQueries {
         val full = ck(graft.operators.Incremental
           .loadSnapshotStore(s, dir))
         Search.validateTfSnapshot(full)
+        graft.operators.Incremental.validateSnapshotStoreManifest(
+          s, dir)
         // materialize=false: both phases stay lazy plans over their
         // PINNED snapshots (checkpoint blocks survive the store
         // rewrite below), and the one eager checkpoint on the final
@@ -1466,6 +1474,8 @@ object LlmQueries {
         val after = ck(graft.operators.Incremental
           .loadSnapshotStore(s, dir))
         Search.validateTfSnapshot(after)
+        graft.operators.Incremental.validateSnapshotStoreManifest(
+          s, dir)
         val probe16 = docs.filter(col("doc_id") % 16 === 3)
           .select(col("doc_id").as("qid"),
             bm25Qtext(col("text")).as("qtext"))
@@ -1477,6 +1487,8 @@ object LlmQueries {
         val folded = ck(graft.operators.Incremental
           .loadSnapshotStore(s, dir))
         Search.validateTfSnapshot(folded)
+        graft.operators.Incremental.validateSnapshotStoreManifest(
+          s, dir)
         val compacted = Search.bm25TopKIndexed(folded, probe16,
             "qid", "qtext", k = 5, materialize = false)
           .select(lit("compacted").as("phase"), col("qid"),
@@ -1500,14 +1512,18 @@ object LlmQueries {
       val docs = T.documents(s, d)
       val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
         s"knstore_${pathDigest(d)}"
+      // manifested, as inc_bm25_store: retraction discovery probes
+      // the id→batch manifest, and each load re-certifies it
       graft.operators.Incremental.initSnapshotStore(
         TextAnalysis.knSnapshot(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text"), dir)
+          "doc_id", "text"), dir, manifestIdCol = Some("doc_id"))
       graft.operators.Incremental.commitSnapshotBatch(
         TextAnalysis.knSnapshot(docs.filter(col("doc_id") % 2 =!= 0),
-          "doc_id", "text"), dir, 1L)
+          "doc_id", "text"), dir, 1L,
+        manifestIdCol = Some("doc_id"))
       val full = graft.operators.Incremental.loadSnapshotStore(s, dir)
       TextAnalysis.validateKnSnapshot(full)
+      graft.operators.Incremental.validateSnapshotStoreManifest(s, dir)
       // materialize=true checkpoints the committed scores before the
       // retraction rewrites the directories they were scanned from
       val committed = TextAnalysis.knScoreFromSnapshot(full)
@@ -1518,6 +1534,7 @@ object LlmQueries {
         docs.filter(col("doc_id") % 5 === 4).select("doc_id"))
       val after = graft.operators.Incremental.loadSnapshotStore(s, dir)
       TextAnalysis.validateKnSnapshot(after)
+      graft.operators.Incremental.validateSnapshotStoreManifest(s, dir)
       val retracted = TextAnalysis.knScoreFromSnapshot(after)
         .select(lit("retracted").as("phase"), col("doc_id"),
           col("n_bigrams"), col("sum_logp_micros"),

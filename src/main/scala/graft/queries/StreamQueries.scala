@@ -592,13 +592,14 @@ object StreamQueries {
     // by the batch-partitioned parquet layout: crawl era A
     // INITIALIZES the store before the first AvailableNow run's
     // probes serve from the LOADED index, era B's partial
-    // file-commits as its own partition directory between runs, and
-    // era B's probes serve from the reloaded merged store. What
-    // serves is only ever what is ON DISK (a restart between crawls
-    // loses nothing), the validator certifies each loaded state, and
-    // the result must hash-match the st_inc_bm25 oracle VERBATIM —
-    // the disk round-trip is result-invisible under micro-batch
-    // splits too.
+    // file-commits as its own partition directory between runs, the
+    // store then COMPACTS (the production fold cadence), and era B's
+    // probes serve from the reloaded FOLDED store. What serves is
+    // only ever what is ON DISK (a restart between crawls loses
+    // nothing), the validator certifies each loaded state, and the
+    // result must hash-match the st_inc_bm25 oracle VERBATIM — the
+    // disk round-trip AND the compaction are result-invisible under
+    // micro-batch splits too.
     "st_inc_bm25_store" -> ((s, d) => {
       val S = graft.operators.Search
       val I = graft.operators.Incremental
@@ -616,7 +617,7 @@ object StreamQueries {
       // fresh and the query stays idempotent.
       I.initSnapshotStore(S.tfSnapshot(
         T.documents(s, d).filter(col("doc_id") % 2 === 0),
-        "doc_id", "text"), dir)
+        "doc_id", "text"), dir, manifestIdCol = Some("doc_id"))
       // each era's loaded store pins ONCE (the st_inc_bm25 snapshot-
       // checkpoint discipline): every micro-batch's serve derives
       // postings/dl/df/scalars from the snapshot, and an unpinned
@@ -625,11 +626,13 @@ object StreamQueries {
       lazy val tfA = {
         val t = reg(I.loadSnapshotStore(s, dir).localCheckpoint(true))
         S.validateTfSnapshot(t)
+        I.validateSnapshotStoreManifest(s, dir)
         t
       }
       lazy val tfAB = {
         val t = reg(I.loadSnapshotStore(s, dir).localCheckpoint(true))
         S.validateTfSnapshot(t)
+        I.validateSnapshotStoreManifest(s, dir)
         t
       }
       // materialize = false, as in st_inc_bm25: the sink write
@@ -651,7 +654,13 @@ object StreamQueries {
         // run1 was memoized and never reads the store again)
         I.commitSnapshotBatch(S.tfSnapshot(
           T.documents(s, d).filter(col("doc_id") % 2 =!= 0),
-          "doc_id", "text"), dir, 1L)
+          "doc_id", "text"), dir, 1L, manifestIdCol = Some("doc_id"))
+        // ...and the store COMPACTS before era B serves: the
+        // production ingest loop folds accumulated crawl partitions
+        // on a cadence, and the fold must be invisible to the next
+        // era's probes — era B serves the folded single-partition
+        // layout and still hash-matches the st_inc_bm25 oracle
+        I.compactSnapshotStore(s, dir)
         val run2 = materializedStream(s, d, "incbm25storeB",
           "documents.parquet", transform = serve(tfAB, 1)) { in =>
           val schema = s.read.parquet(s"$d/documents.parquet").schema
@@ -778,15 +787,17 @@ object StreamQueries {
       // refuse against the leftover store forever in this JVM
       I.initSnapshotStore(TA.knSnapshot(
         T.documents(s, d).filter(col("doc_id") % 2 === 0),
-        "doc_id", "text"), dir)
+        "doc_id", "text"), dir, manifestIdCol = Some("doc_id"))
       lazy val scoresA = {
         val t = I.loadSnapshotStore(s, dir)
         TA.validateKnSnapshot(t)
+        I.validateSnapshotStoreManifest(s, dir)
         reg(TA.knScoreFromSnapshot(t))
       }
       lazy val scoresAB = {
         val t = I.loadSnapshotStore(s, dir)
         TA.validateKnSnapshot(t)
+        I.validateSnapshotStoreManifest(s, dir)
         reg(TA.knScoreFromSnapshot(t))
       }
       def serve(scores: => DataFrame, era: Int)(batch: DataFrame) =
@@ -801,7 +812,7 @@ object StreamQueries {
         }
         I.commitSnapshotBatch(TA.knSnapshot(
           T.documents(s, d).filter(col("doc_id") % 2 =!= 0),
-          "doc_id", "text"), dir, 1L)
+          "doc_id", "text"), dir, 1L, manifestIdCol = Some("doc_id"))
         val run2 = materializedStream(s, d, "incknstoreB",
           "documents.parquet", transform = serve(scoresAB, 1)) { in =>
           val schema = s.read.parquet(s"$d/documents.parquet").schema
@@ -1412,6 +1423,7 @@ object StreamQueries {
         ")\nORDER BY qid, rank"),
     // the st_inc_bm25 replay VERBATIM: serving from the durable
     // store must be result-invisible relative to the in-memory merge
+    // — including era B serving the COMPACTED (folded) layout
     "st_inc_bm25_store" ->
       ("SELECT * FROM (" +
         LlmQueries.bm25SqlEra("doc_id % 2 = 0", "doc_id % 80 = 0") +

@@ -313,6 +313,74 @@ class IncrementalSpec extends SparkSpec {
       .filter(col("doc_id") === 9L).count() == 2)
   }
 
+  test("snapshot store manifest: maintained by init/commit/retract, " +
+    "guards commits on both sides, catches drift loudly, and " +
+    "compaction rebuilds it exactly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifstore").toString + "/s"
+    val mdir = dir + "__manifest"
+    val a = Search.tfSnapshot(storeDocs.filter(col("doc_id") <= 2),
+      "doc_id", "text")
+    val b = Search.tfSnapshot(storeDocs.filter(col("doc_id") > 2),
+      "doc_id", "text")
+    Incremental.initSnapshotStore(a, dir,
+      manifestIdCol = Some("doc_id"))
+    assert(new java.io.File(mdir + "/batch=0").exists())
+    // a manifested store refuses a manifest-less commit (the silent
+    // under-approximation hole) ...
+    val e1 = intercept[IllegalArgumentException] {
+      Incremental.commitSnapshotBatch(b, dir, batch = 1L)
+    }
+    assert(e1.getMessage.contains("maintains an id manifest"))
+    // ... and an unmanifested store refuses a manifest-bearing one
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_nomanif").toString + "/s"
+    Incremental.initSnapshotStore(a, dir2)
+    val e2 = intercept[IllegalArgumentException] {
+      Incremental.commitSnapshotBatch(b, dir2, batch = 1L,
+        manifestIdCol = Some("doc_id"))
+    }
+    assert(e2.getMessage.contains("has no manifest"))
+    Incremental.commitSnapshotBatch(b, dir, batch = 1L,
+      manifestIdCol = Some("doc_id"))
+    Incremental.validateSnapshotStoreManifest(spark, dir)
+    // manifest-scoped retraction == the scan-discovery retraction ==
+    // retractDocs, and the manifest stays in sync
+    Incremental.retractFromSnapshotStore(spark, dir,
+      Seq(3L).toDF("doc_id"))
+    assert(rowSet(Incremental.loadSnapshotStore(spark, dir)) ==
+      rowSet(Incremental.retractDocs(Search.mergeTfSnapshots(
+        Seq(a, b)), Seq(3L).toDF("doc_id"))))
+    Incremental.validateSnapshotStoreManifest(spark, dir)
+    // drift trips the validator loudly: drop one id from the manifest
+    // (the dangerous direction - a future retraction would MISS it)
+    val tampered = spark.read.parquet(mdir)
+      .filter(col("doc_id") =!= 5L).localCheckpoint(true)
+    tampered.write.option("partitionOverwriteMode", "static")
+      .partitionBy("batch").mode("overwrite").parquet(mdir)
+    org.apache.spark.sql.graftshim.Shims
+      .unpersistLocalCheckpoint(tampered)
+    val e3 = intercept[IllegalArgumentException] {
+      Incremental.validateSnapshotStoreManifest(spark, dir)
+    }
+    assert(e3.getMessage.contains("out of sync"))
+    // compaction REBUILDS the manifest from the folded store - the
+    // repair path - and the folded manifest is batch 0 only
+    Incremental.compactSnapshotStore(spark, dir)
+    Incremental.validateSnapshotStoreManifest(spark, dir)
+    val mparts = new java.io.File(mdir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(mparts == Set("batch=0"))
+    // a manifest-less re-init RESETS: the stale manifest is deleted
+    // and retraction falls back to scan discovery
+    Incremental.initSnapshotStore(a, dir)
+    assert(!new java.io.File(mdir).exists())
+    Incremental.retractFromSnapshotStore(spark, dir,
+      Seq(2L).toDF("doc_id"))
+    assert(rowSet(Incremental.loadSnapshotStore(spark, dir)) ==
+      rowSet(Incremental.retractDocs(a, Seq(2L).toDF("doc_id"))))
+  }
+
   test("rollup store: fold == merge, tombstone retract == subtract, " +
     "compaction is reader-invisible and collapses the partitions") {
     val dir = java.nio.file.Files
