@@ -134,9 +134,20 @@ object Incremental {
     * and a full-store column scan per retraction). */
   private def manifestPath(dir: String): String = dir + "__manifest"
 
+  private def fsFor(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
   private def hasManifest(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(manifestPath(dir))
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val (fs, p) = fsFor(spark, manifestPath(dir))
+    fs.exists(p)
+  }
+
+  private def deleteIfExists(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fsFor(spark, path)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   /** Initialize (or RESET) a snapshot store with the first batch as
@@ -155,10 +166,14 @@ object Incremental {
     *   fact stores retracted by id ([[retractFromSnapshotStore]]
     *   then scopes discovery to the manifest); leave None for
     *   rollup-partial layouts, which retract by tombstone append and
-    *   never by id. A None init DELETES a stale manifest left beside
-    *   the dir: reset means reset, and a surviving manifest would
-    *   over-approximate forever while the commit guard refused every
-    *   subsequent manifest-less commit. */
+    *   never by id. ANY init first DELETES an existing manifest,
+    *   BEFORE the store overwrite: a stale previous-generation
+    *   manifest beside a re-inited store would under-approximate the
+    *   new corpus — the silent retraction miss — so every crash
+    *   window of a reset leaves a manifest-LESS store whose
+    *   retraction falls back to the exact full scan (and, for a
+    *   manifested intent, whose next commit refuses loudly until the
+    *   init is retried). */
   def initSnapshotStore(snap: DataFrame, dir: String,
                         manifestIdCol: Option[String] = None): Unit = {
     val pinned = snap.localCheckpoint(true)
@@ -166,21 +181,19 @@ object Incremental {
       require(!pinned.isEmpty,
         s"refusing to init $dir from an empty snapshot - a " +
           "zero-partition layout is unreadable")
+      // neutralize FIRST (see scaladoc): no ordering of store and
+      // manifest writes can otherwise keep a reset's crash windows
+      // out of the silent-miss class
+      deleteIfExists(pinned.sparkSession, manifestPath(dir))
       pinned.withColumn("batch", lit(0L))
         .write.option("partitionOverwriteMode", "static")
         .partitionBy("batch").mode("overwrite").parquet(dir)
-      manifestIdCol match {
-        case Some(id) =>
-          pinned.select(col(id)).distinct()
-            .withColumn("batch", lit(0L))
-            .write.option("partitionOverwriteMode", "static")
-            .partitionBy("batch").mode("overwrite")
-            .parquet(manifestPath(dir))
-        case None =>
-          val p = new org.apache.hadoop.fs.Path(manifestPath(dir))
-          val fs = p.getFileSystem(
-            pinned.sparkSession.sessionState.newHadoopConf())
-          if (fs.exists(p)) fs.delete(p, true)
+      manifestIdCol.foreach { id =>
+        pinned.select(col(id)).distinct()
+          .withColumn("batch", lit(0L))
+          .write.option("partitionOverwriteMode", "static")
+          .partitionBy("batch").mode("overwrite")
+          .parquet(manifestPath(dir))
       }
     } finally Shims.unpersistLocalCheckpoint(pinned)
   }
@@ -236,15 +249,31 @@ object Incremental {
       // partition; the validator trips; compactSnapshotStore's
       // rebuild repairs). The reverse order would leave the manifest
       // MISSING a landed batch's ids, and a future retraction would
-      // silently scope past them — retracted rows kept serving. A
-      // retry of a crashed commit first clears the manifest residue
-      // partition so the re-append cannot duplicate rows.
+      // silently scope past them — retracted rows kept serving.
       manifestIdCol.foreach { id =>
-        val residue = new org.apache.hadoop.fs.Path(
-          s"${manifestPath(dir)}/batch=$batch")
-        val fs = residue.getFileSystem(
-          spark.sessionState.newHadoopConf())
-        if (fs.exists(residue)) fs.delete(residue, true)
+        val residuePath = s"${manifestPath(dir)}/batch=$batch"
+        val (fs, residue) = fsFor(spark, residuePath)
+        if (fs.exists(residue)) {
+          // a manifest partition under this batch id is deletable
+          // retry-residue ONLY if it came from a crashed commit of
+          // this same batch — whose ids, by the manifest-first
+          // order, never landed in the store. Ids the store already
+          // SERVES mean this partition is real data drifted by some
+          // OTHER crash (e.g. a compaction that died before its
+          // manifest rebuild, after which callers restart numbering
+          // at 1): deleting it would convert that loud
+          // over-approximation into the silent retraction miss —
+          // refuse and point at the rebuild. The probe short-
+          // circuits on the first served id.
+          val claimed = spark.read.parquet(residuePath)
+            .select(col(id))
+          require(readStore(spark, dir).select(col(id))
+            .join(claimed, Seq(id), "left_semi").isEmpty,
+            s"manifest batch $batch of $dir holds ids the store " +
+              "already serves - not a crashed-commit residue; " +
+              "compactSnapshotStore rebuilds the manifest exactly")
+          fs.delete(residue, true)
+        }
         pinned.select(col(id)).distinct()
           .withColumn("batch", lit(batch))
           .write.partitionBy("batch").mode("append")
@@ -529,10 +558,10 @@ object Incremental {
     * with the JVM. */
   private def swapIntoPlace(spark: SparkSession, tmp: String,
                             dir: String): Unit = {
-    val target = new org.apache.hadoop.fs.Path(dir)
-    // resolve the filesystem FROM the path (a FileSystem.get on the
-    // default scheme would hit the wrong FS for qualified paths)
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    // fsFor resolves the filesystem FROM the path (a FileSystem.get
+    // on the default scheme would hit the wrong FS for qualified
+    // paths)
+    val (fs, target) = fsFor(spark, dir)
     require(fs.delete(target, true),
       s"compaction could not delete $dir for the swap - the folded " +
         s"store is intact at $tmp")

@@ -381,6 +381,47 @@ class IncrementalSpec extends SparkSpec {
       rowSet(Incremental.retractDocs(a, Seq(2L).toDF("doc_id"))))
   }
 
+  test("snapshot store manifest: the commit residue guard deletes " +
+    "only true crashed-commit residue, never drifted real data") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_residue").toString + "/s"
+    val mdir = dir + "__manifest"
+    val a = Search.tfSnapshot(storeDocs.filter(col("doc_id") <= 2),
+      "doc_id", "text")
+    val b = Search.tfSnapshot(storeDocs.filter(col("doc_id") > 2),
+      "doc_id", "text")
+    Incremental.initSnapshotStore(a, dir,
+      manifestIdCol = Some("doc_id"))
+    // TRUE crashed-commit residue: the manifest claims batch 1 ids
+    // (manifest-first order) that never landed in the store - a
+    // retried commit clears it and lands cleanly
+    Seq(3L, 4L, 5L).toDF("doc_id").withColumn("batch", lit(1L))
+      .write.partitionBy("batch").mode("append").parquet(mdir)
+    Incremental.commitSnapshotBatch(b, dir, batch = 1L,
+      manifestIdCol = Some("doc_id"))
+    Incremental.validateSnapshotStoreManifest(spark, dir)
+    // DRIFTED REAL DATA: a manifest partition whose ids the store
+    // already SERVES (the crashed-compaction shape: ids folded into
+    // batch 0, manifest still holding their old batch row) - the
+    // commit must refuse rather than wipe it into the silent miss
+    Seq(1L).toDF("doc_id").withColumn("batch", lit(2L))
+      .write.partitionBy("batch").mode("append").parquet(mdir)
+    val fresh = Search.tfSnapshot(
+      Seq((9L, "zeta zeta")).toDF("doc_id", "text"), "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Incremental.commitSnapshotBatch(fresh, dir, batch = 2L,
+        manifestIdCol = Some("doc_id"))
+    }
+    assert(e.getMessage.contains("already serves"))
+    // ...and compaction is the sanctioned repair: manifest rebuilt
+    // exactly, after which the same commit lands
+    Incremental.compactSnapshotStore(spark, dir)
+    Incremental.validateSnapshotStoreManifest(spark, dir)
+    Incremental.commitSnapshotBatch(fresh, dir, batch = 2L,
+      manifestIdCol = Some("doc_id"))
+    Incremental.validateSnapshotStoreManifest(spark, dir)
+  }
+
   test("rollup store: fold == merge, tombstone retract == subtract, " +
     "compaction is reader-invisible and collapses the partitions") {
     val dir = java.nio.file.Files
