@@ -140,14 +140,33 @@ object Incremental {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
+  /** A manifest EXISTS only when its last write job committed — the
+    * `_SUCCESS` marker, not bare directory existence: a crash during
+    * the manifest write leaves the directory created (job setup)
+    * but unmarked, and counting that half-written state as a
+    * manifest would let the next commit pass the guard and seed a
+    * manifest missing every earlier batch's ids — the silent
+    * retraction miss. Unmarked ⇒ manifest-less: retraction falls
+    * back to the full scan and a manifested commit refuses loudly
+    * until the init is retried. (A deployment that disables success
+    * markers fails loud the same way — every manifested commit
+    * refuses — never silent.) */
   private def hasManifest(spark: SparkSession, dir: String): Boolean = {
     val (fs, p) = fsFor(spark, manifestPath(dir))
-    fs.exists(p)
+    fs.exists(p) && fs.exists(
+      new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
   }
 
+  /** Delete-or-die: the callers' delete is load-bearing (a stale
+    * manifest surviving a reset under-approximates silently), and
+    * Hadoop filesystems report failure by RETURN VALUE as well as by
+    * exception — swallowing a false here would be the silent miss.
+    * [[swapIntoPlace]] makes the same requirement of its delete. */
   private def deleteIfExists(spark: SparkSession, path: String): Unit = {
     val (fs, p) = fsFor(spark, path)
-    if (fs.exists(p)) fs.delete(p, true)
+    if (fs.exists(p)) require(fs.delete(p, true),
+      s"could not delete $path - refusing to continue past a stale " +
+        "layout that would silently survive")
   }
 
   /** Initialize (or RESET) a snapshot store with the first batch as
@@ -237,7 +256,8 @@ object Incremental {
         else
           s"manifestIdCol passed but $dir has no manifest - " +
             "initSnapshotStore(manifestIdCol = Some(...)) creates it")
-      val landed = readStore(spark, dir).select("batch").distinct()
+      val store = readStore(spark, dir)
+      val landed = store.select("batch").distinct()
         .collect().map(_.getLong(0)).toSet
       require(!landed.contains(batch),
         s"batch $batch already committed to $dir - re-committing " +
@@ -267,7 +287,7 @@ object Incremental {
           // circuits on the first served id.
           val claimed = spark.read.parquet(residuePath)
             .select(col(id))
-          require(readStore(spark, dir).select(col(id))
+          require(store.select(col(id))
             .join(claimed, Seq(id), "left_semi").isEmpty,
             s"manifest batch $batch of $dir holds ids the store " +
               "already serves - not a crashed-commit residue; " +

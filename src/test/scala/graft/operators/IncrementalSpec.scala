@@ -341,6 +341,16 @@ class IncrementalSpec extends SparkSpec {
         manifestIdCol = Some("doc_id"))
     }
     assert(e2.getMessage.contains("has no manifest"))
+    // a HALF-WRITTEN manifest (directory created by a crashed init's
+    // job setup, no _SUCCESS marker) is NOT a manifest - the store
+    // presents as manifest-less (loud commit refusal + scan-fallback
+    // retraction), never as a manifest missing earlier batches
+    assert(new java.io.File(dir2 + "__manifest").mkdirs())
+    val e2b = intercept[IllegalArgumentException] {
+      Incremental.commitSnapshotBatch(b, dir2, batch = 1L,
+        manifestIdCol = Some("doc_id"))
+    }
+    assert(e2b.getMessage.contains("has no manifest"))
     Incremental.commitSnapshotBatch(b, dir, batch = 1L,
       manifestIdCol = Some("doc_id"))
     Incremental.validateSnapshotStoreManifest(spark, dir)
