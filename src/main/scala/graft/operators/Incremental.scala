@@ -62,19 +62,35 @@ object Incremental {
     * multiplicity, so deletion needs counting state, the standard
     * sketch-theory caveat). Those artifacts retract by recount over
     * the survivors, or by switching to their counted variants (the
-    * line-count tables here, a counting Bloom filter in general). */
+    * line-count tables here, a counting Bloom filter in general).
+    *
+    * POISON-PRESERVING: a null sum CELL on a PRESENT row (the
+    * corruption marker [[loadRollupStore]] deliberately emits, as
+    * opposed to the join null of a key absent from one side)
+    * propagates to a null result that survives the zero filter — a
+    * blind coalesce here would turn the poison into 0 and drop the
+    * row, silently erasing one step downstream exactly the
+    * corruption the fold surfaced, and the caller's validator would
+    * never see it. Presence markers keep the two null kinds
+    * distinguishable across the full-outer join. */
   def subtractRollups(total: DataFrame, removed: DataFrame,
                       keys: Seq[String],
                       sums: Seq[String]): DataFrame = {
     require(sums.nonEmpty, "need at least one sum column")
+    val tot = total.withColumn("__graft_pt", lit(1))
     val rm = sums.foldLeft(removed)((df, c) =>
-      df.withColumnRenamed(c, s"__graft_rm_$c"))
-    total.join(rm, keys, "full_outer")
-      .select(keys.map(col) ++ sums.map(c =>
-        (coalesce(col(c), lit(0L))
-          - coalesce(col(s"__graft_rm_$c"), lit(0L))).as(c)): _*)
-      // the coalesced arithmetic never yields null here; the shared
-      // predicate's null arm matters for loadRollupStore's poisoning
+        df.withColumnRenamed(c, s"__graft_rm_$c"))
+      .withColumn("__graft_pr", lit(1))
+    def cell(c: String): Column = {
+      val poisoned =
+        (col("__graft_pt").isNotNull && col(c).isNull) ||
+          (col("__graft_pr").isNotNull && col(s"__graft_rm_$c").isNull)
+      when(poisoned, lit(null).cast(LongType))
+        .otherwise(coalesce(col(c), lit(0L))
+          - coalesce(col(s"__graft_rm_$c"), lit(0L))).as(c)
+    }
+    tot.join(rm, keys, "full_outer")
+      .select(keys.map(col) ++ sums.map(cell): _*)
       .filter(anyLiveSum(sums))
   }
 
@@ -195,7 +211,15 @@ object Incremental {
     *   init is retried). */
   def initSnapshotStore(snap: DataFrame, dir: String,
                         manifestIdCol: Option[String] = None): Unit = {
-    val pinned = snap.localCheckpoint(true)
+    // persist, NOT localCheckpoint: the pin exists so the emptiness
+    // probe and the write(s) share one materialization, but a local
+    // checkpoint truncates lineage — an executor lost mid-write
+    // would fail the whole init unrecoverably, where a cached-with-
+    // lineage plan recomputes the lost partitions and self-heals
+    // (the snapshot builds are deterministic). Same reasoning in
+    // commitSnapshotBatch.
+    val pinned = snap.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       require(!pinned.isEmpty,
         s"refusing to init $dir from an empty snapshot - a " +
@@ -214,7 +238,7 @@ object Incremental {
           .partitionBy("batch").mode("overwrite")
           .parquet(manifestPath(dir))
       }
-    } finally Shims.unpersistLocalCheckpoint(pinned)
+    } finally pinned.unpersist()
   }
 
   /** Append a crawl batch's snapshot partial as its own partition
@@ -231,77 +255,104 @@ object Incremental {
     *   class the manifest's validator exists to catch. */
   def commitSnapshotBatch(snap: DataFrame, dir: String, batch: Long,
                           manifestIdCol: Option[String] = None): Unit = {
-    // pin once: the emptiness probe below and the write would
-    // otherwise each execute the full snapshot aggregation — at
-    // scale the snapshot build is the dominant commit cost
-    val pinned = snap.localCheckpoint(true)
+    val spark = snap.sparkSession
+    // the cheap guards run BEFORE the snapshot materializes: an
+    // orchestrator replaying an already-landed batch id — the exact
+    // case the duplicate guard exists for — must be refused by a
+    // directory listing, not after paying the dominant-cost snapshot
+    // aggregation
+    val store = commitGuards(spark, dir, batch, manifestIdCol)
+    // pin once: the emptiness probe and the write(s) share one
+    // materialization — persist keeps lineage (executor loss
+    // recomputes; see initSnapshotStore), where the snapshot build
+    // is the dominant commit cost
+    val pinned = snap.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // an empty partial would write NO partition directory: the
       // batch id would silently never land, the duplicate-id refusal
-      // below could never fire for it, and the store's per-crawl
+      // above could never fire for it, and the store's per-crawl
       // provenance would silently lose the era — refuse loudly,
       // mirroring initSnapshotStore's empty guard
       require(!pinned.isEmpty,
         s"refusing to commit an empty snapshot partial as batch " +
           s"$batch of $dir - it would write no partition and the " +
           "batch id would silently never land")
-      val spark = pinned.sparkSession
-      val manifested = hasManifest(spark, dir)
-      require(manifested == manifestIdCol.isDefined,
-        if (manifested)
-          s"$dir maintains an id manifest - pass manifestIdCol so " +
-            "this commit maintains it too; a manifest missing this " +
-            "batch's ids would silently scope future retractions " +
-            "past the batch (retracted rows would keep serving)"
-        else
-          s"manifestIdCol passed but $dir has no manifest - " +
-            "initSnapshotStore(manifestIdCol = Some(...)) creates it")
-      val store = readStore(spark, dir)
-      val landed = store.select("batch").distinct()
-        .collect().map(_.getLong(0)).toSet
-      require(!landed.contains(batch),
-        s"batch $batch already committed to $dir - re-committing " +
-          "would duplicate markers and counts")
-      // MANIFEST first, store second — the crash-direction choice:
-      // dying between the two leaves the manifest claiming a batch
-      // the store never landed, which fails LOUD downstream (a
-      // retraction touching those ids refuses on the missing
-      // partition; the validator trips; compactSnapshotStore's
-      // rebuild repairs). The reverse order would leave the manifest
-      // MISSING a landed batch's ids, and a future retraction would
-      // silently scope past them — retracted rows kept serving.
-      manifestIdCol.foreach { id =>
-        val residuePath = s"${manifestPath(dir)}/batch=$batch"
-        val (fs, residue) = fsFor(spark, residuePath)
-        if (fs.exists(residue)) {
-          // a manifest partition under this batch id is deletable
-          // retry-residue ONLY if it came from a crashed commit of
-          // this same batch — whose ids, by the manifest-first
-          // order, never landed in the store. Ids the store already
-          // SERVES mean this partition is real data drifted by some
-          // OTHER crash (e.g. a compaction that died before its
-          // manifest rebuild, after which callers restart numbering
-          // at 1): deleting it would convert that loud
-          // over-approximation into the silent retraction miss —
-          // refuse and point at the rebuild. The probe short-
-          // circuits on the first served id.
-          val claimed = spark.read.parquet(residuePath)
-            .select(col(id))
-          require(store.select(col(id))
-            .join(claimed, Seq(id), "left_semi").isEmpty,
-            s"manifest batch $batch of $dir holds ids the store " +
-              "already serves - not a crashed-commit residue; " +
-              "compactSnapshotStore rebuilds the manifest exactly")
-          fs.delete(residue, true)
-        }
-        pinned.select(col(id)).distinct()
-          .withColumn("batch", lit(batch))
-          .write.partitionBy("batch").mode("append")
-          .parquet(manifestPath(dir))
+      writeCommit(pinned, store, dir, batch, manifestIdCol)
+    } finally pinned.unpersist()
+  }
+
+  /** The listing-only commit preconditions (manifest two-sided guard
+    * + fresh batch id); returns the store reader for reuse by
+    * [[writeCommit]]'s residue probe. */
+  private def commitGuards(spark: SparkSession, dir: String,
+                           batch: Long,
+                           manifestIdCol: Option[String]): DataFrame = {
+    val manifested = hasManifest(spark, dir)
+    require(manifested == manifestIdCol.isDefined,
+      if (manifested)
+        s"$dir maintains an id manifest - pass manifestIdCol so " +
+          "this commit maintains it too; a manifest missing this " +
+          "batch's ids would silently scope future retractions " +
+          "past the batch (retracted rows would keep serving)"
+      else
+        s"manifestIdCol passed but $dir has no manifest - " +
+          "initSnapshotStore(manifestIdCol = Some(...)) creates it")
+    val store = readStore(spark, dir)
+    val landed = store.select("batch").distinct()
+      .collect().map(_.getLong(0)).toSet
+    require(!landed.contains(batch),
+      s"batch $batch already committed to $dir - re-committing " +
+        "would duplicate markers and counts")
+    store
+  }
+
+  /** The write tail shared by [[commitSnapshotBatch]] and
+    * [[retractFromRollupStore]] — the input is already materialized
+    * by the caller, so the tombstone path does not pay a second
+    * full copy. MANIFEST first, store second — the crash-direction
+    * choice: dying between the two leaves the manifest claiming a
+    * batch the store never landed, which fails LOUD downstream (a
+    * retraction touching those ids refuses on the missing
+    * partition; the validator trips; compactSnapshotStore's rebuild
+    * repairs). The reverse order would leave the manifest MISSING a
+    * landed batch's ids, and a future retraction would silently
+    * scope past them — retracted rows kept serving. */
+  private def writeCommit(pinned: DataFrame, store: DataFrame,
+                          dir: String, batch: Long,
+                          manifestIdCol: Option[String]): Unit = {
+    val spark = pinned.sparkSession
+    manifestIdCol.foreach { id =>
+      val residuePath = s"${manifestPath(dir)}/batch=$batch"
+      val (fs, residue) = fsFor(spark, residuePath)
+      if (fs.exists(residue)) {
+        // a manifest partition under this batch id is deletable
+        // retry-residue ONLY if it came from a crashed commit of
+        // this same batch — whose ids, by the manifest-first
+        // order, never landed in the store. Ids the store already
+        // SERVES mean this partition is real data drifted by some
+        // OTHER crash (e.g. a compaction that died before its
+        // manifest rebuild, after which callers restart numbering
+        // at 1): deleting it would convert that loud
+        // over-approximation into the silent retraction miss —
+        // refuse and point at the rebuild. The probe short-
+        // circuits on the first served id.
+        val claimed = spark.read.parquet(residuePath)
+          .select(col(id))
+        require(store.select(col(id))
+          .join(claimed, Seq(id), "left_semi").isEmpty,
+          s"manifest batch $batch of $dir holds ids the store " +
+            "already serves - not a crashed-commit residue; " +
+            "compactSnapshotStore rebuilds the manifest exactly")
+        fs.delete(residue, true)
       }
-      pinned.withColumn("batch", lit(batch))
-        .write.partitionBy("batch").mode("append").parquet(dir)
-    } finally Shims.unpersistLocalCheckpoint(pinned)
+      pinned.select(col(id)).distinct()
+        .withColumn("batch", lit(batch))
+        .write.partitionBy("batch").mode("append")
+        .parquet(manifestPath(dir))
+    }
+    pinned.withColumn("batch", lit(batch))
+      .write.partitionBy("batch").mode("append").parquet(dir)
   }
 
   /** Load the full snapshot from a store — row-for-row the
@@ -535,13 +586,19 @@ object Incremental {
                              keys: Seq[String], sums: Seq[String],
                              batch: Long): Unit = {
     require(sums.nonEmpty, "need at least one sum column")
+    val spark = removedPartial.sparkSession
+    // one persist serves the vacuous-empty probe AND the write tail
+    // directly (routing through the public commit would pin the
+    // already-pinned frame a second time — a full extra copy held
+    // for the duration of every tombstone write)
     val negated = removedPartial.select(keys.map(col) ++
         sums.map(c => (-col(c)).as(c)): _*)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (negated.isEmpty) return
-      commitSnapshotBatch(negated, dir, batch)
-    } finally Shims.unpersistLocalCheckpoint(negated)
+      val store = commitGuards(spark, dir, batch, None)
+      writeCommit(negated, store, dir, batch, None)
+    } finally negated.unpersist()
   }
 
   /** Fold all partials into a single batch-0 layout — bounds the
@@ -575,7 +632,16 @@ object Incremental {
     * folded store at the tempdir path — recover by renaming it to
     * `dir`. No failure point can silently lose landed state, unlike
     * an in-place overwrite whose only copy of the fold would die
-    * with the JVM. */
+    * with the JVM.
+    *
+    * The guarantee is scoped to ATOMIC-RENAME filesystems (HDFS,
+    * POSIX — where a directory rename is one metadata operation).
+    * On an object store (s3a and kin) `rename` is a client-side
+    * copy-then-delete, so a crash mid-rename can leave `dir`
+    * holding a PARTIAL layout that looks complete; deployments
+    * there should swap via a committed pointer/manifest (e.g. a
+    * table format's atomic metadata commit) rather than this
+    * directory rename. */
   private def swapIntoPlace(spark: SparkSession, tmp: String,
                             dir: String): Unit = {
     // fsFor resolves the filesystem FROM the path (a FileSystem.get

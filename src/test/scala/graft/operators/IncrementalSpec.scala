@@ -485,6 +485,61 @@ class IncrementalSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty"))
   }
 
+  test("subtractRollups preserves a poisoned null cell instead of " +
+    "laundering it to zero, while join nulls still mean absence") {
+    // key 20 carries the corruption marker loadRollupStore emits (a
+    // null cell on a PRESENT row); key 30 exists only in the total,
+    // key 40 only in the removed slice - the join-null cases
+    val total = Seq((10L, Some(5L)), (20L, Option.empty[Long]),
+      (30L, Some(2L))).toDF("key", "cnt")
+    val removed = Seq((10L, Some(2L)), (40L, Some(1L)))
+      .toDF("key", "cnt")
+    val out = Incremental.subtractRollups(total, removed,
+      Seq("key"), Seq("cnt"))
+    val byKey = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // 10: normal subtraction; 20: poison SURVIVES (a blind coalesce
+    // would emit 0 and drop the row, erasing the corruption one step
+    // after the fold surfaced it); 30: untouched; 40: negative for
+    // the validator
+    assert(byKey == Map(10L -> Some(3L), 20L -> None,
+      30L -> Some(2L), 40L -> Some(-1L)))
+    intercept[IllegalArgumentException] {
+      Dedup.validateLineCounts(out)
+    }
+  }
+
+  test("snapshot store init stays a static reset even when the " +
+    "session default is dynamic partition overwrite") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dynreset").toString + "/s"
+    val a = Search.tfSnapshot(storeDocs.filter(col("doc_id") <= 2),
+      "doc_id", "text")
+    Incremental.initSnapshotStore(a, dir)
+    Incremental.commitSnapshotBatch(
+      Search.tfSnapshot(storeDocs.filter(col("doc_id") > 2),
+        "doc_id", "text"), dir, batch = 1L)
+    val before = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+      "dynamic")
+    try Incremental.initSnapshotStore(a, dir)
+    finally before match {
+      case Some(v) => spark.conf
+        .set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf
+        .unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // a reset under a dynamic session default must still remove the
+    // stale batch-1 partition - otherwise every later fold would
+    // silently double-count it
+    val parts = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=0"))
+    assert(rowSet(Incremental.loadSnapshotStore(spark, dir))
+      == rowSet(a))
+  }
+
   test("rollup store: a null count cell poisons its key through the " +
     "fold into the validator instead of vanishing") {
     val dir = java.nio.file.Files
