@@ -211,16 +211,7 @@ object Incremental {
     *   init is retried). */
   def initSnapshotStore(snap: DataFrame, dir: String,
                         manifestIdCol: Option[String] = None): Unit = {
-    // persist, NOT localCheckpoint: the pin exists so the emptiness
-    // probe and the write(s) share one materialization, but a local
-    // checkpoint truncates lineage — an executor lost mid-write
-    // would fail the whole init unrecoverably, where a cached-with-
-    // lineage plan recomputes the lost partitions and self-heals
-    // (the snapshot builds are deterministic). Same reasoning in
-    // commitSnapshotBatch.
-    val pinned = snap.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    withPinned(snap) { pinned =>
       require(!pinned.isEmpty,
         s"refusing to init $dir from an empty snapshot - a " +
           "zero-partition layout is unreadable")
@@ -237,8 +228,60 @@ object Incremental {
           .write.option("partitionOverwriteMode", "static")
           .partitionBy("batch").mode("overwrite")
           .parquet(manifestPath(dir))
+        // post-write sync check (see verifyBatchSync): the two
+        // writes each materialized the pinned plan, and a cache
+        // block lost in between recomputes from lineage — loud, not
+        // a silently diverged manifest
+        validateSnapshotStoreManifest(pinned.sparkSession, dir)
       }
-    } finally pinned.unpersist()
+    }
+  }
+
+  /** Pin-once that RESPECTS a caller's own cache: persist only when
+    * the frame is not already cached, and unpersist only what this
+    * call persisted — blindly unpersisting would evict a
+    * caller-held cache (persist returns the same Dataset), silently
+    * forcing every later caller use to recompute. persist, NOT
+    * localCheckpoint: a local checkpoint truncates lineage, so an
+    * executor lost mid-write fails the whole operation
+    * unrecoverably, where a cached-with-lineage plan recomputes the
+    * lost partitions and self-heals. The recompute caveat — a
+    * NON-deterministic plan can recompute differently across the
+    * writes sharing the pin — is closed loudly by the post-write
+    * sync checks ([[verifyBatchSync]]). */
+  private def withPinned[A](df: DataFrame)(f: DataFrame => A): A = {
+    val mine = df.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val pinned = if (mine) df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
+    try f(pinned) finally if (mine) pinned.unpersist()
+  }
+
+  /** Post-write sync check on the JUST-written batch: manifest and
+    * store writes each materialize the pinned plan, and a cache
+    * block lost between them recomputes from lineage — for a
+    * non-deterministic snapshot plan the two writes could land
+    * DIFFERENT id sets, store rows the manifest never recorded, the
+    * silent retraction miss. One skinny probe of only the new
+    * partition (not the whole store) turns that into a loud failure
+    * at the commit that caused it. */
+  private def verifyBatchSync(spark: SparkSession, dir: String,
+                              batch: Long, id: String): Unit = {
+    val s = spark.read.parquet(s"$dir/batch=$batch")
+      .select(col(id)).distinct()
+    val m = spark.read
+      .parquet(s"${manifestPath(dir)}/batch=$batch").select(col(id))
+    val bad = s.withColumn("__graft_s", lit(1))
+      .join(m.withColumn("__graft_m", lit(1)), Seq(id), "full_outer")
+      .filter(col("__graft_s").isNull || col("__graft_m").isNull)
+      .count()
+    require(bad == 0,
+      s"batch $batch of $dir landed with $bad id(s) differing " +
+        "between store and manifest - a cache block lost mid-commit " +
+        "recomputed a non-deterministic snapshot plan differently " +
+        s"across the two writes; delete both batch=$batch " +
+        "partitions and retry (or compactSnapshotStore to rebuild " +
+        "the manifest)")
   }
 
   /** Append a crawl batch's snapshot partial as its own partition
@@ -261,14 +304,11 @@ object Incremental {
     // case the duplicate guard exists for — must be refused by a
     // directory listing, not after paying the dominant-cost snapshot
     // aggregation
-    val store = commitGuards(spark, dir, batch, manifestIdCol)
+    commitGuards(spark, dir, batch, manifestIdCol)
     // pin once: the emptiness probe and the write(s) share one
-    // materialization — persist keeps lineage (executor loss
-    // recomputes; see initSnapshotStore), where the snapshot build
-    // is the dominant commit cost
-    val pinned = snap.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // materialization (withPinned: lineage kept, caller caches
+    // respected)
+    withPinned(snap) { pinned =>
       // an empty partial would write NO partition directory: the
       // batch id would silently never land, the duplicate-id refusal
       // above could never fire for it, and the store's per-crawl
@@ -278,8 +318,17 @@ object Incremental {
         s"refusing to commit an empty snapshot partial as batch " +
           s"$batch of $dir - it would write no partition and the " +
           "batch id would silently never land")
+      // ...and the guards run AGAIN right before the write: the
+      // early check ran before the dominant-cost build, which would
+      // otherwise leave a replay window as wide as the whole
+      // materialization — re-listing shrinks it back to the write
+      // itself (this is a window, not a lock: concurrent commits of
+      // the same batch id were never supported)
+      val store = commitGuards(spark, dir, batch, manifestIdCol)
       writeCommit(pinned, store, dir, batch, manifestIdCol)
-    } finally pinned.unpersist()
+      manifestIdCol.foreach(id =>
+        verifyBatchSync(spark, dir, batch, id))
+    }
   }
 
   /** The listing-only commit preconditions (manifest two-sided guard
@@ -574,31 +623,36 @@ object Incremental {
   /** Retract a slice from a rollup store WITHOUT rewriting anything:
     * append the slice's partial with every sum NEGATED — tombstone
     * rows that cancel key-wise at [[loadRollupStore]] time. An EMPTY
-    * slice retracts vacuously (the [[retractDocs]] /
+    * slice lands no batch (the [[retractDocs]] /
     * [[retractFromSnapshotStore]] convention — a quarantined source
-    * whose docs carried no countable lines is a no-op, not a
-    * commit-guard crash), and the probe shares the negation's
-    * materialization. The caller contract is [[subtractRollups]]'s
-    * (the slice must be a sub-multiset of what the store counted;
-    * violating it drives merged sums negative for the validator to
-    * catch), plus the store's own fresh-batch-id rule. */
+    * whose docs carried no countable lines writes nothing), and the
+    * probe shares the negation's materialization. The caller
+    * contract is [[subtractRollups]]'s (the slice must be a
+    * sub-multiset of what the store counted; violating it drives
+    * merged sums negative for the validator to catch), plus the
+    * store's fresh-batch-id rule — checked by listing BEFORE the
+    * slice materializes, so a replayed retraction refuses cheaply
+    * and even a vacuous one refuses under a duplicate id (the id
+    * namespace stays honest either way). */
   def retractFromRollupStore(removedPartial: DataFrame, dir: String,
                              keys: Seq[String], sums: Seq[String],
                              batch: Long): Unit = {
     require(sums.nonEmpty, "need at least one sum column")
     val spark = removedPartial.sparkSession
-    // one persist serves the vacuous-empty probe AND the write tail
-    // directly (routing through the public commit would pin the
-    // already-pinned frame a second time — a full extra copy held
-    // for the duration of every tombstone write)
-    val negated = removedPartial.select(keys.map(col) ++
-        sums.map(c => (-col(c)).as(c)): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (negated.isEmpty) return
-      val store = commitGuards(spark, dir, batch, None)
-      writeCommit(negated, store, dir, batch, None)
-    } finally negated.unpersist()
+    // the listing-only guards run BEFORE the partial materializes
+    // (the commitSnapshotBatch ordering): a replayed retraction with
+    // an already-landed batch id refuses by listing, not after
+    // paying the partial's shuffle — which makes a VACUOUS retract
+    // under a duplicate id refuse too, deliberately: the batch-id
+    // namespace stays honest whether or not the slice was empty
+    val store = commitGuards(spark, dir, batch, None)
+    // one pin serves the vacuous-empty probe AND the write tail
+    // directly (routing through the public commit would pin twice)
+    withPinned(removedPartial.select(keys.map(col) ++
+        sums.map(c => (-col(c)).as(c)): _*)) { negated =>
+      if (!negated.isEmpty)
+        writeCommit(negated, store, dir, batch, None)
+    }
   }
 
   /** Fold all partials into a single batch-0 layout — bounds the
