@@ -454,11 +454,15 @@ object PlanDump {
         "id→batch MANIFEST (one doc-count-sized probe — nothing of " +
         "the store is read outside the touched partitions; " +
         "manifest-less stores fall back to the skinny full-store id " +
-        "scan), and the compaction cadence bounds the per-partial " +
-        "listing cost planning pays. The manifest is guarded on " +
-        "both sides (a manifested store refuses a manifest-less " +
-        "commit), its crash residue only ever over-approximates, " +
-        "and validateSnapshotStoreManifest re-certifies exact " +
+        "scan; measured in BENCH_MANIFEST_r14.json with the honest " +
+        "note that sandbox-scale numbers are overhead-dominated and " +
+        "the win is the 24x-and-growing touched-row asymmetry), and " +
+        "the compaction cadence bounds the per-partial listing cost " +
+        "planning pays. The manifest is guarded on both sides (a " +
+        "manifested store refuses a manifest-less commit), its " +
+        "crash residue only ever over-approximates, every commit " +
+        "runs a post-write per-batch sync check, and " +
+        "validateSnapshotStoreManifest re-certifies exact " +
         "(id, batch) sync on every load."),
     "inc_boiler_store" ->
       ("The append-only ROLLUP store - the third storage " +
