@@ -228,13 +228,17 @@ object Incremental {
           .write.option("partitionOverwriteMode", "static")
           .partitionBy("batch").mode("overwrite")
           .parquet(manifestPath(dir))
-        // post-write sync check (see verifyBatchSync): the two
-        // writes each materialized the pinned plan, and a cache
-        // block lost in between recomputes from lineage — loud, not
-        // a silently diverged manifest
-        validateSnapshotStoreManifest(pinned.sparkSession, dir)
       }
     }
+    // post-write sync check (see verifyBatchSync), OUTSIDE the pin:
+    // the probe deliberately reads what landed on DISK, so holding
+    // the corpus-scale pinned snapshot alive through it would be
+    // pure memory pressure. The two writes each materialized the
+    // pinned plan, and a cache block lost in between recomputes
+    // from lineage — this makes divergence loud, not a silently
+    // diverged manifest.
+    manifestIdCol.foreach(_ =>
+      validateSnapshotStoreManifest(snap.sparkSession, dir))
   }
 
   /** Pin-once that RESPECTS a caller's own cache: persist only when
@@ -271,10 +275,12 @@ object Incremental {
       .select(col(id)).distinct()
     val m = spark.read
       .parquet(s"${manifestPath(dir)}/batch=$batch").select(col(id))
-    val bad = s.withColumn("__graft_s", lit(1))
-      .join(m.withColumn("__graft_m", lit(1)), Seq(id), "full_outer")
-      .filter(col("__graft_s").isNull || col("__graft_m").isNull)
-      .count()
+    // exceptAll both ways, NOT an equi-join: SQL set operations
+    // compare null-safely, where a join on the id column would
+    // never match a null id against itself and report a
+    // byte-identical pair of layouts as diverged (with a
+    // remediation that reproduces the failure on every retry)
+    val bad = s.exceptAll(m).count() + m.exceptAll(s).count()
     require(bad == 0,
       s"batch $batch of $dir landed with $bad id(s) differing " +
         "between store and manifest - a cache block lost mid-commit " +
@@ -326,9 +332,11 @@ object Incremental {
       // the same batch id were never supported)
       val store = commitGuards(spark, dir, batch, manifestIdCol)
       writeCommit(pinned, store, dir, batch, manifestIdCol)
-      manifestIdCol.foreach(id =>
-        verifyBatchSync(spark, dir, batch, id))
     }
+    // outside the pin (see initSnapshotStore): the sync probe reads
+    // only what landed on disk — the corpus-scale pin's last real
+    // consumer is the write above
+    manifestIdCol.foreach(id => verifyBatchSync(spark, dir, batch, id))
   }
 
   /** The listing-only commit preconditions (manifest two-sided guard
@@ -552,12 +560,13 @@ object Incremental {
         s"manifest of $dir must hold exactly (id, batch) - found " +
           other.mkString(", "))
     }
-    val bad = readStore(spark, dir).select(col(idCol), col("batch"))
-      .distinct().withColumn("__graft_s", lit(1))
-      .join(m.withColumn("__graft_m", lit(1)),
-        Seq(idCol, "batch"), "full_outer")
-      .filter(col("__graft_s").isNull || col("__graft_m").isNull)
-      .count()
+    // exceptAll both ways (null-safe set comparison, as in
+    // verifyBatchSync) — an equi-join would report a null id as
+    // diverged even when both layouts hold it identically
+    val sp = readStore(spark, dir).select(col(idCol), col("batch"))
+      .distinct()
+    val mp = m.select(col(idCol), col("batch"))
+    val bad = sp.exceptAll(mp).count() + mp.exceptAll(sp).count()
     require(bad == 0,
       s"manifest out of sync with $dir: $bad (id, batch) pair(s) " +
         "differ - a manifest missing ids lets future retractions " +
@@ -645,13 +654,19 @@ object Incremental {
     // paying the partial's shuffle — which makes a VACUOUS retract
     // under a duplicate id refuse too, deliberately: the batch-id
     // namespace stays honest whether or not the slice was empty
-    val store = commitGuards(spark, dir, batch, None)
+    commitGuards(spark, dir, batch, None)
     // one pin serves the vacuous-empty probe AND the write tail
     // directly (routing through the public commit would pin twice)
     withPinned(removedPartial.select(keys.map(col) ++
         sums.map(c => (-col(c)).as(c)): _*)) { negated =>
-      if (!negated.isEmpty)
+      if (!negated.isEmpty) {
+        // re-guard right before the write, as in commitSnapshotBatch:
+        // the early listing ran before the negation's dominant
+        // shuffle, which would otherwise leave a replay window as
+        // wide as the whole materialization
+        val store = commitGuards(spark, dir, batch, None)
         writeCommit(negated, store, dir, batch, None)
+      }
     }
   }
 

@@ -509,6 +509,53 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("store write hygiene: vacuous retract refuses a duplicate " +
+    "batch id, the pin respects a caller-held cache, and a null id " +
+    "is not false divergence") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hygiene").toString + "/s"
+    Incremental.initSnapshotStore(
+      Seq((10L, 3L)).toDF("key", "cnt"), dir)
+    Incremental.commitSnapshotBatch(
+      Seq((20L, 2L)).toDF("key", "cnt"), dir, batch = 1L)
+    // a vacuous (empty) retraction under an ALREADY-LANDED batch id
+    // refuses by listing - the id namespace stays honest whether or
+    // not the slice was empty
+    val empty = Seq((99L, 1L)).toDF("key", "cnt")
+      .filter(col("cnt") < 0L)
+    val e = intercept[IllegalArgumentException] {
+      Incremental.retractFromRollupStore(empty, dir, Seq("key"),
+        Seq("cnt"), batch = 1L)
+    }
+    assert(e.getMessage.contains("already committed"))
+    // ...while a fresh id still lands nothing for an empty slice
+    Incremental.retractFromRollupStore(empty, dir, Seq("key"),
+      Seq("cnt"), batch = 2L)
+    // the pin respects a caller-held cache: committing a frame the
+    // CALLER persisted must not evict their cache on exit
+    val cached = Seq((30L, 7L)).toDF("key", "cnt").persist()
+    try {
+      Incremental.commitSnapshotBatch(cached, dir, batch = 3L)
+      assert(cached.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE)
+    } finally cached.unpersist()
+    // a null id present identically in store and manifest is SYNC,
+    // not divergence - the set-comparison path must be null-safe
+    // (an equi-join would never match null against itself)
+    val ndir = java.nio.file.Files
+      .createTempDirectory("graft_nullid").toString + "/s"
+    Incremental.initSnapshotStore(
+      Seq((Some(1L), 5L), (Option.empty[Long], 2L))
+        .toDF("doc_id", "cnt"),
+      ndir, manifestIdCol = Some("doc_id"))
+    Incremental.validateSnapshotStoreManifest(spark, ndir)
+    Incremental.commitSnapshotBatch(
+      Seq((Option.empty[Long], 9L), (Some(4L), 1L))
+        .toDF("doc_id", "cnt"),
+      ndir, batch = 1L, manifestIdCol = Some("doc_id"))
+    Incremental.validateSnapshotStoreManifest(spark, ndir)
+  }
+
   test("snapshot store init stays a static reset even when the " +
     "session default is dynamic partition overwrite") {
     val dir = java.nio.file.Files
