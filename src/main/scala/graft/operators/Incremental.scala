@@ -223,8 +223,9 @@ object Incremental {
         .write.option("partitionOverwriteMode", "static")
         .partitionBy("batch").mode("overwrite").parquet(dir)
       manifestIdCol.foreach { id =>
-        pinned.select(col(id)).distinct()
-          .withColumn("batch", lit(0L))
+        val ids = pinned.select(col(id)).distinct()
+        requireNoNullIds(ids, id, dir)
+        ids.withColumn("batch", lit(0L))
           .write.option("partitionOverwriteMode", "static")
           .partitionBy("batch").mode("overwrite")
           .parquet(manifestPath(dir))
@@ -266,21 +267,17 @@ object Incremental {
     * block lost between them recomputes from lineage — for a
     * non-deterministic snapshot plan the two writes could land
     * DIFFERENT id sets, store rows the manifest never recorded, the
-    * silent retraction miss. One skinny probe of only the new
-    * partition (not the whole store) turns that into a loud failure
-    * at the commit that caused it. */
+    * silent retraction miss. One [[symmetricDiffCount]] job over
+    * only the new partition's two id projections (not the whole
+    * store) turns that into a loud failure at the commit that
+    * caused it. */
   private def verifyBatchSync(spark: SparkSession, dir: String,
                               batch: Long, id: String): Unit = {
     val s = spark.read.parquet(s"$dir/batch=$batch")
       .select(col(id)).distinct()
     val m = spark.read
       .parquet(s"${manifestPath(dir)}/batch=$batch").select(col(id))
-    // exceptAll both ways, NOT an equi-join: SQL set operations
-    // compare null-safely, where a join on the id column would
-    // never match a null id against itself and report a
-    // byte-identical pair of layouts as diverged (with a
-    // remediation that reproduces the failure on every retry)
-    val bad = s.exceptAll(m).count() + m.exceptAll(s).count()
+    val bad = symmetricDiffCount(s, m)
     require(bad == 0,
       s"batch $batch of $dir landed with $bad id(s) differing " +
         "between store and manifest - a cache block lost mid-commit " +
@@ -288,6 +285,23 @@ object Incremental {
         s"across the two writes; delete both batch=$batch " +
         "partitions and retry (or compactSnapshotStore to rebuild " +
         "the manifest)")
+  }
+
+  /** Count of keys whose multiplicities differ between two frames
+    * with the same columns — ONE job (union with +1/-1 weights,
+    * group by the row, any nonzero sum is a divergence), zero iff
+    * the multisets are equal. Null-safe by grouping semantics (a
+    * null groups with itself), where an equi-join would never match
+    * a null against itself and report byte-identical layouts as
+    * diverged; and one scan of each side, where a two-directional
+    * exceptAll would scan both twice. */
+  private def symmetricDiffCount(a: DataFrame, b: DataFrame): Long = {
+    val cols = a.columns.toSeq
+    a.withColumn("__graft_w", lit(1L))
+      .unionByName(b.withColumn("__graft_w", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("__graft_w")).as("__graft_w"))
+      .filter(col("__graft_w") =!= 0L).count()
   }
 
   /** Append a crawl batch's snapshot partial as its own partition
@@ -403,14 +417,29 @@ object Incremental {
             "compactSnapshotStore rebuilds the manifest exactly")
         fs.delete(residue, true)
       }
-      pinned.select(col(id)).distinct()
-        .withColumn("batch", lit(batch))
+      val ids = pinned.select(col(id)).distinct()
+      requireNoNullIds(ids, id, dir)
+      ids.withColumn("batch", lit(batch))
         .write.partitionBy("batch").mode("append")
         .parquet(manifestPath(dir))
     }
     pinned.withColumn("batch", lit(batch))
       .write.partitionBy("batch").mode("append").parquet(dir)
   }
+
+  /** Null ids are refused at every manifested WRITE: the retraction
+    * machinery discovers touched partitions and rewrites survivors
+    * by EQUI-join on the id, which never matches null — a null-id
+    * row in a manifested store would be permanently un-retractable
+    * by id, the exact silent-miss class the manifest exists to
+    * prevent. (Unmanifested stores may carry them; their callers
+    * retract by whole-corpus recount or rebuild.) */
+  private def requireNoNullIds(ids: DataFrame, id: String,
+                               dir: String): Unit =
+    require(ids.filter(col(id).isNull).isEmpty,
+      s"refusing to write a null $id into the manifest of $dir - a " +
+        "null id can never be retracted by id (equi-join discovery " +
+        "cannot match it); scrub null-id rows before the commit")
 
   /** Load the full snapshot from a store — row-for-row the
     * [[mergeRollups]]-free union-merge of every committed batch
@@ -543,11 +572,13 @@ object Incremental {
     * corruption a manifest can carry: a MISSING (id, batch) pair
     * scopes every future retraction past that id's partition, so the
     * retracted rows would keep serving while the takedown reports
-    * success. One skinny pass over each side (distinct (id, batch)
-    * projections full-outer joined); run it after any crash-recovery
-    * and before trusting a long-lived store's retraction path.
-    * Repair is [[compactSnapshotStore]], whose manifest rebuild is
-    * exact by construction. */
+    * success. Also refuses null ids outright — the id-keyed
+    * retraction machinery can never target them (see the write-side
+    * guard). One [[symmetricDiffCount]] job over the two skinny
+    * (id, batch) projections; run it after any crash-recovery and
+    * before trusting a long-lived store's retraction path. Repair
+    * is [[compactSnapshotStore]], whose manifest rebuild is exact
+    * by construction. */
   def validateSnapshotStoreManifest(spark: SparkSession,
                                     dir: String): Unit = {
     require(hasManifest(spark, dir),
@@ -560,13 +591,20 @@ object Incremental {
         s"manifest of $dir must hold exactly (id, batch) - found " +
           other.mkString(", "))
     }
-    // exceptAll both ways (null-safe set comparison, as in
-    // verifyBatchSync) — an equi-join would report a null id as
-    // diverged even when both layouts hold it identically
+    // a null id is refused OUTRIGHT, not validated as in-sync: the
+    // retraction machinery discovers and rewrites by EQUI-join on
+    // the id, which never matches null — a null-id row in a
+    // manifested store is permanently un-retractable by id, the
+    // silent-miss class itself, so it must fail loud here and at
+    // every manifested write
+    require(m.filter(col(idCol).isNull).isEmpty,
+      s"manifest of $dir holds null ids - a null id can never be " +
+        "retracted by id (equi-join discovery cannot match it); " +
+        "scrub the null-id rows and rebuild the store")
     val sp = readStore(spark, dir).select(col(idCol), col("batch"))
       .distinct()
     val mp = m.select(col(idCol), col("batch"))
-    val bad = sp.exceptAll(mp).count() + mp.exceptAll(sp).count()
+    val bad = symmetricDiffCount(sp, mp)
     require(bad == 0,
       s"manifest out of sync with $dir: $bad (id, batch) pair(s) " +
         "differ - a manifest missing ids lets future retractions " +

@@ -539,21 +539,44 @@ class IncrementalSpec extends SparkSpec {
       assert(cached.storageLevel !=
         org.apache.spark.storage.StorageLevel.NONE)
     } finally cached.unpersist()
-    // a null id present identically in store and manifest is SYNC,
-    // not divergence - the set-comparison path must be null-safe
-    // (an equi-join would never match null against itself)
+    // a null id REFUSES at every manifested write: the id-keyed
+    // retraction machinery (equi-join discovery and rewrite) can
+    // never target a null, so letting one land would create a
+    // permanently un-retractable row - the silent-miss class itself
     val ndir = java.nio.file.Files
       .createTempDirectory("graft_nullid").toString + "/s"
+    val eNullInit = intercept[IllegalArgumentException] {
+      Incremental.initSnapshotStore(
+        Seq((Some(1L), 5L), (Option.empty[Long], 2L))
+          .toDF("doc_id", "cnt"),
+        ndir, manifestIdCol = Some("doc_id"))
+    }
+    assert(eNullInit.getMessage.contains("null"))
     Incremental.initSnapshotStore(
-      Seq((Some(1L), 5L), (Option.empty[Long], 2L))
-        .toDF("doc_id", "cnt"),
+      Seq((Some(1L), 5L)).toDF("doc_id", "cnt"),
       ndir, manifestIdCol = Some("doc_id"))
-    Incremental.validateSnapshotStoreManifest(spark, ndir)
-    Incremental.commitSnapshotBatch(
-      Seq((Option.empty[Long], 9L), (Some(4L), 1L))
-        .toDF("doc_id", "cnt"),
-      ndir, batch = 1L, manifestIdCol = Some("doc_id"))
-    Incremental.validateSnapshotStoreManifest(spark, ndir)
+    val eNullCommit = intercept[IllegalArgumentException] {
+      Incremental.commitSnapshotBatch(
+        Seq((Option.empty[Long], 9L), (Some(4L), 1L))
+          .toDF("doc_id", "cnt"),
+        ndir, batch = 1L, manifestIdCol = Some("doc_id"))
+    }
+    assert(eNullCommit.getMessage.contains("null"))
+    // ...and the validator refuses a null id that landed EXTERNALLY
+    // (hand-written manifest beside a hand-written store)
+    val xdir = java.nio.file.Files
+      .createTempDirectory("graft_nullx").toString + "/s"
+    Incremental.initSnapshotStore(
+      Seq((Option.empty[Long], 2L), (Some(3L), 1L))
+        .toDF("doc_id", "cnt"), xdir)
+    Seq(Option.empty[Long], Some(3L)).toDF("doc_id")
+      .withColumn("batch", lit(0L))
+      .write.partitionBy("batch").mode("overwrite")
+      .parquet(xdir + "__manifest")
+    val eNullVal = intercept[IllegalArgumentException] {
+      Incremental.validateSnapshotStoreManifest(spark, xdir)
+    }
+    assert(eNullVal.getMessage.contains("null ids"))
   }
 
   test("snapshot store init stays a static reset even when the " +
