@@ -215,6 +215,16 @@ object Incremental {
       require(!pinned.isEmpty,
         s"refusing to init $dir from an empty snapshot - a " +
           "zero-partition layout is unreadable")
+      // EVERY refusal must fire before anything destructive: a
+      // rejected init (null ids) that had already deleted the old
+      // manifest and overwritten the store would report failure
+      // while leaving the previous corpus destroyed and the tainted
+      // data serving
+      val manifestIds = manifestIdCol.map { id =>
+        val ids = pinned.select(col(id)).distinct()
+        requireNoNullIds(ids, id, dir)
+        ids
+      }
       // neutralize FIRST (see scaladoc): no ordering of store and
       // manifest writes can otherwise keep a reset's crash windows
       // out of the silent-miss class
@@ -222,9 +232,7 @@ object Incremental {
       pinned.withColumn("batch", lit(0L))
         .write.option("partitionOverwriteMode", "static")
         .partitionBy("batch").mode("overwrite").parquet(dir)
-      manifestIdCol.foreach { id =>
-        val ids = pinned.select(col(id)).distinct()
-        requireNoNullIds(ids, id, dir)
+      manifestIds.foreach { ids =>
         ids.withColumn("batch", lit(0L))
           .write.option("partitionOverwriteMode", "static")
           .partitionBy("batch").mode("overwrite")
@@ -493,8 +501,14 @@ object Incremental {
     swapIntoPlace(spark, tmp, dir)
     manifestId.foreach { id =>
       val mtmp = manifestPath(dir) + "__compact_tmp"
-      readStore(spark, dir).select(col(id)).distinct()
-        .withColumn("batch", lit(0L))
+      val ids = readStore(spark, dir).select(col(id)).distinct()
+      // the rebuild is a manifested write like any other: a store
+      // that drifted a null id in (externally-landed partitions)
+      // must refuse with the scrub diagnosis here too — silently
+      // blessing the null into the rebuilt manifest would hand the
+      // validator's recommended repair a non-converging loop
+      requireNoNullIds(ids, id, dir)
+      ids.withColumn("batch", lit(0L))
         .write.option("partitionOverwriteMode", "static")
         .partitionBy("batch").mode("overwrite").parquet(mtmp)
       swapIntoPlace(spark, mtmp, manifestPath(dir))
@@ -603,6 +617,14 @@ object Incremental {
         "scrub the null-id rows and rebuild the store")
     val sp = readStore(spark, dir).select(col(idCol), col("batch"))
       .distinct()
+    // the store side refuses nulls with the SAME diagnosis — a
+    // generic out-of-sync message here would point at the
+    // compaction rebuild as the repair, which (correctly) refuses
+    // the same nulls: the actual defect is the null-id data, name it
+    require(sp.filter(col(idCol).isNull).isEmpty,
+      s"store $dir holds null-id rows - un-retractable by id and " +
+        "not repairable by compaction (the rebuild refuses the " +
+        "same nulls); scrub the null-id rows and rebuild the store")
     val mp = m.select(col(idCol), col("batch"))
     val bad = symmetricDiffCount(sp, mp)
     require(bad == 0,

@@ -510,8 +510,8 @@ class IncrementalSpec extends SparkSpec {
   }
 
   test("store write hygiene: vacuous retract refuses a duplicate " +
-    "batch id, the pin respects a caller-held cache, and a null id " +
-    "is not false divergence") {
+    "batch id, the pin respects a caller-held cache, and null ids " +
+    "refuse at manifested writes and in the validator") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_hygiene").toString + "/s"
     Incremental.initSnapshotStore(
