@@ -487,28 +487,32 @@ object Incremental {
     require(!cur.isEmpty,
       s"refusing to compact $dir - the store folded to zero rows " +
         "and a zero-partition layout is unreadable")
-    cur.withColumn("batch", lit(0L))
-      .write.option("partitionOverwriteMode", "static")
-      .partitionBy("batch").mode("overwrite").parquet(tmp)
     val manifested = hasManifest(spark, dir)
-    // read the manifest's id column name BEFORE the swap deletes
-    // nothing manifest-side — the rebuild sources the FOLDED store
     val manifestId: Option[String] =
       if (manifested)
         Some(readStore(spark, manifestPath(dir)).columns
           .filterNot(_ == "batch").head)
       else None
+    // EVERY refusal fires before anything destructive (the init
+    // ordering): a store that drifted a null id in (externally-
+    // landed partitions) refuses with the scrub diagnosis HERE,
+    // while the old layout and its manifest are still intact —
+    // refusing after the swap would leave a rewritten store beside
+    // a stale old-batch manifest, and silently blessing the null
+    // into the rebuilt manifest would hand the validator's
+    // recommended repair a non-converging loop
+    manifestId.foreach(id =>
+      requireNoNullIds(cur.select(col(id)), id, dir))
+    cur.withColumn("batch", lit(0L))
+      .write.option("partitionOverwriteMode", "static")
+      .partitionBy("batch").mode("overwrite").parquet(tmp)
     swapIntoPlace(spark, tmp, dir)
     manifestId.foreach { id =>
       val mtmp = manifestPath(dir) + "__compact_tmp"
-      val ids = readStore(spark, dir).select(col(id)).distinct()
-      // the rebuild is a manifested write like any other: a store
-      // that drifted a null id in (externally-landed partitions)
-      // must refuse with the scrub diagnosis here too — silently
-      // blessing the null into the rebuilt manifest would hand the
-      // validator's recommended repair a non-converging loop
-      requireNoNullIds(ids, id, dir)
-      ids.withColumn("batch", lit(0L))
+      // null-free by the pre-swap guard above — one derivation, one
+      // write, sourced from the FOLDED store
+      readStore(spark, dir).select(col(id)).distinct()
+        .withColumn("batch", lit(0L))
         .write.option("partitionOverwriteMode", "static")
         .partitionBy("batch").mode("overwrite").parquet(mtmp)
       swapIntoPlace(spark, mtmp, manifestPath(dir))
@@ -617,21 +621,26 @@ object Incremental {
         "scrub the null-id rows and rebuild the store")
     val sp = readStore(spark, dir).select(col(idCol), col("batch"))
       .distinct()
-    // the store side refuses nulls with the SAME diagnosis — a
-    // generic out-of-sync message here would point at the
-    // compaction rebuild as the repair, which (correctly) refuses
-    // the same nulls: the actual defect is the null-id data, name it
-    require(sp.filter(col(idCol).isNull).isEmpty,
-      s"store $dir holds null-id rows - un-retractable by id and " +
-        "not repairable by compaction (the rebuild refuses the " +
-        "same nulls); scrub the null-id rows and rebuild the store")
     val mp = m.select(col(idCol), col("batch"))
     val bad = symmetricDiffCount(sp, mp)
-    require(bad == 0,
-      s"manifest out of sync with $dir: $bad (id, batch) pair(s) " +
-        "differ - a manifest missing ids lets future retractions " +
-        "MISS their partitions (retracted rows keep serving); " +
-        "compactSnapshotStore rebuilds it exactly")
+    if (bad != 0) {
+      // pick the tailored diagnosis ONLY on the failure path — on a
+      // clean pass the manifest is null-free (checked above) and the
+      // multisets are equal, so the store is provably null-free too
+      // and the extra store scan would be pure waste. A store-side
+      // null needs its own message: the generic pointer at the
+      // compaction rebuild would recommend a repair that (correctly)
+      // refuses the same nulls.
+      require(sp.filter(col(idCol).isNull).isEmpty,
+        s"store $dir holds null-id rows - un-retractable by id and " +
+          "not repairable by compaction (the rebuild refuses the " +
+          "same nulls); scrub the null-id rows and rebuild the store")
+      throw new IllegalArgumentException(
+        s"requirement failed: manifest out of sync with $dir: $bad " +
+          "(id, batch) pair(s) differ - a manifest missing ids lets " +
+          "future retractions MISS their partitions (retracted rows " +
+          "keep serving); compactSnapshotStore rebuilds it exactly")
+    }
   }
 
   // ------------------------------------------------------------------

@@ -562,21 +562,57 @@ class IncrementalSpec extends SparkSpec {
         ndir, batch = 1L, manifestIdCol = Some("doc_id"))
     }
     assert(eNullCommit.getMessage.contains("null"))
-    // ...and the validator refuses a null id that landed EXTERNALLY
-    // (hand-written manifest beside a hand-written store)
+    // ...the validator names a STORE-side null by its real defect
+    // (a clean manifest beside a null-bearing store - the drift
+    // direction where a generic out-of-sync message would point at
+    // a repair that refuses the same nulls)
     val xdir = java.nio.file.Files
       .createTempDirectory("graft_nullx").toString + "/s"
     Incremental.initSnapshotStore(
       Seq((Option.empty[Long], 2L), (Some(3L), 1L))
         .toDF("doc_id", "cnt"), xdir)
-    Seq(Option.empty[Long], Some(3L)).toDF("doc_id")
+    Seq(Some(3L)).toDF("doc_id")
       .withColumn("batch", lit(0L))
       .write.partitionBy("batch").mode("overwrite")
       .parquet(xdir + "__manifest")
     val eNullVal = intercept[IllegalArgumentException] {
       Incremental.validateSnapshotStoreManifest(spark, xdir)
     }
-    assert(eNullVal.getMessage.contains("null ids"))
+    assert(eNullVal.getMessage.contains("holds null-id rows"))
+    // ...compaction refuses the same store BEFORE anything swaps:
+    // the old layout and the manifest survive the refusal intact
+    val xFiles = new java.io.File(xdir + "/batch=0").listFiles()
+      .map(_.getName).toSet
+    val eNullCompact = intercept[IllegalArgumentException] {
+      Incremental.compactSnapshotStore(spark, xdir)
+    }
+    assert(eNullCompact.getMessage.contains("null"))
+    assert(new java.io.File(xdir + "/batch=0").listFiles()
+      .map(_.getName).toSet == xFiles)
+    assert(new java.io.File(xdir + "__manifest").exists())
+  }
+
+  test("a refused re-init (null ids) leaves the previous store and " +
+    "manifest untouched") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_refuseinit").toString + "/s"
+    val clean = Search.tfSnapshot(
+      storeDocs.filter(col("doc_id") <= 2), "doc_id", "text")
+    Incremental.initSnapshotStore(clean, dir,
+      manifestIdCol = Some("doc_id"))
+    val before = rowSet(Incremental.loadSnapshotStore(spark, dir))
+    // the re-init's null guard must fire before the old manifest
+    // deletes or the store overwrites - a refusal that had already
+    // destroyed the previous corpus would report failure while the
+    // tainted data serves
+    intercept[IllegalArgumentException] {
+      Incremental.initSnapshotStore(
+        Seq((Option.empty[Long], "x", 1L), (Some(9L), "y", 2L))
+          .toDF("doc_id", "t", "tf"),
+        dir, manifestIdCol = Some("doc_id"))
+    }
+    assert(rowSet(Incremental.loadSnapshotStore(spark, dir)) == before)
+    Incremental.validateSnapshotStoreManifest(spark, dir)
   }
 
   test("snapshot store init stays a static reset even when the " +
