@@ -60,17 +60,17 @@ object StoreBench {
     val manifestRows = spark.read.parquet(dir + "__manifest").count()
     val scan = (1 to 3).map(_ => time(scanDiscovery()))
     val probe = (1 to 3).map(_ => time(manifestDiscovery()))
-    def f(xs: Seq[Double]) =
-      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    // Locale.ROOT, the Bench convention: a comma-decimal default
+    // locale would emit invalid JSON
+    def n(x: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, x)
+    def arr(xs: Seq[Double]) = xs.map(n).mkString("[", ",", "]")
     println(
       s"""{"metric":"store_discovery","unit":"sec","sf":"$label",""" +
         s""""store_rows":$storeRows,"manifest_rows":$manifestRows,""" +
-        s""""scan_median":${f(Seq(median(scan)))
-          .stripPrefix("[").stripSuffix("]")},""" +
-        s""""scan_runs":${f(scan)},""" +
-        s""""manifest_median":${f(Seq(median(probe)))
-          .stripPrefix("[").stripSuffix("]")},""" +
-        s""""manifest_runs":${f(probe)}}""")
+        s""""scan_median":${n(median(scan))},""" +
+        s""""scan_runs":${arr(scan)},""" +
+        s""""manifest_median":${n(median(probe))},""" +
+        s""""manifest_runs":${arr(probe)}}""")
     spark.stop()
   }
 }

@@ -104,7 +104,13 @@ object Incremental {
     require(partials.nonEmpty, "need at least one partial rollup")
     require(specs.nonEmpty, "need at least one merge spec")
     def mergeFn(c: String, fn: String): Column = fn match {
-      case "sum" => sum(col(c)).as(c)
+      // POISON-PRESERVING sum, as in loadRollupStore: a plain sum()
+      // skips null cells, so a poisoned key arriving from the fold
+      // or from subtractRollups (the merge-after-subtract
+      // composition the update paths run) would silently launder to
+      // the other partials' count alone and the caller's validator
+      // would never see the corruption the fold surfaced
+      case "sum" => poisonedSum(c)
       case "min" => min(col(c)).as(c)
       case "max" => max(col(c)).as(c)
       case other =>
@@ -211,7 +217,20 @@ object Incremental {
     *   init is retried). */
   def initSnapshotStore(snap: DataFrame, dir: String,
                         manifestIdCol: Option[String] = None): Unit = {
-    withPinned(snap) { pinned =>
+    // init pins with an EAGER localCheckpoint, not withPinned's lazy
+    // persist, deliberately: init OVERWRITES dir, and the rebuild
+    // path retractFromSnapshotStore's refusal recommends feeds the
+    // store's own loaded data back in — a lazily-cached input would
+    // have the overwrite delete the very files the write job still
+    // needs to compute from (old store destroyed, replacement
+    // unrecoverable). The checkpoint freezes the bytes BEFORE
+    // anything destructive. The fault-tolerance trade (checkpoint
+    // blocks die with an executor) is the right one here: init is
+    // the rare full rebuild, and its retry is cheap next to a
+    // destroyed store. Append-only commits keep the recomputable
+    // persist (they never delete what their input may read).
+    val pinned = snap.localCheckpoint(true)
+    try {
       require(!pinned.isEmpty,
         s"refusing to init $dir from an empty snapshot - a " +
           "zero-partition layout is unreadable")
@@ -238,30 +257,31 @@ object Incremental {
           .partitionBy("batch").mode("overwrite")
           .parquet(manifestPath(dir))
       }
-    }
+    } finally Shims.unpersistLocalCheckpoint(pinned)
     // post-write sync check (see verifyBatchSync), OUTSIDE the pin:
     // the probe deliberately reads what landed on DISK, so holding
     // the corpus-scale pinned snapshot alive through it would be
-    // pure memory pressure. The two writes each materialized the
-    // pinned plan, and a cache block lost in between recomputes
-    // from lineage — this makes divergence loud, not a silently
-    // diverged manifest.
+    // pure memory pressure.
     manifestIdCol.foreach(_ =>
       validateSnapshotStoreManifest(snap.sparkSession, dir))
   }
 
-  /** Pin-once that RESPECTS a caller's own cache: persist only when
-    * the frame is not already cached, and unpersist only what this
-    * call persisted — blindly unpersisting would evict a
-    * caller-held cache (persist returns the same Dataset), silently
-    * forcing every later caller use to recompute. persist, NOT
-    * localCheckpoint: a local checkpoint truncates lineage, so an
-    * executor lost mid-write fails the whole operation
-    * unrecoverably, where a cached-with-lineage plan recomputes the
-    * lost partitions and self-heals. The recompute caveat — a
-    * NON-deterministic plan can recompute differently across the
+  /** Pin-once for the APPEND-ONLY write paths, respecting a
+    * caller's own cache: persist only when the frame is not already
+    * cached, and unpersist only what this call persisted — blindly
+    * unpersisting would evict a caller-held cache (persist returns
+    * the same Dataset), silently forcing every later caller use to
+    * recompute. persist, NOT localCheckpoint: a local checkpoint
+    * truncates lineage, so an executor lost mid-write fails the
+    * whole operation unrecoverably, where a cached-with-lineage
+    * plan recomputes the lost partitions and self-heals. NOT for
+    * destructive overwrites whose input may read the target
+    * ([[initSnapshotStore]] keeps the eager checkpoint for exactly
+    * that — see its comment). The recompute caveat — a
+    * non-deterministic plan can recompute differently across the
     * writes sharing the pin — is closed loudly by the post-write
-    * sync checks ([[verifyBatchSync]]). */
+    * sync checks ([[verifyBatchSync]], the landed-partition
+    * check). */
   private def withPinned[A](df: DataFrame)(f: DataFrame => A): A = {
     val mine = df.storageLevel ==
       org.apache.spark.storage.StorageLevel.NONE
@@ -423,7 +443,11 @@ object Incremental {
           s"manifest batch $batch of $dir holds ids the store " +
             "already serves - not a crashed-commit residue; " +
             "compactSnapshotStore rebuilds the manifest exactly")
-        fs.delete(residue, true)
+        // delete-or-die (the deleteIfExists invariant): a false
+        // return would let the append land NEW ids beside the
+        // residue, and the sync check would then fail with the
+        // wrong (non-determinism) diagnosis
+        deleteIfExists(spark, residuePath)
       }
       val ids = pinned.select(col(id)).distinct()
       requireNoNullIds(ids, id, dir)
@@ -433,6 +457,18 @@ object Incremental {
     }
     pinned.withColumn("batch", lit(batch))
       .write.partitionBy("batch").mode("append").parquet(dir)
+    // the landed-partition check, for UNMANIFESTED stores too: a
+    // cache block lost after the emptiness probe can recompute a
+    // non-deterministic plan EMPTY, and an empty append writes no
+    // partition directory — the batch id would silently never land
+    // (manifested stores additionally get verifyBatchSync). One
+    // directory existence test.
+    val (sfs, sdir) = fsFor(spark, s"$dir/batch=$batch")
+    require(sfs.exists(sdir),
+      s"batch $batch of $dir wrote no partition directory - the " +
+        "snapshot plan recomputed empty after its emptiness probe " +
+        "(non-deterministic plan + lost cache block?); retry the " +
+        "commit with a deterministic plan")
   }
 
   /** Null ids are refused at every manifested WRITE: the retraction
@@ -552,13 +588,13 @@ object Incremental {
     val cur = readStore(spark, dir)
     val ids = removeIds.select(col(idCol))
     val manifested = hasManifest(spark, dir)
-    val touched =
-      if (manifested)
-        readStore(spark, manifestPath(dir))
-          .join(ids, Seq(idCol), "left_semi")
-          .select("batch").distinct().collect().map(_.getLong(0))
-      else cur.join(ids, Seq(idCol), "left_semi")
-        .select("batch").distinct().collect().map(_.getLong(0))
+    // ONE discovery chain over whichever source scopes it — the two
+    // branches differing only in the frame keeps a future fix to
+    // the join or the collect from drifting between them
+    val discoverFrom =
+      if (manifested) readStore(spark, manifestPath(dir)) else cur
+    val touched = discoverFrom.join(ids, Seq(idCol), "left_semi")
+      .select("batch").distinct().collect().map(_.getLong(0))
     if (touched.isEmpty) return
     val survivors = cur.filter(col("batch").isin(touched: _*))
       .join(ids, Seq(idCol), "left_anti")
@@ -669,6 +705,15 @@ object Incremental {
   private def anyLiveSum(sums: Seq[String]): Column =
     sums.map(c => col(c).isNull || col(c) =!= 0L).reduce(_ || _)
 
+  /** Poison-preserving sum aggregate shared by [[loadRollupStore]]
+    * and [[mergeRollups]]: a key with ANY null input cell aggregates
+    * to null (the corruption marker), where Spark's `sum()` would
+    * skip the null and silently understate. */
+  private def poisonedSum(c: String): Column =
+    when(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)),
+      lit(0L)) > 0L, lit(null).cast(LongType))
+      .otherwise(sum(col(c))).as(c)
+
   /** Fold a rollup store to its current table: key-wise sum over
     * every committed partial (tombstones cancel), rows whose every
     * sum is zero drop — exactly the table [[mergeRollups]] /
@@ -677,21 +722,18 @@ object Incremental {
     * retracted twice, or one never committed) survive the fold for
     * the caller's validator, as in [[subtractRollups]].
     *
-    * NOT expressed through [[mergeRollups]], deliberately: a plain
-    * `sum()` IGNORES null cells, so a corrupt externally-landed
-    * partial would silently understate (or, fully-null, vanish into
-    * the zero filter) and the validators — hardened to count nulls
-    * as bad — could never see it. This fold POISONS instead: a key
-    * with any null cell folds to a null sum, survives the filter,
-    * and trips the caller's validator loudly. */
+    * The fold POISONS (the shared [[poisonedSum]], which
+    * [[mergeRollups]]' sum arm uses too): a plain `sum()` IGNORES
+    * null cells, so a corrupt externally-landed partial would
+    * silently understate (or, fully-null, vanish into the zero
+    * filter) and the validators — hardened to count nulls as bad —
+    * could never see it. A key with any null cell folds to a null
+    * sum, survives the filter, and trips the caller's validator
+    * loudly. */
   def loadRollupStore(spark: SparkSession, dir: String,
                       keys: Seq[String],
                       sums: Seq[String]): DataFrame = {
     require(sums.nonEmpty, "need at least one sum column")
-    def poisonedSum(c: String): Column =
-      when(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)),
-        lit(0L)) > 0L, lit(null).cast(LongType))
-        .otherwise(sum(col(c))).as(c)
     readStore(spark, dir).drop("batch")
       .groupBy(keys.map(col): _*)
       .agg(poisonedSum(sums.head), sums.tail.map(poisonedSum): _*)
