@@ -621,10 +621,25 @@ object Graft {
 
   /** Persist a trained [[ivfPqIndex]] as the cell-partitioned
     * serving layout (codes hive-partitioned by cell, codebooks +
-    * meta beside them). */
+    * meta beside them). `manifest = true` also writes the opt-in
+    * nid→cell manifest, which scopes `ivfPqRemoveBatch` takedown
+    * DISCOVERY to one doc-count-sized probe instead of a
+    * full-layout id-column scan. */
   def persistIvfPqIndex(idx: graft.operators.Quantization.IvfPqIndex,
-                        dir: String): Unit =
-    graft.operators.Quantization.persistIvfPqIndex(idx, dir)
+                        dir: String, manifest: Boolean = false): Unit =
+    graft.operators.Quantization.persistIvfPqIndex(idx, dir, manifest)
+
+  /** Loud exact-sync detector for the nid→cell manifest (a missing
+    * pair lets future takedowns MISS their cells);
+    * [[rebuildIvfPqNidManifest]] repairs. */
+  def validateIvfPqNidManifest(spark: SparkSession, dir: String): Unit =
+    graft.operators.Quantization.validateIvfPqNidManifest(spark, dir)
+
+  /** (Re)build the nid→cell manifest from the layout's own codes —
+    * exact by construction; also the repair for crash-residue
+    * drift. */
+  def rebuildIvfPqNidManifest(spark: SparkSession, dir: String): Unit =
+    graft.operators.Quantization.rebuildIvfPqNidManifest(spark, dir)
 
   /** Load a [[persistIvfPqIndex]] layout — codebooks to the driver,
     * the code table as a lazy cell-pruned scan. */
@@ -901,11 +916,16 @@ object Graft {
     * discipline applied to the text-index families. Pass
     * `manifestIdCol` to also create the id→batch MANIFEST, which
     * scopes [[retractFromSnapshotStore]]'s discovery to one
-    * doc-count-sized probe instead of a full-store id scan. */
+    * doc-count-sized probe instead of a full-store id scan.
+    * `validate` tiers the post-write certification: "full" (default)
+    * certifies per operation, "recovery" defers it to audit time
+    * (run [[validateSnapshotStoreManifest]] once then) — both land
+    * byte-identical stores on a crash-free run. */
   def initSnapshotStore(snap: DataFrame, dir: String,
-                        manifestIdCol: Option[String] = None): Unit =
+                        manifestIdCol: Option[String] = None,
+                        validate: String = "full"): Unit =
     graft.operators.Incremental.initSnapshotStore(snap, dir,
-      manifestIdCol)
+      manifestIdCol, validate)
 
   /** Land a crawl batch's snapshot partial as its OWN partition
     * directory (landed data never rewritten); a duplicate batch id
@@ -914,9 +934,10 @@ object Graft {
     * otherwise): a commit that skipped the manifest would silently
     * scope future retractions past its batch. */
   def commitSnapshotBatch(snap: DataFrame, dir: String, batch: Long,
-                          manifestIdCol: Option[String] = None): Unit =
+                          manifestIdCol: Option[String] = None,
+                          validate: String = "full"): Unit =
     graft.operators.Incremental.commitSnapshotBatch(snap, dir, batch,
-      manifestIdCol)
+      manifestIdCol, validate)
 
   /** Assert a manifested store's id→batch manifest is exactly in
     * sync with the store — the loud detector for the silent miss
@@ -939,9 +960,10 @@ object Graft {
     * — see the operator scaladoc. */
   def retractFromSnapshotStore(spark: SparkSession, dir: String,
                                removeIds: DataFrame,
-                               idCol: String = "doc_id"): Unit =
+                               idCol: String = "doc_id",
+                               validate: String = "full"): Unit =
     graft.operators.Incremental.retractFromSnapshotStore(spark, dir,
-      removeIds, idCol)
+      removeIds, idCol, validate)
 
   /** Fold a snapshot store's batch partitions into a single batch-0
     * layout via the crash-safe tempdir swap — reader-invisible,

@@ -99,10 +99,14 @@ object Snapshots {
     *    `overwrite` — the reference store's `run_id PRIMARY KEY`,
     *    ref `tm_snapshots.py:56-83`) would fan the compare join out
     *    into duplicated delta rows: detected as either several
-    *    run_ids sharing one seq, or unequal capture row counts
-    *    across seqs (a same-run_id re-append doubles its run's rows;
-    *    legitimate captures of one store shape are uniform — both
-    *    the one-row wide and the row-per-column long form). */
+    *    run_ids sharing one seq, or — for a SAME-run_id re-append,
+    *    which doubles every one of its run's rows — exact duplicate
+    *    rows inside one run. The duplicate check is deliberately
+    *    scoped to same-run duplication, NOT to uniform row counts
+    *    across runs: legitimate long-form captures vary in size
+    *    between crawls (a row-per-group capture where a group
+    *    appears or vanishes), and a uniform-count guard would
+    *    misdiagnose that shape drift as corruption. */
   def lastTwoRuns(store: DataFrame): (DataFrame, DataFrame) = {
     val runs = store.groupBy("run_seq")
       .agg(count(lit(1)).as("n"), countDistinct("run_id").as("ids"))
@@ -115,9 +119,13 @@ object Snapshots {
       "run store corrupt: several run_ids share one run_seq - a " +
         "crashed crawl re-appended a run_seq (appendRun with " +
         "overwrite=true resets the store)")
-    require(runs.map(_.getLong(1)).distinct.length == 1,
-      "run store corrupt: unequal capture sizes across run_seq " +
-        "values - a crashed crawl re-appended a run_seq (appendRun " +
+    // one job over the run-count-sized store (the appendRun
+    // aggregate-only contract keeps it config-class)
+    require(store.groupBy(store.columns.map(col): _*)
+      .agg(count(lit(1)).as("__graft_n"))
+      .filter(col("__graft_n") > 1).isEmpty,
+      "run store corrupt: exact duplicate capture rows inside a run " +
+        "- a crashed crawl re-appended its own run_seq (appendRun " +
         "with overwrite=true resets the store)")
     (store.filter(col("run_seq") === runs(1).get(0)),
       store.filter(col("run_seq") === runs(0).get(0)))

@@ -104,15 +104,19 @@ object Incremental {
     require(partials.nonEmpty, "need at least one partial rollup")
     require(specs.nonEmpty, "need at least one merge spec")
     def mergeFn(c: String, fn: String): Column = fn match {
-      // POISON-PRESERVING sum, as in loadRollupStore: a plain sum()
-      // skips null cells, so a poisoned key arriving from the fold
-      // or from subtractRollups (the merge-after-subtract
-      // composition the update paths run) would silently launder to
-      // the other partials' count alone and the caller's validator
-      // would never see the corruption the fold surfaced
+      // EVERY arm is POISON-PRESERVING, as in loadRollupStore: plain
+      // sum()/min()/max() skip null cells, so a poisoned key arriving
+      // from the fold or from subtractRollups (the merge-after-
+      // subtract composition the update paths run) — or a corrupt
+      // externally-landed partial with a null min/max cell — would
+      // silently launder to the other partials' value alone and the
+      // caller's validator would never see the corruption the fold
+      // surfaced. (A key ABSENT from a partial contributes no row at
+      // all, which is the legitimate case; only a PRESENT row's null
+      // cell poisons.)
       case "sum" => poisonedSum(c)
-      case "min" => min(col(c)).as(c)
-      case "max" => max(col(c)).as(c)
+      case "min" => poisonedAgg(c, min(col(c)))
+      case "max" => poisonedAgg(c, max(col(c)))
       case other =>
         throw new IllegalArgumentException(
           s"not a mergeable aggregate: $other (column $c)")
@@ -155,6 +159,30 @@ object Incremental {
     * partition (at 100 TB the difference between a manifest lookup
     * and a full-store column scan per retraction). */
   private def manifestPath(dir: String): String = dir + "__manifest"
+
+  /** Validation TIERS for the store entry points. Every write path
+    * keeps its REFUSALS at both levels (empty/duplicate/null-id
+    * guards, delete-or-die — those protect against destroying or
+    * corrupting landed state and are cheap); what tiers is the
+    * post-write CERTIFICATION — the exact-sync probes
+    * ([[verifyBatchSync]], the manifest/store symmetric diffs) that
+    * prove the operation's independent writes landed consistent.
+    *   - "full": certify every operation as it lands — the audit
+    *     posture, and what every oracle-gated lifecycle query runs.
+    *   - "recovery": operational writes only; certification is
+    *     DEFERRED to crash-recovery/audit time, when the deployment
+    *     runs [[validateSnapshotStoreManifest]] once over the store
+    *     instead of per commit (a production ingest validates on
+    *     recovery, not per operation — the sync probes exist to
+    *     catch lost-cache-block plan divergence, which is rare and
+    *     repairable by [[compactSnapshotStore]]'s rebuild).
+    * Both levels land BYTE-IDENTICAL stores on a crash-free run —
+    * the claim the `inc_store_levels` oracle row proves. */
+  private def requireLevel(validate: String): Unit =
+    require(validate == "full" || validate == "recovery",
+      s"unknown validation level '$validate' - use 'full' (certify " +
+        "per operation) or 'recovery' (defer certification to " +
+        "crash-recovery/audit time)")
 
   private def fsFor(spark: SparkSession, path: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
@@ -216,7 +244,9 @@ object Incremental {
     *   manifested intent, whose next commit refuses loudly until the
     *   init is retried). */
   def initSnapshotStore(snap: DataFrame, dir: String,
-                        manifestIdCol: Option[String] = None): Unit = {
+                        manifestIdCol: Option[String] = None,
+                        validate: String = "full"): Unit = {
+    requireLevel(validate)
     // init pins with an EAGER localCheckpoint, not withPinned's lazy
     // persist, deliberately: init OVERWRITES dir, and the rebuild
     // path retractFromSnapshotStore's refusal recommends feeds the
@@ -261,8 +291,10 @@ object Incremental {
     // post-write sync check (see verifyBatchSync), OUTSIDE the pin:
     // the probe deliberately reads what landed on DISK, so holding
     // the corpus-scale pinned snapshot alive through it would be
-    // pure memory pressure.
-    manifestIdCol.foreach(_ =>
+    // pure memory pressure. Tiers with `validate` (see
+    // [[requireLevel]]): the recovery level defers this
+    // certification to audit time.
+    if (validate == "full") manifestIdCol.foreach(_ =>
       validateSnapshotStoreManifest(snap.sparkSession, dir))
   }
 
@@ -345,7 +377,9 @@ object Incremental {
     *   batch — retracted rows would keep serving, the exact failure
     *   class the manifest's validator exists to catch. */
   def commitSnapshotBatch(snap: DataFrame, dir: String, batch: Long,
-                          manifestIdCol: Option[String] = None): Unit = {
+                          manifestIdCol: Option[String] = None,
+                          validate: String = "full"): Unit = {
+    requireLevel(validate)
     val spark = snap.sparkSession
     // the cheap guards run BEFORE the snapshot materializes: an
     // orchestrator replaying an already-landed batch id — the exact
@@ -377,8 +411,11 @@ object Incremental {
     }
     // outside the pin (see initSnapshotStore): the sync probe reads
     // only what landed on disk — the corpus-scale pin's last real
-    // consumer is the write above
-    manifestIdCol.foreach(id => verifyBatchSync(spark, dir, batch, id))
+    // consumer is the write above. Tiers with `validate`: the
+    // recovery level skips the per-commit probe and certifies the
+    // whole store once at audit time ([[requireLevel]]).
+    if (validate == "full")
+      manifestIdCol.foreach(id => verifyBatchSync(spark, dir, batch, id))
   }
 
   /** The listing-only commit preconditions (manifest two-sided guard
@@ -584,7 +621,9 @@ object Incremental {
     * retract vacuously. */
   def retractFromSnapshotStore(spark: SparkSession, dir: String,
                                removeIds: DataFrame,
-                               idCol: String = "doc_id"): Unit = {
+                               idCol: String = "doc_id",
+                               validate: String = "full"): Unit = {
+    requireLevel(validate)
     val cur = readStore(spark, dir)
     val ids = removeIds.select(col(idCol))
     val manifested = hasManifest(spark, dir)
@@ -617,6 +656,29 @@ object Incremental {
           .partitionBy("batch").mode("overwrite")
           .parquet(manifestPath(dir))
         finally Shims.unpersistLocalCheckpoint(mSurvivors)
+        // post-rewrite sync check, SCOPED to the touched partitions
+        // (the verifyBatchSync discipline applied to retraction):
+        // the store and manifest rewrites anti-join two SEPARATE
+        // reads against the caller's id frame, and a
+        // non-deterministic removeIds plan recomputed between the
+        // two barriers could land DIFFERENT survivor sets — rows
+        // the manifest no longer claims, the silent-miss class.
+        // Tiers with `validate`: recovery defers to audit time.
+        if (validate == "full") {
+          val sp = readStore(spark, dir)
+            .filter(col("batch").isin(touched: _*))
+            .select(col(idCol), col("batch")).distinct()
+          val mp = readStore(spark, manifestPath(dir))
+            .filter(col("batch").isin(touched: _*))
+            .select(col(idCol), col("batch"))
+          val bad = symmetricDiffCount(sp, mp)
+          require(bad == 0,
+            s"retraction left $bad (id, batch) pair(s) differing " +
+              s"between store and manifest in the touched " +
+              s"partitions of $dir - a non-deterministic removeIds " +
+              "plan recomputed differently across the two rewrites; " +
+              "compactSnapshotStore rebuilds the manifest exactly")
+        }
       }
     } finally Shims.unpersistLocalCheckpoint(survivors)
   }
@@ -713,6 +775,15 @@ object Incremental {
     when(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)),
       lit(0L)) > 0L, lit(null).cast(LongType))
       .otherwise(sum(col(c))).as(c)
+
+  /** The same any-null-input-poisons-to-null wrapper for the other
+    * merge arms ([[mergeRollups]]' min/max): the null result takes
+    * the wrapped aggregate's own type, so the arm works for any
+    * orderable column. */
+  private def poisonedAgg(c: String, agg: Column): Column =
+    when(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)),
+      lit(0L)) > 0L, lit(null))
+      .otherwise(agg).as(c)
 
   /** Fold a rollup store to its current table: key-wise sum over
     * every committed partial (tombstones cancel), rows whose every

@@ -302,9 +302,17 @@ object Quantization {
     * from DISK, not just post-scan. This is the topology an ANN
     * deployment actually runs: train once, persist, serve query
     * batches against the pruned layout. */
-  def persistIvfPqIndex(idx: IvfPqIndex, dir: String): Unit = {
+  def persistIvfPqIndex(idx: IvfPqIndex, dir: String,
+                        manifest: Boolean = false): Unit = {
     val spark = idx.codes.sparkSession
     import spark.implicits._
+    // neutralize any previous generation's manifest FIRST (the
+    // initSnapshotStore ordering): a stale manifest beside a
+    // re-persisted layout would under-approximate the new corpus —
+    // the silent retraction miss — so every crash window of a
+    // re-persist leaves a manifest-LESS layout whose discovery falls
+    // back to the exact full scan
+    deleteQuietly(spark, nidManifestPath(dir))
     graft.sources.Bucketed.writePartitioned(idx.codes, s"$dir/codes",
       Seq("cell"))
     idx.cells.map { case (c, cv) => (c, cv.toSeq) }
@@ -316,6 +324,125 @@ object Quantization {
       .write.mode("overwrite").parquet(s"$dir/pq")
     Seq((idx.pq.m, idx.pq.dsub, idx.dsub)).toDF("m", "pq_dsub", "dsub")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    if (manifest) rebuildIvfPqNidManifest(spark, dir)
+  }
+
+  // ------------------------------------------------------------------
+  // Opt-in nid→cell MANIFEST for the persisted layout — the
+  // Incremental id→batch manifest discipline ported to the ANN index:
+  // [[ivfPqRemoveBatch]]'s discovery probes one skinny doc-count-sized
+  // (nid, cell) table instead of reading the nid column of EVERY cell
+  // directory (at production nlist-in-the-thousands the difference
+  // between a manifest lookup and a full-layout column scan per
+  // takedown). Same crash-ordering rules: existence is
+  // `_SUCCESS`-gated (a half-written manifest must read as
+  // manifest-less, falling back to the exact scan — never a silent
+  // under-approximation); adds append to the manifest BEFORE the
+  // codes (a crash between the two leaves the manifest
+  // over-claiming, the safe direction — a later retraction rewrites
+  // a cell needlessly and self-heals; the reverse order would leave
+  // landed codes the manifest never saw, silently scoping future
+  // retractions past them); removals rewrite the manifest AFTER the
+  // codes (same over-approximation direction). Null nids are REFUSED
+  // at every manifested write — equi-join discovery can never match
+  // them (the requireNoNullIds discipline).
+  // ------------------------------------------------------------------
+
+  private def nidManifestPath(dir: String): String =
+    s"$dir/nid_manifest"
+
+  private def fsAt(spark: org.apache.spark.sql.SparkSession,
+                   path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Delete-or-die when present (the Incremental.deleteIfExists
+    * invariant): Hadoop filesystems report failure by return value
+    * too, and a stale manifest silently surviving a reset is the
+    * under-approximation class. */
+  private def deleteQuietly(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit = {
+    val (fs, p) = fsAt(spark, path)
+    if (fs.exists(p)) require(fs.delete(p, true),
+      s"could not delete $path - refusing to continue past a stale " +
+        "manifest that would silently survive")
+  }
+
+  /** A manifest EXISTS only when its last write job committed — the
+    * `_SUCCESS` gate (bare directory existence counts half-written
+    * crash residue, whose missing ids would be the silent
+    * retraction miss; unmarked ⇒ manifest-less ⇒ exact full-scan
+    * fallback). */
+  def hasIvfPqNidManifest(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Boolean = {
+    val (fs, p) = fsAt(spark, nidManifestPath(dir))
+    fs.exists(p) &&
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+  }
+
+  /** (Re)build the nid→cell manifest from the layout's own codes —
+    * exact by construction, so it doubles as the repair for any
+    * crash-residue drift [[validateIvfPqNidManifest]] reports (the
+    * compactSnapshotStore-rebuild role). Cell-partitioned like the
+    * codes themselves, so retraction rewrites touch only affected
+    * manifest directories. */
+  def rebuildIvfPqNidManifest(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Unit = {
+    val pairs = spark.read.parquet(s"$dir/codes")
+      .select(col("nid"), col("cell")).distinct()
+    require(pairs.filter(col("nid").isNull).isEmpty,
+      s"layout $dir holds null nids - un-retractable by id " +
+        "(equi-join discovery cannot match them); scrub and rebuild " +
+        "before manifesting")
+    pairs.write.option("partitionOverwriteMode", "static")
+      .partitionBy("cell").mode("overwrite")
+      .parquet(nidManifestPath(dir))
+  }
+
+  /** Assert the manifest is exactly in sync with the codes — the
+    * loud detector for the one silent corruption it can carry (a
+    * MISSING (nid, cell) pair scopes future takedowns past that
+    * cell: removed vectors keep serving while the takedown reports
+    * success). One weighted-union symmetric-diff job over the two
+    * skinny (nid, cell) projections; repair is
+    * [[rebuildIvfPqNidManifest]]. */
+  def validateIvfPqNidManifest(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Unit = {
+    require(hasIvfPqNidManifest(spark, dir),
+      s"$dir has no nid manifest to validate - persistIvfPqIndex " +
+        "with manifest=true (or rebuildIvfPqNidManifest) creates one")
+    val c = spark.read.parquet(s"$dir/codes")
+      .select(col("nid"), col("cell")).distinct()
+      .withColumn("__graft_w", lit(1L))
+    val m = spark.read.parquet(nidManifestPath(dir))
+      .select(col("nid"), col("cell"))
+      .withColumn("__graft_w", lit(-1L))
+    val bad = c.unionByName(m).groupBy("nid", "cell")
+      .agg(sum(col("__graft_w")).as("__graft_w"))
+      .filter(col("__graft_w") =!= 0L).count()
+    require(bad == 0,
+      s"nid manifest out of sync with $dir/codes: $bad (nid, cell) " +
+        "pair(s) differ - a manifest missing pairs lets future " +
+        "takedowns MISS their cells (removed vectors keep serving); " +
+        "rebuildIvfPqNidManifest repairs it exactly")
+  }
+
+  /** Retraction DISCOVERY — the cells holding any of the remove ids:
+    * one probe of the doc-count-sized manifest when the layout
+    * carries one, else the fallback scan of every cell's skinny
+    * (nid, cell) projection. Result-identical by the manifest sync
+    * invariant; only the source table differs. */
+  private def affectedCells(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, codes: DataFrame,
+                            ids: DataFrame): Array[Any] = {
+    val from =
+      if (hasIvfPqNidManifest(spark, dir))
+        spark.read.parquet(nidManifestPath(dir))
+      else codes.select("nid", "cell")
+    from.join(ids, Seq("nid"), "left_semi")
+      .select("cell").distinct().collect().map(_.get(0))
   }
 
   /** Load a [[persistIvfPqIndex]] layout: codebooks collect to the
@@ -385,8 +512,33 @@ object Quantization {
                     dir: String): Unit = {
     val spark = newEmb.sparkSession
     val idx = loadIvfPqIndex(spark, dir)
-    encodeAgainst(idx, newEmb, idCol, vecCol)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    val codes = encodeAgainst(idx, newEmb, idCol, vecCol)
+    if (hasIvfPqNidManifest(spark, dir)) {
+      // pin once: the null-id refusal, the manifest append, and the
+      // codes append must see ONE materialization of the encode — a
+      // recomputed non-deterministic input landing different id sets
+      // in manifest and codes would be the out-of-sync drift
+      // validateIvfPqNidManifest exists to catch
+      val pinned = codes.localCheckpoint(true)
+      try {
+        val pairs = pinned.select(col("nid"), col("cell")).distinct()
+        require(pairs.filter(col("nid").isNull).isEmpty,
+          s"refusing to add null nids to the manifested layout $dir " +
+            "- a null id can never be retracted by id; scrub the " +
+            "batch first")
+        // manifest FIRST (the writeCommit crash direction): dying
+        // between the appends leaves the manifest over-claiming ids
+        // the codes never landed — a later takedown rewrites those
+        // cells needlessly and self-heals; the reverse order would
+        // leave landed codes invisible to discovery, the silent miss
+        pairs.write.mode("append").partitionBy("cell")
+          .parquet(nidManifestPath(dir))
+        pinned.write.mode("append").partitionBy("cell")
+          .parquet(s"$dir/codes")
+      } finally Shims.unpersistLocalCheckpoint(pinned)
+    } else
+      codes.write.mode("append").partitionBy("cell")
+        .parquet(s"$dir/codes")
   }
 
   /** FAISS-style `remove_ids` for a [[persistIvfPqIndex]] layout:
@@ -407,9 +559,13 @@ object Quantization {
     * eventually shows up in [[ivfPqImbalance]], whose number
     * schedules the full [[ivfPqRetrain]] — exactly FAISS's split.
     *
-    * Scale shape: one column-pruned pass over the skinny (nid, cell)
-    * projection finds the AFFECTED cells (collected — at most nlist
-    * values, config-class); the survivors of only those cells are
+    * Scale shape: discovery finds the AFFECTED cells (collected — at
+    * most nlist values, config-class) from the doc-count-sized
+    * nid→cell manifest when the layout carries one
+    * ([[persistIvfPqIndex]] `manifest = true`), else from one
+    * column-pruned pass over the skinny (nid, cell) projection of
+    * every cell — result-identical by the manifest sync invariant
+    * ([[validateIvfPqNidManifest]]); the survivors of only those cells are
     * barriered once and rewritten via dynamic partition overwrite,
     * and cells the removal emptied entirely have their directories
     * deleted (dynamic overwrite writes nothing for them, which would
@@ -429,9 +585,19 @@ object Quantization {
     // prevent
     val ids = removeIds
       .select(col(idCol).cast(codes.schema("nid").dataType).as("nid"))
-    val affected = codes.select("nid", "cell")
-      .join(ids, Seq("nid"), "left_semi")
-      .select("cell").distinct().collect().map(_.get(0))
+    // ...and the cast itself can fail SILENTLY: in non-ANSI mode an
+    // uncastable value casts to null, and null never matches the
+    // semi/anti joins below — the takedown would retract nothing for
+    // that id while reporting success. A null INPUT id is equally
+    // un-retractable (equi-join discovery cannot match it, the
+    // Incremental.requireNoNullIds discipline). One cheap job over
+    // the takedown-batch-sized id set refuses both loudly.
+    require(ids.filter(col("nid").isNull).isEmpty,
+      "remove-id batch holds null ids (or values uncastable to the " +
+        "layout's nid type) - an equi-join can never match them, so " +
+        "the takedown would silently retract nothing for those ids; " +
+        "scrub or re-type the batch")
+    val affected = affectedCells(spark, dir, codes, ids)
     if (affected.isEmpty) return
     val survivors = codes
       .filter(col("cell").isin(affected: _*))
@@ -445,17 +611,70 @@ object Quantization {
           .count() > 0 || survivors.limit(1).count() > 0,
         "removing every remaining vector would empty the layout - " +
           "rebuild it (persistIvfPqIndex of a fresh build) instead")
-      survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell").parquet(s"$dir/codes")
+      // EMPTIED cells delete BEFORE the overwrite (safe because the
+      // survivors are already frozen bytes — the checkpoint above —
+      // so no deleted file is still an input), and delete-or-die:
+      // dynamic overwrite writes nothing for a cell with no
+      // surviving rows, so the old order (delete after the rewrite)
+      // left a window — a crash between the write and the delete
+      // loop, or a false fs.delete return — where the emptied cell's
+      // stale files kept SERVING the removed vectors while the
+      // operation had already (or silently) reported success: the
+      // exact retraction-miss class this operator exists to prevent,
+      // and one validateIvfPqCodes cannot see (it checks shape, not
+      // membership). With deletes first, every crash direction is
+      // loud: a crash here leaves non-emptied cells unrewritten and
+      // the takedown FAILED — the retry re-discovers them (the
+      // already-deleted cells hold no rows and drop out) and
+      // converges.
       val still = survivors.select("cell").distinct().collect()
         .map(_.get(0)).toSet
       val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
       val fs = codesPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       (affected.toSet -- still).foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(codesPath,
-          s"cell=$c"), true)
+        // existence-guarded: an over-approximating manifest (the
+        // documented safe crash direction) can name a cell the codes
+        // no longer hold — nothing to delete there is fine; a
+        // PRESENT dir failing to delete is not
+        val p = new org.apache.hadoop.fs.Path(codesPath, s"cell=$c")
+        if (fs.exists(p)) require(fs.delete(p, true),
+          s"could not delete emptied cell directory cell=$c of " +
+            s"$dir/codes - its stale files would keep serving the " +
+            "removed vectors; refusing to report success")
+      }
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(s"$dir/codes")
+      // the manifest rewrites AFTER the codes (the
+      // retractFromSnapshotStore crash direction): a crash between
+      // the two leaves the manifest OVER-approximating — a later
+      // takedown of those ids rewrites their cells needlessly and
+      // the stale pairs self-heal out; never the silent miss. Same
+      // mechanics as the codes rewrite: survivors frozen first,
+      // emptied manifest cell directories deleted (delete-or-die)
+      // before the dynamic overwrite that cannot delete them.
+      if (hasIvfPqNidManifest(spark, dir)) {
+        val mPath = nidManifestPath(dir)
+        val mSurvivors = spark.read.parquet(mPath)
+          .filter(col("cell").isin(affected: _*))
+          .join(ids, Seq("nid"), "left_anti")
+          .localCheckpoint(true)
+        try {
+          val mStill = mSurvivors.select("cell").distinct().collect()
+            .map(_.get(0)).toSet
+          val (mfs, mRoot) = fsAt(spark, mPath)
+          (affected.toSet -- mStill).foreach { c =>
+            val p = new org.apache.hadoop.fs.Path(mRoot, s"cell=$c")
+            if (mfs.exists(p)) require(mfs.delete(p, true),
+              s"could not delete emptied manifest cell cell=$c of " +
+                s"$mPath - its stale pairs would drive needless " +
+                "rewrites forever; refusing to report success")
+          }
+          mSurvivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell").parquet(mPath)
+        } finally Shims.unpersistLocalCheckpoint(mSurvivors)
       }
     } finally Shims.unpersistLocalCheckpoint(survivors)
   }

@@ -669,4 +669,72 @@ class IncrementalSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("corrupt"))
   }
+
+  test("mergeRollups: a null min/max cell on a PRESENT row poisons " +
+    "its key instead of laundering to the other partial's value") {
+    // key 'a': clean in p1, corrupt (null lo/hi cells) in p2 — a
+    // plain min()/max() would skip the nulls and report p1's values
+    // as if nothing were wrong; key 'b' is clean in both
+    val p1 = Seq(("a", Some(2L), Some(9L)), ("b", Some(1L), Some(4L)))
+      .toDF("k", "lo", "hi")
+    val p2 = Seq(("a", Option.empty[Long], Option.empty[Long]),
+      ("b", Some(0L), Some(7L))).toDF("k", "lo", "hi")
+    val merged = Incremental.mergeRollups(Seq(p1, p2), Seq("k"),
+        Seq("lo" -> "min", "hi" -> "max"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(merged == Map(
+      "a" -> (None, None), "b" -> (Some(0L), Some(7L))))
+    // ...and a key ABSENT from one partial is the legitimate case,
+    // not poison: only present-row null cells mark corruption
+    val p3 = Seq(("c", Some(5L), Some(6L))).toDF("k", "lo", "hi")
+    val m2 = Incremental.mergeRollups(Seq(p1, p3), Seq("k"),
+        Seq("lo" -> "min", "hi" -> "max"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(m2 == Map("a" -> (2L, 9L), "b" -> (1L, 4L),
+      "c" -> (5L, 6L)))
+  }
+
+  test("snapshot store validation tiers: a recovery-level lifecycle " +
+    "lands the store+manifest a full-level lifecycle lands, and " +
+    "certification still passes at audit time") {
+    def lifecycle(validate: String): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_tier_$validate").toString + "/s"
+      val a = Search.tfSnapshot(storeDocs.filter(col("doc_id") <= 2),
+        "doc_id", "text")
+      val b = Search.tfSnapshot(storeDocs.filter(col("doc_id") > 2),
+        "doc_id", "text")
+      Incremental.initSnapshotStore(a, dir,
+        manifestIdCol = Some("doc_id"), validate = validate)
+      Incremental.commitSnapshotBatch(b, dir, batch = 1L,
+        manifestIdCol = Some("doc_id"), validate = validate)
+      Incremental.retractFromSnapshotStore(spark, dir,
+        Seq(3L).toDF("doc_id"), validate = validate)
+      dir
+    }
+    val fullDir = lifecycle("full")
+    val recDir = lifecycle("recovery")
+    // both levels land identical stores AND identical manifests —
+    // only the per-operation certification differs
+    assert(rowSet(Incremental.loadSnapshotStore(spark, recDir)) ==
+      rowSet(Incremental.loadSnapshotStore(spark, fullDir)))
+    assert(rowSet(spark.read.parquet(recDir + "__manifest")) ==
+      rowSet(spark.read.parquet(fullDir + "__manifest")))
+    // the recovery deployment's deferred certification: ONE audit
+    // pass over the store instead of a probe per operation
+    Incremental.validateSnapshotStoreManifest(spark, recDir)
+    Search.validateTfSnapshot(Incremental.loadSnapshotStore(spark, recDir))
+    // an unknown level refuses up front, before anything destructive
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.initSnapshotStore(
+        Search.tfSnapshot(storeDocs, "doc_id", "text"),
+        recDir, validate = "paranoid")
+    }
+    assert(ex.getMessage.contains("unknown validation level"))
+    assert(rowSet(Incremental.loadSnapshotStore(spark, recDir)) ==
+      rowSet(Incremental.loadSnapshotStore(spark, fullDir)))
+  }
 }

@@ -415,4 +415,129 @@ class QuantizationSpec extends SparkSpec {
         .forEach(f => java.nio.file.Files.delete(f))
     }
   }
+
+  private def rmTree(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+  }
+
+  test("ivfPq nid manifest: probed discovery is result-identical to " +
+    "the scan, maintained through add/remove, emptied cells drop " +
+    "from both, and the validator/rebuild close drift") {
+    val built = Quantization.ivfPqIndex(vecs, "vec_id", "embedding",
+      nlist = 2, coarseIters = 2, m = 2, ksub = 2, pqIters = 2)
+    val dirM = java.nio.file.Files
+      .createTempDirectory("ivfpq_manif").toString
+    val dirS = java.nio.file.Files
+      .createTempDirectory("ivfpq_scan").toString
+    def codeSet(dir: String) = Quantization.loadIvfPqIndex(spark, dir)
+      .codes.select("nid", "cell", "s", "c").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    try {
+      Quantization.persistIvfPqIndex(built, dirM, manifest = true)
+      Quantization.persistIvfPqIndex(built, dirS)
+      assert(Quantization.hasIvfPqNidManifest(spark, dirM))
+      assert(!Quantization.hasIvfPqNidManifest(spark, dirS))
+      Quantization.validateIvfPqNidManifest(spark, dirM)
+      // the SAME takedown through both discovery paths lands the
+      // same layout, and the manifest stays exactly in sync
+      Quantization.ivfPqRemoveBatch(Seq(2L).toDF("vec_id"), "vec_id", dirM)
+      Quantization.ivfPqRemoveBatch(Seq(2L).toDF("vec_id"), "vec_id", dirS)
+      assert(codeSet(dirM) == codeSet(dirS) && codeSet(dirM).nonEmpty)
+      Quantization.validateIvfPqNidManifest(spark, dirM)
+      // an add maintains the manifest (manifest-first append)
+      val add = Seq((100L, v(0.9f, 0f, 0.9f, 0.1f)))
+        .toDF("vec_id", "embedding")
+      Quantization.ivfPqAddBatch(add, "vec_id", "embedding", dirM)
+      Quantization.ivfPqAddBatch(add, "vec_id", "embedding", dirS)
+      assert(codeSet(dirM) == codeSet(dirS))
+      Quantization.validateIvfPqNidManifest(spark, dirM)
+      // emptying a cell drops its directory from codes AND manifest
+      val cellOf = Quantization.loadIvfPqIndex(spark, dirM).codes
+        .select("nid", "cell").distinct().collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val cellA = cellOf(100L)
+      val victims = cellOf.collect {
+        case (id, c) if c == cellA => id }.toSeq
+      Quantization.ivfPqRemoveBatch(victims.toDF("vec_id"), "vec_id", dirM)
+      assert(!new java.io.File(s"$dirM/codes/cell=$cellA").exists())
+      assert(!new java.io.File(s"$dirM/nid_manifest/cell=$cellA").exists())
+      Quantization.validateIvfPqNidManifest(spark, dirM)
+      Quantization.validateIvfPqCodes(spark, dirM)
+      // a half-written manifest (no _SUCCESS) reads as manifest-LESS
+      // — discovery falls back to the exact scan, never trusts it
+      val marker = new java.io.File(s"$dirM/nid_manifest/_SUCCESS")
+      assert(marker.delete())
+      assert(!Quantization.hasIvfPqNidManifest(spark, dirM))
+      val e = intercept[IllegalArgumentException] {
+        Quantization.validateIvfPqNidManifest(spark, dirM)
+      }
+      assert(e.getMessage.contains("no nid manifest"))
+      // ...and the rebuild repairs it exactly from the codes
+      Quantization.rebuildIvfPqNidManifest(spark, dirM)
+      assert(Quantization.hasIvfPqNidManifest(spark, dirM))
+      Quantization.validateIvfPqNidManifest(spark, dirM)
+      // drift (a pair the manifest never saw) is caught loudly:
+      // plant an extra manifest row for an id the codes lack
+      import spark.implicits._
+      Seq((999L, cellOf(4L))).toDF("nid", "cell")
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$dirM/nid_manifest")
+      val e2 = intercept[IllegalArgumentException] {
+        Quantization.validateIvfPqNidManifest(spark, dirM)
+      }
+      assert(e2.getMessage.contains("out of sync"))
+      Quantization.rebuildIvfPqNidManifest(spark, dirM)
+      Quantization.validateIvfPqNidManifest(spark, dirM)
+      // a re-persist NEUTRALIZES a stale manifest when not asked for
+      // one (the silent under-approximation hole)
+      Quantization.persistIvfPqIndex(built, dirM)
+      assert(!new java.io.File(s"$dirM/nid_manifest").exists())
+    } finally {
+      org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(built.codes)
+      rmTree(dirM); rmTree(dirS)
+    }
+  }
+
+  test("ivfPqRemoveBatch refuses null or uncastable remove ids - an " +
+    "equi-join can never retract them") {
+    val built = Quantization.ivfPqIndex(vecs, "vec_id", "embedding",
+      nlist = 2, coarseIters = 2, m = 2, ksub = 2, pqIters = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_nullrm").toString
+    try {
+      Quantization.persistIvfPqIndex(built, dir)
+      val before = Quantization.loadIvfPqIndex(spark, dir).codes
+        .collect().map(_.toSeq).toSet
+      // a literal null id
+      val e1 = intercept[IllegalArgumentException] {
+        Quantization.ivfPqRemoveBatch(
+          Seq(Some(2L), Option.empty[Long]).toDF("vec_id"),
+          "vec_id", dir)
+      }
+      assert(e1.getMessage.contains("null ids"))
+      // an uncastable value: under ANSI (the Spark 4 default) the
+      // cast itself fails loud; under non-ANSI it casts to NULL and
+      // the guard refuses — either way the takedown can never
+      // silently retract nothing for it
+      val e2 = intercept[Exception] {
+        Quantization.ivfPqRemoveBatch(
+          Seq("2", "not-a-number").toDF("vec_id"), "vec_id", dir)
+      }
+      assert(e2.getMessage.contains("uncastable") ||
+        e2.getMessage.contains("CAST_INVALID_INPUT"))
+      // both refusals fired BEFORE anything destructive
+      assert(Quantization.loadIvfPqIndex(spark, dir).codes
+        .collect().map(_.toSeq).toSet == before)
+    } finally {
+      org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(built.codes)
+      rmTree(dir)
+    }
+  }
 }

@@ -100,6 +100,33 @@ class SnapshotsSpec extends SparkSpec {
     assert(after.select("run_id").head.getString(0) == "r5")
   }
 
+  test("run store: legitimately VARYING capture sizes across runs " +
+    "diff cleanly (a group appearing between crawls is not corruption)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapruns4").toString + "/store"
+    // row-per-group long-form captures: run 1 gains a group
+    Snapshots.appendRun(Seq(("en", 10L)).toDF("grp", "n_docs"),
+      "r0", 0, dir, overwrite = true)
+    Snapshots.appendRun(Seq(("en", 12L), ("de", 3L)).toDF("grp", "n_docs"),
+      "r1", 1, dir)
+    val (before, after) = Snapshots.lastTwoRuns(spark.read.parquet(dir))
+    assert(before.count() == 1 && after.count() == 2)
+  }
+
+  test("run store: a SAME-run_id re-append (doubled capture rows) " +
+    "fails loudly, not fanned out") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapruns5").toString + "/store"
+    def snap(n: Long) = Seq(n).toDF("n_docs")
+    Snapshots.appendRun(snap(10), "r0", 0, dir, overwrite = true)
+    Snapshots.appendRun(snap(12), "r1", 1, dir)
+    Snapshots.appendRun(snap(12), "r1", 1, dir) // crashed-crawl retry
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.lastTwoRuns(spark.read.parquet(dir))
+    }
+    assert(e.getMessage.contains("duplicate capture rows"))
+  }
+
   test("run store: a re-appended run_seq fails loudly, not fanned out") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_snapruns2").toString + "/store"
