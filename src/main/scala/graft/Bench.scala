@@ -74,60 +74,67 @@ object Bench {
     println(line)
   }
 
+  /** In-suite runs execute in FIXED-SIZE BATCHES, each in a FRESH
+    * SparkContext (SPARK_GRAFT_BATCH, default 50 queries): round 14
+    * showed that one shared 303-query JVM smears GC/bring-up cost
+    * across alphabetically-later queries (+13.1% on an unchanged
+    * common subset, 85 queries reading >25% up with unchanged plans,
+    * provable only by manual solo pins) — the in-suite number had
+    * stopped being a per-query regression signal. A context reset
+    * every N queries bounds how much codegen-cache, broadcast and
+    * old-gen state any query can inherit, at the cost of one
+    * session bring-up per batch — paid in the harness gap between
+    * batches (each batch re-warms before its first measured query),
+    * never inside a measured window. */
   private def suite(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // wide aggregations (256-perm MinHash signatures, per-column
-      // coverage fan-outs) exceed the default 100-field codegen cutoff
-      // and silently fall back to interpreted evaluation
-      .config("spark.sql.codegen.maxFields", "1024")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val batchSize = sys.env.getOrElse("SPARK_GRAFT_BATCH", "50").toInt
+    require(batchSize > 0, s"SPARK_GRAFT_BATCH must be positive: $batchSize")
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local profiling aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // JVM/codegen/parquet-reader warmup so the alphabetically-first
-    // query's number isn't inflated by ~2s of session start-up cost
-    try {
-      graft.core.Tables.documents(spark, sfDir).count()
-      spark.range(16).select(org.apache.spark.sql.functions.sum("id")).collect()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
-    }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // sweep cached blocks between queries: operators free their own
-      // big intermediates, but result-sized localCheckpoints (dedup
-      // pairs, CC labels) survive by design for the caller — left
-      // cached they accrete across 100+ queries and polluted round 3's
-      // j*/f_* timings 2-17×. unpersist on a plain .cache() is always
-      // safe (lineage intact); on a consumed checkpoint it's final.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      // Spark's ContextCleaner frees broadcasts/shuffles only when the
-      // driver GC collects their weak refs; across 141 queries that
-      // backlog plus old-gen growth caused intermittent 10-25× timings
-      // on trivial queries (round 4: f_json_extract 23s vs 0.9s solo).
-      // An explicit GC here attributes cleanup cost to the harness gap
-      // between queries, never to the next query's measured window.
-      System.gc()
-      (name, sec, ok)
-    }
+    val results = selected.grouped(batchSize).flatMap { group =>
+      SparkSession.getActiveSession.foreach(_.stop())
+      val spark = sessionBuilder(cpus).getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // per-batch JVM/codegen/parquet-reader warmup so the batch's
+      // first query isn't inflated by ~2s of session start-up cost
+      try {
+        graft.core.Tables.documents(spark, sfDir).count()
+        spark.range(16).select(org.apache.spark.sql.functions.sum("id")).collect()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+      }
+      group.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // sweep cached blocks between queries: operators free their own
+        // big intermediates, but result-sized localCheckpoints (dedup
+        // pairs, CC labels) survive by design for the caller — left
+        // cached they accrete across 100+ queries and polluted round 3's
+        // j*/f_* timings 2-17×. unpersist on a plain .cache() is always
+        // safe (lineage intact); on a consumed checkpoint it's final.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        // Spark's ContextCleaner frees broadcasts/shuffles only when the
+        // driver GC collects their weak refs; across 141 queries that
+        // backlog plus old-gen growth caused intermittent 10-25× timings
+        // on trivial queries (round 4: f_json_extract 23s vs 0.9s solo).
+        // An explicit GC here attributes cleanup cost to the harness gap
+        // between queries, never to the next query's measured window.
+        System.gc()
+        (name, sec, ok)
+      }
+    }.toSeq
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
@@ -140,14 +147,39 @@ object Bench {
     // file in the repo (plus a first line for humans/wide tails), and
     // the LAST line printed is a compact summary — always inside the
     // tail window — carrying the slowest queries and the sidecar path.
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // base_changed: queries whose measured WORK changed this round
+    // under an unchanged name (the d86-health-captures lesson —
+    // a number whose meaning silently changes under a constant name
+    // rots round-over-round diffs); the map self-describes the
+    // comparability break in the artifact itself
+    val notes = BaseChanged
+      .filter { case (k, _) => results.exists(_._1 == k) }
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","batch_size":$batchSize,"queries":$qs,"failed":$failed,"base_changed":$notes,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"), full + "\n")
     println(full)
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"failed":$failed,"queries_file":"BENCH_QUERIES.json","sf":"$sfDir"}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"batch_size":$batchSize,"queries":$slowest,"failed":$failed,"queries_file":"BENCH_QUERIES.json","sf":"$sfDir"}""")
+    SparkSession.getActiveSession.foreach(_.stop())
   }
+
+  /** Round-15 comparability notes (see the base_changed emission
+    * above). Retire entries when the next round's diff re-baselines. */
+  private val BaseChanged: Map[String, String] = Map(
+    "inc_bm25_store" ->
+      "r15: +post-retraction touched-partition sync check (full level)",
+    "inc_kn_store" ->
+      "r15: +post-retraction touched-partition sync check (full level)",
+    "inc_ivfpq_remove" ->
+      "r15: +null-remove-id guard; emptied-cell deletes moved before overwrite",
+    "st_inc_ivfpq_remove" ->
+      "r15: +null-remove-id guard; emptied-cell deletes moved before overwrite",
+    "d89_takedown_sweep" ->
+      "r15: +null-remove-id guard in ivfPqRemoveBatch",
+    "d91_recrawl_update" ->
+      "r15: +null-remove-id guard in ivfPqRemoveBatch")
 }
