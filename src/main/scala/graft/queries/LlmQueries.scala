@@ -1542,6 +1542,66 @@ object LlmQueries {
       committed.unionByName(retracted).orderBy("phase", "doc_id")
     }),
 
+    // VALIDATION TIERS for the durable store — the same manifested
+    // init + commit + takedown lifecycle run TWICE, once per level:
+    // 'full' certifies every operation as it lands (the audit
+    // posture every store query above runs), 'recovery' runs the
+    // operational writes only and defers certification to ONE
+    // audit-time validateSnapshotStoreManifest pass (what a
+    // production ingest actually does — the per-commit sync probes
+    // exist to catch lost-cache-block plan divergence, which is
+    // rare and repairable). Both phases serve the same %16 probe
+    // from their own store and both must equal the
+    // inc_bm25_remove replay VERBATIM: the tiers differ in WHEN
+    // certification runs, never in what lands on disk.
+    "inc_store_levels" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val I = graft.operators.Incremental
+      def lifecycle(level: String): String = {
+        val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+          s"tfstore_${level}_${pathDigest(d)}"
+        I.initSnapshotStore(
+          Search.tfSnapshot(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text"), dir, manifestIdCol = Some("doc_id"),
+          validate = level)
+        I.commitSnapshotBatch(
+          Search.tfSnapshot(docs.filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text"), dir, 1L,
+          manifestIdCol = Some("doc_id"), validate = level)
+        I.retractFromSnapshotStore(s, dir,
+          docs.filter(col("doc_id") % 10 === 3).select("doc_id"),
+          validate = level)
+        dir
+      }
+      val dirFull = lifecycle("full")
+      val dirRec = lifecycle("recovery")
+      // the recovery deployment's DEFERRED certification: one audit
+      // pass over the finished store instead of a probe per
+      // operation — this is the moment the skipped checks run
+      I.validateSnapshotStoreManifest(s, dirRec)
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def ck(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(true); cps += c; c
+      }
+      try {
+        val probe16 = docs.filter(col("doc_id") % 16 === 3)
+          .select(col("doc_id").as("qid"),
+            bm25Qtext(col("text")).as("qtext"))
+        def serve(dir: String, phase: String): DataFrame = {
+          val tf = ck(I.loadSnapshotStore(s, dir))
+          Search.validateTfSnapshot(tf)
+          Search.bm25TopKIndexed(tf, probe16, "qid", "qtext", k = 5,
+              materialize = false)
+            .select(lit(phase).as("phase"), col("qid"), col("rank"),
+              col("doc_id"), col("score_micros"))
+        }
+        serve(dirFull, "full").unionByName(serve(dirRec, "recovery"))
+          .orderBy("phase", "qid", "rank")
+          .localCheckpoint(true)
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+    }),
+
     // RETRACTION for the persisted ANN index — FAISS `remove_ids`:
     // the full shared layout is persisted fresh, every 10th-plus-3
     // vector's codes are removed (only their cell directories are
@@ -4335,6 +4395,13 @@ object LlmQueries {
         "\n) UNION ALL SELECT 'retracted' AS phase, * FROM (\n" +
         Bm25RemoveSql +
         "\n) UNION ALL SELECT 'compacted' AS phase, * FROM (\n" +
+        Bm25RemoveSql + "\n) ORDER BY phase, qid, rank"),
+    // both validation tiers land identical stores: each phase is the
+    // inc_bm25_remove replay VERBATIM — the levels differ in WHEN
+    // certification runs, never in what lands on disk
+    "inc_store_levels" ->
+      ("SELECT 'full' AS phase, * FROM (\n" + Bm25RemoveSql +
+        "\n) UNION ALL SELECT 'recovery' AS phase, * FROM (\n" +
         Bm25RemoveSql + "\n) ORDER BY phase, qid, rank"),
     // same claim for the KN LM store: committed = the d77 replay,
     // retracted = the era-parameterized d77 replay over survivors

@@ -452,6 +452,96 @@ object StreamQueries {
         org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
     }),
 
+    // The boilerplate screen served from the DURABLE ROLLUP STORE
+    // across catch-up runs — st_inc_boiler_remove with every count
+    // table read from DISK (the st_inc_bm25_store discipline applied
+    // to the append-only rollup layout): two crawl eras COMMIT their
+    // count partials as batch partitions, era A's incoming docs
+    // (evens) screen against the store's key-wise fold (== the full
+    // counts), the quarantined %7==1 slice lands BETWEEN the runs as
+    // a TOMBSTONE append (its partial negated — no landed partition
+    // rewritten), the store then COMPACTS (the production fold
+    // cadence), and era B's incoming (odds) screen against the
+    // reloaded folded counts (== the subtracted recount: the banner
+    // un-learns mid-stream). What serves is only ever what is ON
+    // DISK, each era's folded table is validated, and the result
+    // must hash-match the st_inc_boiler_remove oracle VERBATIM —
+    // the disk round-trip, the tombstone mechanics AND the
+    // compaction are result-invisible under micro-batch splits too.
+    "st_inc_boiler_store" -> ((s, d) => {
+      val D = graft.operators.Dedup
+      val I = graft.operators.Incremental
+      val boiler = "subscribe to our newsletter for updates today"
+      val banner =
+        "temporary campaign banner from the quarantined source"
+      def planted(df: DataFrame) = df.select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit("\n" + boiler)))
+            .otherwise(col("text")),
+          when(col("doc_id") % 7 === 1 || col("doc_id") === 2 ||
+            col("doc_id") === 9 || col("doc_id") % 5 === 0,
+            lit("\n" + banner)).otherwise(lit(""))).as("text"))
+      def existing = planted(T.documents(s, d)
+        .filter(col("doc_id") % 5 =!= 0))
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"st_boilstore_${LlmQueries.pathDigest(d)}"
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def reg(df: DataFrame): DataFrame = { cps += df; df }
+      // store mutations run UNCONDITIONALLY, outside the lazy serve
+      // state (the st_inc_bm25_store discipline): memoized streams
+      // may skip a run entirely on a retried invocation, and a
+      // commit hidden inside a lazy initializer against a store a
+      // failed attempt already committed to would refuse forever in
+      // this JVM. Init resets the layout, so everything lands fresh.
+      I.initSnapshotStore(D.lineCountPartial(
+        existing.filter(col("doc_id") % 2 === 0), "text"), dir)
+      I.commitSnapshotBatch(D.lineCountPartial(
+        existing.filter(col("doc_id") % 2 =!= 0), "text"), dir, 1L)
+      // each era's screen set folds the ON-DISK store once, is
+      // validated, and pins (every micro-batch probes it)
+      lazy val setFull = {
+        val counts = I.loadRollupStore(s, dir, Seq("key"), Seq("cnt"))
+        D.validateLineCounts(counts)
+        reg(D.boilerplateFromCounts(counts, minCount = 3)
+          .localCheckpoint(true))
+      }
+      lazy val setRet = {
+        val counts = I.loadRollupStore(s, dir, Seq("key"), Seq("cnt"))
+        D.validateLineCounts(counts)
+        reg(D.boilerplateFromCounts(counts, minCount = 3)
+          .localCheckpoint(true))
+      }
+      def screen(set: => DataFrame, era: Int)(batch: DataFrame) =
+        D.lineDedupAgainst(
+          planted(batch.filter(col("doc_id") % 5 === 0
+            && col("doc_id") % 2 === era)), set, "doc_id", "text")
+      try {
+        val run1 = materializedStream(s, d, "boilstA",
+          "documents.parquet", transform = screen(setFull, 0)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        // the takedown lands BETWEEN the runs as a tombstone append
+        // (after run1's serves — setFull is forced, or run1 was
+        // memoized and never reads the store again), and the store
+        // compacts before era B serves: both must be invisible next
+        // to the in-memory subtraction the oracle replays
+        I.retractFromRollupStore(D.lineCountPartial(
+            existing.filter(col("doc_id") % 7 === 1), "text"),
+          dir, Seq("key"), Seq("cnt"), batch = 2L)
+        I.compactRollupStore(s, dir, Seq("key"), Seq("cnt"))
+        val run2 = materializedStream(s, d, "boilstB",
+          "documents.parquet", transform = screen(setRet, 1)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        s.read.parquet(run1).unionByName(s.read.parquet(run2))
+          .orderBy("doc_id")
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+    }),
+
     // The KN LM RETRACTED between catch-up runs — inc_kn_remove in
     // its streaming shape: era A's probes (every 16th) score from
     // the full-corpus LM, the %5==4 docs retract between the runs
@@ -1320,6 +1410,46 @@ object StreamQueries {
     // banner plant mirrors the Spark side — on all incoming docs,
     // the quarantined slice, and two innocents
     "st_inc_boiler_remove" ->
+      """WITH src AS (SELECT doc_id, (CASE WHEN doc_id % 4 = 0
+        |  THEN text || chr(10) ||
+        |    'subscribe to our newsletter for updates today'
+        |  ELSE text END) ||
+        |  (CASE WHEN doc_id % 7 = 1 OR doc_id = 2 OR doc_id = 9
+        |      OR doc_id % 5 = 0
+        |   THEN chr(10) ||
+        |     'temporary campaign banner from the quarantined source'
+        |   ELSE '' END) AS text FROM documents),
+        |exF AS (SELECT trim(ln) AS k FROM (
+        |  SELECT unnest(string_split(text, chr(10))) AS ln FROM src
+        |  WHERE doc_id % 5 <> 0)
+        |  WHERE trim(ln) <> '' GROUP BY trim(ln)
+        |  HAVING COUNT(*) >= 3),
+        |exR AS (SELECT trim(ln) AS k FROM (
+        |  SELECT unnest(string_split(text, chr(10))) AS ln FROM src
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 1)
+        |  WHERE trim(ln) <> '' GROUP BY trim(ln)
+        |  HAVING COUNT(*) >= 3),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM src
+        |  WHERE doc_id % 5 = 0),
+        |l AS (SELECT doc_id, u.i AS pos, u.ln AS ln FROM (
+        |  SELECT doc_id, unnest([{'i': x, 'ln': a[x+1]}
+        |    FOR x IN range(0, len(a))]) AS u FROM ls)),
+        |k AS (SELECT doc_id, pos, ln,
+        |  (trim(ln) = '' OR CASE WHEN doc_id % 2 = 0
+        |    THEN f.k IS NULL ELSE r.k IS NULL END) AS keep
+        |  FROM l LEFT JOIN exF f ON trim(ln) = f.k
+        |  LEFT JOIN exR r ON trim(ln) = r.k)
+        |SELECT doc_id,
+        |COALESCE(string_agg(ln, chr(10) ORDER BY pos)
+        |  FILTER (WHERE keep), '') AS text,
+        |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the st_inc_boiler_remove replay VERBATIM: serving the screen
+    // from the durable rollup store — committed partials folded for
+    // era A, the tombstone-subtracted THEN compacted fold for era B
+    // — must be result-invisible relative to the in-memory
+    // count/subtract chain
+    "st_inc_boiler_store" ->
       """WITH src AS (SELECT doc_id, (CASE WHEN doc_id % 4 = 0
         |  THEN text || chr(10) ||
         |    'subscribe to our newsletter for updates today'
