@@ -74,37 +74,62 @@ object Bench {
     println(line)
   }
 
-  /** In-suite runs execute in FIXED-SIZE BATCHES, each in a FRESH
-    * SparkContext (SPARK_GRAFT_BATCH, default 50 queries): round 14
-    * showed that one shared 303-query JVM smears GC/bring-up cost
-    * across alphabetically-later queries (+13.1% on an unchanged
-    * common subset, 85 queries reading >25% up with unchanged plans,
-    * provable only by manual solo pins) — the in-suite number had
-    * stopped being a per-query regression signal. A context reset
-    * every N queries bounds how much codegen-cache, broadcast and
-    * old-gen state any query can inherit, at the cost of one
-    * session bring-up per batch — paid in the harness gap between
-    * batches (each batch re-warms before its first measured query),
-    * never inside a measured window. */
+  /** In-suite runs execute in HASH-ASSIGNED BATCHES, each in a FRESH
+    * SparkContext: round 14 showed that one shared 303-query JVM
+    * smears GC/bring-up cost across alphabetically-later queries
+    * (+13.1% on an unchanged common subset, 85 queries reading >25%
+    * up with unchanged plans, provable only by manual solo pins) —
+    * the in-suite number had stopped being a per-query regression
+    * signal. A context reset per batch bounds how much
+    * codegen-cache, broadcast and old-gen state any query can
+    * inherit, at the cost of one session bring-up per batch — paid
+    * in the harness gap between batches, never inside a measured
+    * window.
+    *
+    * Two round-15 lessons fixed here: (1) batch membership is
+    * murmur3(name) mod SPARK_GRAFT_BUCKETS (default 8), NOT
+    * alphabetical slices of the growing query list — a slice
+    * boundary shifts every time a query is added, re-baselining
+    * every downstream batch each round, where a hash assignment
+    * moves nothing that already existed; (2) the warmup PRE-BUILDS
+    * the (session, fixture)-memoized shared fixtures (IVF-PQ layout,
+    * BPE merges, LR scores), which under per-batch contexts would
+    * otherwise rebuild inside each batch's FIRST consumer's measured
+    * window (r15: d80 read 5.04× for being batch 2's first index
+    * caller). */
   private def suite(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val batchSize = sys.env.getOrElse("SPARK_GRAFT_BATCH", "50").toInt
-    require(batchSize > 0, s"SPARK_GRAFT_BATCH must be positive: $batchSize")
+    val numBuckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "8").toInt
+    require(numBuckets > 0,
+      s"SPARK_GRAFT_BUCKETS must be positive: $numBuckets")
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local profiling aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.grouped(batchSize).flatMap { group =>
+    // stable under query additions: a name's bucket never changes, so
+    // round-over-round diffs compare like batch environments; a
+    // subset run (SPARK_GRAFT_ONLY) keeps each query in its usual
+    // bucket too
+    val groups = selected
+      .groupBy { case (n, _) => math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(n), numBuckets) }
+      .toSeq.sortBy(_._1)
+      .map { case (_, qs) => qs.sortBy(_._1) }
+    val results = groups.iterator.flatMap { group =>
       SparkSession.getActiveSession.foreach(_.stop())
       val spark = sessionBuilder(cpus).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       // per-batch JVM/codegen/parquet-reader warmup so the batch's
-      // first query isn't inflated by ~2s of session start-up cost
+      // first query isn't inflated by ~2s of session start-up cost,
+      // plus the shared-fixture pre-build (scaladoc above) so no
+      // measured window pays a fixture the previous context built
+      // for free
       try {
         graft.core.Tables.documents(spark, sfDir).count()
         spark.range(16).select(org.apache.spark.sql.functions.sum("id")).collect()
+        graft.queries.LlmQueries.prebuildSharedFixtures(spark, sfDir)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
       }
@@ -156,30 +181,36 @@ object Bench {
       .filter { case (k, _) => results.exists(_._1 == k) }
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","batch_size":$batchSize,"queries":$qs,"failed":$failed,"base_changed":$notes,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","buckets":$numBuckets,"harness_note":"$HarnessNote","queries":$qs,"failed":$failed,"base_changed":$notes,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"), full + "\n")
     println(full)
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"batch_size":$batchSize,"queries":$slowest,"failed":$failed,"queries_file":"BENCH_QUERIES.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"buckets":$numBuckets,"queries":$slowest,"failed":$failed,"queries_file":"BENCH_QUERIES.json","sf":"$sfDir"}""")
     SparkSession.getActiveSession.foreach(_.stop())
   }
 
-  /** Round-15 comparability notes (see the base_changed emission
-    * above). Retire entries when the next round's diff re-baselines. */
+  /** The one-sentence comparability disclosure the round-15 verdict
+    * asked for — carried INSIDE the artifact so a reader of the raw
+    * JSON sees the harness semantics without re-deriving them. */
+  private val HarnessNote: String =
+    "r16 harness: batches = murmur3(name) mod buckets (stable under " +
+      "query additions; r15 used alphabetical slices, which shifted " +
+      "every boundary per added query), and the applicationId-" +
+      "memoized shared fixtures (IVF-PQ layout, BPE merges, LR " +
+      "scores) pre-build in each batch's UNTIMED warmup - r15 " +
+      "landed their build on each batch's first consumer"
+
+  /** Round-16 comparability notes (see the base_changed emission
+    * above). Retire entries when the next round's diff re-baselines;
+    * r15's notes are recorded in the committed BENCH_QUERIES_r15. */
   private val BaseChanged: Map[String, String] = Map(
-    "inc_bm25_store" ->
-      "r15: +post-retraction touched-partition sync check (full level)",
-    "inc_kn_store" ->
-      "r15: +post-retraction touched-partition sync check (full level)",
-    "inc_ivfpq_remove" ->
-      "r15: +null-remove-id guard; emptied-cell deletes moved before overwrite",
-    "st_inc_ivfpq_remove" ->
-      "r15: +null-remove-id guard; emptied-cell deletes moved before overwrite",
-    "d89_takedown_sweep" ->
-      "r15: +null-remove-id guard in ivfPqRemoveBatch",
-    "d91_recrawl_update" ->
-      "r15: +null-remove-id guard in ivfPqRemoveBatch")
+    "rp_health_runs" ->
+      ("r16: appendRun stamps a per-append id; lastTwoRuns adds the " +
+        "drifted-re-append detector to its roster aggregation"),
+    "st_health_runs" ->
+      ("r16: appendRun stamps a per-append id; lastTwoRuns adds the " +
+        "drifted-re-append detector to its roster aggregation"))
 }

@@ -834,7 +834,14 @@ object Graft {
   /** FAISS-style `add` for a persisted IVF-PQ index: encode a new
     * batch against the FROZEN codebooks and append to the cell
     * partitions — add-then-search equals the build that encoded the
-    * union; periodic re-train is the separate compaction step. */
+    * union; periodic re-train is the separate compaction step. On a
+    * MANIFESTED layout the refusals run inline (null ids, ids the
+    * manifest already claims), but post-write sync CERTIFICATION is
+    * deliberately CALLER-DRIVEN — run [[validateIvfPqNidManifest]]
+    * at audit/recovery time, the fact stores' `validate = recovery`
+    * posture; the crash ordering (manifest appends BEFORE codes)
+    * keeps every uncertified window in the self-healing
+    * over-approximation direction, never the silent-miss one. */
   def ivfPqAddBatch(newEmb: DataFrame, idCol: String, vecCol: String,
                     dir: String): Unit =
     graft.operators.Quantization.ivfPqAddBatch(newEmb, idCol, vecCol,
@@ -845,7 +852,12 @@ object Graft {
     * only the cell directories holding the removed ids, deletes
     * emptied cells; remove-then-search equals a build that never
     * encoded the vectors (codebooks stay frozen — retrain is the
-    * separate step the imbalance factor schedules). */
+    * separate step the imbalance factor schedules). As with
+    * [[ivfPqAddBatch]], manifest sync certification is CALLER-DRIVEN
+    * ([[validateIvfPqNidManifest]] at audit time): removals rewrite
+    * the manifest AFTER the codes, so a crash between the two leaves
+    * it over-approximating — later discoveries probe a few dead
+    * cells and self-heal, never skip a live one. */
   def ivfPqRemoveBatch(removeIds: DataFrame, idCol: String,
                        dir: String): Unit =
     graft.operators.Quantization.ivfPqRemoveBatch(removeIds, idCol, dir)
@@ -997,6 +1009,17 @@ object Graft {
                          keys: Seq[String], sums: Seq[String]): Unit =
     graft.operators.Incremental.compactRollupStore(spark, dir, keys,
       sums)
+
+  /** Compaction-scheduling stats for a batch-partitioned store —
+    * per-batch rows/tombstones plus store-level batch count, skew
+    * and tombstone mass, with a `compact_due` verdict against the
+    * caller's thresholds. The monitoring number that decides when
+    * [[compactSnapshotStore]]/[[compactRollupStore]] pays. */
+  def storeStats(spark: SparkSession, dir: String,
+                 sums: Seq[String] = Nil, maxBatches: Int = 32,
+                 maxTombstoneShare: Double = 0.10): DataFrame =
+    graft.operators.Incremental.storeStats(spark, dir, sums,
+      maxBatches, maxTombstoneShare)
 
   /** Register graft's SQL functions (`uuid5`, `title_case`) and the
     * codec-collapse optimizer rule on a session. */

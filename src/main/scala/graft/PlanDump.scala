@@ -545,9 +545,71 @@ object PlanDump {
         "appending leaves a seq gap without silently emptying the " +
         "delta. lastTwoRuns guards the silent-corruption paths " +
         "loudly: a single-run store (empty delta), several run_ids " +
-        "sharing one seq, and unequal capture sizes across seqs (a " +
-        "same-run_id re-append) all fail with a message, the " +
-        "validateKnSnapshot discipline."))
+        "sharing one seq, exact duplicate rows inside a run, and — " +
+        "via the per-append stamp appendRun writes — a same-run " +
+        "re-append whose recomputed values DRIFTED between attempts " +
+        "all fail with a message, the validateKnSnapshot " +
+        "discipline."),
+    "inc_store_levels" ->
+      ("Validation TIERS for the durable fact store: the manifested " +
+        "init + commit + takedown lifecycle runs TWICE, once per " +
+        "level — `full` pays an exact-sync certification probe per " +
+        "operation (the audit posture every other store query runs), " +
+        "`recovery` runs the operational writes only and defers " +
+        "certification to ONE audit-time " +
+        "validateSnapshotStoreManifest pass, the production-ingest " +
+        "posture. Refusals (empty/duplicate/null-id, delete-or-die) " +
+        "stay at both levels; both stores serve the %16 probe and " +
+        "each phase must hash-equal the inc_bm25_remove replay — the " +
+        "tiers differ in WHEN certification runs, never in what " +
+        "lands. A deliberate PROOF query: ~2x a single store " +
+        "lifecycle by construction (two full lifecycles + one audit " +
+        "pass + two serves), so its suite time reads near " +
+        "inc_bm25_store's and that is the expected shape, not a " +
+        "regression."),
+    "st_inc_boiler_store" ->
+      ("The rollup store's streaming twin, closing the durable-twin " +
+        "matrix: two AvailableNow catch-up eras serve the " +
+        "boilerplate screen from the DISK fold of the append-only " +
+        "store, with the tombstone retraction AND a compaction " +
+        "landing BETWEEN the runs. The plan per era is the d64-style " +
+        "screen over a LogicalRDD (the era's materialized " +
+        "micro-batches) joined against the store fold — one key-wise " +
+        "sum over the batch partitions with zeros dropping; the " +
+        "oracle is st_inc_boiler_remove VERBATIM, so tombstone " +
+        "cancellation and the fold-to-one-batch are both proven " +
+        "result-invisible to a caught-up streaming reader. Store " +
+        "mutations run unconditionally OUTSIDE the memoized stream " +
+        "lazies (the r14 retry-brick lesson)."),
+    "inc_ivfpq_manifest" ->
+      ("The ANN layout's nid→cell manifest under the oracle gate: " +
+        "the inc_ivfpq_remove lifecycle on a layout persisted WITH " +
+        "its manifest, so takedown DISCOVERY probes one " +
+        "doc-count-sized (nid, cell) table (affectedCells' manifest " +
+        "branch) instead of scanning every cell directory's nid " +
+        "column — at production nlist-in-the-thousands the " +
+        "difference between one skinny semi-join and a full-layout " +
+        "column scan per takedown. The removal rewrites the manifest " +
+        "AFTER the codes (crash windows over-approximate and " +
+        "self-heal, never silently miss), the sync validator " +
+        "re-certifies before serving, and the oracle is the " +
+        "inc_ivfpq_remove replay VERBATIM: the manifest changes " +
+        "where discovery READS, never what it finds."),
+    "rp_store_stats" ->
+      ("Store compaction SCHEDULING — the d80 imbalance-factor role " +
+        "for both store families: per-batch rows/tombstones/share " +
+        "plus store-level batch count, max/avg skew, and tombstone " +
+        "mass, with a compact_due verdict against caller thresholds " +
+        "(here ≥3 partials or ≥10% tombstone mass). The per-batch " +
+        "aggregate shuffles key-count-sized partials only (batch is " +
+        "the partition column), and the windows run over the " +
+        "BATCH-COUNT-sized aggregate — config-class by the store " +
+        "contract, so the single-partition window is a " +
+        "rows-not-data global. The oracle recomputes every number " +
+        "from the batch definitions over documents, which also " +
+        "re-proves WHAT each store holds after its takedown: fact " +
+        "partitions shrank in place, rollup tombstones landed " +
+        "whole."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

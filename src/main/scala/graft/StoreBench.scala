@@ -3,16 +3,32 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Measures the snapshot-store RETRACTION DISCOVERY cost the
-  * id→batch manifest exists to remove: finding which batch
-  * partitions hold the retracted ids by scanning the id column of
-  * EVERY store partition (the manifest-less fallback) vs probing
-  * the doc-count-sized manifest. Times the exact two expressions
-  * [[graft.operators.Incremental.retractFromSnapshotStore]] runs —
-  * semi-join on the ids, distinct batch values, collect — over a
-  * real tf-snapshot store built from the given dataset, 3 reps
-  * each, medians reported. Prints one JSON line (the Bench
-  * convention).
+/** Measures the store-maintenance costs the opt-in machinery exists
+  * to remove, one JSON line per experiment (the Bench convention):
+  *
+  *  1. `store_discovery` — fact-store RETRACTION DISCOVERY: finding
+  *     which batch partitions hold the retracted ids by scanning the
+  *     id column of EVERY store partition (the manifest-less
+  *     fallback) vs probing the doc-count-sized id→batch manifest.
+  *     Times the exact two expressions
+  *     [[graft.operators.Incremental.retractFromSnapshotStore]] runs
+  *     — semi-join on the ids, distinct batch values, collect.
+  *  2. `ann_discovery` — the same split for the IVF-PQ layout's
+  *     nid→cell manifest ([[graft.operators.Quantization]]
+  *     `affectedCells`): scanning every cell directory's (nid, cell)
+  *     projection vs probing the skinny manifest. The scan reads m
+  *     code rows per vector where the probe reads one; at production
+  *     nlist-in-the-thousands the scan additionally pays the
+  *     per-cell-directory listing the probe never sees.
+  *  3. `store_tiers` — the validation-tier cost split: the full
+  *     manifested init+commit+retract lifecycle at
+  *     `validate = "full"` (per-operation exact-sync certification)
+  *     vs `validate = "recovery"` plus ONE audit-time
+  *     validateSnapshotStoreManifest pass — what the recovery
+  *     deployment actually saves per ingest cycle.
+  *
+  * All sections: 3 reps, medians AND raw runs reported, over real
+  * artifacts built from the given dataset.
   *
   * Usage: runMain graft.StoreBench <sfDir> [label]
   */
@@ -71,6 +87,74 @@ object StoreBench {
         s""""scan_runs":${arr(scan)},""" +
         s""""manifest_median":${n(median(probe))},""" +
         s""""manifest_runs":${arr(probe)}}""")
+
+    // ---- 2. ANN layout discovery: cell scan vs nid manifest probe
+    val embPath = s"$sfDir/embeddings.parquet"
+    if (new java.io.File(embPath).exists()) {
+      val Q = graft.operators.Quantization
+      val emb = spark.read.parquet(embPath)
+      val annDir = s"/tmp/graft_storebench_${System.nanoTime()}/ann"
+      val idx = Q.ivfPqIndex(emb, "vec_id", "embedding", nlist = 4,
+        coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
+      Q.persistIvfPqIndex(idx, annDir, manifest = true)
+      org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(idx.codes)
+      val vecIds = emb.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id").as("nid")).localCheckpoint(true)
+      // the exact two expressions affectedCells runs, per branch
+      def annScan(): Unit =
+        spark.read.parquet(s"$annDir/codes").select("nid", "cell")
+          .join(vecIds, Seq("nid"), "left_semi")
+          .select("cell").distinct().collect()
+      def annProbe(): Unit =
+        spark.read.parquet(s"$annDir/nid_manifest")
+          .join(vecIds, Seq("nid"), "left_semi")
+          .select("cell").distinct().collect()
+      val codeRows = spark.read.parquet(s"$annDir/codes").count()
+      val manRows = spark.read.parquet(s"$annDir/nid_manifest").count()
+      val aScan = (1 to 3).map(_ => time(annScan()))
+      val aProbe = (1 to 3).map(_ => time(annProbe()))
+      println(
+        s"""{"metric":"ann_discovery","unit":"sec","sf":"$label",""" +
+          s""""code_rows":$codeRows,"manifest_rows":$manRows,""" +
+          s""""nlist":4,"m":4,""" +
+          s""""scan_median":${n(median(aScan))},""" +
+          s""""scan_runs":${arr(aScan)},""" +
+          s""""manifest_median":${n(median(aProbe))},""" +
+          s""""manifest_runs":${arr(aProbe)}}""")
+    } else
+      System.err.println(s"[storebench] no embeddings at $embPath - " +
+        "ann_discovery skipped")
+
+    // ---- 3. validation-tier cost split over the full lifecycle
+    def lifecycle(level: String): Unit = {
+      val tdir = s"/tmp/graft_storebench_${System.nanoTime()}/t_$level"
+      I.initSnapshotStore(
+        S.tfSnapshot(docs.filter(col("doc_id") % 2 === 0), "doc_id",
+          "text"), tdir, manifestIdCol = Some("doc_id"),
+        validate = level)
+      I.commitSnapshotBatch(
+        S.tfSnapshot(docs.filter(col("doc_id") % 2 =!= 0), "doc_id",
+          "text"), tdir, 1L, manifestIdCol = Some("doc_id"),
+        validate = level)
+      I.retractFromSnapshotStore(spark, tdir,
+        docs.filter(col("doc_id") % 10 === 3).select("doc_id"),
+        validate = level)
+      // the recovery deployment's deferred certification runs ONCE,
+      // at audit time — inside the measured window so the split is
+      // honest about what recovery still pays
+      if (level == "recovery") I.validateSnapshotStoreManifest(spark, tdir)
+    }
+    val full = (1 to 3).map(_ => time(lifecycle("full")))
+    val rec = (1 to 3).map(_ => time(lifecycle("recovery")))
+    println(
+      s"""{"metric":"store_tiers","unit":"sec","sf":"$label",""" +
+        s""""lifecycle":"init+commit+retract (manifested tf store)",""" +
+        s""""full_median":${n(median(full))},""" +
+        s""""full_runs":${arr(full)},""" +
+        s""""recovery_median":${n(median(rec))},""" +
+        s""""recovery_runs":${arr(rec)},""" +
+        s""""recovery_includes":"one audit-time validateSnapshotStoreManifest pass"}""")
     spark.stop()
   }
 }

@@ -73,8 +73,19 @@ object Snapshots {
       !snap.columns.contains("run_seq"),
       "appendRun(): snapshot already carries run_id/run_seq; " +
         "pass the bare capture and let the store key it")
+    require(!snap.columns.contains("__graft_append_id"),
+      "appendRun(): __graft_append_id is a reserved store column")
+    // each append stamps ONE fresh append id on all its rows — the
+    // detector for a same-run_id re-append whose recomputed capture
+    // values DRIFTED between attempts (non-deterministic floats,
+    // timestamps): no row duplicates exactly and only one run_id
+    // holds the seq, so neither of lastTwoRuns' content checks could
+    // see it, but two append ids under one run_seq can. A literal
+    // column — no extra job, no double execution of the capture plan.
     snap.withColumn("run_id", lit(runId))
       .withColumn("run_seq", lit(runSeq))
+      .withColumn("__graft_append_id",
+        lit(java.util.UUID.randomUUID().toString))
       .write.mode(if (overwrite) "overwrite" else "append").parquet(dir)
   }
 
@@ -106,10 +117,21 @@ object Snapshots {
     *    across runs: legitimate long-form captures vary in size
     *    between crawls (a row-per-group capture where a group
     *    appears or vanishes), and a uniform-count guard would
-    *    misdiagnose that shape drift as corruption. */
+    *    misdiagnose that shape drift as corruption;
+    *  - a same-run_id re-append whose recomputed rows DRIFTED between
+    *    attempts (non-deterministic capture values) duplicates no row
+    *    exactly — caught by the per-append stamp [[appendRun]] writes:
+    *    two `__graft_append_id`s under one run_seq is a retry,
+    *    whatever the content says. Stores written before the stamp
+    *    existed lack the column and skip this check (the two content
+    *    checks still cover them). */
   def lastTwoRuns(store: DataFrame): (DataFrame, DataFrame) = {
+    val stamped = store.columns.contains("__graft_append_id")
+    val appends =
+      if (stamped) countDistinct("__graft_append_id") else lit(1L)
     val runs = store.groupBy("run_seq")
-      .agg(count(lit(1)).as("n"), countDistinct("run_id").as("ids"))
+      .agg(count(lit(1)).as("n"), countDistinct("run_id").as("ids"),
+        appends.as("appends"))
       .orderBy(col("run_seq").desc)
       .collect()
     require(runs.length >= 2,
@@ -119,6 +141,11 @@ object Snapshots {
       "run store corrupt: several run_ids share one run_seq - a " +
         "crashed crawl re-appended a run_seq (appendRun with " +
         "overwrite=true resets the store)")
+    require(runs.forall(_.getLong(3) == 1L),
+      "run store corrupt: several appends share one run_seq - a " +
+        "crashed crawl re-appended its own run_seq, possibly with " +
+        "drifted recomputed values (appendRun with overwrite=true " +
+        "resets the store)")
     // one job over the run-count-sized store (the appendRun
     // aggregate-only contract keeps it config-class)
     require(store.groupBy(store.columns.map(col): _*)
@@ -127,7 +154,11 @@ object Snapshots {
       "run store corrupt: exact duplicate capture rows inside a run " +
         "- a crashed crawl re-appended its own run_seq (appendRun " +
         "with overwrite=true resets the store)")
-    (store.filter(col("run_seq") === runs(1).get(0)),
-      store.filter(col("run_seq") === runs(0).get(0)))
+    // the stamp is store bookkeeping, not capture content — dropped
+    // so diffs and schema-sensitive consumers never see it
+    (store.filter(col("run_seq") === runs(1).get(0))
+        .drop("__graft_append_id"),
+      store.filter(col("run_seq") === runs(0).get(0))
+        .drop("__graft_append_id"))
   }
 }

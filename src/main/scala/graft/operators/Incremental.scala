@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shims
 import org.apache.spark.sql.types.{LongType, StructType}
@@ -874,6 +875,58 @@ object Incremental {
     // crashed compaction is simply overwritten)
     initSnapshotStore(loadRollupStore(spark, dir, keys, sums), tmp)
     swapIntoPlace(spark, tmp, dir)
+  }
+
+  /** Compaction-SCHEDULING stats for a batch-partitioned store (fact
+    * or rollup) — the monitoring numbers that decide when
+    * [[compactSnapshotStore]] / [[compactRollupStore]] pays for
+    * itself, the [[graft.operators.Quantization.ivfPqImbalance]]
+    * role played for the store families. One row per landed batch:
+    * its row count, its tombstone rows (any negated sum — rollup
+    * stores only; pass `sums = Nil` for a fact store, whose
+    * retraction rewrites instead of appending), its share of the
+    * store, plus the store-level columns repeated on every row —
+    * batch count, max/avg row skew, tombstone mass (the share of
+    * rows that exist only to cancel others at fold time), and the
+    * `compact_due` verdict against the caller's thresholds: too many
+    * partials (planning pays per-partition listing; the read pays a
+    * wider fold) or too much tombstone mass (rows scanned that
+    * contribute nothing). Thresholds are arguments, not policy baked
+    * in — a store ingesting hourly tolerates more partials than one
+    * ingesting monthly.
+    *
+    * Scale shape: one partial-aggregated count per batch partition
+    * (batch is the partition column, so the group-by shuffles
+    * key-count-sized partials only); the windows then run over the
+    * BATCH-COUNT-sized aggregate — config-class by the store
+    * contract — so the single-partition window is a rows-not-data
+    * global, never a corpus-wide one. */
+  def storeStats(spark: SparkSession, dir: String,
+                 sums: Seq[String] = Nil,
+                 maxBatches: Int = 32,
+                 maxTombstoneShare: Double = 0.10): DataFrame = {
+    require(maxBatches > 0, s"need positive maxBatches: $maxBatches")
+    val tombstone: Column =
+      if (sums.isEmpty) lit(false)
+      else sums.map(c => col(c) < 0).reduce(_ || _)
+    val perBatch = readStore(spark, dir)
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(tombstone, 1L).otherwise(0L)).as("neg_rows"))
+    val w = Window.partitionBy(lit(0))
+    perBatch
+      .withColumn("batch_share",
+        round(col("n_rows").cast("double") / sum("n_rows").over(w), 6))
+      .withColumn("n_batches", count(lit(1)).over(w))
+      .withColumn("max_batch_rows", max("n_rows").over(w))
+      .withColumn("skew", round(
+        max("n_rows").over(w).cast("double") / avg("n_rows").over(w), 6))
+      .withColumn("tombstone_share", round(
+        sum("neg_rows").over(w).cast("double") / sum("n_rows").over(w),
+        6))
+      .withColumn("compact_due",
+        col("n_batches") >= maxBatches ||
+          col("tombstone_share") >= maxTombstoneShare)
   }
 
   /** The crash-safe tail both compactions share: delete the old

@@ -500,13 +500,20 @@ object Quantization {
     * Scale shape: one scan-side encode pass over ONLY the new batch
     * + an append that touches only the cell directories the batch
     * lands in — corpus-size-independent, no shuffle, no read of the
-    * existing codes. That no-read property is also why id uniqueness
-    * is a CALLER contract (as in FAISS `add`): re-adding an id
-    * already in the layout appends a second code row set for it, and
-    * the ADC sum over (qid, nid) would double-count — dedupe the
-    * batch against the corpus id space upstream — and
-    * [[validateIvfPqCodes]] is the cheap post-add detector when the
-    * batch provenance isn't airtight. Vector dimension IS checked (a
+    * existing codes. That no-read property is also why, on a
+    * MANIFEST-LESS layout, id uniqueness is a CALLER contract (as in
+    * FAISS `add`): re-adding an id already in the layout appends a
+    * second code row set for it, and the ADC sum over (qid, nid)
+    * would double-count — dedupe the batch against the corpus id
+    * space upstream — and [[validateIvfPqCodes]] is the cheap
+    * post-add detector when the batch provenance isn't airtight. A
+    * MANIFESTED layout refuses the duplicate instead (one semi-join
+    * against the skinny manifest it already reads): without the
+    * refusal, the doubled add would land a second (nid, cell) pair
+    * that permanently trips [[validateIvfPqNidManifest]] with the
+    * MISLEADING missing-pairs/takedown-miss diagnosis — and
+    * [[rebuildIvfPqNidManifest]] would then "repair" the manifest
+    * while the codes stay corrupt. Vector dimension IS checked (a
     * mismatch would corrupt silently). */
   def ivfPqAddBatch(newEmb: DataFrame, idCol: String, vecCol: String,
                     dir: String): Unit = {
@@ -526,6 +533,20 @@ object Quantization {
           s"refusing to add null nids to the manifested layout $dir " +
             "- a null id can never be retracted by id; scrub the " +
             "batch first")
+        // refuse ids the manifest already claims (see scaladoc): a
+        // doubled add would corrupt the ADC sums silently AND land a
+        // second (nid, cell) pair that trips the sync validator
+        // later with the wrong diagnosis — refuse now, before either
+        // append, while the cause is still on the stack
+        val dupCount = pairs.join(
+            spark.read.parquet(nidManifestPath(dir)).select("nid"),
+            Seq("nid"), "left_semi")
+          .select("nid").distinct().count()
+        require(dupCount == 0L,
+          s"refusing to add $dupCount nid(s) already present in the " +
+            s"manifested layout $dir - a re-added id double-counts " +
+            "in every ADC sum; dedupe the batch against the corpus " +
+            "id space (or retract the old vectors first)")
         // manifest FIRST (the writeCommit crash direction): dying
         // between the appends leaves the manifest over-claiming ids
         // the codes never landed — a later takedown rewrites those

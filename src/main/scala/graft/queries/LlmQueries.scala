@@ -92,6 +92,22 @@ object LlmQueries {
     Quantization.loadIvfPqIndex(s, dir)
   }
 
+  /** Force-build every (session, fixture)-memoized shared fixture —
+    * the IVF-PQ layout, the BPE merge table, the LR score table —
+    * OUTSIDE any measured window. [[graft.Bench]] calls this in each
+    * fresh context's untimed warmup so fixture-build cost lands in
+    * the harness gap instead of on the batch's first consumer (the
+    * round-15 attribution artifact: d80 read 5.04× purely for being
+    * its batch's first `sharedIvfPqIndex` caller). Correctness
+    * surfaces never need this — the memos build on first use either
+    * way. */
+  def prebuildSharedFixtures(s: SparkSession, d: String): Unit = {
+    sharedIvfPqIndex(s, d)
+    sharedBpeMerges(s, d)
+    sharedLrScores(s, d)
+    ()
+  }
+
   /** The COMPLETE Gopher gate (shape rules + the Table-A1 repetition
     * battery at the paper's thresholds) — shared by `d84` and the
     * `d86` curation flagship so the two can never diverge. */
@@ -1602,6 +1618,55 @@ object LlmQueries {
         org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
     }),
 
+    // STORE MONITORING — the numbers that SCHEDULE compaction, the
+    // d80 imbalance-factor role played for both store families. A
+    // fact store (two parity batches, then a %7==3 takedown that
+    // REWRITES its touched partitions) and a rollup store (the same
+    // eras as per-lang count partials, the takedown landing as an
+    // APPENDED tombstone) each report per-batch rows, tombstone
+    // rows, batch share, and the store-level batch count / row skew /
+    // tombstone mass that Incremental.storeStats turns into a
+    // compact_due verdict (thresholds here: ≥3 partials or ≥10%
+    // tombstone mass — the rollup store trips on batch count, the
+    // freshly-rewritten fact store doesn't). The oracle recomputes
+    // every number from the batch definitions over `documents`, so
+    // the row also re-proves WHAT each store holds after its
+    // takedown: fact partitions shrank in place, rollup tombstones
+    // landed whole.
+    "rp_store_stats" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val I = graft.operators.Incremental
+      val base = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"storestats_${pathDigest(d)}"
+      val factDir = s"$base/fact"
+      val rollDir = s"$base/roll"
+      I.initSnapshotStore(
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang"),
+        factDir)
+      I.commitSnapshotBatch(
+        docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "lang"),
+        factDir, 1L)
+      I.retractFromSnapshotStore(s, factDir,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      def partial(pred: Column) = docs.filter(pred)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      I.initSnapshotStore(partial(col("doc_id") % 2 === 0), rollDir)
+      I.commitSnapshotBatch(partial(col("doc_id") % 2 =!= 0), rollDir,
+        1L)
+      I.retractFromRollupStore(partial(col("doc_id") % 7 === 3),
+        rollDir, Seq("lang"), Seq("n_docs"), batch = 2L)
+      def stats(store: String, dir: String, sums: Seq[String]) =
+        I.storeStats(s, dir, sums, maxBatches = 3,
+            maxTombstoneShare = 0.10)
+          .withColumn("store", lit(store))
+      stats("fact", factDir, Nil)
+        .unionByName(stats("rollup", rollDir, Seq("n_docs")))
+        .select("store", "batch", "n_rows", "neg_rows", "batch_share",
+          "n_batches", "max_batch_rows", "skew", "tombstone_share",
+          "compact_due")
+        .orderBy("store", "batch")
+    }),
+
     // RETRACTION for the persisted ANN index — FAISS `remove_ids`:
     // the full shared layout is persisted fresh, every 10th-plus-3
     // vector's codes are removed (only their cell directories are
@@ -1622,6 +1687,34 @@ object LlmQueries {
         T.embeddings(s, d).filter(col("vec_id") % 10 === 3)
           .select("vec_id"),
         "vec_id", dir)
+      Quantization.validateIvfPqCodes(s, dir)
+      Quantization.ivfPqSearch(
+          T.embeddings(s, d).filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", Quantization.loadIvfPqIndex(s, dir),
+          nprobe = 2, topK = 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // The nid→cell MANIFEST under the oracle gate: inc_ivfpq_remove's
+    // exact lifecycle, but the layout persists WITH its manifest
+    // (persistIvfPqIndex manifest=true), so the takedown's discovery
+    // PROBES the doc-count-sized manifest instead of scanning every
+    // cell's nid column (Quantization.affectedCells' manifest
+    // branch), the removal rewrites the manifest after the codes,
+    // and the sync validator re-certifies it before serving. The
+    // oracle is inc_ivfpq_remove's replay VERBATIM — the manifest
+    // changes WHERE discovery reads, never what is discovered, and a
+    // hash match proves the probed path serves bit-identical results.
+    "inc_ivfpq_manifest" -> ((s, d) => {
+      val idx = sharedIvfPqIndex(s, d)
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"ivfpqman_${pathDigest(d)}"
+      Quantization.persistIvfPqIndex(idx, dir, manifest = true)
+      Quantization.ivfPqRemoveBatch(
+        T.embeddings(s, d).filter(col("vec_id") % 10 === 3)
+          .select("vec_id"),
+        "vec_id", dir)
+      Quantization.validateIvfPqNidManifest(s, dir)
       Quantization.validateIvfPqCodes(s, dir)
       Quantization.ivfPqSearch(
           T.embeddings(s, d).filter(col("vec_id") % 10 === 0),
@@ -4403,6 +4496,47 @@ object LlmQueries {
       ("SELECT 'full' AS phase, * FROM (\n" + Bm25RemoveSql +
         "\n) UNION ALL SELECT 'recovery' AS phase, * FROM (\n" +
         Bm25RemoveSql + "\n) ORDER BY phase, qid, rank"),
+    // every stat recomputed from the batch DEFINITIONS over
+    // documents: fact batches are the parity eras minus the %7==3
+    // takedown (retraction rewrites partitions in place), rollup
+    // batches are per-lang count partials with the takedown landing
+    // as a whole appended tombstone partial (rows = distinct langs
+    // in the slice, every row negated)
+    "rp_store_stats" -> """
+      |WITH b AS (
+      |  SELECT 'fact' AS store, CAST(doc_id % 2 AS BIGINT) AS batch,
+      |         CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(0 AS BIGINT) AS neg_rows
+      |  FROM documents WHERE doc_id % 7 <> 3 GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'rollup', CAST(0 AS BIGINT),
+      |         CAST(count(DISTINCT lang) AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'rollup', CAST(1 AS BIGINT),
+      |         CAST(count(DISTINCT lang) AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM documents WHERE doc_id % 2 <> 0
+      |  UNION ALL
+      |  SELECT 'rollup', CAST(2 AS BIGINT),
+      |         CAST(count(DISTINCT lang) AS BIGINT),
+      |         CAST(count(DISTINCT lang) AS BIGINT)
+      |  FROM documents WHERE doc_id % 7 = 3
+      |)
+      |SELECT store, batch, n_rows, neg_rows,
+      |  round(CAST(n_rows AS DOUBLE)
+      |    / sum(n_rows) OVER (PARTITION BY store), 6) AS batch_share,
+      |  count(*) OVER (PARTITION BY store) AS n_batches,
+      |  max(n_rows) OVER (PARTITION BY store) AS max_batch_rows,
+      |  round(CAST(max(n_rows) OVER (PARTITION BY store) AS DOUBLE)
+      |    / avg(n_rows) OVER (PARTITION BY store), 6) AS skew,
+      |  round(CAST(sum(neg_rows) OVER (PARTITION BY store) AS DOUBLE)
+      |    / sum(n_rows) OVER (PARTITION BY store), 6)
+      |    AS tombstone_share,
+      |  (count(*) OVER (PARTITION BY store) >= 3 OR
+      |   round(CAST(sum(neg_rows) OVER (PARTITION BY store) AS DOUBLE)
+      |     / sum(n_rows) OVER (PARTITION BY store), 6) >= 0.10)
+      |    AS compact_due
+      |FROM b ORDER BY store, batch""".stripMargin,
     // same claim for the KN LM store: committed = the d77 replay,
     // retracted = the era-parameterized d77 replay over survivors
     "inc_kn_store" ->
@@ -4419,6 +4553,14 @@ object LlmQueries {
     // FAISS), survivor-only scoring: remove-then-search == a build
     // that never encoded the removed vectors
     "inc_ivfpq_remove" ->
+      (d51PrefixWith(queryPred = "id % 10 = 0",
+        corpusPred = "nid % 10 <> 3") + """
+        |SELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+    // the manifested layout's remove-then-serve must be
+    // hash-identical to the scan-discovered one: same replay VERBATIM
+    // (the manifest changes WHERE discovery reads, never the result)
+    "inc_ivfpq_manifest" ->
       (d51PrefixWith(queryPred = "id % 10 = 0",
         corpusPred = "nid % 10 <> 3") + """
         |SELECT qid, CAST(rank AS INT) AS rank, nid, dist_micros FROM r

@@ -737,4 +737,44 @@ class IncrementalSpec extends SparkSpec {
     assert(rowSet(Incremental.loadSnapshotStore(spark, recDir)) ==
       rowSet(Incremental.loadSnapshotStore(spark, fullDir)))
   }
+
+  test("storeStats: the compaction funnel - accumulating partials " +
+    "and tombstone mass cross the thresholds, compaction resets both") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_storestats").toString + "/s"
+    def partial(lo: Long, hi: Long) = storeDocs
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+      .groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+    Incremental.initSnapshotStore(partial(1L, 2L), dir)
+    def stats() = Incremental.storeStats(spark, dir, Seq("cnt"),
+      maxBatches = 3, maxTombstoneShare = 0.25).collect()
+    // one fresh batch: nothing due, no tombstones
+    val s0 = stats()
+    assert(s0.length == 1 && s0.forall(!_.getAs[Boolean]("compact_due")))
+    assert(s0.forall(_.getAs[Double]("tombstone_share") == 0.0))
+    // a second commit: still under both thresholds
+    Incremental.commitSnapshotBatch(partial(3L, 4L), dir, batch = 1L)
+    assert(stats().forall(!_.getAs[Boolean]("compact_due")))
+    // the tombstone append crosses BOTH documented thresholds at
+    // once: 3 landed partials (>= maxBatches) and 2 of 6 rows now
+    // exist only to cancel others (>= 25% tombstone mass)
+    Incremental.retractFromRollupStore(partial(3L, 4L), dir,
+      Seq("doc_id"), Seq("cnt"), batch = 2L)
+    val s2 = stats()
+    assert(s2.length == 3 && s2.forall(_.getAs[Boolean]("compact_due")))
+    assert(s2.forall(_.getAs[Long]("n_batches") == 3L))
+    val tomb = s2.find(_.getAs[Long]("batch") == 2L).get
+    assert(tomb.getAs[Long]("neg_rows") == tomb.getAs[Long]("n_rows"))
+    assert(s2.head.getAs[Double]("tombstone_share") == 0.333333)
+    // the stats scheduled the compaction; afterwards the store reads
+    // one batch, zero tombstones, nothing due — the funnel closes
+    Incremental.compactRollupStore(spark, dir, Seq("doc_id"),
+      Seq("cnt"))
+    val s3 = stats()
+    assert(s3.length == 1 && s3.forall(!_.getAs[Boolean]("compact_due")))
+    assert(s3.head.getAs[Long]("neg_rows") == 0L &&
+      s3.head.getAs[Double]("tombstone_share") == 0.0)
+    assert(s3.head.getAs[Double]("skew") == 1.0 &&
+      s3.head.getAs[Double]("batch_share") == 1.0)
+  }
 }

@@ -540,4 +540,48 @@ class QuantizationSpec extends SparkSpec {
       rmTree(dir)
     }
   }
+
+  test("ivfPqAddBatch refuses ids a manifested layout already claims " +
+    "- a doubled add corrupts ADC sums and would trip the sync " +
+    "validator later with the WRONG diagnosis; manifest-less layouts " +
+    "keep the FAISS caller contract") {
+    val built = Quantization.ivfPqIndex(vecs, "vec_id", "embedding",
+      nlist = 2, coarseIters = 2, m = 2, ksub = 2, pqIters = 2)
+    val dirM = java.nio.file.Files
+      .createTempDirectory("ivfpq_dupadd_m").toString
+    val dirS = java.nio.file.Files
+      .createTempDirectory("ivfpq_dupadd_s").toString
+    try {
+      Quantization.persistIvfPqIndex(built, dirM, manifest = true)
+      Quantization.persistIvfPqIndex(built, dirS)
+      def codes(dir: String) = Quantization.loadIvfPqIndex(spark, dir)
+        .codes.collect().map(_.toSeq).toSet
+      def manifest() = spark.read.parquet(s"$dirM/nid_manifest")
+        .select("nid", "cell").collect().map(_.toSeq).toSet
+      val (preCodes, preMan) = (codes(dirM), manifest())
+      // id 2 is already served by the layout; the fresh id 100 rides
+      // in the same batch — the WHOLE batch refuses, nothing lands
+      // in codes OR manifest (refusal-before-destruction)
+      val batch = Seq((2L, v(1f, 0.2f, 1f, 0f)),
+        (100L, v(0.9f, 0f, 0.9f, 0.1f))).toDF("vec_id", "embedding")
+      val e = intercept[IllegalArgumentException] {
+        Quantization.ivfPqAddBatch(batch, "vec_id", "embedding", dirM)
+      }
+      assert(e.getMessage.contains("already present"))
+      assert(codes(dirM) == preCodes && manifest() == preMan)
+      Quantization.validateIvfPqNidManifest(spark, dirM)
+      // without a manifest the duplicate appends (the FAISS `add`
+      // contract — dedupe upstream) and validateIvfPqCodes is the
+      // post-add detector: id 2 now carries 2m code rows
+      Quantization.ivfPqAddBatch(batch, "vec_id", "embedding", dirS)
+      val e2 = intercept[IllegalArgumentException] {
+        Quantization.validateIvfPqCodes(spark, dirS)
+      }
+      assert(e2.getMessage.toLowerCase.contains("code"))
+    } finally {
+      org.apache.spark.sql.graftshim.Shims
+        .unpersistLocalCheckpoint(built.codes)
+      rmTree(dirM); rmTree(dirS)
+    }
+  }
 }

@@ -124,7 +124,39 @@ class SnapshotsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Snapshots.lastTwoRuns(spark.read.parquet(dir))
     }
-    assert(e.getMessage.contains("duplicate capture rows"))
+    assert(e.getMessage.contains("re-appended"))
+  }
+
+  test("run store: a SAME-run_id re-append with DRIFTED recomputed " +
+    "values (no exact duplicate row) still fails loudly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapruns6").toString + "/store"
+    def snap(n: Long) = Seq(n).toDF("n_docs")
+    Snapshots.appendRun(snap(10), "r0", 0, dir, overwrite = true)
+    Snapshots.appendRun(snap(12), "r1", 1, dir)
+    // the retry recomputed a non-deterministic capture: same run_id,
+    // same seq, different value — neither content check can see it
+    Snapshots.appendRun(snap(13), "r1", 1, dir)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.lastTwoRuns(spark.read.parquet(dir))
+    }
+    assert(e.getMessage.contains("several appends share one run_seq"))
+  }
+
+  test("run store: the append stamp never reaches the returned " +
+    "frames and a stamped snapshot is refused") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapruns7").toString + "/store"
+    def snap(n: Long) = Seq(n).toDF("n_docs")
+    Snapshots.appendRun(snap(10), "r0", 0, dir, overwrite = true)
+    Snapshots.appendRun(snap(12), "r1", 1, dir)
+    val (before, after) = Snapshots.lastTwoRuns(spark.read.parquet(dir))
+    assert(!before.columns.contains("__graft_append_id"))
+    assert(!after.columns.contains("__graft_append_id"))
+    intercept[IllegalArgumentException] {
+      Snapshots.appendRun(
+        snap(1).withColumn("__graft_append_id", lit("x")), "r2", 2, dir)
+    }
   }
 
   test("run store: a re-appended run_seq fails loudly, not fanned out") {
