@@ -103,6 +103,11 @@ object Bench {
     val numBuckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "8").toInt
     require(numBuckets > 0,
       s"SPARK_GRAFT_BUCKETS must be positive: $numBuckets")
+    // the r15 knob was renamed; a script still setting it must fail
+    // loud, not silently run a different harness configuration
+    require(!sys.env.contains("SPARK_GRAFT_BATCH"),
+      "SPARK_GRAFT_BATCH was replaced by SPARK_GRAFT_BUCKETS in r16 " +
+        "(hash-bucket batch assignment) - update the caller")
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local profiling aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

@@ -46,7 +46,24 @@ object StoreBench {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val dir = s"/tmp/graft_storebench_${System.nanoTime()}/s"
+    // every artifact tree this run creates is deleted on the way out
+    // — six lifecycle stores plus the ann layout and the section-1
+    // store are full-corpus-sized, and repeated runs would otherwise
+    // accumulate in /tmp until the disk fills
+    val scratch = scala.collection.mutable.ListBuffer.empty[String]
+    def fresh(suffix: String): String = {
+      val p = s"/tmp/graft_storebench_${System.nanoTime()}"
+      scratch += p
+      s"$p/$suffix"
+    }
+    def rmTree(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+    }
+    val dir = fresh("s")
     val I = graft.operators.Incremental
     val S = graft.operators.Search
     // two crawl eras, as the store queries build it — manifested, so
@@ -93,7 +110,7 @@ object StoreBench {
     if (new java.io.File(embPath).exists()) {
       val Q = graft.operators.Quantization
       val emb = spark.read.parquet(embPath)
-      val annDir = s"/tmp/graft_storebench_${System.nanoTime()}/ann"
+      val annDir = fresh("ann")
       val idx = Q.ivfPqIndex(emb, "vec_id", "embedding", nlist = 4,
         coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
       Q.persistIvfPqIndex(idx, annDir, manifest = true)
@@ -128,7 +145,7 @@ object StoreBench {
 
     // ---- 3. validation-tier cost split over the full lifecycle
     def lifecycle(level: String): Unit = {
-      val tdir = s"/tmp/graft_storebench_${System.nanoTime()}/t_$level"
+      val tdir = fresh(s"t_$level")
       I.initSnapshotStore(
         S.tfSnapshot(docs.filter(col("doc_id") % 2 === 0), "doc_id",
           "text"), tdir, manifestIdCol = Some("doc_id"),
@@ -155,6 +172,7 @@ object StoreBench {
         s""""recovery_median":${n(median(rec))},""" +
         s""""recovery_runs":${arr(rec)},""" +
         s""""recovery_includes":"one audit-time validateSnapshotStoreManifest pass"}""")
+    scratch.foreach(rmTree)
     spark.stop()
   }
 }

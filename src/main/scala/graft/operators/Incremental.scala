@@ -906,9 +906,14 @@ object Incremental {
                  maxBatches: Int = 32,
                  maxTombstoneShare: Double = 0.10): DataFrame = {
     require(maxBatches > 0, s"need positive maxBatches: $maxBatches")
+    // a NULL sum cell counts as tombstone mass too: null is the
+    // store's corruption marker (see poisonedSum), and `col < 0`
+    // alone would let when() read the null as false — the monitoring
+    // number silently disagreeing with the fold/validator state it
+    // exists to schedule maintenance for
     val tombstone: Column =
       if (sums.isEmpty) lit(false)
-      else sums.map(c => col(c) < 0).reduce(_ || _)
+      else sums.map(c => col(c) < 0 || col(c).isNull).reduce(_ || _)
     val perBatch = readStore(spark, dir)
       .groupBy(col("batch"))
       .agg(count(lit(1)).as("n_rows"),

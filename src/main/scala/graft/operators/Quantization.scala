@@ -547,6 +547,23 @@ object Quantization {
             s"manifested layout $dir - a re-added id double-counts " +
             "in every ADC sum; dedupe the batch against the corpus " +
             "id space (or retract the old vectors first)")
+        // ...and ids duplicated WITHIN the batch, which the manifest
+        // probe cannot see (the id isn't claimed yet) and the sync
+        // validator cannot either (both sides distinct over
+        // (nid, cell)): the same silent ADC double-count, refused by
+        // the same pre-append rule. Encode emits one row per
+        // (nid, subspace), so any (nid, s) multiplicity is a
+        // duplicated input id.
+        val intra = pinned.groupBy(col("nid"), col("s"))
+          .agg(count(lit(1)).as("__graft_n"))
+          .filter(col("__graft_n") > 1L)
+          .select("nid").distinct().count()
+        require(intra == 0L,
+          s"refusing to add $intra nid(s) duplicated WITHIN the " +
+            s"batch to the manifested layout $dir - a doubled id " +
+            "double-counts in every ADC sum and the (nid, cell)-" +
+            "distinct sync validator would certify the corruption; " +
+            "dedupe the batch first")
         // manifest FIRST (the writeCommit crash direction): dying
         // between the appends leaves the manifest over-claiming ids
         // the codes never landed — a later takedown rewrites those

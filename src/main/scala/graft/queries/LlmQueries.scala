@@ -102,10 +102,25 @@ object LlmQueries {
     * surfaces never need this — the memos build on first use either
     * way. */
   def prebuildSharedFixtures(s: SparkSession, d: String): Unit = {
-    sharedIvfPqIndex(s, d)
-    sharedBpeMerges(s, d)
-    sharedLrScores(s, d)
-    ()
+    // each fixture in its own try: one failure (e.g. a fixture dir
+    // without embeddings) must not skip the OTHER prebuilds — that
+    // would silently reintroduce the first-consumer attribution this
+    // hook exists to remove
+    def tryBuild(name: String)(f: => Unit): Unit =
+      try f catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] fixture prebuild '$name' skipped: ${e.getMessage}")
+      }
+    tryBuild("ivfpq")(sharedIvfPqIndex(s, d))
+    tryBuild("bpe")(sharedBpeMerges(s, d))
+    tryBuild("lr")(sharedLrScores(s, d))
+    // the graph family's materialized intermediates (edges, CC
+    // labels) are the same memo pattern — without prebuild, whichever
+    // of g1-g5/a17 hashes first into a bucket pays the edge build +
+    // CC fixpoint inside its measured window (the r16 first full run:
+    // g3 read 4.98s for labels g2 used to compute one batch earlier)
+    tryBuild("cc_edges")(cooccurEdges(s, d))
+    tryBuild("cc_labels")(cooccurLabels(s, d))
   }
 
   /** The COMPLETE Gopher gate (shape rules + the Table-A1 repetition

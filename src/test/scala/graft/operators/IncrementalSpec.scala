@@ -776,5 +776,16 @@ class IncrementalSpec extends SparkSpec {
       s3.head.getAs[Double]("tombstone_share") == 0.0)
     assert(s3.head.getAs[Double]("skew") == 1.0 &&
       s3.head.getAs[Double]("batch_share") == 1.0)
+    // a NULL sum cell (the store's corruption marker, e.g. an
+    // externally-landed bad partial) counts as tombstone mass — the
+    // monitoring number must agree with the fold/validator state
+    Seq((Some(99L), Option.empty[Long]))
+      .toDF("doc_id", "cnt").withColumn("batch", lit(1L))
+      .write.mode("append").partitionBy("batch")
+      .parquet(dir)
+    val s4 = Incremental.storeStats(spark, dir, Seq("cnt"),
+      maxBatches = 3, maxTombstoneShare = 0.25).collect()
+    assert(s4.find(_.getAs[Long]("batch") == 1L).get
+      .getAs[Long]("neg_rows") == 1L)
   }
 }

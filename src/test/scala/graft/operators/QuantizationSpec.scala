@@ -570,6 +570,17 @@ class QuantizationSpec extends SparkSpec {
       assert(e.getMessage.contains("already present"))
       assert(codes(dirM) == preCodes && manifest() == preMan)
       Quantization.validateIvfPqNidManifest(spark, dirM)
+      // an id duplicated WITHIN the batch is the same corruption via
+      // a path neither the manifest probe nor the (nid, cell)-
+      // distinct sync validator can see — refused pre-append too
+      val intra = Seq((200L, v(1f, 0f, 1f, 0f)),
+        (200L, v(0f, 1f, 0f, 1f))).toDF("vec_id", "embedding")
+      val e3 = intercept[IllegalArgumentException] {
+        Quantization.ivfPqAddBatch(intra, "vec_id", "embedding", dirM)
+      }
+      assert(e3.getMessage.contains("WITHIN the batch"))
+      assert(codes(dirM) == preCodes && manifest() == preMan)
+      Quantization.validateIvfPqNidManifest(spark, dirM)
       // without a manifest the duplicate appends (the FAISS `add`
       // contract — dedupe upstream) and validateIvfPqCodes is the
       // post-add detector: id 2 now carries 2m code rows

@@ -143,6 +143,25 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("several appends share one run_seq"))
   }
 
+  test("run store: a store UPGRADED mid-life (pre-stamp runs + a " +
+    "stamped append) is healthy, not refused") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapruns8").toString + "/store"
+    // two legacy runs written WITHOUT the stamp (the pre-r16 layout)
+    Seq((10L, "r0", 0)).toDF("n_docs", "run_id", "run_seq")
+      .write.mode("overwrite").parquet(dir)
+    Seq((12L, "r1", 1)).toDF("n_docs", "run_id", "run_seq")
+      .write.mode("append").parquet(dir)
+    // the first post-upgrade crawl appends a stamped run: legacy rows
+    // read the stamp as null (0 distinct stamps), the new run as 1 —
+    // neither is a retry, and the diff must come back clean
+    Snapshots.appendRun(Seq(15L).toDF("n_docs"), "r2", 2, dir)
+    val (before, after) = Snapshots.lastTwoRuns(
+      spark.read.option("mergeSchema", "true").parquet(dir))
+    assert(before.select("run_id").head.getString(0) == "r1")
+    assert(after.select("run_id").head.getString(0) == "r2")
+  }
+
   test("run store: the append stamp never reaches the returned " +
     "frames and a stamped snapshot is refused") {
     val dir = java.nio.file.Files
