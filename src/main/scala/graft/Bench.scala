@@ -138,6 +138,13 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
       }
+      // the prebuilds allocate heavily (Lloyd iterations, CC
+      // fixpoint, LR training) — sweep their cache/broadcast residue
+      // and GC BEFORE the first measured window, exactly as between
+      // queries, so warmup heap state doesn't smear into the batch
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
       group.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -205,8 +212,12 @@ object Bench {
       "query additions; r15 used alphabetical slices, which shifted " +
       "every boundary per added query), and the applicationId-" +
       "memoized shared fixtures (IVF-PQ layout, BPE merges, LR " +
-      "scores) pre-build in each batch's UNTIMED warmup - r15 " +
-      "landed their build on each batch's first consumer"
+      "scores, co-occurrence edges + CC labels) pre-build in each " +
+      "batch's UNTIMED warmup - r15 landed their build on each " +
+      "batch's first consumer. Noise floor: two same-code full-suite " +
+      "r16 runs differed ~10% in median with ~50 sub-second queries " +
+      "reading >25% apart - treat sub-2x movement on sub-second " +
+      "queries as shot noise and solo-pin anything larger"
 
   /** Round-16 comparability notes (see the base_changed emission
     * above). Retire entries when the next round's diff re-baselines;

@@ -110,35 +110,42 @@ object StoreBench {
     if (new java.io.File(embPath).exists()) {
       val Q = graft.operators.Quantization
       val emb = spark.read.parquet(embPath)
-      val annDir = fresh("ann")
-      val idx = Q.ivfPqIndex(emb, "vec_id", "embedding", nlist = 4,
-        coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
-      Q.persistIvfPqIndex(idx, annDir, manifest = true)
-      org.apache.spark.sql.graftshim.Shims
-        .unpersistLocalCheckpoint(idx.codes)
-      val vecIds = emb.filter(col("vec_id") % 10 === 3)
-        .select(col("vec_id").as("nid")).localCheckpoint(true)
-      // the exact two expressions affectedCells runs, per branch
-      def annScan(): Unit =
-        spark.read.parquet(s"$annDir/codes").select("nid", "cell")
-          .join(vecIds, Seq("nid"), "left_semi")
-          .select("cell").distinct().collect()
-      def annProbe(): Unit =
-        spark.read.parquet(s"$annDir/nid_manifest")
-          .join(vecIds, Seq("nid"), "left_semi")
-          .select("cell").distinct().collect()
-      val codeRows = spark.read.parquet(s"$annDir/codes").count()
-      val manRows = spark.read.parquet(s"$annDir/nid_manifest").count()
-      val aScan = (1 to 3).map(_ => time(annScan()))
-      val aProbe = (1 to 3).map(_ => time(annProbe()))
-      println(
-        s"""{"metric":"ann_discovery","unit":"sec","sf":"$label",""" +
-          s""""code_rows":$codeRows,"manifest_rows":$manRows,""" +
-          s""""nlist":4,"m":4,""" +
-          s""""scan_median":${n(median(aScan))},""" +
-          s""""scan_runs":${arr(aScan)},""" +
-          s""""manifest_median":${n(median(aProbe))},""" +
-          s""""manifest_runs":${arr(aProbe)}}""")
+      // two layout shapes: the queries' toy nlist=4, and a
+      // production-shaped nlist=64 where the scan's per-cell
+      // directory listing + per-cell row groups start to bite —
+      // the cost dimension the skinny single-table probe never pays
+      for (nlist <- Seq(4, 64)) {
+        val annDir = fresh(s"ann$nlist")
+        val idx = Q.ivfPqIndex(emb, "vec_id", "embedding",
+          nlist = nlist, coarseIters = 2, m = 4, ksub = 4, pqIters = 2)
+        Q.persistIvfPqIndex(idx, annDir, manifest = true)
+        org.apache.spark.sql.graftshim.Shims
+          .unpersistLocalCheckpoint(idx.codes)
+        val vecIds = emb.filter(col("vec_id") % 10 === 3)
+          .select(col("vec_id").as("nid")).localCheckpoint(true)
+        // the exact two expressions affectedCells runs, per branch
+        def annScan(): Unit =
+          spark.read.parquet(s"$annDir/codes").select("nid", "cell")
+            .join(vecIds, Seq("nid"), "left_semi")
+            .select("cell").distinct().collect()
+        def annProbe(): Unit =
+          spark.read.parquet(s"$annDir/nid_manifest")
+            .join(vecIds, Seq("nid"), "left_semi")
+            .select("cell").distinct().collect()
+        val codeRows = spark.read.parquet(s"$annDir/codes").count()
+        val manRows =
+          spark.read.parquet(s"$annDir/nid_manifest").count()
+        val aScan = (1 to 3).map(_ => time(annScan()))
+        val aProbe = (1 to 3).map(_ => time(annProbe()))
+        println(
+          s"""{"metric":"ann_discovery","unit":"sec","sf":"$label",""" +
+            s""""code_rows":$codeRows,"manifest_rows":$manRows,""" +
+            s""""nlist":$nlist,"m":4,""" +
+            s""""scan_median":${n(median(aScan))},""" +
+            s""""scan_runs":${arr(aScan)},""" +
+            s""""manifest_median":${n(median(aProbe))},""" +
+            s""""manifest_runs":${arr(aProbe)}}""")
+      }
     } else
       System.err.println(s"[storebench] no embeddings at $embPath - " +
         "ann_discovery skipped")
