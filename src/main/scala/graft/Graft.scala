@@ -316,6 +316,26 @@ object Graft {
                      k: Int, theta: Double): DataFrame =
     Dedup.crossDedupNear(incoming, existing, idCol, textCol, k, theta)
 
+  /** The LSH family's MAINTAINED serving artifact: one (id, band,
+    * bucket-hash) row per doc per band — persist it in the generic
+    * snapshot store and screen every crawl batch against it. */
+  def minHashBands(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, numPerm: Int = 256,
+                   bands: Int = 64): DataFrame =
+    Dedup.minHashBands(df, idCol, textCol, k, numPerm, bands)
+
+  /** Ingest-time near-dup screen against a maintained [[minHashBands]]
+    * table: band the batch, probe stored buckets, exact-rescore the
+    * candidates only — per-batch cost, zero corpus signatures
+    * recomputed; equals full pairwise incoming×existing Jaccard at
+    * theta (banding miss ≈2e-8 at θ≥0.7 with the defaults). */
+  def lshScreenAgainst(incoming: DataFrame, storedBands: DataFrame,
+                       existing: DataFrame, idCol: String,
+                       textCol: String, k: Int, theta: Double,
+                       numPerm: Int = 256, bands: Int = 64): DataFrame =
+    Dedup.lshScreenAgainst(incoming, storedBands, existing, idCol,
+      textCol, k, theta, numPerm, bands)
+
   /** Exactly `nPer` rows per stratum by deterministic md5 rank. */
   def sampleN(df: DataFrame, idCol: String, stratumCol: String,
               nPer: Int): DataFrame =

@@ -595,6 +595,34 @@ object PlanDump {
         "re-certifies before serving, and the oracle is the " +
         "inc_ivfpq_remove replay VERBATIM: the manifest changes " +
         "where discovery READS, never what it finds."),
+    "inc_lsh_store" ->
+      ("The near-dup screen's MAINTAINED artifact — the one family " +
+        "whose incremental story still recomputed corpus signatures " +
+        "per batch: the (doc, band, bucket-hash) table lives in the " +
+        "generic manifested fact store, and a crawl batch screens by " +
+        "banding ITSELF, probing the stored buckets, and " +
+        "exact-rescoring only the candidate pairs (existing text " +
+        "read for candidate ids only, via semi-join pushdown). " +
+        "Per-batch cost scales with the batch and its collision set, " +
+        "never the corpus — at 100 TB the stored bands are the only " +
+        "corpus-sized input, pre-banded once, scanned skinny. Phases " +
+        "prove commit (fold == full build, by per-doc independence " +
+        "of band hashes) and file-level retraction (planted partners " +
+        "of quarantined docs stop flagging; survivors keep " +
+        "flagging) against the full pairwise Jaccard replay at " +
+        "θ=0.7, where banding's miss rate is ≈2e-8."),
+    "st_inc_lsh_store" ->
+      ("The LSH band store served across AvailableNow catch-up runs: " +
+        "era A's incoming micro-batches screen against the ON-DISK " +
+        "pre-takedown bands (pinned once per era), the %3==1 " +
+        "takedown lands at the file level between the runs and the " +
+        "store compacts (manifest rebuilt exactly), era B screens " +
+        "the reloaded survivors. Per-batch work is (batch rows + " +
+        "static pinned bands + static corpus texts), so micro-batch " +
+        "splits cannot change a row; oracle == the era-parameterized " +
+        "inc_lsh_store replays VERBATIM. Store mutations run " +
+        "unconditionally outside the memoized stream lazies (the " +
+        "retry discipline)."),
     "rp_store_stats" ->
       ("Store compaction SCHEDULING — the d80 imbalance-factor role " +
         "for both store families: per-batch rows/tombstones/share " +

@@ -981,6 +981,95 @@ object Dedup {
     }
   }
 
+  /** The BANDING HALF of [[minHashLshPairs]] as a standalone table —
+    * one (id, band, bh) row per document per band, the MAINTAINED
+    * serving artifact of the LSH family: persist it (the generic
+    * snapshot store fits — per-doc fact rows, id-keyed retraction)
+    * and every future crawl batch near-dup-screens against the STORED
+    * bands ([[lshScreenAgainst]]) without recomputing a single corpus
+    * signature. Band hashes are a deterministic function of (text, k,
+    * numPerm, bands), so rows built per era and union-merged equal
+    * the full-corpus build row-for-row — the same per-doc-independence
+    * argument as the tf/KN snapshots. The signature pass materializes
+    * once per call (the CollapseProject hazard — see
+    * [[minHashLshPairs]]) and is freed before returning; the output
+    * is checkpointed. */
+  def minHashBands(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, numPerm: Int = 256,
+                   bands: Int = 64): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rows = numPerm / bands
+    val sig = df.select(col(idCol),
+        hashedShingles(col(textCol), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol), minHashSig(col("hs"), numPerm).as("sig"))
+      .localCheckpoint(true)
+    val bandCols = (0 until bands).map(b =>
+      xxhash64((b * rows until (b + 1) * rows)
+        .map(i => element_at(col("sig"), i + 1)): _*))
+    val out = sig.select(col(idCol),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      .localCheckpoint(true)
+    Shims.unpersistLocalCheckpoint(sig)
+    out
+  }
+
+  /** Ingest-time near-dup screen of an incoming batch against a
+    * MAINTAINED band table ([[minHashBands]], usually loaded from a
+    * durable store): band the incoming docs, probe the stored bands
+    * for bucket collisions, and exact-Jaccard re-score ONLY the
+    * candidate pairs — per-batch cost scales with the batch and its
+    * collision set, never with the corpus (the corpus contributes one
+    * pre-banded table read, and the re-score reads existing TEXT for
+    * candidate ids only via a semi-join pushdown). Same guarantee as
+    * [[minHashLshPairs]]: at (numPerm=256, bands=64) the banding
+    * false-negative rate at J≥0.7 is ≈2e-8, and the exact re-score
+    * kills every false positive — so the output equals the full
+    * pairwise incoming×existing Jaccard at `theta`, which is what the
+    * `inc_lsh_store` oracle row hashes. Output: (in_id, ex_id, jac),
+    * jac rounded to 6dp.
+    *
+    * @param existing the corpus TEXT source the re-score reads
+    *                 candidates from — at production, the corpus
+    *                 store; only candidate ids' rows are read. */
+  def lshScreenAgainst(incoming: DataFrame, storedBands: DataFrame,
+                       existing: DataFrame, idCol: String,
+                       textCol: String, k: Int, theta: Double,
+                       numPerm: Int = 256, bands: Int = 64): DataFrame = {
+    val inBands = minHashBands(incoming, idCol, textCol, k, numPerm,
+      bands)
+    // collision probe: skinny (id, band, bh) vs skinny stored rows —
+    // candidates deduplicate before any text is touched
+    val cand = inBands.as("a")
+      .join(storedBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col(s"a.$idCol").as("in_id"), col(s"b.$idCol").as("ex_id"))
+      .dropDuplicates("in_id", "ex_id")
+      .localCheckpoint(true)
+    // exact re-score on the hashed shingle sets of the CANDIDATES
+    // only: both text reads are semi-join-scoped to candidate ids
+    def shingleSets(src: DataFrame, side: String, ids: DataFrame) =
+      src.join(ids, col(idCol) === col(side), "left_semi")
+        .select(col(idCol).as(side),
+          hashedShingles(col(textCol), k).as(s"hs_$side"))
+    val out = cand
+      .join(shingleSets(incoming, "in_id",
+        cand.select("in_id").distinct()), Seq("in_id"))
+      .join(shingleSets(existing, "ex_id",
+        cand.select("ex_id").distinct()), Seq("ex_id"))
+      .withColumn("shared",
+        size(array_intersect(col("hs_in_id"), col("hs_ex_id"))))
+      .withColumn("jac", round(col("shared").cast("double")
+        / (size(col("hs_in_id")) + size(col("hs_ex_id"))
+          - col("shared")), 6))
+      .filter(col("jac") >= theta)
+      .select("in_id", "ex_id", "jac")
+      .localCheckpoint(true)
+    Shims.unpersistLocalCheckpoint(inBands)
+    Shims.unpersistLocalCheckpoint(cand)
+    out
+  }
+
   /** 64-bit SimHash of word tokens: per-token xxhash64, bitwise majority
     * vote. Expressed with integer aggregates over exploded (id, token)
     * pairs — one shuffle, no UDF: for each bit position, sum(±1) and

@@ -935,6 +935,63 @@ object LlmQueries {
         org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
     }),
 
+    // DURABLE LSH BAND STORE — the near-dup screen's maintained
+    // artifact, closing the one family whose incremental story still
+    // recomputed the corpus: the (doc, band, bucket-hash) table of
+    // the existing corpus lands in the generic manifested fact store
+    // (per-doc rows, id-keyed retraction), and every crawl batch
+    // near-dup-screens against the STORED bands — batch-sized banding
+    // + collision probe + candidate-scoped exact re-score, zero
+    // corpus signatures recomputed (Dedup.lshScreenAgainst). Planted
+    // near-dup groups span all three roles: doc_id%500==0 (incoming)
+    // and ==1 (existing) share a per-group template, and the existing
+    // member's %3 class decides whether the takedown strips its
+    // partner. Two phases: 'committed' — screen against both era
+    // batches == the full pairwise incoming×existing Jaccard at 0.7
+    // (banding miss ≈2e-8 at this θ, re-score exact); 'retracted' —
+    // the %3==1 existing docs leave at the FILE level (manifested
+    // discovery) and their planted partners stop flagging while
+    // survivor partners keep flagging == the same replay over
+    // survivors. Both phases re-certify the manifest.
+    "inc_lsh_store" -> ((s, d) => {
+      val src = lshPlanted(T.documents(s, d))
+      val existing = src.filter(col("doc_id") % 5 =!= 0)
+      val incoming = src.filter(col("doc_id") % 5 === 0)
+      val I = graft.operators.Incremental
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"lshstore_${pathDigest(d)}"
+      // two crawl eras commit their banded rows (manifested — the
+      // takedown below discovers by probe); the band tables are
+      // checkpoints, freed once the store owns the rows
+      val b0 = Dedup.minHashBands(
+        existing.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        k = 5)
+      I.initSnapshotStore(b0, dir, manifestIdCol = Some("doc_id"))
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b0)
+      val b1 = Dedup.minHashBands(
+        existing.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+        k = 5)
+      I.commitSnapshotBatch(b1, dir, 1L, manifestIdCol = Some("doc_id"))
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b1)
+      // each phase serves from what is ON DISK and re-certifies the
+      // manifest; the screen output checkpoints eagerly inside the
+      // operator, so the retraction between phases cannot invalidate
+      // the committed result's plan
+      def screen(phase: String): DataFrame = {
+        I.validateSnapshotStoreManifest(s, dir)
+        Dedup.lshScreenAgainst(incoming, I.loadSnapshotStore(s, dir),
+            existing, "doc_id", "text", k = 5, theta = 0.7)
+          .select(lit(phase).as("phase"), col("in_id"), col("ex_id"),
+            col("jac"))
+      }
+      val committed = screen("committed")
+      I.retractFromSnapshotStore(s, dir,
+        existing.filter(col("doc_id") % 3 === 1).select("doc_id"))
+      val retracted = screen("retracted")
+      committed.unionByName(retracted)
+        .orderBy("phase", "in_id", "ex_id")
+    }),
+
     // The PER-SITE boilerplate screen maintained incrementally — the
     // production shape of d74: per-group templates arrive batch by
     // batch, three era partials keyed by (group, line) merge into the
@@ -3486,6 +3543,51 @@ object LlmQueries {
       |WHERE shared*1.0/(ca.n + cb.n - shared) >= 0.5
       |ORDER BY in_id, ex_id""".stripMargin
 
+  /** The inc_lsh_store / st_inc_lsh_store planted corpus — ONE
+    * definition so the batch query, the streaming twin and the
+    * oracle's CASE can never drift: docs with doc_id%500 ∈ {0, 1}
+    * (one incoming, one existing per group) share a per-group
+    * template; everyone else keeps their text. */
+  private[queries] def lshPlanted(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      when(col("doc_id") % 500 < 2,
+        concat(lit("planted near duplicate group "),
+          floor(col("doc_id") / 500).cast("long").cast("string")))
+        .otherwise(col("text")).as("text"))
+
+  /** inc_lsh_store oracle: full pairwise incoming×existing Jaccard at
+    * θ=0.7 over the %5 split, on the planted-group corpus (doc_id%500
+    * < 2 → a shared per-group template), existing side parameterized
+    * so the retracted phase replays over survivors. The banding +
+    * candidate-scoped re-score must reproduce this EXACTLY (miss rate
+    * ≈2e-8 at θ=0.7 with numPerm=256/bands=64; the re-score is
+    * exact). */
+  private[queries] def lshStoreSql(exPred: String,
+                                   inPred: String = "TRUE"): String =
+    """WITH src AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 500 < 2
+      |  THEN 'planted near duplicate group ' || CAST(doc_id // 500 AS VARCHAR)
+      |  ELSE text END AS text FROM documents),
+      |w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+      |  FROM src),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+      |  ELSE [array_to_string(ws[x:x+4], ' ')
+      |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM w),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS in_id, b.doc_id AS ex_id,
+      |  COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s
+      |  AND a.doc_id % 5 = 0 AND INPRED
+      |  AND b.doc_id % 5 <> 0 AND EXPRED
+      |  GROUP BY 1, 2)
+      |SELECT in_id, ex_id,
+      |ROUND(shared*1.0/(ca.n + cb.n - shared), 6) AS jac
+      |FROM pairs JOIN cnt ca ON in_id = ca.doc_id
+      |JOIN cnt cb ON ex_id = cb.doc_id
+      |WHERE shared*1.0/(ca.n + cb.n - shared) >= 0.7"""
+      .stripMargin.replace("EXPRED", exPred).replace("INPRED", inPred)
+
   private val D29Prefix: String = "WITH " + d29Rounds("embeddings")
 
   private val D29KmeansSql: String =
@@ -4552,6 +4654,17 @@ object LlmQueries {
       |     / sum(n_rows) OVER (PARTITION BY store), 6) >= 0.10)
       |    AS compact_due
       |FROM b ORDER BY store, batch""".stripMargin,
+    // the LSH band store's two phases == the full pairwise
+    // incoming×existing Jaccard replay, committed over everyone and
+    // retracted over the %3<>1 survivors: serving from stored bands
+    // (never recomputing a corpus signature) is result-invisible,
+    // and the file-level takedown == a store built without the docs
+    "inc_lsh_store" ->
+      ("SELECT 'committed' AS phase, * FROM (\n" +
+        lshStoreSql("TRUE") +
+        "\n) UNION ALL SELECT 'retracted' AS phase, * FROM (\n" +
+        lshStoreSql("b.doc_id % 3 <> 1") +
+        "\n) ORDER BY phase, in_id, ex_id"),
     // same claim for the KN LM store: committed = the d77 replay,
     // retracted = the era-parameterized d77 replay over survivors
     "inc_kn_store" ->

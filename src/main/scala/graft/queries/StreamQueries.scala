@@ -542,6 +542,81 @@ object StreamQueries {
         org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
     }),
 
+    // The LSH BAND STORE serving across catch-up runs — the
+    // inc_lsh_store lifecycle in its streaming shape (the
+    // st_inc_bm25_store discipline applied to the near-dup screen):
+    // the existing corpus's banded rows commit as two manifested
+    // batch partitions BEFORE the first run, era A's incoming docs
+    // (evens among the %5==0 slice) near-dup-screen each micro-batch
+    // against the ON-DISK bands, the %3==1 takedown lands at the
+    // FILE level between the runs and the store COMPACTS (manifest
+    // rebuilt exactly — the production fold cadence), and era B's
+    // incoming (odds) screen against the reloaded survivors: planted
+    // partners of retracted docs stop flagging mid-stream, survivor
+    // partners keep flagging. Per-batch work is (batch rows + static
+    // store + static corpus texts) only, so micro-batch splits
+    // cannot change a row; the result must hash-match the
+    // era-parameterized inc_lsh_store replays VERBATIM. Store
+    // mutations run unconditionally, OUTSIDE the memoized stream
+    // lazies (the retry discipline).
+    "st_inc_lsh_store" -> ((s, d) => {
+      val D = graft.operators.Dedup
+      val I = graft.operators.Incremental
+      def planted(df: DataFrame) = LlmQueries.lshPlanted(df)
+      def existing = planted(T.documents(s, d)
+        .filter(col("doc_id") % 5 =!= 0))
+      val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"st_lshstore_${LlmQueries.pathDigest(d)}"
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def reg(df: DataFrame): DataFrame = { cps += df; df }
+      val b0 = D.minHashBands(
+        existing.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        k = 5)
+      I.initSnapshotStore(b0, dir, manifestIdCol = Some("doc_id"))
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b0)
+      val b1 = D.minHashBands(
+        existing.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+        k = 5)
+      I.commitSnapshotBatch(b1, dir, 1L, manifestIdCol = Some("doc_id"))
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b1)
+      // each era certifies then PINS the on-disk band table once (a
+      // checkpoint: era A's screen must keep reading pre-retraction
+      // bands even as micro-batches interleave with nothing — and
+      // the pin keeps per-batch probes off repeated parquet reads)
+      def loadPinned(): DataFrame = {
+        I.validateSnapshotStoreManifest(s, dir)
+        reg(I.loadSnapshotStore(s, dir).localCheckpoint(true))
+      }
+      lazy val bandsA = loadPinned()
+      lazy val bandsB = loadPinned()
+      def screen(bands: => DataFrame, era: Int)(batch: DataFrame) =
+        D.lshScreenAgainst(
+          planted(batch.filter(col("doc_id") % 5 === 0
+            && col("doc_id") % 2 === era)),
+          bands, existing, "doc_id", "text", k = 5, theta = 0.7)
+      try {
+        val run1 = materializedStream(s, d, "lshstA",
+          "documents.parquet", transform = screen(bandsA, 0)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        // the takedown + compaction land BETWEEN the runs (after run1
+        // served — bandsA is pinned, or run1 was memoized and never
+        // reads the store again)
+        I.retractFromSnapshotStore(s, dir,
+          existing.filter(col("doc_id") % 3 === 1).select("doc_id"))
+        I.compactSnapshotStore(s, dir)
+        val run2 = materializedStream(s, d, "lshstB",
+          "documents.parquet", transform = screen(bandsB, 1)) { in =>
+          val schema = s.read.parquet(s"$d/documents.parquet").schema
+          s.readStream.schema(schema).parquet(in)
+        }
+        s.read.parquet(run1).unionByName(s.read.parquet(run2))
+          .orderBy("in_id", "ex_id")
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+    }),
+
     // The KN LM RETRACTED between catch-up runs — inc_kn_remove in
     // its streaming shape: era A's probes (every 16th) score from
     // the full-corpus LM, the %5==4 docs retract between the runs
@@ -1449,6 +1524,18 @@ object StreamQueries {
     // era A, the tombstone-subtracted THEN compacted fold for era B
     // — must be result-invisible relative to the in-memory
     // count/subtract chain
+    // era-parameterized inc_lsh_store replays, unioned: era A (even
+    // incoming) screens against everyone, era B (odd incoming)
+    // against the %3<>1 survivors — serving from the durable band
+    // store across catch-up runs, with the file-level takedown and
+    // the compaction landing between them, is result-invisible
+    "st_inc_lsh_store" ->
+      ("SELECT * FROM (\n" +
+        LlmQueries.lshStoreSql("TRUE", "a.doc_id % 2 = 0") +
+        "\n) UNION ALL SELECT * FROM (\n" +
+        LlmQueries.lshStoreSql("b.doc_id % 3 <> 1",
+          "a.doc_id % 2 <> 0") +
+        "\n) ORDER BY in_id, ex_id"),
     "st_inc_boiler_store" ->
       """WITH src AS (SELECT doc_id, (CASE WHEN doc_id % 4 = 0
         |  THEN text || chr(10) ||

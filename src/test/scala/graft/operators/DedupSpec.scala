@@ -612,4 +612,38 @@ class DedupSpec extends SparkSpec {
     assert(got(11L) == ((Some("b"), "promo line\nfresh b", 0L)))
     assert(got(12L) == ((None, "fresh n", 1L)))
   }
+
+  test("minHashBands + lshScreenAgainst: screening a batch against " +
+    "stored bands equals crossDedupNear, and removing a doc's band " +
+    "rows removes exactly its pairs") {
+    val testDocs = docs.unionByName(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog today"),
+      (7L, "the quick brown fox jumps over the lazy dog forever"))
+      .toDF("doc_id", "text"))
+    val incoming = testDocs.filter(col("doc_id") % 2 === 0)
+    val existing = testDocs.filter(col("doc_id") % 2 =!= 0)
+    // the maintained artifact: banded rows of the existing corpus,
+    // built era by era and unioned (per-doc independence — the store
+    // commit path's claim)
+    val bands = Dedup.minHashBands(
+        existing.filter(col("doc_id") <= 3), "doc_id", "text", k = 3)
+      .unionByName(Dedup.minHashBands(
+        existing.filter(col("doc_id") > 3), "doc_id", "text", k = 3))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val screened = pairsOf(Dedup.lshScreenAgainst(incoming, bands,
+      existing, "doc_id", "text", k = 3, theta = 0.7))
+    val exact = pairsOf(Dedup.crossDedupNear(incoming, existing,
+      "doc_id", "text", k = 3, theta = 0.7))
+    assert(screened == exact && screened.nonEmpty)
+    // both near-dup partners present: doc 1 (to be retracted) and
+    // doc 7 (survivor) each pair with every incoming near-dup
+    assert(exact.exists(_._2 == 1L) && exact.exists(_._2 == 7L))
+    // retraction (the store does this at the file level): dropping a
+    // doc's band rows removes its pairs and ONLY its pairs
+    val after = pairsOf(Dedup.lshScreenAgainst(incoming,
+      bands.filter(col("doc_id") =!= 1L), existing, "doc_id", "text",
+      k = 3, theta = 0.7))
+    assert(after == exact.filterNot(_._2 == 1L) && after.nonEmpty)
+  }
 }
