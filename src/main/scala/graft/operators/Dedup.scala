@@ -1029,6 +1029,19 @@ object Dedup {
     * `inc_lsh_store` oracle row hashes. Output: (in_id, ex_id, jac),
     * jac rounded to 6dp.
     *
+    * HOT-BUCKET CAVEAT: the collision probe carries no bucketCap —
+    * capping the stored side would break the exact-equality contract
+    * above. A clone-heavy bucket (m stored × n incoming copies of one
+    * template across 64 bands) therefore produces O(64·m·n) join rows
+    * before the dedupe, the quadratic hazard [[minHashLshPairs]]'
+    * bucketCap exists for. The production discipline that keeps
+    * buckets small BY CONSTRUCTION is running exact dedup
+    * ([[exactDedup]] / [[crossDedup]]) before the near-dup screen —
+    * the standard pipeline order, which collapses every clone group
+    * to one survivor; corpora that skip it should pre-cap the STORED
+    * band table once at build time (the sampled-cap discipline, with
+    * minHashLshPairs' documented miss bound) rather than per probe.
+    *
     * @param existing the corpus TEXT source the re-score reads
     *                 candidates from — at production, the corpus
     *                 store; only candidate ids' rows are read. */

@@ -976,20 +976,28 @@ object LlmQueries {
       // each phase serves from what is ON DISK and re-certifies the
       // manifest; the screen output checkpoints eagerly inside the
       // operator, so the retraction between phases cannot invalidate
-      // the committed result's plan
+      // the committed result's plan — the phase checkpoints are
+      // tracked and freed once the final union materializes
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
       def screen(phase: String): DataFrame = {
         I.validateSnapshotStoreManifest(s, dir)
-        Dedup.lshScreenAgainst(incoming, I.loadSnapshotStore(s, dir),
-            existing, "doc_id", "text", k = 5, theta = 0.7)
-          .select(lit(phase).as("phase"), col("in_id"), col("ex_id"),
-            col("jac"))
+        val out = Dedup.lshScreenAgainst(incoming,
+          I.loadSnapshotStore(s, dir), existing, "doc_id", "text",
+          k = 5, theta = 0.7)
+        cps += out
+        out.select(lit(phase).as("phase"), col("in_id"),
+          col("ex_id"), col("jac"))
       }
-      val committed = screen("committed")
-      I.retractFromSnapshotStore(s, dir,
-        existing.filter(col("doc_id") % 3 === 1).select("doc_id"))
-      val retracted = screen("retracted")
-      committed.unionByName(retracted)
-        .orderBy("phase", "in_id", "ex_id")
+      try {
+        val committed = screen("committed")
+        I.retractFromSnapshotStore(s, dir,
+          existing.filter(col("doc_id") % 3 === 1).select("doc_id"))
+        val retracted = screen("retracted")
+        committed.unionByName(retracted)
+          .orderBy("phase", "in_id", "ex_id")
+          .localCheckpoint(true)
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
     }),
 
     // The PER-SITE boilerplate screen maintained incrementally — the
@@ -3520,54 +3528,20 @@ object LlmQueries {
        |${assignRound(2, "c1")}""".stripMargin
   }
 
-  /** d26/d47 shared oracle: full pairwise incoming×existing Jaccard at
-    * θ=0.5 over the %7 split — d47's prefix filtering must reproduce
-    * this exactly (the cross-prefix lemma, cross-corpus flavor). */
-  private val CrossNearSql: String =
-    """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
-      |  FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(
-      |  CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
-      |  ELSE [array_to_string(ws[x:x+4], ' ')
-      |        FOR x IN range(1, len(ws) - 3)] END)) AS s FROM w),
-      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |pairs AS (SELECT a.doc_id AS in_id, b.doc_id AS ex_id,
-      |  COUNT(*) AS shared
-      |  FROM sh a JOIN sh b ON a.s = b.s
-      |  AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
-      |  GROUP BY 1, 2)
-      |SELECT in_id, ex_id,
-      |ROUND(shared*1.0/(ca.n + cb.n - shared), 6) AS jac
-      |FROM pairs JOIN cnt ca ON in_id = ca.doc_id
-      |JOIN cnt cb ON ex_id = cb.doc_id
-      |WHERE shared*1.0/(ca.n + cb.n - shared) >= 0.5
-      |ORDER BY in_id, ex_id""".stripMargin
-
-  /** The inc_lsh_store / st_inc_lsh_store planted corpus — ONE
-    * definition so the batch query, the streaming twin and the
-    * oracle's CASE can never drift: docs with doc_id%500 ∈ {0, 1}
-    * (one incoming, one existing per group) share a per-group
-    * template; everyone else keeps their text. */
-  private[queries] def lshPlanted(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-      when(col("doc_id") % 500 < 2,
-        concat(lit("planted near duplicate group "),
-          floor(col("doc_id") / 500).cast("long").cast("string")))
-        .otherwise(col("text")).as("text"))
-
-  /** inc_lsh_store oracle: full pairwise incoming×existing Jaccard at
-    * θ=0.7 over the %5 split, on the planted-group corpus (doc_id%500
-    * < 2 → a shared per-group template), existing side parameterized
-    * so the retracted phase replays over survivors. The banding +
-    * candidate-scoped re-score must reproduce this EXACTLY (miss rate
-    * ≈2e-8 at θ=0.7 with numPerm=256/bands=64; the re-score is
-    * exact). */
-  private[queries] def lshStoreSql(exPred: String,
-                                   inPred: String = "TRUE"): String =
-    """WITH src AS (SELECT doc_id,
-      |  CASE WHEN doc_id % 500 < 2
-      |  THEN 'planted near duplicate group ' || CAST(doc_id // 500 AS VARCHAR)
-      |  ELSE text END AS text FROM documents),
+  /** Shared skeleton of the pairwise incoming×existing Jaccard
+    * oracles (d26/d47/inc_prefix_* at θ=0.5 over the %7 split;
+    * inc_lsh_store/st_inc_lsh_store at θ=0.7 over the %5 split on
+    * the planted corpus) — ONE copy of the w/sh/cnt/pairs CTEs so a
+    * future fix to the shingle logic reaches every family oracle.
+    * The θ filter applies to the 6dp-ROUNDED ratio, matching the
+    * Spark operators (which filter the rounded `jac`): filtering the
+    * raw ratio would drop a boundary pair the engine keeps — a
+    * latent one-directional divergence, impossible at these
+    * fixtures' shingle-count denominators (|p/q − θ| ≥ 1/(10q) ≫
+    * 5e-7) but wrong to replicate into new oracles. */
+  private def pairwiseCrossSql(srcSql: String, inPred: String,
+                               exPred: String, theta: String): String =
+    """WITH src AS (SRCSQL),
       |w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
       |  FROM src),
       |sh AS (SELECT doc_id, unnest(list_distinct(
@@ -3578,15 +3552,58 @@ object LlmQueries {
       |pairs AS (SELECT a.doc_id AS in_id, b.doc_id AS ex_id,
       |  COUNT(*) AS shared
       |  FROM sh a JOIN sh b ON a.s = b.s
-      |  AND a.doc_id % 5 = 0 AND INPRED
-      |  AND b.doc_id % 5 <> 0 AND EXPRED
+      |  AND INPRED AND EXPRED
       |  GROUP BY 1, 2)
       |SELECT in_id, ex_id,
       |ROUND(shared*1.0/(ca.n + cb.n - shared), 6) AS jac
       |FROM pairs JOIN cnt ca ON in_id = ca.doc_id
       |JOIN cnt cb ON ex_id = cb.doc_id
-      |WHERE shared*1.0/(ca.n + cb.n - shared) >= 0.7"""
-      .stripMargin.replace("EXPRED", exPred).replace("INPRED", inPred)
+      |WHERE ROUND(shared*1.0/(ca.n + cb.n - shared), 6) >= THETA"""
+      .stripMargin.replace("SRCSQL", srcSql).replace("INPRED", inPred)
+      .replace("EXPRED", exPred).replace("THETA", theta)
+
+  /** d26/d47 shared oracle: full pairwise incoming×existing Jaccard at
+    * θ=0.5 over the %7 split — d47's prefix filtering must reproduce
+    * this exactly (the cross-prefix lemma, cross-corpus flavor). */
+  private val CrossNearSql: String =
+    pairwiseCrossSql("SELECT doc_id, text FROM documents",
+      "a.doc_id % 7 = 0", "b.doc_id % 7 <> 0", "0.5") +
+      "\nORDER BY in_id, ex_id"
+
+  /** The inc_lsh_store / st_inc_lsh_store planted corpus — ONE
+    * definition so the batch query, the streaming twin and the
+    * oracle's CASE can never drift: docs with doc_id%500 ∈ {0, 1, 5}
+    * share a per-group template — %500==0 is an EVEN incoming doc
+    * (era A of the twin), %500==5 an ODD incoming doc (era B, so the
+    * takedown's effect is exercised on the post-retraction serve,
+    * not just hash-matched vacuously), and %500==1 the existing
+    * partner, whose %3 class (1, 501, 1001, … walk all three
+    * residues) decides whether the retraction strips both pairs.
+    * Everyone else keeps their text. */
+  private[queries] def lshPlanted(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      when(col("doc_id") % 500 < 2 || col("doc_id") % 500 === 5,
+        concat(lit("planted near duplicate group "),
+          floor(col("doc_id") / 500).cast("long").cast("string")))
+        .otherwise(col("text")).as("text"))
+
+  /** inc_lsh_store oracle: full pairwise incoming×existing Jaccard at
+    * θ=0.7 over the %5 split, on the planted-group corpus (see
+    * [[lshPlanted]] — %500 ∈ {0, 1, 5} share a per-group template),
+    * both sides parameterized: the retracted phase replays over
+    * survivors, the streaming twin's eras over incoming parities.
+    * The banding + candidate-scoped re-score must reproduce this
+    * EXACTLY (miss rate ≈2e-8 at θ=0.7 with numPerm=256/bands=64;
+    * the re-score is exact). */
+  private[queries] def lshStoreSql(exPred: String,
+                                   inPred: String = "TRUE"): String =
+    pairwiseCrossSql(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 500 < 2 OR doc_id % 500 = 5
+        |  THEN 'planted near duplicate group ' || CAST(doc_id // 500 AS VARCHAR)
+        |  ELSE text END AS text FROM documents""".stripMargin,
+      "a.doc_id % 5 = 0 AND " + inPred,
+      "b.doc_id % 5 <> 0 AND " + exPred, "0.7")
 
   private val D29Prefix: String = "WITH " + d29Rounds("embeddings")
 

@@ -589,6 +589,10 @@ object StreamQueries {
       }
       lazy val bandsA = loadPinned()
       lazy val bandsB = loadPinned()
+      // per micro-batch the operator checkpoints its candidates and
+      // output internally; those blocks are bounded by the era's
+      // micro-batch count and swept by the harness after the query
+      // (no handle survives the foreachBatch write to free earlier)
       def screen(bands: => DataFrame, era: Int)(batch: DataFrame) =
         D.lshScreenAgainst(
           planted(batch.filter(col("doc_id") % 5 === 0
@@ -1519,11 +1523,6 @@ object StreamQueries {
         |  FILTER (WHERE keep), '') AS text,
         |CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // the st_inc_boiler_remove replay VERBATIM: serving the screen
-    // from the durable rollup store — committed partials folded for
-    // era A, the tombstone-subtracted THEN compacted fold for era B
-    // — must be result-invisible relative to the in-memory
-    // count/subtract chain
     // era-parameterized inc_lsh_store replays, unioned: era A (even
     // incoming) screens against everyone, era B (odd incoming)
     // against the %3<>1 survivors — serving from the durable band
@@ -1536,6 +1535,11 @@ object StreamQueries {
         LlmQueries.lshStoreSql("b.doc_id % 3 <> 1",
           "a.doc_id % 2 <> 0") +
         "\n) ORDER BY in_id, ex_id"),
+    // the st_inc_boiler_remove replay VERBATIM: serving the screen
+    // from the durable rollup store — committed partials folded for
+    // era A, the tombstone-subtracted THEN compacted fold for era B
+    // — must be result-invisible relative to the in-memory
+    // count/subtract chain
     "st_inc_boiler_store" ->
       """WITH src AS (SELECT doc_id, (CASE WHEN doc_id % 4 = 0
         |  THEN text || chr(10) ||
