@@ -228,5 +228,14 @@ object Bench {
         "drifted-re-append detector to its roster aggregation"),
     "st_health_runs" ->
       ("r16: appendRun stamps a per-append id; lastTwoRuns adds the " +
-        "drifted-re-append detector to its roster aggregation"))
+        "drifted-re-append detector to its roster aggregation"),
+    "d89_takedown_sweep" ->
+      ("r16: +lsh band-table artifact (7th maintained artifact: " +
+        "band build + anti-join retraction + validator + audit row)"),
+    "d90_crawl_commit" ->
+      ("r16: +lsh band-table artifact (7th maintained artifact: " +
+        "two era band builds + merge + validator + audit row)"),
+    "d91_recrawl_update" ->
+      ("r16: +lsh band-table artifact (7th maintained artifact: " +
+        "retract-old + band-new + validator + audit row)"))
 }

@@ -1014,6 +1014,23 @@ object Dedup {
     out
   }
 
+  /** Loud structural validator for a maintained band table — the
+    * [[graft.operators.Quantization.validateIvfPqCodes]] discipline
+    * applied to the LSH artifact: every id carries EXACTLY `bands`
+    * rows, or a doc was banded twice (a doubled commit — its
+    * collisions double downstream) / a band set is torn (a partial
+    * write — its doc under-collides silently). One skinny
+    * aggregation. */
+  def validateMinHashBands(bandsTable: DataFrame, idCol: String,
+                           bands: Int = 64): Unit = {
+    val bad = bandsTable.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__graft_n"))
+      .filter(col("__graft_n") =!= bands.toLong).count()
+    require(bad == 0,
+      s"band table corrupt: $bad id(s) without exactly $bands band " +
+        "rows - a doc was banded twice or a band set is torn")
+  }
+
   /** Ingest-time near-dup screen of an incoming batch against a
     * MAINTAINED band table ([[minHashBands]], usually loaded from a
     * durable store): band the incoming docs, probe the stored bands

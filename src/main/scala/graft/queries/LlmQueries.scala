@@ -2100,7 +2100,8 @@ object LlmQueries {
     // 13 == 7) retracts from EVERY maintained artifact in a single
     // query — the BM25 tf snapshot, the KN bigram snapshot, the
     // boilerplate count table and its per-site variant, the
-    // prefix-cross near-dup index, and the persisted IVF-PQ layout —
+    // prefix-cross near-dup index, the LSH band table (r16's 7th
+    // artifact), and the persisted IVF-PQ layout —
     // each through its own gate-green remove path WITH its validator
     // run, and one AUDIT row per artifact (physical rows + artifact
     // mass, before and after) — the per-artifact trail a takedown
@@ -2149,6 +2150,14 @@ object LlmQueries {
           "doc_id")
         Seq(pret.shEx, pret.dfreq, pret.prefEx).foreach(cps += _)
         Dedup.validatePrefixCrossIndex(pret)
+        // the LSH band table (r16's 7th maintained artifact): the
+        // quarantined docs' band rows leave by the same anti-join,
+        // and the m-rows-per-id validator re-certifies the survivors
+        val bands = Dedup.minHashBands(docs, "doc_id", "text", k = 5)
+        cps += bands
+        val bandsAfter = ck(graft.operators.Incremental
+          .retractDocs(bands, docIds))
+        Dedup.validateMinHashBands(bandsAfter, "doc_id")
         val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
           s"takedown89_${pathDigest(d)}"
         Quantization.persistIvfPqIndex(sharedIvfPqIndex(s, d), dir)
@@ -2169,6 +2178,8 @@ object LlmQueries {
             countDistinct(col("nid"))),
           audit("kn_lm", kn, knAfter,
             coalesce(sum(col("bf")), lit(0L))),
+          audit("lsh_bands", bands, bandsAfter,
+            countDistinct(col("doc_id"))),
           audit("prefix_index", pidx.dfreq, pret.dfreq,
             coalesce(sum(col("df")), lit(0L))))
           .reduce(_ unionByName _).orderBy("artifact")
@@ -2238,6 +2249,16 @@ object LlmQueries {
           "doc_id", "text")
         Seq(pref.shEx, pref.dfreq, pref.prefEx).foreach(cps += _)
         Dedup.validatePrefixCrossIndex(pref)
+        // the LSH band table: the delta's bands union-merge (per-doc
+        // independence — merged == full build), validator re-certifies
+        val bandsA = Dedup.minHashBands(existing, "doc_id", "text",
+          k = 5)
+        cps += bandsA
+        val bandsD = Dedup.minHashBands(delta, "doc_id", "text",
+          k = 5)
+        cps += bandsD
+        val bandsM = ck(bandsA.unionByName(bandsD))
+        Dedup.validateMinHashBands(bandsM, "doc_id")
         val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
           s"crawl90_${pathDigest(d)}"
         val idx = sharedIvfPqIndex(s, d)
@@ -2275,6 +2296,8 @@ object LlmQueries {
             countDistinct(col("nid"))),
           audit("kn_lm", knA, knM,
             coalesce(sum(col("bf")), lit(0L))),
+          audit("lsh_bands", bandsA, bandsM,
+            countDistinct(col("doc_id"))),
           audit("prefix_index", pidx.dfreq, pref.dfreq,
             coalesce(sum(col("df")), lit(0L))))
           .reduce(_ unionByName _).orderBy("artifact")
@@ -2369,6 +2392,19 @@ object LlmQueries {
           "doc_id", "text")
         Seq(pUpd.shEx, pUpd.dfreq, pUpd.prefEx).foreach(cps += _)
         Dedup.validatePrefixCrossIndex(pUpd)
+        // the LSH band table: update = retract-old + band-new, like
+        // every other artifact (the re-fetched text re-bands — the
+        // doc's 64 band hashes change hands while cardinality is
+        // invariant, which is what the audit row shows)
+        val bands0 = Dedup.minHashBands(docs0, "doc_id", "text",
+          k = 5)
+        cps += bands0
+        val bandsNew = Dedup.minHashBands(updated, "doc_id", "text",
+          k = 5)
+        cps += bandsNew
+        val bandsU = ck(graft.operators.Incremental
+          .retractDocs(bands0, updIds).unionByName(bandsNew))
+        Dedup.validateMinHashBands(bandsU, "doc_id")
         val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
           s"recrawl91_${pathDigest(d)}"
         // persist resets the layout, so re-invocation is idempotent
@@ -2396,6 +2432,8 @@ object LlmQueries {
             countDistinct(col("nid"))),
           audit("kn_lm", kn0, knU,
             coalesce(sum(col("bf")), lit(0L))),
+          audit("lsh_bands", bands0, bandsU,
+            countDistinct(col("doc_id"))),
           audit("prefix_index", pidx.dfreq, pUpd.dfreq,
             coalesce(sum(col("df")), lit(0L))),
           audit("update_in", tf0.filter(col("t") === "rev94signal"),
@@ -5598,6 +5636,13 @@ object LlmQueries {
         |  CAST((SELECT COALESCE(SUM(CASE WHEN len(ws) >= 2
         |    THEN len(ws) - 1 ELSE 0 END), 0) FROM t
         |    WHERE doc_id % 13 <> 7) AS BIGINT)
+        |UNION ALL SELECT 'lsh_bands',
+        |  CAST(64 * (SELECT COUNT(*) FROM t) AS BIGINT),
+        |  CAST(64 * (SELECT COUNT(*) FROM t WHERE doc_id % 13 <> 7)
+        |    AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM t) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM t WHERE doc_id % 13 <> 7)
+        |    AS BIGINT)
         |UNION ALL SELECT 'prefix_index',
         |  CAST((SELECT COUNT(DISTINCT s) FROM sh) AS BIGINT),
         |  CAST((SELECT COUNT(DISTINCT s) FROM sh
@@ -5697,6 +5742,13 @@ object LlmQueries {
         |    WHERE doc_id % 10 < 8) AS BIGINT),
         |  CAST((SELECT COALESCE(SUM(CASE WHEN len(ws) >= 2
         |    THEN len(ws) - 1 ELSE 0 END), 0) FROM tw) AS BIGINT)
+        |UNION ALL SELECT 'lsh_bands',
+        |  CAST(64 * (SELECT COUNT(*) FROM tw WHERE doc_id % 10 < 8)
+        |    AS BIGINT),
+        |  CAST(64 * (SELECT COUNT(*) FROM tw) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM tw WHERE doc_id % 10 < 8)
+        |    AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM tw) AS BIGINT)
         |UNION ALL SELECT 'prefix_index',
         |  CAST((SELECT COUNT(DISTINCT s) FROM sh
         |    WHERE doc_id % 10 < 8) AS BIGINT),
@@ -5794,6 +5846,11 @@ object LlmQueries {
         |    THEN len(ws) - 1 ELSE 0 END), 0) FROM wb) AS BIGINT),
         |  CAST((SELECT COALESCE(SUM(CASE WHEN len(ws) >= 2
         |    THEN len(ws) - 1 ELSE 0 END), 0) FROM wa) AS BIGINT)
+        |UNION ALL SELECT 'lsh_bands',
+        |  CAST(64 * (SELECT COUNT(*) FROM wb) AS BIGINT),
+        |  CAST(64 * (SELECT COUNT(*) FROM wa) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM wb) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM wa) AS BIGINT)
         |UNION ALL SELECT 'prefix_index',
         |  CAST((SELECT COUNT(DISTINCT s) FROM shb) AS BIGINT),
         |  CAST((SELECT COUNT(DISTINCT s) FROM sha) AS BIGINT),

@@ -645,5 +645,18 @@ class DedupSpec extends SparkSpec {
       bands.filter(col("doc_id") =!= 1L), existing, "doc_id", "text",
       k = 3, theta = 0.7))
     assert(after == exact.filterNot(_._2 == 1L) && after.nonEmpty)
+    // the structural validator: the healthy table certifies; a
+    // doubled doc (re-banded commit) and a torn band set both refuse
+    Dedup.validateMinHashBands(bands, "doc_id")
+    val doubled = bands.unionByName(bands.filter(col("doc_id") === 1L))
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.validateMinHashBands(doubled, "doc_id")
+    }
+    assert(e1.getMessage.contains("band table corrupt"))
+    val torn = bands.filter(col("doc_id") =!= 1L || col("band") > 10)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.validateMinHashBands(torn, "doc_id")
+    }
+    assert(e2.getMessage.contains("band table corrupt"))
   }
 }
