@@ -19,7 +19,7 @@ class CrawlCommitSpec extends SparkSpec {
     "lines the merge pushed over the threshold") {
     val rows = graft.SparkEntry.queries("d90_crawl_commit")(
       spark, sf0001).collect()
-    assert(rows.length == 7)
+    assert(rows.length == 8)
     val scr = rows.find(_.getAs[String]("artifact") == "delta_screen").get
     // one banner line per % 10 == 8 doc in the incoming batch; all of
     // them survive the pre-commit screen (existing count = 2 < 3) and

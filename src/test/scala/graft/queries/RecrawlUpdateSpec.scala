@@ -18,7 +18,7 @@ class RecrawlUpdateSpec extends SparkSpec {
     "index cardinality is invariant") {
     val rows = graft.SparkEntry.queries("d91_recrawl_update")(
       spark, sf0001).collect()
-    assert(rows.length == 8)
+    assert(rows.length == 9)
     def row(a: String) = rows.find(_.getAs[String]("artifact") == a).get
     val nUpd = spark.read.parquet(s"$sf0001/documents.parquet")
       .filter(col("doc_id") % 10 === 4).count()
@@ -39,6 +39,15 @@ class RecrawlUpdateSpec extends SparkSpec {
     val pq = row("ivfpq_codes")
     assert(pq.getAs[Long]("rows_before") == pq.getAs[Long]("rows_after"))
     assert(pq.getAs[Long]("mass_before") == pq.getAs[Long]("mass_after"))
+    // same invariance for the band table (retract-old + re-band-new
+    // keeps exactly 64 band rows per doc); content change is proven
+    // by the oracle-gated lifecycle queries, not cardinality
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val lsh = row("lsh_bands")
+    assert(lsh.getAs[Long]("rows_before") == 64L * nDocs)
+    assert(lsh.getAs[Long]("rows_after") == 64L * nDocs)
+    assert(lsh.getAs[Long]("mass_before") == nDocs)
+    assert(lsh.getAs[Long]("mass_after") == nDocs)
   }
 
   test("recrawl update: re-invocation is idempotent (the persisted " +
