@@ -324,6 +324,15 @@ object Graft {
                    bands: Int = 64): DataFrame =
     Dedup.minHashBands(df, idCol, textCol, k, numPerm, bands)
 
+  /** Loud structural validator for a maintained band table: every
+    * present id carries exactly `bands` rows; pass `expectedIds` to
+    * also refuse wholly-missing band sets (the completeness hole the
+    * per-id count cannot see). */
+  def validateMinHashBands(bandsTable: DataFrame, idCol: String,
+                           bands: Int = 64,
+                           expectedIds: Option[DataFrame] = None): Unit =
+    Dedup.validateMinHashBands(bandsTable, idCol, bands, expectedIds)
+
   /** Ingest-time near-dup screen against a maintained [[minHashBands]]
     * table: band the batch, probe stored buckets, exact-rescore the
     * candidates only — per-batch cost, zero corpus signatures

@@ -381,7 +381,8 @@ object PlanDump {
         "single query — each family through its own gate-green " +
         "remove path with its validator run, one audit row per " +
         "artifact (rows + mass, before/after). Every stage is the " +
-        "shared kernel (retractDocs anti-joins, count-table " +
+        "shared kernel (retractDocs anti-joins — on the per-doc " +
+        "snapshots AND, since r16, the LSH band table — count-table " +
         "subtractions, the prefix re-derivation, the cell-scoped " +
         "layout rewrite); the audit rows are one-row aggregates " +
         "riding the per-family snapshots, checkpointed once and " +
@@ -396,7 +397,9 @@ object PlanDump {
       ("d89's add-side mirror: a newly crawled batch commits into " +
         "every maintained artifact in one query — mergeTfSnapshots, " +
         "mergeKnSnapshots, mergeLineCounts (global + per-site), " +
-        "refreshPrefixCrossIndex, ivfPqAddBatch — each with its " +
+        "refreshPrefixCrossIndex, the LSH band-table union (r16's " +
+        "7th artifact, with its m-rows-per-id validator), " +
+        "ivfPqAddBatch — each with its " +
         "validator run and one audit row per artifact (rows + mass, " +
         "before/after), plus the delta_screen row: the incoming " +
         "batch re-screened against the boilerplate table the commit " +
@@ -420,6 +423,7 @@ object PlanDump {
         "audited kernel (anti-join retraction + partial merge for " +
         "the tf/KN snapshots, subtract + merge for the count " +
         "tables, retract + refresh for the prefix index, " +
+        "anti-join + re-band for the LSH band table (r16), " +
         "remove_ids + add for the IVF-PQ layout — the re-fetched " +
         "page embeds differently, codebooks stay frozen). Cost at " +
         "100 TB = the delete sweep + the commit sweep over ONLY " +

@@ -1016,19 +1016,38 @@ object Dedup {
 
   /** Loud structural validator for a maintained band table — the
     * [[graft.operators.Quantization.validateIvfPqCodes]] discipline
-    * applied to the LSH artifact: every id carries EXACTLY `bands`
-    * rows, or a doc was banded twice (a doubled commit — its
+    * applied to the LSH artifact: every PRESENT id carries EXACTLY
+    * `bands` rows, or a doc was banded twice (a doubled commit — its
     * collisions double downstream) / a band set is torn (a partial
     * write — its doc under-collides silently). One skinny
-    * aggregation. */
+    * aggregation.
+    *
+    * SCOPE: the structural check alone cannot see a doc whose band
+    * rows are ALL missing (zero rows ⇒ nothing to count) — pass
+    * `expectedIds` (the corpus id roster, or the store manifest) to
+    * close that completeness hole with one anti-join. The lifecycle
+    * flagships skip it deliberately: their hash-gated audit rows pin
+    * the exact doc count against the oracle, so a wholly-missing doc
+    * already fails the gate. */
   def validateMinHashBands(bandsTable: DataFrame, idCol: String,
-                           bands: Int = 64): Unit = {
+                           bands: Int = 64,
+                           expectedIds: Option[DataFrame] = None): Unit = {
     val bad = bandsTable.groupBy(col(idCol))
       .agg(count(lit(1)).as("__graft_n"))
       .filter(col("__graft_n") =!= bands.toLong).count()
     require(bad == 0,
       s"band table corrupt: $bad id(s) without exactly $bands band " +
         "rows - a doc was banded twice or a band set is torn")
+    expectedIds.foreach { ids =>
+      val missing = ids.select(col(idCol)).distinct()
+        .join(bandsTable.select(col(idCol)), Seq(idCol), "left_anti")
+        .count()
+      require(missing == 0,
+        s"band table corrupt: $missing expected id(s) carry NO band " +
+          "rows at all - a whole band set was lost (the structural " +
+          "per-id check cannot see an absent doc); re-band the " +
+          "missing docs")
+    }
   }
 
   /** Ingest-time near-dup screen of an incoming batch against a

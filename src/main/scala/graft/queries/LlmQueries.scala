@@ -2193,7 +2193,8 @@ object LlmQueries {
     // maintained artifact in one query, each through its gate-green
     // merge/add path WITH its validator run — mergeTfSnapshots,
     // mergeKnSnapshots, mergeLineCounts, mergeGroupedLineCounts,
-    // refreshPrefixCrossIndex, ivfPqAddBatch — and the same audit
+    // refreshPrefixCrossIndex, the band-table union (r16's 7th
+    // artifact), ivfPqAddBatch — and the same audit
     // schema (artifact, rows/mass before and after). The row that
     // makes a commit more than bookkeeping: 'delta_screen'
     // re-screens the INCOMING batch against the boilerplate table it
@@ -2314,7 +2315,8 @@ object LlmQueries {
     // side through its gate-green path WITH its validator run: the
     // anti-join retraction + partial merge for the tf and KN
     // snapshots, subtract + merge for the count tables, retract +
-    // refresh for the prefix-cross index, remove_ids + add for the
+    // refresh for the prefix-cross index, anti-join + re-band for
+    // the LSH band table (r16), remove_ids + add for the
     // persisted IVF-PQ layout (the re-fetched page embeds
     // differently). The fixture plants a stale banner (rev93stale)
     // on the slice's ORIGINAL text and a fresh one (rev94signal) on

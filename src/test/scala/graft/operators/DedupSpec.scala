@@ -658,5 +658,17 @@ class DedupSpec extends SparkSpec {
       Dedup.validateMinHashBands(torn, "doc_id")
     }
     assert(e2.getMessage.contains("band table corrupt"))
+    // a WHOLLY missing band set is invisible to the per-id count
+    // (zero rows, nothing to aggregate) — the expected-roster check
+    // closes that hole; the healthy roster still certifies
+    val lost = bands.filter(col("doc_id") =!= 1L)
+    Dedup.validateMinHashBands(lost, "doc_id") // structurally clean!
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.validateMinHashBands(lost, "doc_id",
+        expectedIds = Some(existing.select("doc_id")))
+    }
+    assert(e3.getMessage.contains("NO band rows"))
+    Dedup.validateMinHashBands(bands, "doc_id",
+      expectedIds = Some(existing.select("doc_id")))
   }
 }
