@@ -219,23 +219,25 @@ object Bench {
       "reading >25% apart - treat sub-2x movement on sub-second " +
       "queries as shot noise and solo-pin anything larger"
 
-  /** Round-16 comparability notes (see the base_changed emission
+  /** Round-17 comparability notes (see the base_changed emission
     * above). Retire entries when the next round's diff re-baselines;
-    * r15's notes are recorded in the committed BENCH_QUERIES_r15. */
+    * r16's notes are recorded in the committed BENCH_QUERIES_r16. */
   private val BaseChanged: Map[String, String] = Map(
+    "inc_lsh_store" ->
+      ("r17: +third 'compacted' phase (one compactSnapshotStore + a " +
+        "third store-served screen) AND each phase's certification " +
+        "now runs validateMinHashBands with the manifest-roster " +
+        "completeness check - proof cost, not a plan change"),
     "rp_health_runs" ->
-      ("r16: appendRun stamps a per-append id; lastTwoRuns adds the " +
-        "drifted-re-append detector to its roster aggregation"),
+      ("r17: the run store reads via loadRunStore (mergeSchema " +
+        "footer union) so the retry detector stays armed on " +
+        "upgraded stores - a read-path option, not a plan change"),
     "st_health_runs" ->
-      ("r16: appendRun stamps a per-append id; lastTwoRuns adds the " +
-        "drifted-re-append detector to its roster aggregation"),
-    "d89_takedown_sweep" ->
-      ("r16: +lsh band-table artifact (7th maintained artifact: " +
-        "band build + anti-join retraction + validator + audit row)"),
-    "d90_crawl_commit" ->
-      ("r16: +lsh band-table artifact (7th maintained artifact: " +
-        "two era band builds + merge + validator + audit row)"),
-    "d91_recrawl_update" ->
-      ("r16: +lsh band-table artifact (7th maintained artifact: " +
-        "retract-old + band-new + validator + audit row)"))
+      ("r17: the run store reads via loadRunStore (mergeSchema " +
+        "footer union) so the retry detector stays armed on " +
+        "upgraded stores - a read-path option, not a plan change"),
+    "st_inc_lsh_store" ->
+      ("r17: lshScreenAgainst now refuses parameter-mismatched " +
+        "stores (one skinny min/max aggregate per screen) - proof " +
+        "cost only"))
 }

@@ -422,6 +422,13 @@ object Graft {
                         dir: String, overwrite: Boolean = false): Unit =
     graft.core.Snapshots.appendRun(snap, runId, runSeq, dir, overwrite)
 
+  /** Read a [[snapshotAppendRun]] store from disk with the
+    * schema-merge [[snapshotLastTwoRuns]]' retry detector needs on
+    * mid-life-upgraded stores (a plain read can infer from a
+    * pre-stamp footer and silently blind it). */
+  def snapshotLoadRunStore(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Snapshots.loadRunStore(spark, dir)
+
   /** The latest and previous runs of a [[snapshotAppendRun]] store,
     * as (before, after) — the 90/91 compare inputs. */
   def snapshotLastTwoRuns(store: DataFrame): (DataFrame, DataFrame) =

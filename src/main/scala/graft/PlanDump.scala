@@ -614,7 +614,14 @@ object PlanDump {
         "of band hashes) and file-level retraction (planted partners " +
         "of quarantined docs stop flagging; survivors keep " +
         "flagging) against the full pairwise Jaccard replay at " +
-        "θ=0.7, where banding's miss rate is ≈2e-8."),
+        "θ=0.7, where banding's miss rate is ≈2e-8. Round 17: a " +
+        "third 'compacted' phase (fold-to-one-batch == the retracted " +
+        "replay VERBATIM) and full per-phase certification — the " +
+        "structural 64-rows-per-id check PLUS the manifest-roster " +
+        "completeness check (a wholly-missing doc, invisible to " +
+        "per-present-id counts, refuses via one anti-join against " +
+        "the store's own id→batch manifest). Both are proof cost on " +
+        "skinny tables, not plan changes to the screen."),
     "st_inc_lsh_store" ->
       ("The LSH band store served across AvailableNow catch-up runs: " +
         "era A's incoming micro-batches screen against the ON-DISK " +
@@ -641,7 +648,39 @@ object PlanDump {
         "from the batch definitions over documents, which also " +
         "re-proves WHAT each store holds after its takedown: fact " +
         "partitions shrank in place, rollup tombstones landed " +
-        "whole."))
+        "whole."),
+    "d92_store_ingest" ->
+      ("THE STORE-SERVED INGEST FLAGSHIP — the production " +
+        "composition the per-family lifecycle rows prove only " +
+        "piecewise: one crawl batch screened end-to-end FROM the " +
+        "durable stores (LSH band facts + grouped-boiler rollup, " +
+        "committed once from two existing-corpus eras, then only " +
+        "SERVED), a takedown landing mid-sequence (file-level band " +
+        "partition rewrite + a negated-partial tombstone append), " +
+        "and every touched store re-certified before each serve " +
+        "(manifest sync, band structure + manifest-roster " +
+        "completeness, fold non-negativity). Stage order IS the " +
+        "documented production discipline: exact dedup first — " +
+        "collapsing clone groups so the band probe's buckets stay " +
+        "small by construction (the lshScreenAgainst hot-bucket " +
+        "mitigation, exercised here: the %500==10 verbatim clones " +
+        "never reach the probe) — then the stored-band near-dup " +
+        "screen, the rollup-fold boilerplate screen, and the d15 " +
+        "quality floor. At 100 TB the batch pays batch-sized banding " +
+        "+ its collision set + one skinny pre-banded corpus read; " +
+        "no corpus text is touched except candidate rows via " +
+        "semi-join pushdown. The oracle replays BOTH phases' full " +
+        "chains from the corpus definitions, so hash equality " +
+        "proves store-served == recomputed-from-scratch across the " +
+        "composed loop — and the funnel flips at stages 2-4 prove " +
+        "the takedown flowed through every downstream screen. NO " +
+        "streaming twin, deliberately: stage 1 (batch-scoped exact " +
+        "dedup, min-id keeper) is not micro-batch-split-invariant — " +
+        "which duplicates a micro-batch sees depends on the split — " +
+        "so a twin would prove a different operator; the two " +
+        "store-serving stages already have their own twins " +
+        "(st_inc_lsh_store, st_inc_grouped_boiler, " +
+        "st_inc_boiler_store)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -63,6 +63,10 @@ object StoreBench {
           .sorted(java.util.Comparator.reverseOrder())
           .forEach(f => java.nio.file.Files.delete(f))
     }
+    // the scratch trees are full-corpus-sized: clean up on EVERY
+    // exit path (a mid-bench failure — a missing table, a refused
+    // lifecycle — must not leak them into /tmp)
+    try {
     val dir = fresh("s")
     val I = graft.operators.Incremental
     val S = graft.operators.Search
@@ -150,6 +154,61 @@ object StoreBench {
       System.err.println(s"[storebench] no embeddings at $embPath - " +
         "ann_discovery skipped")
 
+    // ---- 2b. the production-shape crossover question: does the nid
+    // manifest's probe ever separate from the codes scan at realistic
+    // nlist and volume? The sf0.1/sf1 rows above sit under the ~0.2 s
+    // job floor at toy nlist, so this section SYNTHESIZES the layout
+    // shape only — nlist=1024 cell directories, 10⁶ code rows with
+    // the m=4 payload a real codes row carries, the manifest
+    // cell-partitioned exactly as rebuildIvfPqNidManifest lays it out
+    // — because discovery cost is a function of the directory/row
+    // shape, not of what the PQ codes encode. One task per cell
+    // (repartition on the partition column) mirrors a compacted
+    // layout: one file per directory on both sides, so neither side
+    // pays accidental small-file penalties the other doesn't.
+    if (sys.env.get("STOREBENCH_SKIP_SYNTH").isEmpty) {
+      val nlist = 1024
+      val nVec = 1000000L
+      val annDir = fresh("annxl")
+      val synth = spark.range(nVec).select(
+        col("id").as("nid"),
+        (col("id") % nlist).cast("int").as("cell"),
+        array((0 until 4).map(s =>
+          pmod(hash(col("id"), lit(s)), lit(256)).cast("short")): _*)
+          .as("code"))
+        .repartition(col("cell"))
+      graft.sources.Bucketed.writePartitioned(synth,
+        s"$annDir/codes", Seq("cell"))
+      synth.select("nid", "cell")
+        .write.option("partitionOverwriteMode", "static")
+        .partitionBy("cell").mode("overwrite")
+        .parquet(s"$annDir/nid_manifest")
+      val vecIds = spark.range(nVec).filter(col("id") % 10 === 3)
+        .select(col("id").as("nid")).localCheckpoint(true)
+      def xScan(): Unit =
+        spark.read.parquet(s"$annDir/codes").select("nid", "cell")
+          .join(vecIds, Seq("nid"), "left_semi")
+          .select("cell").distinct().collect()
+      def xProbe(): Unit =
+        spark.read.parquet(s"$annDir/nid_manifest")
+          .join(vecIds, Seq("nid"), "left_semi")
+          .select("cell").distinct().collect()
+      val xs = (1 to 3).map(_ => time(xScan()))
+      val xp = (1 to 3).map(_ => time(xProbe()))
+      println(
+        s"""{"metric":"ann_discovery","unit":"sec","sf":"synthetic",""" +
+          s""""code_rows":$nVec,"manifest_rows":$nVec,""" +
+          s""""nlist":$nlist,"m":4,"synthetic":true,""" +
+          s""""scan_median":${n(median(xs))},""" +
+          s""""scan_runs":${arr(xs)},""" +
+          s""""manifest_median":${n(median(xp))},""" +
+          s""""manifest_runs":${arr(xp)},""" +
+          s""""note":"layout shape synthesized (discovery cost depends""" +
+          s""" on directory/row shape only): nlist=1024 dirs, 1e6 code""" +
+          s""" rows with m=4 payload, manifest cell-partitioned as""" +
+          s""" rebuildIvfPqNidManifest writes it"}""")
+    }
+
     // ---- 3. validation-tier cost split over the full lifecycle
     def lifecycle(level: String): Unit = {
       val tdir = fresh(s"t_$level")
@@ -179,7 +238,9 @@ object StoreBench {
         s""""recovery_median":${n(median(rec))},""" +
         s""""recovery_runs":${arr(rec)},""" +
         s""""recovery_includes":"one audit-time validateSnapshotStoreManifest pass"}""")
-    scratch.foreach(rmTree)
-    spark.stop()
+    } finally {
+      scratch.foreach(rmTree)
+      spark.stop()
+    }
   }
 }

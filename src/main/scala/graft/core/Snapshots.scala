@@ -89,6 +89,19 @@ object Snapshots {
       .write.mode(if (overwrite) "overwrite" else "append").parquet(dir)
   }
 
+  /** Read an [[appendRun]] store for [[lastTwoRuns]]. Plain
+    * `spark.read.parquet` infers the schema from ONE parquet footer —
+    * on a store upgraded mid-life (pre-stamp runs written before
+    * `__graft_append_id` existed), that footer may predate the stamp,
+    * making the column invisible to the whole read and silently
+    * disarming the drifted-re-append detector. mergeSchema unions the
+    * footers, so the stamp is visible whenever ANY run carries it;
+    * the store is run-count-sized by the appendRun contract, so the
+    * extra footer reads are config-class. Callers that read the
+    * store themselves must pass mergeSchema=true the same way. */
+  def loadRunStore(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** The latest and previous runs of a store, as (before, after) —
     * the 90/91 compare inputs read from DISK. The run roster (one
     * aggregate row per `run_seq`) is collected to the driver: the
@@ -145,9 +158,10 @@ object Snapshots {
     // whose rows read the column as null (countDistinct over an
     // all-null group is 0) — those runs predate the detector and are
     // covered by the content checks; only TWO OR MORE stamps under
-    // one seq is ever a retry. (If parquet schema inference picks an
-    // old file's footer instead, the column is invisible and the
-    // detector skips entirely — the pre-r16 behavior, not a refusal.)
+    // one seq is ever a retry. (Read the store via [[loadRunStore]]:
+    // its mergeSchema union keeps the stamp visible on upgraded
+    // stores, where plain schema inference could pick a pre-stamp
+    // footer and silently disarm this check.)
     require(runs.forall(_.getLong(3) <= 1L),
       "run store corrupt: several appends share one run_seq - a " +
         "crashed crawl re-appended its own run_seq, possibly with " +

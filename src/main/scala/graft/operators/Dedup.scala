@@ -993,15 +993,29 @@ object Dedup {
     * argument as the tf/KN snapshots. The signature pass materializes
     * once per call (the CollapseProject hazard — see
     * [[minHashLshPairs]]) and is freed before returning; the output
-    * is checkpointed. */
+    * is checkpointed.
+    *
+    * COVERAGE CONTRACT: every doc with NON-NULL text gets exactly
+    * `bands` rows — including empty/whitespace-only texts, whose
+    * whole-text fallback shingle ([[hashedShingles]] hashes the
+    * zero-token sequence to one deterministic value) keeps them
+    * bandable, so the 64·count audit rows and a
+    * [[validateMinHashBands]] `expectedIds` roster hold without
+    * text-shape caveats. Only NULL-text docs are excluded (nothing
+    * to shingle); pass rosters that exclude them the same way, and
+    * keep oracles on the non-null slice. */
   def minHashBands(df: DataFrame, idCol: String, textCol: String,
                    k: Int, numPerm: Int = 256,
                    bands: Int = 64): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rows = numPerm / bands
-    val sig = df.select(col(idCol),
-        hashedShingles(col(textCol), k).as("hs"))
-      .filter(size(col("hs")) > 0)
+    // isNotNull, not size(hs) > 0: non-strict hashedShingles NEVER
+    // returns an empty array for non-null text (the whole-text
+    // fallback covers < k tokens, zero included), so the two filters
+    // admit the same rows — but this spelling makes the exclusion
+    // rule (null text only) readable and pushdown-friendly
+    val sig = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), hashedShingles(col(textCol), k).as("hs"))
       .select(col(idCol), minHashSig(col("hs"), numPerm).as("sig"))
       .localCheckpoint(true)
     val bandCols = (0 until bands).map(b =>
@@ -1078,6 +1092,19 @@ object Dedup {
     * band table once at build time (the sampled-cap discipline, with
     * minHashLshPairs' documented miss bound) rather than per probe.
     *
+    * PARAMETER CONTRACT: the stored table must have been built with
+    * the SAME (k, numPerm, bands) this screen bands the batch with —
+    * a mismatch makes every bucket probe miss and the screen return
+    * empty, a silent full-recall failure. The `bands` half is checked
+    * structurally before probing (one skinny aggregate: the stored
+    * band ids must span exactly [0, bands), which a store built at a
+    * different band count cannot) and refuses loudly. A k or numPerm
+    * drift at EQUAL bands is invisible in the rows (same band range,
+    * different hashes), so owners of long-lived stores must persist
+    * (k, numPerm, bands) beside the store and require equality at
+    * load — the structural check is the safety net, not the
+    * bookkeeping.
+    *
     * @param existing the corpus TEXT source the re-score reads
     *                 candidates from — at production, the corpus
     *                 store; only candidate ids' rows are read. */
@@ -1085,6 +1112,22 @@ object Dedup {
                        existing: DataFrame, idCol: String,
                        textCol: String, k: Int, theta: Double,
                        numPerm: Int = 256, bands: Int = 64): DataFrame = {
+    // refuse a parameter-mismatched store BEFORE probing: a store
+    // built at bands'≠bands has band ids spanning [0, bands') — the
+    // probe would silently miss every bucket (see scaladoc). An
+    // EMPTY store is legitimate (first crawl: nothing to collide
+    // with), so the range check applies only when rows exist.
+    val range = storedBands.agg(min(col("band")).as("lo"),
+      max(col("band")).as("hi")).head()
+    if (!range.isNullAt(1)) {
+      val (lo, hi) = (range.getInt(0), range.getInt(1))
+      require(lo == 0 && hi == bands - 1,
+        s"stored band table spans band ids [$lo, $hi] but this " +
+          s"screen bands at bands=$bands (expected [0, ${bands - 1}])" +
+          " - the store was built with different LSH parameters and " +
+          "every bucket probe would miss; re-band the store or " +
+          "screen with the parameters it was built with")
+    }
     val inBands = minHashBands(incoming, idCol, textCol, k, numPerm,
       bands)
     // collision probe: skinny (id, band, bh) vs skinny stored rows —

@@ -684,6 +684,24 @@ object Incremental {
     } finally Shims.unpersistLocalCheckpoint(survivors)
   }
 
+  /** The store's id→batch manifest as a DataFrame — the skinny
+    * roster of every id the store claims to hold. Beyond retraction
+    * discovery (its reason to exist), this is the natural
+    * `expectedIds` source for artifact-completeness validators
+    * ([[graft.operators.Dedup.validateMinHashBands]]'s roster
+    * argument): a doc whose rows were ALL lost is invisible to
+    * per-present-id structural checks, but its manifest row — written
+    * transactionally beside the store — still names it. Refuses on a
+    * manifest-less store (same contract as
+    * [[validateSnapshotStoreManifest]]). */
+  def loadSnapshotStoreManifest(spark: SparkSession,
+                                dir: String): DataFrame = {
+    require(hasManifest(spark, dir),
+      s"$dir has no id manifest to load - initSnapshotStore " +
+        "with manifestIdCol creates one")
+    readStore(spark, manifestPath(dir))
+  }
+
   /** Assert a manifested store's id→batch manifest is exactly in
     * sync with the store — the loud detector for the one silent
     * corruption a manifest can carry: a MISSING (id, batch) pair

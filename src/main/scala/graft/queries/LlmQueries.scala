@@ -508,7 +508,9 @@ object LlmQueries {
         corpusHealth(docs.filter(col("doc_id") % 10 =!= 9)),
         "crawl_000", 0, dir, overwrite = true)
       Snapshots.appendRun(corpusHealth(docs), "crawl_001", 1, dir)
-      healthRunsDelta(s.read.parquet(dir))
+      // loadRunStore, not a plain read: schema inference from one
+      // pre-stamp footer would blind the drifted-re-append detector
+      healthRunsDelta(Snapshots.loadRunStore(s, dir))
     }),
     // Deterministic hash split (98/1/1): per-doc assignment plus the
     // per-split rollup — stable under corpus growth, the anti-leakage
@@ -946,13 +948,17 @@ object LlmQueries {
     // near-dup groups span all three roles: doc_id%500==0 (incoming)
     // and ==1 (existing) share a per-group template, and the existing
     // member's %3 class decides whether the takedown strips its
-    // partner. Two phases: 'committed' — screen against both era
+    // partner. Three phases: 'committed' — screen against both era
     // batches == the full pairwise incoming×existing Jaccard at 0.7
     // (banding miss ≈2e-8 at this θ, re-score exact); 'retracted' —
     // the %3==1 existing docs leave at the FILE level (manifested
     // discovery) and their planted partners stop flagging while
     // survivor partners keep flagging == the same replay over
-    // survivors. Both phases re-certify the manifest.
+    // survivors; 'compacted' — the fold-to-one-batch changes nothing
+    // a reader can see (the retracted replay, verbatim, twice).
+    // Every phase re-certifies the manifest AND the band table
+    // itself — structural 64-rows-per-id plus the manifest-roster
+    // completeness check (a wholly-missing doc refuses loudly).
     "inc_lsh_store" -> ((s, d) => {
       val src = lshPlanted(T.documents(s, d))
       val existing = src.filter(col("doc_id") % 5 =!= 0)
@@ -981,9 +987,16 @@ object LlmQueries {
       val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
       def screen(phase: String): DataFrame = {
         I.validateSnapshotStoreManifest(s, dir)
-        val out = Dedup.lshScreenAgainst(incoming,
-          I.loadSnapshotStore(s, dir), existing, "doc_id", "text",
-          k = 5, theta = 0.7)
+        val stored = I.loadSnapshotStore(s, dir)
+        // full certification: structural (exactly 64 rows per
+        // present id) AND complete — the manifest roster names every
+        // id the store claims, so a doc whose band rows were ALL
+        // lost (invisible to the per-id count) refuses here
+        Dedup.validateMinHashBands(stored, "doc_id",
+          expectedIds = Some(
+            I.loadSnapshotStoreManifest(s, dir).select("doc_id")))
+        val out = Dedup.lshScreenAgainst(incoming, stored, existing,
+          "doc_id", "text", k = 5, theta = 0.7)
         cps += out
         out.select(lit(phase).as("phase"), col("in_id"),
           col("ex_id"), col("jac"))
@@ -993,7 +1006,13 @@ object LlmQueries {
         I.retractFromSnapshotStore(s, dir,
           existing.filter(col("doc_id") % 3 === 1).select("doc_id"))
         val retracted = screen("retracted")
-        committed.unionByName(retracted)
+        // third phase: fold the band partitions to a single batch-0
+        // layout (+ exact manifest rebuild) — compaction must be
+        // result-invisible, so its serve replays the retracted
+        // oracle VERBATIM (the inc_boiler_store discipline)
+        I.compactSnapshotStore(s, dir)
+        val compacted = screen("compacted")
+        committed.unionByName(retracted).unionByName(compacted)
           .orderBy("phase", "in_id", "ex_id")
           .localCheckpoint(true)
       } finally cps.foreach(
@@ -2450,6 +2469,145 @@ object LlmQueries {
         org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
     }),
 
+    // THE STORE-SERVED INGEST FLAGSHIP — the production composition
+    // the per-family lifecycle rows prove only piecewise: ONE crawl
+    // batch screened end-to-end FROM THE DURABLE STORES (no
+    // screening artifact rebuilt in-query — the LSH band store and
+    // the grouped-boiler rollup store are committed once from the
+    // existing corpus's two eras, then only SERVED), with a takedown
+    // landing mid-sequence and every touched store re-certified
+    // before each serve. Stage order is the documented production
+    // discipline: (1) exact in-batch dedup FIRST — collapses clone
+    // groups so the band-store probe's buckets stay small by
+    // construction (lshScreenAgainst's hot-bucket mitigation, here
+    // exercised, not just documented); (2) near-dup screen against
+    // the STORED bands — batch-scoped banding + collision probe +
+    // candidate-scoped re-score, zero corpus signatures recomputed;
+    // (3) per-site boilerplate screen from the rollup store's fold;
+    // (4) the d15 quality floor — token count + language-ID
+    // agreement. The fixture plants one lever per
+    // stage: %500==10 docs share one verbatim page (exact dupes —
+    // only the min id reaches the probe), the lshPlanted-style
+    // %500∈{0,1,5} template groups flag against their existing
+    // partner (and stop flagging when the takedown strips it), a
+    // banner taught ONLY by the to-be-retracted %3==1 existing docs
+    // screens off incoming carriers before the takedown and survives
+    // after it (the screen serves exactly what the store still
+    // holds), and the boiler line taught by %4==0 docs keeps
+    // screening in BOTH phases (the survivor-count contrast). Output
+    // = the per-stage funnel per phase; the oracle replays both
+    // phases' full chains from the corpus definitions, so hash
+    // equality proves store-served == recomputed-from-scratch across
+    // the whole composed loop.
+    "d92_store_ingest" -> ((s, d) => {
+      val src = d92Planted(T.documents(s, d))
+      val incoming = src.filter(col("doc_id") % 5 === 0)
+      val existing = src.filter(col("doc_id") % 5 =!= 0)
+      val I = graft.operators.Incremental
+      val base = s"/tmp/graft_${s.sparkContext.applicationId}/" +
+        s"ingest92_${pathDigest(d)}"
+      val bdir = base + "/bands"
+      val gdir = base + "/glc"
+      // two crawl eras commit each store: manifested band FACTS
+      // (id-keyed file-level retraction), append-only grouped count
+      // PARTIALS (tombstone retraction). init resets both stores, so
+      // the query is idempotent across re-invocations.
+      val b0 = Dedup.minHashBands(
+        existing.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        k = 5)
+      I.initSnapshotStore(b0, bdir, manifestIdCol = Some("doc_id"))
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b0)
+      val b1 = Dedup.minHashBands(
+        existing.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+        k = 5)
+      I.commitSnapshotBatch(b1, bdir, 1L, manifestIdCol = Some("doc_id"))
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b1)
+      I.initSnapshotStore(Dedup.groupedLineCountPartial(
+        existing.filter(col("doc_id") % 2 === 0), "lang", "text"), gdir)
+      I.commitSnapshotBatch(Dedup.groupedLineCountPartial(
+        existing.filter(col("doc_id") % 2 =!= 0), "lang", "text"),
+        gdir, 1L)
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def ck(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(true); cps += c; c
+      }
+      def funnelRow(phase: String, idx: Int, name: String,
+                    df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(length(col("text"))), lit(0L)).cast("long")
+              .as("n_chars"),
+            coalesce(sum(col("doc_id")), lit(0L)).cast("long")
+              .as("id_checksum"))
+          .select(lit(phase).as("phase"), lit(idx).as("stage_idx"),
+            lit(name).as("stage"), col("n_docs"), col("n_chars"),
+            col("id_checksum"))
+      // one serve of the whole ingest loop from what is ON DISK;
+      // the funnel checkpoints eagerly because the takedown between
+      // phases mutates the stores these plans read
+      def ingest(phase: String, survivors: DataFrame): DataFrame = {
+        // re-certify EVERY touched store before serving from it:
+        // manifest sync, band structure + manifest-roster
+        // completeness, fold non-negativity
+        I.validateSnapshotStoreManifest(s, bdir)
+        val bands = I.loadSnapshotStore(s, bdir)
+        Dedup.validateMinHashBands(bands, "doc_id",
+          expectedIds = Some(
+            I.loadSnapshotStoreManifest(s, bdir).select("doc_id")))
+        val counts = I.loadRollupStore(s, gdir, Seq("grp", "key"),
+          Seq("cnt"))
+        Dedup.validateLineCounts(counts)
+        val s1 = ck(incoming.join(
+          Dedup.exactDedup(incoming, "doc_id", "text")
+            .select(col("keeper").as("doc_id")),
+          Seq("doc_id")))
+        val flagged = Dedup.lshScreenAgainst(s1, bands, survivors,
+          "doc_id", "text", k = 5, theta = 0.7)
+        cps += flagged
+        val s2 = ck(s1.join(
+          flagged.select(col("in_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"))
+        val s3 = ck(Dedup.groupedLineDedupAgainst(s2,
+            Dedup.groupedBoilerplateFromCounts(counts, minCount = 3),
+            "doc_id", "lang", "text")
+          .select("doc_id", "lang", "text"))
+        // quality gate = the d15 floor (token count + language-ID
+        // agreement), NOT the full Gopher battery: this corpus is
+        // multilingual and Gopher's stopword rule is English-gated —
+        // it would keep zero docs here, a vacuous stage (the battery
+        // itself stays gate-green standalone as d52/d84)
+        val s4 = ck(s3.filter(
+          TextAnalysis.textStats(col("text")).getField("n_toks")
+            >= 20 &&
+            TextAnalysis.langIdHeuristic(col("text")) === col("lang")))
+        Seq(funnelRow(phase, 0, "0_incoming", incoming),
+            funnelRow(phase, 1, "1_exact", s1),
+            funnelRow(phase, 2, "2_neardup", s2),
+            funnelRow(phase, 3, "3_screen", s3),
+            funnelRow(phase, 4, "4_quality", s4))
+          .reduce(_ unionByName _).localCheckpoint(true)
+      }
+      try {
+        val committed = ingest("committed", existing)
+        cps += committed
+        // the takedown lands MID-SEQUENCE, one retraction per store
+        // discipline: file-level partition rewrite on the band
+        // facts (manifested discovery), a negated-partial tombstone
+        // append on the rollup counts
+        val quarantined = existing.filter(col("doc_id") % 3 === 1)
+        I.retractFromSnapshotStore(s, bdir,
+          quarantined.select("doc_id"))
+        I.retractFromRollupStore(
+          Dedup.groupedLineCountPartial(quarantined, "lang", "text"),
+          gdir, Seq("grp", "key"), Seq("cnt"), batch = 2L)
+        val retracted = ingest("retracted",
+          existing.filter(col("doc_id") % 3 =!= 1))
+        committed.unionByName(retracted)
+          .orderBy("phase", "stage_idx")
+          .localCheckpoint(true)
+      } finally cps.foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+    }),
+
     // Shingle df histogram — the dfCap / prefix-path tuning
     // diagnostic for the near-dup family (candidate volume through a
     // shingle is ~df^2/2; a heavy top bucket = the prefix regime).
@@ -3645,6 +3803,128 @@ object LlmQueries {
       "a.doc_id % 5 = 0 AND " + inPred,
       "b.doc_id % 5 <> 0 AND " + exPred, "0.7")
 
+  /** d92 plant constants — interpolated into BOTH the Spark fixture
+    * and the oracle CASE from these single definitions. */
+  private val D92Exact =
+    "exact duplicate ingest page from a mirror site"
+  private val D92Boiler =
+    "copyright example site all rights reserved"
+  private val D92Banner =
+    "limited time offer from the soon quarantined source"
+
+  /** The d92 planted corpus — one lever per ingest stage (see the
+    * query's comment): %500==10 verbatim clones (exact dedup),
+    * the lshPlanted %500∈{0,1,5} template groups (near-dup vs the
+    * band store), a boiler line taught by %4==0 docs (screens in
+    * both phases) and a banner taught ONLY by the %3==1 existing
+    * docs the takedown retracts (screens before, survives after).
+    * Append levers apply only to non-special docs so the dedup and
+    * near-dup plants stay byte-stable. */
+  private[queries] def d92Planted(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 500 === 10, lit(D92Exact))
+        .when(col("doc_id") % 500 < 2 || col("doc_id") % 500 === 5,
+          concat(lit("planted near duplicate group "),
+            floor(col("doc_id") / 500).cast("long").cast("string")))
+        .otherwise(concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit("\n" + D92Boiler))
+            .otherwise(lit("")),
+          when((col("doc_id") % 5 =!= 0 && col("doc_id") % 3 === 1)
+              || col("doc_id") % 10 === 0, lit("\n" + D92Banner))
+            .otherwise(lit(""))))
+        .as("text"))
+
+  /** One phase of the d92 oracle — the full store-served ingest loop
+    * replayed from the corpus definitions: the planted src, the
+    * exact-dedup keeper rule (d1's fingerprint verbatim), the
+    * pairwise-Jaccard drop set (the [[pairwiseCrossSql]] skeleton
+    * over post-dedup incoming × surviving existing), the per-lang
+    * boilerplate screen (the IncGroupedBoilerSql chain with the
+    * existing side parameterized), and the d15 quality floor
+    * (token count + language-ID agreement — the Gopher battery's
+    * stopword rule is English-gated and would be vacuous on this
+    * multilingual corpus) on the screened text — funnel-aggregated
+    * per stage.
+    * `exPred` parameterizes the surviving existing corpus exactly as
+    * the takedown leaves the stores. */
+  private def d92PhaseSql(phase: String, exPred: String): String = {
+    val srcSql =
+      s"""SELECT doc_id, lang,
+         |CASE WHEN doc_id % 500 = 10 THEN '$D92Exact'
+         |WHEN doc_id % 500 < 2 OR doc_id % 500 = 5
+         |THEN 'planted near duplicate group ' || CAST(doc_id // 500 AS VARCHAR)
+         |ELSE text ||
+         |  (CASE WHEN doc_id % 4 = 0
+         |   THEN chr(10) || '$D92Boiler' ELSE '' END) ||
+         |  (CASE WHEN (doc_id % 5 <> 0 AND doc_id % 3 = 1)
+         |     OR doc_id % 10 = 0
+         |   THEN chr(10) || '$D92Banner' ELSE '' END)
+         |END AS text FROM documents""".stripMargin
+    val flagSql = pairwiseCrossSql(
+      "SELECT doc_id, text FROM s1 UNION ALL SELECT doc_id, text FROM ex",
+      "a.doc_id % 5 = 0", "b.doc_id % 5 <> 0", "0.7")
+    def row(idx: Int, name: String, cte: String) =
+      s"""SELECT '$phase' AS phase, CAST($idx AS INT) AS stage_idx,
+         |  '$name' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars,
+         |  CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS id_checksum
+         |  FROM $cte""".stripMargin
+    // outer corpus CTE named corp, NOT src: the nested
+    // pairwiseCrossSql skeleton defines its own src, and DuckDB
+    // mis-reads a shadowed CTE name in a nested WITH as recursion
+    s"""(WITH corp AS MATERIALIZED ($srcSql),
+       |ex AS MATERIALIZED (SELECT * FROM corp
+       |  WHERE doc_id % 5 <> 0 AND ($exPred)),
+       |inc AS MATERIALIZED (SELECT * FROM corp WHERE doc_id % 5 = 0),
+       |kp AS (SELECT MIN(doc_id) AS doc_id FROM (
+       |  SELECT doc_id,
+       |    md5(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+       |  FROM inc) GROUP BY f),
+       |s1 AS MATERIALIZED (SELECT inc.* FROM inc JOIN kp USING (doc_id)),
+       |flag AS (SELECT DISTINCT in_id AS doc_id FROM (
+       |$flagSql) f),
+       |s2 AS MATERIALIZED (SELECT s1.* FROM s1
+       |  LEFT JOIN flag ON s1.doc_id = flag.doc_id
+       |  WHERE flag.doc_id IS NULL),
+       |glc AS (SELECT lang, trim(ln) AS k FROM (
+       |  SELECT lang, unnest(string_split(text, chr(10))) AS ln
+       |  FROM ex) WHERE trim(ln) <> ''
+       |  GROUP BY lang, trim(ln) HAVING COUNT(*) >= 3),
+       |l AS (SELECT doc_id, lang, u.i AS pos, u.ln AS ln FROM (
+       |  SELECT doc_id, lang, unnest([{'i': x, 'ln': a[x+1]}
+       |    FOR x IN range(0, len(a))]) AS u FROM (
+       |    SELECT doc_id, lang, string_split(text, chr(10)) AS a
+       |    FROM s2))),
+       |kl AS (SELECT doc_id, l.lang AS lang, pos, ln,
+       |  (trim(ln) = '' OR glc.k IS NULL) AS keep
+       |  FROM l LEFT JOIN glc
+       |    ON l.lang = glc.lang AND trim(l.ln) = glc.k),
+       |s3 AS MATERIALIZED (SELECT doc_id, lang,
+       |  COALESCE(string_agg(ln, chr(10) ORDER BY pos)
+       |    FILTER (WHERE keep), '') AS text
+       |  FROM kl GROUP BY doc_id, lang),
+       |ql AS (SELECT doc_id, lang,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+       |    AS INT) AS n_toks,
+       |  len(list_filter(lws, t -> t IN ('the','a','an','and','of','is','to','in'))) AS ens,
+       |  len(list_filter(lws, t -> t IN ('der','die','das','und','ist','nicht'))) AS des,
+       |  len(list_filter(lws, t -> t IN ('le','la','les','et','est','ne','pas'))) AS frs,
+       |  len(list_filter(lws, t -> t IN ('el','los','las','y','es','no','que'))) AS ess
+       |  FROM (SELECT doc_id, lang, text,
+       |    string_split(lower(text), ' ') AS lws FROM s3) t),
+       |qk AS (SELECT doc_id FROM ql WHERE n_toks >= 20 AND lang = (
+       |  CASE WHEN greatest(ens, des, frs, ess) <= 0 THEN 'und'
+       |  WHEN ens >= des AND ens >= frs AND ens >= ess THEN 'en'
+       |  WHEN des >= frs AND des >= ess THEN 'de'
+       |  WHEN frs >= ess THEN 'fr' ELSE 'es' END)),
+       |s4 AS MATERIALIZED (SELECT s3.* FROM s3 JOIN qk USING (doc_id))
+       |${row(0, "0_incoming", "inc")}
+       |UNION ALL ${row(1, "1_exact", "s1")}
+       |UNION ALL ${row(2, "2_neardup", "s2")}
+       |UNION ALL ${row(3, "3_screen", "s3")}
+       |UNION ALL ${row(4, "4_quality", "s4")})""".stripMargin
+  }
+
   private val D29Prefix: String = "WITH " + d29Rounds("embeddings")
 
   private val D29KmeansSql: String =
@@ -4711,17 +4991,36 @@ object LlmQueries {
       |     / sum(n_rows) OVER (PARTITION BY store), 6) >= 0.10)
       |    AS compact_due
       |FROM b ORDER BY store, batch""".stripMargin,
-    // the LSH band store's two phases == the full pairwise
-    // incoming×existing Jaccard replay, committed over everyone and
-    // retracted over the %3<>1 survivors: serving from stored bands
-    // (never recomputing a corpus signature) is result-invisible,
-    // and the file-level takedown == a store built without the docs
+    // the LSH band store's three phases == the full pairwise
+    // incoming×existing Jaccard replay, committed over everyone,
+    // retracted over the %3<>1 survivors, and compacted == the
+    // retracted replay VERBATIM (folding partials to one batch must
+    // be result-invisible): serving from stored bands (never
+    // recomputing a corpus signature) is result-invisible, and the
+    // file-level takedown == a store built without the docs
     "inc_lsh_store" ->
       ("SELECT 'committed' AS phase, * FROM (\n" +
         lshStoreSql("TRUE") +
+        "\n) UNION ALL SELECT 'compacted' AS phase, * FROM (\n" +
+        lshStoreSql("b.doc_id % 3 <> 1") +
         "\n) UNION ALL SELECT 'retracted' AS phase, * FROM (\n" +
         lshStoreSql("b.doc_id % 3 <> 1") +
         "\n) ORDER BY phase, in_id, ex_id"),
+    // the store-served ingest loop == the whole chain recomputed
+    // from scratch, per phase: exact-dedup keepers (d1's fingerprint
+    // rule), the near-dup drop set (full pairwise Jaccard — serving
+    // from stored bands is result-invisible), the per-lang screen
+    // (counts over the surviving existing corpus == the rollup
+    // store's fold after the tombstone append), the d15 quality
+    // floor on the screened text — funnel-aggregated; the retracted
+    // phase is
+    // the same chain over the %3<>1 survivors, exactly what the
+    // takedown leaves on disk
+    "d92_store_ingest" ->
+      ("SELECT * FROM " + d92PhaseSql("committed", "TRUE") +
+        "\nUNION ALL SELECT * FROM " +
+        d92PhaseSql("retracted", "doc_id % 3 <> 1") +
+        "\nORDER BY phase, stage_idx"),
     // same claim for the KN LM store: committed = the d77 replay,
     // retracted = the era-parameterized d77 replay over survivors
     "inc_kn_store" ->

@@ -869,7 +869,8 @@ object StreamQueries {
         LlmQueries.corpusHealth(
           s.read.parquet(runA).unionByName(s.read.parquet(runB))),
         "crawl_001", 1, dir)
-      LlmQueries.healthRunsDelta(s.read.parquet(dir))
+      LlmQueries.healthRunsDelta(
+        graft.core.Snapshots.loadRunStore(s, dir))
     }),
 
     // The KN bigram LM refreshed between catch-up runs — the

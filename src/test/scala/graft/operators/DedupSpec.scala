@@ -671,4 +671,36 @@ class DedupSpec extends SparkSpec {
     Dedup.validateMinHashBands(bands, "doc_id",
       expectedIds = Some(existing.select("doc_id")))
   }
+
+  test("minHashBands coverage contract and lshScreenAgainst " +
+    "parameter refusal") {
+    // COVERAGE: empty and whitespace-only texts still band (the
+    // whole-text fallback shingle hashes the zero-token sequence),
+    // so 64·count audit rows and manifest rosters hold; only a NULL
+    // text is excluded
+    val edge = Seq((1L, ""), (2L, "   \t  "), (3L, "one two"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val bands = Dedup.minHashBands(edge, "doc_id", "text", k = 3)
+    val perId = bands.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perId == Map(1L -> 64L, 2L -> 64L, 3L -> 64L))
+    Dedup.validateMinHashBands(bands, "doc_id",
+      expectedIds =
+        Some(edge.filter(col("text").isNotNull).select("doc_id")))
+    // PARAMS: a store built at bands=32 probed at the default 64
+    // must refuse loudly, not silently return an empty screen
+    val stored32 = Dedup.minHashBands(edge, "doc_id", "text", k = 3,
+      numPerm = 256, bands = 32)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshScreenAgainst(edge.filter(col("doc_id") === 3L),
+        stored32, edge, "doc_id", "text", k = 3, theta = 0.7)
+    }
+    assert(e.getMessage.contains("different LSH parameters"))
+    // an EMPTY store is a first crawl, not a mismatch: screens clean
+    val empty = Dedup.lshScreenAgainst(
+      edge.filter(col("doc_id") === 3L),
+      stored32.filter(lit(false)), edge, "doc_id", "text",
+      k = 3, theta = 0.7)
+    assert(empty.count() == 0L)
+  }
 }

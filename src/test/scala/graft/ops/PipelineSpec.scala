@@ -154,12 +154,24 @@ class SnapshotsSpec extends SparkSpec {
       .write.mode("append").parquet(dir)
     // the first post-upgrade crawl appends a stamped run: legacy rows
     // read the stamp as null (0 distinct stamps), the new run as 1 —
-    // neither is a retry, and the diff must come back clean
+    // neither is a retry, and the diff must come back clean.
+    // loadRunStore is the read path: its mergeSchema keeps the stamp
+    // visible even when plain schema inference would pick a pre-stamp
+    // footer and silently disarm the detector
     Snapshots.appendRun(Seq(15L).toDF("n_docs"), "r2", 2, dir)
-    val (before, after) = Snapshots.lastTwoRuns(
-      spark.read.option("mergeSchema", "true").parquet(dir))
+    val store = Snapshots.loadRunStore(spark, dir)
+    assert(store.columns.contains("__graft_append_id"))
+    val (before, after) = Snapshots.lastTwoRuns(store)
     assert(before.select("run_id").head.getString(0) == "r1")
     assert(after.select("run_id").head.getString(0) == "r2")
+    // a DRIFTED retry of the stamped run on this upgraded store is
+    // still caught — the advisor's scenario: only the merged-schema
+    // read can see the two stamps under one seq
+    Snapshots.appendRun(Seq(16L).toDF("n_docs"), "r2", 2, dir)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.lastTwoRuns(Snapshots.loadRunStore(spark, dir))
+    }
+    assert(e.getMessage.contains("several appends share one run_seq"))
   }
 
   test("run store: the append stamp never reaches the returned " +
