@@ -169,17 +169,26 @@ object StoreBench {
     if (sys.env.get("STOREBENCH_SKIP_SYNTH").isEmpty) {
       val nlist = 1024
       val nVec = 1000000L
+      val m = 4
       val annDir = fresh("annxl")
-      val synth = spark.range(nVec).select(
-        col("id").as("nid"),
-        (col("id") % nlist).cast("int").as("cell"),
-        array((0 until 4).map(s =>
-          pmod(hash(col("id"), lit(s)), lit(256)).cast("short")): _*)
-          .as("code"))
+      // the REAL persisted layout holds m rows per vector — one
+      // (nid, cell, s, c) row per PQ subspace (Quantization's
+      // posexplode shape) — so the scan side must pay m·nVec rows,
+      // not nVec; a 1-row-per-vector synthetic would understate scan
+      // cost 4x and bias the crossover verdict
+      val synth = spark.range(nVec)
+        .select(col("id").as("nid"),
+          (col("id") % nlist).cast("int").as("cell"),
+          explode(array((0 until m).map(lit): _*)).as("s"))
+        .withColumn("c",
+          pmod(hash(col("nid"), col("s")), lit(256)).cast("int"))
         .repartition(col("cell"))
       graft.sources.Bucketed.writePartitioned(synth,
         s"$annDir/codes", Seq("cell"))
-      synth.select("nid", "cell")
+      // the manifest exactly as rebuildIvfPqNidManifest lays it out:
+      // DISTINCT (nid, cell) — one row per vector, cell-partitioned
+      synth.select("nid", "cell").distinct()
+        .repartition(col("cell"))
         .write.option("partitionOverwriteMode", "static")
         .partitionBy("cell").mode("overwrite")
         .parquet(s"$annDir/nid_manifest")
@@ -197,15 +206,17 @@ object StoreBench {
       val xp = (1 to 3).map(_ => time(xProbe()))
       println(
         s"""{"metric":"ann_discovery","unit":"sec","sf":"synthetic",""" +
-          s""""code_rows":$nVec,"manifest_rows":$nVec,""" +
-          s""""nlist":$nlist,"m":4,"synthetic":true,""" +
+          s""""code_rows":${nVec * m},"manifest_rows":$nVec,""" +
+          s""""nlist":$nlist,"m":$m,"synthetic":true,""" +
           s""""scan_median":${n(median(xs))},""" +
           s""""scan_runs":${arr(xs)},""" +
           s""""manifest_median":${n(median(xp))},""" +
           s""""manifest_runs":${arr(xp)},""" +
           s""""note":"layout shape synthesized (discovery cost depends""" +
-          s""" on directory/row shape only): nlist=1024 dirs, 1e6 code""" +
-          s""" rows with m=4 payload, manifest cell-partitioned as""" +
+          s""" on directory/row shape only): nlist=1024 dirs, 1e6""" +
+          s""" vectors as m=4 (nid, cell, s, c) code rows - the real""" +
+          s""" posexplode layout, 4e6 scan-side rows - manifest =""" +
+          s""" distinct (nid, cell), cell-partitioned as""" +
           s""" rebuildIvfPqNidManifest writes it"}""")
     }
 

@@ -1064,6 +1064,53 @@ object Dedup {
     }
   }
 
+  /** Persist the (k, numPerm, bands) a durable band store was built
+    * with — the bookkeeping half of [[lshScreenAgainst]]'s parameter
+    * contract: the screen's structural band-range check catches a
+    * `bands` drift, but a k or numPerm drift at EQUAL bands is
+    * invisible in the rows (same band range, different hashes —
+    * every bucket probe silently misses). One-row parquet sidecar
+    * beside the store directory (the id-manifest sibling
+    * discipline: store maintenance — partition rewrites, compaction
+    * swaps — never touches it). Overwritten on re-init, when the
+    * params may legitimately change. */
+  def writeBandParams(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, k: Int, numPerm: Int,
+                      bands: Int): Unit =
+    spark.range(1)
+      .select(lit(k).as("k"), lit(numPerm).as("num_perm"),
+        lit(bands).as("bands"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir + "__band_params")
+
+  /** Refuse loudly unless the [[writeBandParams]] sidecar beside
+    * `dir` matches the screen's parameters EXACTLY. A store without
+    * a sidecar refuses too: a durable band store must declare its
+    * parameters (for a pre-sidecar store, call writeBandParams once
+    * with the values it was built with). Run this before every
+    * [[lshScreenAgainst]] serve from a durable store — it closes
+    * the k/numPerm half of the mismatch contract the structural
+    * check cannot see. */
+  def requireBandParams(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, k: Int, numPerm: Int,
+                        bands: Int): Unit = {
+    val path = dir + "__band_params"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"band store $dir declares no LSH parameters ($path missing) " +
+        "- a parameter-mismatched probe silently misses every " +
+        "bucket; writeBandParams once with the store's build values")
+    val r = spark.read.parquet(path)
+      .select("k", "num_perm", "bands").head()
+    val (sk, sp, sb) = (r.getInt(0), r.getInt(1), r.getInt(2))
+    require(sk == k && sp == numPerm && sb == bands,
+      s"band store $dir was built at (k=$sk, numPerm=$sp, " +
+        s"bands=$sb) but this screen uses (k=$k, numPerm=$numPerm, " +
+        s"bands=$bands) - every bucket probe would silently miss; " +
+        "screen with the store's parameters or re-band the store")
+  }
+
   /** Ingest-time near-dup screen of an incoming batch against a
     * MAINTAINED band table ([[minHashBands]], usually loaded from a
     * durable store): band the incoming docs, probe the stored bands
@@ -1100,10 +1147,11 @@ object Dedup {
     * band ids must span exactly [0, bands), which a store built at a
     * different band count cannot) and refuses loudly. A k or numPerm
     * drift at EQUAL bands is invisible in the rows (same band range,
-    * different hashes), so owners of long-lived stores must persist
-    * (k, numPerm, bands) beside the store and require equality at
-    * load — the structural check is the safety net, not the
-    * bookkeeping.
+    * different hashes), so durable band stores persist
+    * (k, numPerm, bands) beside the store ([[writeBandParams]] at
+    * build, [[requireBandParams]] before every serve — wired in
+    * every store query); the structural check here is the safety
+    * net for bare DataFrames, not the bookkeeping.
     *
     * @param existing the corpus TEXT source the re-score reads
     *                 candidates from — at production, the corpus

@@ -713,9 +713,14 @@ object Incremental {
     * (id, batch) projections; run it after any crash-recovery and
     * before trusting a long-lived store's retraction path. Repair
     * is [[compactSnapshotStore]], whose manifest rebuild is exact
-    * by construction. */
+    * by construction.
+    *
+    * @return the manifest it certified, so per-serve callers that
+    *         also need the id roster ([[loadSnapshotStoreManifest]]'s
+    *         completeness-validator use) read the parquet once, not
+    *         twice per certification point. */
   def validateSnapshotStoreManifest(spark: SparkSession,
-                                    dir: String): Unit = {
+                                    dir: String): DataFrame = {
     require(hasManifest(spark, dir),
       s"$dir has no id manifest to validate - initSnapshotStore " +
         "with manifestIdCol creates one")
@@ -758,6 +763,7 @@ object Incremental {
           "future retractions MISS their partitions (retracted rows " +
           "keep serving); compactSnapshotStore rebuilds it exactly")
     }
+    m
   }
 
   // ------------------------------------------------------------------

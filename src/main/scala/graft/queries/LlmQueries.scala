@@ -973,6 +973,9 @@ object LlmQueries {
         existing.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         k = 5)
       I.initSnapshotStore(b0, dir, manifestIdCol = Some("doc_id"))
+      // the store declares its LSH parameters (the sidecar every
+      // durable band store must carry — see requireBandParams)
+      Dedup.writeBandParams(s, dir, k = 5, numPerm = 256, bands = 64)
       org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b0)
       val b1 = Dedup.minHashBands(
         existing.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
@@ -986,15 +989,19 @@ object LlmQueries {
       // tracked and freed once the final union materializes
       val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
       def screen(phase: String): DataFrame = {
-        I.validateSnapshotStoreManifest(s, dir)
+        // full certification: manifest sync, then structural
+        // (exactly 64 rows per present id) AND complete — the
+        // manifest roster names every id the store claims, so a doc
+        // whose band rows were ALL lost (invisible to the per-id
+        // count) refuses here; the sync validator returns the
+        // manifest it read, so the roster costs no second read
+        val roster = I.validateSnapshotStoreManifest(s, dir)
+          .select("doc_id")
+        Dedup.requireBandParams(s, dir, k = 5, numPerm = 256,
+          bands = 64)
         val stored = I.loadSnapshotStore(s, dir)
-        // full certification: structural (exactly 64 rows per
-        // present id) AND complete — the manifest roster names every
-        // id the store claims, so a doc whose band rows were ALL
-        // lost (invisible to the per-id count) refuses here
         Dedup.validateMinHashBands(stored, "doc_id",
-          expectedIds = Some(
-            I.loadSnapshotStoreManifest(s, dir).select("doc_id")))
+          expectedIds = Some(roster))
         val out = Dedup.lshScreenAgainst(incoming, stored, existing,
           "doc_id", "text", k = 5, theta = 0.7)
         cps += out
@@ -2516,6 +2523,7 @@ object LlmQueries {
         existing.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         k = 5)
       I.initSnapshotStore(b0, bdir, manifestIdCol = Some("doc_id"))
+      Dedup.writeBandParams(s, bdir, k = 5, numPerm = 256, bands = 64)
       org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b0)
       val b1 = Dedup.minHashBands(
         existing.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
@@ -2547,12 +2555,16 @@ object LlmQueries {
       def ingest(phase: String, survivors: DataFrame): DataFrame = {
         // re-certify EVERY touched store before serving from it:
         // manifest sync, band structure + manifest-roster
-        // completeness, fold non-negativity
-        I.validateSnapshotStoreManifest(s, bdir)
+        // completeness, fold non-negativity (the sync validator
+        // returns the manifest it read, so the roster costs no
+        // second parquet read)
+        val roster = I.validateSnapshotStoreManifest(s, bdir)
+          .select("doc_id")
+        Dedup.requireBandParams(s, bdir, k = 5, numPerm = 256,
+          bands = 64)
         val bands = I.loadSnapshotStore(s, bdir)
         Dedup.validateMinHashBands(bands, "doc_id",
-          expectedIds = Some(
-            I.loadSnapshotStoreManifest(s, bdir).select("doc_id")))
+          expectedIds = Some(roster))
         val counts = I.loadRollupStore(s, gdir, Seq("grp", "key"),
           Seq("cnt"))
         Dedup.validateLineCounts(counts)
@@ -2579,16 +2591,17 @@ object LlmQueries {
           TextAnalysis.textStats(col("text")).getField("n_toks")
             >= 20 &&
             TextAnalysis.langIdHeuristic(col("text")) === col("lang")))
-        Seq(funnelRow(phase, 0, "0_incoming", incoming),
+        val out = Seq(funnelRow(phase, 0, "0_incoming", incoming),
             funnelRow(phase, 1, "1_exact", s1),
             funnelRow(phase, 2, "2_neardup", s2),
             funnelRow(phase, 3, "3_screen", s3),
             funnelRow(phase, 4, "4_quality", s4))
           .reduce(_ unionByName _).localCheckpoint(true)
+        cps += out
+        out
       }
       try {
         val committed = ingest("committed", existing)
-        cps += committed
         // the takedown lands MID-SEQUENCE, one retraction per store
         // discipline: file-level partition rewrite on the band
         // facts (manifested discovery), a negated-partial tombstone
@@ -3904,14 +3917,15 @@ object LlmQueries {
        |    FILTER (WHERE keep), '') AS text
        |  FROM kl GROUP BY doc_id, lang),
        |ql AS (SELECT doc_id, lang,
-       |  CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
-       |    AS INT) AS n_toks,
+       |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |    t -> t <> '')) AS INT) AS n_toks,
        |  len(list_filter(lws, t -> t IN ('the','a','an','and','of','is','to','in'))) AS ens,
        |  len(list_filter(lws, t -> t IN ('der','die','das','und','ist','nicht'))) AS des,
        |  len(list_filter(lws, t -> t IN ('le','la','les','et','est','ne','pas'))) AS frs,
        |  len(list_filter(lws, t -> t IN ('el','los','las','y','es','no','que'))) AS ess
        |  FROM (SELECT doc_id, lang, text,
-       |    string_split(lower(text), ' ') AS lws FROM s3) t),
+       |    string_split_regex(lower(text), '\\s+') AS lws
+       |  FROM s3) t),
        |qk AS (SELECT doc_id FROM ql WHERE n_toks >= 20 AND lang = (
        |  CASE WHEN greatest(ens, des, frs, ess) <= 0 THEN 'und'
        |  WHEN ens >= des AND ens >= frs AND ens >= ess THEN 'en'

@@ -573,6 +573,7 @@ object StreamQueries {
         existing.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         k = 5)
       I.initSnapshotStore(b0, dir, manifestIdCol = Some("doc_id"))
+      D.writeBandParams(s, dir, k = 5, numPerm = 256, bands = 64)
       org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b0)
       val b1 = D.minHashBands(
         existing.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
@@ -585,6 +586,7 @@ object StreamQueries {
       // the pin keeps per-batch probes off repeated parquet reads)
       def loadPinned(): DataFrame = {
         I.validateSnapshotStoreManifest(s, dir)
+        D.requireBandParams(s, dir, k = 5, numPerm = 256, bands = 64)
         reg(I.loadSnapshotStore(s, dir).localCheckpoint(true))
       }
       lazy val bandsA = loadPinned()

@@ -702,5 +702,23 @@ class DedupSpec extends SparkSpec {
       stored32.filter(lit(false)), edge, "doc_id", "text",
       k = 3, theta = 0.7)
     assert(empty.count() == 0L)
+    // the sidecar closes the k/numPerm half the structural check
+    // cannot see: exact match passes, any drift refuses, and a store
+    // with NO declared params refuses too
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bandparams").toString + "/store"
+    val eMissing = intercept[IllegalArgumentException] {
+      Dedup.requireBandParams(spark, dir, k = 3, numPerm = 256,
+        bands = 64)
+    }
+    assert(eMissing.getMessage.contains("declares no LSH parameters"))
+    Dedup.writeBandParams(spark, dir, k = 3, numPerm = 256, bands = 64)
+    Dedup.requireBandParams(spark, dir, k = 3, numPerm = 256,
+      bands = 64)
+    val eDrift = intercept[IllegalArgumentException] {
+      Dedup.requireBandParams(spark, dir, k = 5, numPerm = 256,
+        bands = 64)
+    }
+    assert(eDrift.getMessage.contains("silently miss"))
   }
 }
