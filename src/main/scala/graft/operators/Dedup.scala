@@ -1007,6 +1007,27 @@ object Dedup {
   def minHashBands(df: DataFrame, idCol: String, textCol: String,
                    k: Int, numPerm: Int = 256,
                    bands: Int = 64): DataFrame = {
+    val (out, sig) = minHashBandsLazy(df, idCol, textCol, k, numPerm,
+      bands)
+    val ck = out.localCheckpoint(true)
+    Shims.unpersistLocalCheckpoint(sig)
+    ck
+  }
+
+  /** [[minHashBands]] for callers that immediately hand the band rows
+    * to a materializing consumer (a store init/commit, whose write
+    * path pins its input itself): returns the LAZY banded plan plus
+    * the internal signature barrier it reads, so the band table
+    * materializes ONCE — in the consumer — instead of paying
+    * minHashBands' own output checkpoint first (r17: one fewer
+    * 64·N-row materialization per band build). Caller contract: free
+    * the returned barrier (`Shims.unpersistLocalCheckpoint`) only
+    * AFTER the banded rows have fully materialized downstream; the
+    * lazy plan recomputes from the barrier until then. Same rows,
+    * same coverage contract as [[minHashBands]]. */
+  def minHashBandsLazy(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, numPerm: Int = 256,
+                       bands: Int = 64): (DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rows = numPerm / bands
     // isNotNull, not size(hs) > 0: non-strict hashedShingles NEVER
@@ -1022,10 +1043,8 @@ object Dedup {
       xxhash64((b * rows until (b + 1) * rows)
         .map(i => element_at(col("sig"), i + 1)): _*))
     val out = sig.select(col(idCol),
-        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-      .localCheckpoint(true)
-    Shims.unpersistLocalCheckpoint(sig)
-    out
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    (out, sig)
   }
 
   /** Loud structural validator for a maintained band table — the
@@ -1046,21 +1065,39 @@ object Dedup {
   def validateMinHashBands(bandsTable: DataFrame, idCol: String,
                            bands: Int = 64,
                            expectedIds: Option[DataFrame] = None): Unit = {
-    val bad = bandsTable.groupBy(col(idCol))
+    val perId = bandsTable.groupBy(col(idCol))
       .agg(count(lit(1)).as("__graft_n"))
-      .filter(col("__graft_n") =!= bands.toLong).count()
-    require(bad == 0,
-      s"band table corrupt: $bad id(s) without exactly $bands band " +
-        "rows - a doc was banded twice or a band set is torn")
-    expectedIds.foreach { ids =>
-      val missing = ids.select(col(idCol)).distinct()
-        .join(bandsTable.select(col(idCol)), Seq(idCol), "left_anti")
-        .count()
-      require(missing == 0,
-        s"band table corrupt: $missing expected id(s) carry NO band " +
-          "rows at all - a whole band set was lost (the structural " +
-          "per-id check cannot see an absent doc); re-band the " +
-          "missing docs")
+    expectedIds match {
+      case None =>
+        val bad = perId
+          .filter(col("__graft_n") =!= bands.toLong).count()
+        require(bad == 0,
+          s"band table corrupt: $bad id(s) without exactly $bands " +
+            "band rows - a doc was banded twice or a band set is torn")
+      case Some(ids) =>
+        // ONE job carries both checks (r17): the per-id counts
+        // full-outer-join the roster, a roster id with no count row
+        // is the completeness failure, a count row off `bands` the
+        // structural one — the band table scans once, not twice, and
+        // the two failure classes keep their distinct diagnoses
+        val r = ids.select(col(idCol)).distinct()
+          .withColumn("__graft_exp", lit(1))
+          .join(perId, Seq(idCol), "full_outer")
+          .agg(
+            coalesce(sum(when(col("__graft_n").isNotNull &&
+              col("__graft_n") =!= bands.toLong, 1L).otherwise(0L)),
+              lit(0L)).as("bad"),
+            coalesce(sum(when(col("__graft_n").isNull, 1L)
+              .otherwise(0L)), lit(0L)).as("missing")).head
+        val (bad, missing) = (r.getLong(0), r.getLong(1))
+        require(bad == 0,
+          s"band table corrupt: $bad id(s) without exactly $bands " +
+            "band rows - a doc was banded twice or a band set is torn")
+        require(missing == 0,
+          s"band table corrupt: $missing expected id(s) carry NO " +
+            "band rows at all - a whole band set was lost (the " +
+            "structural per-id check cannot see an absent doc); " +
+            "re-band the missing docs")
     }
   }
 
@@ -1156,10 +1193,19 @@ object Dedup {
     * @param existing the corpus TEXT source the re-score reads
     *                 candidates from — at production, the corpus
     *                 store; only candidate ids' rows are read. */
+  /** @param incomingBands when a caller screens the SAME incoming
+    *   batch against several store states (the phase-structured
+    *   lifecycle queries), pass `minHashBands(incoming, idCol,
+    *   textCol, k, numPerm, bands)` built ONCE — the screen then
+    *   skips re-banding the batch per call (r17: inc_lsh_store's
+    *   three phases were paying three identical bandings). The frame
+    *   is caller-owned: it must be exactly that expression over the
+    *   same `incoming`, and the caller frees it. */
   def lshScreenAgainst(incoming: DataFrame, storedBands: DataFrame,
                        existing: DataFrame, idCol: String,
                        textCol: String, k: Int, theta: Double,
-                       numPerm: Int = 256, bands: Int = 64): DataFrame = {
+                       numPerm: Int = 256, bands: Int = 64,
+                       incomingBands: Option[DataFrame] = None): DataFrame = {
     // refuse a parameter-mismatched store BEFORE probing: a store
     // built at bands'≠bands has band ids spanning [0, bands') — the
     // probe would silently miss every bucket (see scaladoc). An
@@ -1176,8 +1222,9 @@ object Dedup {
           "every bucket probe would miss; re-band the store or " +
           "screen with the parameters it was built with")
     }
-    val inBands = minHashBands(incoming, idCol, textCol, k, numPerm,
-      bands)
+    val ownsInBands = incomingBands.isEmpty
+    val inBands = incomingBands.getOrElse(
+      minHashBands(incoming, idCol, textCol, k, numPerm, bands))
     // collision probe: skinny (id, band, bh) vs skinny stored rows —
     // candidates deduplicate before any text is touched
     val cand = inBands.as("a")
@@ -1205,7 +1252,7 @@ object Dedup {
       .filter(col("jac") >= theta)
       .select("in_id", "ex_id", "jac")
       .localCheckpoint(true)
-    Shims.unpersistLocalCheckpoint(inBands)
+    if (ownsInBands) Shims.unpersistLocalCheckpoint(inBands)
     Shims.unpersistLocalCheckpoint(cand)
     out
   }

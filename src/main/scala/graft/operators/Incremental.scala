@@ -407,8 +407,8 @@ object Incremental {
       // materialization — re-listing shrinks it back to the write
       // itself (this is a window, not a lock: concurrent commits of
       // the same batch id were never supported)
-      val store = commitGuards(spark, dir, batch, manifestIdCol)
-      writeCommit(pinned, store, dir, batch, manifestIdCol)
+      commitGuards(spark, dir, batch, manifestIdCol)
+      writeCommit(pinned, dir, batch, manifestIdCol)
     }
     // outside the pin (see initSnapshotStore): the sync probe reads
     // only what landed on disk — the corpus-scale pin's last real
@@ -419,12 +419,41 @@ object Incremental {
       manifestIdCol.foreach(id => verifyBatchSync(spark, dir, batch, id))
   }
 
+  /** The landed batch ids of a store, from the FILESYSTEM alone — a
+    * directory listing of `batch=<n>` partitions that hold at least
+    * one data file. Semantically the set `readStore(...)
+    * .select("batch").distinct()` returns (Spark's file index also
+    * ignores empty partition directories and `_`/`.`-prefixed
+    * files), but with zero Spark jobs: the commit guards run TWICE
+    * per commit and were paying a full-store file-index job each —
+    * pure listing work answered by listing (guide §1.2: don't
+    * compute what a metadata probe already knows). */
+  private def landedBatches(spark: SparkSession,
+                            dir: String): Set[Long] = {
+    val (fs, p) = fsFor(spark, dir)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.matches("batch=-?\\d+"))
+      .map(n => (n.stripPrefix("batch=").toLong, n))
+      .filter { case (_, n) =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(p, n)).exists(st =>
+          st.isFile && {
+            val f = st.getPath.getName
+            !f.startsWith("_") && !f.startsWith(".")
+          })
+      }
+      .map(_._1).toSet
+  }
+
   /** The listing-only commit preconditions (manifest two-sided guard
-    * + fresh batch id); returns the store reader for reuse by
-    * [[writeCommit]]'s residue probe. */
+    * + fresh batch id). Listing-only for real since r17: the landed
+    * batch ids come from [[landedBatches]]' filesystem probe, not a
+    * Spark job over the store's file index. */
   private def commitGuards(spark: SparkSession, dir: String,
                            batch: Long,
-                           manifestIdCol: Option[String]): DataFrame = {
+                           manifestIdCol: Option[String]): Unit = {
     val manifested = hasManifest(spark, dir)
     require(manifested == manifestIdCol.isDefined,
       if (manifested)
@@ -435,13 +464,9 @@ object Incremental {
       else
         s"manifestIdCol passed but $dir has no manifest - " +
           "initSnapshotStore(manifestIdCol = Some(...)) creates it")
-    val store = readStore(spark, dir)
-    val landed = store.select("batch").distinct()
-      .collect().map(_.getLong(0)).toSet
-    require(!landed.contains(batch),
+    require(!landedBatches(spark, dir).contains(batch),
       s"batch $batch already committed to $dir - re-committing " +
         "would duplicate markers and counts")
-    store
   }
 
   /** The write tail shared by [[commitSnapshotBatch]] and
@@ -455,7 +480,7 @@ object Incremental {
     * repairs). The reverse order would leave the manifest MISSING a
     * landed batch's ids, and a future retraction would silently
     * scope past them — retracted rows kept serving. */
-  private def writeCommit(pinned: DataFrame, store: DataFrame,
+  private def writeCommit(pinned: DataFrame,
                           dir: String, batch: Long,
                           manifestIdCol: Option[String]): Unit = {
     val spark = pinned.sparkSession
@@ -463,6 +488,10 @@ object Incremental {
       val residuePath = s"${manifestPath(dir)}/batch=$batch"
       val (fs, residue) = fsFor(spark, residuePath)
       if (fs.exists(residue)) {
+        // the residue probe is the one guard that still needs the
+        // store's DATA (served ids), so the reader constructs only
+        // on this rare branch — the hot path stays listing-only
+        val store = readStore(spark, dir)
         // a manifest partition under this batch id is deletable
         // retry-residue ONLY if it came from a crashed commit of
         // this same batch — whose ids, by the manifest-first
@@ -871,8 +900,8 @@ object Incremental {
         // the early listing ran before the negation's dominant
         // shuffle, which would otherwise leave a replay window as
         // wide as the whole materialization
-        val store = commitGuards(spark, dir, batch, None)
-        writeCommit(negated, store, dir, batch, None)
+        commitGuards(spark, dir, batch, None)
+        writeCommit(negated, dir, batch, None)
       }
     }
   }

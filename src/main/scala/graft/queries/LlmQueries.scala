@@ -967,27 +967,34 @@ object LlmQueries {
       val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
         s"lshstore_${pathDigest(d)}"
       // two crawl eras commit their banded rows (manifested — the
-      // takedown below discovers by probe); the band tables are
-      // checkpoints, freed once the store owns the rows
-      val b0 = Dedup.minHashBands(
+      // takedown below discovers by probe); lazy band plans — the
+      // store write pins them itself, so each era's band table
+      // materializes once (r17), with the signature barrier freed
+      // after the write lands
+      val (b0, sig0) = Dedup.minHashBandsLazy(
         existing.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         k = 5)
       I.initSnapshotStore(b0, dir, manifestIdCol = Some("doc_id"))
       // the store declares its LSH parameters (the sidecar every
       // durable band store must carry — see requireBandParams)
       Dedup.writeBandParams(s, dir, k = 5, numPerm = 256, bands = 64)
-      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b0)
-      val b1 = Dedup.minHashBands(
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(sig0)
+      val (b1, sig1) = Dedup.minHashBandsLazy(
         existing.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
         k = 5)
       I.commitSnapshotBatch(b1, dir, 1L, manifestIdCol = Some("doc_id"))
-      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b1)
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(sig1)
       // each phase serves from what is ON DISK and re-certifies the
       // manifest; the screen output checkpoints eagerly inside the
       // operator, so the retraction between phases cannot invalidate
       // the committed result's plan — the phase checkpoints are
       // tracked and freed once the final union materializes
       val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      // the incoming batch is the SAME frame in all three phases —
+      // band it once and let every screen probe the shared table
+      // (r17: three identical bandings collapsed to one)
+      val inB = Dedup.minHashBands(incoming, "doc_id", "text", k = 5)
+      cps += inB
       def screen(phase: String): DataFrame = {
         // full certification: manifest sync, then structural
         // (exactly 64 rows per present id) AND complete — the
@@ -1003,7 +1010,8 @@ object LlmQueries {
         Dedup.validateMinHashBands(stored, "doc_id",
           expectedIds = Some(roster))
         val out = Dedup.lshScreenAgainst(incoming, stored, existing,
-          "doc_id", "text", k = 5, theta = 0.7)
+          "doc_id", "text", k = 5, theta = 0.7,
+          incomingBands = Some(inB))
         cps += out
         out.select(lit(phase).as("phase"), col("in_id"),
           col("ex_id"), col("jac"))
@@ -1679,33 +1687,38 @@ object LlmQueries {
     "inc_store_levels" -> ((s, d) => {
       val docs = T.documents(s, d)
       val I = graft.operators.Incremental
+      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def ck(df: DataFrame): DataFrame = {
+        val c = df.localCheckpoint(true); cps += c; c
+      }
+      // the era snapshots are LEVEL-INVARIANT (the tiers differ in
+      // WHEN certification runs, never in what lands on disk — the
+      // query's own claim), so each builds ONCE and both lifecycles
+      // write from the shared checkpoint (r17: the second lifecycle
+      // was paying an identical tokenize+aggregate per era)
+      lazy val snapEven = ck(Search.tfSnapshot(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"))
+      lazy val snapOdd = ck(Search.tfSnapshot(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
       def lifecycle(level: String): String = {
         val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
           s"tfstore_${level}_${pathDigest(d)}"
-        I.initSnapshotStore(
-          Search.tfSnapshot(docs.filter(col("doc_id") % 2 === 0),
-            "doc_id", "text"), dir, manifestIdCol = Some("doc_id"),
-          validate = level)
-        I.commitSnapshotBatch(
-          Search.tfSnapshot(docs.filter(col("doc_id") % 2 =!= 0),
-            "doc_id", "text"), dir, 1L,
+        I.initSnapshotStore(snapEven, dir,
+          manifestIdCol = Some("doc_id"), validate = level)
+        I.commitSnapshotBatch(snapOdd, dir, 1L,
           manifestIdCol = Some("doc_id"), validate = level)
         I.retractFromSnapshotStore(s, dir,
           docs.filter(col("doc_id") % 10 === 3).select("doc_id"),
           validate = level)
         dir
       }
-      val dirFull = lifecycle("full")
-      val dirRec = lifecycle("recovery")
-      // the recovery deployment's DEFERRED certification: one audit
-      // pass over the finished store instead of a probe per
-      // operation — this is the moment the skipped checks run
-      I.validateSnapshotStoreManifest(s, dirRec)
-      val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
-      def ck(df: DataFrame): DataFrame = {
-        val c = df.localCheckpoint(true); cps += c; c
-      }
       try {
+        val dirFull = lifecycle("full")
+        val dirRec = lifecycle("recovery")
+        // the recovery deployment's DEFERRED certification: one audit
+        // pass over the finished store instead of a probe per
+        // operation — this is the moment the skipped checks run
+        I.validateSnapshotStoreManifest(s, dirRec)
         val probe16 = docs.filter(col("doc_id") % 16 === 3)
           .select(col("doc_id").as("qid"),
             bm25Qtext(col("text")).as("qtext"))
@@ -2149,16 +2162,18 @@ object LlmQueries {
         val c = df.localCheckpoint(true); cps += c; c
       }
       try {
-        // after-states checkpoint too: the validator pass and the
-        // audit aggregation read the SAME materialization instead of
-        // re-running each retraction twice
+        // BEFORE-states checkpoint (multiple heavy consumers); the
+        // AFTER-states stay LAZY since r17 — each is one broadcast
+        // anti-join over its cached before-frame, and its two
+        // consumers (validator, audit) re-run that join for less
+        // than the cost of materializing a second corpus-scale copy
         val tf = ck(Search.tfSnapshot(docs, "doc_id", "text"))
-        val tfAfter = ck(graft.operators.Incremental
-          .retractDocs(tf, docIds))
+        val tfAfter = graft.operators.Incremental
+          .retractDocs(tf, docIds)
         Search.validateTfSnapshot(tfAfter)
         val kn = ck(TextAnalysis.knSnapshot(docs, "doc_id", "text"))
-        val knAfter = ck(graft.operators.Incremental
-          .retractDocs(kn, docIds))
+        val knAfter = graft.operators.Incremental
+          .retractDocs(kn, docIds)
         TextAnalysis.validateKnSnapshot(knAfter)
         val lc = ck(Dedup.lineCountPartial(docs, "text"))
         val lcAfter = ck(Dedup.subtractLineCounts(lc,
@@ -2181,8 +2196,8 @@ object LlmQueries {
         // and the m-rows-per-id validator re-certifies the survivors
         val bands = Dedup.minHashBands(docs, "doc_id", "text", k = 5)
         cps += bands
-        val bandsAfter = ck(graft.operators.Incremental
-          .retractDocs(bands, docIds))
+        val bandsAfter = graft.operators.Incremental
+          .retractDocs(bands, docIds)
         Dedup.validateMinHashBands(bandsAfter, "doc_id")
         val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
           s"takedown89_${pathDigest(d)}"
@@ -2284,7 +2299,10 @@ object LlmQueries {
         val bandsD = Dedup.minHashBands(delta, "doc_id", "text",
           k = 5)
         cps += bandsD
-        val bandsM = ck(bandsA.unionByName(bandsD))
+        // LAZY union of the two checkpointed era tables (r17): its
+        // consumers (validator, audit) re-scan cached blocks instead
+        // of paying a third full band-table materialization
+        val bandsM = bandsA.unionByName(bandsD)
         Dedup.validateMinHashBands(bandsM, "doc_id")
         val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
           s"crawl90_${pathDigest(d)}"
@@ -2430,8 +2448,11 @@ object LlmQueries {
         val bandsNew = Dedup.minHashBands(updated, "doc_id", "text",
           k = 5)
         cps += bandsNew
-        val bandsU = ck(graft.operators.Incremental
-          .retractDocs(bands0, updIds).unionByName(bandsNew))
+        // LAZY retract+union over the two checkpointed band tables
+        // (r17): one broadcast anti-join its two consumers re-run,
+        // instead of a third full band-table materialization
+        val bandsU = graft.operators.Incremental
+          .retractDocs(bands0, updIds).unionByName(bandsNew)
         Dedup.validateMinHashBands(bandsU, "doc_id")
         val dir = s"/tmp/graft_${s.sparkContext.applicationId}/" +
           s"recrawl91_${pathDigest(d)}"
@@ -2519,17 +2540,17 @@ object LlmQueries {
       // (id-keyed file-level retraction), append-only grouped count
       // PARTIALS (tombstone retraction). init resets both stores, so
       // the query is idempotent across re-invocations.
-      val b0 = Dedup.minHashBands(
+      val (b0, sig0) = Dedup.minHashBandsLazy(
         existing.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         k = 5)
       I.initSnapshotStore(b0, bdir, manifestIdCol = Some("doc_id"))
       Dedup.writeBandParams(s, bdir, k = 5, numPerm = 256, bands = 64)
-      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b0)
-      val b1 = Dedup.minHashBands(
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(sig0)
+      val (b1, sig1) = Dedup.minHashBandsLazy(
         existing.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
         k = 5)
       I.commitSnapshotBatch(b1, bdir, 1L, manifestIdCol = Some("doc_id"))
-      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b1)
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(sig1)
       I.initSnapshotStore(Dedup.groupedLineCountPartial(
         existing.filter(col("doc_id") % 2 === 0), "lang", "text"), gdir)
       I.commitSnapshotBatch(Dedup.groupedLineCountPartial(
@@ -2549,6 +2570,24 @@ object LlmQueries {
           .select(lit(phase).as("phase"), lit(idx).as("stage_idx"),
             lit(name).as("stage"), col("n_docs"), col("n_chars"),
             col("id_checksum"))
+      // stage 1 (exact in-batch dedup) and the batch's banding are
+      // PHASE-INVARIANT — they depend only on the incoming batch,
+      // never on store state — so both build once and every phase
+      // serves from the shared tables (r17: the second phase was
+      // paying an identical exactDedup + banding). lazy: they first
+      // force inside the try, so a failure cannot leak them past
+      // the finally
+      lazy val s1Shared = {
+        val c = incoming.join(
+          Dedup.exactDedup(incoming, "doc_id", "text")
+            .select(col("keeper").as("doc_id")),
+          Seq("doc_id")).localCheckpoint(true)
+        cps += c; c
+      }
+      lazy val s1Bands = {
+        val b = Dedup.minHashBands(s1Shared, "doc_id", "text", k = 5)
+        cps += b; b
+      }
       // one serve of the whole ingest loop from what is ON DISK;
       // the funnel checkpoints eagerly because the takedown between
       // phases mutates the stores these plans read
@@ -2568,12 +2607,10 @@ object LlmQueries {
         val counts = I.loadRollupStore(s, gdir, Seq("grp", "key"),
           Seq("cnt"))
         Dedup.validateLineCounts(counts)
-        val s1 = ck(incoming.join(
-          Dedup.exactDedup(incoming, "doc_id", "text")
-            .select(col("keeper").as("doc_id")),
-          Seq("doc_id")))
+        val s1 = s1Shared
         val flagged = Dedup.lshScreenAgainst(s1, bands, survivors,
-          "doc_id", "text", k = 5, theta = 0.7)
+          "doc_id", "text", k = 5, theta = 0.7,
+          incomingBands = Some(s1Bands))
         cps += flagged
         val s2 = ck(s1.join(
           flagged.select(col("in_id").as("doc_id")).distinct(),

@@ -569,17 +569,20 @@ object StreamQueries {
         s"st_lshstore_${LlmQueries.pathDigest(d)}"
       val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
       def reg(df: DataFrame): DataFrame = { cps += df; df }
-      val b0 = D.minHashBands(
+      // lazy band plans: the store writes pin them, so each era's
+      // band table materializes once (r17) — the signature barrier
+      // frees after the write lands
+      val (b0, sig0) = D.minHashBandsLazy(
         existing.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         k = 5)
       I.initSnapshotStore(b0, dir, manifestIdCol = Some("doc_id"))
       D.writeBandParams(s, dir, k = 5, numPerm = 256, bands = 64)
-      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b0)
-      val b1 = D.minHashBands(
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(sig0)
+      val (b1, sig1) = D.minHashBandsLazy(
         existing.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
         k = 5)
       I.commitSnapshotBatch(b1, dir, 1L, manifestIdCol = Some("doc_id"))
-      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(b1)
+      org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(sig1)
       // each era certifies then PINS the on-disk band table once (a
       // checkpoint: era A's screen must keep reading pre-retraction
       // bands even as micro-batches interleave with nothing — and
