@@ -774,6 +774,42 @@ object Dedup {
     PrefixCrossIndex(shEx, dfreq, prefEx, idx.k, idx.theta)
   }
 
+  /** Retract + refresh in ONE derivation — the UPDATE verb (a
+    * re-crawled slice supersedes its old rows, the d91 composition).
+    * Identical by construction to
+    * `refreshPrefixCrossIndex(retractPrefixCrossIndex(idx, ids), batch)`:
+    * shEx = (old minus retracted) ∪ batch, dfreq = merge(subtract(old,
+    * retracted), batch) — sum-group associativity — and the prefix
+    * postings are a pure function of (posts, dfreq). What the
+    * composition NEVER does (r17) is derive the INTERMEDIATE index's
+    * prefix postings: the two-call form paid a full postings window +
+    * checkpoint (plus two intermediate barriers) for a prefix table
+    * the refresh immediately superseded and no consumer ever read.
+    * The superseded `idx` frames stay the caller's to free. */
+  def updatePrefixCrossIndex(idx: PrefixCrossIndex,
+                             removeIds: DataFrame, batch: DataFrame,
+                             idCol: String,
+                             textCol: String): PrefixCrossIndex = {
+    val ids = removeIds.select(col(idCol).as("id"))
+    val shRm = idx.shEx.join(ids, Seq("id"), "left_semi")
+    val shNew = batch.select(col(idCol).as("id"),
+        hashedShingles(col(textCol), idx.k).as("hs"))
+      .localCheckpoint(true)
+    try {
+      val shEx = idx.shEx.join(ids, Seq("id"), "left_anti")
+        .unionByName(shNew).localCheckpoint(true)
+      val dfreq = Incremental.mergeRollups(Seq(
+          Incremental.subtractRollups(idx.dfreq,
+            crossPost(shRm).groupBy("s").agg(count(lit(1)).as("df")),
+            Seq("s"), Seq("df")),
+          crossPost(shNew).groupBy("s").agg(count(lit(1)).as("df"))),
+        Seq("s"), Seq("df" -> "sum")).localCheckpoint(true)
+      val prefEx = crossPrefix(crossPost(shEx), dfreq, idx.theta)
+        .localCheckpoint(true)
+      PrefixCrossIndex(shEx, dfreq, prefEx, idx.k, idx.theta)
+    } finally Shims.unpersistLocalCheckpoint(shNew)
+  }
+
   /** Assert a [[PrefixCrossIndex]]'s df table is well-formed: no
     * non-positive dfs — the loud detector for externally-assembled
     * or doubly-subtracted df state ([[retractPrefixCrossIndex]]

@@ -961,13 +961,20 @@ object TextAnalysis {
         val counts = gramRows(n)
           .groupBy(col(idCol), col("__totc"), col("__gr"))
           .agg(count(lit(1)).as("__c"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(idCol)
-          .orderBy(col("__c").desc, col("__gr").asc)
-        counts.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
+        // per-doc winner as min(struct(-count, gram)) — identical
+        // selection to the old row_number window (count desc, gram
+        // asc byte-wise: struct min orders field-wise and string
+        // min is the same UTF8-binary order orderBy uses), but
+        // partial-aggregable: map-side combine trims each doc to one
+        // candidate per map partition BEFORE the exchange, where the
+        // window shipped and sorted every (doc, gram) count (r17,
+        // guide §2.3 "aggregate before you shuffle")
+        counts
+          .groupBy(col(idCol), col("__totc"))
+          .agg(min(struct((-col("__c")).as("nc"), col("__gr").as("g")))
+            .as("__w"))
           .select(col(idCol), lit(s"top$n").as("__m"),
-            ((col("__c") * (length(col("__gr")) - (n - 1)))
+            (((-col("__w.nc")) * (length(col("__w.g")) - (n - 1)))
               .cast("double") / col("__totc")).as("__f"))
       }
       val dups = (5 to 10).map { n =>
@@ -976,12 +983,24 @@ object TextAnalysis {
         // xxhash64 instead of the gram string (the lineDedup "never
         // shuffle the text" idiom; dup membership needs identity
         // only — no tie-break — so the w.h.p. hash argument of the
-        // d4/d34 family applies)
+        // d4/d34 family applies). r17: the hash chains xxhash64 over
+        // the window's TOKENS in place of hashing an array_join'd
+        // string — no per-window string allocation ever happens (the
+        // tops keep the joined string: they need its length and the
+        // tie-break). Hash values differ from the joined-string hash
+        // but dup membership is hash-agnostic by the same w.h.p.
+        // argument, and token-sequence hashing is collision-
+        // equivalent (tokens carry no whitespace).
         val wc = org.apache.spark.sql.expressions.Window
           .partitionBy(col(idCol), col("__gh"))
-        val covered = gramRows(n)
-          .select(col(idCol), col("__totc"), col("__p0"),
-            xxhash64(col("__gr")).as("__gh"))
+        val covered = base
+          .filter(size(col("__ws")) >= n && col("__totc") > 0L)
+          .select(col(idCol), col("__totc"),
+            posexplode(transform(
+              sequence(lit(1), size(col("__ws")) - (n - 1)),
+              i => xxhash64((0 until n).map(o =>
+                element_at(col("__ws"), i + o)): _*)))
+              .as(Seq("__p0", "__gh")))
           .withColumn("__c", count(lit(1)).over(wc))
           .filter(col("__c") >= 2)
           .select(col(idCol), col("__totc"),

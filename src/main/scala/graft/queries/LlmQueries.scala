@@ -2431,10 +2431,11 @@ object LlmQueries {
         val pidx = Dedup.prefixCrossIndex(docs0, "doc_id", "text",
           k = 5, theta = 0.5)
         Seq(pidx.shEx, pidx.dfreq, pidx.prefEx).foreach(cps += _)
-        val pRet = Dedup.retractPrefixCrossIndex(pidx, updIds,
-          "doc_id")
-        Seq(pRet.shEx, pRet.dfreq, pRet.prefEx).foreach(cps += _)
-        val pUpd = Dedup.refreshPrefixCrossIndex(pRet, updated,
+        // ONE composed update derivation (r17): retract-then-refresh
+        // == updatePrefixCrossIndex by sum associativity, and the
+        // intermediate index's prefix postings — which nothing here
+        // ever read — are no longer derived and checkpointed
+        val pUpd = Dedup.updatePrefixCrossIndex(pidx, updIds, updated,
           "doc_id", "text")
         Seq(pUpd.shEx, pUpd.dfreq, pUpd.prefEx).foreach(cps += _)
         Dedup.validatePrefixCrossIndex(pUpd)

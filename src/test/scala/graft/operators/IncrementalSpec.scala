@@ -147,6 +147,48 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("updatePrefixCrossIndex == refresh-after-retract == fresh build") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta theta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six eight"))
+      .toDF("doc_id", "text")
+    val updated = Seq(
+      (2L, "totally rewritten content with fresh words here"),
+      (3L, "one two three four five six nine"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta iota"),
+      (11L, "one two three four five six nine"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.prefixCrossIndex(docs, "doc_id", "text",
+      k = 5, theta = 0.4)
+    val oneShot = Dedup.updatePrefixCrossIndex(idx,
+      updated.select("doc_id"), updated, "doc_id", "text")
+    val twoStep = Dedup.refreshPrefixCrossIndex(
+      Dedup.retractPrefixCrossIndex(idx, updated.select("doc_id"),
+        "doc_id"), updated, "doc_id", "text")
+    val rebuilt = Dedup.prefixCrossIndex(
+      docs.filter(col("doc_id") === 1L || col("doc_id") === 4L)
+        .unionByName(updated), "doc_id", "text", k = 5, theta = 0.4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    def probe(i: Dedup.PrefixCrossIndex) =
+      Dedup.prefixCrossJaccardAgainst(incoming, i, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+    assert(rows(oneShot.shEx) == rows(twoStep.shEx))
+    assert(rows(oneShot.dfreq) == rows(twoStep.dfreq))
+    assert(rows(oneShot.prefEx) == rows(twoStep.prefEx))
+    assert(rows(oneShot.dfreq) == rows(rebuilt.dfreq))
+    assert(probe(oneShot) == probe(rebuilt))
+    Dedup.validatePrefixCrossIndex(oneShot)
+    Seq(idx, oneShot, twoStep, rebuilt).foreach { i =>
+      Seq(i.shEx, i.dfreq, i.prefEx).foreach(
+        org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint)
+    }
+  }
+
   test("mergeRollups rejects non-mergeable aggregate names") {
     val p = Seq(("a", 1L)).toDF("k", "n")
     intercept[IllegalArgumentException] {
