@@ -334,7 +334,13 @@ object PlanDump {
         "rows already shuffle on (replacing a join-back took the 10× " +
         "ratio 4.16 → 2.88), and the shuffle carries 8-byte xxhash64 " +
         "gram keys, never the gram text (2.88 → 2.83, and the " +
-        "exchange width is what matters at 100 TB). Hash identity is " +
+        "exchange width is what matters at 100 TB). r17: the " +
+        "top-{2,3,4} winner is a partial-aggregable " +
+        "min(struct(-count, gram)) — map-side combine replaces the " +
+        "per-doc row_number sort — and the dup passes hash each " +
+        "token window in place (chained xxhash64 over the tokens), " +
+        "so no per-window gram string is ever allocated (solo warm " +
+        "8.7 → 4.5 s at sf0.1). Hash identity is " +
         "operator-internal w.h.p. (the d4/d34 precedent) so the " +
         "string-keyed oracle is unchanged. Solo pins: cold 7.61 / " +
         "warm 4.56 s at sf0.1 (BENCH_SOLO_r12.json)."),
@@ -467,7 +473,13 @@ object PlanDump {
         "crash residue only ever over-approximates, every commit " +
         "runs a post-write per-batch sync check, and " +
         "validateSnapshotStoreManifest re-certifies exact " +
-        "(id, batch) sync on every load."),
+        "(id, batch) sync on every load. r17: the commit guards' " +
+        "landed-batch probe is a filesystem listing (no Spark job), " +
+        "and the serve's df/dl derivations ride windows on the " +
+        "term/doc keys — two postings-sized exchanges instead of " +
+        "three plus two join-backs, output term-partitioned for the " +
+        "probe join (28 → 20 Exchange nodes on the serve fragment, " +
+        "plans/r17/frag_bm25_serve_*)."),
     "inc_boiler_store" ->
       ("The append-only ROLLUP store - the third storage " +
         "discipline, completing the taxonomy (fact stores rewrite " +
