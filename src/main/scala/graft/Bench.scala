@@ -196,6 +196,18 @@ object Bench {
     val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","buckets":$numBuckets,"harness_note":"$HarnessNote","queries":$qs,"failed":$failed,"base_changed":$notes,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"), full + "\n")
+    // ALSO write the map run-stamped (r17 verdict: the driver's
+    // 8-core run clobbered the 32-core run's full map — per-query
+    // evidence for the main configuration was destroyed by the
+    // scaling run minutes later). The live BENCH_QUERIES.json stays
+    // for every existing consumer; the stamped copy (core count
+    // always; round when SPARK_GRAFT_ROUND is exported) survives
+    // sibling runs at other core counts. Additive only: the printed
+    // one-line contract is untouched.
+    val stamp = sys.env.get("SPARK_GRAFT_ROUND")
+      .map(r => s"_r$r").getOrElse("") + s"_c$cpus"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"BENCH_QUERIES$stamp.json"), full + "\n")
     println(full)
     val slowest = results.sortBy(-_._2).take(12)
       .map { case (k, v, _) => "\"" + k + "\":" + f(v) }

@@ -454,6 +454,16 @@ object Incremental {
   private def commitGuards(spark: SparkSession, dir: String,
                            batch: Long,
                            manifestIdCol: Option[String]): Unit = {
+    // the listing-only landedBatches treats a missing dir as "no
+    // batches landed", which is the right answer for the duplicate
+    // guard but must NOT let a commit against a never-inited (or
+    // mistyped) dir silently birth a partial store — the old
+    // readStore probe failed loudly on PATH_NOT_FOUND and this keeps
+    // that refusal (r17 advice)
+    val (fs, p) = fsFor(spark, dir)
+    require(fs.exists(p),
+      s"$dir does not exist - initSnapshotStore creates it; " +
+        "refusing to commit into a store that was never initialized")
     val manifested = hasManifest(spark, dir)
     require(manifested == manifestIdCol.isDefined,
       if (manifested)
@@ -712,6 +722,16 @@ object Incremental {
       }
     } finally Shims.unpersistLocalCheckpoint(survivors)
   }
+
+  /** The raw store WITH its batch partition column — for sibling
+    * operators whose composed certifiers need per-batch provenance
+    * ([[graft.operators.Dedup.certifyBandStore]] folds manifest sync,
+    * roster completeness and per-id structure into ONE aggregation,
+    * which must see each row's batch). Everything else reads through
+    * [[loadSnapshotStore]]. */
+  private[operators] def readStoreWithBatch(spark: SparkSession,
+                                            dir: String): DataFrame =
+    readStore(spark, dir)
 
   /** The store's id→batch manifest as a DataFrame — the skinny
     * roster of every id the store claims to hold. Beyond retraction

@@ -287,6 +287,19 @@ class IncrementalSpec extends SparkSpec {
       .filter(col("doc_id") === 9L).count() == 2)
   }
 
+  test("snapshot store: a commit against a never-initialized dir " +
+    "refuses loudly instead of birthing a partial store") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_noinit").toString + "/never_inited"
+    val b = Search.tfSnapshot(storeDocs, "doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.commitSnapshotBatch(b, dir, batch = 1L)
+    }
+    assert(ex.getMessage.contains("does not exist"))
+    // nothing was created: the refusal left no partial store behind
+    assert(!new java.io.File(dir).exists())
+  }
+
   test("snapshot store: file-level retraction == retractDocs, only " +
     "touched partitions rewrite, vacuous and emptying cases guarded") {
     val dir = java.nio.file.Files
