@@ -438,10 +438,19 @@ object Dedup {
     * fits, and a shuffled left join keyed on the 8-byte hash is safe
     * at any scale.
     *
-    * @return (idCol, text, n_removed) as in [[lineDedup]]. */
+    * @param passThrough extra input columns carried through the
+    *        rebuild unchanged (they join the per-doc groupBy key —
+    *        free for columns functionally dependent on the id, e.g.
+    *        `lang`), so a pipeline needing them beside the rebuilt
+    *        text skips a join back onto its predecessor stage (r18:
+    *        one BroadcastHashJoin out of each d86/d88 curation DAG).
+    * @return (idCol, passThrough..., text, n_removed) as in
+    *        [[lineDedup]]. */
   def lineDedupAgainst(incoming: DataFrame, boilerplate: DataFrame,
-                       idCol: String, textCol: String): DataFrame =
-    lineDedupAgainstImpl(incoming, boilerplate, idCol, None, textCol)
+                       idCol: String, textCol: String,
+                       passThrough: Seq[String] = Nil): DataFrame =
+    lineDedupAgainstImpl(incoming, boilerplate, idCol, None, textCol,
+      passThrough)
 
   /** Shared body of [[lineDedupAgainst]] (global set, key = line
     * hash) and [[groupedLineDedupAgainst]] (per-group set, key =
@@ -453,8 +462,10 @@ object Dedup {
                                    boilerplate: DataFrame,
                                    idCol: String,
                                    groupCol: Option[String],
-                                   textCol: String): DataFrame = {
-    val gcols = groupCol.toSeq
+                                   textCol: String,
+                                   passThrough: Seq[String] = Nil)
+      : DataFrame = {
+    val gcols = groupCol.toSeq ++ passThrough
     val gkey = groupCol.map(g => lineGroupKey(g).as("grp")).toSeq
     val lines = incoming
       .select((col(idCol) +: gcols.map(col)) ++ gkey :+
@@ -1117,7 +1128,6 @@ object Dedup {
         // structural one — the band table scans once, not twice, and
         // the two failure classes keep their distinct diagnoses
         val r = ids.select(col(idCol)).distinct()
-          .withColumn("__graft_exp", lit(1))
           .join(perId, Seq(idCol), "full_outer")
           .agg(
             coalesce(sum(when(col("__graft_n").isNotNull &&
@@ -1184,6 +1194,95 @@ object Dedup {
         "screen with the store's parameters or re-band the store")
   }
 
+  /** Full pre-serve certification of a DURABLE band store in ONE
+    * Spark job — the composed form of the per-phase posture the
+    * lifecycle queries run ([[requireBandParams]] +
+    * [[graft.operators.Incremental.validateSnapshotStoreManifest]] +
+    * [[validateMinHashBands]] with the manifest roster + the screen's
+    * band-range refusal), which previously cost FOUR jobs and THREE
+    * full band-table scans per certification point (r17 verdict:
+    * per-phase certification was the largest remaining cost in
+    * inc_lsh_store/d92). Everything here derives from one per-id
+    * aggregation of the store full-outer-joined with the per-id
+    * manifest aggregate, so the band table scans ONCE and every
+    * failure class keeps a loud, distinct diagnosis:
+    *
+    *  - null ids (store or manifest) — un-retractable by id;
+    *  - roster completeness: a manifest id with NO band rows
+    *    (invisible to per-present-id structure checks);
+    *  - manifest sync: a store id the manifest never claims, a
+    *    duplicated manifest row, or an id whose store batch(es)
+    *    disagree with the manifest's — every future retraction
+    *    would mis-scope;
+    *  - structure: an id without exactly `bands` rows spanning
+    *    band ids [0, bands) exactly (banded twice, torn band set,
+    *    or band ids from foreign parameters).
+    *
+    * Strictly STRONGER than the sequence it replaces: the per-id
+    * batch agreement also catches an id whose rows tore across two
+    * batches into a coincidentally-correct total (the old pair of
+    * validators passed that state), and the per-id band range
+    * subsumes the screen's global [0, bands) refusal — serve with
+    * [[lshScreenAgainst]]`(storedCertified = true)`. Parameter
+    * bookkeeping ([[requireBandParams]]) is checked first, so one
+    * call is the whole pre-serve contract. */
+  def certifyBandStore(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, idCol: String, k: Int,
+                       numPerm: Int = 256, bands: Int = 64): Unit = {
+    requireBandParams(spark, dir, k, numPerm, bands)
+    val I = Incremental
+    val perId = I.readStoreWithBatch(spark, dir)
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("__n"),
+        min("band").as("__blo"), max("band").as("__bhi"),
+        min("batch").as("__slo"), max("batch").as("__shi"))
+    val mAgg = I.loadSnapshotStoreManifest(spark, dir)
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("__mn"),
+        min("batch").as("__mlo"), max("batch").as("__mhi"))
+    def cnt(c: Column) =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val r = perId.join(mAgg, Seq(idCol), "full_outer")
+      .agg(
+        cnt(col(idCol).isNull).as("nulls"),
+        cnt(col(idCol).isNotNull && col("__n").isNull).as("missing"),
+        cnt(col(idCol).isNotNull && col("__mn").isNull)
+          .as("unclaimed"),
+        cnt(col("__n").isNotNull && col("__mn").isNotNull &&
+          (col("__mn") =!= 1L || col("__slo") =!= col("__mlo") ||
+            col("__shi") =!= col("__mhi"))).as("drifted"),
+        cnt(col("__n").isNotNull && (col("__n") =!= bands.toLong ||
+          col("__blo") =!= 0 || col("__bhi") =!= bands - 1))
+          .as("torn")).head
+    val (nulls, missing, unclaimed, drifted, torn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    require(nulls == 0,
+      s"band store $dir holds null ids - a null id can never be " +
+        "retracted by id (equi-join discovery cannot match it); " +
+        "scrub the null-id rows and rebuild the store")
+    require(missing == 0,
+      s"band store $dir corrupt: $missing manifest id(s) carry NO " +
+        "band rows at all - a whole band set was lost (invisible " +
+        "to the per-present-id structure check); re-band the " +
+        "missing docs")
+    require(unclaimed == 0,
+      s"manifest out of sync with $dir: $unclaimed store id(s) the " +
+        "manifest never claims - future retractions would MISS " +
+        "their partitions (retracted rows keep serving); " +
+        "compactSnapshotStore rebuilds it exactly")
+    require(drifted == 0,
+      s"manifest out of sync with $dir: $drifted id(s) whose " +
+        "manifest rows disagree with the store's batch layout " +
+        "(duplicated manifest row or batch drift) - retraction " +
+        "would mis-scope; compactSnapshotStore rebuilds it exactly")
+    require(torn == 0,
+      s"band table corrupt: $torn id(s) without exactly $bands " +
+        s"band rows spanning [0, ${bands - 1}] - a doc was banded " +
+        "twice, a band set is torn, or rows carry foreign LSH " +
+        "parameters; re-band the affected docs")
+  }
+
   /** Ingest-time near-dup screen of an incoming batch against a
     * MAINTAINED band table ([[minHashBands]], usually loaded from a
     * durable store): band the incoming docs, probe the stored bands
@@ -1228,35 +1327,51 @@ object Dedup {
     *
     * @param existing the corpus TEXT source the re-score reads
     *                 candidates from — at production, the corpus
-    *                 store; only candidate ids' rows are read. */
-  /** @param incomingBands when a caller screens the SAME incoming
-    *   batch against several store states (the phase-structured
-    *   lifecycle queries), pass `minHashBands(incoming, idCol,
-    *   textCol, k, numPerm, bands)` built ONCE — the screen then
-    *   skips re-banding the batch per call (r17: inc_lsh_store's
-    *   three phases were paying three identical bandings). The frame
-    *   is caller-owned: it must be exactly that expression over the
-    *   same `incoming`, and the caller frees it. */
+    *                 store; only candidate ids' rows are read.
+    * @param incomingBands when a caller screens the SAME incoming
+    *                 batch against several store states (the
+    *                 phase-structured lifecycle queries), pass
+    *                 `minHashBands(incoming, idCol, textCol, k,
+    *                 numPerm, bands)` built ONCE — the screen then
+    *                 skips re-banding the batch per call (r17:
+    *                 inc_lsh_store's three phases were paying three
+    *                 identical bandings). The frame is caller-owned:
+    *                 it must be exactly that expression over the
+    *                 same `incoming`, and the caller frees it.
+    * @param storedCertified set true ONLY when this serve already
+    *                 certified `storedBands` against these parameters
+    *                 ([[certifyBandStore]], whose per-id band-range
+    *                 check subsumes the global refusal here) — the
+    *                 screen then skips its own min/max aggregation
+    *                 over the stored table (r18: one full-store scan
+    *                 per screen, and one job per MICRO-BATCH in the
+    *                 streaming twin). The default keeps the safety
+    *                 net for bare DataFrames. */
   def lshScreenAgainst(incoming: DataFrame, storedBands: DataFrame,
                        existing: DataFrame, idCol: String,
                        textCol: String, k: Int, theta: Double,
                        numPerm: Int = 256, bands: Int = 64,
-                       incomingBands: Option[DataFrame] = None): DataFrame = {
+                       incomingBands: Option[DataFrame] = None,
+                       storedCertified: Boolean = false): DataFrame = {
     // refuse a parameter-mismatched store BEFORE probing: a store
     // built at bands'≠bands has band ids spanning [0, bands') — the
     // probe would silently miss every bucket (see scaladoc). An
     // EMPTY store is legitimate (first crawl: nothing to collide
-    // with), so the range check applies only when rows exist.
-    val range = storedBands.agg(min(col("band")).as("lo"),
-      max(col("band")).as("hi")).head()
-    if (!range.isNullAt(1)) {
-      val (lo, hi) = (range.getInt(0), range.getInt(1))
-      require(lo == 0 && hi == bands - 1,
-        s"stored band table spans band ids [$lo, $hi] but this " +
-          s"screen bands at bands=$bands (expected [0, ${bands - 1}])" +
-          " - the store was built with different LSH parameters and " +
-          "every bucket probe would miss; re-band the store or " +
-          "screen with the parameters it was built with")
+    // with), so the range check applies only when rows exist — and
+    // only when this serve hasn't ALREADY proven the range through
+    // certifyBandStore's per-id check (storedCertified).
+    if (!storedCertified) {
+      val range = storedBands.agg(min(col("band")).as("lo"),
+        max(col("band")).as("hi")).head()
+      if (!range.isNullAt(1)) {
+        val (lo, hi) = (range.getInt(0), range.getInt(1))
+        require(lo == 0 && hi == bands - 1,
+          s"stored band table spans band ids [$lo, $hi] but this " +
+            s"screen bands at bands=$bands (expected [0, ${bands - 1}])" +
+            " - the store was built with different LSH parameters and " +
+            "every bucket probe would miss; re-band the store or " +
+            "screen with the parameters it was built with")
+      }
     }
     val ownsInBands = incomingBands.isEmpty
     val inBands = incomingBands.getOrElse(

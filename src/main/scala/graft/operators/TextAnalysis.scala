@@ -885,10 +885,18 @@ object TextAnalysis {
     * rebuilt text, so callers compose the filter; whitespace-only
     * lines are structure and fail the word rule anyway.
     *
-    * @return (idCol, n_lines, n_kept, page_kept, text) — text = the
-    *         retained lines joined with \n ('' when none). */
+    * @param passThrough extra input columns carried through
+    *        unchanged — the operator is a per-row projection, so
+    *        they ride for free, and pipelines that need e.g. `lang`
+    *        beside the rebuilt text skip a join back onto their
+    *        predecessor stage to recover it (r18: one
+    *        BroadcastHashJoin out of each d86/d88 curation DAG).
+    * @return (idCol, passThrough..., n_lines, n_kept, page_kept,
+    *         text) — text = the retained lines joined with \n (''
+    *         when none). */
   def c4LineRules(docs: DataFrame, idCol: String,
-                  textCol: String): DataFrame = {
+                  textCol: String,
+                  passThrough: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val lines = split(t, "\n")
     // \z, not $: Java's $ also matches BEFORE a final \r (CRLF text
@@ -901,12 +909,12 @@ object TextAnalysis {
         size(wordTokens(trim(l))) >= 5 &&
         !lower(l).contains("javascript")
     val kept = filter(lines, l => keepLine(l))
-    docs.select(col(idCol),
-      size(filter(lines, l => trim(l) =!= "")).as("n_lines"),
-      size(kept).as("n_kept"),
+    docs.select(col(idCol) +: passThrough.map(col) :+
+      size(filter(lines, l => trim(l) =!= "")).as("n_lines") :+
+      size(kept).as("n_kept") :+
       (size(kept) >= 5 && !lower(t).contains("lorem ipsum")
-        && !t.contains("{")).as("page_kept"),
-      concat_ws("\n", kept).as("text"))
+        && !t.contains("{")).as("page_kept") :+
+      concat_ws("\n", kept).as("text"): _*)
   }
 
   /** Gopher's full n-gram repetition battery (Rae et al. 2021,

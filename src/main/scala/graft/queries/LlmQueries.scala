@@ -958,7 +958,8 @@ object LlmQueries {
     // a reader can see (the retracted replay, verbatim, twice).
     // Every phase re-certifies the manifest AND the band table
     // itself — structural 64-rows-per-id plus the manifest-roster
-    // completeness check (a wholly-missing doc refuses loudly).
+    // completeness check (a wholly-missing doc refuses loudly),
+    // folded into certifyBandStore's one-scan aggregate since r18.
     "inc_lsh_store" -> ((s, d) => {
       val src = lshPlanted(T.documents(s, d))
       val existing = src.filter(col("doc_id") % 5 =!= 0)
@@ -996,22 +997,19 @@ object LlmQueries {
       val inB = Dedup.minHashBands(incoming, "doc_id", "text", k = 5)
       cps += inB
       def screen(phase: String): DataFrame = {
-        // full certification: manifest sync, then structural
-        // (exactly 64 rows per present id) AND complete — the
-        // manifest roster names every id the store claims, so a doc
-        // whose band rows were ALL lost (invisible to the per-id
-        // count) refuses here; the sync validator returns the
-        // manifest it read, so the roster costs no second read
-        val roster = I.validateSnapshotStoreManifest(s, dir)
-          .select("doc_id")
-        Dedup.requireBandParams(s, dir, k = 5, numPerm = 256,
-          bands = 64)
+        // full certification, ONE job (r18): params sidecar, manifest
+        // sync, roster completeness (a doc whose band rows were ALL
+        // lost refuses here), and per-id structure (exactly 64 rows
+        // spanning [0,64)) all fold into certifyBandStore's single
+        // store scan — the same refusals the old four-job sequence
+        // made, each with its distinct diagnosis, at a third of the
+        // certification scans per phase
+        Dedup.certifyBandStore(s, dir, "doc_id", k = 5,
+          numPerm = 256, bands = 64)
         val stored = I.loadSnapshotStore(s, dir)
-        Dedup.validateMinHashBands(stored, "doc_id",
-          expectedIds = Some(roster))
         val out = Dedup.lshScreenAgainst(incoming, stored, existing,
           "doc_id", "text", k = 5, theta = 0.7,
-          incomingBands = Some(inB))
+          incomingBands = Some(inB), storedCertified = true)
         cps += out
         out.select(lit(phase).as("phase"), col("in_id"),
           col("ex_id"), col("jac"))
@@ -2561,16 +2559,20 @@ object LlmQueries {
       def ck(df: DataFrame): DataFrame = {
         val c = df.localCheckpoint(true); cps += c; c
       }
-      def funnelRow(phase: String, idx: Int, name: String,
-                    df: DataFrame) =
+      def funnelAgg(df: DataFrame) =
         df.agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(length(col("text"))), lit(0L)).cast("long")
-              .as("n_chars"),
-            coalesce(sum(col("doc_id")), lit(0L)).cast("long")
-              .as("id_checksum"))
-          .select(lit(phase).as("phase"), lit(idx).as("stage_idx"),
-            lit(name).as("stage"), col("n_docs"), col("n_chars"),
-            col("id_checksum"))
+          coalesce(sum(length(col("text"))), lit(0L)).cast("long")
+            .as("n_chars"),
+          coalesce(sum(col("doc_id")), lit(0L)).cast("long")
+            .as("id_checksum"))
+      def label(agg: DataFrame, phase: String, idx: Int,
+                name: String) =
+        agg.select(lit(phase).as("phase"), lit(idx).as("stage_idx"),
+          lit(name).as("stage"), col("n_docs"), col("n_chars"),
+          col("id_checksum"))
+      def funnelRow(phase: String, idx: Int, name: String,
+                    df: DataFrame) = label(funnelAgg(df), phase, idx,
+        name)
       // stage 1 (exact in-batch dedup) and the batch's banding are
       // PHASE-INVARIANT — they depend only on the incoming batch,
       // never on store state — so both build once and every phase
@@ -2589,33 +2591,42 @@ object LlmQueries {
         val b = Dedup.minHashBands(s1Shared, "doc_id", "text", k = 5)
         cps += b; b
       }
+      // ...and so are the stage-0/1 funnel aggregates (one row each):
+      // both phases emit the SAME numbers under different labels, so
+      // the corpus scan behind '0_incoming' and the s1 pass behind
+      // '1_exact' run once, not per phase (r18)
+      lazy val inAgg = ck(funnelAgg(incoming))
+      lazy val s1Agg = ck(funnelAgg(s1Shared))
       // one serve of the whole ingest loop from what is ON DISK;
       // the funnel checkpoints eagerly because the takedown between
       // phases mutates the stores these plans read
       def ingest(phase: String, survivors: DataFrame): DataFrame = {
         // re-certify EVERY touched store before serving from it:
-        // manifest sync, band structure + manifest-roster
-        // completeness, fold non-negativity (the sync validator
-        // returns the manifest it read, so the roster costs no
-        // second parquet read)
-        val roster = I.validateSnapshotStoreManifest(s, bdir)
-          .select("doc_id")
-        Dedup.requireBandParams(s, bdir, k = 5, numPerm = 256,
-          bands = 64)
+        // the band store's params + manifest sync + roster
+        // completeness + per-id structure fold into
+        // certifyBandStore's ONE store scan (r18 — was four jobs
+        // and three full band-table scans per phase), and the
+        // rollup fold keeps its non-negativity validator
+        Dedup.certifyBandStore(s, bdir, "doc_id", k = 5,
+          numPerm = 256, bands = 64)
         val bands = I.loadSnapshotStore(s, bdir)
-        Dedup.validateMinHashBands(bands, "doc_id",
-          expectedIds = Some(roster))
         val counts = I.loadRollupStore(s, gdir, Seq("grp", "key"),
           Seq("cnt"))
         Dedup.validateLineCounts(counts)
         val s1 = s1Shared
         val flagged = Dedup.lshScreenAgainst(s1, bands, survivors,
           "doc_id", "text", k = 5, theta = 0.7,
-          incomingBands = Some(s1Bands))
+          incomingBands = Some(s1Bands), storedCertified = true)
         cps += flagged
-        val s2 = ck(s1.join(
+        // s2 stays LAZY (the d89-d91 r17 treatment): one broadcast
+        // anti-join over the pinned s1 and the checkpointed flagged
+        // set, re-run by its two consumers (the screen, its funnel
+        // row) for less than a second corpus-scale materialization
+        val s2 = s1.join(
           flagged.select(col("in_id").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti"))
+          Seq("doc_id"), "left_anti")
+        // s3 keeps its checkpoint: the screen's explode + collect_list
+        // shuffle is the one recompute not worth paying twice
         val s3 = ck(Dedup.groupedLineDedupAgainst(s2,
             Dedup.groupedBoilerplateFromCounts(counts, minCount = 3),
             "doc_id", "lang", "text")
@@ -2624,13 +2635,16 @@ object LlmQueries {
         // agreement), NOT the full Gopher battery: this corpus is
         // multilingual and Gopher's stopword rule is English-gated —
         // it would keep zero docs here, a vacuous stage (the battery
-        // itself stays gate-green standalone as d52/d84)
-        val s4 = ck(s3.filter(
+        // itself stays gate-green standalone as d52/d84).
+        // LAZY too (r18): its only consumer is the funnel row, which
+        // re-filters s3's cached blocks — the checkpoint was a pure
+        // extra corpus-scale materialization
+        val s4 = s3.filter(
           TextAnalysis.textStats(col("text")).getField("n_toks")
             >= 20 &&
-            TextAnalysis.langIdHeuristic(col("text")) === col("lang")))
-        val out = Seq(funnelRow(phase, 0, "0_incoming", incoming),
-            funnelRow(phase, 1, "1_exact", s1),
+            TextAnalysis.langIdHeuristic(col("text")) === col("lang"))
+        val out = Seq(label(inAgg, phase, 0, "0_incoming"),
+            label(s1Agg, phase, 1, "1_exact"),
             funnelRow(phase, 2, "2_neardup", s2),
             funnelRow(phase, 3, "3_screen", s3),
             funnelRow(phase, 4, "4_quality", s4))
@@ -2944,10 +2958,15 @@ object LlmQueries {
       val s1 = ck(s0.select(col("doc_id"), col("lang"),
         TextAnalysis.stripMarkupKeepLines(col("text")).as("text")),
         "s1_markup")
-      val s2 = ck(TextAnalysis.c4LineRules(s1, "doc_id", "text")
+      // lang rides THROUGH the stage operators (r18): c4LineRules and
+      // the line screen below are per-doc projections/rebuilds, so the
+      // column passes for free — the old shape re-joined each stage
+      // onto its predecessor just to recover it (two
+      // BroadcastHashJoins per DAG, gone from the stage plans)
+      val s2 = ck(TextAnalysis.c4LineRules(s1, "doc_id", "text",
+          passThrough = Seq("lang"))
         .filter(col("page_kept"))
-        .select(col("doc_id"), col("text"))
-        .join(s1.select("doc_id", "lang"), Seq("doc_id")), "s2_c4")
+        .select(col("doc_id"), col("lang"), col("text")), "s2_c4")
       val s3 = ck(s2.join(
         gopherFullGate(s2).filter(col("full_pass")).select("doc_id"),
         Seq("doc_id")), "s3_gopher")
@@ -2973,9 +2992,9 @@ object LlmQueries {
           Seq("doc_id"), "left_anti"), "s6_neardup")
       }
       val screen = Dedup.boilerplateLineSet(s5n, "text", minCount = 3)
-      val s6 = ck(Dedup.lineDedupAgainst(s5n, screen, "doc_id", "text")
-        .select(col("doc_id"), col("text"))
-        .join(s5n.select("doc_id", "lang"), Seq("doc_id")), "s6_screen")
+      val s6 = ck(Dedup.lineDedupAgainst(s5n, screen, "doc_id", "text",
+          passThrough = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("text")), "s6_screen")
       val bench = s6.filter(col("doc_id") % 37 === 0)
         .select(concat_ws(" ",
           slice(split(col("text"), "\\s+"), 1, 15)).as("btext"))

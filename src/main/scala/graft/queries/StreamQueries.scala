@@ -588,8 +588,14 @@ object StreamQueries {
       // bands even as micro-batches interleave with nothing — and
       // the pin keeps per-batch probes off repeated parquet reads)
       def loadPinned(): DataFrame = {
-        I.validateSnapshotStoreManifest(s, dir)
-        D.requireBandParams(s, dir, k = 5, numPerm = 256, bands = 64)
+        // one-job certification (r18): params + manifest sync +
+        // roster completeness + per-id structure in a single store
+        // scan (certifyBandStore), strictly stronger than the old
+        // manifest-sync-only probe — and it licenses the screens
+        // below to skip their per-MICRO-BATCH band-range job
+        // (storedCertified: the pinned table is immutable per era)
+        D.certifyBandStore(s, dir, "doc_id", k = 5, numPerm = 256,
+          bands = 64)
         reg(I.loadSnapshotStore(s, dir).localCheckpoint(true))
       }
       lazy val bandsA = loadPinned()
@@ -602,7 +608,8 @@ object StreamQueries {
         D.lshScreenAgainst(
           planted(batch.filter(col("doc_id") % 5 === 0
             && col("doc_id") % 2 === era)),
-          bands, existing, "doc_id", "text", k = 5, theta = 0.7)
+          bands, existing, "doc_id", "text", k = 5, theta = 0.7,
+          storedCertified = true)
       try {
         val run1 = materializedStream(s, d, "lshstA",
           "documents.parquet", transform = screen(bandsA, 0)) { in =>

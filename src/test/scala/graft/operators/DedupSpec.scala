@@ -396,6 +396,17 @@ class DedupSpec extends SparkSpec {
     // whitespace-only line stay
     assert(out(1L) == (("keep this\n  \ntwice", 1L)))
     assert(out(2L) == (("no boilerplate here", 0L)))
+    // passThrough rides a per-doc column through the rebuild without
+    // changing text/n_removed (the r18 lang ride-through)
+    val withLang = incoming.withColumn("lang",
+      concat(lit("l"), col("doc_id")))
+    val pt = Dedup.lineDedupAgainst(withLang, set, "doc_id", "text",
+        passThrough = Seq("lang"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(pt(1L) == (("l1", "keep this\n  \ntwice", 1L)))
+    assert(pt(2L) == (("l2", "no boilerplate here", 0L)))
   }
 
   test("lineDedup at an unreachable minCount is the identity rebuild") {
@@ -720,5 +731,73 @@ class DedupSpec extends SparkSpec {
         bands = 64)
     }
     assert(eDrift.getMessage.contains("silently miss"))
+  }
+
+  test("certifyBandStore: one-job certification passes a healthy " +
+    "store through its lifecycle and refuses each corruption class " +
+    "with its own diagnosis") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bandstore").toString + "/s"
+    // small parameters keep the fixture tiny: 4 bands of 2 perms
+    val (b0, sig0) = Dedup.minHashBandsLazy(
+      docs.filter(col("doc_id") <= 3), "doc_id", "text", k = 3,
+      numPerm = 8, bands = 4)
+    Incremental.initSnapshotStore(b0, dir,
+      manifestIdCol = Some("doc_id"))
+    Dedup.writeBandParams(spark, dir, k = 3, numPerm = 8, bands = 4)
+    org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(sig0)
+    val (b1, sig1) = Dedup.minHashBandsLazy(
+      docs.filter(col("doc_id") > 3), "doc_id", "text", k = 3,
+      numPerm = 8, bands = 4)
+    Incremental.commitSnapshotBatch(b1, dir, 1L,
+      manifestIdCol = Some("doc_id"))
+    org.apache.spark.sql.graftshim.Shims.unpersistLocalCheckpoint(sig1)
+    def certify(): Unit = Dedup.certifyBandStore(spark, dir,
+      "doc_id", k = 3, numPerm = 8, bands = 4)
+    // healthy store certifies, and stays certified through the
+    // store's own lifecycle verbs (retraction keeps manifest sync)
+    certify()
+    Incremental.retractFromSnapshotStore(spark, dir,
+      Seq(2L).toDF("doc_id"))
+    certify()
+    // parameter drift refuses via the sidecar before any scan
+    val eParam = intercept[IllegalArgumentException] {
+      Dedup.certifyBandStore(spark, dir, "doc_id", k = 5,
+        numPerm = 8, bands = 4)
+    }
+    assert(eParam.getMessage.contains("silently miss"))
+    // corruption classes, staged in REVERSE refusal priority so each
+    // new tamper is the one its assert sees.
+    // torn: extra band rows for a present id (13 rows, band range ok)
+    Seq((3L, 0, 777L)).toDF("doc_id", "band", "bh")
+      .withColumn("batch", lit(0L)).write.partitionBy("batch")
+      .mode("append").parquet(dir)
+    val eTorn = intercept[IllegalArgumentException] { certify() }
+    assert(eTorn.getMessage.contains("band table corrupt"))
+    // drifted: a duplicated manifest row under a foreign batch id
+    Seq(5L).toDF("doc_id").withColumn("batch", lit(0L))
+      .write.partitionBy("batch").mode("append").parquet(dir + "__manifest")
+    val eDrift = intercept[IllegalArgumentException] { certify() }
+    assert(eDrift.getMessage.contains("disagree with the store"))
+    // unclaimed: store rows for an id the manifest never heard of
+    Seq((999L, 0, 1L), (999L, 1, 2L), (999L, 2, 3L), (999L, 3, 4L))
+      .toDF("doc_id", "band", "bh").withColumn("batch", lit(0L))
+      .write.partitionBy("batch").mode("append").parquet(dir)
+    val eUnclaimed = intercept[IllegalArgumentException] { certify() }
+    assert(eUnclaimed.getMessage.contains("never claims"))
+    // missing: a manifest id whose band rows are ALL gone (the class
+    // per-present-id structure checks cannot see) — drop batch=1
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/batch=1"), true)
+    val eMissing = intercept[IllegalArgumentException] { certify() }
+    assert(eMissing.getMessage.contains("NO band rows"))
+    // null ids refuse above everything else
+    spark.sql("select cast(null as bigint) as doc_id, 0 as band, " +
+        "cast(1 as bigint) as bh")
+      .withColumn("batch", lit(0L)).write.partitionBy("batch")
+      .mode("append").parquet(dir)
+    val eNull = intercept[IllegalArgumentException] { certify() }
+    assert(eNull.getMessage.contains("null ids"))
   }
 }

@@ -455,6 +455,17 @@ class TextAnalysisSpec extends SparkSpec {
     val g9 = TextAnalysis.c4LineRules(crlf, "doc_id", "text")
       .collect()(0)
     assert(g9.getInt(2) == 0 && g9.getString(4) == "")
+    // passThrough rides an input column through the per-row
+    // projection unchanged (the r18 lang ride-through): same flags
+    // and rebuilt text, with the extra column between id and stats
+    val pt = TextAnalysis.c4LineRules(
+        docs.withColumn("lang", concat(lit("l"), col("doc_id"))),
+        "doc_id", "text", passThrough = Seq("lang"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getBoolean(4),
+          r.getString(5)))).toMap
+    assert(pt(2L) == (("l2", 5, 5, true, good.mkString("\n"))))
+    assert(pt(5L)._1 == "l5" && pt(5L)._3 == 4 && !pt(5L)._4)
   }
 
   test("gopherNgramStats: hand-computed top and dup fractions") {
