@@ -120,39 +120,25 @@ object Search {
 
   /** Per-posting impact table from a (materialized) snapshot.
     *
-    * Shape (r17): dl and df ride WINDOWS on the two keys the old
-    * groupBy-then-join-back plan shuffled on anyway — dl =
-    * sum(tf) over the doc partition of the FULL snapshot (markers
-    * add 0; capped stop terms still lengthen their doc, exactly as
-    * the separate dl rollup counted them), df = count over the term
-    * partition of the capped postings (identical to the old per-term
-    * count; with dfCap > 0 it shares [[Fuzzy.capPostings]]' own term
-    * window, hence the same exchange). This drops the plan from
-    * three postings-sized exchanges plus two join-backs (tf→t,
-    * joined→doc_id, perPost→t for the probe) to two exchanges
-    * (doc_id, then t), and leaves the output partitioned by `t` —
-    * exactly what the probe join consumes, so no re-exchange before
-    * it (guide §2.4: operations keyed the same way share one
-    * exchange). Every arithmetic step is the same IEEE op on the
-    * same values, so s_micros is bit-identical to the join plan's. */
+    * A/B shape (r18 adjudication): the r16 groupBy+broadcast-join-back
+    * derivation of dl and df — see the window form in the main tree.
+    * Same IEEE ops on the same values; s_micros bit-identical. */
   private def perPostFrom(tfAll: DataFrame, k1: Double, b: Double,
                           dfCap: Int): DataFrame = {
-    val wDoc = Window.partitionBy("doc_id")
-    val wT = Window.partitionBy("t")
+    val postings = tfAll.filter(col("t") =!= "")
+    // dl keeps ALL tokens (capped stop terms still lengthen their doc);
+    // markers add 0, so zero-token docs appear with dl = 0, harmless
+    val dl = tfAll.groupBy("doc_id").agg(sum("tf").as("dl"))
     // corpus scalars: one row, broadcast onto every posting, both out
     // of ONE aggregation over the snapshot (single scalar attach, no
     // chained one-row cross joins)
     val scal = broadcast(tfAll.agg(
       sum(when(col("t") === "", 1L).otherwise(0L)).as("n_docs"),
       sum("tf").as("n_toks")))
-    // dl keeps ALL tokens (window over the UNFILTERED snapshot);
-    // markers add 0, so zero-token docs appear with dl = 0, harmless
-    val postings = tfAll.withColumn("dl", sum("tf").over(wDoc))
-      .filter(col("t") =!= "")
     // stop-term cap applies to the postings themselves: a capped term
     // neither scores nor fans out in the probe join
     val tf = Fuzzy.capPostings(postings, "t", dfCap)
-      .withColumn("df", count(lit(1)).over(wT))
+    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
 
     // Lucene-style BM25, every float step an IEEE-exact op mirrored in
     // the oracle: idf = ln(1 + (N - df + .5)/(df + .5)), then the tf
@@ -164,7 +150,9 @@ object Search {
     val sat = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) +
         lit(b) * (col("dl").cast("double") / avgdl)))
-    tf.crossJoin(scal)
+    tf.join(dfT, Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(scal)
       .select(col("t"), col("doc_id"),
         round(idf * sat * lit(1e6)).cast("long").as("s_micros"))
   }
